@@ -1,0 +1,616 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** One declared operator: the Spark-first plan plus (when SQL-expressible)
+  * the DuckDB oracle the driver hash-checks it against (SURVEY.md §2/§5).
+  * Column aliases MUST match between `run` and `oracle`.
+  */
+final case class Declared(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** SURVEY.md §2 relational operator inventory, re-expressed Spark-first.
+  *
+  * Design notes for 100 TB (the local fixtures only check correctness):
+  *  - Dimension tables (region/nation/supplier, scalar aggregates) are
+  *    broadcast explicitly — no shuffle of the fact side for those joins.
+  *  - Fact-fact joins (lineitem⋈orders) shuffle on the join key once; AQE
+  *    (enabled in every session we build) handles skew/coalescing at runtime.
+  *  - Aggregates use map-side partial aggregation (Spark default for
+  *    groupBy.agg) — the shuffle carries one row per (partition, group).
+  *  - Double sums are computed as exact DECIMAL sums then cast back to
+  *    double: deterministic under any partitioning/ordering, so results are
+  *    reproducible at any parallelism AND hash-match single-threaded DuckDB
+  *    (SURVEY.md §7.4 float-summation-order caveat).
+  *  - Every query ends in an explicit orderBy so output is deterministic.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Exact distributed sum of a double column: decimal-sum then back to
+    * double. Order-insensitive → identical on 1 or 1000 executors. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  // ---------------------------------------------------------------------
+  // Scans / projections / sorts (S1, P1, O1, O2)
+  // ---------------------------------------------------------------------
+
+  private val s1ScanProjectSort = Declared(
+    "s1_scan_project_sort",
+    // Bulk-copy read shape: explicit select list + total order
+    // (reference replicator/main.go:98-101). Projection reaches the parquet
+    // scan (ReadSchema carries only 3 of 5 columns).
+    (s, d) => t(s, d)("customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey"""))
+
+  private val o2Topk = Declared(
+    "o2_topk",
+    // ORDER BY .. LIMIT k → TakeOrderedAndProject: no global sort at scale,
+    // each partition keeps k rows, driver merges k*numPartitions.
+    (s, d) => t(s, d)("orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Filters (F1, F3, F4)
+  // ---------------------------------------------------------------------
+
+  private val f1EqFilter = Declared(
+    "f1_eq_filter",
+    // Parameterized equality predicate (replicator/main.go:73,237,260).
+    // Pushed to the parquet scan (PushedFilters: [EqualTo(o_orderstatus,F)]).
+    (s, d) => t(s, d)("orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin))
+
+  private val f3ParityCount = Declared(
+    "f3_parity_count",
+    // The signature publication row filter `score % 2 = 0`
+    // (pubsub/main.go:79,186) over the fact table.
+    (s, d) => t(s, d)("lineitem")
+      .filter(col("l_partkey") % 2 === 0)
+      .agg(count(lit(1)).as("n_even")),
+    Some("""SELECT count(*) AS n_even FROM lineitem WHERE l_partkey % 2 = 0"""))
+
+  private val f4CaseDispatch = Declared(
+    "f4_case_dispatch",
+    // Action-code dispatch (replicator/main.go:195-269 switch I/U/D),
+    // as a CASE routing expression + grouped count.
+    (s, d) => t(s, d)("orders")
+      .withColumn("op_label",
+        when(col("o_orderstatus") === "O", lit("insert"))
+          .when(col("o_orderstatus") === "F", lit("update"))
+          .otherwise(lit("delete")))
+      .groupBy("o_orderstatus", "op_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus,
+           |  CASE WHEN o_orderstatus='O' THEN 'insert'
+           |       WHEN o_orderstatus='F' THEN 'update'
+           |       ELSE 'delete' END AS op_label,
+           |  count(*) AS n
+           |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Aggregations (A1-A6 + grouped/distinct/rollup/cube)
+  // ---------------------------------------------------------------------
+
+  private val a1Count = Declared(
+    "a1_count",
+    (s, d) => t(s, d)("lineitem").agg(count(lit(1)).as("n_rows")),
+    Some("""SELECT count(*) AS n_rows FROM lineitem"""))
+
+  private val a3CountFiltered = Declared(
+    "a3_count_filtered",
+    // `SELECT COUNT(*) FROM person WHERE score % 2 = 0` (pubsub/main.go:186)
+    // analog on the stream-shaped events table.
+    (s, d) => t(s, d)("events")
+      .filter(col("user_id") % 2 === 0)
+      .agg(count(lit(1)).as("n")),
+    Some("""SELECT count(*) AS n FROM events WHERE user_id % 2 = 0"""))
+
+  private val a4CoalesceMax = Declared(
+    "a4_coalesce_max",
+    // Empty-input-safe MAX: `COALESCE(MAX(id), 0)` (replicator/main.go:143-144).
+    // The filter is deliberately unsatisfiable so the aggregate sees 0 rows.
+    (s, d) => t(s, d)("orders")
+      .filter(col("o_totalprice") < 0.0)
+      .agg(coalesce(max(col("o_orderkey")), lit(0L)).as("max_id")),
+    Some("""SELECT coalesce(max(o_orderkey), 0) AS max_id FROM orders
+           |WHERE o_totalprice < 0.0""".stripMargin))
+
+  private val a6LwwWindow = Declared(
+    "a6_lww_window",
+    // Last-writer-wins per key — THE core CDC reduction (SURVEY §2.4 A6):
+    // row_number over (partition by key order by seq desc) = 1.
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+      t(s, d)("events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id AS last_event_id,
+           |  event_type AS last_event_type, value AS last_value
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  private val a6LwwMaxBy = Declared(
+    "a6_lww_maxby",
+    // Same reduction via max_by: a single hash aggregate (map-side partial
+    // combine) — cheaper than the window at scale: no per-partition sort,
+    // shuffle carries one row per (partition, key).
+    (s, d) => t(s, d)("events")
+      .groupBy("user_id")
+      .agg(max_by(col("event_type"), col("event_id")).as("last_event_type"),
+        max(col("event_id")).as("last_event_id"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, max_by(event_type, event_id) AS last_event_type,
+           |  max(event_id) AS last_event_id
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  private val q1AggPricing = Declared(
+    "q1_agg_pricing",
+    // TPC-H Q1 shape: scan-heavy grouped aggregate, the canonical
+    // map-side-combine benchmark. Decimal sums → deterministic at any DOP.
+    (s, d) => {
+      val li = t(s, d)("lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_qty,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  private val aggDistinct = Declared(
+    "agg_distinct",
+    // Exact distinct counts: Spark expands to a two-phase aggregate;
+    // at 100 TB prefer approx_count_distinct (HLL) — kept exact here for
+    // the oracle.
+    (s, d) => t(s, d)("lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps")),
+    Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+           |  count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin))
+
+  private val aggRollup = Declared(
+    "agg_rollup",
+    (s, d) => t(s, d)("orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("_all")).as("status"),
+        coalesce(col("o_orderpriority"), lit("_all")).as("prio"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "prio"),
+    Some("""SELECT coalesce(o_orderstatus, '_all') AS status,
+           |  coalesce(o_orderpriority, '_all') AS prio,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+           |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+           |ORDER BY status, prio""".stripMargin))
+
+  private val aggCube = Declared(
+    "agg_cube",
+    (s, d) => t(s, d)("customer")
+      .cube("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(coalesce(col("c_mktsegment"), lit("_all")).as("segment"),
+        coalesce(col("c_nationkey"), lit(-1)).as("nationkey"),
+        col("n"), col("sum_bal"))
+      .orderBy("segment", "nationkey"),
+    Some("""SELECT coalesce(c_mktsegment, '_all') AS segment,
+           |  coalesce(c_nationkey, -1) AS nationkey,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+           |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+           |ORDER BY segment, nationkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Joins (J1-J3 + the standard surface)
+  // ---------------------------------------------------------------------
+
+  private val jInnerBroadcast = Declared(
+    "j_inner_broadcast",
+    // Star-schema rollup: both dims broadcast — zero shuffle of the fact
+    // side for the joins; only the final 5-group aggregate shuffles.
+    (s, d) => t(s, d)("customer")
+      .join(broadcast(t(s, d)("nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d)("region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("r_name"),
+    Some("""SELECT r_name, count(*) AS n_cust,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name ORDER BY r_name""".stripMargin))
+
+  private val j2SemiExists = Declared(
+    "j2_semi_exists",
+    // EXISTS probe (replicator/main.go:72-77) → left-semi join; Catalyst
+    // plans broadcast-semi when the filtered build side is small.
+    (s, d) => t(s, d)("customer")
+      .join(t(s, d)("orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_totalprice > 400000.0)
+           |ORDER BY c_custkey""".stripMargin))
+
+  private val j3AntiJoin = Declared(
+    "j3_anti_join",
+    // ON CONFLICT DO NOTHING insert-if-absent (replicator/main.go:118-122)
+    // → left-anti join: keys with no match on the existing side
+    // (orders with no lineitems — non-empty at every sf).
+    (s, d) => t(s, d)("orders")
+      .join(t(s, d)("lineitem"), col("o_orderkey") === col("l_orderkey"),
+        "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey FROM orders o
+           |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+           |                  WHERE l.l_orderkey = o.o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  private val jLeftOuterCount = Declared(
+    "j_left_outer_count",
+    (s, d) => t(s, d)("customer").as("c")
+      .join(t(s, d)("orders").as("o"),
+        col("o.o_custkey") === col("c.c_custkey"), "left")
+      .groupBy(col("c.c_custkey").as("c_custkey"))
+      .agg(count(col("o.o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+           |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin))
+
+  private val jFullOuter = Declared(
+    "j_full_outer",
+    (s, d) => {
+      val cust = t(s, d)("customer").select(col("c_nationkey").as("ck")).distinct()
+      val supp = t(s, d)("supplier").select(col("s_nationkey").as("sk")).distinct()
+      cust.join(supp, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("ck").isNotNull.as("has_customer"),
+          col("sk").isNotNull.as("has_supplier"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT coalesce(ck, sk) AS nationkey,
+           |  ck IS NOT NULL AS has_customer,
+           |  sk IS NOT NULL AS has_supplier
+           |FROM (SELECT DISTINCT c_nationkey AS ck FROM customer) a
+           |FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS sk FROM supplier) b
+           |  ON ck = sk
+           |ORDER BY nationkey""".stripMargin))
+
+  private val jThetaPairs = Declared(
+    "j_theta_pairs",
+    // Theta join (equi + inequality): nation pairs within a region. The
+    // equi part keys the shuffle; the `<` residual filters post-match.
+    (s, d) => {
+      val n1 = t(s, d)("nation").as("n1")
+      val n2 = t(s, d)("nation").as("n2")
+      n1.join(n2, col("n1.n_regionkey") === col("n2.n_regionkey") &&
+          col("n1.n_nationkey") < col("n2.n_nationkey"))
+        .select(col("n1.n_regionkey").as("region_key"),
+          col("n1.n_name").as("a_name"), col("n2.n_name").as("b_name"))
+        .orderBy("region_key", "a_name", "b_name")
+    },
+    Some("""SELECT n1.n_regionkey AS region_key, n1.n_name AS a_name,
+           |  n2.n_name AS b_name
+           |FROM nation n1 JOIN nation n2
+           |  ON n1.n_regionkey = n2.n_regionkey
+           | AND n1.n_nationkey < n2.n_nationkey
+           |ORDER BY region_key, a_name, b_name""".stripMargin))
+
+  private val jQ3Shipping = Declared(
+    "j_q3_shipping",
+    // TPC-H Q3 shape — the flagship: filtered dim (customer segment)
+    // broadcast into orders, then one shuffle join with lineitem on
+    // l_orderkey; grouped decimal revenue; top-20 via TakeOrdered.
+    (s, d) => {
+      val cutoff = to_timestamp(lit("1997-06-30 00:00:00"))
+      val cust = t(s, d)("customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, d)("orders").filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, d)("lineitem").filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(20)
+    },
+    Some("""SELECT l_orderkey,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           |  o_orderdate, o_orderpriority
+           |FROM customer, orders, lineitem
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 20""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Window functions (§2.5)
+  // ---------------------------------------------------------------------
+
+  private val wRankTopn = Declared(
+    "w_rank_topn",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d)("orders")
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+           |FROM (SELECT *, rank() OVER (PARTITION BY o_orderpriority
+           |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           |      FROM orders) WHERE rnk <= 3
+           |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin))
+
+  private val wLagPrev = Declared(
+    "w_lag_prev",
+    (s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d)("lineitem")
+        .filter(col("l_suppkey") < 10)
+        .withColumn("prev_orderkey", lag(col("l_orderkey"), 1).over(w))
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("prev_orderkey"))
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           |  lag(l_orderkey, 1) OVER (PARTITION BY l_suppkey
+           |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_orderkey
+           |FROM lineitem WHERE l_suppkey < 10
+           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin))
+
+  private val wRunningSum = Declared(
+    "w_running_sum",
+    // Running sum in exact decimal (frame order fixed ⇒ deterministic).
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d)("orders")
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(30,4)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("running_spend"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER
+           |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |    AS running_spend
+           |FROM orders
+           |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Set operations (§2.7)
+  // ---------------------------------------------------------------------
+
+  private def custNations(s: SparkSession, d: String): DataFrame =
+    t(s, d)("customer").select(col("c_nationkey").as("k"))
+  private def suppNations(s: SparkSession, d: String): DataFrame =
+    t(s, d)("supplier").select(col("s_nationkey").as("k"))
+
+  private val setUnion = Declared(
+    "set_union",
+    (s, d) => custNations(s, d).union(suppNations(s, d)).distinct().orderBy("k"),
+    Some("""SELECT c_nationkey AS k FROM customer
+           |UNION SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin))
+
+  private val setIntersect = Declared(
+    "set_intersect",
+    (s, d) => custNations(s, d).intersect(suppNations(s, d)).orderBy("k"),
+    Some("""SELECT c_nationkey AS k FROM customer
+           |INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin))
+
+  private val setExcept = Declared(
+    "set_except",
+    // Order keys never shipped — non-empty at every sf.
+    (s, d) => t(s, d)("orders").select(col("o_orderkey").as("k"))
+      .except(t(s, d)("lineitem").select(col("l_orderkey").as("k")))
+      .orderBy("k"),
+    Some("""SELECT o_orderkey AS k FROM orders
+           |EXCEPT SELECT l_orderkey AS k FROM lineitem ORDER BY k""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Scalar functions & expressions (X1-X13)
+  // ---------------------------------------------------------------------
+
+  private val xScalarFuncs = Declared(
+    "x_scalar_funcs",
+    // X1 modulo, X2 coalesce/case, X4 cast, X8 concat, X12 date_format —
+    // all codegen'd built-ins fused into one projection stage.
+    (s, d) => t(s, d)("orders")
+      .select(
+        col("o_orderkey"),
+        (col("o_orderkey") % 7).as("mod7"),
+        concat(col("o_orderpriority"), lit("_"),
+          (col("o_orderkey") % 10).cast("string")).as("tag"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        col("o_orderkey").cast("string").as("key_str"),
+        when(col("o_orderstatus") === "P", lit("PENDING"))
+          .otherwise(col("o_orderstatus")).as("status_norm"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderkey % 7 AS mod7,
+           |  concat(o_orderpriority, '_', CAST(o_orderkey % 10 AS VARCHAR)) AS tag,
+           |  strftime(o_orderdate, '%Y-%m') AS order_month,
+           |  CAST(o_orderkey AS VARCHAR) AS key_str,
+           |  CASE WHEN o_orderstatus = 'P' THEN 'PENDING'
+           |       ELSE o_orderstatus END AS status_norm
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  private val xEpochDiff = Declared(
+    "x_epoch_diff",
+    // X5: EXTRACT(EPOCH FROM (a - b)) (pubsub/main.go:203) as epoch-second
+    // subtraction + day diff, computed between two data timestamps so the
+    // result is deterministic (no wall clock in verified queries).
+    (s, d) => t(s, d)("lineitem").as("l")
+      .join(t(s, d)("orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .select(col("l.l_orderkey").as("l_orderkey"), col("l.l_linenumber").as("l_linenumber"),
+        (unix_timestamp(col("l.l_shipdate")) - unix_timestamp(col("o.o_orderdate")))
+          .as("delay_secs"),
+        datediff(col("l.l_shipdate").cast("date"), col("o.o_orderdate").cast("date"))
+          .cast("long").as("delay_days"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  CAST(epoch(l_shipdate) AS BIGINT) - CAST(epoch(o_orderdate) AS BIGINT)
+           |    AS delay_secs,
+           |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           |    AS delay_days
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  private val xJsonExtract = Declared(
+    "x_json_extract",
+    // X11: JSON decode of the change payload (replicator/main.go:184-188)
+    // analog over events.props. get_json_object is the Spark-native path;
+    // the k_str column uses the same regexp on both engines.
+    (s, d) => t(s, d)("events")
+      .select(col("event_id"),
+        regexp_extract(col("props"), """"k":\s*(\d+)""", 1).as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  regexp_extract(props, '"k":\s*(\d+)', 1) AS k_str,
+           |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  private val xArrayOps = Declared(
+    "x_array_ops",
+    // X13 array handling over the embeddings list column: size,
+    // element access, and an exact-order fold (l2 norm, rounded).
+    (s, d) => t(s, d)("embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e1"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"))
+      .orderBy("vec_id"),
+    Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+           |  CAST(embedding[1] AS DOUBLE) AS e1,
+           |  round(sqrt(list_sum(list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Subqueries
+  // ---------------------------------------------------------------------
+
+  private val subScalarAvg = Declared(
+    "sub_scalar_avg",
+    // Scalar subquery: the 1-row aggregate is broadcast — at scale this is
+    // one tiny exchange, never a shuffle of the probe side.
+    (s, d) => {
+      val ord = t(s, d)("orders")
+      val avgP = ord.agg(avg(col("o_totalprice")).as("avg_p"))
+      ord.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("avg_p") * 1.5)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+           |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+           |ORDER BY o_orderkey""".stripMargin))
+
+  private val subInSegment = Declared(
+    "sub_in_segment",
+    // IN (subquery) → left-semi join against the filtered dim.
+    (s, d) => t(s, d)("orders")
+      .join(t(s, d)("customer").filter(col("c_mktsegment") === "MACHINERY"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey FROM orders
+           |WHERE o_custkey IN (SELECT c_custkey FROM customer
+           |                    WHERE c_mktsegment = 'MACHINERY')
+           |ORDER BY o_orderkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Event-time bucketing (batch analog of the streaming window — §2.9 T6)
+  // ---------------------------------------------------------------------
+
+  private val eventsWindowHour = Declared(
+    "events_window_hour",
+    (s, d) => t(s, d)("events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("h", "event_type"),
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin))
+
+  // ---------------------------------------------------------------------
+
+  val all: Seq[Declared] = Seq(
+    s1ScanProjectSort, o2Topk,
+    f1EqFilter, f3ParityCount, f4CaseDispatch,
+    a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
+    q1AggPricing, aggDistinct, aggRollup, aggCube,
+    jInnerBroadcast, j2SemiExists, j3AntiJoin, jLeftOuterCount, jFullOuter,
+    jThetaPairs, jQ3Shipping,
+    wRankTopn, wLagPrev, wRunningSum,
+    setUnion, setIntersect, setExcept,
+    xScalarFuncs, xEpochDiff, xJsonExtract, xArrayOps,
+    subScalarAvg, subInSegment,
+    eventsWindowHour)
+}
