@@ -1,0 +1,147 @@
+package graft.cdc
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import java.util.UUID
+
+import scala.util.Random
+
+/** Deterministic analog of the reference's `writer` program
+  * (writer/main.go:52-71) producing wal2json-v2-shaped JSON change lines
+  * instead of SQL INSERTs, extended with updates and deletes so the full
+  * I/U/D surface is exercised (replicator/main.go:195-269).
+  *
+  * Pure JVM-side: this is the test/soak harness, not the engine. The
+  * engine consumes the emitted change-log files through
+  * [[ChangeSource]]/[[Replicate]]; in production the same lines arrive via
+  * a Kafka/Debezium topic.
+  */
+object ChangeGen {
+  /** A generated operation, kept in typed form so tests can replay it
+    * naively and compare against the engine (SURVEY.md §5). */
+  final case class Op(lsn: Long, action: String, id: Int,
+      name: String, uid: String, score: Int, createdAt: LocalDateTime)
+
+  private val names = Seq("Alice", "Bob", "Charlie", "Diana", "Eve",
+    "Frank", "Grace", "Henry", "Iris", "Jack") // writer/main.go:49
+  private val fmt = DateTimeFormatter.ofPattern(Wal2JsonSchema.tsFormat)
+  private val base = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+
+  /** Generate `n` ops: ~60% insert / ~25% update / ~15% delete, updates
+    * and deletes always target a currently-live key. Deterministic in
+    * `seed`. */
+  def ops(seed: Long, n: Int): Seq[Op] = {
+    val r = new Random(seed)
+    var nextId = 1
+    val live = scala.collection.mutable.ArrayBuffer[Int]()
+    val created = scala.collection.mutable.Map[Int, LocalDateTime]()
+    (1 to n).map { lsn =>
+      val ts = base.plusSeconds(lsn.toLong)
+      val roll = r.nextDouble()
+      if (live.isEmpty || roll < 0.60) {
+        val id = nextId; nextId += 1
+        live += id
+        val cAt = ts
+        created(id) = cAt
+        Op(lsn.toLong, "I", id,
+          names(r.nextInt(names.size)) + "_" + id, // writer/main.go:59
+          new UUID(r.nextLong(), r.nextLong()).toString,
+          r.nextInt(100) + 1, // writer/main.go:61
+          cAt)
+      } else if (roll < 0.85) {
+        val id = live(r.nextInt(live.size))
+        Op(lsn.toLong, "U", id,
+          names(r.nextInt(names.size)) + "_" + id + "u",
+          new UUID(r.nextLong(), r.nextLong()).toString,
+          r.nextInt(100) + 1,
+          created(id)) // U events carry the unchanged created_at new image
+      } else {
+        val idx = r.nextInt(live.size)
+        val id = live.remove(idx)
+        Op(lsn.toLong, "D", id, "", "", 0, created(id))
+      }
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def colJson(name: String, typ: String, value: String,
+      quote: Boolean): String = {
+    val v = if (quote) jstr(value) else value
+    s"""{"name":${jstr(name)},"type":${jstr(typ)},"value":$v}"""
+  }
+
+  /** Render one op as a wal2json format-version-2 line
+    * (replicator/main.go:183-188 shape). */
+  def toJsonLine(op: Op): String = {
+    val ts = jstr(op.createdAt.format(fmt) + "+00")
+    val head = s""""lsn":${op.lsn},"action":${jstr(op.action)},"timestamp":$ts,"schema":"public","table":"person""""
+    op.action match {
+      case "D" =>
+        val ident = colJson("id", "integer", op.id.toString, quote = false)
+        s"""{$head,"identity":[$ident]}"""
+      case a =>
+        val cols = Seq(
+          colJson("id", "integer", op.id.toString, quote = false),
+          colJson("name", "character varying(100)", op.name, quote = true),
+          colJson("uid", "uuid", op.uid, quote = true),
+          colJson("score", "integer", op.score.toString, quote = false),
+          colJson("created_at", "timestamp without time zone",
+            op.createdAt.format(fmt), quote = true)).mkString(",")
+        val ident = if (a == "U")
+          s""","identity":[${colJson("id", "integer", op.id.toString, quote = false)}]"""
+        else ""
+        s"""{$head,"columns":[$cols]$ident}"""
+    }
+  }
+
+  /** Noise the parser must survive: events for another table (dropped,
+    * replicator/main.go:191-193) and malformed JSON (skipped,
+    * replicator/main.go:186-188). */
+  def auditLine(lsn: Long): String =
+    s"""{"lsn":$lsn,"action":"I","timestamp":"2026-01-01 00:00:00.000000+00","schema":"public","table":"audit","columns":[{"name":"id","type":"integer","value":$lsn}]}"""
+  val malformedLine: String = """{"action":"I","table":"person" THIS IS NOT JSON"""
+
+  /** Split ops into micro-batch files under `dir` (one file = one slot
+    * poll, replicator/main.go:154-166), interleaving noise lines. */
+  def writeBatches(dir: String, ops: Seq[Op], batches: Int,
+      withNoise: Boolean = true): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val per = math.max(1, math.ceil(ops.size.toDouble / batches).toInt)
+    ops.grouped(per).zipWithIndex.foreach { case (group, i) =>
+      val lines = group.map(toJsonLine) ++
+        (if (withNoise) Seq(auditLine(900000L + i), malformedLine) else Nil)
+      Files.write(Paths.get(dir, f"batch_$i%05d.json"),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Naive in-memory replay — the test oracle (SURVEY.md §5): final state
+    * after applying ops in lsn order with reference upsert semantics. */
+  def replay(ops: Seq[Op]): Map[Int, PersonRow] = {
+    val state = scala.collection.mutable.Map[Int, PersonRow]()
+    ops.sortBy(_.lsn).foreach { op =>
+      op.action match {
+        case "I" => state.get(op.id) match {
+          case Some(old) => // ON CONFLICT DO UPDATE keeps created_at (replicator/main.go:204-217)
+            state(op.id) = old.copy(name = op.name, uid = op.uid, score = op.score)
+          case None =>
+            state(op.id) = PersonRow(op.id, op.name, op.uid, op.score,
+              java.sql.Timestamp.valueOf(op.createdAt))
+        }
+        case "U" => state.get(op.id).foreach { old => // UPDATE misses are no-ops
+          state(op.id) = old.copy(name = op.name, uid = op.uid, score = op.score)
+        }
+        case "D" => state.remove(op.id) // replicator/main.go:260-261
+      }
+    }
+    state.toMap
+  }
+}

@@ -1,0 +1,68 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parse wal2json v2 change lines into typed [[PersonChange]] rows.
+  *
+  * Reference dataflow: `pg_logical_slot_get_changes` → `json.Unmarshal` →
+  * route/filter → apply (replicator/main.go:159-193). Here the whole parse
+  * + pivot + filter is ONE narrow codegen'd stage — no shuffle until the
+  * keyed apply, so at 100 TB/day of change volume it scales linearly with
+  * executors reading the source partitions.
+  *
+  * Malformed JSON lines parse to null and are dropped, mirroring the
+  * reference's log-and-continue (replicator/main.go:186-188); count them
+  * with [[malformedCount]] in batch audits.
+  */
+object ChangeSource {
+  import Wal2JsonSchema._
+
+  /** Batch read of a change-log directory. */
+  def readBatch(spark: SparkSession, dir: String): Dataset[PersonChange] =
+    parse(spark.read.text(dir))
+
+  /** Streaming read — the S2 slot-scan analog. File source here; in
+    * production swap `.format("kafka")` + the Debezium envelope, the
+    * downstream plan is identical. Checkpointed offsets upgrade the
+    * reference's destructive at-most-once slot read to exactly-once
+    * (SURVEY.md §2.9 T2). */
+  def readStream(spark: SparkSession, dir: String): Dataset[PersonChange] =
+    parse(spark.readStream.format("text").load(dir))
+
+  /** Lines that failed to parse (batch-side audit). */
+  def malformedCount(spark: SparkSession, dir: String): Long =
+    spark.read.text(dir)
+      .select(from_json(col("value"), envelope).as("c"))
+      .filter(col("c").isNull || col("c.action").isNull)
+      .count()
+
+  /** envelope JSON → filter table='person' (F2) → pivot columns/identity
+    * arrays to a map (X13, map_from_arrays) → typed columns. */
+  def parse(lines: DataFrame): Dataset[PersonChange] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines
+      .select(from_json(col("value"), envelope).as("c"))
+      .filter(col("c").isNotNull && col("c.action").isin("I", "U", "D"))
+      .filter(col("c.table") === "person") // replicator/main.go:191-193
+      .select(
+        col("c.lsn").as("lsn"),
+        col("c.action").as("action"),
+        map_from_arrays(col("c.columns.name"), col("c.columns.value"))
+          .as("cols"),
+        map_from_arrays(col("c.identity.name"), col("c.identity.value"))
+          .as("ident"))
+      .select(
+        col("lsn"), col("action"),
+        coalesce(element_at(col("cols"), "id"),
+          element_at(col("ident"), "id")).cast("int").as("id"),
+        element_at(col("cols"), "name").as("name"),
+        element_at(col("cols"), "uid").as("uid"),
+        element_at(col("cols"), "score").cast("int").as("score"),
+        to_timestamp(element_at(col("cols"), "created_at"), tsFormat)
+          .as("created_at"))
+      .filter(col("id").isNotNull)
+      .as[PersonChange]
+  }
+}

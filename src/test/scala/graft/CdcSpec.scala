@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+class CdcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def replicaAsMap(dir: String): Map[Int, PersonRow] =
+    Replicate.readReplica(spark, dir).collect().map(r => r.id -> r).toMap
+
+  // -------------------------------------------------------------------
+  // Envelope parsing (S2/X11/X13, F2, malformed handling)
+  // -------------------------------------------------------------------
+
+  test("wal2json parse: I/U/D pivot, non-person dropped, malformed skipped") {
+    val ops = ChangeGen.ops(seed = 7, n = 50)
+    val dir = tmp("cdc-parse")
+    ChangeGen.writeBatches(dir, ops, batches = 2, withNoise = true)
+
+    val parsed = ChangeSource.readBatch(spark, dir).collect()
+    assert(parsed.length === 50) // audit + malformed lines excluded
+    assert(ChangeSource.malformedCount(spark, dir) === 2) // 1 per batch file
+
+    val byLsn = parsed.map(c => c.lsn -> c).toMap
+    ops.foreach { op =>
+      val c = byLsn(op.lsn)
+      assert(c.action === op.action && c.id === op.id)
+      if (op.action != "D") {
+        assert(c.name.contains(op.name))
+        assert(c.uid.contains(op.uid))
+        assert(c.score.contains(op.score))
+        assert(c.created_at.contains(java.sql.Timestamp.valueOf(op.createdAt)))
+      } else {
+        // delete carries only the PK image (replicator/main.go:260-261)
+        assert(c.name.isEmpty && c.score.isEmpty)
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Merge fold semantics (A6/J1, S5-S8)
+  // -------------------------------------------------------------------
+
+  private val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  private def ch(lsn: Long, a: String, id: Int, name: String = "x",
+      score: Int = 2, at: java.sql.Timestamp = t0): PersonChange =
+    PersonChange(lsn, a, id,
+      if (a == "D") None else Some(name),
+      if (a == "D") None else Some(s"uid-$id"),
+      if (a == "D") None else Some(score),
+      if (a == "D") None else Some(at))
+
+  test("fold: I then U then D leaves no row; D then re-I resurrects") {
+    val empty = spark.emptyDataset[PersonRow]
+    val gone = Replicate.applyChanges(empty,
+      Seq(ch(1, "I", 1), ch(2, "U", 1, "y"), ch(3, "D", 1)).toDS())
+    assert(gone.isEmpty)
+
+    val t1 = java.sql.Timestamp.valueOf("2026-02-02 00:00:00")
+    val back = Replicate.applyChanges(empty,
+      Seq(ch(1, "I", 1), ch(2, "D", 1), ch(3, "I", 1, "z", 4, t1)).toDS())
+      .collect()
+    assert(back.length === 1)
+    assert(back(0).name === "z" && back(0).created_at === t1)
+  }
+
+  test("fold: conflicting I and U preserve created_at of the live row") {
+    val t1 = java.sql.Timestamp.valueOf("2026-03-03 00:00:00")
+    val current = Seq(PersonRow(1, "old", "u1", 1, t0)).toDS()
+    // I on existing key = ON CONFLICT DO UPDATE (replicator/main.go:204-217)
+    val afterI = Replicate.applyChanges(current,
+      Seq(ch(10, "I", 1, "newI", 8, t1)).toDS()).collect()(0)
+    assert(afterI.name === "newI" && afterI.score === 8)
+    assert(afterI.created_at === t0, "created_at must survive conflict-update")
+    // U on existing key never touches created_at (replicator/main.go:234-243)
+    val afterU = Replicate.applyChanges(current,
+      Seq(ch(11, "U", 1, "newU", 9, t1)).toDS()).collect()(0)
+    assert(afterU.name === "newU" && afterU.created_at === t0)
+  }
+
+  test("fold: U and D on absent key are no-ops") {
+    val empty = spark.emptyDataset[PersonRow]
+    assert(Replicate.applyChanges(empty, Seq(ch(1, "U", 42)).toDS()).isEmpty)
+    assert(Replicate.applyChanges(empty, Seq(ch(1, "D", 42)).toDS()).isEmpty)
+  }
+
+  test("property: engine state == naive replay for random sequences") {
+    for (seed <- Seq(1L, 42L, 99L)) {
+      val ops = ChangeGen.ops(seed, n = 300)
+      val changes = ChangeGen.ops(seed, n = 300) // regenerate: determinism
+      assert(ops === changes, "generator must be deterministic in seed")
+      val dir = tmp(s"cdc-prop-$seed")
+      ChangeGen.writeBatches(dir, ops, batches = 5)
+      val got = Replicate.applyChanges(spark.emptyDataset[PersonRow],
+        ChangeSource.readBatch(spark, dir))
+        .collect().map(r => r.id -> r).toMap
+      assert(got === ChangeGen.replay(ops), s"seed $seed diverged")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Bucketed replica apply (S5-S9) + idempotency (T2)
+  // -------------------------------------------------------------------
+
+  test("applyBatch: bucketed replica converges and re-delivery is idempotent") {
+    val ops = ChangeGen.ops(seed = 5, n = 400)
+    val dir = tmp("cdc-apply"); val replica = tmp("cdc-replica")
+    ChangeGen.writeBatches(dir, ops, batches = 1, withNoise = false)
+    val batch = ChangeSource.readBatch(spark, dir)
+
+    Replicate.applyBatch(spark, batch, replica, numBuckets = 4)
+    val first = replicaAsMap(replica)
+    assert(first === ChangeGen.replay(ops))
+
+    // exactly-once story: replaying the same batch changes nothing
+    Replicate.applyBatch(spark, batch, replica, numBuckets = 4)
+    assert(replicaAsMap(replica) === first)
+  }
+
+  test("applyBatch: bucket whose keys all die is physically dropped") {
+    val replica = tmp("cdc-replica-drop")
+    // two keys in distinct buckets (numBuckets=2: id 2 → bucket 0, id 3 → 1)
+    Replicate.applyBatch(spark,
+      Seq(ch(1, "I", 2), ch(2, "I", 3)).toDS(), replica, numBuckets = 2)
+    assert(replicaAsMap(replica).keySet === Set(2, 3))
+    Replicate.applyBatch(spark,
+      Seq(ch(3, "D", 2)).toDS(), replica, numBuckets = 2)
+    assert(replicaAsMap(replica).keySet === Set(3))
+  }
+
+  // -------------------------------------------------------------------
+  // End-to-end stream (S2-S9, T1-T4, T7-T8) with the pubsub oracle
+  // -------------------------------------------------------------------
+
+  test("end-to-end: snapshot + stream with parity publication filter") {
+    val ops = ChangeGen.ops(seed = 11, n = 500)
+    val (snapOps, streamOps) = ops.splitAt(200)
+
+    // phase 2: initial snapshot of pre-existing state (replicator/main.go:98-140)
+    val snapState = ChangeGen.replay(snapOps)
+    // publication filter applies to the initial copy too (copy_data=true)
+    val replica = tmp("cdc-e2e-replica")
+    val even = snapState.values.filter(_.score % 2 == 0).toSeq
+    Replicate.snapshot(spark, even.toDS(), replica, numBuckets = 4)
+
+    // phase 3: continuous apply of the remaining changes in 4 polls
+    val changeDir = tmp("cdc-e2e-log"); val ckpt = tmp("cdc-e2e-ckpt")
+    ChangeGen.writeBatches(changeDir, streamOps, batches = 4)
+    val q = Replicate.start(spark, changeDir, replica, ckpt,
+      rowFilter = Some(Replicate.parityPred), numBuckets = 4,
+      trigger = Trigger.ProcessingTime("1 second"))
+    try q.processAllAvailable() finally q.stop()
+
+    val sourceState = ChangeGen.replay(ops)
+    val want = sourceState.filter(_._2.score % 2 == 0)
+    assert(replicaAsMap(replica) === want)
+
+    // the reference's own oracle (pubsub/main.go:184-198)
+    val st = Monitor.status(sourceState.values.toSeq.toDS(),
+      Replicate.readReplica(spark, replica), Some(Replicate.parityPred))
+    assert(st.inSync && st.verdict === "✓ In sync")
+    assert(st.targetCount === want.size.toLong)
+  }
+}

@@ -13,6 +13,7 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
 }
 
 class RelationalSpec extends AnyFunSuite {
