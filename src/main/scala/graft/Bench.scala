@@ -1,5 +1,22 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.cdc.{ChangeGen, Replicate}
+import graft.streaming.BatchMetricsListener
+
+/** Benchmark main (driver-run per round → BENCH_r{N}.json).
+  *
+  * Round-1 fixes (VERDICT item 4): queries materialize through the noop
+  * sink — `count()` let Catalyst drop top-level sorts and prune columns,
+  * under-measuring every ORDER BY-terminated plan; the side-effectful CDC
+  * pipeline is OUT of the per-query map and measured separately as
+  * throughput + worst-micro-batch latency (its envelope in BASELINE.md is
+  * latency, not a one-shot wall time); failures are reported loudly in
+  * the JSON instead of silently becoming -1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +24,69 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // ---- relational / ML queries: time the declared plan end-to-end ----
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.filterNot(_._1.startsWith("cdc_"))
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
+          System.err.println(s"[bench] FAILED $name: $e")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
+    // ---- CDC pipeline: throughput + worst-batch latency --------------
+    val cdcJson = try {
+      val ops = ChangeGen.ops(seed = 42L, n = 20000)
+      val (snapOps, streamOps) = ops.splitAt(5000)
+      val changeDir = Files.createTempDirectory("bench-cdc-log").toString
+      val replica = Files.createTempDirectory("bench-cdc-replica").toString
+      val ckpt = Files.createTempDirectory("bench-cdc-ckpt").toString
+      import spark.implicits._
+      Replicate.snapshot(spark,
+        ChangeGen.replay(snapOps).values.toSeq.toDS(), replica)
+      ChangeGen.writeBatches(changeDir, streamOps, batches = 10)
+      val listener = new BatchMetricsListener(Some("graft-replicate"))
+      spark.streams.addListener(listener)
+      try {
+        val q = Replicate.start(spark, changeDir, replica, ckpt,
+          trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+        try q.awaitTermination() finally q.stop()
+      } finally spark.streams.removeListener(listener)
+      f"""{"rows_per_sec":${listener.rowsPerSec}%.1f,"worst_batch_sec":${listener.worstBatchSec}%.3f,"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] CDC FAILED: $e")
+      errors("cdc_pipeline") = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.take(1).mkString
+      """{"rows_per_sec":-1}"""
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"errors":$errJson}"""
+    println(line)
+    // belt-and-braces copy for log-prefix-mangled stdout parsers
+    Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), line)
+    if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} FAILURES: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -2,16 +2,34 @@ package graft.cdc
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import graft.sql.Declared
 
-/** CDC dataflow exposed through the driver's query contract. Not
-  * SQL-expressible over the fixture tables (it runs a full generate →
-  * stream → merge pipeline), so these are rows-only checks; the DuckDB-
-  * grade semantics are asserted in CdcSpec against a naive replay oracle.
+/** CDC dataflow exposed through the driver's query contract, WITH DuckDB
+  * oracles: each query persists its deterministic inputs (seeded change
+  * log / snapshot) as parquet fixtures at fixed paths, and the oracle SQL
+  * recomputes the same semantics over those fixtures via `read_parquet`
+  * — last-writer-wins fold, created_at preservation, and the publication
+  * row-filter U→I/D transform, all in ANSI SQL (VERDICT r1 item 3).
   */
 object CdcQueries {
+  /** Fixture dir the oracle SQL reads back. The query functions (run by
+    * Verify/Bench before the driver's DuckDB pass) write these files;
+    * contents are deterministic in the seeds, so any run produces
+    * identical fixtures. */
+  val FixtureDir = "/tmp/graft_fixtures"
+  private val snapshotPq = s"$FixtureDir/cdc_snapshot.parquet"
+  private val streamPq = s"$FixtureDir/cdc_stream.parquet"
+  private val changelogPq = s"$FixtureDir/cdc_changelog.parquet"
+
+  private def dumpChanges(s: SparkSession, ops: Seq[ChangeGen.Op],
+      path: String): Unit = {
+    import s.implicits._
+    ChangeGen.toChanges(ops).toDS().toDF()
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** End-to-end replicate: deterministic change log (seed=42) → snapshot
     * + streaming apply with the parity publication filter → final replica
     * (pubsub pipeline, pubsub/main.go:77-210). Returns the replica sorted
@@ -26,27 +44,69 @@ object CdcQueries {
       val replica = Files.createTempDirectory("graft-cdc-replica").toString
       val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
       import s.implicits._
-      val snapState = ChangeGen.replay(snapOps).values.filter(_.score % 2 == 0)
-      Replicate.snapshot(s, snapState.toSeq.toDS(), replica)
+      // publication filter applies to the initial copy too (copy_data=true)
+      val snapState = ChangeGen.replay(snapOps).values
+        .filter(_.score % 2 == 0).toSeq
+      Replicate.snapshot(s, snapState.toDS(), replica)
+      // persist the oracle's ground truth: snapshot state + raw stream ops
+      snapState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(snapshotPq)
+      dumpChanges(s, streamOps, streamPq)
       ChangeGen.writeBatches(changeDir, streamOps, batches = 5)
       val q = Replicate.start(s, changeDir, replica, ckpt,
         rowFilter = Some(Replicate.parityPred),
-        trigger = Trigger.ProcessingTime("1 second"))
-      try q.processAllAvailable() finally q.stop()
+        trigger = Trigger.AvailableNow())
+      try q.awaitTermination() finally q.stop()
       Replicate.readReplica(s, replica).orderBy("id").toDF()
-    })
+    },
+    // The reference fold in ANSI SQL. The snapshot is a set of INSERTs at
+    // lsn=-1; stream events get the publication row-filter transform
+    // (U entering the filter → I, anything leaving it → D). A key is
+    // alive iff an INSERT exists after its last DELETE; its image is the
+    // last non-delete event, its created_at the FIRST insert after the
+    // last delete (ON CONFLICT DO UPDATE preserves created_at).
+    Some(s"""WITH snap AS (
+           |  SELECT id, name, uid, score, created_at,
+           |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
+           |  FROM read_parquet('$snapshotPq/*.parquet')
+           |), stream AS (
+           |  SELECT id, name, uid, score, created_at, lsn,
+           |    CASE WHEN action = 'D' THEN 'D'
+           |         WHEN score % 2 = 0 THEN 'I'
+           |         ELSE 'D' END AS action
+           |  FROM read_parquet('$streamPq/*.parquet')
+           |), ev AS (
+           |  SELECT * FROM snap UNION ALL SELECT * FROM stream
+           |), lastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM ev WHERE action = 'D' GROUP BY id
+           |)
+           |SELECT e.id,
+           |  arg_max(e.name, e.lsn) AS name,
+           |  arg_max(e.uid, e.lsn) AS uid,
+           |  arg_max(e.score, e.lsn) AS score,
+           |  arg_min(e.created_at, e.lsn) FILTER (WHERE e.action = 'I')
+           |    AS created_at
+           |FROM ev e LEFT JOIN lastd d ON e.id = d.id
+           |WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |GROUP BY e.id
+           |HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |ORDER BY e.id""".stripMargin))
 
   /** Batch parse of a generated wal2json v2 log: the S2→X11→X13→F2 slice
     * (slot scan, JSON decode, column pivot, table routing) without the
-    * sink. */
+    * sink. The oracle reads the typed dump of the same seeded ops — the
+    * JSON round-trip must reproduce it exactly. */
   private val parseChangelog = Declared(
     "cdc_parse_changelog",
     (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 7L, n = 1000)
       val changeDir = Files.createTempDirectory("graft-cdc-parse").toString
-      ChangeGen.writeBatches(changeDir, ChangeGen.ops(seed = 7L, n = 1000),
-        batches = 4)
+      ChangeGen.writeBatches(changeDir, ops, batches = 4)
+      dumpChanges(s, ops, changelogPq)
       ChangeSource.readBatch(s, changeDir).orderBy("lsn").toDF()
-    })
+    },
+    Some(s"""SELECT lsn, action, id, name, uid, score, created_at
+           |FROM read_parquet('$changelogPq/*.parquet') ORDER BY lsn""".stripMargin))
 
   val all: Seq[Declared] = Seq(replicateE2e, parseChangelog)
 }

@@ -123,6 +123,18 @@ object ChangeGen {
     }
   }
 
+  /** Typed view of ops as [[PersonChange]] rows (deletes carry only the
+    * PK image, like the parsed wal2json envelope). Used to persist the
+    * deterministic change log as a parquet fixture the DuckDB oracle can
+    * read — the driver-checkable ground truth for the CDC queries. */
+  def toChanges(ops: Seq[Op]): Seq[PersonChange] = ops.map { op =>
+    if (op.action == "D")
+      PersonChange(op.lsn, op.action, op.id, None, None, None, None)
+    else
+      PersonChange(op.lsn, op.action, op.id, Some(op.name), Some(op.uid),
+        Some(op.score), Some(java.sql.Timestamp.valueOf(op.createdAt)))
+  }
+
   /** Naive in-memory replay — the test oracle (SURVEY.md §5): final state
     * after applying ops in lsn order with reference upsert semantics. */
   def replay(ops: Seq[Op]): Map[Int, PersonRow] = {

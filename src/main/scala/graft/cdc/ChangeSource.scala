@@ -27,8 +27,13 @@ object ChangeSource {
     * downstream plan is identical. Checkpointed offsets upgrade the
     * reference's destructive at-most-once slot read to exactly-once
     * (SURVEY.md §2.9 T2). */
-  def readStream(spark: SparkSession, dir: String): Dataset[PersonChange] =
-    parse(spark.readStream.format("text").load(dir))
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[PersonChange] = {
+    val reader = spark.readStream.format("text")
+    val withOpt = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    parse(withOpt.load(dir))
+  }
 
   /** Lines that failed to parse (batch-side audit). */
   def malformedCount(spark: SparkSession, dir: String): Long =

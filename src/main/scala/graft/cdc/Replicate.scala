@@ -1,7 +1,8 @@
 package graft.cdc
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -15,22 +16,36 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * The replica is parquet **hash-bucketed by key** (`id_bucket =
   * pmod(id, numBuckets)`, a partition column). Each micro-batch:
   *
-  *  1. reduces the batch to per-key folds — one shuffle of the (small)
-  *     batch, keyed the same way as the replica;
+  *  1. reduces the batch to one summary row per key — a window + hash
+  *     aggregate, fully whole-stage-codegen (no typed objects in the hot
+  *     path), shuffled at `mergeParallelism` (batch-sized, not the global
+  *     `spark.sql.shuffle.partitions`);
   *  2. reads back ONLY the buckets containing touched keys (partition
   *     pruning on `id_bucket` — untouched data is never scanned);
-  *  3. rewrites ONLY those buckets (dynamic partition overwrite).
+  *  3. merges current ⟗ summary with conditional expressions (one
+  *     shuffle of the touched buckets; at production scale `numBuckets`
+  *     is raised so touched-bucket volume stays proportional to the
+  *     batch, not the replica);
+  *  4. writes the merged buckets to a fresh temp dir, then swaps the
+  *     touched bucket directories into place. No dynamic self-overwrite:
+  *     the output is fully materialized elsewhere before any source file
+  *     is deleted, so executor loss or cache eviction can never corrupt
+  *     the replica (the temp write IS the durable lineage break).
   *
-  * Cost per batch is O(touched buckets), not O(replica). With CDC key
-  * locality (hot keys cluster) this is the standard merge-on-read-free
-  * layout; a production deployment raises `numBuckets` so one bucket ≪
-  * executor memory. The reference's full-table semantics are preserved;
-  * its ON-CONFLICT idempotency trick (replicator/main.go:121,207) becomes
-  * fold idempotency here, so checkpoint replays are safe (exactly-once,
-  * SURVEY.md §2.9 T2).
+  * Crash mid-swap leaves a prefix of buckets updated; replaying the
+  * micro-batch (Structured Streaming's checkpoint contract) re-folds
+  * idempotently — the reference's ON-CONFLICT idempotency trick
+  * (replicator/main.go:121,207) re-expressed (SURVEY.md §2.9 T2).
   */
 object Replicate {
   val BucketCol = "id_bucket"
+
+  /** Shuffle width for per-batch merge stages. CDC micro-batches are
+    * small relative to the replica; 32/200 shuffle tasks over a few
+    * hundred rows are pure overhead (the round-1 bench lost ~19× of its
+    * latency envelope to exactly this). Production tunes it to
+    * ~batchRows / 100k. */
+  val DefaultMergeParallelism = 8
 
   /** Publication row filter (pubsub/main.go:79), with PostgreSQL's
     * row-filter UPDATE transformation semantics: an UPDATE whose new image
@@ -56,8 +71,8 @@ object Replicate {
     * `WHERE (score % 2 = 0)` (pubsub/main.go:79). */
   def parityPred: Column = col("score") % 2 === 0
 
-  /** Fold a batch of changes into the current per-key state with exact
-    * reference semantics:
+  /** Typed cogroup fold — the TEST ORACLE for the merge semantics
+    * (exact reference behavior, replicator/main.go:195-269):
     *  - I on absent key inserts; I on present key updates name/uid/score
     *    but PRESERVES created_at (ON CONFLICT DO UPDATE,
     *    replicator/main.go:204-217);
@@ -65,9 +80,8 @@ object Replicate {
     *    (replicator/main.go:234-243); U on absent key is a no-op;
     *  - D removes (replicator/main.go:260-261).
     * Changes are applied in lsn order (slot order, SURVEY.md §2.9 T3).
-    * One cogroup = one shuffle keyed by id; per-key event counts per
-    * batch are small so the in-memory sort is O(few). Folding the same
-    * batch twice is a no-op — the idempotency exactly-once relies on. */
+    * Deliberately naive and readable; the engine path is [[mergeBatch]],
+    * which CdcSpec asserts equivalent on generated sequences. */
   def applyChanges(current: Dataset[PersonRow],
       changes: Dataset[PersonChange]): Dataset[PersonRow] = {
     val spark = current.sparkSession
@@ -93,72 +107,165 @@ object Replicate {
     }
   }
 
-  /** Read the replica (empty if not yet created). */
+  /** Reduce a micro-batch to ONE row per key — the per-key fold algebra,
+    * expressed so the only state-dependent part is explicit:
+    *
+    *  - `last_d_lsn`: lsn of the key's last delete in the batch (null if
+    *    none). Every event before it is irrelevant (state is absent right
+    *    after it); every later event is I or U.
+    *  - `first_ins`: the first INSERT after the last delete. If present
+    *    the key ends the batch alive regardless of prior state; its
+    *    created_at is used when the row wasn't already alive.
+    *  - `last_img`: image (name/uid/score) of the last non-delete event
+    *    after the last delete — the final image if the key ends alive.
+    *    With no delete in the batch this is just the last I/U image,
+    *    which also covers the all-UPDATE case.
+    *
+    * Struct max/min order by `lsn` first, so they are argmax/argmin by
+    * lsn (lsn is unique per change). Everything is codegen'd: one window
+    * (hash-partition by id) + one hash aggregate reusing the same
+    * partitioning — a single batch-sized shuffle. */
+  def summarize(batch: DataFrame, parallelism: Int = DefaultMergeParallelism)
+      : DataFrame = {
+    val byId = Window.partitionBy("id")
+    val afterD = col("lsn") > coalesce(col("last_d_lsn"), lit(Long.MinValue))
+    batch
+      .repartition(parallelism, col("id"))
+      .withColumn("last_d_lsn",
+        max(when(col("action") === "D", col("lsn"))).over(byId))
+      .groupBy("id")
+      .agg(
+        max(when(col("action") =!= "D" && afterD,
+          struct(col("lsn"), col("name"), col("uid"), col("score"))))
+          .as("last_img"),
+        min(when(col("action") === "I" && afterD,
+          struct(col("lsn"), col("created_at")))).as("first_ins"),
+        max(col("last_d_lsn")).as("last_d_lsn"))
+  }
+
+  /** Merge current state with a batch summary — DataFrame-native LWW with
+    * the reference's created_at-preservation and U-on-absent-no-op
+    * semantics, as pure conditional expressions (Tungsten/codegen; no
+    * object serialization). `current` must cover every key it is asked to
+    * keep (i.e. the touched buckets, in full). */
+  def mergeBatch(current: DataFrame, summary: DataFrame,
+      parallelism: Int = DefaultMergeParallelism): DataFrame = {
+    val hasIns = col("first_ins").isNotNull
+    val hasDel = col("last_d_lsn").isNotNull
+    val inCur = col("_cur")
+    // keep = inserted after last delete, OR untouched/updated current row
+    val keep = hasIns || (!hasDel && inCur)
+    current
+      .withColumn("_cur", lit(true))
+      .join(summary.repartition(parallelism, col("id")),
+        Seq("id"), "full_outer")
+      .withColumn("_cur", coalesce(inCur, lit(false)))
+      .filter(keep)
+      .select(
+        col("id"),
+        // a kept key with batch events always has last_img (its final
+        // image); without events, the current row rides through.
+        when(col("last_img").isNotNull, col("last_img.name"))
+          .otherwise(col("name")).as("name"),
+        when(col("last_img").isNotNull, col("last_img.uid"))
+          .otherwise(col("uid")).as("uid"),
+        when(col("last_img").isNotNull, col("last_img.score"))
+          .otherwise(col("score")).as("score"),
+        // created_at: resurrect-after-delete takes the insert's stamp;
+        // otherwise the live row's stamp survives (ON CONFLICT DO UPDATE
+        // never touches it, replicator/main.go:204-217).
+        when(hasIns && hasDel, col("first_ins.created_at"))
+          .when(hasIns && !hasDel,
+            coalesce(col("created_at"), col("first_ins.created_at")))
+          .otherwise(col("created_at")).as("created_at"))
+  }
+
+  private def hasBuckets(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dir holding only _SUCCESS (all buckets deleted) is an EMPTY
+    // replica, not a readable parquet source (ADVICE r1)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith(BucketCol + "="))
+  }
+
+  /** Read the replica (empty if not yet created or fully deleted). */
   def readReplica(spark: SparkSession, replicaDir: String)
       : Dataset[PersonRow] = {
     import spark.implicits._
-    val p = new Path(replicaDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    if (hasBuckets(spark, replicaDir))
       spark.read.parquet(replicaDir)
         .select("id", "name", "uid", "score", "created_at").as[PersonRow]
     else spark.emptyDataset[PersonRow]
   }
 
   private def readBuckets(spark: SparkSession, replicaDir: String,
-      buckets: Seq[Int]): Dataset[PersonRow] = {
+      buckets: Seq[Int]): DataFrame = {
     import spark.implicits._
-    val p = new Path(replicaDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || fs.listStatus(p).isEmpty)
-      spark.emptyDataset[PersonRow]
+    if (!hasBuckets(spark, replicaDir))
+      spark.emptyDataset[PersonRow].toDF()
     else
       spark.read.parquet(replicaDir)
         .filter(col(BucketCol).isin(buckets: _*)) // partition-pruned scan
-        .select("id", "name", "uid", "score", "created_at").as[PersonRow]
+        .select("id", "name", "uid", "score", "created_at")
   }
 
   /** Apply one micro-batch to the bucketed replica. Idempotent: replaying
     * the last batch after a crash converges to the same state. */
   def applyBatch(spark: SparkSession, batch: Dataset[PersonChange],
-      replicaDir: String, numBuckets: Int = 16): Unit = {
+      replicaDir: String, numBuckets: Int = 64,
+      mergeParallelism: Int = DefaultMergeParallelism): Unit = {
     import spark.implicits._
-    val cached = batch.cache()
+    val summary = summarize(batch.toDF(), mergeParallelism)
+      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+      .cache()
     try {
-      // touched buckets: tiny driver-side set (≤ numBuckets ints)
-      val touched = cached.select(pmod(col("id"), lit(numBuckets)).cast("int"))
-        .distinct().as[Int].collect().toSeq.sorted
+      // touched buckets: ≤ numBuckets ints — a bounded driver round-trip
+      // (documented bound; the alternative is a listener-free executor
+      // path that costs a second shuffle)
+      val touched = summary.select(BucketCol).distinct()
+        .as[Int].collect().toSeq.sorted
       if (touched.isEmpty) return
       val current = readBuckets(spark, replicaDir, touched)
-      val merged = applyChanges(current, cached)
+      val merged = mergeBatch(current, summary.drop(BucketCol),
+        mergeParallelism)
         .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-        .cache()
-      try {
-        val nonEmptyBuckets =
-          merged.select(BucketCol).distinct().as[Int].collect().toSet
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-          .parquet(replicaDir)
-        // dynamic overwrite only replaces partitions present in the output;
-        // a touched bucket whose keys were ALL deleted must be dropped
-        // explicitly or stale rows would survive.
-        val fs = new Path(replicaDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        touched.filterNot(nonEmptyBuckets).foreach { b =>
-          fs.delete(new Path(s"$replicaDir/$BucketCol=$b"), true)
-        }
-      } finally merged.unpersist()
-    } finally cached.unpersist()
+
+      // Durable lineage break: fully materialize the merged buckets in a
+      // temp dir FIRST, then swap directories. The write never overlaps
+      // the read, so no cache/checkpoint is needed for correctness.
+      val tmpDir = s"$replicaDir.__tmp"
+      val fs = new Path(replicaDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(tmpDir), true)
+      merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .parquet(tmpDir)
+      val base = new Path(replicaDir)
+      if (!fs.exists(base)) fs.mkdirs(base)
+      touched.foreach { b =>
+        val live = new Path(s"$replicaDir/$BucketCol=$b")
+        val fresh = new Path(s"$tmpDir/$BucketCol=$b")
+        fs.delete(live, true)
+        // a touched bucket absent from the output had all its keys
+        // deleted — removing the live dir IS the apply
+        if (fs.exists(fresh)) fs.rename(fresh, live)
+      }
+      fs.delete(new Path(tmpDir), true)
+    } finally summary.unpersist()
   }
 
   /** Initial snapshot (phase 2 of the replicator,
     * replicator/main.go:98-140): bulk-load existing rows into the replica.
-    * The slot-before-copy overlap trick becomes "snapshot then start the
-    * stream from offset 0; overlapping changes re-fold idempotently". */
+    * Static overwrite (explicit, per-write — never a session-level mode
+    * flip) fully replaces any previous replica. The slot-before-copy
+    * overlap trick becomes "snapshot then start the stream from offset 0;
+    * overlapping changes re-fold idempotently". */
   def snapshot(spark: SparkSession, rows: Dataset[PersonRow],
-      replicaDir: String, numBuckets: Int = 16): Unit = {
+      replicaDir: String, numBuckets: Int = 64): Unit = {
     rows.withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(BucketCol)
       .parquet(replicaDir)
   }
 
@@ -167,17 +274,19 @@ object Replicate {
     * replicator/main.go:154; README.md:35). */
   def start(spark: SparkSession, changeDir: String, replicaDir: String,
       checkpointDir: String, rowFilter: Option[Column] = None,
-      numBuckets: Int = 16,
-      trigger: Trigger = Trigger.ProcessingTime("2 seconds"))
+      numBuckets: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      mergeParallelism: Int = DefaultMergeParallelism,
+      maxFilesPerTrigger: Option[Int] = None)
       : StreamingQuery = {
-    val parsed = ChangeSource.readStream(spark, changeDir)
+    val parsed = ChangeSource.readStream(spark, changeDir, maxFilesPerTrigger)
     val filtered = rowFilter.map(withRowFilter(parsed, _)).getOrElse(parsed)
     filtered.writeStream
       .queryName("graft-replicate")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[PersonChange], _: Long) =>
-        applyBatch(spark, batch, replicaDir, numBuckets)
+        applyBatch(spark, batch, replicaDir, numBuckets, mergeParallelism)
       }
       .start()
   }

@@ -18,7 +18,11 @@ object Tables {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
       // outright; read it as a long and rebuild a TimestampType column.
       // Fixture nanos are µs-aligned (TESTDATA), so `DIV 1000` is exact.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ParquetOptions has no per-read key for this, so the legacy conf is
+      // the only lever; guard it so the session conf is written at most
+      // once (the driver may run these queries in a session it built).
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts DIV 1000)"))

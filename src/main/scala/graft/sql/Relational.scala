@@ -558,17 +558,22 @@ object Relational {
   private val subScalarAvg = Declared(
     "sub_scalar_avg",
     // Scalar subquery: the 1-row aggregate is broadcast — at scale this is
-    // one tiny exchange, never a shuffle of the probe side.
+    // one tiny exchange, never a shuffle of the probe side. The average is
+    // computed as exact decimal-sum / count (like q1's avg_qty) so the
+    // threshold is identical at any parallelism — a plain double avg sums
+    // in partition order and can flip boundary rows between runs.
     (s, d) => {
       val ord = t(s, d)("orders")
-      val avgP = ord.agg(avg(col("o_totalprice")).as("avg_p"))
+      val avgP = ord.agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_p"))
       ord.crossJoin(broadcast(avgP))
         .filter(col("o_totalprice") > col("avg_p") * 1.5)
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_totalprice FROM orders
-           |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+           |WHERE o_totalprice >
+           |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+           |     / count(*) FROM orders) * 1.5
            |ORDER BY o_orderkey""".stripMargin))
 
   private val subInSegment = Declared(

@@ -107,6 +107,52 @@ class CdcSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // Engine merge path (DataFrame/Tungsten) == typed cogroup oracle
+  // -------------------------------------------------------------------
+
+  private def assertMergeAgrees(current: Seq[PersonRow],
+      batch: Seq[PersonChange], hint: String): Unit = {
+    val curDs = current.toDS()
+    val batchDs = batch.toDS()
+    val oracle = Replicate.applyChanges(curDs, batchDs)
+      .collect().map(r => r.id -> r).toMap
+    val got = Replicate.mergeBatch(curDs.toDF(),
+        Replicate.summarize(batchDs.toDF()))
+      .as[PersonRow].collect().map(r => r.id -> r).toMap
+    assert(got === oracle, s"engine merge diverged from oracle: $hint")
+  }
+
+  test("mergeBatch == cogroup oracle on crafted edge sequences") {
+    val t1 = java.sql.Timestamp.valueOf("2026-04-04 00:00:00")
+    val cur = Seq(PersonRow(1, "old", "u1", 1, t0))
+    assertMergeAgrees(cur, Seq(ch(10, "I", 1, "n", 8, t1)), "I-on-present")
+    assertMergeAgrees(cur, Seq(ch(10, "U", 1, "n", 9, t1)), "U-on-present")
+    assertMergeAgrees(cur, Seq(ch(10, "D", 1)), "D-on-present")
+    assertMergeAgrees(cur, Seq(ch(10, "U", 2, "n")), "U-on-absent no-op")
+    assertMergeAgrees(cur, Seq(ch(10, "D", 2)), "D-on-absent no-op")
+    assertMergeAgrees(cur,
+      Seq(ch(10, "D", 1), ch(11, "I", 1, "re", 5, t1)), "delete-then-reinsert")
+    assertMergeAgrees(cur,
+      Seq(ch(10, "D", 1), ch(11, "U", 1, "ghost")), "U-after-D no-op")
+    assertMergeAgrees(cur,
+      Seq(ch(10, "I", 1, "a"), ch(11, "U", 1, "b"), ch(12, "D", 1),
+        ch(13, "I", 1, "c", 7, t1), ch(14, "U", 1, "d", 3, t1)),
+      "full I/U/D/I/U chain")
+    assertMergeAgrees(Nil,
+      Seq(ch(10, "U", 3, "pre"), ch(11, "I", 3, "ins", 2, t1),
+        ch(12, "U", 3, "post", 4, t1)), "U-before-first-I on absent")
+  }
+
+  test("mergeBatch == cogroup oracle on random generated sequences") {
+    for (seed <- Seq(3L, 21L, 77L)) {
+      val ops = ChangeGen.ops(seed, n = 400)
+      val (pre, post) = ops.splitAt(150)
+      assertMergeAgrees(ChangeGen.replay(pre).values.toSeq,
+        ChangeGen.toChanges(post), s"seed $seed")
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Bucketed replica apply (S5-S9) + idempotency (T2)
   // -------------------------------------------------------------------
 
