@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cdc.CdcQueries
+import graft.ml.MlQueries
 import graft.sql.{Declared, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,7 +12,8 @@ import graft.sql.{Declared, Relational}
   * equivalent for each SQL-expressible one.
   */
 object SparkEntry {
-  private def declared: Seq[Declared] = Relational.all ++ CdcQueries.all
+  private def declared: Seq[Declared] =
+    Relational.all ++ CdcQueries.all ++ MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

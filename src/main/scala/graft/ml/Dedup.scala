@@ -1,0 +1,169 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import MlFunctions._
+
+/** Document deduplication: exact content hash, MinHash+LSH near-dup, and
+  * byte-blocked SimHash — the north-star dedup surface for a training-data
+  * pipeline (SURVEY.md §2.10, BASELINE north_star).
+  *
+  * ## Scale design (100 TB)
+  *
+  * NOTHING here is all-pairs. The quadratic step is always preceded by a
+  * candidate-generation join on a short key:
+  *
+  *  - MinHash/LSH: docs shuffle once by `(band, band_key)` — only docs
+  *    sharing a band bucket ever meet (Broder '97 / Leskovec MMDS ch.3).
+  *    Candidate volume is O(true near-dups + band collisions), not O(n²).
+  *    Signatures are computed in ONE pass with 64 min-aggregates over the
+  *    shingle explosion (no 64× row blowup; the hash family is evaluated
+  *    per shingle inside a single codegen stage).
+  *  - SimHash: 56-bit signature split into 7 bytes; a pair within
+  *    hamming distance 6 must share ≥ 1 exact byte (pigeonhole), so the
+  *    byte-bucket join is EXACT — recall 1.0 by construction, join cost
+  *    O(docs·7) shuffle + per-bucket candidates (Charikar '02, as used by
+  *    Manku et al. WWW'07 for web-scale dedup).
+  *  - Exact dedup: a single hash aggregate on md5(text) — the cheapest
+  *    possible shuffle (56-byte keys, map-side partial agg).
+  */
+object Dedup {
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands // 4 → s-curve threshold ≈ 0.5
+  val SimHashBits = 56
+  val SimHashBlocks = 7
+  val MaxHamming = 6 // < SimHashBlocks → pigeonhole recall guarantee
+
+  /** Exact dedup: one keeper per distinct content hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("dup_cnt"))
+
+  /** Wide MinHash signatures: one row per doc, columns m0..m63. The
+    * shingle set explodes once; each hash in the family is an independent
+    * seeded [[MlFunctions.hash60]]; 64 `min` aggregates fold them in a
+    * single hash-aggregate pass (map-side combined). */
+  def minhashWide(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+      .groupBy("doc_id")
+      .agg(
+        min(hash60Seeded(lit(0), col("sh"))).as("m0"),
+        (1 until NumHashes).map(h =>
+          min(hash60Seeded(lit(h), col("sh"))).as(s"m$h")): _*)
+
+  /** Long-form signatures (doc_id, h, minhash) for inspection/oracle. */
+  def minhashLong(docs: DataFrame, k: Int = 3): DataFrame = {
+    val stackArgs = (0 until NumHashes)
+      .map(h => s"bigint($h), m$h").mkString(", ")
+    minhashWide(docs, k)
+      .selectExpr("doc_id", s"stack($NumHashes, $stackArgs) AS (h, minhash)")
+      .orderBy("doc_id", "h")
+  }
+
+  /** LSH band keys from the wide signature: band j hashes the
+    * comma-joined slice m[4j..4j+3] (identical to SQL
+    * `string_agg(m, ',' ORDER BY h)` per band). */
+  def bandKeys(sigs: DataFrame): DataFrame = {
+    val keyCols = (0 until Bands).map { b =>
+      val slice = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      hash60(concat_ws(",", slice: _*)).as(s"bk$b")
+    }
+    val stackArgs = (0 until Bands).map(b => s"bigint($b), bk$b").mkString(", ")
+    sigs.select(col("doc_id") +: keyCols: _*)
+      .selectExpr("doc_id", s"stack($Bands, $stackArgs) AS (band, band_key)")
+  }
+
+  /** Distinct shingle sets, long form — the verification side. */
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+      .distinct()
+
+  /** Near-dup pairs: LSH candidates verified by exact shingle-set Jaccard
+    * ≥ `minJaccard`. Returns (doc_a, doc_b, jaccard). */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7, k: Int = 3)
+      : DataFrame = {
+    val bands = bandKeys(minhashWide(docs, k))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = shingleSets(docs, k)
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Ground-truth near-dup pairs by exhaustive shingle-set Jaccard —
+    * O(n²); TEST ORACLE ONLY (MlSpec asserts LSH recall against it). */
+  def nearDupBrute(docs: DataFrame, minJaccard: Double = 0.7, k: Int = 3)
+      : DataFrame = {
+    val sets = shingleSets(docs, k)
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sets.as("sa").join(sets.as("sb"),
+        col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 56-bit SimHash per doc: token hash bit b contributes +cnt when set,
+    * -cnt when clear; signature bit b is the sign of the sum
+    * (Charikar '02). 56 sum-aggregates in one pass, then one bit-assembly
+    * expression. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until SimHashBits).map { b =>
+      sum(col("cnt") *
+        (shiftright(col("th"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")
+    }
+    val assemble = (0 until SimHashBits)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", hash60Seeded(lit("t"), col("tok"))) // md5 once/token
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assemble.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ [[MaxHamming]], via exact
+    * byte-block candidate join (recall 1.0 by pigeonhole — never
+    * all-pairs). Returns (doc_a, doc_b, hamming). */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = simhash(docs)
+    val blockArgs = (0 until SimHashBlocks).map(j =>
+      s"bigint($j), shiftright(simhash, ${8 * j}) & 255").mkString(", ")
+    val blocks = sigs
+      .selectExpr("doc_id", "simhash",
+        s"stack($SimHashBlocks, $blockArgs) AS (blk, chunk)")
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

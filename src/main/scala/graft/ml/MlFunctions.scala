@@ -1,0 +1,75 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level primitives for the LLM-data-pipeline operators.
+  *
+  * Everything here is designed to be **bit-identical between Spark and
+  * the DuckDB oracle** (the driver's compare is exact equality, not
+  * approximate):
+  *
+  *  - [[hash60]]: 60-bit integer hash via md5 hex — both engines compute
+  *    standard md5 over UTF-8 and parse the same 15 hex chars, so the
+  *    values agree exactly. 60 bits < 63 keeps it positive in an int64.
+  *  - [[quantize]]: embeddings (float32) are mapped to fixed-point int64
+  *    at scale 2^20. Scaling a float32 by a power of two is exact in
+  *    double arithmetic, so the rounded integer is engine-independent,
+  *    and all downstream dot products / norms are *integer* sums —
+  *    order-free, hence identical under any partitioning AND equal to
+  *    DuckDB's single-threaded result. The final `int / (sqrt·sqrt)` is
+  *    IEEE-deterministic given equal integer inputs. (This is also the
+  *    standard production trick — int8/int16 quantized ANN — scaled up.)
+  *
+  * All expressions are Spark built-ins → whole-stage codegen, no UDFs.
+  */
+object MlFunctions {
+  /** Fixed-point scale for embedding quantization (2^20). */
+  val QScale = 1048576L
+
+  /** 60-bit non-negative hash of a string column, reproducible in ANSI
+    * SQL as `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash families from one md5 by prefixing
+    * the seed (`h:payload`). */
+  def hash60Seeded(seed: Column, payload: Column): Column =
+    hash60(concat(seed.cast("string"), lit(":"), payload))
+
+  /** Array[Float] → Array[Long] fixed-point quantization.
+    * `floor(x + 0.5)` rather than `round` so both engines share one
+    * rounding rule regardless of their round-half conventions. */
+  def quantize(c: Column): Column =
+    transform(c,
+      v => floor(v.cast("double") * QScale + lit(0.5)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. Sequential fold
+    * over a fixed-length array — no shuffle, no ordering dependence. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity from quantized vectors: integer dot and norms,
+    * one double division at the end. The quantization error (~1e-5 on
+    * unit-ish vectors) is irrelevant for dedup/ANN semantics and buys
+    * exact cross-engine reproducibility. */
+  def cosQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** Whitespace tokens of a document (fixture texts are single-spaced
+    * `[a-z0-9 ]`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles as an array column: positions 1..n-k+1, each the
+    * space-joined window of k tokens. Empty for docs shorter than k. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    // sequence(1, n) counts DOWN when n < 1 — guard short docs explicitly
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,333 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sql.Declared
+
+/** Declared queries for the LLM-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal metadata), each with a
+  * DuckDB oracle over the same fixture tables.
+  *
+  * Oracle strategy: every float the queries emit is derived from exact
+  * integer arithmetic (md5-hex→int64 hashes, fixed-point quantized
+  * embeddings, integer-ratio stats), so Spark and DuckDB produce
+  * BIT-IDENTICAL values — the driver's exact-equality compare passes
+  * without tolerance. Probabilistic structures (LSH bands, simhash
+  * blocks) are either mirrored verbatim in the SQL (minhash banding) or
+  * provably equivalent to their exhaustive form (simhash byte-blocking
+  * has recall 1.0 for hamming ≤ 6 by pigeonhole, so the all-pairs oracle
+  * matches by theorem, not by luck).
+  */
+object MlQueries {
+  import Dedup.{Bands, NumHashes, RowsPerBand, SimHashBits, MaxHamming}
+  import MlFunctions.QScale
+  import Similarity.{NProbe, QueryStride, TopK}
+
+  /** DuckDB md5-hex→int64, the oracle twin of [[MlFunctions.hash60]]. */
+  private def sqlHash60(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  // ---- shared SQL fragments ------------------------------------------
+
+  /** Word-3-shingle CTE body over `documents` (mirrors
+    * [[MlFunctions.shingles]]). */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |shg AS (
+      |  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+      |  FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))""".stripMargin
+
+  /** Long-form minhash signature CTE (requires [[shingleCte]]). */
+  private val sigCte =
+    s"""sig AS (
+       |  SELECT doc_id, h,
+       |         min(${sqlHash60("h::VARCHAR || ':' || sh")}) AS m
+       |  FROM shg, unnest(range(0, $NumHashes)) AS u(h)
+       |  GROUP BY doc_id, h)""".stripMargin
+
+  /** Quantized embedding elements CTE (mirrors [[MlFunctions.quantize]]):
+    * (vec_id, label, i, q). */
+  private val qeCte =
+    s"""qe AS (
+       |  SELECT vec_id, label, i,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale + 0.5)
+       |              AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(1, 65)) AS t(i))""".stripMargin
+
+  private val nrmCte =
+    "nrm AS (SELECT vec_id, sum(q*q) AS n2 FROM qe GROUP BY vec_id)"
+
+  private def cosSql(d: String, na: String, nb: String): String =
+    s"CAST($d AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  // ---- dedup ----------------------------------------------------------
+
+  private val dedupExact = Declared(
+    "ml_dedup_exact",
+    (s, d) => Dedup.exact(Tables(s, d, "documents")).orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+           |       count(*) AS dup_cnt
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val minhashSig = Declared(
+    "ml_minhash_sig",
+    (s, d) => Dedup.minhashLong(Tables(s, d, "documents")),
+    Some(s"""WITH $shingleCte
+            |SELECT doc_id, h,
+            |       min(${sqlHash60("h::VARCHAR || ':' || sh")}) AS minhash
+            |FROM shg, unnest(range(0, $NumHashes)) AS u(h)
+            |GROUP BY doc_id, h ORDER BY doc_id, h""".stripMargin))
+
+  private val dedupNear = Declared(
+    "ml_dedup_near",
+    (s, d) => Dedup.nearDupPairs(Tables(s, d, "documents"), minJaccard = 0.7),
+    Some(s"""WITH $shingleCte,
+            |$sigCte,
+            |bands AS (
+            |  SELECT doc_id, h // $RowsPerBand AS band,
+            |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
+            |  FROM sig GROUP BY doc_id, h // $RowsPerBand),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+            |sets AS (SELECT DISTINCT doc_id, sh FROM shg),
+            |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+            |intr AS (
+            |  SELECT c.doc_a, c.doc_b, count(*) AS ix
+            |  FROM cand c
+            |  JOIN sets sa ON sa.doc_id = c.doc_a
+            |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+            |  GROUP BY c.doc_a, c.doc_b)
+            |SELECT doc_a, doc_b, jaccard FROM (
+            |  SELECT n.doc_a, n.doc_b,
+            |         CAST(n.ix AS DOUBLE) / (za.sz + zb.sz - n.ix) AS jaccard
+            |  FROM intr n
+            |  JOIN sz za ON za.doc_id = n.doc_a
+            |  JOIN sz zb ON zb.doc_id = n.doc_b)
+            |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin))
+
+  private val dedupSimhash = Declared(
+    "ml_dedup_simhash",
+    (s, d) => Dedup.simhashPairs(Tables(s, d, "documents")),
+    // all-pairs oracle == blocked engine result by pigeonhole (≤6 bit
+    // diffs over 7 byte-blocks force a shared block)
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            |  FROM documents),
+            |tc AS (
+            |  SELECT doc_id, tok, count(*) AS cnt,
+            |         ${sqlHash60("'t:' || tok")} AS th
+            |  FROM tok GROUP BY doc_id, tok),
+            |bits AS (
+            |  SELECT doc_id, b, sum(cnt * (2 * ((th >> b) & 1) - 1)) AS s
+            |  FROM tc, unnest(range(0, $SimHashBits)) AS u(b)
+            |  GROUP BY doc_id, b),
+            |sig AS (
+            |  SELECT doc_id,
+            |         sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b)
+            |                  ELSE 0 END) AS simhash
+            |  FROM bits GROUP BY doc_id)
+            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+            |         AS hamming
+            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  // ---- similarity -----------------------------------------------------
+
+  private def topkTailSql(dotsCte: String): String =
+    s"""$dotsCte,
+       |scored AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |         ${cosSql("d.d", "na.n2", "nb.n2")} AS cos
+       |  FROM dots d
+       |  JOIN nrm na ON na.vec_id = d.query_id
+       |  JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+       |SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS "rank"
+       |FROM (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
+  private val cosineTopk = Declared(
+    "ml_cosine_topk",
+    (s, d) => Similarity.cosineTopK(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |${topkTailSql(
+              s"""dots AS (
+                 |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 |         sum(a.q * b.q) AS d
+                 |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id <> b.vec_id
+                 |  WHERE a.vec_id % $QueryStride = 0
+                 |  GROUP BY a.vec_id, b.vec_id)""".stripMargin)}""".stripMargin))
+
+  private val annIvf = Declared(
+    "ml_ann_ivf",
+    (s, d) => Similarity.ivfTopK(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |cent AS (SELECT label, i, sum(q) AS cs FROM qe GROUP BY label, i),
+            |qv AS (SELECT vec_id AS query_id, i, q FROM qe
+            |       WHERE vec_id % $QueryStride = 0),
+            |cell AS (
+            |  SELECT qv.query_id, c.label,
+            |         ${cosSql("sum(qv.q * c.cs)", "sum(qv.q * qv.q)",
+                               "sum(c.cs * c.cs)")} AS cell_cos
+            |  FROM qv JOIN cent c ON qv.i = c.i
+            |  GROUP BY qv.query_id, c.label),
+            |probe AS (
+            |  SELECT query_id, label FROM (
+            |    SELECT query_id, label,
+            |           row_number() OVER (PARTITION BY query_id
+            |                              ORDER BY cell_cos DESC, label) AS r
+            |    FROM cell)
+            |  WHERE r <= $NProbe),
+            |${topkTailSql(
+              s"""dots AS (
+                 |  SELECT p.query_id, e.vec_id AS neighbor_id,
+                 |         sum(qv.q * e.q) AS d
+                 |  FROM probe p
+                 |  JOIN qe e ON e.label = p.label AND e.vec_id <> p.query_id
+                 |  JOIN qv ON qv.query_id = p.query_id AND qv.i = e.i
+                 |  GROUP BY p.query_id, e.vec_id)""".stripMargin)}""".stripMargin))
+
+  private val embedNearDup = Declared(
+    "ml_embed_neardup",
+    (s, d) => Similarity.embeddingNearDups(Tables(s, d, "embeddings"),
+      minCos = 0.4),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |dots AS (
+            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            |         a.label AS label, sum(a.q * b.q) AS d
+            |  FROM qe a JOIN qe b
+            |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+            |  GROUP BY a.vec_id, b.vec_id, a.label)
+            |SELECT vec_a, vec_b, label, cos FROM (
+            |  SELECT t.vec_a, t.vec_b, t.label,
+            |         ${cosSql("t.d", "na.n2", "nb.n2")} AS cos
+            |  FROM dots t
+            |  JOIN nrm na ON na.vec_id = t.vec_a
+            |  JOIN nrm nb ON nb.vec_id = t.vec_b)
+            |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin))
+
+  // ---- text analysis --------------------------------------------------
+
+  private def sqlMarkerList(words: Seq[String]): String =
+    s"""list_filter(string_split(text, ' '), t -> t IN (${
+      words.map(w => s"'$w'").mkString(", ")}))"""
+
+  private def sqlMarkerCount(words: Seq[String]): String =
+    s"CAST(len(${sqlMarkerList(words)}) AS BIGINT)"
+
+  private val textStats = Declared(
+    "ml_text_stats",
+    (s, d) => TextAnalysis.textStats(Tables(s, d, "documents")),
+    Some(s"""SELECT doc_id, lang, source, n_tokens, n_distinct, n_chars,
+            |       avg_token_len, ttr, stop_ratio,
+            |       ttr * (1.0 - stop_ratio) *
+            |         (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality
+            |FROM (
+            |  SELECT doc_id, lang, source,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            |      AS n_distinct,
+            |    CAST(length(text) AS BIGINT) AS n_chars,
+            |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            |      / len(string_split(text, ' ')) AS avg_token_len,
+            |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            |      / len(string_split(text, ' ')) AS ttr,
+            |    CAST(len(${sqlMarkerList(TextAnalysis.Stopwords)}) AS DOUBLE)
+            |      / len(string_split(text, ' ')) AS stop_ratio
+            |  FROM documents)
+            |ORDER BY doc_id""".stripMargin))
+
+  private val langId = Declared(
+    "ml_lang_id",
+    (s, d) => TextAnalysis.langId(Tables(s, d, "documents")),
+    Some {
+      val scores = TextAnalysis.LangMarkers.map { case (l, m) =>
+        s"${sqlMarkerCount(m)} AS s_$l"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""SELECT doc_id, lang, pred_lang,
+         |       CAST(lang = pred_lang AS INT) AS agree
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CASE $caseChain
+         |    ELSE '${langs.last}' END AS pred_lang
+         |  FROM (SELECT doc_id, lang,
+         |    $scores
+         |  FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  private val tokenCounts = Declared(
+    "ml_token_counts",
+    (s, d) => TextAnalysis.tokenCounts(Tables(s, d, "documents")),
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           |    AS re_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val fingerprint = Declared(
+    "ml_fingerprint",
+    (s, d) => TextAnalysis.fingerprints(Tables(s, d, "documents")),
+    Some(s"""WITH g AS (
+            |  SELECT doc_id, i,
+            |         ${sqlHash60(s"substr(text, CAST(i AS INT), ${TextAnalysis.GramLen})")} AS gh
+            |  FROM documents,
+            |       unnest(range(1, length(text) - ${TextAnalysis.GramLen - 2}))
+            |         AS t(i)
+            |  WHERE length(text) >= ${TextAnalysis.GramLen})
+            |SELECT DISTINCT doc_id,
+            |       min(gh) OVER (PARTITION BY doc_id ORDER BY i
+            |                     ROWS BETWEEN CURRENT ROW AND
+            |                     ${TextAnalysis.WinnowWindow - 1} FOLLOWING)
+            |         AS fp
+            |FROM g ORDER BY doc_id, fp""".stripMargin))
+
+  // ---- multimodal -----------------------------------------------------
+
+  private val mediaMeta = Declared(
+    "ml_media_meta",
+    (s, d) => Multimodal.asMedia(Tables(s, d, "documents"))
+      .withColumn("head", decode(col("payload"), "UTF-8").substr(1, 1))
+      .select(
+        col("doc_id"), col("format"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        ((ascii(col("head")) * 5) % 1024 + 16)
+          .cast("long").as("decoded_width"),
+        (((length(col("payload")) % 256) * 3) % 1024 + 16)
+          .cast("long").as("decoded_height"))
+      .orderBy("doc_id"),
+    // md5(text) over VARCHAR == md5 of the UTF-8 payload bytes
+    Some("""SELECT doc_id,
+           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg'
+           |       WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |  md5(text) AS content_md5,
+           |  CAST((ascii(substr(text, 1, 1)) * 5) % 1024 + 16 AS BIGINT)
+           |    AS decoded_width,
+           |  CAST(((octet_length(encode(text)) % 256) * 3) % 1024 + 16
+           |       AS BIGINT) AS decoded_height
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Declared] = Seq(
+    dedupExact, minhashSig, dedupNear, dedupSimhash,
+    cosineTopk, annIvf, embedNearDup,
+    textStats, langId, tokenCounts, fingerprint, mediaMeta)
+}

@@ -1,0 +1,126 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import MlFunctions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * Array[Float] dim-64, label) — brute-force cosine top-k as the exact
+  * baseline and an IVF-style cluster-probed variant as the scale path.
+  *
+  * ## Scale design (100 TB)
+  *
+  *  - The query set is always the SMALL side: quantized once and
+  *    broadcast, so the corpus never shuffles for the similarity join —
+  *    each corpus partition scores its rows against the in-memory query
+  *    block (classic block-nested ANN, the dense analog of a broadcast
+  *    join). Per-query top-k is a single shuffle of k·|queries| rows.
+  *  - IVF: coarse cells come from the fixture's `label` column (the
+  *    k-means assignment a production pipeline materializes at ingest).
+  *    Unnormalized integer centroid sums keep the centroid direction
+  *    exact (cosine is scale-invariant, so Σv works as the centroid —
+  *    no float mean, no order dependence). Queries probe the `nprobe`
+  *    nearest cells and score ONLY those cells' vectors: the scan is
+  *    partition-prunable when the corpus is written partitioned by cell,
+  *    cutting scanned volume by ~cells/nprobe (Jégou et al., IVFADC,
+  *    TPAMI'11).
+  *  - All arithmetic is fixed-point integer ([[MlFunctions.quantize]]):
+  *    deterministic at any parallelism, bit-equal to the DuckDB oracle.
+  */
+object Similarity {
+  val TopK = 5
+  val NProbe = 2
+  /** Every 50th vector doubles as a query (10 queries at sf0.01). */
+  val QueryStride = 50
+
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("q"))
+
+  private def queries(emb: DataFrame): DataFrame =
+    quantized(emb).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+
+  /** Exact cosine top-k: each query against the full corpus (minus
+    * itself). Returns (query_id, neighbor_id, cos, rank). */
+  def cosineTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val scored = quantized(emb)
+      .crossJoin(broadcast(queries(emb)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosQ(col("qq"), col("q")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Integer centroid components per (label, position): Σ quantized —
+    * exact, order-free; direction == mean direction. */
+  def centroids(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "qv")))
+      .groupBy("label", "i").agg(sum(col("qv")).as("cs"))
+
+  /** IVF-probed top-k: rank cells by query-centroid cosine, search the
+    * top `nprobe` cells exhaustively. Same output shape as
+    * [[cosineTopK]]; recall < 1 only when a true neighbor lives outside
+    * every probed cell. */
+  /** Cells each query probes: the `nprobe` nearest by query-centroid
+    * cosine. Returns (query_id, label). */
+  def probedCells(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
+    val qs = queries(emb)
+      .select(col("query_id"), posexplode(col("qq")).as(Seq("i", "qv")))
+    // query ⋈ centroid dots in long form: tiny (queries × cells × dim)
+    val cellScore = qs.join(broadcast(centroids(emb)), Seq("i"))
+      .groupBy("query_id", "label")
+      .agg(sum(col("qv") * col("cs")).as("dot"),
+        // norms from the same long-form rows: Σqv² is constant per query,
+        // Σcs² per cell — computed inline to keep one aggregation
+        sum(col("qv") * col("qv")).as("nq"),
+        sum(col("cs") * col("cs")).as("nc"))
+      .select(col("query_id"), col("label"),
+        (col("dot").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+          .as("cell_cos"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cell_cos").desc, col("label"))
+    cellScore
+      .withColumn("r", row_number().over(wCell)).filter(col("r") <= nprobe)
+      .select(col("query_id"), col("label"))
+  }
+
+  def ivfTopK(emb: DataFrame, k: Int = TopK, nprobe: Int = NProbe)
+      : DataFrame = {
+    val probed = probedCells(emb, nprobe)
+    val scored = quantized(emb)
+      .join(broadcast(probed), Seq("label")) // cell-pruned corpus scan
+      .join(broadcast(queries(emb)), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosQ(col("qq"), col("q")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-duplicates, blocked by coarse cluster: same-label
+    * pairs with cosine ≥ `minCos`. The label equi-join is the blocking
+    * key (near-dups co-cluster), so the pair space is Σ|cell|², not n².
+    * Returns (vec_a, vec_b, label, cos). */
+  def embeddingNearDups(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    val q = quantized(emb)
+    q.as("a").join(q.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        cosQ(col("a.q"), col("b.q")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import MlFunctions._
+
+/** Per-document text analysis over the `documents` table: quality
+  * statistics, n-gram-profile language scoring, token counting, and
+  * winnowing fingerprints — the text side of the training-data pipeline
+  * (BASELINE north_star).
+  *
+  * Scale: every operator here is a narrow per-row projection or a
+  * per-document window — the only shuffles are the final hash-partition
+  * by doc_id (fingerprints) and none at all for the row-wise stats.
+  * All math is integer-ratio doubles: identical on any engine.
+  */
+object TextAnalysis {
+  /** Marker lexicon per language for the scoring heuristic. On real
+    * corpora these are the top character-n-gram/stopword profiles; the
+    * operator is the scoring machinery, profiles are pluggable. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("row", "scan", "merge"),
+    "en" -> Seq("join", "hash", "data"),
+    "es" -> Seq("table", "value", "line"),
+    "fr" -> Seq("batch", "column", "filter"),
+    "zh" -> Seq("vector", "order", "small"))
+
+  val Stopwords: Seq[String] = Seq("data", "join", "row", "table", "value")
+
+  /** Quality statistics per document. `quality` is a bounded rational
+    * score: type-token ratio × non-stopword mass × length saturation. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nDis = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+    val letters = length(regexp_replace(col("text"), " ", "")).cast("long")
+    docs.select(
+        col("doc_id"), col("lang"), col("source"),
+        nTok.as("n_tokens"), nDis.as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars"),
+        (letters.cast("double") / nTok).as("avg_token_len"),
+        (nDis.cast("double") / nTok).as("ttr"),
+        (nStop.cast("double") / nTok).as("stop_ratio"))
+      .withColumn("quality",
+        col("ttr") * (lit(1.0) - col("stop_ratio")) *
+          (least(col("n_tokens"), lit(100L)).cast("double") / 100.0))
+      .orderBy("doc_id")
+  }
+
+  private def markerScore(markers: Seq[String]): Column =
+    size(filter(tokens(col("text")), t => t.isin(markers: _*))).cast("long")
+
+  /** Language identification by marker-profile scoring: argmax score,
+    * ties to the alphabetically first language (a 5-way CASE chain both
+    * engines evaluate identically). Emits prediction vs labeled lang. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      (col("doc_id") +: col("lang") +:
+        LangMarkers.map { case (l, m) => markerScore(m).as(s"s_$l") }): _*)
+    val langs = LangMarkers.map(_._1)
+    // first lang whose score >= all later scores wins (ties → earliest)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), els) =>
+        val geRest = langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(geRest, lit(l)).otherwise(els)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .withColumn("agree", (col("lang") === col("pred_lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish word-piece regex vs
+    * chars vs UTF-8 bytes. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long")
+          .as("re_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+
+  val GramLen = 8
+  val WinnowWindow = 4
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    * hash every char 8-gram, keep the minimum of each sliding window of
+    * 4, emit the distinct minima. Robust to small edits; the standard
+    * plagiarism/near-dup fingerprint. Returns (doc_id, fp). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= GramLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (GramLen - 1)))
+          .as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        hash60(col("text").substr(col("i"), lit(GramLen))).as("gh"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, WinnowWindow - 1)
+    grams.select(col("doc_id"), min(col("gh")).over(w).as("fp"))
+      .distinct()
+      .orderBy("doc_id", "fp")
+  }
+}

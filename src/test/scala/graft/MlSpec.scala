@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.ml._
+
+/** The LLM-data-pipeline operators. The DuckDB oracle (driver-run)
+  * checks cross-engine value equality; these tests cover what the oracle
+  * can't: probabilistic recall guarantees, algebraic invariants, and the
+  * multimodal batch plumbing. */
+class MlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, sf, "documents")
+  private def emb = Tables(spark, sf, "embeddings")
+  import spark.implicits._
+
+  test("every ml declared query runs and is non-empty at sf0.001") {
+    val empties = MlQueries.all.filter(_.run(spark, sf).isEmpty).map(_.name)
+    assert(empties.isEmpty, s"empty results: $empties")
+  }
+
+  test("exact dedup collapses crafted duplicates and keeps min doc_id") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (9L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.map(t => (t._2, t._3)) === Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("LSH near-dup recall is 1.0 vs brute force on the fixture") {
+    val brute = Dedup.nearDupBrute(docs, 0.7).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupPairs(docs, 0.7).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === brute,
+      s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+  }
+
+  test("minhash signature similarity tracks Jaccard on near-identical docs") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashWide(d).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq)
+      .toMap
+    assert(sig(1L) === sig(2L)) // identical docs → identical signatures
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("simhash: identical docs collide; fixture near-dups are close") {
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val hs = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(hs(1L) === hs(2L))
+    // every high-Jaccard pair must be within the simhash radius too
+    val near = Dedup.nearDupBrute(docs, 0.9).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(near.nonEmpty && (near -- sim).isEmpty,
+      s"J≥0.9 pairs outside hamming radius: ${(near -- sim).take(5)}")
+  }
+
+  test("simhash byte-blocking loses nothing vs all-pairs (pigeonhole)") {
+    val sigs = Dedup.simhash(docs)
+    val allPairs = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter(col("h") <= Dedup.MaxHamming)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
+    val blocked = Dedup.simhashPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(blocked === allPairs)
+  }
+
+  test("cosine top-k: self excluded, k per query, rank orders cos desc") {
+    val out = Similarity.cosineTopK(emb)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    val perQuery = out.groupBy(_._1)
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.length === Similarity.TopK)
+      assert(!rows.exists(_._2 == q), s"query $q returned itself")
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF top-k is exactly brute force restricted to the probed cells") {
+    // The mechanical IVF guarantee (what holds for ANY corpus): results
+    // are the true top-k among vectors in the probed cells. Absolute
+    // recall on THIS fixture is ≈ nprobe/ncells because its labels are
+    // random w.r.t. cosine (no planted cluster structure) — a property
+    // of the data, not the operator.
+    val probed = Similarity.probedCells(emb).as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val labels = emb.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    val bruteAll = Similarity.cosineTopK(emb, k = Int.MaxValue - 1)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val expected = bruteAll.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.filter(r => probed(q).contains(labels(r._2)))
+        .sortBy(r => (-r._3, r._2)).take(Similarity.TopK)
+        .map(r => (q, r._2)).toSeq
+    }.toSet
+    val ivf = Similarity.ivfTopK(emb).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ivf === expected)
+  }
+
+  test("quantized cosine ≈ float cosine (error < 1e-4)") {
+    val exact = emb.select(col("vec_id"), col("embedding")).limit(2)
+      .as[(Long, Array[Float])].collect()
+    val Array((_, a), (_, b)) = exact
+    def cosF(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      dot / (math.sqrt(x.map(v => v.toDouble * v).sum) *
+        math.sqrt(y.map(v => v.toDouble * v).sum))
+    }
+    val pair = Seq((a, b)).toDF("ea", "eb")
+    val q = pair.select(MlFunctions.cosQ(
+        MlFunctions.quantize(col("ea")),
+        MlFunctions.quantize(col("eb"))).as("c"))
+      .as[Double].head()
+    assert(math.abs(q - cosF(a, b)) < 1e-4)
+  }
+
+  test("winnowing fingerprints: shared for near-dups, robust to one edit") {
+    val near = Dedup.nearDupBrute(docs, 0.9).limit(1)
+      .as[(Long, Long, Double)].collect()
+    assert(near.nonEmpty)
+    val (a, b, _) = near.head
+    val fps = TextAnalysis.fingerprints(
+        docs.filter(col("doc_id").isin(a, b)))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val overlap = (fps(a) intersect fps(b)).size.toDouble /
+      math.min(fps(a).size, fps(b).size)
+    assert(overlap > 0.5, f"near-dup fingerprint overlap $overlap%.2f")
+  }
+
+  test("text stats invariants hold on the fixture") {
+    val rows = TextAnalysis.textStats(docs).collect()
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nDis = r.getAs[Long]("n_distinct")
+      val q = r.getAs[Double]("quality")
+      assert(nDis <= nTok && nDis > 0)
+      assert(r.getAs[Double]("ttr") > 0 && r.getAs[Double]("ttr") <= 1)
+      assert(q >= 0 && q <= 1)
+    }
+  }
+
+  test("multimodal: batched stub decode preserves ids and batch shape") {
+    val media = Multimodal.asMedia(docs)
+    val feats = Multimodal.decodeAll(spark, media).collect()
+    assert(feats.length === docs.count())
+    assert(feats.map(_.doc_id).toSet ===
+      docs.select("doc_id").as[Long].collect().toSet)
+    feats.foreach { f =>
+      assert(f.feature.length === 8)
+      assert(f.width >= 16 && f.height >= 16)
+      assert(f.n_bytes > 0)
+    }
+    // deterministic: same input → same features
+    val again = Multimodal.decodeAll(spark, media).collect()
+      .map(f => f.doc_id -> f.feature.toSeq).toMap
+    feats.foreach(f => assert(again(f.doc_id) === f.feature.toSeq))
+  }
+}
