@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cdc.CdcQueries
 import graft.ml.MlQueries
 import graft.sql.{Declared, Relational}
+import graft.streaming.WindowQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +14,7 @@ import graft.sql.{Declared, Relational}
   */
 object SparkEntry {
   private def declared: Seq[Declared] =
-    Relational.all ++ CdcQueries.all ++ MlQueries.all
+    Relational.all ++ CdcQueries.all ++ MlQueries.all ++ WindowQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

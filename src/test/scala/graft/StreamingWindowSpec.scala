@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Windows
+
+/** Streaming event-time windows + watermark (SURVEY.md §2.9 T5/T6):
+  * append-mode finalization and late-data dropping, driven by a
+  * MemoryStream acting as a manual event-time clock. */
+class StreamingWindowSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 00:$m%02d:$s%02d")
+
+  private case class Ev(ts: Timestamp, event_type: String, value: Double,
+      user_id: Long)
+
+  private def startQuery(df: org.apache.spark.sql.DataFrame, name: String)
+      : StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+
+  test("tumbling windows finalize at the watermark; late events dropped") {
+    val in = MemoryStream[Ev](spark)
+    val q = startQuery(
+      Windows.tumbling(in.toDF(), width = "10 minutes",
+        watermark = Some("10 minutes")),
+      "tumbling_sink")
+    try {
+      // batch 1: two events in [00:00,00:10), one in [00:20,00:30);
+      // watermark advances to 00:25-10min = 00:15 → first window closes
+      in.addData(Ev(ts(5), "a", 1.0, 1L), Ev(ts(7), "a", 2.0, 1L),
+        Ev(ts(25), "b", 5.0, 1L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("tumbling_sink")
+        .select("w_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(afterB1 === Set((ts(0), "a", 2L, 3.0)))
+
+      // batch 2: an event at 00:03 is LATE (watermark 00:15) → dropped;
+      // 00:45 advances the watermark to 00:35 → [00:20,00:30) closes
+      in.addData(Ev(ts(3), "a", 100.0, 1L), Ev(ts(45), "c", 7.0, 1L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("tumbling_sink")
+        .select("w_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      // the late event neither re-opens [00:00,00:10) nor changes its agg
+      assert(afterB2 === Set((ts(0), "a", 2L, 3.0), (ts(20), "b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap and close on watermark") {
+    val in = MemoryStream[Ev](spark)
+    val q = startQuery(
+      Windows.sessions(in.toDF(), gap = "10 minutes",
+        watermark = Some("5 minutes")),
+      "session_sink")
+    try {
+      // user 1: events at 00:00, 00:05, 00:12 chain into ONE session
+      // (each gap < 10 min); user 2: single event at 00:02
+      in.addData(Ev(ts(0), "a", 1.0, 1L), Ev(ts(5), "a", 2.0, 1L),
+        Ev(ts(12), "a", 4.0, 1L), Ev(ts(2), "a", 8.0, 2L))
+      q.processAllAvailable()
+      // advance watermark past every session end (00:22): 00:50-5min
+      in.addData(Ev(ts(50), "a", 0.5, 9L))
+      q.processAllAvailable()
+      val out = spark.table("session_sink")
+        .select("user_id", "w_start", "w_end", "n", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .filter(_._1 != 9L).toSet
+      assert(out === Set(
+        (1L, ts(0), ts(22), 3L, 7.0), // one merged session, end=last+gap
+        (2L, ts(2), ts(12), 1L, 8.0)))
+    } finally q.stop()
+  }
+}
