@@ -223,19 +223,19 @@ object Replicate {
       replicaDir: String, numBuckets: Int = DefaultNumBuckets,
       mergeParallelism: Int = DefaultMergeParallelism): Unit = {
     import spark.implicits._
-    val summary = summarize(batch.toDF(), mergeParallelism)
-      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-      .cache()
+    // Cache the RAW batch (not the summary): the touched-bucket probe
+    // below fills the cache, so the source is read exactly once per
+    // trigger, and the merge job consumes the cached rows.
+    val b = batch.toDF().persist()
     try {
       // touched buckets: ≤ numBuckets ints — a bounded driver round-trip
-      // (documented bound; the alternative is a listener-free executor
-      // path that costs a second shuffle)
-      val touched = summary.select(BucketCol).distinct()
-        .as[Int].collect().toSeq.sorted
+      val touched = b
+        .select(pmod(col("id"), lit(numBuckets)).cast("int").as(BucketCol))
+        .distinct().as[Int].collect().toSeq.sorted
       if (touched.isEmpty) return
+      val summary = summarize(b, mergeParallelism)
       val current = readBuckets(spark, replicaDir, touched)
-      val merged = mergeBatch(current, summary.drop(BucketCol),
-        mergeParallelism)
+      val merged = mergeBatch(current, summary, mergeParallelism)
         .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
 
       // Durable lineage break: fully materialize the merged buckets in a
@@ -249,16 +249,16 @@ object Replicate {
         .parquet(tmpDir)
       val base = new Path(replicaDir)
       if (!fs.exists(base)) fs.mkdirs(base)
-      touched.foreach { b =>
-        val live = new Path(s"$replicaDir/$BucketCol=$b")
-        val fresh = new Path(s"$tmpDir/$BucketCol=$b")
+      touched.foreach { bkt =>
+        val live = new Path(s"$replicaDir/$BucketCol=$bkt")
+        val fresh = new Path(s"$tmpDir/$BucketCol=$bkt")
         fs.delete(live, true)
         // a touched bucket absent from the output had all its keys
         // deleted — removing the live dir IS the apply
         if (fs.exists(fresh)) fs.rename(fresh, live)
       }
       fs.delete(new Path(tmpDir), true)
-    } finally summary.unpersist()
+    } finally b.unpersist()
   }
 
   /** Initial snapshot (phase 2 of the replicator,

@@ -215,4 +215,32 @@ class CdcSpec extends AnyFunSuite {
     assert(st.inSync && st.verdict === "✓ In sync")
     assert(st.targetCount === want.size.toLong)
   }
+
+  // -------------------------------------------------------------------
+  // Listener counters (A7 processedChanges analog, T8 progress)
+  // -------------------------------------------------------------------
+
+  test("BatchMetricsListener counts rows and batches of a replayed stream") {
+    val ops = ChangeGen.ops(seed = 13, n = 300)
+    val replica = tmp("cdc-m-replica"); val changeDir = tmp("cdc-m-log")
+    val ckpt = tmp("cdc-m-ckpt")
+    // 3 files + noise rows: listener sees INPUT rows (incl. the audit and
+    // malformed lines the parser then drops), like processedChanges++
+    // counts every slot line (replicator/main.go:175-188)
+    ChangeGen.writeBatches(changeDir, ops, batches = 3)
+    val listener = new graft.streaming.BatchMetricsListener(
+      Some("graft-replicate"))
+    spark.streams.addListener(listener)
+    try {
+      val q = Replicate.start(spark, changeDir, replica, ckpt,
+        numBuckets = 4, maxFilesPerTrigger = Some(1),
+        trigger = Trigger.ProcessingTime("1 second"))
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.streams.removeListener(listener)
+    val busy = listener.batches.filter(_.inputRows > 0)
+    assert(busy.size === 3) // one per change-log file
+    assert(listener.processedRows === 300L + 2 * 3) // +noise lines/file
+    assert(listener.worstBatchSec > 0.0)
+    assert(listener.rowsPerSec > 0.0)
+  }
 }
