@@ -292,6 +292,30 @@ object MlQueries {
            |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val tfidfTopTerms = Declared(
+    "ml_tfidf_topterms",
+    (s, d) => TextAnalysis.tfIdfTopTerms(Tables(s, d, "documents")),
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |tf AS (SELECT doc_id, term, count(*) AS tf
+            |       FROM tok GROUP BY doc_id, term),
+            |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+            |dfr AS (SELECT term, count(DISTINCT doc_id) AS df
+            |        FROM tok GROUP BY term),
+            |nn AS (SELECT count(*) AS n FROM documents),
+            |s AS (
+            |  SELECT tf.doc_id, tf.term, tf.tf,
+            |         (CAST(tf.tf AS DOUBLE) / dl.dlen) *
+            |           (CAST(nn.n AS DOUBLE) / dfr.df) AS score
+            |  FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term)
+            |  CROSS JOIN nn)
+            |SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS "rank"
+            |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            |        ORDER BY score DESC, term) AS rn FROM s)
+            |WHERE rn <= ${TextAnalysis.TfIdfTopK}
+            |ORDER BY doc_id, rn""".stripMargin))
+
   private val fingerprint = Declared(
     "ml_fingerprint",
     (s, d) => TextAnalysis.fingerprints(Tables(s, d, "documents")),
@@ -336,8 +360,36 @@ object MlQueries {
            |       AS BIGINT) AS decoded_height
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Drives the typed mapPartitions decode pipeline end-to-end (batched
+    * stub decoder, [[Multimodal.decodeAll]]) and oracle-checks its
+    * deterministic outputs — the decode STUB is fake, the plumbing
+    * (binary columns through a typed Dataset, per-partition batching) is
+    * the real thing under test. */
+  private val mediaDecode = Declared(
+    "ml_media_decode",
+    (s, d) => Multimodal
+      .decodeAll(s, Multimodal.asMedia(Tables(s, d, "documents")))
+      .toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        element_at(col("feature"), 1).cast("double").as("f0"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg'
+           |       WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |  CAST((ascii(substr(text, 1, 1)) * 5) % 1024 + 16 AS BIGINT)
+           |    AS width,
+           |  CAST((ascii(substr(text, 2, 1)) * 3) % 1024 + 16 AS BIGINT)
+           |    AS height,
+           |  CAST(CAST(octet_length(encode(text)) % 257 AS FLOAT)
+           |       / CAST(257 AS FLOAT) AS DOUBLE) AS f0
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, dedupSimhash,
     cosineTopk, annIvf, embedNearDup,
-    textStats, langId, tokenCounts, fingerprint, mediaMeta)
+    textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
+    mediaMeta, mediaDecode)
 }

@@ -84,6 +84,38 @@ object TextAnalysis {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
       .orderBy("doc_id")
 
+  val TfIdfTopK = 3
+
+  /** Top characteristic terms per document by rational TF-IDF:
+    * `(tf/doc_len) · (N/df)` — the idf is kept rational (no log) so the
+    * score is exact integer-ratio arithmetic, bit-identical on any
+    * engine; the ranking is the same monotone order.
+    *
+    * Scale: term DF is a heavy-hitter table orders of magnitude smaller
+    * than the corpus — broadcast to the TF side, so the only corpus-wide
+    * shuffle is the (doc, term) count. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = TfIdfTopK): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val df = tok.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        ((col("tf").cast("double") / col("dlen")) *
+          (col("n").cast("double") / col("df"))).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   val GramLen = 8
   val WinnowWindow = 4
 
