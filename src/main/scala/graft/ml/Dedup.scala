@@ -123,6 +123,23 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The end-to-end dedup use case: the corpus minus exact duplicates
+    * (keep min doc_id per content hash) minus near-duplicates (greedy
+    * keep-first: drop every `doc_b` of a verified pair — the standard
+    * first-occurrence-wins pass; no transitive closure needed because
+    * pairs are oriented a<b). Scale: one semi-join on the exact keeper
+    * set + one broadcast anti-join against the (tiny) near-dup drop
+    * list. */
+  def dedupCorpus(docs: DataFrame, minJaccard: Double = 0.7): DataFrame = {
+    val keepers = exact(docs).select(col("keeper_id").as("doc_id"))
+    val nearDrops = nearDupPairs(docs, minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .join(broadcast(nearDrops), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Ground-truth near-dup pairs by exhaustive shingle-set Jaccard —
     * O(n²); TEST ORACLE ONLY (MlSpec asserts LSH recall against it). */
   def nearDupBrute(docs: DataFrame, minJaccard: Double = 0.7, k: Int = 3)

@@ -145,6 +145,43 @@ object MlQueries {
             |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
             |ORDER BY doc_a, doc_b""".stripMargin))
 
+  private val dedupCorpus = Declared(
+    "ml_dedup_corpus",
+    (s, d) => Dedup.dedupCorpus(Tables(s, d, "documents")),
+    Some(s"""WITH $shingleCte,
+            |$sigCte,
+            |bands AS (
+            |  SELECT doc_id, h // $RowsPerBand AS band,
+            |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
+            |  FROM sig GROUP BY doc_id, h // $RowsPerBand),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+            |sets AS (SELECT DISTINCT doc_id, sh FROM shg),
+            |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+            |intr AS (
+            |  SELECT c.doc_a, c.doc_b, count(*) AS ix
+            |  FROM cand c
+            |  JOIN sets sa ON sa.doc_id = c.doc_a
+            |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+            |  GROUP BY c.doc_a, c.doc_b),
+            |nd AS (
+            |  SELECT DISTINCT doc_b FROM (
+            |    SELECT n.doc_a, n.doc_b,
+            |           CAST(n.ix AS DOUBLE) / (za.sz + zb.sz - n.ix) AS jaccard
+            |    FROM intr n
+            |    JOIN sz za ON za.doc_id = n.doc_a
+            |    JOIN sz zb ON zb.doc_id = n.doc_b)
+            |  WHERE jaccard >= 0.7),
+            |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+            |         GROUP BY md5(text))
+            |SELECT d.doc_id, d.lang, d.source, d.n_chars
+            |FROM documents d
+            |JOIN keep k ON k.doc_id = d.doc_id
+            |WHERE d.doc_id NOT IN (SELECT doc_b FROM nd)
+            |ORDER BY d.doc_id""".stripMargin))
+
   // ---- similarity -----------------------------------------------------
 
   private def topkTailSql(dotsCte: String): String =
@@ -388,7 +425,7 @@ object MlQueries {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Declared] = Seq(
-    dedupExact, minhashSig, dedupNear, dedupSimhash,
+    dedupExact, minhashSig, dedupNear, dedupSimhash, dedupCorpus,
     cosineTopk, annIvf, embedNearDup,
     textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode)

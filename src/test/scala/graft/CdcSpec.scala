@@ -217,6 +217,57 @@ class CdcSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // Debezium envelope adapter (production ingestion path)
+  // -------------------------------------------------------------------
+
+  test("Debezium envelope parses c/u/d/r, routes tables, drops malformed") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = tmp("dbz")
+    def row(id: Int, name: String, score: Int, us: Long): String =
+      s"""{"id":$id,"name":"$name","uid":"u-$id","score":$score,"created_at":$us}"""
+    val lines = Seq(
+      s"""{"before":null,"after":${row(1, "a", 2, 1000000L)},"op":"c","ts_ms":1,"source":{"lsn":10,"schema":"public","table":"person"}}""",
+      s"""{"before":null,"after":${row(2, "b", 3, 2000000L)},"op":"r","ts_ms":2,"source":{"lsn":11,"schema":"public","table":"person"}}""",
+      s"""{"before":${row(1, "a", 2, 1000000L)},"after":${row(1, "a2", 4, 1000000L)},"op":"u","ts_ms":3,"source":{"lsn":12,"schema":"public","table":"person"}}""",
+      s"""{"before":${row(2, "b", 3, 2000000L)},"after":null,"op":"d","ts_ms":4,"source":{"lsn":13,"schema":"public","table":"person"}}""",
+      s"""{"before":null,"after":${row(9, "x", 1, 1L)},"op":"c","ts_ms":5,"source":{"lsn":14,"schema":"public","table":"audit"}}""",
+      """{"op":"c" BROKEN""")
+    JFiles.write(Paths.get(dir, "events.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val got = DebeziumSource.readBatch(spark, dir).collect()
+      .sortBy(_.lsn)
+    assert(got.map(c => (c.lsn, c.action, c.id)).toSeq ===
+      Seq((10L, "I", 1), (11L, "I", 2), (12L, "U", 1), (13L, "D", 2)))
+    assert(got(0).created_at.get ===
+      java.sql.Timestamp.valueOf("1970-01-01 00:00:01"))
+    assert(got(3).name.isEmpty && got(3).created_at.isEmpty) // D: PK only
+    // the two paths produce interchangeable rows: fold them together
+    val merged = Replicate.applyChanges(
+      spark.emptyDataset[PersonRow],
+      DebeziumSource.readBatch(spark, dir)).collect()
+    assert(merged.map(r => (r.id, r.name, r.score)).toSet ===
+      Set((1, "a2", 4))) // 2 deleted, 1 updated
+  }
+
+  // -------------------------------------------------------------------
+  // Checkpoint lifecycle (S11 slot check/drop/create analog)
+  // -------------------------------------------------------------------
+
+  test("checkpoint lifecycle: absent until stream commits, droppable") {
+    val ckpt = tmp("cdc-l-ckpt"); val changeDir = tmp("cdc-l-log")
+    val replica = tmp("cdc-l-replica")
+    assert(!Checkpoints.exists(spark, ckpt + "/fresh"))
+    ChangeGen.writeBatches(changeDir, ChangeGen.ops(seed = 5, n = 50),
+      batches = 1)
+    val q = Replicate.start(spark, changeDir, replica, ckpt,
+      numBuckets = 4, trigger = Trigger.ProcessingTime("1 second"))
+    try q.processAllAvailable() finally q.stop()
+    assert(Checkpoints.exists(spark, ckpt)) // slot "created"
+    Checkpoints.recreate(spark, ckpt)
+    assert(!Checkpoints.exists(spark, ckpt)) // fresh capture point
+  }
+
+  // -------------------------------------------------------------------
   // Listener counters (A7 processedChanges analog, T8 progress)
   // -------------------------------------------------------------------
 

@@ -147,6 +147,17 @@ class MlSpec extends AnyFunSuite {
     assert(overlap > 0.5, f"near-dup fingerprint overlap $overlap%.2f")
   }
 
+  test("dedupCorpus drops exactly the near-dup doc_b side on the fixture") {
+    val drops = Dedup.nearDupPairs(docs, 0.7).select("doc_b")
+      .as[Long].collect().toSet
+    val kept = Dedup.dedupCorpus(docs).select("doc_id")
+      .as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    // fixture has no exact dups, so kept == all minus near-dup doc_bs
+    assert(kept === all -- drops)
+    assert(drops.nonEmpty && (kept intersect drops).isEmpty)
+  }
+
   test("text stats invariants hold on the fixture") {
     val rows = TextAnalysis.textStats(docs).collect()
     rows.foreach { r =>
