@@ -95,12 +95,14 @@ object TextAnalysis {
     * than the corpus — broadcast to the TF side, so the only corpus-wide
     * shuffle is the (doc, term) count. */
   def tfIdfTopTerms(docs: DataFrame, k: Int = TfIdfTopK): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-    val df = tok.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // ONE corpus pass: dl and df both derive from the tf aggregate
+    // (dl = Σ tf per doc, df = #rows per term), so the expensive
+    // explode+shuffle happens once; N is a metadata-only count.
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dlen"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))

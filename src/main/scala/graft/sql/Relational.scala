@@ -345,6 +345,44 @@ object Relational {
            | AND n1.n_nationkey < n2.n_nationkey
            |ORDER BY region_key, a_name, b_name""".stripMargin))
 
+  private val jAsofEvents = Declared(
+    "j_asof_events",
+    // AS-OF join — an operator Spark lacks natively, composed from
+    // built-ins the scale-correct way: tag both sides, union, ONE
+    // shuffle by key, then a sorted carry-forward window (last error at
+    // or before each click). No per-row lookup, no range self-join blowup
+    // — cost is sort-within-partition, the same plan kdb/Flink use for
+    // temporal joins. Ties (error at the click's exact ts) resolve to
+    // the error side first, then max event_id — mirrored in the oracle's
+    // ORDER BY ts DESC, event_id DESC.
+    (s, d) => {
+      val ev = t(s, d)("events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("err_id"),
+          lit(null).cast("long").as("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("err_id"), col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side"), col("err_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      errs.unionByName(clicks)
+        .withColumn("last_error_id",
+          last(col("err_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_error_id"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT c.event_id, c.user_id, c.ts,
+           |  (SELECT e.event_id FROM events e
+           |   WHERE e.user_id = c.user_id AND e.event_type = 'error'
+           |     AND e.ts <= c.ts
+           |   ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_error_id
+           |FROM events c WHERE c.event_type = 'click'
+           |ORDER BY c.event_id""".stripMargin))
+
   private val jQ3Shipping = Declared(
     "j_q3_shipping",
     // TPC-H Q3 shape — the flagship: filtered dim (customer segment)
@@ -612,7 +650,7 @@ object Relational {
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
     q1AggPricing, aggDistinct, aggRollup, aggCube,
     jInnerBroadcast, j2SemiExists, j3AntiJoin, jLeftOuterCount, jFullOuter,
-    jThetaPairs, jQ3Shipping,
+    jThetaPairs, jQ3Shipping, jAsofEvents,
     wRankTopn, wLagPrev, wRunningSum,
     setUnion, setIntersect, setExcept,
     xScalarFuncs, xEpochDiff, xJsonExtract, xArrayOps,
