@@ -75,7 +75,24 @@ object Bench {
       } finally spark.streams.removeListener(listener)
       val batchSecs = listener.batches.filter(_.inputRows > 0)
         .map(b => f"${b.triggerExecSec}%.2f").mkString("[", ",", "]")
-      f"""{"rows_per_sec":${listener.rowsPerSec}%.1f,"worst_batch_sec":${listener.worstBatchSec}%.3f,"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs}"""
+
+      // throughput mode: same op volume in ONE batch — bulk apply rate,
+      // the complementary axis to per-trigger latency
+      val bulkLog = Files.createTempDirectory("bench-cdc-bulklog").toString
+      val bulkDir = Files.createTempDirectory("bench-cdc-bulk").toString
+      val bulkCkpt = Files.createTempDirectory("bench-cdc-bulkckpt").toString
+      Replicate.snapshot(spark,
+        ChangeGen.replay(snapOps).values.toSeq.toDS(), bulkDir)
+      ChangeGen.writeBatches(bulkLog, streamOps, batches = 1)
+      val bulkListener = new BatchMetricsListener(Some("graft-replicate"))
+      spark.streams.addListener(bulkListener)
+      try {
+        val bq = Replicate.start(spark, bulkLog, bulkDir, bulkCkpt,
+          trigger = Trigger.AvailableNow())
+        try bq.awaitTermination() finally bq.stop()
+      } finally spark.streams.removeListener(bulkListener)
+
+      f"""{"rows_per_sec":${listener.rowsPerSec}%.1f,"worst_batch_sec":${listener.worstBatchSec}%.3f,"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs,"bulk_rows_per_sec":${bulkListener.rowsPerSec}%.1f}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] CDC FAILED: $e")
       errors("cdc_pipeline") = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -99,14 +99,17 @@ object Dedup {
     * ≥ `minJaccard`. Returns (doc_a, doc_b, jaccard). */
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.7, k: Int = 3)
       : DataFrame = {
-    val bands = bandKeys(minhashWide(docs, k))
+    // persist the band keys: the LSH self-join references them twice and
+    // runtime stage reuse does not dedupe across the join's two sides
+    // (one signature pass instead of two; ~doc_count×16 small rows)
+    val bands = bandKeys(minhashWide(docs, k)).persist()
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingleSets(docs, k)
+    val sets = shingleSets(docs, k).persist() // probed twice (sa/sb)
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
