@@ -212,6 +212,33 @@ object MlQueries {
                  |  WHERE a.vec_id % $QueryStride = 0
                  |  GROUP BY a.vec_id, b.vec_id)""".stripMargin)}""".stripMargin))
 
+  /** Oracle for the native float-cosine expression: an explicit 64-term
+    * left-associated sum — float→double casts and float×float products
+    * are exact, and the addition chain matches the codegen loop's
+    * ascending-index accumulation, so the doubles are bit-identical. */
+  private val cosineTopkFast = Declared(
+    "ml_cosine_topk_fast", {
+      (s, d) => Similarity.cosineTopKFast(Tables(s, d, "embeddings"))
+    },
+    Some {
+      def terms(x: String, y: String): String = (1 to 64).map(i =>
+        s"(CAST($x.embedding[$i] AS DOUBLE) * CAST($y.embedding[$i] AS DOUBLE))")
+        .mkString("\n      + ")
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    (${terms("q", "e")})
+         |    / (sqrt(${terms("q", "q")})
+         |       * sqrt(${terms("e", "e")})) AS cos
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.vec_id % $QueryStride = 0 AND e.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cos, CAST(rn AS BIGINT) AS "rank"
+         |FROM (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY cos DESC, neighbor_id) AS rn
+         |      FROM scored)
+         |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+    })
+
   private val annIvf = Declared(
     "ml_ann_ivf",
     (s, d) => Similarity.ivfTopK(Tables(s, d, "embeddings")),
@@ -426,7 +453,7 @@ object MlQueries {
 
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, dedupSimhash, dedupCorpus,
-    cosineTopk, annIvf, embedNearDup,
+    cosineTopk, cosineTopkFast, annIvf, embedNearDup,
     textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode)
 }

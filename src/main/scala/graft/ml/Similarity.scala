@@ -66,6 +66,27 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact cosine top-k via the native codegen expression
+    * ([[graft.functions.CosineSimFloat]]): float arrays scored in one
+    * fused loop, no quantization and no per-row array allocation — the
+    * throughput path when cross-engine bit-equality of a quantized proxy
+    * isn't required. Same plan shape as [[cosineTopK]]. */
+  def cosineTopKFast(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val qs = base.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val scored = base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions
+          .cosineSimF(col("qemb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Integer centroid components per (label, position): Σ quantized —
     * exact, order-free; direction == mean direction. */
   def centroids(emb: DataFrame): DataFrame =

@@ -133,6 +133,35 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(q - cosF(a, b)) < 1e-4)
   }
 
+  test("native cosine expression: codegen == interpreted == Scala ref") {
+    val vecs = emb.limit(4).select("embedding")
+      .as[Array[Float]].collect()
+    def ref(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val xv = x(i).toDouble; val yv = y(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pairs = for (a <- vecs; b <- vecs) yield (a, b)
+    val df = pairs.toSeq.toDF("ea", "eb")
+    val got = df.select(graft.functions.VectorFunctions
+      .cosineSimF(col("ea"), col("eb"))).as[Double].collect()
+    got.zip(pairs).foreach { case (g, (a, b)) =>
+      assert(g === ref(a, b)) // bit-exact, not approximate
+    }
+    // fast top-k agrees with the quantized baseline (1e-5 quantization
+    // error can only flip neighbors with near-identical true cosines)
+    val fast = Similarity.cosineTopKFast(emb)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.cosineTopK(emb)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val overlap = (fast intersect quant).size.toDouble / quant.size
+    assert(overlap >= 0.9, f"fast/quantized top-k overlap $overlap%.2f")
+  }
+
   test("winnowing fingerprints: shared for near-dups, robust to one edit") {
     val near = Dedup.nearDupBrute(docs, 0.9).limit(1)
       .as[(Long, Long, Double)].collect()
