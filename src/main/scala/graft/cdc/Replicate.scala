@@ -89,28 +89,31 @@ object Replicate {
     * Changes are applied in lsn order (slot order, SURVEY.md §2.9 T3).
     * Deliberately naive and readable; the engine path is [[mergeBatch]],
     * which CdcSpec asserts equivalent on generated sequences. */
+  /** Apply ONE change to a key's state — the reference's switch
+    * statement as a pure function, shared by the cogroup oracle and the
+    * state-store path ([[StatefulReplica]]). */
+  def foldEvent(st: Option[PersonRow], ev: PersonChange): Option[PersonRow] =
+    ev.action match {
+      case "I" => st match {
+        case Some(old) => Some(old.copy(name = ev.name.get,
+          uid = ev.uid.get, score = ev.score.get))
+        case None => Some(PersonRow(ev.id, ev.name.get, ev.uid.get,
+          ev.score.get, ev.created_at.get))
+      }
+      case "U" => st.map(_.copy(name = ev.name.get, uid = ev.uid.get,
+        score = ev.score.get))
+      case "D" => None
+      case _ => st
+    }
+
   def applyChanges(current: Dataset[PersonRow],
       changes: Dataset[PersonChange]): Dataset[PersonRow] = {
     val spark = current.sparkSession
     import spark.implicits._
     current.groupByKey(_.id).cogroup(changes.groupByKey(_.id)) {
-      (id, curIt, chIt) =>
-        val init: Option[PersonRow] = curIt.toSeq.headOption
-        val fin = chIt.toSeq.sortBy(_.lsn).foldLeft(init) { (st, ev) =>
-          ev.action match {
-            case "I" => st match {
-              case Some(old) => Some(old.copy(name = ev.name.get,
-                uid = ev.uid.get, score = ev.score.get))
-              case None => Some(PersonRow(id, ev.name.get, ev.uid.get,
-                ev.score.get, ev.created_at.get))
-            }
-            case "U" => st.map(_.copy(name = ev.name.get, uid = ev.uid.get,
-              score = ev.score.get))
-            case "D" => None
-            case _ => st
-          }
-        }
-        fin.iterator
+      (_, curIt, chIt) =>
+        chIt.toSeq.sortBy(_.lsn)
+          .foldLeft(curIt.toSeq.headOption)(foldEvent).iterator
     }
   }
 

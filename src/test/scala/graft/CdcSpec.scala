@@ -268,6 +268,43 @@ class CdcSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // State-store replica path (T7 via flatMapGroupsWithState)
+  // -------------------------------------------------------------------
+
+  test("stateful replica: state-store path converges to naive replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val ops = ChangeGen.ops(seed = 23, n = 600)
+    val in = MemoryStream[PersonChange](spark)
+    val q = StatefulReplica.liveUpdates(in.toDS())
+      .writeStream.format("memory").queryName("stateful_replica")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // three micro-batches — state must carry across batch boundaries
+      ops.grouped(200).foreach { batch =>
+        in.addData(ChangeGen.toChanges(batch): _*)
+        q.processAllAvailable()
+      }
+      // reconstruct final state: per key, the transition emitted LAST
+      // (memory sink appends every batch's updates in order)
+      val updates = spark.table("stateful_replica")
+        .select("id", "live", "row.name", "row.score", "row.created_at")
+        .collect().zipWithIndex
+      val lastPerKey = updates.groupBy(_._1.getInt(0)).map { case (id, us) =>
+        id -> us.maxBy(_._2)._1
+      }
+      val live = lastPerKey.collect {
+        case (id, r) if r.getBoolean(1) =>
+          id -> ((r.getString(2), r.getInt(3), r.getTimestamp(4)))
+      }
+      val want = ChangeGen.replay(ops).map { case (id, p) =>
+        id -> ((p.name, p.score, p.created_at))
+      }
+      assert(live === want)
+    } finally q.stop()
+  }
+
+  // -------------------------------------------------------------------
   // Listener counters (A7 processedChanges analog, T8 progress)
   // -------------------------------------------------------------------
 
