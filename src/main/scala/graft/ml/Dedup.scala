@@ -126,6 +126,23 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Edit-distance verification of the LSH candidates: Levenshtein over
+    * the verified near-dup pairs — the character-level second opinion on
+    * the shingle-level Jaccard (cheap because it runs on the tiny pair
+    * list, never the corpus). */
+  def levenshteinNearDups(docs: DataFrame, minJaccard: Double = 0.7)
+      : DataFrame = {
+    val pairs = nearDupPairs(docs, minJaccard)
+    val txt = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta.text"), col("tb.text")).cast("long").as("lev"),
+        col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The end-to-end dedup use case: the corpus minus exact duplicates
     * (keep min doc_id per content hash) minus near-duplicates (greedy
     * keep-first: drop every `doc_b` of a verified pair — the standard

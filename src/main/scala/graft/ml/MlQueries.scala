@@ -88,34 +88,54 @@ object MlQueries {
             |SELECT doc_id, h, m AS minhash
             |FROM sig ORDER BY doc_id, h""".stripMargin))
 
+  /** Shared CTE chain for the LSH near-dup pipeline, ending in
+    * `ndp(doc_a, doc_b, jaccard)` — the verified pairs. */
+  private val nearPairsCtes =
+    s"""$shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, h // $RowsPerBand AS band,
+       |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
+       |  FROM sig GROUP BY doc_id, h // $RowsPerBand),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |sets AS (SELECT DISTINCT doc_id, sh FROM shg),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+       |intr AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS ix
+       |  FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.doc_a
+       |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |ndp AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT n.doc_a, n.doc_b,
+       |           CAST(n.ix AS DOUBLE) / (za.sz + zb.sz - n.ix) AS jaccard
+       |    FROM intr n
+       |    JOIN sz za ON za.doc_id = n.doc_a
+       |    JOIN sz zb ON zb.doc_id = n.doc_b)
+       |  WHERE jaccard >= 0.7)""".stripMargin
+
   private val dedupNear = Declared(
     "ml_dedup_near",
     (s, d) => Dedup.nearDupPairs(Tables(s, d, "documents"), minJaccard = 0.7),
-    Some(s"""WITH $shingleCte,
-            |$sigCte,
-            |bands AS (
-            |  SELECT doc_id, h // $RowsPerBand AS band,
-            |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
-            |  FROM sig GROUP BY doc_id, h // $RowsPerBand),
-            |cand AS (
-            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |  FROM bands a JOIN bands b
-            |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
-            |sets AS (SELECT DISTINCT doc_id, sh FROM shg),
-            |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-            |intr AS (
-            |  SELECT c.doc_a, c.doc_b, count(*) AS ix
-            |  FROM cand c
-            |  JOIN sets sa ON sa.doc_id = c.doc_a
-            |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-            |  GROUP BY c.doc_a, c.doc_b)
-            |SELECT doc_a, doc_b, jaccard FROM (
-            |  SELECT n.doc_a, n.doc_b,
-            |         CAST(n.ix AS DOUBLE) / (za.sz + zb.sz - n.ix) AS jaccard
-            |  FROM intr n
-            |  JOIN sz za ON za.doc_id = n.doc_a
-            |  JOIN sz zb ON zb.doc_id = n.doc_b)
-            |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin))
+    Some(s"""WITH $nearPairsCtes
+            |SELECT doc_a, doc_b, jaccard FROM ndp
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  private val levNear = Declared(
+    "ml_levenshtein_near",
+    (s, d) => Dedup.levenshteinNearDups(Tables(s, d, "documents")),
+    Some(s"""WITH $nearPairsCtes
+            |SELECT p.doc_a, p.doc_b,
+            |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+            |       p.jaccard
+            |FROM ndp p
+            |JOIN documents da ON da.doc_id = p.doc_a
+            |JOIN documents db ON db.doc_id = p.doc_b
+            |ORDER BY doc_a, doc_b""".stripMargin))
 
   private val dedupSimhash = Declared(
     "ml_dedup_simhash",
@@ -148,38 +168,13 @@ object MlQueries {
   private val dedupCorpus = Declared(
     "ml_dedup_corpus",
     (s, d) => Dedup.dedupCorpus(Tables(s, d, "documents")),
-    Some(s"""WITH $shingleCte,
-            |$sigCte,
-            |bands AS (
-            |  SELECT doc_id, h // $RowsPerBand AS band,
-            |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
-            |  FROM sig GROUP BY doc_id, h // $RowsPerBand),
-            |cand AS (
-            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |  FROM bands a JOIN bands b
-            |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
-            |sets AS (SELECT DISTINCT doc_id, sh FROM shg),
-            |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-            |intr AS (
-            |  SELECT c.doc_a, c.doc_b, count(*) AS ix
-            |  FROM cand c
-            |  JOIN sets sa ON sa.doc_id = c.doc_a
-            |  JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-            |  GROUP BY c.doc_a, c.doc_b),
-            |nd AS (
-            |  SELECT DISTINCT doc_b FROM (
-            |    SELECT n.doc_a, n.doc_b,
-            |           CAST(n.ix AS DOUBLE) / (za.sz + zb.sz - n.ix) AS jaccard
-            |    FROM intr n
-            |    JOIN sz za ON za.doc_id = n.doc_a
-            |    JOIN sz zb ON zb.doc_id = n.doc_b)
-            |  WHERE jaccard >= 0.7),
+    Some(s"""WITH $nearPairsCtes,
             |keep AS (SELECT min(doc_id) AS doc_id FROM documents
             |         GROUP BY md5(text))
             |SELECT d.doc_id, d.lang, d.source, d.n_chars
             |FROM documents d
             |JOIN keep k ON k.doc_id = d.doc_id
-            |WHERE d.doc_id NOT IN (SELECT doc_b FROM nd)
+            |WHERE d.doc_id NOT IN (SELECT DISTINCT doc_b FROM ndp)
             |ORDER BY d.doc_id""".stripMargin))
 
   // ---- similarity -----------------------------------------------------
@@ -452,7 +447,7 @@ object MlQueries {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Declared] = Seq(
-    dedupExact, minhashSig, dedupNear, dedupSimhash, dedupCorpus,
+    dedupExact, minhashSig, dedupNear, levNear, dedupSimhash, dedupCorpus,
     cosineTopk, cosineTopkFast, annIvf, embedNearDup,
     textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode)

@@ -383,6 +383,47 @@ object Relational {
            |FROM events c WHERE c.event_type = 'click'
            |ORDER BY c.event_id""".stripMargin))
 
+  private val jRangePairs = Declared(
+    "j_range_pairs",
+    // RANGE JOIN (interval self-join) the scale-correct way: band each
+    // event into 60 s buckets and equi-join on (user, bucket) with the
+    // later side exploded to its bucket and the previous one — every
+    // pair within the window shares a banded key, so the O(n²)-per-user
+    // range predicate becomes an equi-join + residual filter (the same
+    // bucketing trick engines use for interval/temporal joins). Pairs
+    // are canonically oriented by (ts, event_id).
+    (s, d) => {
+      val W = 60000000L // 60 s in µs
+      val ev = t(s, d)("events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+      val a = ev.withColumn("bk", floor(col("us") / W))
+      val b = ev
+        .withColumn("bk",
+          explode(array(floor(col("us") / W), floor(col("us") / W) - 1)))
+      val dt = col("y.us") - col("x.us")
+      a.as("x").join(b.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.bk") === col("y.bk") &&
+            (col("y.us") > col("x.us") ||
+              (col("y.us") === col("x.us") &&
+                col("x.event_id") < col("y.event_id"))) &&
+            dt < W)
+        .select(col("x.event_id").as("id_a"), col("y.event_id").as("id_b"),
+          col("x.user_id").as("user_id"), dt.as("dt_us"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""SELECT a.event_id AS id_a, b.event_id AS id_b,
+           |  a.user_id AS user_id,
+           |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+           |FROM events a JOIN events b
+           |  ON a.user_id = b.user_id
+           | AND (epoch_us(b.ts) > epoch_us(a.ts)
+           |      OR (epoch_us(b.ts) = epoch_us(a.ts)
+           |          AND a.event_id < b.event_id))
+           | AND epoch_us(b.ts) - epoch_us(a.ts) < 60000000
+           |ORDER BY id_a, id_b""".stripMargin))
+
   private val jQ3Shipping = Declared(
     "j_q3_shipping",
     // TPC-H Q3 shape — the flagship: filtered dim (customer segment)
@@ -650,7 +691,7 @@ object Relational {
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
     q1AggPricing, aggDistinct, aggRollup, aggCube,
     jInnerBroadcast, j2SemiExists, j3AntiJoin, jLeftOuterCount, jFullOuter,
-    jThetaPairs, jQ3Shipping, jAsofEvents,
+    jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,
     wRankTopn, wLagPrev, wRunningSum,
     setUnion, setIntersect, setExcept,
     xScalarFuncs, xEpochDiff, xJsonExtract, xArrayOps,
