@@ -71,9 +71,55 @@ case class CosineSimFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native integer dot product over two `Array[Long]` columns — the hot
+  * primitive of the quantized similarity paths. Integer addition is
+  * associative, so the fused loop returns the SAME value as the
+  * `zip_with`+`aggregate` fold it replaces (bit-for-bit, oracle
+  * equality preserved) while skipping the per-row intermediate array
+  * allocation. */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimFloat(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductLong(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

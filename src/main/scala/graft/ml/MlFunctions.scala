@@ -55,10 +55,12 @@ object MlFunctions {
     transform(c,
       v => floor(v.cast("double") * QScale + lit(0.5)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. Sequential fold
-    * over a fixed-length array — no shuffle, no ordering dependence. */
+  /** Exact integer dot product of two quantized vectors, via the native
+    * fused-loop expression ([[graft.functions.DotProductLong]]). Integer
+    * sums are order-free, so the value is identical to a fold at any
+    * parallelism — and to the DuckDB oracle's SQL sum. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotLong(a, b)
 
   /** Cosine similarity from quantized vectors: integer dot and norms,
     * one double division at the end. The quantization error (~1e-5 on
