@@ -126,17 +126,27 @@ object TextAnalysis {
     * 4, emit the distinct minima. Robust to small edits; the standard
     * plagiarism/near-dup fingerprint. Returns (doc_id, fp). */
   def fingerprints(docs: DataFrame): DataFrame = {
+    // hash the grams INSIDE the array build so the explode emits 8-byte
+    // hashes, not (position, full-text) pairs — the text is evaluated
+    // once per document instead of being carried per gram row
     val grams = docs
       .filter(length(col("text")) >= GramLen)
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (GramLen - 1)))
-          .as("i"),
-        col("text"))
-      .select(col("doc_id"), col("i"),
-        hash60(col("text").substr(col("i"), lit(GramLen))).as("gh"))
+        posexplode(transform(
+          sequence(lit(1), length(col("text")) - (GramLen - 1)),
+          i => hash60(col("text").substr(i, lit(GramLen)))))
+          .as(Seq("i", "gh")))
     val w = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(Window.currentRow, WinnowWindow - 1)
-    grams.select(col("doc_id"), min(col("gh")).over(w).as("fp"))
+    val wLag = Window.partitionBy("doc_id").orderBy("i")
+    // consecutive windows usually share their minimum — drop repeats
+    // with a lag over the SAME sort before the distinct shuffle, so the
+    // exchange carries ~w× fewer rows
+    grams
+      .select(col("doc_id"), col("i"), min(col("gh")).over(w).as("fp"))
+      .withColumn("prev_fp", lag(col("fp"), 1).over(wLag))
+      .filter(col("prev_fp").isNull || col("fp") =!= col("prev_fp"))
+      .select("doc_id", "fp")
       .distinct()
       .orderBy("doc_id", "fp")
   }
