@@ -76,14 +76,15 @@ object Bench {
       val batchSecs = listener.batches.filter(_.inputRows > 0)
         .map(b => f"${b.triggerExecSec}%.2f").mkString("[", ",", "]")
 
-      // throughput mode: same op volume in ONE batch — bulk apply rate,
-      // the complementary axis to per-trigger latency
+      // throughput mode: 60k ops in ONE batch — bulk apply rate, the
+      // complementary axis to per-trigger latency
+      val bulkOps = ChangeGen.ops(seed = 43L, n = 60000)
       val bulkLog = Files.createTempDirectory("bench-cdc-bulklog").toString
       val bulkDir = Files.createTempDirectory("bench-cdc-bulk").toString
       val bulkCkpt = Files.createTempDirectory("bench-cdc-bulkckpt").toString
       Replicate.snapshot(spark,
         ChangeGen.replay(snapOps).values.toSeq.toDS(), bulkDir)
-      ChangeGen.writeBatches(bulkLog, streamOps, batches = 1)
+      ChangeGen.writeBatches(bulkLog, bulkOps, batches = 1)
       val bulkListener = new BatchMetricsListener(Some("graft-replicate"))
       spark.streams.addListener(bulkListener)
       try {

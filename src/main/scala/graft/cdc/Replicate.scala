@@ -288,9 +288,23 @@ object Replicate {
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       mergeParallelism: Int = DefaultMergeParallelism,
       maxFilesPerTrigger: Option[Int] = None)
+      : StreamingQuery =
+    startFrom(spark,
+      ChangeSource.readStream(spark, changeDir, maxFilesPerTrigger),
+      replicaDir, checkpointDir, rowFilter, numBuckets, trigger,
+      mergeParallelism)
+
+  /** Source-agnostic pipeline entry: any parsed change stream
+    * (wal2json, Debezium, Kafka+either envelope) drives the same
+    * filter → merge dataflow. */
+  def startFrom(spark: SparkSession, changes: Dataset[PersonChange],
+      replicaDir: String, checkpointDir: String,
+      rowFilter: Option[Column] = None,
+      numBuckets: Int = DefaultNumBuckets,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      mergeParallelism: Int = DefaultMergeParallelism)
       : StreamingQuery = {
-    val parsed = ChangeSource.readStream(spark, changeDir, maxFilesPerTrigger)
-    val filtered = rowFilter.map(withRowFilter(parsed, _)).getOrElse(parsed)
+    val filtered = rowFilter.map(withRowFilter(changes, _)).getOrElse(changes)
     filtered.writeStream
       .queryName("graft-replicate")
       .option("checkpointLocation", checkpointDir)

@@ -383,6 +383,42 @@ object Relational {
            |FROM events c WHERE c.event_type = 'click'
            |ORDER BY c.event_id""".stripMargin))
 
+  private val aggStats = Declared(
+    "agg_stats",
+    // Distributed descriptive statistics with EXACT intermediates: the
+    // price is fixed-point cents (floor(x·100+0.5), exact in both
+    // engines); Σcents is an exact BIGINT sum and Σcents² an exact
+    // DECIMAL(19,0)² = DECIMAL(38,0) sum (scale 0 → no precision-loss
+    // rounding anywhere, and 19+19 stays inside 38-digit decimals).
+    // Order-free aggregation → identical at any parallelism; only the
+    // final divisions/sqrt are floating point, in mirrored shape.
+    (s, d) => {
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val c19 = cents.cast("decimal(19,0)")
+      t(s, d)("orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents).cast("double") / 100.0).as("s"),
+          (sum(c19 * c19).cast("double") / 10000.0).as("s2"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("s") / col("n")).as("mean"),
+          sqrt((col("s2") - col("s") * col("s") / col("n")) /
+            (col("n") - 1)).as("sd"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, n, s / n AS mean,
+           |  sqrt((s2 - s * s / n) / (n - 1)) AS sd
+           |FROM (
+           |  SELECT o_orderpriority, count(*) AS n,
+           |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |         AS DOUBLE) / 100.0 AS s,
+           |    CAST(SUM(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |                  AS DECIMAL(19,0))
+           |             * CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |                    AS DECIMAL(19,0))) AS DOUBLE) / 10000.0 AS s2
+           |  FROM orders GROUP BY 1)
+           |ORDER BY o_orderpriority""".stripMargin))
+
   private val jRangePairs = Declared(
     "j_range_pairs",
     // RANGE JOIN (interval self-join) the scale-correct way: band each
@@ -689,7 +725,7 @@ object Relational {
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
-    q1AggPricing, aggDistinct, aggRollup, aggCube,
+    q1AggPricing, aggDistinct, aggRollup, aggCube, aggStats,
     jInnerBroadcast, j2SemiExists, j3AntiJoin, jLeftOuterCount, jFullOuter,
     jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,
     wRankTopn, wLagPrev, wRunningSum,

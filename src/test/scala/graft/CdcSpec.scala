@@ -249,6 +249,41 @@ class CdcSpec extends AnyFunSuite {
       Set((1, "a2", 4))) // 2 deleted, 1 updated
   }
 
+  test("Debezium stream drives the full replicate pipeline") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val ops = ChangeGen.ops(seed = 31, n = 400)
+    val dir = tmp("dbz-s-log"); val replica = tmp("dbz-s-replica")
+    val ckpt = tmp("dbz-s-ckpt")
+    def dbzLine(op: ChangeGen.Op): String = {
+      val us = java.sql.Timestamp.valueOf(op.createdAt).getTime * 1000
+      val row = s"""{"id":${op.id},"name":${ujson(op.name)},"uid":"${op.uid}","score":${op.score},"created_at":$us}"""
+      val (before, after, o) = op.action match {
+        case "I" => ("null", row, "c")
+        case "U" => (row, row, "u")
+        case _ => (row, "null", "d")
+      }
+      s"""{"before":$before,"after":$after,"op":"$o","ts_ms":${op.lsn},"source":{"lsn":${op.lsn},"schema":"public","table":"person"}}"""
+    }
+    ops.grouped(200).zipWithIndex.foreach { case (g, i) =>
+      JFiles.write(Paths.get(dir, f"b$i%03d.json"),
+        g.map(dbzLine).mkString("\n").getBytes("UTF-8"))
+    }
+    val q = Replicate.startFrom(spark,
+      DebeziumSource.readStream(spark, dir), replica, ckpt, numBuckets = 4,
+      trigger = Trigger.ProcessingTime("1 second"))
+    try q.processAllAvailable() finally q.stop()
+    val want = ChangeGen.replay(ops).map { case (id, p) =>
+      id -> ((p.name, p.uid, p.score))
+    }
+    val got = replicaAsMap(replica).map { case (id, p) =>
+      id -> ((p.name, p.uid, p.score))
+    }
+    assert(got === want)
+  }
+
+  private def ujson(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   // -------------------------------------------------------------------
   // Checkpoint lifecycle (S11 slot check/drop/create analog)
   // -------------------------------------------------------------------
