@@ -589,6 +589,56 @@ object Relational {
   // Scalar functions & expressions (X1-X13)
   // ---------------------------------------------------------------------
 
+  private val xStringFuncs = Declared(
+    "x_string_funcs",
+    // String-library surface (§2.8 X8 widened): case, reverse, replace,
+    // substring, padding, containment, field split — all codegen'd
+    // row-wise projections, zero shuffle beyond the output sort.
+    (s, d) => t(s, d)("customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        reverse(col("c_name")).as("rev"),
+        regexp_replace(col("c_name"), "#", "-").as("repl"),
+        substring(col("c_name"), 3, 5).as("sub"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+        col("c_name").contains("1").cast("int").as("has1"),
+        split(col("c_name"), "#").getItem(1).as("fld"),
+        length(trim(col("c_name"))).cast("long").as("tlen"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, upper(c_name) AS up, reverse(c_name) AS rev,
+           |  replace(c_name, '#', '-') AS repl,
+           |  substr(c_name, 3, 5) AS sub,
+           |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+           |  CAST(contains(c_name, '1') AS INT) AS has1,
+           |  split_part(c_name, '#', 2) AS fld,
+           |  CAST(length(trim(c_name)) AS BIGINT) AS tlen
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  private val aggSaltedSkew = Declared(
+    "agg_salted_skew",
+    // Two-phase SALTED aggregation — the skew-mitigation pattern for
+    // heavy keys (here: 3 return flags over the whole fact table):
+    // phase 1 aggregates (key, salt) so the hot key's rows spread over
+    // 16 reducers; phase 2 combines the 16 partials per key. The decimal
+    // partial sums are exact, so the result equals the direct aggregate
+    // — which is exactly what the oracle computes.
+    (s, d) => {
+      val salted = t(s, d)("lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast("decimal(30,4)")).as("pq"))
+      salted.groupBy("l_returnflag")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pq")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+           |    AS sum_qty
+           |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+
   private val xScalarFuncs = Declared(
     "x_scalar_funcs",
     // X1 modulo, X2 coalesce/case, X4 cast, X8 concat, X12 date_format —
@@ -730,7 +780,7 @@ object Relational {
     jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,
     wRankTopn, wLagPrev, wRunningSum,
     setUnion, setIntersect, setExcept,
-    xScalarFuncs, xEpochDiff, xJsonExtract, xArrayOps,
+    xScalarFuncs, xStringFuncs, aggSaltedSkew, xEpochDiff, xJsonExtract, xArrayOps,
     subScalarAvg, subInSegment,
     eventsWindowHour)
 }
