@@ -387,19 +387,24 @@ object Relational {
     "agg_stats",
     // Distributed descriptive statistics with EXACT intermediates: the
     // price is fixed-point cents (floor(x·100+0.5), exact in both
-    // engines); Σcents is an exact BIGINT sum and Σcents² an exact
-    // DECIMAL(19,0)² = DECIMAL(38,0) sum (scale 0 → no precision-loss
-    // rounding anywhere, and 19+19 stays inside 38-digit decimals).
-    // Order-free aggregation → identical at any parallelism; only the
-    // final divisions/sqrt are floating point, in mirrored shape.
+    // engines); Σcents is an exact BIGINT sum, and Σcents² — which
+    // exceeds 2^63 — is carried as TWO exact BIGINT sums (cents² split
+    // at 2^26) recombined with plain IEEE double multiply/add. Every
+    // aggregate is order-free, and the recombination avoids any
+    // wide-decimal→double cast, whose int128 conversion rounds
+    // differently across engines in the last ulp (observed at sf0.1).
     (s, d) => {
       val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
-      val c19 = cents.cast("decimal(19,0)")
+      val c2 = cents * cents // ≤ ~4e15, exact in long
       t(s, d)("orders")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           (sum(cents).cast("double") / 100.0).as("s"),
-          (sum(c19 * c19).cast("double") / 10000.0).as("s2"))
+          sum(shiftright(c2, 26)).as("hi"),
+          sum(c2.bitwiseAND(lit(67108863L))).as("lo"))
+        .select(col("o_orderpriority"), col("n"), col("s"),
+          ((col("hi").cast("double") * 67108864.0 +
+            col("lo").cast("double")) / 10000.0).as("s2"))
         .select(col("o_orderpriority"), col("n"),
           (col("s") / col("n")).as("mean"),
           sqrt((col("s2") - col("s") * col("s") / col("n")) /
@@ -409,14 +414,20 @@ object Relational {
     Some("""SELECT o_orderpriority, n, s / n AS mean,
            |  sqrt((s2 - s * s / n) / (n - 1)) AS sd
            |FROM (
-           |  SELECT o_orderpriority, count(*) AS n,
-           |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-           |         AS DOUBLE) / 100.0 AS s,
-           |    CAST(SUM(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-           |                  AS DECIMAL(19,0))
-           |             * CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-           |                    AS DECIMAL(19,0))) AS DOUBLE) / 10000.0 AS s2
-           |  FROM orders GROUP BY 1)
+           |  SELECT o_orderpriority, n, s,
+           |    (CAST(hi AS DOUBLE) * 67108864.0 + CAST(lo AS DOUBLE))
+           |      / 10000.0 AS s2
+           |  FROM (
+           |    SELECT o_orderpriority, count(*) AS n,
+           |      CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |           AS DOUBLE) / 100.0 AS s,
+           |      SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |          * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |          >> 26) AS hi,
+           |      SUM((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |           * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |          & 67108863) AS lo
+           |    FROM orders GROUP BY 1))
            |ORDER BY o_orderpriority""".stripMargin))
 
   private val jRangePairs = Declared(
