@@ -650,6 +650,43 @@ object Relational {
            |    AS sum_qty
            |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
+  private val aggPivot = Declared(
+    "agg_pivot",
+    // PIVOT: per-user event-type counts as columns. The value list is
+    // explicit, so no extra distinct pass runs and the output schema is
+    // deterministic; same single hash-aggregate shuffle as any grouped
+    // count, just with 5 conditional aggregates.
+    (s, d) => t(s, d)("events")
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+           |  count(*) FILTER (WHERE event_type = 'click') AS click,
+           |  count(*) FILTER (WHERE event_type = 'error') AS error,
+           |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           |  count(*) FILTER (WHERE event_type = 'view') AS view
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  private val xLateralExplode = Declared(
+    "x_lateral_explode",
+    // Lateral explode with ordinality (the UDTF/table-function shape):
+    // posexplode keeps the element index — a narrow Generate, no
+    // shuffle before the output sort.
+    (s, d) => t(s, d)("customer")
+      .select(col("c_custkey"),
+        posexplode(split(col("c_name"), "0")).as(Seq("i0", "part")))
+      .select(col("c_custkey"), (col("i0") + 1).cast("long").as("i"),
+        col("part"))
+      .orderBy("c_custkey", "i"),
+    Some("""SELECT c_custkey,
+           |  generate_subscripts(string_split(c_name, '0'), 1) AS i,
+           |  unnest(string_split(c_name, '0')) AS part
+           |FROM customer ORDER BY c_custkey, i""".stripMargin))
+
   private val xScalarFuncs = Declared(
     "x_scalar_funcs",
     // X1 modulo, X2 coalesce/case, X4 cast, X8 concat, X12 date_format —
@@ -791,7 +828,7 @@ object Relational {
     jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,
     wRankTopn, wLagPrev, wRunningSum,
     setUnion, setIntersect, setExcept,
-    xScalarFuncs, xStringFuncs, aggSaltedSkew, xEpochDiff, xJsonExtract, xArrayOps,
+    xScalarFuncs, xStringFuncs, aggSaltedSkew, aggPivot, xLateralExplode, xEpochDiff, xJsonExtract, xArrayOps,
     subScalarAvg, subInSegment,
     eventsWindowHour)
 }
