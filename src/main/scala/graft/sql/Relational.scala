@@ -650,6 +650,26 @@ object Relational {
            |    AS sum_qty
            |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
+  private val aggQuantiles = Declared(
+    "agg_quantiles",
+    // EXACT interpolated quantiles (percentile, not the approximate
+    // sketch): both engines sort the group and linearly interpolate at
+    // p·(n−1) — identical arithmetic on identical doubles. The exact
+    // variant shuffles whole groups (fine for bounded groups); the
+    // approximate sketch is the 100 TB default when error is tolerable.
+    (s, d) => t(s, d)("orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  quantile_cont(o_totalprice, 0.25) AS p25,
+           |  quantile_cont(o_totalprice, 0.5) AS p50,
+           |  quantile_cont(o_totalprice, 0.75) AS p75
+           |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+
   private val aggPivot = Declared(
     "agg_pivot",
     // PIVOT: per-user event-type counts as columns. The value list is
@@ -828,7 +848,7 @@ object Relational {
     jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,
     wRankTopn, wLagPrev, wRunningSum,
     setUnion, setIntersect, setExcept,
-    xScalarFuncs, xStringFuncs, aggSaltedSkew, aggPivot, xLateralExplode, xEpochDiff, xJsonExtract, xArrayOps,
+    xScalarFuncs, xStringFuncs, aggSaltedSkew, aggPivot, aggQuantiles, xLateralExplode, xEpochDiff, xJsonExtract, xArrayOps,
     subScalarAvg, subInSegment,
     eventsWindowHour)
 }
