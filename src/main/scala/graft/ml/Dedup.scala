@@ -201,7 +201,9 @@ object Dedup {
     * byte-block candidate join (recall 1.0 by pigeonhole — never
     * all-pairs). Returns (doc_a, doc_b, hamming). */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val sigs = simhash(docs)
+    // persisted for the same reason as the LSH bands: the block
+    // self-join probes the signatures twice
+    val sigs = simhash(docs).persist()
     val blockArgs = (0 until SimHashBlocks).map(j =>
       s"bigint($j), shiftright(simhash, ${8 * j}) & 255").mkString(", ")
     val blocks = sigs
