@@ -650,6 +650,39 @@ object Relational {
            |    AS sum_qty
            |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
+  private val xDateFuncs = Declared(
+    "x_date_funcs",
+    // Date/time library surface (§2.8 widened): part extraction,
+    // ISO weekday (Spark weekday is 0=Monday, DuckDB isodow 1=Monday —
+    // alignment is part of the declared semantics), week truncation,
+    // day difference, month end. Row-wise codegen projections.
+    (s, d) => t(s, d)("events")
+      .select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"),
+        (weekday(col("ts")) + 1).as("isodow"),
+        date_trunc("week", col("ts")).as("week_start"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .as("days_since"),
+        hour(col("ts")).as("h"),
+        to_date(col("ts")).as("day"),
+        last_day(to_date(col("ts"))).as("month_end"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  CAST(extract(year FROM ts) AS INT) AS y,
+           |  CAST(extract(month FROM ts) AS INT) AS m,
+           |  CAST(extract(day FROM ts) AS INT) AS dom,
+           |  CAST(isodow(ts) AS INT) AS isodow,
+           |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+           |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+           |       AS INT) AS days_since,
+           |  CAST(extract(hour FROM ts) AS INT) AS h,
+           |  CAST(ts AS DATE) AS day,
+           |  last_day(CAST(ts AS DATE)) AS month_end
+           |FROM events ORDER BY event_id""".stripMargin))
+
   private val aggQuantiles = Declared(
     "agg_quantiles",
     // EXACT interpolated quantiles (percentile, not the approximate
@@ -848,7 +881,7 @@ object Relational {
     jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,
     wRankTopn, wLagPrev, wRunningSum,
     setUnion, setIntersect, setExcept,
-    xScalarFuncs, xStringFuncs, aggSaltedSkew, aggPivot, aggQuantiles, xLateralExplode, xEpochDiff, xJsonExtract, xArrayOps,
+    xScalarFuncs, xStringFuncs, aggSaltedSkew, aggPivot, aggQuantiles, xLateralExplode, xDateFuncs, xEpochDiff, xJsonExtract, xArrayOps,
     subScalarAvg, subInSegment,
     eventsWindowHour)
 }
