@@ -143,6 +143,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  val CharGramLen = 4
+
+  /** Character n-gram Jaccard over the verified near-dup pairs — the
+    * sub-word similarity lens (robust to tokenization differences),
+    * computed only on the candidate pair list. */
+  def charGramJaccard(docs: DataFrame, minJaccard: Double = 0.7)
+      : DataFrame = {
+    val pairs = nearDupPairs(docs, minJaccard).select("doc_a", "doc_b")
+    val grams = docs
+      .filter(length(col("text")) >= CharGramLen)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - (CharGramLen - 1)),
+          i => col("text").substr(i, lit(CharGramLen))))).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    pairs
+      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(grams.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.g") === col("gb.g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("char_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The end-to-end dedup use case: the corpus minus exact duplicates
     * (keep min doc_id per content hash) minus near-duplicates (greedy
     * keep-first: drop every `doc_b` of a verified pair — the standard

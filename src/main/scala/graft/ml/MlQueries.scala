@@ -137,6 +137,32 @@ object MlQueries {
             |JOIN documents db ON db.doc_id = p.doc_b
             |ORDER BY doc_a, doc_b""".stripMargin))
 
+  private val charGramJac = Declared(
+    "ml_chargram_jaccard",
+    (s, d) => Dedup.charGramJaccard(Tables(s, d, "documents")),
+    Some(s"""WITH $nearPairsCtes,
+            |cg AS (
+            |  SELECT DISTINCT doc_id,
+            |         substr(text, CAST(i AS INT), ${Dedup.CharGramLen}) AS g
+            |  FROM documents,
+            |       unnest(range(1, length(text) - ${Dedup.CharGramLen - 2}))
+            |         AS t(i)
+            |  WHERE length(text) >= ${Dedup.CharGramLen}),
+            |csz AS (SELECT doc_id, count(*) AS sz FROM cg GROUP BY doc_id),
+            |cintr AS (
+            |  SELECT p.doc_a, p.doc_b, count(*) AS ix
+            |  FROM ndp p
+            |  JOIN cg ga ON ga.doc_id = p.doc_a
+            |  JOIN cg gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+            |  GROUP BY p.doc_a, p.doc_b)
+            |SELECT n.doc_a, n.doc_b,
+            |       CAST(n.ix AS DOUBLE) / (za.sz + zb.sz - n.ix)
+            |         AS char_jaccard
+            |FROM cintr n
+            |JOIN csz za ON za.doc_id = n.doc_a
+            |JOIN csz zb ON zb.doc_id = n.doc_b
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
   private val dedupSimhash = Declared(
     "ml_dedup_simhash",
     (s, d) => Dedup.simhashPairs(Tables(s, d, "documents")),
@@ -447,7 +473,8 @@ object MlQueries {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Declared] = Seq(
-    dedupExact, minhashSig, dedupNear, levNear, dedupSimhash, dedupCorpus,
+    dedupExact, minhashSig, dedupNear, levNear, charGramJac,
+    dedupSimhash, dedupCorpus,
     cosineTopk, cosineTopkFast, annIvf, embedNearDup,
     textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode)
