@@ -191,6 +191,42 @@ object MlQueries {
             |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
             |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Recursive-CTE connected components over the verified pair graph:
+    * `reach(u, r)` = "r reaches u"; min reachable id per node = its
+    * component label (UNION dedups, so cycles terminate). Requires
+    * [[nearPairsCtes]] under a WITH RECURSIVE header. */
+  private val clusterCtes =
+    s"""e AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM ndp
+       |  UNION ALL SELECT doc_b, doc_a FROM ndp),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.u),
+       |cl AS (SELECT u AS doc_id, min(r) AS cluster_id
+       |       FROM reach GROUP BY u)""".stripMargin
+
+  private val dedupClusters = Declared(
+    "ml_dedup_clusters",
+    (s, d) => Dedup.dedupClusters(Tables(s, d, "documents")),
+    Some(s"""WITH RECURSIVE $nearPairsCtes,
+            |$clusterCtes
+            |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin))
+
+  private val dedupCorpusCC = Declared(
+    "ml_dedup_corpus_cc",
+    (s, d) => Dedup.dedupCorpusCC(Tables(s, d, "documents")),
+    Some(s"""WITH RECURSIVE $nearPairsCtes,
+            |$clusterCtes,
+            |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+            |         GROUP BY md5(text))
+            |SELECT d.doc_id, d.lang, d.source, d.n_chars
+            |FROM documents d
+            |JOIN keep k ON k.doc_id = d.doc_id
+            |WHERE d.doc_id NOT IN
+            |  (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+            |ORDER BY d.doc_id""".stripMargin))
+
   private val dedupCorpus = Declared(
     "ml_dedup_corpus",
     (s, d) => Dedup.dedupCorpus(Tables(s, d, "documents")),
@@ -474,7 +510,7 @@ object MlQueries {
 
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, levNear, charGramJac,
-    dedupSimhash, dedupCorpus,
+    dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     cosineTopk, cosineTopkFast, annIvf, embedNearDup,
     textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode)

@@ -39,6 +39,27 @@ class MlSpec extends AnyFunSuite {
       s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
   }
 
+  test("connected components: chain A~B~C is ONE cluster keeping min id") {
+    // chain 1-2-3 (1≁3 directly), cycle 10-11-12-10, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clustersOf(pairs).as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // the CC corpus pass keeps exactly one survivor per component: on the
+    // chain, greedy drop-doc_b would drop BOTH 2 and 3; CC keeps min only
+    val dropped = labels.filter { case (d, c) => d != c }.keySet
+    assert(dropped === Set(2L, 3L, 11L, 12L, 21L))
+  }
+
+  test("cluster labels are a fixpoint: relabeling changes nothing") {
+    val pairs = Seq((5L, 9L), (9L, 2L), (2L, 7L), (100L, 4L))
+      .toDF("doc_a", "doc_b")
+    val l1 = Dedup.clustersOf(pairs).as[(Long, Long)].collect().toSet
+    assert(l1 === Set((5L, 2L), (9L, 2L), (2L, 2L), (7L, 2L),
+      (100L, 4L), (4L, 4L)))
+  }
+
   test("minhash signature similarity tracks Jaccard on near-identical docs") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
