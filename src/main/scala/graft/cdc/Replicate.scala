@@ -1,10 +1,11 @@
 package graft.cdc
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType, TimestampType}
 
 /** The CDC apply pipeline: maintain a keyed replica of `person` from a
   * stream of row-level changes — the Spark re-expression of the
@@ -16,29 +17,56 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * The replica is parquet **hash-bucketed by key** (`id_bucket =
   * pmod(id, numBuckets)`, a partition column). Each micro-batch:
   *
-  *  1. reduces the batch to one summary row per key — a window + hash
-  *     aggregate, fully whole-stage-codegen (no typed objects in the hot
-  *     path), shuffled at `mergeParallelism` (batch-sized, not the global
-  *     `spark.sql.shuffle.partitions`);
-  *  2. reads back ONLY the buckets containing touched keys (partition
-  *     pruning on `id_bucket` — untouched data is never scanned);
-  *  3. merges current ⟗ summary with conditional expressions (one
-  *     shuffle of the touched buckets; at production scale `numBuckets`
-  *     is raised so touched-bucket volume stays proportional to the
-  *     batch, not the replica);
-  *  4. writes the merged buckets to a fresh temp dir, then swaps the
-  *     touched bucket directories into place. No dynamic self-overwrite:
-  *     the output is fully materialized elsewhere before any source file
-  *     is deleted, so executor loss or cache eviction can never corrupt
-  *     the replica (the temp write IS the durable lineage break).
+  *  1. reduces the batch to one summary row per key with ONE shuffle,
+  *     hash-partitioned directly on `id_bucket` (bucket ⊂ key, so the
+  *     per-key window + hash aggregate reuse that partitioning) — fully
+  *     whole-stage-codegen, cached for step 3;
+  *  2. derives the touched-bucket list from the cached summary (a
+  *     bounded ≤ numBuckets collect — the job that computes it is the
+  *     same one that fills the cache, so the SOURCE is read exactly
+  *     once per trigger);
+  *  3. reads back ONLY the touched bucket directories (explicit paths +
+  *     explicit schema: no full-tree listing, no footer schema
+  *     inference) and full-outer-merges current ⟗ summary on
+  *     (bucket, key) — the summary side is already partitioned by
+  *     bucket, so only the touched current rows shuffle, and the merged
+  *     output stays bucket-aligned: the write emits ONE file per bucket
+  *     with no extra exchange;
+  *  4. writes the merged buckets to a fresh temp dir, then swaps each
+  *     touched bucket in via RENAME-ASIDE (live → .__old, fresh → live,
+  *     drop .__old): the live data is never deleted before its
+  *     replacement is in place, every rename is checked, and a leftover
+  *     .__old from a crash is rolled back/forward at the next batch
+  *     ([[recoverSwap]]) — so no interleaving of crashes can lose rows
+  *     that were not in the micro-batch (ADVICE r2).
   *
   * Crash mid-swap leaves a prefix of buckets updated; replaying the
   * micro-batch (Structured Streaming's checkpoint contract) re-folds
   * idempotently — the reference's ON-CONFLICT idempotency trick
   * (replicator/main.go:121,207) re-expressed (SURVEY.md §2.9 T2).
+  * At production scale an object-store deployment would swap via a
+  * per-batch manifest instead of directory renames (S3 renames are
+  * copies); the bucket layout and merge dataflow are unchanged.
   */
 object Replicate {
   val BucketCol = "id_bucket"
+
+  /** Crash-recovery prefix for the rename-aside swap. Leading dot =
+    * hidden to Hadoop/Spark file listings, so a leftover aside dir can
+    * never leak into a replica read. */
+  private val AsidePrefix = ".__old."
+
+  /** Replica on-disk schema, passed explicitly to every bucket read so
+    * per-trigger reads skip parquet footer schema inference. */
+  private val ReplicaSchema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("name", StringType),
+    StructField("uid", StringType),
+    StructField("score", IntegerType),
+    StructField("created_at", TimestampType)))
+
+  private def check(ok: Boolean, what: => String): Unit =
+    if (!ok) throw new java.io.IOException(s"replica filesystem op failed: $what")
 
   /** Shuffle width for per-batch merge stages. CDC micro-batches are
     * small relative to the replica; 32/200 shuffle tasks over a few
@@ -153,13 +181,43 @@ object Replicate {
         max(col("last_d_lsn")).as("last_d_lsn"))
   }
 
+  /** [[summarize]] with the shuffle keyed on `id_bucket` instead of raw
+    * `id`: bucket is a function of id, so per-key grouping is preserved,
+    * and — because the window/aggregate/merge-join/write downstream all
+    * cluster on (bucket, id) ⊇ {bucket} — the ENTIRE apply path runs off
+    * this single batch-sized shuffle: no re-shuffle before the join, and
+    * each write task holds exactly its bucket(s), emitting one file per
+    * bucket. */
+  def summarizeBucketed(batch: DataFrame, numBuckets: Int = DefaultNumBuckets)
+      : DataFrame = {
+    val byKey = Window.partitionBy(BucketCol, "id")
+    val afterD = col("lsn") > coalesce(col("last_d_lsn"), lit(Long.MinValue))
+    batch
+      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+      .repartition(numBuckets, col(BucketCol))
+      .withColumn("last_d_lsn",
+        max(when(col("action") === "D", col("lsn"))).over(byKey))
+      .groupBy(BucketCol, "id")
+      .agg(
+        max(when(col("action") =!= "D" && afterD,
+          struct(col("lsn"), col("name"), col("uid"), col("score"))))
+          .as("last_img"),
+        min(when(col("action") === "I" && afterD,
+          struct(col("lsn"), col("created_at")))).as("first_ins"),
+        max(col("last_d_lsn")).as("last_d_lsn"))
+  }
+
   /** Merge current state with a batch summary — DataFrame-native LWW with
     * the reference's created_at-preservation and U-on-absent-no-op
     * semantics, as pure conditional expressions (Tungsten/codegen; no
     * object serialization). `current` must cover every key it is asked to
-    * keep (i.e. the touched buckets, in full). */
+    * keep (i.e. the touched buckets, in full). Joins on `joinKeys`
+    * (default the bare key; the apply path passes (bucket, id) so the
+    * summary's bucket partitioning is reused and only `current`
+    * shuffles); EnsureRequirements co-partitions the sides, so no
+    * explicit repartition is needed here. */
   def mergeBatch(current: DataFrame, summary: DataFrame,
-      parallelism: Int = DefaultMergeParallelism): DataFrame = {
+      joinKeys: Seq[String] = Seq("id")): DataFrame = {
     val hasIns = col("first_ins").isNotNull
     val hasDel = col("last_d_lsn").isNotNull
     val inCur = col("_cur")
@@ -167,12 +225,10 @@ object Replicate {
     val keep = hasIns || (!hasDel && inCur)
     current
       .withColumn("_cur", lit(true))
-      .join(summary.repartition(parallelism, col("id")),
-        Seq("id"), "full_outer")
+      .join(summary, joinKeys, "full_outer")
       .withColumn("_cur", coalesce(inCur, lit(false)))
       .filter(keep)
-      .select(
-        col("id"),
+      .select(joinKeys.map(col) ++ Seq(
         // a kept key with batch events always has last_img (its final
         // image); without events, the current row rides through.
         when(col("last_img").isNotNull, col("last_img.name"))
@@ -187,7 +243,7 @@ object Replicate {
         when(hasIns && hasDel, col("first_ins.created_at"))
           .when(hasIns && !hasDel,
             coalesce(col("created_at"), col("first_ins.created_at")))
-          .otherwise(col("created_at")).as("created_at"))
+          .otherwise(col("created_at")).as("created_at")): _*)
   }
 
   private def hasBuckets(spark: SparkSession, dir: String): Boolean = {
@@ -209,59 +265,89 @@ object Replicate {
     else spark.emptyDataset[PersonRow]
   }
 
-  private def readBuckets(spark: SparkSession, replicaDir: String,
-      buckets: Seq[Int]): DataFrame = {
-    import spark.implicits._
-    if (!hasBuckets(spark, replicaDir))
-      spark.emptyDataset[PersonRow].toDF()
-    else
-      spark.read.parquet(replicaDir)
-        .filter(col(BucketCol).isin(buckets: _*)) // partition-pruned scan
-        .select("id", "name", "uid", "score", "created_at")
+  /** Bucket ids present on disk — one listing call, aside dirs excluded. */
+  private def listBuckets(fs: FileSystem, base: Path): Set[Int] =
+    if (!fs.exists(base)) Set.empty
+    else fs.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(BucketCol + "="))
+      .map(_.substring(BucketCol.length + 1).toInt).toSet
+
+  /** Roll a crashed rename-aside swap back or forward (single-writer;
+    * called at the start of each batch): an aside dir whose live dir
+    * exists means that swap completed — drop the aside; a missing live
+    * dir means the swap aborted between the two renames — restore the
+    * aside, and the replayed micro-batch re-merges idempotently. */
+  private def recoverSwap(fs: FileSystem, base: Path): Unit =
+    if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(AsidePrefix)) {
+        val live = new Path(base, n.stripPrefix(AsidePrefix))
+        if (fs.exists(live))
+          check(fs.delete(st.getPath, true), s"drop completed aside $n")
+        else check(fs.rename(st.getPath, live), s"restore aborted swap $n")
+      }
+    }
+
+  /** Swap one merged bucket into place without ever deleting live data
+    * before its replacement is committed (ADVICE r2): live → aside,
+    * fresh → live, drop aside. Every rename result is checked. */
+  private def swapBucket(fs: FileSystem, replicaDir: String, tmpDir: String,
+      bkt: Int): Unit = {
+    val live = new Path(s"$replicaDir/$BucketCol=$bkt")
+    val aside = new Path(s"$replicaDir/$AsidePrefix$BucketCol=$bkt")
+    val fresh = new Path(s"$tmpDir/$BucketCol=$bkt")
+    if (fs.exists(live)) check(fs.rename(live, aside), s"set aside $live")
+    // a touched bucket absent from the output had all its keys deleted —
+    // ending up with no live dir IS the apply
+    if (fs.exists(fresh)) check(fs.rename(fresh, live), s"swap in $fresh")
+    if (fs.exists(aside)) check(fs.delete(aside, true), s"drop aside $aside")
   }
 
   /** Apply one micro-batch to the bucketed replica. Idempotent: replaying
-    * the last batch after a crash converges to the same state. */
+    * the last batch after a crash converges to the same state.
+    * `numBuckets` must stay constant for a replica's lifetime (it defines
+    * the key → bucket mapping the merge joins on). */
   def applyBatch(spark: SparkSession, batch: Dataset[PersonChange],
       replicaDir: String, numBuckets: Int = DefaultNumBuckets,
       mergeParallelism: Int = DefaultMergeParallelism): Unit = {
     import spark.implicits._
-    // Cache the RAW batch (not the summary): the touched-bucket probe
-    // below fills the cache, so the source is read exactly once per
-    // trigger, and the merge job consumes the cached rows.
-    val b = batch.toDF().persist()
+    val base = new Path(replicaDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, base)
+    // ONE batch-sized shuffle (keyed by bucket) computes the per-key
+    // summary; cached so the touched-bucket probe below is the same job
+    // that reads the source — exactly once per trigger.
+    val summary = summarizeBucketed(batch.toDF(), numBuckets).persist()
     try {
       // touched buckets: ≤ numBuckets ints — a bounded driver round-trip
-      val touched = b
-        .select(pmod(col("id"), lit(numBuckets)).cast("int").as(BucketCol))
-        .distinct().as[Int].collect().toSeq.sorted
+      // folded into the summary job (no separate source scan)
+      val touched = summary.agg(collect_set(col(BucketCol)))
+        .first().getSeq[Int](0).sorted
       if (touched.isEmpty) return
-      val summary = summarize(b, mergeParallelism)
-      val current = readBuckets(spark, replicaDir, touched)
-      val merged = mergeBatch(current, summary, mergeParallelism)
-        .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+      val readable = touched.filter(listBuckets(fs, base))
+      val current =
+        (if (readable.isEmpty) spark.emptyDataset[PersonRow].toDF()
+         else spark.read.schema(ReplicaSchema) // explicit dirs + schema:
+           .parquet(readable.map(b => s"$replicaDir/$BucketCol=$b"): _*))
+          .withColumn(BucketCol,
+            pmod(col("id"), lit(numBuckets)).cast("int"))
+      // join on (bucket, id): the cached summary's bucket partitioning
+      // satisfies the join's clustering, so only `current` shuffles, and
+      // the merged output stays bucket-aligned for the write below —
+      // one file per bucket, no extra exchange.
+      val merged = mergeBatch(current, summary,
+        joinKeys = Seq(BucketCol, "id"))
 
       // Durable lineage break: fully materialize the merged buckets in a
-      // temp dir FIRST, then swap directories. The write never overlaps
-      // the read, so no cache/checkpoint is needed for correctness.
+      // temp dir FIRST, then rename-aside swap each touched bucket.
       val tmpDir = s"$replicaDir.__tmp"
-      val fs = new Path(replicaDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new Path(tmpDir), true)
       merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
         .parquet(tmpDir)
-      val base = new Path(replicaDir)
-      if (!fs.exists(base)) fs.mkdirs(base)
-      touched.foreach { bkt =>
-        val live = new Path(s"$replicaDir/$BucketCol=$bkt")
-        val fresh = new Path(s"$tmpDir/$BucketCol=$bkt")
-        fs.delete(live, true)
-        // a touched bucket absent from the output had all its keys
-        // deleted — removing the live dir IS the apply
-        if (fs.exists(fresh)) fs.rename(fresh, live)
-      }
+      if (!fs.exists(base)) check(fs.mkdirs(base), s"mkdirs $base")
+      touched.foreach(swapBucket(fs, replicaDir, tmpDir, _))
       fs.delete(new Path(tmpDir), true)
-    } finally b.unpersist()
+    } finally summary.unpersist()
   }
 
   /** Initial snapshot (phase 2 of the replicator,

@@ -182,6 +182,37 @@ class CdcSpec extends AnyFunSuite {
     assert(replicaAsMap(replica).keySet === Set(3))
   }
 
+  test("applyBatch: crashed rename-aside swap is recovered, no rows lost") {
+    import org.apache.hadoop.fs.Path
+    val replica = tmp("cdc-replica-crash")
+    Replicate.applyBatch(spark,
+      Seq(ch(1, "I", 2), ch(2, "I", 3)).toDS(), replica, numBuckets = 2)
+    val before = replicaAsMap(replica)
+    val fs = new Path(replica)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash AFTER live→aside, BEFORE fresh→live: live bucket missing,
+    // aside holds the data — recovery must restore it
+    assert(fs.rename(new Path(s"$replica/id_bucket=0"),
+      new Path(s"$replica/.__old.id_bucket=0")))
+    Replicate.applyBatch(spark, Seq(ch(3, "U", 3, "upd")).toDS(),
+      replica, numBuckets = 2)
+    val after = replicaAsMap(replica)
+    assert(after.keySet === before.keySet, "aside bucket rows were lost")
+    assert(after(3).name === "upd")
+
+    // crash AFTER fresh→live, BEFORE aside drop: stale aside + fresh
+    // live — recovery must drop the aside and keep the live data
+    val fs2Src = new Path(s"$replica/id_bucket=1")
+    val stale = new Path(s"$replica/.__old.id_bucket=1")
+    assert(fs.mkdirs(stale)) // stale leftover (contents irrelevant here)
+    Replicate.applyBatch(spark, Seq(ch(4, "U", 2, "upd2")).toDS(),
+      replica, numBuckets = 2)
+    assert(!fs.exists(stale), "completed-swap aside not dropped")
+    assert(replicaAsMap(replica)(2).name === "upd2")
+    assert(fs.exists(fs2Src))
+  }
+
   // -------------------------------------------------------------------
   // End-to-end stream (S2-S9, T1-T4, T7-T8) with the pubsub oracle
   // -------------------------------------------------------------------
