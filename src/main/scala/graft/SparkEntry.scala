@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cdc.CdcQueries
 import graft.ml.MlQueries
-import graft.sql.{Declared, Relational}
+import graft.sql.{Declared, Relational, SqlQueries}
 import graft.streaming.WindowQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,8 @@ import graft.streaming.WindowQueries
   */
 object SparkEntry {
   private def declared: Seq[Declared] =
-    Relational.all ++ CdcQueries.all ++ MlQueries.all ++ WindowQueries.all
+    Relational.all ++ SqlQueries.all ++ CdcQueries.all ++ MlQueries.all ++
+      WindowQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

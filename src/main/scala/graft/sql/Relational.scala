@@ -201,13 +201,29 @@ object Relational {
   private val aggDistinct = Declared(
     "agg_distinct",
     // Exact distinct counts: Spark expands to a two-phase aggregate;
-    // at 100 TB prefer approx_count_distinct (HLL) — kept exact here for
-    // the oracle.
+    // the 100 TB default is the HLL++ sketch — declared as the
+    // `agg_approx_distinct` twin below.
     (s, d) => t(s, d)("lineitem").agg(
       countDistinct(col("l_partkey")).as("n_parts"),
       countDistinct(col("l_suppkey")).as("n_supps")),
     Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
            |  count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin))
+
+  private val aggApproxDistinct = Declared(
+    "agg_approx_distinct",
+    // The scale twin of agg_distinct: HLL++ sketches (rsd 1%) merge in
+    // one pass — no per-value expansion, the shuffle carries one sketch
+    // per partition. Sketch estimates are engine-specific bit-for-bit,
+    // so there is NO cross-engine SQL oracle (hash-match exemption):
+    // the driver records the weaker rows-only check, and RelationalSpec
+    // asserts the estimate lands within the rsd envelope of the exact
+    // counts.
+    (s, d) => t(s, d)("lineitem").agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.01)
+        .as("n_parts_approx"),
+      approx_count_distinct(col("l_suppkey"), rsd = 0.01)
+        .as("n_supps_approx")),
+    None)
 
   private val aggRollup = Declared(
     "agg_rollup",
@@ -689,7 +705,8 @@ object Relational {
     // sketch): both engines sort the group and linearly interpolate at
     // p·(n−1) — identical arithmetic on identical doubles. The exact
     // variant shuffles whole groups (fine for bounded groups); the
-    // approximate sketch is the 100 TB default when error is tolerable.
+    // approximate sketch is the 100 TB default — declared as the
+    // `agg_approx_quantiles` twin below.
     (s, d) => t(s, d)("orders")
       .groupBy("o_orderpriority")
       .agg(
@@ -702,6 +719,24 @@ object Relational {
            |  quantile_cont(o_totalprice, 0.5) AS p50,
            |  quantile_cont(o_totalprice, 0.75) AS p75
            |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+
+  private val aggApproxQuantiles = Declared(
+    "agg_approx_quantiles",
+    // The scale twin of agg_quantiles: Greenwald-Khanna sketches
+    // (accuracy 1e4 ⇒ ε = 1e-4) aggregate in one pass with bounded
+    // memory per group instead of shuffling whole groups. GK picks an
+    // actual data value near each requested rank (engine-specific), so
+    // NO cross-engine SQL oracle (hash-match exemption): rows-only
+    // driver check + RelationalSpec's rank-error assertion vs the
+    // sorted data.
+    (s, d) => t(s, d)("orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.25, 10000)").as("p25"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.75, 10000)").as("p75"))
+      .orderBy("o_orderpriority"),
+    None)
 
   private val aggPivot = Declared(
     "agg_pivot",
@@ -876,12 +911,15 @@ object Relational {
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
-    q1AggPricing, aggDistinct, aggRollup, aggCube, aggStats,
+    q1AggPricing, aggDistinct, aggApproxDistinct, aggRollup, aggCube,
+    aggStats,
     jInnerBroadcast, j2SemiExists, j3AntiJoin, jLeftOuterCount, jFullOuter,
     jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,
     wRankTopn, wLagPrev, wRunningSum,
     setUnion, setIntersect, setExcept,
-    xScalarFuncs, xStringFuncs, aggSaltedSkew, aggPivot, aggQuantiles, xLateralExplode, xDateFuncs, xEpochDiff, xJsonExtract, xArrayOps,
+    xScalarFuncs, xStringFuncs, aggSaltedSkew, aggPivot, aggQuantiles,
+    aggApproxQuantiles, xLateralExplode, xDateFuncs, xEpochDiff,
+    xJsonExtract, xArrayOps,
     subScalarAvg, subInSegment,
     eventsWindowHour)
 }

@@ -1,0 +1,78 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-text entry point (SURVEY.md §2.1 S10): fixtures are declared via
+  * Spark SQL DDL (`CREATE TEMPORARY VIEW ... USING parquet` — the
+  * engine-native analog of the reference's `CREATE TABLE IF NOT EXISTS`,
+  * replicator/main.go:56-65) and the flagship queries are submitted as
+  * plain SQL TEXT through `spark.sql` — proving the SQL-first user
+  * surface end to end.
+  *
+  * Every query string here is dialect-neutral ANSI: the exact same text
+  * is the DuckDB oracle, so the check is maximally strict — no
+  * "equivalent" re-phrasing on either side. Four are the SQL twins of
+  * flagship DataFrame queries (same oracle string by construction —
+  * looked up from [[Relational.all]], zero drift possible); the fifth,
+  * `j_q2_mincost`, is the TPC-H Q2-shaped min-cost-supplier query over
+  * the `part` fixture: a correlated scalar aggregate subquery per part
+  * (Catalyst decorrelates it to an aggregate + join) with the
+  * region/nation dims broadcast on both the outer and inner sides.
+  */
+object SqlQueries {
+  /** Tables the SQL surface declares (events excluded: its TIMESTAMP_NANOS
+    * parquet needs the typed rebuild in [[graft.core.Tables]]). */
+  private val SqlTables =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+
+  /** S10 DDL path: one `CREATE OR REPLACE TEMPORARY VIEW` per fixture.
+    * Temp views over parquet are the idiomatic external-table analog;
+    * `saveAsTable` would copy read-only fixtures into a warehouse dir
+    * for no semantic gain. */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    SqlTables.foreach { n =>
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n " +
+        s"USING parquet OPTIONS (path '$dir/$n.parquet')")
+    }
+
+  private def sqlDeclared(name: String, sql: String): Declared =
+    Declared(name, (s, d) => { registerViews(s, d); s.sql(sql) }, Some(sql))
+
+  /** The DataFrame query's oracle string, reused verbatim as SQL text. */
+  private def oracleOf(name: String): String =
+    Relational.all.find(_.name == name)
+      .getOrElse(sys.error(s"no declared query $name")).oracle
+      .getOrElse(sys.error(s"$name has no oracle"))
+
+  /** TPC-H Q2 shape on the available fixtures (no partsupp table, so
+    * "supply cost" = the minimum sale price of the (part, supplier) pair
+    * in lineitem — min over doubles is arithmetic-free, hence bit-exact
+    * across engines). For each small part, the European suppliers whose
+    * cost equals the region-wide minimum for that part. */
+  private val q2Sql =
+    """SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, pc.cost
+      |FROM part p
+      |JOIN (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      |      FROM lineitem GROUP BY l_partkey, l_suppkey) pc
+      |  ON pc.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = pc.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |WHERE r.r_name = 'EUROPE' AND p.p_size <= 5
+      |  AND pc.cost = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
+  val all: Seq[Declared] = Seq(
+    sqlDeclared("sql_q1_pricing", oracleOf("q1_agg_pricing")),
+    sqlDeclared("sql_q3_shipping", oracleOf("j_q3_shipping")),
+    sqlDeclared("sql_exists_semi", oracleOf("j2_semi_exists")),
+    sqlDeclared("sql_topk", oracleOf("o2_topk")),
+    sqlDeclared("j_q2_mincost", q2Sql))
+}

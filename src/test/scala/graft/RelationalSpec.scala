@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sql.Relational
+import graft.sql.{Relational, SqlQueries}
 
 object SparkTestSession {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -60,5 +60,61 @@ class RelationalSpec extends AnyFunSuite {
 
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct lands within the rsd envelope of exact") {
+    def one(name: String) =
+      Relational.all.find(_.name == name).get.run(spark, sf).collect()(0)
+    val exact = one("agg_distinct")
+    val approx = one("agg_approx_distinct")
+    Seq(0, 1).foreach { i =>
+      val (e, a) = (exact.getLong(i).toDouble, approx.getLong(i).toDouble)
+      // rsd 1%: allow 5 sigma
+      assert(math.abs(a - e) / e < 0.05, s"col $i: approx $a vs exact $e")
+    }
+  }
+
+  test("approx_percentile rank error is within epsilon of the sort") {
+    val rows = Relational.all.find(_.name == "agg_approx_quantiles").get
+      .run(spark, sf).collect()
+    val orders = graft.core.Tables(spark, sf, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sorted }
+    rows.foreach { r =>
+      val sortedVals = orders(r.getString(0))
+      val n = sortedVals.length
+      Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3).foreach { case (p, i) =>
+        val got = r.getDouble(i)
+        val rank = sortedVals.count(_ <= got).toDouble / n
+        // accuracy 10000 ⇒ eps 1e-4; fixture groups are ~1000 rows so
+        // one element is 1e-3 of rank — allow a few elements of slack
+        assert(math.abs(rank - p) < 0.01,
+          s"${r.getString(0)} p$p: value $got at rank $rank")
+      }
+    }
+  }
+
+  test("SQL-text twins return exactly their DataFrame query's rows") {
+    Seq("sql_q1_pricing" -> "q1_agg_pricing",
+      "sql_q3_shipping" -> "j_q3_shipping",
+      "sql_exists_semi" -> "j2_semi_exists",
+      "sql_topk" -> "o2_topk").foreach { case (sqlName, dfName) =>
+      val viaSql = SqlQueries.all.find(_.name == sqlName).get.run(spark, sf)
+      val viaDf = Relational.all.find(_.name == dfName).get.run(spark, sf)
+      assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty,
+        s"$sqlName != $dfName")
+    }
+  }
+
+  test("j_q2_mincost: every row achieves the region-wide min for its part") {
+    val rows = SqlQueries.all.find(_.name == "j_q2_mincost").get
+      .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perPart = rows.groupBy(_.getLong(0))
+    perPart.values.foreach { rs =>
+      assert(rs.map(_.getDouble(4)).distinct.length === 1,
+        "tied suppliers must share the min cost")
+    }
   }
 }
