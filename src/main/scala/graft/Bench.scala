@@ -16,12 +16,25 @@ import graft.streaming.BatchMetricsListener
   * throughput + worst-micro-batch latency (its envelope in BASELINE.md is
   * latency, not a one-shot wall time); failures are reported loudly in
   * the JSON instead of silently becoming -1.
+  *
+  * Round-4 fixes (VERDICT r3 items 4/6): the query map runs TWICE — an
+  * untimed warm pass (JIT/codegen/listing caches; a production cluster
+  * is warm) then the timed pass that is reported; `Dedup.clearCache()`
+  * between passes so the timed LSH family still pays its one real
+  * signature pass instead of inheriting the warm pass's memo. Timings
+  * are emitted at 3 decimals and the query map sits early in the JSON
+  * line, so a tail-truncating stdout parser loses batch detail before it
+  * loses any query timing (r3 lost 12 of 67 keys to a full-precision
+  * double dump).
+  *
+  * `SPARK_GRAFT_ONLY=cdc|queries` restricts the run while iterating.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the driver contract benches at local[32]; env overrides for dev
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,7 +51,7 @@ object Bench {
     // Measured FIRST, on a quiet session: the latency envelope is the
     // baseline-comparable number, and running 50 batch queries
     // beforehand pollutes the first micro-batch with their GC debt.
-    val cdcJson = try {
+    val cdcJson = if (only.exists(_ != "cdc")) """{"skipped":true}""" else try {
       val ops = ChangeGen.ops(seed = 42L, n = 20000)
       val (snapOps, streamOps) = ops.splitAt(5000)
       val changeDir = Files.createTempDirectory("bench-cdc-log").toString
@@ -51,18 +64,44 @@ object Bench {
       // warm the full streaming merge path (source listing, incremental
       // plan, codegen, write commit) on a throwaway replica so the timed
       // stream measures steady-state latency (a production cluster is
-      // warm), not first-batch JIT compilation
+      // warm), not first-batch JIT compilation. Same snapshot size, same
+      // per-trigger batch shape (maxFilesPerTrigger=1) and THREE warm
+      // triggers, so the C2-compiled merge path — not the interpreted
+      // first pass — is what the timed run exercises.
       val warmLog = Files.createTempDirectory("bench-cdc-warmlog").toString
       val warmDir = Files.createTempDirectory("bench-cdc-warm").toString
       val warmCkpt = Files.createTempDirectory("bench-cdc-warmckpt").toString
-      // same snapshot + batch size as the timed run, so the first timed
-      // batch's plans/codegen/buffers are all hot at the right shapes
       Replicate.snapshot(spark,
         ChangeGen.replay(snapOps).values.toSeq.toDS(), warmDir)
-      ChangeGen.writeBatches(warmLog, streamOps.take(1500), batches = 1)
+      ChangeGen.writeBatches(warmLog, streamOps.take(4500), batches = 3)
+      // compactEvery=1: every warm trigger exercises BOTH the delta
+      // write and the compaction merge+swap, so neither path runs cold
+      // in the timed stream
       val wq = Replicate.start(spark, warmLog, warmDir, warmCkpt,
-        trigger = Trigger.AvailableNow())
+        trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1),
+        compactEvery = 1)
       try wq.awaitTermination() finally wq.stop()
+      // throughput mode: 60k ops in ONE batch — bulk apply rate, the
+      // complementary axis to per-trigger latency (run right after the
+      // warm stream so both measured modes see the same warm session)
+      val bulkOps = ChangeGen.ops(seed = 43L, n = 60000)
+      val bulkLog = Files.createTempDirectory("bench-cdc-bulklog").toString
+      val bulkDir = Files.createTempDirectory("bench-cdc-bulk").toString
+      val bulkCkpt = Files.createTempDirectory("bench-cdc-bulkckpt").toString
+      Replicate.snapshot(spark,
+        ChangeGen.replay(snapOps).values.toSeq.toDS(), bulkDir)
+      // 8 log files, no maxFilesPerTrigger → ONE AvailableNow batch that
+      // parses in parallel (a single 60k-line file = a single split =
+      // a single-threaded scan)
+      ChangeGen.writeBatches(bulkLog, bulkOps, batches = 8)
+      val bulkListener = new BatchMetricsListener(Some("graft-replicate"))
+      spark.streams.addListener(bulkListener)
+      try {
+        val bq = Replicate.start(spark, bulkLog, bulkDir, bulkCkpt,
+          trigger = Trigger.AvailableNow())
+        try bq.awaitTermination() finally bq.stop()
+      } finally spark.streams.removeListener(bulkListener)
+
       // prime file-listing/footer caches for the replica the timed
       // stream will merge into
       Replicate.readReplica(spark, replica).write.format("noop")
@@ -77,23 +116,6 @@ object Bench {
       val batchSecs = listener.batches.filter(_.inputRows > 0)
         .map(b => f"${b.triggerExecSec}%.2f").mkString("[", ",", "]")
 
-      // throughput mode: 60k ops in ONE batch — bulk apply rate, the
-      // complementary axis to per-trigger latency
-      val bulkOps = ChangeGen.ops(seed = 43L, n = 60000)
-      val bulkLog = Files.createTempDirectory("bench-cdc-bulklog").toString
-      val bulkDir = Files.createTempDirectory("bench-cdc-bulk").toString
-      val bulkCkpt = Files.createTempDirectory("bench-cdc-bulkckpt").toString
-      Replicate.snapshot(spark,
-        ChangeGen.replay(snapOps).values.toSeq.toDS(), bulkDir)
-      ChangeGen.writeBatches(bulkLog, bulkOps, batches = 1)
-      val bulkListener = new BatchMetricsListener(Some("graft-replicate"))
-      spark.streams.addListener(bulkListener)
-      try {
-        val bq = Replicate.start(spark, bulkLog, bulkDir, bulkCkpt,
-          trigger = Trigger.AvailableNow())
-        try bq.awaitTermination() finally bq.stop()
-      } finally spark.streams.removeListener(bulkListener)
-
       f"""{"rows_per_sec":${listener.rowsPerSec}%.1f,"worst_batch_sec":${listener.worstBatchSec}%.3f,"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs,"bulk_rows_per_sec":${bulkListener.rowsPerSec}%.1f}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] CDC FAILED: $e")
@@ -103,16 +125,32 @@ object Bench {
     }
 
     // ---- relational / ML queries: time the declared plan end-to-end ----
-    val results = SparkEntry.queries.filterNot(_._1.startsWith("cdc_"))
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString
-          System.err.println(s"[bench] FAILED $name: $e")
+    val qmap = SparkEntry.queries.filterNot(_._1.startsWith("cdc_"))
+    val results: Map[String, Double] =
+      if (only.exists(_ != "queries")) Map.empty
+      else {
+        // pass 1 (untimed): JIT, codegen cache, file listing, parquet
+        // footers — steady-state warm-up, reported nowhere
+        qmap.foreach { case (name, fn) =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm-pass FAILED $name: $e") }
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        // the warm pass populated the dedup memo; drop it so the timed
+        // pass pays the ONE real LSH/signature pass (whichever family
+        // member runs first) — sharing is measured, inheritance is not
+        graft.ml.Dedup.clearCache()
+        // pass 2 (timed, reported)
+        qmap.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+            System.err.println(s"[bench] FAILED $name: $e")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
       }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -120,13 +158,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson,"errors":$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$qs,"cdc":$cdcJson,"errors":$errJson}"""
     println(line)
     // belt-and-braces copy for log-prefix-mangled stdout parsers
     Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), line)

@@ -5,48 +5,52 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** The CDC apply pipeline: maintain a keyed replica of `person` from a
   * stream of row-level changes — the Spark re-expression of the
   * reference's replicator loop (replicator/main.go:154-270) and of the
   * pubsub publication/subscription (pubsub/main.go:79-120).
   *
-  * ## Scale design (the 100 TB story)
+  * ## Scale design (the 100 TB story): merge-on-read + compaction
   *
   * The replica is parquet **hash-bucketed by key** (`id_bucket =
-  * pmod(id, numBuckets)`, a partition column). Each micro-batch:
+  * pmod(id, numBuckets)`, a partition column) plus a hidden
+  * **delta log** (`.__delta/batch=<epoch>/`). The round-3 design
+  * rewrote every touched bucket per trigger — O(replica) work for an
+  * O(batch) change, unshippable at a 2 s trigger once buckets hold
+  * real data. Round 4 moves to the merge-on-read pattern (the
+  * Hudi/Paimon MoR shape):
   *
-  *  1. reduces the batch to one summary row per key with ONE shuffle,
-  *     hash-partitioned directly on `id_bucket` (bucket ⊂ key, so the
-  *     per-key window + hash aggregate reuse that partitioning) — fully
-  *     whole-stage-codegen, cached for step 3;
-  *  2. derives the touched-bucket list from the cached summary (a
-  *     bounded ≤ numBuckets collect — the job that computes it is the
-  *     same one that fills the cache, so the SOURCE is read exactly
-  *     once per trigger);
-  *  3. reads back ONLY the touched bucket directories (explicit paths +
-  *     explicit schema: no full-tree listing, no footer schema
-  *     inference) and full-outer-merges current ⟗ summary on
-  *     (bucket, key) — the summary side is already partitioned by
-  *     bucket, so only the touched current rows shuffle, and the merged
-  *     output stays bucket-aligned: the write emits ONE file per bucket
-  *     with no extra exchange;
-  *  4. writes the merged buckets to a fresh temp dir, then swaps each
-  *     touched bucket in via RENAME-ASIDE (live → .__old, fresh → live,
-  *     drop .__old): the live data is never deleted before its
-  *     replacement is in place, every rename is checked, and a leftover
-  *     .__old from a crash is rolled back/forward at the next batch
-  *     ([[recoverSwap]]) — so no interleaving of crashes can lose rows
-  *     that were not in the micro-batch (ADVICE r2).
+  *  - **Per trigger (O(batch), one job)**: reduce the micro-batch to
+  *    one summary row per key with ONE shuffle ([[summarizeBucketed]] —
+  *    window + hash aggregate reuse the bucket partitioning, fully
+  *    whole-stage-codegen) and commit it as delta `batch=<epochId>` via
+  *    tmp-write + rename. No base read, no bucket rewrite, no collect.
+  *    Replay after a crash overwrites the same delta dir — idempotent.
+  *  - **On read** ([[readReplica]]): base ⟗ combined deltas. Per-batch
+  *    summaries COMPOSE: the global last-delete lsn is the max over
+  *    deltas, and last_img/first_ins are the arg-max/arg-min by lsn of
+  *    the per-delta structs filtered past it ([[combineDeltaSummaries]]
+  *    — same fold algebra as [[summarize]], so composition is exact).
+  *    The combined summary then merges with the base through the one
+  *    shared [[mergeBatch]] expression set.
+  *  - **Every `compactEvery` triggers**: fold the deltas into the base
+  *    (write merged buckets to a temp dir, RENAME-ASIDE swap each
+  *    bucket: live → .__old, fresh → live, drop .__old; every rename
+  *    checked; [[recoverSwap]] rolls a crashed swap back/forward), then
+  *    drop the consumed deltas. Deltas are deleted only AFTER the swap
+  *    completes; re-applying a delta over an already-compacted base is
+  *    a no-op (the merge expressions are idempotent), so every crash
+  *    window converges. `compactEvery = 1` degenerates to the eager
+  *    round-3 behavior (used by tests that assert physical layout).
   *
-  * Crash mid-swap leaves a prefix of buckets updated; replaying the
-  * micro-batch (Structured Streaming's checkpoint contract) re-folds
-  * idempotently — the reference's ON-CONFLICT idempotency trick
-  * (replicator/main.go:121,207) re-expressed (SURVEY.md §2.9 T2).
-  * At production scale an object-store deployment would swap via a
+  * Worst-trigger latency is the compaction batch — amortized
+  * O(replica/compactEvery) — while steady-state triggers do O(batch)
+  * work only. At 100 TB: thousands of buckets, deltas partition-pruned
+  * by bucket at compaction, and an object-store deployment swaps via a
   * per-batch manifest instead of directory renames (S3 renames are
-  * copies); the bucket layout and merge dataflow are unchanged.
+  * copies); the dataflow is unchanged.
   */
 object Replicate {
   val BucketCol = "id_bucket"
@@ -81,6 +85,31 @@ object Replicate {
     * fastest: at 64+, per-batch fixed costs (partition dirs × writer
     * files × commit renames) dominate and worst-batch latency triples. */
   val DefaultNumBuckets = 16
+
+  /** Compact the delta log into the base every N triggers. Bounds both
+    * read amplification (≤ N delta files union'd at read time) and the
+    * worst-trigger latency (the compaction batch does the base rewrite;
+    * all other triggers are O(batch)). 1 = eager (rewrite per trigger,
+    * the round-3 behavior). */
+  val DefaultCompactEvery = 8
+
+  /** Hidden delta-log dir under the replica root (leading dot: invisible
+    * to Hadoop/Spark listings, so plain reads of the base never pick up
+    * delta rows). */
+  private val DeltaDirName = ".__delta"
+
+  /** Delta on-disk schema = [[summarizeBucketed]] output, passed
+    * explicitly to reads to skip footer inference. */
+  private val DeltaSchema = StructType(Seq(
+    StructField(BucketCol, IntegerType),
+    StructField("id", IntegerType),
+    StructField("last_img", StructType(Seq(
+      StructField("lsn", LongType), StructField("name", StringType),
+      StructField("uid", StringType), StructField("score", IntegerType)))),
+    StructField("first_ins", StructType(Seq(
+      StructField("lsn", LongType),
+      StructField("created_at", TimestampType)))),
+    StructField("last_d_lsn", LongType)))
 
   /** Publication row filter (pubsub/main.go:79), with PostgreSQL's
     * row-filter UPDATE transformation semantics: an UPDATE whose new image
@@ -194,7 +223,12 @@ object Replicate {
     val afterD = col("lsn") > coalesce(col("last_d_lsn"), lit(Long.MinValue))
     batch
       .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-      .repartition(numBuckets, col(BucketCol))
+      // repartition WITHOUT an explicit count: AQE sizes the exchange to
+      // the batch (a trigger-sized batch folds to one partition → one
+      // delta file; a bulk load fans out) — the fixed-width variant
+      // either serialized bulk loads or sprayed 16 tiny files per
+      // trigger, tripling compaction's scan cost
+      .repartition(col(BucketCol))
       .withColumn("last_d_lsn",
         max(when(col("action") === "D", col("lsn"))).over(byKey))
       .groupBy(BucketCol, "id")
@@ -246,31 +280,129 @@ object Replicate {
           .otherwise(col("created_at")).as("created_at")): _*)
   }
 
-  private def hasBuckets(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a dir holding only _SUCCESS (all buckets deleted) is an EMPTY
-    // replica, not a readable parquet source (ADVICE r1)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.startsWith(BucketCol + "="))
-  }
-
-  /** Read the replica (empty if not yet created or fully deleted). */
-  def readReplica(spark: SparkSession, replicaDir: String)
-      : Dataset[PersonRow] = {
-    import spark.implicits._
-    if (hasBuckets(spark, replicaDir))
-      spark.read.parquet(replicaDir)
-        .select("id", "name", "uid", "score", "created_at").as[PersonRow]
-    else spark.emptyDataset[PersonRow]
-  }
-
   /** Bucket ids present on disk — one listing call, aside dirs excluded. */
   private def listBuckets(fs: FileSystem, base: Path): Set[Int] =
     if (!fs.exists(base)) Set.empty
     else fs.listStatus(base).iterator.map(_.getPath.getName)
       .filter(_.startsWith(BucketCol + "="))
       .map(_.substring(BucketCol.length + 1).toInt).toSet
+
+  /** Compaction watermark file: holds the max batchId folded into the
+    * base. Deltas with batchId ≤ watermark are ALREADY in the base and
+    * must be ignored (and may be lazily deleted): a crash between the
+    * bucket swap + watermark commit and the delta deletions can leave an
+    * arbitrary subset of consumed deltas behind, and re-applying only an
+    * OLDER delta would regress keys whose newer image sat in a deleted
+    * one. The watermark makes compaction's visible effect atomic:
+    * before the marker commits, the full (idempotent) delta set is
+    * re-applied; after it, none are. */
+  private val WatermarkFile = "_watermark"
+
+  private def readWatermark(fs: FileSystem, dRoot: Path): Long = {
+    val p = new Path(dRoot, WatermarkFile)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeWatermark(fs: FileSystem, dRoot: Path, id: Long): Unit = {
+    val tmp = new Path(dRoot, s".$WatermarkFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(dRoot, WatermarkFile)
+    fs.delete(dst, false)
+    check(fs.rename(tmp, dst), s"commit watermark $dst")
+  }
+
+  private def batchIdOf(p: Path): Long =
+    p.getName.stripPrefix("batch=").toLong
+
+  /** Live (uncompacted) delta dirs: batch=<epoch> with epoch past the
+    * compaction watermark. One listing + one marker read. */
+  private def listDeltas(fs: FileSystem, dRoot: Path): Seq[Path] =
+    if (!fs.exists(dRoot)) Seq.empty
+    else {
+      val wm = readWatermark(fs, dRoot)
+      fs.listStatus(dRoot).iterator.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(batchIdOf(_) > wm).toSeq
+    }
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Base bucket rows (no deltas), explicit dirs + schema, with the
+    * bucket column recomputed (partition dirs are read as explicit
+    * paths, so the partition column is not inferred). */
+  private def readBase(spark: SparkSession, fs: FileSystem,
+      replicaDir: String, numBuckets: Int): DataFrame = {
+    import spark.implicits._
+    val buckets = listBuckets(fs, new Path(replicaDir))
+    (if (buckets.isEmpty) spark.emptyDataset[PersonRow].toDF()
+     else spark.read.schema(ReplicaSchema)
+       .parquet(buckets.toSeq.sorted
+         .map(b => s"$replicaDir/$BucketCol=$b"): _*))
+      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+  }
+
+  /** Fold the delta summaries (one row per key PER DELTA) into one
+    * summary row per key. The per-batch summaries compose exactly: the
+    * key's global last-delete lsn is the max over deltas, and the
+    * surviving image / first-insert are the arg-max / arg-min by lsn of
+    * the per-delta structs strictly past it (struct ordering is
+    * lsn-first, and lsns are unique). Same single-shuffle shape as
+    * [[summarizeBucketed]]: one bucket-keyed exchange feeds the window,
+    * the aggregate, and (at compaction) the merge join + write. */
+  def combineDeltaSummaries(deltas: DataFrame, numBuckets: Int): DataFrame = {
+    val byKey = Window.partitionBy(BucketCol, "id")
+    def afterD(lsn: Column): Column =
+      lsn > coalesce(col("dl"), lit(Long.MinValue))
+    deltas
+      .repartition(numBuckets, col(BucketCol))
+      .withColumn("dl", max(col("last_d_lsn")).over(byKey))
+      .groupBy(BucketCol, "id")
+      .agg(
+        max(when(afterD(col("last_img.lsn")), col("last_img")))
+          .as("last_img"),
+        min(when(afterD(col("first_ins.lsn")), col("first_ins")))
+          .as("first_ins"),
+        max(col("last_d_lsn")).as("last_d_lsn"))
+  }
+
+  /** The merged (base ⟗ deltas) replica view over explicit delta dirs.
+    * `joinKeys = (bucket, id)` only at compaction, where the writer's
+    * `numBuckets` is authoritative and the bucket-aligned output feeds
+    * the partitioned write; plain reads join on `id` alone (bucket is a
+    * function of id, so the join is equivalent — and a reader never
+    * needs to know the writer's bucket count). */
+  private def mergedView(spark: SparkSession, fs: FileSystem,
+      replicaDir: String, deltaDirs: Seq[Path], numBuckets: Int,
+      joinKeys: Seq[String]): DataFrame = {
+    val base = readBase(spark, fs, replicaDir, numBuckets)
+    if (deltaDirs.isEmpty) base
+    else {
+      val deltas = spark.read.schema(DeltaSchema)
+        .parquet(deltaDirs.map(_.toString): _*)
+      mergeBatch(base, combineDeltaSummaries(deltas, numBuckets), joinKeys)
+    }
+  }
+
+  /** Read the replica — the merge-on-read view of base buckets plus any
+    * uncompacted deltas (empty if neither exists). */
+  def readReplica(spark: SparkSession, replicaDir: String)
+      : Dataset[PersonRow] = {
+    import spark.implicits._
+    val (fs, base) = fsOf(spark, replicaDir)
+    mergedView(spark, fs, replicaDir,
+      listDeltas(fs, new Path(base, DeltaDirName)),
+      numBuckets = DefaultNumBuckets, joinKeys = Seq("id"))
+      .select("id", "name", "uid", "score", "created_at").as[PersonRow]
+  }
 
   /** Roll a crashed rename-aside swap back or forward (single-writer;
     * called at the start of each batch): an aside dir whose live dir
@@ -307,47 +439,85 @@ object Replicate {
     * the last batch after a crash converges to the same state.
     * `numBuckets` must stay constant for a replica's lifetime (it defines
     * the key → bucket mapping the merge joins on). */
+  /** Per-phase stderr timing, enabled via GRAFT_CDC_TRACE=1 (bench
+    * triage only — zero cost when off). */
+  private val trace = sys.env.get("GRAFT_CDC_TRACE").contains("1")
+  private def traced[A](what: String)(body: => A): A =
+    if (!trace) body else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[cdc-trace] $what%-14s ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+    }
+
   def applyBatch(spark: SparkSession, batch: Dataset[PersonChange],
       replicaDir: String, numBuckets: Int = DefaultNumBuckets,
-      mergeParallelism: Int = DefaultMergeParallelism): Unit = {
-    import spark.implicits._
+      mergeParallelism: Int = DefaultMergeParallelism,
+      batchId: Long = 0L,
+      compactEvery: Int = DefaultCompactEvery): Unit = {
     val base = new Path(replicaDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwap(fs, base)
-    // ONE batch-sized shuffle (keyed by bucket) computes the per-key
-    // summary; cached so the touched-bucket probe below is the same job
-    // that reads the source — exactly once per trigger.
-    val summary = summarizeBucketed(batch.toDF(), numBuckets).persist()
-    try {
-      // touched buckets: ≤ numBuckets ints — a bounded driver round-trip
-      // folded into the summary job (no separate source scan)
-      val touched = summary.agg(collect_set(col(BucketCol)))
-        .first().getSeq[Int](0).sorted
-      if (touched.isEmpty) return
-      val readable = touched.filter(listBuckets(fs, base))
-      val current =
-        (if (readable.isEmpty) spark.emptyDataset[PersonRow].toDF()
-         else spark.read.schema(ReplicaSchema) // explicit dirs + schema:
-           .parquet(readable.map(b => s"$replicaDir/$BucketCol=$b"): _*))
-          .withColumn(BucketCol,
-            pmod(col("id"), lit(numBuckets)).cast("int"))
-      // join on (bucket, id): the cached summary's bucket partitioning
-      // satisfies the join's clustering, so only `current` shuffles, and
-      // the merged output stays bucket-aligned for the write below —
-      // one file per bucket, no extra exchange.
-      val merged = mergeBatch(current, summary,
-        joinKeys = Seq(BucketCol, "id"))
+    traced("recoverSwap")(recoverSwap(fs, base))
+    val dRoot = new Path(base, DeltaDirName)
+    // ONE O(batch) job per trigger: micro-batch → per-key summary (one
+    // bucket-keyed shuffle) → one small parquet file per bucket
+    // partition. No base read, no bucket rewrite, no driver collect.
+    val tmp = new Path(dRoot, s".tmp-$batchId")
+    fs.delete(tmp, true)
+    traced("delta-write")(
+      summarizeBucketed(batch.toDF(), numBuckets)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString))
+    // commit: replace-then-rename — replaying this batchId after a crash
+    // rebuilds the identical delta, so the replace is idempotent
+    val dst = new Path(dRoot, s"batch=$batchId")
+    fs.delete(dst, true)
+    check(fs.rename(tmp, dst), s"commit delta $dst")
+    // one listing serves orphan-tmp cleanup, lazy deletion of already-
+    // compacted deltas (crash leftovers or a replayed pre-compaction
+    // batch), AND the compaction trigger
+    val entries = fs.listStatus(dRoot)
+    entries.iterator.filter(_.getPath.getName.startsWith(".tmp-"))
+      .foreach(e => fs.delete(e.getPath, true))
+    val wm = readWatermark(fs, dRoot)
+    val (stale, live) = entries.iterator.map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).toSeq
+      .partition(batchIdOf(_) <= wm)
+    stale.foreach(p => fs.delete(p, true))
+    if (live.size >= compactEvery)
+      traced("compact")(compact(spark, fs, replicaDir, numBuckets))
+  }
 
-      // Durable lineage break: fully materialize the merged buckets in a
-      // temp dir FIRST, then rename-aside swap each touched bucket.
-      val tmpDir = s"$replicaDir.__tmp"
-      fs.delete(new Path(tmpDir), true)
-      merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-        .parquet(tmpDir)
-      if (!fs.exists(base)) check(fs.mkdirs(base), s"mkdirs $base")
-      touched.foreach(swapBucket(fs, replicaDir, tmpDir, _))
-      fs.delete(new Path(tmpDir), true)
-    } finally summary.unpersist()
+  /** Fold the committed deltas into the base buckets and drop them.
+    * Deltas are deleted only AFTER every bucket swap completed; a crash
+    * anywhere replays into [[recoverSwap]] + re-applying deltas over the
+    * compacted base, which the merge expressions absorb idempotently. */
+  private def compact(spark: SparkSession, fs: FileSystem,
+      replicaDir: String, numBuckets: Int): Unit = {
+    val base = new Path(replicaDir)
+    val deltaDirs = listDeltas(fs, new Path(base, DeltaDirName))
+    if (deltaDirs.isEmpty) return
+    // the combined-delta side of the merge is bucket-partitioned, so the
+    // join reuses it (only base rows shuffle) and the merged output
+    // stays bucket-aligned: one file per bucket, no extra exchange
+    val merged = mergedView(spark, fs, replicaDir, deltaDirs, numBuckets,
+      joinKeys = Seq(BucketCol, "id"))
+    val tmpDir = s"$replicaDir.__tmp"
+    fs.delete(new Path(tmpDir), true)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(tmpDir)
+    if (!fs.exists(base)) check(fs.mkdirs(base), s"mkdirs $base")
+    // swap every bucket present before OR after: a bucket absent from
+    // the merged output had all its keys deleted — dropping it IS the
+    // apply
+    val touched = listBuckets(fs, new Path(tmpDir)) ++ listBuckets(fs, base)
+    touched.toSeq.sorted.foreach(swapBucket(fs, replicaDir, tmpDir, _))
+    fs.delete(new Path(tmpDir), true)
+    // commit point: once the watermark lands, the consumed deltas are
+    // invisible everywhere; until then the full set re-applies
+    // idempotently over the swapped base
+    writeWatermark(fs, new Path(base, DeltaDirName),
+      deltaDirs.map(batchIdOf).max)
+    deltaDirs.foreach(d => check(fs.delete(d, true), s"drop delta $d"))
   }
 
   /** Initial snapshot (phase 2 of the replicator,
@@ -373,12 +543,13 @@ object Replicate {
       numBuckets: Int = DefaultNumBuckets,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       mergeParallelism: Int = DefaultMergeParallelism,
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Int = DefaultCompactEvery)
       : StreamingQuery =
     startFrom(spark,
       ChangeSource.readStream(spark, changeDir, maxFilesPerTrigger),
       replicaDir, checkpointDir, rowFilter, numBuckets, trigger,
-      mergeParallelism)
+      mergeParallelism, compactEvery)
 
   /** Source-agnostic pipeline entry: any parsed change stream
     * (wal2json, Debezium, Kafka+either envelope) drives the same
@@ -388,15 +559,17 @@ object Replicate {
       rowFilter: Option[Column] = None,
       numBuckets: Int = DefaultNumBuckets,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
-      mergeParallelism: Int = DefaultMergeParallelism)
+      mergeParallelism: Int = DefaultMergeParallelism,
+      compactEvery: Int = DefaultCompactEvery)
       : StreamingQuery = {
     val filtered = rowFilter.map(withRowFilter(changes, _)).getOrElse(changes)
     filtered.writeStream
       .queryName("graft-replicate")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[PersonChange], _: Long) =>
-        applyBatch(spark, batch, replicaDir, numBuckets, mergeParallelism)
+      .foreachBatch { (batch: Dataset[PersonChange], epochId: Long) =>
+        applyBatch(spark, batch, replicaDir, numBuckets, mergeParallelism,
+          batchId = epochId, compactEvery = compactEvery)
       }
       .start()
   }

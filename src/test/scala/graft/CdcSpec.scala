@@ -173,20 +173,29 @@ class CdcSpec extends AnyFunSuite {
 
   test("applyBatch: bucket whose keys all die is physically dropped") {
     val replica = tmp("cdc-replica-drop")
-    // two keys in distinct buckets (numBuckets=2: id 2 → bucket 0, id 3 → 1)
+    // two keys in distinct buckets (numBuckets=2: id 2 → bucket 0, id 3 → 1);
+    // compactEvery=1 = eager mode, so the layout assertions see the base
     Replicate.applyBatch(spark,
-      Seq(ch(1, "I", 2), ch(2, "I", 3)).toDS(), replica, numBuckets = 2)
+      Seq(ch(1, "I", 2), ch(2, "I", 3)).toDS(), replica, numBuckets = 2,
+      compactEvery = 1)
     assert(replicaAsMap(replica).keySet === Set(2, 3))
     Replicate.applyBatch(spark,
-      Seq(ch(3, "D", 2)).toDS(), replica, numBuckets = 2)
+      Seq(ch(3, "D", 2)).toDS(), replica, numBuckets = 2, batchId = 1L,
+      compactEvery = 1)
     assert(replicaAsMap(replica).keySet === Set(3))
+    // the dead bucket dir is gone from the base, not just filtered out
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(replica)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$replica/id_bucket=0")))
   }
 
   test("applyBatch: crashed rename-aside swap is recovered, no rows lost") {
     import org.apache.hadoop.fs.Path
     val replica = tmp("cdc-replica-crash")
     Replicate.applyBatch(spark,
-      Seq(ch(1, "I", 2), ch(2, "I", 3)).toDS(), replica, numBuckets = 2)
+      Seq(ch(1, "I", 2), ch(2, "I", 3)).toDS(), replica, numBuckets = 2,
+      compactEvery = 1)
     val before = replicaAsMap(replica)
     val fs = new Path(replica)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -196,7 +205,7 @@ class CdcSpec extends AnyFunSuite {
     assert(fs.rename(new Path(s"$replica/id_bucket=0"),
       new Path(s"$replica/.__old.id_bucket=0")))
     Replicate.applyBatch(spark, Seq(ch(3, "U", 3, "upd")).toDS(),
-      replica, numBuckets = 2)
+      replica, numBuckets = 2, batchId = 1L, compactEvery = 1)
     val after = replicaAsMap(replica)
     assert(after.keySet === before.keySet, "aside bucket rows were lost")
     assert(after(3).name === "upd")
@@ -207,10 +216,46 @@ class CdcSpec extends AnyFunSuite {
     val stale = new Path(s"$replica/.__old.id_bucket=1")
     assert(fs.mkdirs(stale)) // stale leftover (contents irrelevant here)
     Replicate.applyBatch(spark, Seq(ch(4, "U", 2, "upd2")).toDS(),
-      replica, numBuckets = 2)
+      replica, numBuckets = 2, batchId = 2L, compactEvery = 1)
     assert(!fs.exists(stale), "completed-swap aside not dropped")
     assert(replicaAsMap(replica)(2).name === "upd2")
     assert(fs.exists(fs2Src))
+  }
+
+  test("merge-on-read: deltas accumulate, compaction folds them, replay idempotent") {
+    import org.apache.hadoop.fs.Path
+    val ops = ChangeGen.ops(seed = 17, n = 600)
+    val replica = tmp("cdc-mor")
+    val fs = new Path(replica)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltaCount: Int =
+      if (!fs.exists(new Path(s"$replica/.__delta"))) 0
+      else fs.listStatus(new Path(s"$replica/.__delta"))
+        .count(_.getPath.getName.startsWith("batch="))
+
+    // 10 batches, compactEvery=8: batches 0..6 pile up deltas, batch 7
+    // triggers compaction (8 deltas → base), batches 8..9 are deltas again
+    val groups = ops.grouped(60).toSeq
+    groups.zipWithIndex.foreach { case (g, i) =>
+      Replicate.applyBatch(spark, ChangeGen.toChanges(g).toDS(), replica,
+        numBuckets = 4, batchId = i.toLong, compactEvery = 8)
+    }
+    assert(deltaCount === 2, "compaction must have consumed batches 0..7")
+    assert(fs.exists(new Path(s"$replica/id_bucket=0")), "base written")
+    assert(replicaAsMap(replica) === ChangeGen.replay(ops))
+
+    // checkpoint-replay of the LAST batch (same batchId) converges
+    Replicate.applyBatch(spark, ChangeGen.toChanges(groups.last).toDS(),
+      replica, numBuckets = 4, batchId = (groups.size - 1).toLong,
+      compactEvery = 8)
+    assert(replicaAsMap(replica) === ChangeGen.replay(ops))
+
+    // re-applying an ALREADY-COMPACTED delta over the compacted base is
+    // absorbed idempotently (the crash window between bucket swap and
+    // delta deletion)
+    Replicate.applyBatch(spark, ChangeGen.toChanges(groups(3)).toDS(),
+      replica, numBuckets = 4, batchId = 3L, compactEvery = 8)
+    assert(replicaAsMap(replica) === ChangeGen.replay(ops))
   }
 
   // -------------------------------------------------------------------
