@@ -213,19 +213,35 @@ object MlQueries {
             |$clusterCtes
             |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin))
 
+  private val ccCorpusSql =
+    s"""WITH RECURSIVE $nearPairsCtes,
+       |$clusterCtes,
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+       |         GROUP BY md5(text))
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |JOIN keep k ON k.doc_id = d.doc_id
+       |WHERE d.doc_id NOT IN
+       |  (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   private val dedupCorpusCC = Declared(
     "ml_dedup_corpus_cc",
     (s, d) => Dedup.dedupCorpusCC(Tables(s, d, "documents")),
-    Some(s"""WITH RECURSIVE $nearPairsCtes,
-            |$clusterCtes,
-            |keep AS (SELECT min(doc_id) AS doc_id FROM documents
-            |         GROUP BY md5(text))
-            |SELECT d.doc_id, d.lang, d.source, d.n_chars
-            |FROM documents d
-            |JOIN keep k ON k.doc_id = d.doc_id
-            |WHERE d.doc_id NOT IN
-            |  (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
-            |ORDER BY d.doc_id""".stripMargin))
+    Some(ccCorpusSql))
+
+  /** Drives [[Dedup.pipeline]] end-to-end: every stage (signatures →
+    * pairs → clusters → corpus) written to and re-read from parquet —
+    * the staged 100 TB operational shape — with the final corpus checked
+    * against the same recursive-CTE oracle as the in-memory path. */
+  private val dedupPipeline = Declared(
+    "ml_dedup_pipeline",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dedup-stages").toString
+      Dedup.pipeline(Tables(s, d, "documents"), dir).corpus.orderBy("doc_id")
+    },
+    Some(ccCorpusSql))
 
   private val dedupCorpus = Declared(
     "ml_dedup_corpus",
@@ -510,7 +526,7 @@ object MlQueries {
 
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, levNear, charGramJac,
-    dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
+    dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
     cosineTopk, cosineTopkFast, annIvf, embedNearDup,
     textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode)

@@ -21,6 +21,39 @@ class MlSpec extends AnyFunSuite {
     assert(empties.isEmpty, s"empty results: $empties")
   }
 
+  test("LSH memo: same corpus+params hit the cache, different params miss") {
+    Dedup.clearCache()
+    val p1 = Dedup.nearDupPairs(docs).collect()
+    val afterFirst = Dedup.cacheSize // sigs + pairs
+    val p2 = Dedup.nearDupPairs(docs).collect()
+    assert(Dedup.cacheSize === afterFirst, "second identical call must hit")
+    assert(p1.map(_.toString).sorted.toSeq === p2.map(_.toString).sorted.toSeq)
+    Dedup.nearDupPairs(docs, minJaccard = 0.9)
+    assert(Dedup.cacheSize > afterFirst, "different threshold must miss")
+    // a DIFFERENT corpus with the same schema must not collide
+    val other = Seq((1L, "totally different corpus", "en", "t", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.nearDupPairs(other).isEmpty)
+    assert(p1.nonEmpty)
+    Dedup.clearCache()
+    assert(Dedup.cacheSize === 0)
+  }
+
+  test("staged pipeline: parquet-staged corpus == in-memory CC corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("stages").toString
+    val st = Dedup.pipeline(docs, dir)
+    // every stage is a real parquet dir the next stage consumed
+    Seq("signatures", "pairs", "clusters", "corpus").foreach { s =>
+      assert(new java.io.File(s"$dir/$s").exists(), s"stage $s missing")
+    }
+    val staged = st.corpus.orderBy("doc_id").collect().map(_.toString)
+    val direct = Dedup.dedupCorpusCC(docs).collect().map(_.toString)
+    assert(staged.toSeq === direct.toSeq)
+    // re-clustering from the staged pairs alone (no re-signing) works
+    assert(Dedup.clustersOf(st.pairs.select("doc_a", "doc_b")).count() ===
+      st.clusters.count())
+  }
+
   test("exact dedup collapses crafted duplicates and keeps min doc_id") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (9L, "a b c"))
       .toDF("doc_id", "text")
