@@ -17,8 +17,13 @@ object CdcQueries {
   /** Fixture dir the oracle SQL reads back. The query functions (run by
     * Verify/Bench before the driver's DuckDB pass) write these files;
     * contents are deterministic in the seeds, so any run produces
-    * identical fixtures. */
-  val FixtureDir = "/tmp/graft_fixtures"
+    * identical fixtures. PID-scoped (ADVICE r3): concurrent verify/bench
+    * runs never race on shared files, and an oracle run without a prior
+    * Spark pass fails loudly on a missing dir instead of silently
+    * comparing against a stale run's fixtures. The oracle SQL strings
+    * embed this path, so driver compare stays within one JVM run. */
+  val FixtureDir: String =
+    s"/tmp/graft_fixtures_${ProcessHandle.current().pid()}"
   private val snapshotPq = s"$FixtureDir/cdc_snapshot.parquet"
   private val streamPq = s"$FixtureDir/cdc_stream.parquet"
   private val changelogPq = s"$FixtureDir/cdc_changelog.parquet"

@@ -214,16 +214,26 @@ object Relational {
     // The scale twin of agg_distinct: HLL++ sketches (rsd 1%) merge in
     // one pass — no per-value expansion, the shuffle carries one sketch
     // per partition. Sketch estimates are engine-specific bit-for-bit,
-    // so there is NO cross-engine SQL oracle (hash-match exemption):
-    // the driver records the weaker rows-only check, and RelationalSpec
-    // asserts the estimate lands within the rsd envelope of the exact
-    // counts.
+    // so the RAW estimate has no cross-engine oracle; instead the query
+    // emits an ENVELOPE VERDICT (VERDICT r3 #3): the exact counts
+    // (hash-matched against DuckDB) plus `within_envelope =
+    // |approx − exact| ≤ 3·rsd·exact` — the 3σ bound HLL++ guarantees
+    // w.h.p. — which the oracle expects to be literally 1.
     (s, d) => t(s, d)("lineitem").agg(
-      approx_count_distinct(col("l_partkey"), rsd = 0.01)
-        .as("n_parts_approx"),
-      approx_count_distinct(col("l_suppkey"), rsd = 0.01)
-        .as("n_supps_approx")),
-    None)
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("ap"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("asu"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .select(col("n_parts"), col("n_supps"),
+        (abs(col("ap") - col("n_parts")) <= lit(0.03) * col("n_parts"))
+          .cast("int").as("parts_within_envelope"),
+        (abs(col("asu") - col("n_supps")) <= lit(0.03) * col("n_supps"))
+          .cast("int").as("supps_within_envelope")),
+    Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+           |  count(DISTINCT l_suppkey) AS n_supps,
+           |  CAST(1 AS INT) AS parts_within_envelope,
+           |  CAST(1 AS INT) AS supps_within_envelope
+           |FROM lineitem""".stripMargin))
 
   private val aggRollup = Declared(
     "agg_rollup",
@@ -726,17 +736,32 @@ object Relational {
     // (accuracy 1e4 ⇒ ε = 1e-4) aggregate in one pass with bounded
     // memory per group instead of shuffling whole groups. GK picks an
     // actual data value near each requested rank (engine-specific), so
-    // NO cross-engine SQL oracle (hash-match exemption): rows-only
-    // driver check + RelationalSpec's rank-error assertion vs the
-    // sorted data.
-    (s, d) => t(s, d)("orders")
-      .groupBy("o_orderpriority")
-      .agg(
-        expr("approx_percentile(o_totalprice, 0.25, 10000)").as("p25"),
-        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
-        expr("approx_percentile(o_totalprice, 0.75, 10000)").as("p75"))
-      .orderBy("o_orderpriority"),
-    None)
+    // the raw estimate has no cross-engine oracle; instead the query
+    // emits an ENVELOPE VERDICT per group (VERDICT r3 #3):
+    // `within_envelope = exact_pctl(p−δ) ≤ approx ≤ exact_pctl(p+δ)`
+    // with δ = 0.01. Any data value whose rank is within δ·(n−1) of the
+    // target sits inside that bracket; GK's rank error is ε·n plus ≤ 1
+    // rank of convention skew vs the interpolated exact percentile —
+    // comfortably under δ·(n−1) ≥ 3 at the smallest fixture group
+    // (~300 rows). The oracle expects literal 1s alongside the
+    // hash-matched group keys.
+    (s, d) => {
+      val delta = 0.01
+      def ok(p: Double, label: String): Column =
+        expr(s"approx_percentile(o_totalprice, $p, 10000)")
+          .between(expr(s"percentile(o_totalprice, ${p - delta})"),
+            expr(s"percentile(o_totalprice, ${p + delta})"))
+          .cast("int").as(s"${label}_within_envelope")
+      t(s, d)("orders")
+        .groupBy("o_orderpriority")
+        .agg(ok(0.25, "p25"), ok(0.5, "p50"), ok(0.75, "p75"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  CAST(1 AS INT) AS p25_within_envelope,
+           |  CAST(1 AS INT) AS p50_within_envelope,
+           |  CAST(1 AS INT) AS p75_within_envelope
+           |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
 
   private val aggPivot = Declared(
     "agg_pivot",

@@ -34,14 +34,15 @@ object WindowQueries {
     (s, d) => Windows.sessions(Tables(s, d, "events"), gap = "10 minutes")
       .orderBy("user_id", "w_start"),
     Some("""WITH o AS (
-           |  SELECT user_id, ts, value,
+           |  SELECT user_id, ts, value, event_id,
            |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
            |                                      ORDER BY ts, event_id)
            |                   < INTERVAL 10 MINUTE
            |              THEN 0 ELSE 1 END AS brk
            |  FROM events),
            |g AS (
-           |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+           |                           ORDER BY ts, event_id
            |                           ROWS UNBOUNDED PRECEDING) AS grp
            |  FROM o)
            |SELECT min(ts) AS w_start,

@@ -62,26 +62,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("approx_count_distinct lands within the rsd envelope of exact") {
+  test("approx_count_distinct envelope verdict: exact cols match, flags set") {
     def one(name: String) =
       Relational.all.find(_.name == name).get.run(spark, sf).collect()(0)
     val exact = one("agg_distinct")
     val approx = one("agg_approx_distinct")
+    // cols 0/1 are the exact counts (hash-matched against the oracle)
     Seq(0, 1).foreach { i =>
-      val (e, a) = (exact.getLong(i).toDouble, approx.getLong(i).toDouble)
-      // rsd 1%: allow 5 sigma
-      assert(math.abs(a - e) / e < 0.05, s"col $i: approx $a vs exact $e")
+      assert(approx.getLong(i) === exact.getLong(i), s"exact col $i")
+    }
+    // cols 2/3 are the 3·rsd envelope verdicts the oracle expects as 1
+    Seq(2, 3).foreach { i =>
+      assert(approx.getInt(i) === 1, s"envelope flag col $i")
     }
   }
 
-  test("approx_percentile rank error is within epsilon of the sort") {
+  test("approx_percentile envelope verdict holds and matches the sort") {
     val rows = Relational.all.find(_.name == "agg_approx_quantiles").get
       .run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every per-group flag must be 1 — the literal the oracle expects
+    rows.foreach { r =>
+      Seq(1, 2, 3).foreach(i => assert(r.getInt(i) === 1,
+        s"${r.getString(0)} flag col $i"))
+    }
+    // independent rank-error check of the raw sketch against the sort
+    import org.apache.spark.sql.functions.expr
+    val raw = graft.core.Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.25, 10000)").as("p25"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.75, 10000)").as("p75"))
+      .collect()
     val orders = graft.core.Tables(spark, sf, "orders")
       .select("o_orderpriority", "o_totalprice").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
       .map { case (k, v) => k -> v.map(_._2).sorted }
-    rows.foreach { r =>
+    raw.foreach { r =>
       val sortedVals = orders(r.getString(0))
       val n = sortedVals.length
       Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3).foreach { case (p, i) =>
