@@ -75,8 +75,18 @@ object Dedup {
     (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.analyzed.canonicalized)
 
-  private def memoized(key: AnyRef)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent(key, _ => build)
+  // get-then-putIfAbsent rather than computeIfAbsent: memo entries build
+  // on each other (pairs → signatures), and a nested computeIfAbsent on
+  // the same map throws "Recursive update"
+  private def memoized(key: AnyRef)(build: => DataFrame): DataFrame = {
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val raced = memo.putIfAbsent(key, built)
+      if (raced != null) raced else built
+    }
+  }
 
   /** Drop all memoized intermediates (tests / bench isolation). */
   def clearCache(): Unit = memo.clear()
