@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.Relational
+import graft.ml.{MlQueries, Similarity}
+import graft.core.Tables
+
+/** Physical-plan shape assertions — the `.explain` audit as permanent
+  * regression tests. Every 100 TB claim in the Scaladoc that has a plan
+  * signature (broadcast joins, predicate pushdown, column pruning,
+  * whole-stage codegen, no cartesian products) is asserted here, so a
+  * refactor that silently de-optimizes a flagship plan fails the suite
+  * instead of only showing up in the next bench round. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+  private def planString(df: DataFrame): String =
+    planOf(df).toString
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("j_inner_broadcast: both dims broadcast, fact side never shuffles for the joins") {
+    val s = planString(run("j_inner_broadcast"))
+    assert(s.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "star-schema rollup must not sort-merge the fact side")
+  }
+
+  test("q1_agg_pricing: shipdate filter reaches the parquet scan, columns pruned") {
+    val s = planString(run("q1_agg_pricing"))
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate predicate must push into the scan:\n${s.take(800)}")
+    // projection needs 7 of lineitem's 16 columns; the scan must not
+    // read the rest (l_comment is the big one)
+    assert(!s.contains("l_comment"), "column pruning lost: l_comment read")
+  }
+
+  test("s1_scan_project_sort: scan reads only the projected columns") {
+    val s = planString(run("s1_scan_project_sort"))
+    val read = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("c_comment") && !read.contains("c_address"),
+      s"projection must prune unused columns: $read")
+  }
+
+  test("j2_semi_exists: EXISTS plans as a semi join, not an aggregate+join") {
+    val s = planString(run("j2_semi_exists"))
+    assert(s.contains("LeftSemi"), "EXISTS must plan as left-semi")
+  }
+
+  test("cosine top-k: query block broadcast, corpus side never exchanges before scoring") {
+    val plan = planString(
+      Similarity.cosineTopKFast(Tables(spark, sf, "embeddings")))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "query block must broadcast against the corpus")
+    // the only exchange allowed below the window is the broadcast; the
+    // corpus scan must feed the join directly
+    val beforeWindow = plan.split("Window").last
+    assert(!beforeWindow.contains("Exchange hashpartitioning"),
+      "corpus must not hash-exchange before scoring")
+  }
+
+  test("no query plans a non-broadcast cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("cdc_"))
+      .filter { n =>
+        val s = planString(run(n))
+        s.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty,
+      s"cartesian products (non-broadcast cross joins) in: $offenders")
+  }
+
+  test("flagship aggregates keep whole-stage codegen spans") {
+    // AQE finalizes the physical plan only on execution; codegen'd
+    // nodes then print with a "*(n)" stage prefix
+    Seq("q1_agg_pricing", "a6_lww_maxby", "agg_salted_skew").foreach { n =>
+      val qe = run(n).queryExecution
+      // execute through THIS QueryExecution (a .write would plan a fresh
+      // one and leave this AdaptiveSparkPlan unfinalized)
+      qe.executedPlan.execute().foreach(_ => ())
+      val s = qe.executedPlan.toString
+      assert(s.contains("*("), s"$n lost whole-stage codegen:\n${s.take(600)}")
+    }
+  }
+
+  test("salted aggregate is two phases over one fact scan") {
+    val s = planString(run("agg_salted_skew"))
+    // two hash-aggregate pairs (partial+final per phase); a plan that
+    // collapsed the salt would show only one exchange
+    val exchanges = s.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges >= 2, s"expected the two-phase shape, got $exchanges exchanges")
+  }
+}
