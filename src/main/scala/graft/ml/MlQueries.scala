@@ -524,10 +524,66 @@ object MlQueries {
            |       / CAST(257 AS FLOAT) AS DOUBLE) AS f0
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Chains the second typed stage (batched resize) onto the decode —
+    * scale factors are single IEEE double divisions of oracle-checked
+    * integer dims, so the values are engine-exact. */
+  private val mediaResize = Declared(
+    "ml_media_resize",
+    (s, d) => Multimodal
+      .resizeAll(Multimodal.decodeAll(s,
+        Multimodal.asMedia(Tables(s, d, "documents"))))
+      .toDF()
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_w").cast("long").as("out_w"),
+        col("out_h").cast("long").as("out_h"),
+        col("scale_x"), col("scale_y"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg'
+           |       WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+           |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           |  CAST(224 AS BIGINT) AS out_w, CAST(224 AS BIGINT) AS out_h,
+           |  CAST(224 AS DOUBLE) / w AS scale_x,
+           |  CAST(224 AS DOUBLE) / h AS scale_y
+           |FROM (SELECT doc_id,
+           |        (ascii(substr(text, 1, 1)) * 5) % 1024 + 16 AS w,
+           |        (ascii(substr(text, 2, 1)) * 3) % 1024 + 16 AS h
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Frame sampling as pure column ops: payload → ≤ 8 evenly-strided
+    * 100-byte frames, each sliced from the binary column and md5'd. */
+  private val mediaFrames = Declared(
+    "ml_media_frames",
+    (s, d) => Multimodal
+      .frameSample(Multimodal.asMedia(Tables(s, d, "documents")))
+      .orderBy("doc_id", "frame_idx"),
+    Some(s"""WITH v AS (
+            |  SELECT doc_id,
+            |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg'
+            |         WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+            |    text,
+            |    greatest(1, CAST(length(text) // ${Multimodal.FrameBytes}
+            |                     AS INT)) AS n_frames
+            |  FROM documents),
+            |f AS (
+            |  SELECT doc_id, format, n_frames, CAST(i AS BIGINT) AS frame_idx,
+            |    md5(substr(text,
+            |        CAST(i AS INT) * ${Multimodal.FrameBytes} + 1,
+            |        ${Multimodal.FrameBytes})) AS frame_sig
+            |  FROM v, unnest(range(0, n_frames,
+            |    greatest(1, (n_frames + ${Multimodal.MaxFramesPerDoc - 1})
+            |                // ${Multimodal.MaxFramesPerDoc}))) AS t(i))
+            |SELECT doc_id, format, CAST(n_frames AS BIGINT) AS n_frames,
+            |       frame_idx, frame_sig
+            |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
+
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, levNear, charGramJac,
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
     cosineTopk, cosineTopkFast, annIvf, embedNearDup,
     textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
-    mediaMeta, mediaDecode)
+    mediaMeta, mediaDecode, mediaResize, mediaFrames)
 }

@@ -13,6 +13,12 @@ final case class MediaItem(doc_id: Long, format: String,
 final case class MediaFeatures(doc_id: Long, format: String,
     n_bytes: Long, width: Int, height: Int, feature: Array[Float])
 
+/** Stub resize output: original + target geometry and the scale
+  * factors a real resampler would apply. */
+final case class ResizedMedia(doc_id: Long, format: String,
+    width: Int, height: Int, out_w: Int, out_h: Int,
+    scale_x: Double, scale_y: Double)
+
 /** Multimodal column handling: binary payloads with typed metadata, and
   * a batched decode/feature-extract pipeline.
   *
@@ -66,5 +72,57 @@ object Multimodal {
     media.as[MediaItem].mapPartitions { it =>
       it.grouped(BatchSize).flatMap(g => decodeStub(g.toSeq))
     }
+  }
+
+  /** Deterministic fake resize for one batch: a real implementation
+    * hands the decoded pixel buffers to a native resampler; the scale
+    * factors (one IEEE double division each) are what downstream
+    * geometry consumers need either way. */
+  def resizeStub(batch: Seq[MediaFeatures], outW: Int, outH: Int)
+      : Seq[ResizedMedia] =
+    batch.map { m =>
+      ResizedMedia(m.doc_id, m.format, m.width, m.height, outW, outH,
+        outW.toDouble / m.width, outH.toDouble / m.height)
+    }
+
+  /** Second typed pipeline stage: batched resize chained on the decode —
+    * the decode → transform → (train) shape, still zero-shuffle. */
+  def resizeAll(feats: Dataset[MediaFeatures], outW: Int = 224,
+      outH: Int = 224): Dataset[ResizedMedia] = {
+    import feats.sparkSession.implicits._
+    feats.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(g => resizeStub(g.toSeq, outW, outH))
+    }
+  }
+
+  val FrameBytes = 100
+  val MaxFramesPerDoc = 8
+
+  /** Frame sampling for "video" payloads, as pure column expressions (no
+    * UDF): the payload is treated as n_bytes/[[FrameBytes]] fixed-size
+    * frames; an evenly-strided sample of at most [[MaxFramesPerDoc]]
+    * frame indices explodes per document and each sampled frame is
+    * sliced straight out of the binary column and content-hashed.
+    * Scale: the explode fans out ≤ [[MaxFramesPerDoc]] rows per doc (a
+    * bounded lateral, never O(payload)), and everything stays in one
+    * codegen stage — no shuffle, no driver involvement. */
+  def frameSample(media: DataFrame): DataFrame = {
+    val nFrames = greatest(lit(1),
+      (length(col("payload")) / FrameBytes).cast("int"))
+    val stride = (nFrames + (MaxFramesPerDoc - 1)) / MaxFramesPerDoc
+    media
+      .select(col("doc_id"), col("format"), col("payload"),
+        nFrames.as("n_frames"),
+        greatest(lit(1), stride).cast("int").as("stride"))
+      .select(col("doc_id"), col("format"), col("n_frames").cast("long")
+          .as("n_frames"),
+        explode(sequence(lit(0), col("n_frames").cast("int") - 1,
+          col("stride"))).as("frame_idx"),
+        col("payload"))
+      .select(col("doc_id"), col("format"), col("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("payload").substr(
+          col("frame_idx").cast("int") * FrameBytes + 1, lit(FrameBytes)))
+          .as("frame_sig"))
   }
 }
