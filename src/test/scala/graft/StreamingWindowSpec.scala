@@ -78,4 +78,35 @@ class StreamingWindowSpec extends AnyFunSuite {
         (2L, ts(2), ts(12), 1L, 8.0)))
     } finally q.stop()
   }
+
+  private case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  test("streaming dedup: first occurrence passes, dupes drop, state expires") {
+    val in = MemoryStream[Doc](spark)
+    val q = graft.streaming.StreamingDedup
+      .distinctDocs(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sdedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two distinct texts + an in-batch duplicate
+      in.addData(Doc(1, "alpha", ts(0)), Doc(2, "beta", ts(1)),
+        Doc(3, "alpha", ts(2)))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate within the watermark → dropped
+      in.addData(Doc(4, "alpha", ts(5)))
+      q.processAllAvailable()
+      def ids = spark.table("sdedup_sink").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids === Set(1L, 2L), "only first occurrences may pass")
+
+      // advance the watermark far past ts(2): alpha's state expires
+      in.addData(Doc(5, "gamma", ts(40)))
+      q.processAllAvailable()
+      // a re-arrival AFTER expiry is re-admitted (bounded-state trade)
+      in.addData(Doc(6, "alpha", ts(41)))
+      q.processAllAvailable()
+      assert(ids === Set(1L, 2L, 5L, 6L),
+        "post-expiry duplicate must be re-admitted, proving state eviction")
+    } finally q.stop()
+  }
 }
