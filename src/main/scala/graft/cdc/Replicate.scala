@@ -498,13 +498,23 @@ object Replicate {
     if (deltaDirs.isEmpty) return
     // the combined-delta side of the merge is bucket-partitioned, so the
     // join reuses it (only base rows shuffle) and the merged output
-    // stays bucket-aligned: one file per bucket, no extra exchange
+    // stays bucket-aligned: one file per bucket, no extra exchange.
+    // Spark ≥3.3 only honors subset partitionings for join co-partition
+    // when requireAllClusterKeysForCoPartition is off; default-on would
+    // re-shuffle BOTH sides on (bucket, id) and the hash(bucket,id)
+    // clustering would spray every bucket across every write task —
+    // numBuckets × numTasks files at scale instead of one per bucket.
+    // Scoped set/restore: compaction is driver-side single-writer.
     val merged = mergedView(spark, fs, replicaDir, deltaDirs, numBuckets,
       joinKeys = Seq(BucketCol, "id"))
     val tmpDir = s"$replicaDir.__tmp"
     fs.delete(new Path(tmpDir), true)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevCoPart = spark.conf.get(coPartKey, "true")
+    spark.conf.set(coPartKey, "false")
+    try merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(tmpDir)
+    finally spark.conf.set(coPartKey, prevCoPart)
     if (!fs.exists(base)) check(fs.mkdirs(base), s"mkdirs $base")
     // swap every bucket present before OR after: a bucket absent from
     // the merged output had all its keys deleted — dropping it IS the
