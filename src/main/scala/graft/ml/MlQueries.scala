@@ -342,6 +342,51 @@ object MlQueries {
                  |  JOIN qv ON qv.query_id = p.query_id AND qv.i = e.i
                  |  GROUP BY p.query_id, e.vec_id)""".stripMargin)}""".stripMargin))
 
+  /** SRP-LSH oracle: hyperplanes regenerated from the same md5 hash
+    * (`srp:t:h:i` → centered weight), sign bits → per-table buckets,
+    * query probes = exact bucket + every one-bit flip, candidates
+    * reranked by the shared exact-cosine tail. */
+  private val annSrp = Declared(
+    "ml_ann_lsh",
+    (s, d) => Similarity.srpTopK(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |hp AS (
+            |  SELECT t.t, h.h, i.i,
+            |         ${sqlHash60(s"'srp:' || t.t || ':' || h.h || ':' || i.i")}
+            |           % 2001 - 1000 AS r
+            |  FROM range(0, ${Similarity.SrpTables}) t(t),
+            |       range(0, ${Similarity.SrpBits}) h(h),
+            |       range(1, 65) i(i)),
+            |bits AS (
+            |  SELECT e.vec_id, p.t, p.h,
+            |         CASE WHEN sum(e.q * p.r) >= 0 THEN 1 ELSE 0 END AS b
+            |  FROM qe e JOIN hp p ON e.i = p.i
+            |  GROUP BY e.vec_id, p.t, p.h),
+            |buck AS (
+            |  SELECT vec_id, t, CAST(sum(b * (1 << h)) AS BIGINT) AS bk
+            |  FROM bits GROUP BY vec_id, t),
+            |flips AS (
+            |  SELECT CAST(0 AS BIGINT) AS fl
+            |  UNION ALL
+            |  SELECT CAST(1 << h AS BIGINT) FROM range(0, ${Similarity.SrpBits}) h(h)),
+            |probes AS (
+            |  SELECT b.vec_id AS query_id, b.t, xor(b.bk, f.fl) AS bk
+            |  FROM buck b, flips f WHERE b.vec_id % $QueryStride = 0),
+            |cand AS (
+            |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+            |  FROM probes p
+            |  JOIN buck c ON c.t = p.t AND c.bk = p.bk
+            |             AND c.vec_id <> p.query_id),
+            |${topkTailSql(
+              s"""dots AS (
+                 |  SELECT cd.query_id, cd.neighbor_id, sum(qv.q * e.q) AS d
+                 |  FROM cand cd
+                 |  JOIN qe e ON e.vec_id = cd.neighbor_id
+                 |  JOIN qe qv ON qv.vec_id = cd.query_id AND qv.i = e.i
+                 |  GROUP BY cd.query_id, cd.neighbor_id)""".stripMargin)}"""
+      .stripMargin))
+
   private val embedNearDup = Declared(
     "ml_embed_neardup",
     (s, d) => Similarity.embeddingNearDups(Tables(s, d, "embeddings"),
@@ -583,7 +628,7 @@ object MlQueries {
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, levNear, charGramJac,
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
-    cosineTopk, cosineTopkFast, annIvf, embedNearDup,
+    cosineTopk, cosineTopkFast, annIvf, annSrp, embedNearDup,
     textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)
 }

@@ -170,6 +170,43 @@ class MlSpec extends AnyFunSuite {
     assert(ivf === expected)
   }
 
+  test("SRP-LSH top-k is exactly brute force restricted to its candidates, and prunes the scan") {
+    // the mechanical LSH guarantee (corpus-independent): results are the
+    // true top-k among bucket-colliding candidates. Absolute recall is a
+    // property of the data's similarity regime — SRP is sharp at
+    // cos ≥ 0.8, and this fixture's neighbors sit near cos 0.35.
+    val buck = Similarity.srpBuckets(emb).as[(Long, Long, Long)].collect()
+    val byVec = buck.groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val nVec = byVec.size
+    val probe = (qid: Long) => byVec(qid).flatMap { case (t, bk) =>
+      (Seq(0L) ++ (0 until Similarity.SrpBits).map(1L << _))
+        .map(fl => (t, bk ^ fl))
+    }
+    val candOf = byVec.keys.filter(_ % Similarity.QueryStride == 0)
+      .map { q =>
+        val probes = probe(q)
+        q -> byVec.keys.filter(v => v != q &&
+          byVec(v).exists(probes.contains)).toSet
+      }.toMap
+    val bruteAll = Similarity.cosineTopK(emb, k = Int.MaxValue - 1)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val expected = bruteAll.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.filter(r => candOf(q).contains(r._2))
+        .sortBy(r => (-r._3, r._2)).take(Similarity.TopK)
+        .map(r => (q, r._2)).toSeq
+    }.toSet
+    val srp = Similarity.srpTopK(emb).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(srp === expected)
+    // and the candidate set must actually prune: no query may scan the
+    // whole corpus (that would mean the buckets are degenerate)
+    val worst = candOf.values.map(_.size).max
+    assert(worst < nVec - 1,
+      s"SRP candidates degenerate to a full scan: $worst of ${nVec - 1}")
+  }
+
   test("quantized cosine ≈ float cosine (error < 1e-4)") {
     val exact = emb.select(col("vec_id"), col("embedding")).limit(2)
       .as[(Long, Array[Float])].collect()
