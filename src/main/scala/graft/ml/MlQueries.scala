@@ -463,6 +463,46 @@ object MlQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Repetition-filter oracle: word 2-/3-gram windows from the same
+    * string_split, duplicate mass and top-gram concentration as
+    * integer-ratio doubles, keep verdict at the same thresholds. */
+  private val repetition = Declared(
+    "ml_repetition",
+    (s, d) => TextAnalysis.repetition(Tables(s, d, "documents")),
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            |g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS sh
+            |       FROM toks, unnest(range(1, len(tk))) AS t(i)),
+            |g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+            |       FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)),
+            |c2 AS (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY 1, 2),
+            |c3 AS (SELECT doc_id, sh, count(*) AS c FROM g3 GROUP BY 1, 2),
+            |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+            |              count(*) AS d, max(c) AS t
+            |       FROM c2 GROUP BY 1),
+            |s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+            |              count(*) AS d, max(c) AS t
+            |       FROM c3 GROUP BY 1)
+            |SELECT doc_id, n_2gram, dup_2gram_frac, top_2gram_frac,
+            |       n_3gram, dup_3gram_frac,
+            |       CAST(dup_2gram_frac <= ${TextAnalysis.Dup2Max} AND
+            |            top_2gram_frac <= ${TextAnalysis.Top2Max} AS INT)
+            |         AS keep
+            |FROM (
+            |  SELECT dd.doc_id,
+            |    coalesce(s2.n, 0) AS n_2gram,
+            |    coalesce(CAST(s2.n - s2.d AS DOUBLE) / s2.n, 0.0)
+            |      AS dup_2gram_frac,
+            |    coalesce(CAST(s2.t AS DOUBLE) / s2.n, 0.0)
+            |      AS top_2gram_frac,
+            |    coalesce(s3.n, 0) AS n_3gram,
+            |    coalesce(CAST(s3.n - s3.d AS DOUBLE) / s3.n, 0.0)
+            |      AS dup_3gram_frac
+            |  FROM documents dd
+            |  LEFT JOIN s2 ON s2.doc_id = dd.doc_id
+            |  LEFT JOIN s3 ON s3.doc_id = dd.doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
   private val tokenCounts = Declared(
     "ml_token_counts",
     (s, d) => TextAnalysis.tokenCounts(Tables(s, d, "documents")),
@@ -629,6 +669,6 @@ object MlQueries {
     dedupExact, minhashSig, dedupNear, levNear, charGramJac,
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
     cosineTopk, cosineTopkFast, annIvf, annSrp, embedNearDup,
-    textStats, langId, tokenCounts, tfidfTopTerms, fingerprint,
+    textStats, langId, tokenCounts, repetition, tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)
 }

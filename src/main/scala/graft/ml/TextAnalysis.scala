@@ -118,6 +118,47 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Gopher-ish repetition thresholds (Rae et al. '21, table A1 —
+    * values illustrative; the operator is the machinery). */
+  val Dup2Max = 0.2
+  val Top2Max = 0.3
+
+  /** Repetition quality filters per document (Rae et al., Gopher '21
+    * §A1.1): duplicate n-gram mass (`1 − distinct/total`) and top-gram
+    * concentration (`max_count/total`) for word 2- and 3-grams, plus the
+    * keep verdict against [[Dup2Max]]/[[Top2Max]]. Docs too short for a
+    * k-gram count as zero-repetition (kept).
+    *
+    * Scale: two explode → (doc, gram) count → per-doc aggregate passes,
+    * each one corpus-wide shuffle on doc_id; the second aggregate and
+    * the final join all reuse the doc_id partitioning. All ratios are
+    * integer-ratio doubles — engine-exact. */
+  def repetition(docs: DataFrame): DataFrame = {
+    def gramStats(k: Int): DataFrame =
+      shingleRows(docs, k)
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n"), count(lit(1)).as("d"),
+          max(col("c")).as("t"))
+        .select(col("doc_id"), col("n").as(s"n_${k}gram"),
+          ((col("n") - col("d")).cast("double") / col("n"))
+            .as(s"dup_${k}gram_frac"),
+          (col("t").cast("double") / col("n")).as(s"top_${k}gram_frac"))
+    docs.select("doc_id")
+      .join(gramStats(2), Seq("doc_id"), "left")
+      .join(gramStats(3), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_2gram"), lit(0L)).as("n_2gram"),
+        coalesce(col("dup_2gram_frac"), lit(0.0)).as("dup_2gram_frac"),
+        coalesce(col("top_2gram_frac"), lit(0.0)).as("top_2gram_frac"),
+        coalesce(col("n_3gram"), lit(0L)).as("n_3gram"),
+        coalesce(col("dup_3gram_frac"), lit(0.0)).as("dup_3gram_frac"))
+      .withColumn("keep",
+        (col("dup_2gram_frac") <= Dup2Max &&
+          col("top_2gram_frac") <= Top2Max).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val GramLen = 8
   val WinnowWindow = 4
 
