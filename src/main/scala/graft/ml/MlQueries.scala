@@ -387,6 +387,22 @@ object MlQueries {
                  |  GROUP BY cd.query_id, cd.neighbor_id)""".stripMargin)}"""
       .stripMargin))
 
+  /** JL projection oracle: same md5-derived weight matrix, long-form
+    * integer dot per (vector, target dim). */
+  private val randProj = Declared(
+    "ml_rand_proj",
+    (s, d) => Similarity.randomProjection(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |pw AS (
+            |  SELECT d.d, i.i,
+            |         ${sqlHash60("'srp:' || (100 + d.d) || ':0:' || i.i")}
+            |           % 2001 - 1000 AS r
+            |  FROM range(0, ${Similarity.ProjDims}) d(d), range(1, 65) i(i))
+            |SELECT e.vec_id, p.d, CAST(sum(e.q * p.r) AS BIGINT) AS pv
+            |FROM qe e JOIN pw p ON e.i = p.i
+            |GROUP BY e.vec_id, p.d
+            |ORDER BY vec_id, d""".stripMargin))
+
   private val embedNearDup = Declared(
     "ml_embed_neardup",
     (s, d) => Similarity.embeddingNearDups(Tables(s, d, "embeddings"),
@@ -668,7 +684,7 @@ object MlQueries {
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, levNear, charGramJac,
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
-    cosineTopk, cosineTopkFast, annIvf, annSrp, embedNearDup,
+    cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, embedNearDup,
     textStats, langId, tokenCounts, repetition, tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)
 }

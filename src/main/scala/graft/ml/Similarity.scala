@@ -213,6 +213,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Johnson–Lindenstrauss target dimension for [[randomProjection]]. */
+  val ProjDims = 16
+
+  /** Random projection to [[ProjDims]] dims (Johnson–Lindenstrauss /
+    * Achlioptas '03): proj_d = Σ_i q_i · r(d,i) with the same centered
+    * md5-derived integer weights as the SRP hyperplanes — exact integer
+    * sums, engine-identical. Distances contract to the lower dimension
+    * with bounded distortion, so downstream ANN / clustering runs on a
+    * 4× narrower vector. One codegen'd projection per row (native
+    * fused-loop dots against literal weight arrays) — no shuffle; the
+    * long-form output (vec_id, d, pv) is emitted via `stack` for the
+    * cross-engine compare. */
+  def randomProjection(emb: DataFrame): DataFrame = {
+    val projCols = (0 until ProjDims).map { d =>
+      dotQ(col("q"), typedlit(srpWeights(100 + d, 0))).as(s"p$d")
+    }
+    val stackArgs = (0 until ProjDims).map(d => s"bigint($d), p$d")
+      .mkString(", ")
+    quantized(emb).select(col("vec_id") +: projCols: _*)
+      .selectExpr("vec_id", s"stack($ProjDims, $stackArgs) AS (d, pv)")
+      .orderBy("vec_id", "d")
+  }
+
   /** Embedding near-duplicates, blocked by coarse cluster: same-label
     * pairs with cosine ≥ `minCos`. The label equi-join is the blocking
     * key (near-dups co-cluster), so the pair space is Σ|cell|², not n².
