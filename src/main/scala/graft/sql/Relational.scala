@@ -245,6 +245,38 @@ object Relational {
            |  CAST(1 AS INT) AS supps_within_envelope
            |FROM lineitem""".stripMargin))
 
+  private val aggHeavyHitters = Declared(
+    "agg_heavy_hitters",
+    // Count-min-sketch heavy hitters (Cormode & Muthukrishnan '05):
+    // the sketch is built in ONE pass (one mergeable w×d counter grid
+    // per partition — at 100 TB, executors emit tiny sketches and the
+    // driver merges, never shuffling values), then the exact top-10 hot
+    // keys are probed against it. Like the other approx twins, the raw
+    // estimates are engine-specific, so the emitted row is the exact
+    // count (hash-matched vs DuckDB) plus the CMS envelope verdict:
+    // est ≥ exact (CMS never undercounts — the sharp side) and
+    // est ≤ exact + ε·N w.p. ≥ 1−δ. Seeded → deterministic. The 10-row
+    // collect is bounded by k and documented.
+    (s, d) => {
+      import s.implicits._
+      val li = t(s, d)("lineitem")
+      val eps = 1e-4
+      val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+        .as[(Long, Long)].collect()
+      val cms = li.stat.countMinSketch("l_partkey", eps,
+        0.99, 42)
+      val slack = (eps * cms.totalCount()).toLong
+      exact.toSeq.map { case (k, c) =>
+        val est = cms.estimateCount(Long.box(k))
+        (k, c, if (est >= c && est <= c + slack) 1 else 0)
+      }.toDF("l_partkey", "cnt", "within_envelope")
+    },
+    Some("""SELECT l_partkey, count(*) AS cnt,
+           |  CAST(1 AS INT) AS within_envelope
+           |FROM lineitem GROUP BY 1
+           |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin))
+
   private val aggRollup = Declared(
     "agg_rollup",
     (s, d) => t(s, d)("orders")
@@ -946,7 +978,7 @@ object Relational {
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
-    q1AggPricing, aggDistinct, aggApproxDistinct, aggRollup, aggCube,
+    q1AggPricing, aggDistinct, aggApproxDistinct, aggHeavyHitters, aggRollup, aggCube,
     aggStats,
     jInnerBroadcast, j2SemiExists, j3AntiJoin, jLeftOuterCount, jFullOuter,
     jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,
