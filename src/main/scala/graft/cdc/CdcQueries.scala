@@ -113,5 +113,54 @@ object CdcQueries {
     Some(s"""SELECT lsn, action, id, name, uid, score, created_at
            |FROM read_parquet('$changelogPq/*.parquet') ORDER BY lsn""".stripMargin))
 
-  val all: Seq[Declared] = Seq(replicateE2e, parseChangelog)
+  private val linesPq = s"$FixtureDir/cdc_rawlines.parquet"
+
+  /** Dead-letter classification of a raw change log (T9): the generated
+    * log (with its standard audit-table + malformed noise) plus injected
+    * bad-action and missing-id lines, classified per line and counted by
+    * verdict. The oracle re-derives every verdict from the RAW LINES via
+    * DuckDB's JSON functions — engine-independent semantics, not a dump
+    * of our own answer. */
+  private val quarantine = Declared(
+    "cdc_quarantine",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 11L, n = 600)
+      val dir = Files.createTempDirectory("graft-cdc-quar").toString
+      ChangeGen.writeBatches(dir, ops, batches = 3)
+      Files.write(java.nio.file.Paths.get(dir, "batch_bad.json"),
+        (Seq(ChangeGen.badActionLine(910001L),
+          ChangeGen.badActionLine(910002L),
+          ChangeGen.missingIdLine(910003L)))
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val lines = s.read.text(dir)
+      lines.coalesce(1).write.mode(SaveMode.Overwrite).parquet(linesPq)
+      ChangeSource.quarantineSummary(lines)
+    },
+    Some(s"""WITH lines AS (
+           |  SELECT value FROM read_parquet('$linesPq/*.parquet')
+           |), parsed AS (
+           |  SELECT json_transform(value,
+           |    '{"action":"VARCHAR","table":"VARCHAR",
+           |      "columns":[{"name":"VARCHAR"}],
+           |      "identity":[{"name":"VARCHAR"}]}') AS j
+           |  FROM lines WHERE json_valid(value)
+           |), cls AS (
+           |  SELECT CASE
+           |    WHEN j.action IS NULL OR j.action NOT IN ('I','U','D')
+           |      THEN 'bad_action'
+           |    WHEN coalesce(j."table", '') <> 'person' THEN 'unknown_table'
+           |    WHEN coalesce(len(list_filter(j.columns,
+           |           c -> c.name = 'id')), 0) = 0
+           |     AND coalesce(len(list_filter(j.identity,
+           |           c -> c.name = 'id')), 0) = 0 THEN 'missing_id'
+           |    ELSE 'ok' END AS verdict
+           |  FROM parsed
+           |  UNION ALL
+           |  SELECT 'malformed_json' AS verdict
+           |  FROM lines WHERE NOT json_valid(value)
+           |)
+           |SELECT verdict, count(*) AS n FROM cls
+           |GROUP BY verdict ORDER BY verdict""".stripMargin))
+
+  val all: Seq[Declared] = Seq(replicateE2e, parseChangelog, quarantine)
 }

@@ -109,6 +109,16 @@ object ChangeGen {
     s"""{"lsn":$lsn,"action":"I","timestamp":"2026-01-01 00:00:00.000000+00","schema":"public","table":"audit","columns":[{"name":"id","type":"integer","value":$lsn}]}"""
   val malformedLine: String = """{"action":"I","table":"person" THIS IS NOT JSON"""
 
+  /** Valid envelope with an action code outside I/U/D (quarantine:
+    * bad_action). */
+  def badActionLine(lsn: Long): String =
+    s"""{"lsn":$lsn,"action":"X","timestamp":"2026-01-01 00:00:00.000000+00","schema":"public","table":"person","columns":[{"name":"id","type":"integer","value":$lsn}]}"""
+
+  /** Valid person-table envelope with no id in either image (quarantine:
+    * missing_id). */
+  def missingIdLine(lsn: Long): String =
+    s"""{"lsn":$lsn,"action":"I","timestamp":"2026-01-01 00:00:00.000000+00","schema":"public","table":"person","columns":[{"name":"name","type":"character varying(100)","value":"ghost"}]}"""
+
   /** Split ops into micro-batch files under `dir` (one file = one slot
     * poll, replicator/main.go:154-166), interleaving noise lines. */
   def writeBatches(dir: String, ops: Seq[Op], batches: Int,

@@ -42,6 +42,46 @@ object ChangeSource {
       .filter(col("c").isNull || col("c.action").isNull)
       .count()
 
+  /** Envelope extended with a corrupt-record capture column: Spark's
+    * PERMISSIVE from_json never nulls the struct (a malformed line
+    * yields all-null FIELDS, indistinguishable from a valid object
+    * missing them) — the corrupt column is the reliable malformed
+    * signal. */
+  private val quarantineSchema =
+    envelope.add(org.apache.spark.sql.types.StructField("_corrupt",
+      org.apache.spark.sql.types.StringType))
+
+  /** T9 upgraded from drop-and-count to full dead-letter routing: every
+    * raw line gets a verdict — `malformed_json` (unparseable),
+    * `bad_action` (action missing or ∉ I/U/D), `unknown_table` (routing
+    * reject, replicator/main.go:191-193), `missing_id` (no PK in either
+    * image), or `ok`. One narrow codegen'd projection, no shuffle; a
+    * production pipeline writes the non-ok rows to a quarantine sink and
+    * feeds the `ok` rows to [[parse]]. */
+  def classify(lines: DataFrame): DataFrame = {
+    val c = from_json(col("value"), quarantineSchema,
+      Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    val idVal = coalesce(
+      element_at(map_from_arrays(col("c.columns.name"),
+        col("c.columns.value")), "id"),
+      element_at(map_from_arrays(col("c.identity.name"),
+        col("c.identity.value")), "id")).cast("int")
+    lines.select(col("value"), c.as("c"))
+      .select(col("value"),
+        when(col("c._corrupt").isNotNull, lit("malformed_json"))
+          .when(coalesce(col("c.action").isin("I", "U", "D"), lit(false))
+            === false, lit("bad_action"))
+          .when(coalesce(col("c.table"), lit("")) =!= "person",
+            lit("unknown_table"))
+          .when(idVal.isNull, lit("missing_id"))
+          .otherwise(lit("ok")).as("verdict"))
+  }
+
+  /** Quarantine audit: line counts by verdict. */
+  def quarantineSummary(lines: DataFrame): DataFrame =
+    classify(lines).groupBy("verdict").agg(count(lit(1)).as("n"))
+      .orderBy("verdict")
+
   /** envelope JSON → filter table='person' (F2) → pivot columns/identity
     * arrays to a map (X13, map_from_arrays) → typed columns. */
   def parse(lines: DataFrame): Dataset[PersonChange] = {

@@ -530,6 +530,24 @@ object Replicate {
     deltaDirs.foreach(d => check(fs.delete(d, true), s"drop delta $d"))
   }
 
+  /** Truncate the replica (S9 — `TRUNCATE TABLE person RESTART IDENTITY`
+    * before a subscription re-copy, pubsub/main.go:88): drop every
+    * bucket, the delta log, and the compaction watermark, leaving an
+    * empty replica root ready for a fresh [[snapshot]] + stream. Also
+    * clears any crashed-swap aside dirs (they reference truncated
+    * state). */
+  def truncate(spark: SparkSession, replicaDir: String): Unit = {
+    val (fs, base) = fsOf(spark, replicaDir)
+    if (fs.exists(base)) {
+      fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(BucketCol + "=") || n.startsWith(AsidePrefix) ||
+            n == DeltaDirName)
+          check(fs.delete(st.getPath, true), s"truncate $n")
+      }
+    }
+  }
+
   /** Initial snapshot (phase 2 of the replicator,
     * replicator/main.go:98-140): bulk-load existing rows into the replica.
     * Static overwrite (explicit, per-write — never a session-level mode

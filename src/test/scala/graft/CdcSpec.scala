@@ -171,6 +171,25 @@ class CdcSpec extends AnyFunSuite {
     assert(replicaAsMap(replica) === first)
   }
 
+  test("truncate empties the replica (buckets + deltas) and accepts a fresh snapshot") {
+    val ops = ChangeGen.ops(seed = 21, n = 300)
+    val dir = tmp("cdc-trunc-log"); val replica = tmp("cdc-trunc-replica")
+    ChangeGen.writeBatches(dir, ops, batches = 1, withNoise = false)
+    // apply WITHOUT compaction so live delta dirs exist at truncate time
+    Replicate.applyBatch(spark, ChangeSource.readBatch(spark, dir), replica,
+      numBuckets = 4, compactEvery = 100)
+    assert(replicaAsMap(replica).nonEmpty)
+
+    Replicate.truncate(spark, replica)
+    assert(replicaAsMap(replica).isEmpty, "truncated replica must read empty")
+
+    // RESTART IDENTITY analog: the emptied replica accepts a fresh copy
+    import spark.implicits._
+    val rows = ChangeGen.replay(ops).values.toSeq
+    Replicate.snapshot(spark, rows.toDS(), replica, numBuckets = 4)
+    assert(replicaAsMap(replica) === ChangeGen.replay(ops))
+  }
+
   test("applyBatch: bucket whose keys all die is physically dropped") {
     val replica = tmp("cdc-replica-drop")
     // two keys in distinct buckets (numBuckets=2: id 2 → bucket 0, id 3 → 1);
