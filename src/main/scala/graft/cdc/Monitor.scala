@@ -1,6 +1,7 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The pubsub monitor loop re-expressed (pubsub/main.go:128-209): source
@@ -31,6 +32,26 @@ object Monitor {
     val fc = filtered.count()
     SyncStatus(sc, tc, fc, inSync = tc == fc) // pubsub/main.go:192-198
   }
+
+  /** `pg_subscription` projection analog (P2, pubsub/main.go:135-140:
+    * `SELECT subenabled FROM pg_subscription WHERE subname = $1`): the
+    * session's active streaming queries as (sub_name, sub_id, enabled).
+    * Queryable like any DataFrame — `.filter(col("sub_name") === n)`
+    * is the reference's WHERE clause. */
+  def subscriptions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.streams.active.toSeq
+      .map(q => (Option(q.name).getOrElse(""), q.id.toString, q.isActive))
+      .toDF("sub_name", "sub_id", "enabled")
+  }
+
+  /** Catalog projection analog (P2): the session catalog's tables with
+    * the columns the reference projects from its control views
+    * (README.md:168-178 `pg_publication` etc.). `listTables` already IS
+    * a Dataset — this narrows it to the projection shape. */
+  def catalogTables(spark: SparkSession): DataFrame =
+    spark.catalog.listTables()
+      .select(col("name"), col("tableType"), col("isTemporary"))
 
   /** Replication lag seconds from streaming progress — the
     * `pg_last_xact_replay_timestamp` analog (pubsub/main.go:201-209):

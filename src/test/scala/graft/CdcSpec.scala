@@ -391,10 +391,24 @@ class CdcSpec extends AnyFunSuite {
       batches = 1)
     val q = Replicate.start(spark, changeDir, replica, ckpt,
       numBuckets = 4, trigger = Trigger.ProcessingTime("1 second"))
-    try q.processAllAvailable() finally q.stop()
+    try {
+      // P2 pg_subscription projection: the running stream is listed,
+      // enabled, filterable by name like the reference's WHERE subname
+      val subs = Monitor.subscriptions(spark)
+        .filter(org.apache.spark.sql.functions.col("sub_name")
+          === "graft-replicate")
+        .collect()
+      assert(subs.length === 1 && subs.head.getBoolean(2),
+        "active subscription must be listed as enabled")
+      q.processAllAvailable()
+    } finally q.stop()
     assert(Checkpoints.exists(spark, ckpt)) // slot "created"
     Checkpoints.recreate(spark, ckpt)
     assert(!Checkpoints.exists(spark, ckpt)) // fresh capture point
+    // stopped stream drops out of the subscription projection
+    assert(Monitor.subscriptions(spark)
+      .filter(org.apache.spark.sql.functions.col("sub_name")
+        === "graft-replicate").isEmpty)
   }
 
   // -------------------------------------------------------------------

@@ -113,6 +113,15 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog projection lists the CTAS table after sql_catalog_ctas runs") {
+    SparkEntry.queries("sql_catalog_ctas")(spark, sf).collect()
+    val names = graft.cdc.Monitor.catalogTables(spark)
+      .select("name").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    assert(names.contains("lineitem_stats_cat"),
+      s"CTAS table missing from catalog projection: $names")
+  }
+
   test("SQL-text twins return exactly their DataFrame query's rows") {
     Seq("sql_q1_pricing" -> "q1_agg_pricing",
       "sql_q3_shipping" -> "j_q3_shipping",
