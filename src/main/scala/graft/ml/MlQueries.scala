@@ -479,6 +479,59 @@ object MlQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Sequence-packing oracle: same prefix sum per lang, same power-of-two
+    * integer division. */
+  private val seqPack = Declared(
+    "ml_seq_pack",
+    (s, d) => TextAnalysis.sequencePack(Tables(s, d, "documents")),
+    Some(s"""SELECT doc_id, lang, n_tokens,
+            |  cum_before // ${TextAnalysis.PackBudget} AS bin_start,
+            |  (cum_before + n_tokens - 1) // ${TextAnalysis.PackBudget}
+            |    AS bin_end,
+            |  (cum_before + n_tokens - 1) // ${TextAnalysis.PackBudget}
+            |    - cum_before // ${TextAnalysis.PackBudget} + 1 AS spans
+            |FROM (
+            |  SELECT doc_id, lang,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            |    coalesce(CAST(sum(len(string_split(text, ' '))) OVER (
+            |      PARTITION BY lang ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            |      AS BIGINT), 0) AS cum_before
+            |  FROM documents)
+            |ORDER BY lang, doc_id""".stripMargin))
+
+  /** Stratified-sampling oracle: identical hash-threshold expression. */
+  private val stratSample = Declared(
+    "ml_sample_stratified",
+    (s, d) => TextAnalysis.stratifiedSample(Tables(s, d, "documents")),
+    Some(s"""SELECT doc_id, lang, source FROM documents
+            |WHERE ${sqlHash60("'smp:' || doc_id")} % 1000 <
+            |  CASE ${TextAnalysis.SampleRates.map { case (l, r) =>
+                s"WHEN lang = '$l' THEN $r" }.mkString(" ")} ELSE 0 END
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Contamination oracle: same 8-gram windows, same benchmark slice. */
+  private val contam = Declared(
+    "ml_contamination",
+    (s, d) => TextAnalysis.contamination(Tables(s, d, "documents")),
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            |g AS (
+            |  SELECT DISTINCT doc_id,
+            |    list_aggregate(tk[i:i+${TextAnalysis.ContamGram - 1}],
+            |      'string_agg', ' ') AS sh
+            |  FROM toks,
+            |       unnest(range(1, len(tk) - ${TextAnalysis.ContamGram - 2}))
+            |         AS t(i)
+            |  WHERE len(tk) >= ${TextAnalysis.ContamGram}),
+            |bg AS (SELECT DISTINCT doc_id AS bench_id, sh FROM g
+            |       WHERE doc_id % 23 = 0)
+            |SELECT g.doc_id, count(*) AS shared_grams,
+            |       count(DISTINCT bg.bench_id) AS bench_docs
+            |FROM g JOIN bg ON g.sh = bg.sh
+            |WHERE g.doc_id % 23 <> 0
+            |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))
+
   /** Repetition-filter oracle: word 2-/3-gram windows from the same
     * string_split, duplicate mass and top-gram concentration as
     * integer-ratio doubles, keep verdict at the same thresholds. */
@@ -685,6 +738,7 @@ object MlQueries {
     dedupExact, minhashSig, dedupNear, levNear, charGramJac,
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
     cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, embedNearDup,
-    textStats, langId, tokenCounts, repetition, tfidfTopTerms, fingerprint,
+    textStats, langId, tokenCounts, repetition, seqPack, stratSample, contam,
+    tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)
 }

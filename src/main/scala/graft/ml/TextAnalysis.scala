@@ -159,6 +159,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Context-window budget for [[sequencePack]] (tokens per packed
+    * sequence). */
+  val PackBudget = 512L
+
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining
+    * batcher: per language stream, documents are concatenated in doc_id
+    * order and sliced into fixed [[PackBudget]]-token context windows.
+    * Emits each doc's placement: the window its first token lands in
+    * (`bin_start`), its last (`bin_end`), and how many windows it spans.
+    *
+    * Scale: ONE window pass per language partition — the running token
+    * sum is a prefix sum over (lang, doc_id), no join, no explode. At
+    * 100 TB the lang partitions are processed independently; a totally-
+    * ordered global pack would instead use range partitioning on
+    * (lang, doc_id) — same plan shape. */
+  def sequencePack(docs: DataFrame): DataFrame = {
+    // budget is a power of two, so the cum/budget double division is
+    // IEEE-exact and the long cast is a true floor for these positives
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum_before") / PackBudget).cast("long").as("bin_start"),
+        ((col("cum_before") + col("n_tokens") - 1) / PackBudget)
+          .cast("long").as("bin_end"))
+      .withColumn("spans", col("bin_end") - col("bin_start") + lit(1L))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Per-stratum deterministic sampling rates (per mille) for
+    * [[stratifiedSample]]: heavier on `en`, lighter elsewhere — the
+    * standard data-mixture reweighting shape. */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 200, "de" -> 100, "es" -> 100, "fr" -> 50, "zh" -> 50)
+
+  /** Stratified deterministic sampling: keep a doc iff
+    * `hash60('smp:' || doc_id) mod 1000 < rate(lang)`. Hash-threshold
+    * sampling is reproducible across runs/engines (no RNG state), stable
+    * under re-partitioning, and consistent — re-running with a higher
+    * rate keeps a superset. One narrow filter, no shuffle. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val bucket = hash60Seeded(lit("smp"), col("doc_id")) % 1000
+    val rate = SampleRates.foldRight(lit(0): Column) { case ((l, r), els) =>
+      when(col("lang") === l, lit(r)).otherwise(els)
+    }
+    docs.filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Word-gram length for [[contamination]] screening. */
+  val ContamGram = 8
+
+  /** Benchmark-contamination screening (the decontamination pass of
+    * GPT-3 appx. C / PaLM: drop training docs sharing long n-grams with
+    * an eval set): the benchmark here is the fixture slice
+    * `doc_id % 23 = 0`; a training doc is contaminated if it shares ≥ 1
+    * word-[[ContamGram]]-gram with any benchmark doc. Emits each
+    * contaminated doc with its shared-gram and benchmark-doc counts.
+    *
+    * Scale: the benchmark gram set is tiny (eval suites are KBs–MBs vs
+    * a 100 TB corpus) — built once, broadcast into the corpus gram
+    * stream, so the corpus never shuffles for the screen; only the
+    * (small) contaminated matches aggregate. */
+  def contamination(docs: DataFrame): DataFrame = {
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val benchGrams = shingleRows(bench, ContamGram)
+      .select(col("doc_id").as("bench_id"), col("sh")).distinct()
+    shingleRows(docs.filter(col("doc_id") % 23 =!= 0), ContamGram)
+      .distinct()
+      .join(broadcast(benchGrams), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_grams"),
+        countDistinct(col("bench_id")).as("bench_docs"))
+      .orderBy("doc_id")
+  }
+
   val GramLen = 8
   val WinnowWindow = 4
 
