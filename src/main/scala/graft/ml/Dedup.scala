@@ -367,6 +367,28 @@ object Dedup {
     DedupStages(sigs, pairs, clusters, corpus)
   }
 
+  /** Re-cluster a staged corpus at a NEW threshold without re-signing:
+    * reads the staged signatures back from `stageDir` (the expensive
+    * corpus-wide minhash pass is skipped), re-bands and re-verifies
+    * pairs at `minJaccard`, and rebuilds clusters + corpus into
+    * `outDir`. The operational reason the pipeline stages to durable
+    * storage: threshold sweeps cost one banding join each, not one
+    * corpus signature pass each. */
+  def reclusterFrom(docs: DataFrame, stageDir: String, outDir: String,
+      minJaccard: Double, k: Int = 3): DedupStages = {
+    val spark = docs.sparkSession
+    val sigs = spark.read.parquet(s"$stageDir/signatures")
+    def stage(name: String, df: DataFrame): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.read.parquet(s"$outDir/$name")
+    }
+    val pairs = stage("pairs", verifiedPairsFrom(sigs, docs, minJaccard, k))
+    val clusters = stage("clusters",
+      clustersOf(pairs.select("doc_a", "doc_b")))
+    val corpus = stage("corpus", corpusFrom(docs, clusters))
+    DedupStages(sigs, pairs, clusters, corpus)
+  }
+
   /** Ground-truth near-dup pairs by exhaustive shingle-set Jaccard —
     * O(n²); TEST ORACLE ONLY (MlSpec asserts LSH recall against it). */
   def nearDupBrute(docs: DataFrame, minJaccard: Double = 0.7, k: Int = 3)

@@ -54,6 +54,24 @@ class MlSpec extends AnyFunSuite {
       st.clusters.count())
   }
 
+  test("reclusterFrom: threshold sweep reuses staged signatures, equals fresh run") {
+    val dir = java.nio.file.Files.createTempDirectory("stages-a").toString
+    val out = java.nio.file.Files.createTempDirectory("stages-b").toString
+    Dedup.pipeline(docs, dir, minJaccard = 0.7)
+    val swept = Dedup.reclusterFrom(docs, dir, out, minJaccard = 0.85)
+    val fresh = Dedup.pipeline(docs,
+      java.nio.file.Files.createTempDirectory("stages-c").toString,
+      minJaccard = 0.85)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(rows(swept.corpus) === rows(fresh.corpus))
+    // tighter threshold keeps a superset of the corpus (fewer drops)
+    val base = Dedup.pipeline(docs,
+      java.nio.file.Files.createTempDirectory("stages-d").toString,
+      minJaccard = 0.7)
+    assert(swept.corpus.count() >= base.corpus.count())
+  }
+
   test("exact dedup collapses crafted duplicates and keeps min doc_id") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (9L, "a b c"))
       .toDF("doc_id", "text")
