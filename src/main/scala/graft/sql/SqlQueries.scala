@@ -29,11 +29,23 @@ object SqlQueries {
   /** S10 DDL path: one `CREATE OR REPLACE TEMPORARY VIEW` per fixture.
     * Temp views over parquet are the idiomatic external-table analog;
     * `saveAsTable` would copy read-only fixtures into a warehouse dir
-    * for no semantic gain. */
+    * for no semantic gain.
+    *
+    * Registration is memoized per (session, dir): `CREATE ... USING`
+    * resolves the datasource eagerly (one parquet footer read per
+    * table), and a real SQL user declares the schema once per session —
+    * re-running the DDL before every query statement charged ~0.5 s of
+    * pure re-registration to each SQL-text query. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerViews(s: SparkSession, dir: String): Unit =
-    SqlTables.foreach { n =>
-      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n " +
-        s"USING parquet OPTIONS (path '$dir/$n.parquet')")
+    if (registeredDir.get(s) != dir) {
+      SqlTables.foreach { n =>
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n " +
+          s"USING parquet OPTIONS (path '$dir/$n.parquet')")
+      }
+      registeredDir.put(s, dir)
     }
 
   private def sqlDeclared(name: String, sql: String): Declared =
