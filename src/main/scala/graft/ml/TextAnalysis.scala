@@ -231,9 +231,13 @@ object TextAnalysis {
     val bench = docs.filter(col("doc_id") % 23 === 0)
     val benchGrams = shingleRows(bench, ContamGram)
       .select(col("doc_id").as("bench_id"), col("sh")).distinct()
+    // dedup AFTER the broadcast join: the corpus gram stream flows
+    // straight into the broadcast probe with NO exchange (a distinct
+    // before the join would shuffle the whole corpus); only the tiny
+    // match set pays the (doc, gram, bench) dedup + aggregate shuffle
     shingleRows(docs.filter(col("doc_id") % 23 =!= 0), ContamGram)
-      .distinct()
       .join(broadcast(benchGrams), Seq("sh"))
+      .select("doc_id", "sh", "bench_id").distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("shared_grams"),
         countDistinct(col("bench_id")).as("bench_docs"))

@@ -138,6 +138,28 @@ class PlanSpec extends AnyFunSuite {
     assert(ensures <= 1, s"delta side re-shuffled for the join:\n$s")
   }
 
+  test("SRP bucket signatures are computed shuffle-free") {
+    val s = planString(Similarity.srpBuckets(Tables(spark, sf, "embeddings")))
+    assert(!s.contains("Exchange"),
+      s"SRP signature pass must be a pure projection:\n${s.take(600)}")
+  }
+
+  test("contamination: corpus grams hit the broadcast probe without an exchange") {
+    val s = planString(run("ml_contamination"))
+    assert(s.contains("BroadcastHashJoin"),
+      "benchmark gram set must broadcast")
+    // the corpus gram stream must feed the broadcast join directly: in
+    // the plan text, the streamed (corpus) side sits between the join
+    // node and the BroadcastExchange of the build side — no hash
+    // exchange may appear there. (Exchanges after the join operate on
+    // the tiny match set; the one inside the broadcast build dedups the
+    // tiny bench set.)
+    val corpusSide = s.substring(s.indexOf("BroadcastHashJoin"),
+      s.indexOf("BroadcastExchange"))
+    assert(!corpusSide.contains("Exchange"),
+      s"corpus gram stream shuffles before the probe:\n$corpusSide")
+  }
+
   test("salted aggregate is two phases over one fact scan") {
     val s = planString(run("agg_salted_skew"))
     // two hash-aggregate pairs (partial+final per phase); a plan that
