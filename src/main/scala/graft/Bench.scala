@@ -47,6 +47,11 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // locale-pinned number rendering: the f-interpolator uses the JVM
+    // default locale, and a comma-decimal locale would corrupt the JSON
+    def num(v: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+
     // ---- CDC pipeline: throughput + worst-batch latency --------------
     // Measured FIRST, on a quiet session: the latency envelope is the
     // baseline-comparable number, and running 50 batch queries
@@ -114,9 +119,9 @@ object Bench {
         try q.awaitTermination() finally q.stop()
       } finally spark.streams.removeListener(listener)
       val batchSecs = listener.batches.filter(_.inputRows > 0)
-        .map(b => f"${b.triggerExecSec}%.2f").mkString("[", ",", "]")
+        .map(b => num(b.triggerExecSec, 2)).mkString("[", ",", "]")
 
-      f"""{"rows_per_sec":${listener.rowsPerSec}%.1f,"worst_batch_sec":${listener.worstBatchSec}%.3f,"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs,"bulk_rows_per_sec":${bulkListener.rowsPerSec}%.1f}"""
+      s"""{"rows_per_sec":${num(listener.rowsPerSec, 1)},"worst_batch_sec":${num(listener.worstBatchSec, 3)},"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs,"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 1)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] CDC FAILED: $e")
       errors("cdc_pipeline") = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -158,13 +163,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + num(v, 3) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$qs,"cdc":$cdcJson,"errors":$errJson}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","queries":$qs,"cdc":$cdcJson,"errors":$errJson}"""
     println(line)
     // belt-and-braces copy for log-prefix-mangled stdout parsers
     Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), line)

@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parse wal2json v2 change lines into typed [[PersonChange]] rows.
@@ -61,11 +61,13 @@ object ChangeSource {
   def classify(lines: DataFrame): DataFrame = {
     val c = from_json(col("value"), quarantineSchema,
       Map("columnNameOfCorruptRecord" -> "_corrupt"))
-    val idVal = coalesce(
-      element_at(map_from_arrays(col("c.columns.name"),
-        col("c.columns.value")), "id"),
-      element_at(map_from_arrays(col("c.identity.name"),
-        col("c.identity.value")), "id")).cast("int")
+    // existence check, NOT a map build: map_from_arrays throws
+    // DUPLICATED_MAP_KEY on a hostile line with repeated column names —
+    // a classifier must never be crashable by the input it routes. Also
+    // keeps the verdict aligned with the DuckDB oracle, which tests for
+    // a column NAMED id (value castability is the parser's concern).
+    def hasId(arr: Column): Column =
+      coalesce(exists(arr, x => x.getField("name") === "id"), lit(false))
     lines.select(col("value"), c.as("c"))
       .select(col("value"),
         when(col("c._corrupt").isNotNull, lit("malformed_json"))
@@ -73,7 +75,8 @@ object ChangeSource {
             === false, lit("bad_action"))
           .when(coalesce(col("c.table"), lit("")) =!= "person",
             lit("unknown_table"))
-          .when(idVal.isNull, lit("missing_id"))
+          .when(!hasId(col("c.columns")) && !hasId(col("c.identity")),
+            lit("missing_id"))
           .otherwise(lit("ok")).as("verdict"))
   }
 

@@ -450,10 +450,18 @@ object Replicate {
         f"[cdc-trace] $what%-14s ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
     }
 
+  /** `batchId` is the delta's identity and MUST be monotonically
+    * increasing across distinct batches for one replica (the streaming
+    * path threads the foreachBatch epoch): re-using an id means "this
+    * is a REPLAY of that batch" — the delta is overwritten in place,
+    * and an id at or below the compaction watermark is discarded as
+    * already-applied (both exactly right for crash replay, both data
+    * loss if a NEW batch wears an old id). No default value so a direct
+    * caller must choose one consciously. */
   def applyBatch(spark: SparkSession, batch: Dataset[PersonChange],
       replicaDir: String, numBuckets: Int = DefaultNumBuckets,
       mergeParallelism: Int = DefaultMergeParallelism,
-      batchId: Long = 0L,
+      batchId: Long,
       compactEvery: Int = DefaultCompactEvery): Unit = {
     val base = new Path(replicaDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -487,6 +495,8 @@ object Replicate {
       traced("compact")(compact(spark, fs, replicaDir, numBuckets))
   }
 
+  private val compactConfLock = new Object
+
   /** Fold the committed deltas into the base buckets and drop them.
     * Deltas are deleted only AFTER every bucket swap completed; a crash
     * anywhere replays into [[recoverSwap]] + re-applying deltas over the
@@ -509,12 +519,19 @@ object Replicate {
       joinKeys = Seq(BucketCol, "id"))
     val tmpDir = s"$replicaDir.__tmp"
     fs.delete(new Path(tmpDir), true)
-    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
-    val prevCoPart = spark.conf.get(coPartKey, "true")
-    spark.conf.set(coPartKey, "false")
-    try merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-      .parquet(tmpDir)
-    finally spark.conf.set(coPartKey, prevCoPart)
+    // serialized JVM-wide: concurrent compactions (two streams, one
+    // session) would otherwise race the set/restore and could leave the
+    // session on the non-default value. A query planned by ANOTHER
+    // thread inside this window sees the relaxed rule, which changes
+    // only physical partitioning choices, never results.
+    compactConfLock.synchronized {
+      val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+      val prevCoPart = spark.conf.get(coPartKey, "true")
+      spark.conf.set(coPartKey, "false")
+      try merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .parquet(tmpDir)
+      finally spark.conf.set(coPartKey, prevCoPart)
+    }
     if (!fs.exists(base)) check(fs.mkdirs(base), s"mkdirs $base")
     // swap every bucket present before OR after: a bucket absent from
     // the merged output had all its keys deleted — dropping it IS the

@@ -71,9 +71,12 @@ object Dedup {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[AnyRef, DataFrame]()
 
+  // the session REFERENCE itself (reference equality), not its identity
+  // hash code — hash codes can collide across two live sessions reading
+  // the same fixture, which would hand one session a DataFrame bound to
+  // the other's plan
   private def docsKey(docs: DataFrame): AnyRef =
-    (System.identityHashCode(docs.sparkSession),
-      docs.queryExecution.analyzed.canonicalized)
+    (docs.sparkSession, docs.queryExecution.analyzed.canonicalized)
 
   // get-then-putIfAbsent rather than computeIfAbsent: memo entries build
   // on each other (pairs → signatures), and a nested computeIfAbsent on

@@ -36,16 +36,19 @@ object SqlQueries {
     * table), and a real SQL user declares the schema once per session —
     * re-running the DDL before every query statement charged ~0.5 s of
     * pure re-registration to each SQL-text query. */
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val registeredDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]()) // weak: a stopped
+  // session must stay collectable, not pinned by this memo
 
   def registerViews(s: SparkSession, dir: String): Unit =
-    if (registeredDir.get(s) != dir) {
-      SqlTables.foreach { n =>
-        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n " +
-          s"USING parquet OPTIONS (path '$dir/$n.parquet')")
+    registeredDir.synchronized {
+      if (registeredDir.get(s) != dir) {
+        SqlTables.foreach { n =>
+          s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n " +
+            s"USING parquet OPTIONS (path '$dir/$n.parquet')")
+        }
+        registeredDir.put(s, dir)
       }
-      registeredDir.put(s, dir)
     }
 
   private def sqlDeclared(name: String, sql: String): Declared =

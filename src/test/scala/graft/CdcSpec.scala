@@ -45,6 +45,24 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("classify routes hostile lines to verdicts without crashing") {
+    val lines = Seq(
+      ChangeGen.malformedLine, // → malformed_json
+      ChangeGen.auditLine(1), // → unknown_table
+      ChangeGen.badActionLine(2), // → bad_action
+      ChangeGen.missingIdLine(3), // → missing_id
+      // duplicate column names: a map build would throw
+      // DUPLICATED_MAP_KEY — must classify as ok (an id IS present)
+      """{"lsn":4,"action":"I","table":"person","columns":[{"name":"id","value":1},{"name":"id","value":2}]}""",
+      ChangeGen.toJsonLine(ChangeGen.ops(seed = 1, n = 1).head) // → ok
+    ).toDF("value")
+    val verdicts = ChangeSource.classify(lines)
+      .groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(verdicts === Map("malformed_json" -> 1L, "unknown_table" -> 1L,
+      "bad_action" -> 1L, "missing_id" -> 1L, "ok" -> 2L))
+  }
+
   // -------------------------------------------------------------------
   // Merge fold semantics (A6/J1, S5-S8)
   // -------------------------------------------------------------------
@@ -162,12 +180,15 @@ class CdcSpec extends AnyFunSuite {
     ChangeGen.writeBatches(dir, ops, batches = 1, withNoise = false)
     val batch = ChangeSource.readBatch(spark, dir)
 
-    Replicate.applyBatch(spark, batch, replica, numBuckets = 4)
+    Replicate.applyBatch(spark, batch, replica, numBuckets = 4,
+      batchId = 0L)
     val first = replicaAsMap(replica)
     assert(first === ChangeGen.replay(ops))
 
-    // exactly-once story: replaying the same batch changes nothing
-    Replicate.applyBatch(spark, batch, replica, numBuckets = 4)
+    // exactly-once story: replaying the same batch (SAME batchId - the
+    // replay contract) changes nothing
+    Replicate.applyBatch(spark, batch, replica, numBuckets = 4,
+      batchId = 0L)
     assert(replicaAsMap(replica) === first)
   }
 
@@ -177,7 +198,7 @@ class CdcSpec extends AnyFunSuite {
     ChangeGen.writeBatches(dir, ops, batches = 1, withNoise = false)
     // apply WITHOUT compaction so live delta dirs exist at truncate time
     Replicate.applyBatch(spark, ChangeSource.readBatch(spark, dir), replica,
-      numBuckets = 4, compactEvery = 100)
+      numBuckets = 4, batchId = 0L, compactEvery = 100)
     assert(replicaAsMap(replica).nonEmpty)
 
     Replicate.truncate(spark, replica)
@@ -196,7 +217,7 @@ class CdcSpec extends AnyFunSuite {
     // compactEvery=1 = eager mode, so the layout assertions see the base
     Replicate.applyBatch(spark,
       Seq(ch(1, "I", 2), ch(2, "I", 3)).toDS(), replica, numBuckets = 2,
-      compactEvery = 1)
+      batchId = 0L, compactEvery = 1)
     assert(replicaAsMap(replica).keySet === Set(2, 3))
     Replicate.applyBatch(spark,
       Seq(ch(3, "D", 2)).toDS(), replica, numBuckets = 2, batchId = 1L,
@@ -214,7 +235,7 @@ class CdcSpec extends AnyFunSuite {
     val replica = tmp("cdc-replica-crash")
     Replicate.applyBatch(spark,
       Seq(ch(1, "I", 2), ch(2, "I", 3)).toDS(), replica, numBuckets = 2,
-      compactEvery = 1)
+      batchId = 0L, compactEvery = 1)
     val before = replicaAsMap(replica)
     val fs = new Path(replica)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

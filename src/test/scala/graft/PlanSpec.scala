@@ -66,8 +66,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no query plans a non-broadcast cartesian product") {
+    // eager side-effecting builders (staged pipeline writes, CTAS DDL,
+    // sketch + collect) run real jobs just to produce their final
+    // DataFrame, and that returned frame is a plain read/local scan with
+    // no join surface — skip them here; their internals have their own
+    // specs
+    val eager = Set("ml_dedup_pipeline", "sql_catalog_ctas",
+      "agg_heavy_hitters")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("cdc_"))
+      .filterNot(eager)
       .filter { n =>
         val s = planString(run(n))
         s.contains("CartesianProduct")
