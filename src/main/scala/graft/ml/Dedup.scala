@@ -370,6 +370,47 @@ object Dedup {
     DedupStages(sigs, pairs, clusters, corpus)
   }
 
+  /** Incremental near-dup screening: match a NEW batch of documents
+    * against an existing corpus using SIGNATURES ONLY — the daily-crawl
+    * production shape, where yesterday's corpus exists as staged minhash
+    * signatures and its raw text is not re-read. Jaccard is estimated
+    * as the fraction of agreeing minhashes (the unbiased MinHash
+    * estimator, Broder '97) — candidates still come from the exact LSH
+    * banding join, and the estimate is a deterministic expression over
+    * the two wide signature rows (no explode, no text).
+    *
+    * Returns one row per matched new doc: (doc_id, matched_id,
+    * est_jaccard) — its best corpus match (max estimate, min id tie) at
+    * `minEst` or above. Scale: the increment is ≪ the corpus, so its
+    * bands and the candidate pairs broadcast; the corpus signature table
+    * is scanned, never shuffled. */
+  def dedupIncrement(incSigs: DataFrame, corpusSigs: DataFrame,
+      minEst: Double = 0.7): DataFrame = {
+    val incBands = bandKeys(incSigs)
+    val corpusBands = bandKeys(corpusSigs)
+    val cands = corpusBands.as("c")
+      .join(broadcast(incBands.as("i")),
+        col("c.band") === col("i.band") &&
+          col("c.band_key") === col("i.band_key"))
+      .select(col("i.doc_id").as("new_id"),
+        col("c.doc_id").as("matched_id"))
+      .distinct()
+    val matches = (0 until NumHashes)
+      .map(h => when(col(s"n.m$h") === col(s"o.m$h"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = corpusSigs.as("o")
+      .join(broadcast(cands), col("o.doc_id") === col("matched_id"))
+      .join(broadcast(incSigs.as("n")), col("n.doc_id") === col("new_id"))
+      .select(col("new_id").as("doc_id"), col("matched_id"),
+        (matches.cast("double") / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("est_jaccard").desc, col("matched_id"))
+    est.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "matched_id", "est_jaccard")
+      .orderBy("doc_id")
+  }
+
   /** Re-cluster a staged corpus at a NEW threshold without re-signing:
     * reads the staged signatures back from `stageDir` (the expensive
     * corpus-wide minhash pass is skipped), re-bands and re-verifies

@@ -163,6 +163,47 @@ object MlQueries {
             |JOIN csz zb ON zb.doc_id = n.doc_b
             |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Incremental-dedup oracle: same signature family split by the same
+    * increment predicate, same banding, same agreeing-minhash estimate. */
+  private val dedupIncrement = Declared(
+    "ml_dedup_increment",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.dedupIncrement(
+        Dedup.signatures(docs.filter(col("doc_id") % 10 === 0)),
+        Dedup.signatures(docs.filter(col("doc_id") % 10 =!= 0)),
+        minEst = 0.5)
+    },
+    Some(s"""WITH $shingleCte,
+            |$sigCte,
+            |sign AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+            |sigo AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+            |bandn AS (
+            |  SELECT doc_id, h // $RowsPerBand AS band,
+            |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
+            |  FROM sign GROUP BY doc_id, h // $RowsPerBand),
+            |bando AS (
+            |  SELECT doc_id, h // $RowsPerBand AS band,
+            |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
+            |  FROM sigo GROUP BY doc_id, h // $RowsPerBand),
+            |cand AS (
+            |  SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS matched_id
+            |  FROM bandn i JOIN bando c ON i.band = c.band AND i.bk = c.bk),
+            |est AS (
+            |  SELECT cd.new_id AS doc_id, cd.matched_id,
+            |         CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+            |              AS DOUBLE) / $NumHashes AS est_jaccard
+            |  FROM cand cd
+            |  JOIN sign a ON a.doc_id = cd.new_id
+            |  JOIN sigo b ON b.doc_id = cd.matched_id AND b.h = a.h
+            |  GROUP BY cd.new_id, cd.matched_id)
+            |SELECT doc_id, matched_id, est_jaccard FROM (
+            |  SELECT doc_id, matched_id, est_jaccard,
+            |         row_number() OVER (PARTITION BY doc_id
+            |           ORDER BY est_jaccard DESC, matched_id) AS rn
+            |  FROM est WHERE est_jaccard >= 0.5)
+            |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
   private val dedupSimhash = Declared(
     "ml_dedup_simhash",
     (s, d) => Dedup.simhashPairs(Tables(s, d, "documents")),
@@ -735,7 +776,7 @@ object MlQueries {
             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
 
   val all: Seq[Declared] = Seq(
-    dedupExact, minhashSig, dedupNear, levNear, charGramJac,
+    dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
     cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, embedNearDup,
     textStats, langId, tokenCounts, repetition, seqPack, stratSample, contam,
