@@ -596,6 +596,43 @@ object Replicate {
       replicaDir, checkpointDir, rowFilter, numBuckets, trigger,
       mergeParallelism, compactEvery)
 
+  /** [[start]] with a dead-letter sink: every non-`ok` raw line lands in
+    * `quarantineDir` as parquet (value, verdict, batch) instead of being
+    * silently dropped — the operational T9 shape (log-and-continue with
+    * the log being queryable). One extra O(batch) classify + append per
+    * trigger; the replica path is unchanged. (parse additionally
+    * requires the id VALUE to cast — a structurally-ok line with a
+    * non-integer id is quarantine-invisible by design: the classifier
+    * routes structure, the parser owns typing.) */
+  def startWithQuarantine(spark: SparkSession, changeDir: String,
+      replicaDir: String, checkpointDir: String, quarantineDir: String,
+      rowFilter: Option[Column] = None,
+      numBuckets: Int = DefaultNumBuckets,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
+    val reader = spark.readStream.format("text")
+    val lines = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .load(changeDir)
+    lines.writeStream
+      .queryName("graft-replicate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val classified = ChangeSource.classify(batch)
+        classified.filter(col("verdict") =!= "ok")
+          .withColumn("batch", lit(epochId))
+          .write.mode(SaveMode.Append).parquet(quarantineDir)
+        val parsed = ChangeSource.parse(batch)
+        val filtered =
+          rowFilter.map(withRowFilter(parsed, _)).getOrElse(parsed)
+        applyBatch(spark, filtered, replicaDir, numBuckets,
+          batchId = epochId, compactEvery = compactEvery)
+      }
+      .start()
+  }
+
   /** Source-agnostic pipeline entry: any parsed change stream
     * (wal2json, Debezium, Kafka+either envelope) drives the same
     * filter → merge dataflow. */

@@ -262,6 +262,27 @@ class CdcSpec extends AnyFunSuite {
     assert(fs.exists(fs2Src))
   }
 
+  test("streaming quarantine: bad lines land in the dead-letter sink, replica converges") {
+    val ops = ChangeGen.ops(seed = 31, n = 200)
+    val dir = tmp("cdc-q-log"); val replica = tmp("cdc-q-replica")
+    val ckpt = tmp("cdc-q-ckpt"); val quar = tmp("cdc-q-dead")
+    // 2 batch files, each with audit + malformed noise, plus one file of
+    // injected bad-action/missing-id lines
+    ChangeGen.writeBatches(dir, ops, batches = 2, withNoise = true)
+    Files.write(java.nio.file.Paths.get(dir, "batch_bad.json"),
+      Seq(ChangeGen.badActionLine(910001L), ChangeGen.missingIdLine(910002L))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val q = Replicate.startWithQuarantine(spark, dir, replica, ckpt, quar,
+      numBuckets = 4, trigger = Trigger.AvailableNow())
+    try q.awaitTermination() finally q.stop()
+    assert(replicaAsMap(replica) === ChangeGen.replay(ops))
+    val dead = spark.read.parquet(quar)
+      .groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dead === Map("malformed_json" -> 2L, "unknown_table" -> 2L,
+      "bad_action" -> 1L, "missing_id" -> 1L))
+  }
+
   test("merge-on-read: deltas accumulate, compaction folds them, replay idempotent") {
     import org.apache.hadoop.fs.Path
     val ops = ChangeGen.ops(seed = 17, n = 600)
