@@ -123,6 +123,9 @@ object SqlQueries {
     sqlDeclared("sql_q3_shipping", oracleOf("j_q3_shipping")),
     sqlDeclared("sql_exists_semi", oracleOf("j2_semi_exists")),
     sqlDeclared("sql_topk", oracleOf("o2_topk")),
+    sqlDeclared("sql_window_rank", oracleOf("w_rank_topn")),
+    sqlDeclared("sql_rollup", oracleOf("agg_rollup")),
+    sqlDeclared("sql_set_except", oracleOf("set_except")),
     sqlDeclared("j_q2_mincost", q2Sql),
     catalogCtas)
 }
