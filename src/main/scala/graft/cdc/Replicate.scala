@@ -621,9 +621,13 @@ object Replicate {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val classified = ChangeSource.classify(batch)
+        // one OVERWRITTEN dir per epoch, not a blind append: replaying
+        // the epoch after a crash rewrites the same dir instead of
+        // duplicating its dead letters — the sink stays exactly-once
+        // like the replica. Readers see `batch` as a partition column.
         classified.filter(col("verdict") =!= "ok")
-          .withColumn("batch", lit(epochId))
-          .write.mode(SaveMode.Append).parquet(quarantineDir)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$quarantineDir/batch=$epochId")
         val parsed = ChangeSource.parse(batch)
         val filtered =
           rowFilter.map(withRowFilter(parsed, _)).getOrElse(parsed)

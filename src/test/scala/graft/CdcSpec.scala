@@ -276,11 +276,19 @@ class CdcSpec extends AnyFunSuite {
       numBuckets = 4, trigger = Trigger.AvailableNow())
     try q.awaitTermination() finally q.stop()
     assert(replicaAsMap(replica) === ChangeGen.replay(ops))
-    val dead = spark.read.parquet(quar)
+    def deadCounts: Map[String, Long] = spark.read.parquet(quar)
       .groupBy("verdict").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(dead === Map("malformed_json" -> 2L, "unknown_table" -> 2L,
-      "bad_action" -> 1L, "missing_id" -> 1L))
+    val expected = Map("malformed_json" -> 2L, "unknown_table" -> 2L,
+      "bad_action" -> 1L, "missing_id" -> 1L)
+    assert(deadCounts === expected)
+    // replay from a FRESH checkpoint re-delivers every epoch: the
+    // per-epoch overwrite keeps the dead-letter sink exactly-once
+    val q2 = Replicate.startWithQuarantine(spark, dir, replica,
+      tmp("cdc-q-ckpt2"), quar, numBuckets = 4,
+      trigger = Trigger.AvailableNow())
+    try q2.awaitTermination() finally q2.stop()
+    assert(deadCounts === expected, "replayed epochs must not duplicate dead letters")
   }
 
   test("merge-on-read: deltas accumulate, compaction folds them, replay idempotent") {
