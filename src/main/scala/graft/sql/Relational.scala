@@ -612,6 +612,37 @@ object Relational {
            |FROM lineitem WHERE l_suppkey < 10
            |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin))
 
+  private val wRangeHour = Declared(
+    "w_range_hour",
+    // Time-RANGE sliding frame (vs the rows-based frames above): per
+    // user, trailing-hour event count and max over `RANGE BETWEEN 3599
+    // PRECEDING AND CURRENT ROW` on epoch seconds. Range frames include
+    // every tied ordering value wholly, so the result is deterministic
+    // without a tie-break; count/max involve no float arithmetic, so
+    // the compare is exact. Scale: one shuffle on user_id + one
+    // per-partition sort — the same cost as any window.
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+        .rangeBetween(-3599, 0)
+      t(s, d)("events")
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("n_hour", count(lit(1)).over(w))
+        .withColumn("max_hour", max(col("value")).over(w))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("n_hour"), col("max_hour"))
+        .orderBy("user_id", "ts_sec", "event_id")
+    },
+    Some("""SELECT user_id, event_id, ts_sec, n_hour, max_hour FROM (
+           |  SELECT user_id, event_id,
+           |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           |    count(*) OVER w AS n_hour,
+           |    max(value) OVER w AS max_hour
+           |  FROM events
+           |  WINDOW w AS (
+           |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+           |ORDER BY user_id, ts_sec, event_id""".stripMargin))
+
   private val wRunningSum = Declared(
     "w_running_sum",
     // Running sum in exact decimal (frame order fixed ⇒ deterministic).
@@ -982,7 +1013,7 @@ object Relational {
     aggStats,
     jInnerBroadcast, j2SemiExists, j3AntiJoin, jLeftOuterCount, jFullOuter,
     jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,
-    wRankTopn, wLagPrev, wRunningSum,
+    wRankTopn, wLagPrev, wRunningSum, wRangeHour,
     setUnion, setIntersect, setExcept,
     xScalarFuncs, xStringFuncs, aggSaltedSkew, aggPivot, aggQuantiles,
     aggApproxQuantiles, xLateralExplode, xDateFuncs, xEpochDiff,
