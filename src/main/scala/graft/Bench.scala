@@ -117,6 +117,9 @@ object Bench {
         val q = Replicate.start(spark, changeDir, replica, ckpt,
           trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
         try q.awaitTermination() finally q.stop()
+        // let any in-flight background compaction finish before the
+        // session moves on (it shares the context with the query phase)
+        Replicate.awaitCompactions()
       } finally spark.streams.removeListener(listener)
       val batchSecs = listener.batches.filter(_.inputRows > 0)
         .map(b => num(b.triggerExecSec, 2)).mkString("[", ",", "]")

@@ -45,12 +45,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    window converges. `compactEvery = 1` degenerates to the eager
   *    round-3 behavior (used by tests that assert physical layout).
   *
-  * Worst-trigger latency is the compaction batch — amortized
-  * O(replica/compactEvery) — while steady-state triggers do O(batch)
-  * work only. At 100 TB: thousands of buckets, deltas partition-pruned
-  * by bucket at compaction, and an object-store deployment swaps via a
-  * per-batch manifest instead of directory renames (S3 renames are
-  * copies); the dataflow is unchanged.
+  * The streaming path runs compaction ASYNCHRONOUSLY (the Hudi pattern):
+  * every trigger is O(batch), the fold happens on a background thread
+  * guarded per replica, and change VISIBILITY never waits on it because
+  * reads are merge-on-read anyway — the fold only bounds read
+  * amplification. Deltas committed during a fold stay untouched (the
+  * consumed set is listed once; the watermark rises only to its max),
+  * and a killed fold leaves its deltas live for the next attempt.
+  * Direct `applyBatch` callers default to the synchronous fold
+  * (deterministic for tests/layout assertions). At 100 TB: thousands of
+  * buckets, deltas partition-pruned by bucket at compaction, and an
+  * object-store deployment swaps via a per-batch manifest instead of
+  * directory renames (S3 renames are copies); the dataflow is unchanged.
   */
 object Replicate {
   val BucketCol = "id_bucket"
@@ -458,14 +464,29 @@ object Replicate {
     * already-applied (both exactly right for crash replay, both data
     * loss if a NEW batch wears an old id). No default value so a direct
     * caller must choose one consciously. */
+  /** In-flight background compactions, one slot per replica dir:
+    * guards against overlapping compactions AND tells the trigger path
+    * to skip recoverSwap while a same-JVM compactor is mid-swap (a
+    * half-done swap is the compactor's, not a crash's). */
+  private val compacting =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** Join any in-flight background compactions (clean-shutdown hook:
+    * call before `spark.stop()` so a mid-flight fold isn't killed with
+    * the context — killed folds are still crash-safe, just wasted). */
+  def awaitCompactions(): Unit =
+    compacting.values().toArray(Array.empty[Thread]).foreach(_.join())
+
   def applyBatch(spark: SparkSession, batch: Dataset[PersonChange],
       replicaDir: String, numBuckets: Int = DefaultNumBuckets,
       mergeParallelism: Int = DefaultMergeParallelism,
       batchId: Long,
-      compactEvery: Int = DefaultCompactEvery): Unit = {
+      compactEvery: Int = DefaultCompactEvery,
+      compactAsync: Boolean = false): Unit = {
     val base = new Path(replicaDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    traced("recoverSwap")(recoverSwap(fs, base))
+    if (!compacting.containsKey(replicaDir))
+      traced("recoverSwap")(recoverSwap(fs, base))
     val dRoot = new Path(base, DeltaDirName)
     // ONE O(batch) job per trigger: micro-batch → per-key summary (one
     // bucket-keyed shuffle) → one small parquet file per bucket
@@ -491,8 +512,26 @@ object Replicate {
       .filter(_.getName.startsWith("batch=")).toSeq
       .partition(batchIdOf(_) <= wm)
     stale.foreach(p => fs.delete(p, true))
-    if (live.size >= compactEvery)
-      traced("compact")(compact(spark, fs, replicaDir, numBuckets))
+    if (live.size >= compactEvery) {
+      if (!compactAsync)
+        traced("compact")(compact(spark, fs, replicaDir, numBuckets))
+      else if (!compacting.containsKey(replicaDir)) {
+        // async (Hudi-style): the trigger path stays O(batch) — readers
+        // already merge deltas, so visibility gains nothing from an
+        // inline fold, and the fold's lumpy cost leaves the latency
+        // envelope. New deltas written during the fold are untouched
+        // (the consumed set is listed once, the watermark rises only to
+        // its max). One fold per replica at a time.
+        val t = new Thread(() => {
+          try traced("compact")(compact(spark, fs, replicaDir, numBuckets))
+          catch { case e: Throwable =>
+            System.err.println(s"[cdc] async compaction failed (deltas stay live, next trigger retries): $e")
+          } finally compacting.remove(replicaDir)
+        }, s"graft-compact-$batchId")
+        t.setDaemon(true)
+        if (compacting.putIfAbsent(replicaDir, t) == null) t.start()
+      }
+    }
   }
 
   private val compactConfLock = new Object
@@ -544,7 +583,10 @@ object Replicate {
     // idempotently over the swapped base
     writeWatermark(fs, new Path(base, DeltaDirName),
       deltaDirs.map(batchIdOf).max)
-    deltaDirs.foreach(d => check(fs.delete(d, true), s"drop delta $d"))
+    // unchecked: once the watermark is committed these are invisible
+    // everywhere, and the trigger path's lazy stale-cleanup may have
+    // raced us to the same dirs
+    deltaDirs.foreach(d => fs.delete(d, true))
   }
 
   /** Truncate the replica (S9 — `TRUNCATE TABLE person RESTART IDENTITY`
@@ -632,7 +674,8 @@ object Replicate {
         val filtered =
           rowFilter.map(withRowFilter(parsed, _)).getOrElse(parsed)
         applyBatch(spark, filtered, replicaDir, numBuckets,
-          batchId = epochId, compactEvery = compactEvery)
+          batchId = epochId, compactEvery = compactEvery,
+          compactAsync = true)
       }
       .start()
   }
@@ -655,7 +698,8 @@ object Replicate {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[PersonChange], epochId: Long) =>
         applyBatch(spark, batch, replicaDir, numBuckets, mergeParallelism,
-          batchId = epochId, compactEvery = compactEvery)
+          batchId = epochId, compactEvery = compactEvery,
+          compactAsync = true)
       }
       .start()
   }
