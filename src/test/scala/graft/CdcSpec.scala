@@ -262,6 +262,38 @@ class CdcSpec extends AnyFunSuite {
     assert(fs.exists(fs2Src))
   }
 
+  test("async compaction: background fold advances the watermark, replica stays exact") {
+    import org.apache.hadoop.fs.Path
+    val ops = ChangeGen.ops(seed = 37, n = 360)
+    val dir = tmp("cdc-async-log"); val replica = tmp("cdc-async-replica")
+    val ckpt = tmp("cdc-async-ckpt")
+    // 6 files → 6 triggers at maxFilesPerTrigger=1; compactEvery=2 fires
+    // background folds repeatedly while later triggers keep writing
+    ChangeGen.writeBatches(dir, ops, batches = 6, withNoise = false)
+    val q = Replicate.start(spark, dir, replica, ckpt,
+      numBuckets = 4, trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(1), compactEvery = 2)
+    try q.awaitTermination() finally q.stop()
+    Replicate.awaitCompactions()
+    assert(replicaAsMap(replica) === ChangeGen.replay(ops))
+    // at least one fold completed: base buckets exist and the watermark
+    // consumed some epochs
+    val fs = new Path(replica)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$replica/id_bucket=0")),
+      "background fold never wrote the base")
+    val wmPath = new Path(s"$replica/.__delta/_watermark")
+    assert(fs.exists(wmPath), "compaction watermark missing")
+    // replaying the whole stream from a fresh checkpoint over the
+    // compacted base converges (already-folded epochs absorb as no-ops)
+    val q2 = Replicate.start(spark, dir, replica, tmp("cdc-async-ckpt2"),
+      numBuckets = 4, trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(1), compactEvery = 2)
+    try q2.awaitTermination() finally q2.stop()
+    Replicate.awaitCompactions()
+    assert(replicaAsMap(replica) === ChangeGen.replay(ops))
+  }
+
   test("streaming quarantine: bad lines land in the dead-letter sink, replica converges") {
     val ops = ChangeGen.ops(seed = 31, n = 200)
     val dir = tmp("cdc-q-log"); val replica = tmp("cdc-q-replica")
