@@ -444,6 +444,35 @@ object MlQueries {
             |GROUP BY e.vec_id, p.d
             |ORDER BY vec_id, d""".stripMargin))
 
+  /** Lloyd-step oracle: same Σv centroids from the quantized elements,
+    * per-(vector, cell) integer dots, argmax with lowest-label ties. */
+  private val kmeansStep = Declared(
+    "ml_kmeans_step",
+    (s, d) => Similarity.kmeansStep(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |cent AS (SELECT label, i, sum(q) AS cs FROM qe GROUP BY label, i),
+            |cn AS (SELECT label, sum(cs*cs) AS nc FROM cent GROUP BY label),
+            |asgn AS (
+            |  SELECT e.vec_id, c.label AS cand, sum(e.q * c.cs) AS d
+            |  FROM qe e JOIN cent c ON e.i = c.i
+            |  GROUP BY e.vec_id, c.label),
+            |scored AS (
+            |  SELECT a.vec_id, a.cand,
+            |         ${cosSql("a.d", "n.n2", "cn.nc")} AS score
+            |  FROM asgn a
+            |  JOIN nrm n ON n.vec_id = a.vec_id
+            |  JOIN cn ON cn.label = a.cand)
+            |SELECT s.vec_id, e.label, s.cand AS new_label,
+            |       CAST(e.label <> s.cand AS INT) AS moved
+            |FROM (SELECT vec_id, cand,
+            |        row_number() OVER (PARTITION BY vec_id
+            |          ORDER BY score DESC, cand) AS rn
+            |      FROM scored) s
+            |JOIN (SELECT DISTINCT vec_id, label FROM embeddings) e
+            |  ON e.vec_id = s.vec_id
+            |WHERE s.rn = 1 ORDER BY s.vec_id""".stripMargin))
+
   private val embedNearDup = Declared(
     "ml_embed_neardup",
     (s, d) => Similarity.embeddingNearDups(Tables(s, d, "embeddings"),
@@ -778,7 +807,8 @@ object MlQueries {
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
-    cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, embedNearDup,
+    cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, kmeansStep,
+    embedNearDup,
     textStats, langId, tokenCounts, repetition, seqPack, stratSample, contam,
     tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)

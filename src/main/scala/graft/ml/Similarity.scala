@@ -236,6 +236,43 @@ object Similarity {
       .orderBy("vec_id", "d")
   }
 
+  /** One Lloyd iteration over the coarse cells (the step that PRODUCES
+    * the ingest-time clustering IVF consumes): reassign every vector to
+    * its nearest centroid by cosine and report the movement. Centroids
+    * are tiny model state (cells × dim integers), so they collect to
+    * the driver — bounded, like any trained-model broadcast — and
+    * become LITERAL weight arrays: assignment is then one codegen'd
+    * scan of native fused-loop dots, the corpus never shuffles, and
+    * arithmetic stays integer-exact (same Σv centroids as [[centroids]],
+    * cosine scale-invariance makes the unnormalized sum the exact
+    * direction). Ties take the lowest label. Returns
+    * (vec_id, label, new_label, moved). */
+  def kmeansStep(emb: DataFrame): DataFrame = {
+    val cent = centroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val byLabel = cent.groupBy(_._1).map { case (l, rows) =>
+      val w = new Array[Long](64)
+      rows.foreach { case (_, i, cs) => w(i) = cs }
+      l -> ((w, w.map(v => v * v).sum))
+    }
+    val scored = byLabel.keys.toSeq.sorted.map { l =>
+      val (w, nc) = byLabel(l)
+      struct(
+        (dotQ(col("q"), typedlit(w)).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(lit(nc).cast("double")))).as("c"),
+        lit(-l).as("nl"))
+    }
+    quantized(emb)
+      .select(col("vec_id"), col("label"),
+        array_max(array(scored: _*)).as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.nl")).as("new_label"))
+      .withColumn("moved",
+        (col("label") =!= col("new_label")).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-duplicates, blocked by coarse cluster: same-label
     * pairs with cosine ≥ `minCos`. The label equi-join is the blocking
     * key (near-dups co-cluster), so the pair space is Σ|cell|², not n².
