@@ -28,22 +28,35 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    whole-stage-codegen) and commit it as delta `batch=<epochId>` via
   *    tmp-write + rename. No base read, no bucket rewrite, no collect.
   *    Replay after a crash overwrites the same delta dir — idempotent.
-  *  - **On read** ([[readReplica]]): base ⟗ combined deltas. Per-batch
-  *    summaries COMPOSE: the global last-delete lsn is the max over
-  *    deltas, and last_img/first_ins are the arg-max/arg-min by lsn of
-  *    the per-delta structs filtered past it ([[combineDeltaSummaries]]
-  *    — same fold algebra as [[summarize]], so composition is exact).
-  *    The combined summary then merges with the base through the one
-  *    shared [[mergeBatch]] expression set.
-  *  - **Every `compactEvery` triggers**: fold the deltas into the base
-  *    (write merged buckets to a temp dir, RENAME-ASIDE swap each
-  *    bucket: live → .__old, fresh → live, drop .__old; every rename
-  *    checked; [[recoverSwap]] rolls a crashed swap back/forward), then
-  *    drop the consumed deltas. Deltas are deleted only AFTER the swap
-  *    completes; re-applying a delta over an already-compacted base is
-  *    a no-op (the merge expressions are idempotent), so every crash
-  *    window converges. `compactEvery = 1` degenerates to the eager
-  *    round-3 behavior (used by tests that assert physical layout).
+  *  - **The base holds the SAME per-key summary state as the deltas**
+  *    (lsn-stamped last image, first insert, last delete lsn — dead
+  *    keys stay as tombstones), so base and deltas fold through ONE
+  *    commutative, associative, idempotent algebra
+  *    ([[combineSummaries]]): the key's global last-delete lsn is the
+  *    max over inputs, and last_img/first_ins are the arg-max/arg-min
+  *    by lsn of the structs strictly past it. **Fold order cannot
+  *    change the result** — this matters because micro-batch CONTENTS
+  *    can arrive out of lsn order (Spark's file source orders by
+  *    modification time with nondeterministic ties; Kafka partitions
+  *    interleave), and a recency-assuming merge ("batch beats base")
+  *    silently loses newer images when an older batch folds later.
+  *    Liveness is derived, never assumed: a key is alive iff its
+  *    first insert survives past the last delete.
+  *  - **On read** ([[readReplica]]): base ∪ deltas → combine → project
+  *    live rows. With no pending deltas this is a pure scan+filter (the
+  *    compacted base is already one row per key).
+  *  - **Every `compactEvery` triggers**: fold base ∪ deltas
+  *    (union + combine — NO join) into fresh buckets in a temp dir,
+  *    RENAME-ASIDE swap each bucket (live → .__old, fresh → live, drop
+  *    .__old; every rename checked; [[recoverSwap]] rolls a crashed
+  *    swap back/forward), then drop the consumed deltas. Deltas are
+  *    deleted only AFTER the swap completes; re-folding a delta over an
+  *    already-compacted base is a no-op (max/min of an already-folded
+  *    element), so every crash window converges. Tombstones are
+  *    retained (they are what makes late/reordered events safe);
+  *    [[vacuum]] physically removes them once the source can no longer
+  *    deliver older lsns (the Postgres slot contract —
+  *    confirmed_flush_lsn only advances).
   *
   * The streaming path runs compaction ASYNCHRONOUSLY (the Hudi pattern):
   * every trigger is O(batch), the fold happens on a background thread
@@ -66,14 +79,7 @@ object Replicate {
     * never leak into a replica read. */
   private val AsidePrefix = ".__old."
 
-  /** Replica on-disk schema, passed explicitly to every bucket read so
-    * per-trigger reads skip parquet footer schema inference. */
-  private val ReplicaSchema = StructType(Seq(
-    StructField("id", IntegerType),
-    StructField("name", StringType),
-    StructField("uid", StringType),
-    StructField("score", IntegerType),
-    StructField("created_at", TimestampType)))
+  // (base files share the delta summary schema — see [[BaseSchema]])
 
   private def check(ok: Boolean, what: => String): Unit =
     if (!ok) throw new java.io.IOException(s"replica filesystem op failed: $what")
@@ -117,6 +123,36 @@ object Replicate {
       StructField("created_at", TimestampType)))),
     StructField("last_d_lsn", LongType)))
 
+  /** Base-bucket file schema: identical to the deltas minus the bucket
+    * column (that is the partition dir). One summary row per key that
+    * ever existed — live keys and tombstones alike. */
+  private val BaseSchema =
+    StructType(DeltaSchema.fields.filterNot(_.name == BucketCol))
+
+  /** Lift plain person rows into summary form: image and insert stamped
+    * at `lsn` (0 for snapshots — every real change has lsn ≥ 1, so
+    * stream events always outrank the initial copy), no delete. */
+  def rowsAsSummaries(rows: DataFrame, lsn: Long = 0L): DataFrame =
+    rows.select(
+      col("id"),
+      struct(lit(lsn).as("lsn"), col("name"), col("uid"), col("score"))
+        .as("last_img"),
+      struct(lit(lsn).as("lsn"), col("created_at")).as("first_ins"),
+      lit(null).cast(LongType).as("last_d_lsn"))
+
+  /** Project the live person rows out of folded summaries. A key is
+    * alive iff an insert survives past the last delete; its image is
+    * the last surviving write, its created_at the first surviving
+    * insert's (the reference's ON CONFLICT preservation,
+    * replicator/main.go:204-217). */
+  def projectAlive(combined: DataFrame): DataFrame =
+    combined.filter(col("first_ins").isNotNull)
+      .select(col("id"),
+        col("last_img.name").as("name"),
+        col("last_img.uid").as("uid"),
+        col("last_img.score").as("score"),
+        col("first_ins.created_at").as("created_at"))
+
   /** Publication row filter (pubsub/main.go:79), with PostgreSQL's
     * row-filter UPDATE transformation semantics: an UPDATE whose new image
     * leaves the filter is published as DELETE, and one whose new image
@@ -150,8 +186,9 @@ object Replicate {
     *    (replicator/main.go:234-243); U on absent key is a no-op;
     *  - D removes (replicator/main.go:260-261).
     * Changes are applied in lsn order (slot order, SURVEY.md §2.9 T3).
-    * Deliberately naive and readable; the engine path is [[mergeBatch]],
-    * which CdcSpec asserts equivalent on generated sequences. */
+    * Deliberately naive and readable; the engine path is
+    * [[summarize]] + [[combineSummaries]] + [[projectAlive]], which
+    * CdcSpec asserts equivalent on generated sequences. */
   /** Apply ONE change to a key's state — the reference's switch
     * statement as a pure function, shared by the cogroup oracle and the
     * state-store path ([[StatefulReplica]]). */
@@ -247,44 +284,10 @@ object Replicate {
         max(col("last_d_lsn")).as("last_d_lsn"))
   }
 
-  /** Merge current state with a batch summary — DataFrame-native LWW with
-    * the reference's created_at-preservation and U-on-absent-no-op
-    * semantics, as pure conditional expressions (Tungsten/codegen; no
-    * object serialization). `current` must cover every key it is asked to
-    * keep (i.e. the touched buckets, in full). Joins on `joinKeys`
-    * (default the bare key; the apply path passes (bucket, id) so the
-    * summary's bucket partitioning is reused and only `current`
-    * shuffles); EnsureRequirements co-partitions the sides, so no
-    * explicit repartition is needed here. */
-  def mergeBatch(current: DataFrame, summary: DataFrame,
-      joinKeys: Seq[String] = Seq("id")): DataFrame = {
-    val hasIns = col("first_ins").isNotNull
-    val hasDel = col("last_d_lsn").isNotNull
-    val inCur = col("_cur")
-    // keep = inserted after last delete, OR untouched/updated current row
-    val keep = hasIns || (!hasDel && inCur)
-    current
-      .withColumn("_cur", lit(true))
-      .join(summary, joinKeys, "full_outer")
-      .withColumn("_cur", coalesce(inCur, lit(false)))
-      .filter(keep)
-      .select(joinKeys.map(col) ++ Seq(
-        // a kept key with batch events always has last_img (its final
-        // image); without events, the current row rides through.
-        when(col("last_img").isNotNull, col("last_img.name"))
-          .otherwise(col("name")).as("name"),
-        when(col("last_img").isNotNull, col("last_img.uid"))
-          .otherwise(col("uid")).as("uid"),
-        when(col("last_img").isNotNull, col("last_img.score"))
-          .otherwise(col("score")).as("score"),
-        // created_at: resurrect-after-delete takes the insert's stamp;
-        // otherwise the live row's stamp survives (ON CONFLICT DO UPDATE
-        // never touches it, replicator/main.go:204-217).
-        when(hasIns && hasDel, col("first_ins.created_at"))
-          .when(hasIns && !hasDel,
-            coalesce(col("created_at"), col("first_ins.created_at")))
-          .otherwise(col("created_at")).as("created_at")): _*)
-  }
+  // (the old recency-assuming mergeBatch join is gone: base rows ARE
+  // summaries now, so batch-vs-base merging is [[combineSummaries]] —
+  // commutative, so an out-of-order micro-batch can never clobber a
+  // newer image the way "summary beats base" did)
 
   /** Bucket ids present on disk — one listing call, aside dirs excluded. */
   private def listBuckets(fs: FileSystem, base: Path): Set[Int] =
@@ -342,36 +345,40 @@ object Replicate {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Base bucket rows (no deltas), explicit dirs + schema, with the
-    * bucket column recomputed (partition dirs are read as explicit
-    * paths, so the partition column is not inferred). */
+  /** Base bucket summaries (no deltas), explicit dirs + schema, WITHOUT
+    * the bucket column (a plain reader never needs to know the writer's
+    * bucket count; [[compact]] recomputes it with the authoritative
+    * `numBuckets`). */
   private def readBase(spark: SparkSession, fs: FileSystem,
-      replicaDir: String, numBuckets: Int): DataFrame = {
-    import spark.implicits._
+      replicaDir: String): DataFrame = {
     val buckets = listBuckets(fs, new Path(replicaDir))
-    (if (buckets.isEmpty) spark.emptyDataset[PersonRow].toDF()
-     else spark.read.schema(ReplicaSchema)
-       .parquet(buckets.toSeq.sorted
-         .map(b => s"$replicaDir/$BucketCol=$b"): _*))
-      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+    if (buckets.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BaseSchema)
+    else spark.read.schema(BaseSchema)
+      .parquet(buckets.toSeq.sorted
+        .map(b => s"$replicaDir/$BucketCol=$b"): _*)
   }
 
-  /** Fold the delta summaries (one row per key PER DELTA) into one
-    * summary row per key. The per-batch summaries compose exactly: the
-    * key's global last-delete lsn is the max over deltas, and the
-    * surviving image / first-insert are the arg-max / arg-min by lsn of
-    * the per-delta structs strictly past it (struct ordering is
-    * lsn-first, and lsns are unique). Same single-shuffle shape as
-    * [[summarizeBucketed]]: one bucket-keyed exchange feeds the window,
-    * the aggregate, and (at compaction) the merge join + write. */
-  def combineDeltaSummaries(deltas: DataFrame, numBuckets: Int): DataFrame = {
-    val byKey = Window.partitionBy(BucketCol, "id")
+  /** Fold per-key summaries (one row per key PER INPUT — deltas and/or
+    * base) into one summary row per key. The algebra is commutative,
+    * associative, and idempotent: the key's global last-delete lsn is
+    * the max over inputs, and the surviving image / first-insert are
+    * the arg-max / arg-min by lsn of the input structs strictly past it
+    * (struct ordering is lsn-first, and lsns are unique) — so fold
+    * ORDER never matters, re-folding an already-folded delta is a
+    * no-op, and out-of-lsn-order micro-batches converge. One shuffle on
+    * `keys.head` feeds the window, the aggregate, and (at compaction,
+    * where keys = (bucket, id)) the bucket-partitioned write. */
+  def combineSummaries(summaries: DataFrame, keys: Seq[String],
+      width: Option[Int] = None): DataFrame = {
+    val kc = keys.map(col)
+    val byKey = Window.partitionBy(kc: _*)
     def afterD(lsn: Column): Column =
       lsn > coalesce(col("dl"), lit(Long.MinValue))
-    deltas
-      .repartition(numBuckets, col(BucketCol))
+    width.fold(summaries)(w => summaries.repartition(w, kc.head))
       .withColumn("dl", max(col("last_d_lsn")).over(byKey))
-      .groupBy(BucketCol, "id")
+      .groupBy(kc: _*)
       .agg(
         max(when(afterD(col("last_img.lsn")), col("last_img")))
           .as("last_img"),
@@ -380,34 +387,25 @@ object Replicate {
         max(col("last_d_lsn")).as("last_d_lsn"))
   }
 
-  /** The merged (base ⟗ deltas) replica view over explicit delta dirs.
-    * `joinKeys = (bucket, id)` only at compaction, where the writer's
-    * `numBuckets` is authoritative and the bucket-aligned output feeds
-    * the partitioned write; plain reads join on `id` alone (bucket is a
-    * function of id, so the join is equivalent — and a reader never
-    * needs to know the writer's bucket count). */
-  private def mergedView(spark: SparkSession, fs: FileSystem,
-      replicaDir: String, deltaDirs: Seq[Path], numBuckets: Int,
-      joinKeys: Seq[String]): DataFrame = {
-    val base = readBase(spark, fs, replicaDir, numBuckets)
-    if (deltaDirs.isEmpty) base
-    else {
-      val deltas = spark.read.schema(DeltaSchema)
-        .parquet(deltaDirs.map(_.toString): _*)
-      mergeBatch(base, combineDeltaSummaries(deltas, numBuckets), joinKeys)
-    }
-  }
-
   /** Read the replica — the merge-on-read view of base buckets plus any
-    * uncompacted deltas (empty if neither exists). */
+    * uncompacted deltas (empty if neither exists). With no pending
+    * deltas the compacted base is already one row per key, so the read
+    * is a pure scan + liveness filter — no shuffle. */
   def readReplica(spark: SparkSession, replicaDir: String)
       : Dataset[PersonRow] = {
     import spark.implicits._
     val (fs, base) = fsOf(spark, replicaDir)
-    mergedView(spark, fs, replicaDir,
-      listDeltas(fs, new Path(base, DeltaDirName)),
-      numBuckets = DefaultNumBuckets, joinKeys = Seq("id"))
-      .select("id", "name", "uid", "score", "created_at").as[PersonRow]
+    val baseDf = readBase(spark, fs, replicaDir)
+    val deltaDirs = listDeltas(fs, new Path(base, DeltaDirName))
+    val folded =
+      if (deltaDirs.isEmpty) baseDf
+      else {
+        val deltas = spark.read.schema(DeltaSchema)
+          .parquet(deltaDirs.map(_.toString): _*)
+          .select(BaseSchema.fieldNames.map(col).toSeq: _*)
+        combineSummaries(baseDf.unionAll(deltas), Seq("id"))
+      }
+    projectAlive(folded).as[PersonRow]
   }
 
   /** Roll a crashed rename-aside swap back or forward (single-writer;
@@ -534,50 +532,45 @@ object Replicate {
     }
   }
 
-  private val compactConfLock = new Object
+  /** Write bucket-partitioned summaries to a temp dir, then rename-aside
+    * swap every bucket present before or after into the live base.
+    * Shared by [[compact]] and [[vacuum]]. */
+  private def writeAndSwap(fs: FileSystem, base: Path, replicaDir: String,
+      merged: DataFrame): Unit = {
+    val tmpDir = s"$replicaDir.__tmp"
+    fs.delete(new Path(tmpDir), true)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(tmpDir)
+    if (!fs.exists(base)) check(fs.mkdirs(base), s"mkdirs $base")
+    val touched = listBuckets(fs, new Path(tmpDir)) ++ listBuckets(fs, base)
+    touched.toSeq.sorted.foreach(swapBucket(fs, replicaDir, tmpDir, _))
+    fs.delete(new Path(tmpDir), true)
+  }
 
   /** Fold the committed deltas into the base buckets and drop them.
-    * Deltas are deleted only AFTER every bucket swap completed; a crash
-    * anywhere replays into [[recoverSwap]] + re-applying deltas over the
-    * compacted base, which the merge expressions absorb idempotently. */
+    * Base and deltas share one summary schema, so the fold is a pure
+    * union + [[combineSummaries]] — no join, no conf games: one
+    * bucket-keyed exchange feeds the window, the aggregate, AND the
+    * bucket-partitioned write (each write task holds whole buckets —
+    * one file per bucket, not numBuckets × numTasks). Deltas are
+    * deleted only AFTER every bucket swap completed; a crash anywhere
+    * replays into [[recoverSwap]] + re-folding deltas over the
+    * compacted base, which the max/min algebra absorbs idempotently.
+    * Dead keys persist as tombstones ([[vacuum]] removes them). */
   private def compact(spark: SparkSession, fs: FileSystem,
       replicaDir: String, numBuckets: Int): Unit = {
     val base = new Path(replicaDir)
     val deltaDirs = listDeltas(fs, new Path(base, DeltaDirName))
     if (deltaDirs.isEmpty) return
-    // the combined-delta side of the merge is bucket-partitioned, so the
-    // join reuses it (only base rows shuffle) and the merged output
-    // stays bucket-aligned: one file per bucket, no extra exchange.
-    // Spark ≥3.3 only honors subset partitionings for join co-partition
-    // when requireAllClusterKeysForCoPartition is off; default-on would
-    // re-shuffle BOTH sides on (bucket, id) and the hash(bucket,id)
-    // clustering would spray every bucket across every write task —
-    // numBuckets × numTasks files at scale instead of one per bucket.
-    // Scoped set/restore: compaction is driver-side single-writer.
-    val merged = mergedView(spark, fs, replicaDir, deltaDirs, numBuckets,
-      joinKeys = Seq(BucketCol, "id"))
-    val tmpDir = s"$replicaDir.__tmp"
-    fs.delete(new Path(tmpDir), true)
-    // serialized JVM-wide: concurrent compactions (two streams, one
-    // session) would otherwise race the set/restore and could leave the
-    // session on the non-default value. A query planned by ANOTHER
-    // thread inside this window sees the relaxed rule, which changes
-    // only physical partitioning choices, never results.
-    compactConfLock.synchronized {
-      val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
-      val prevCoPart = spark.conf.get(coPartKey, "true")
-      spark.conf.set(coPartKey, "false")
-      try merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-        .parquet(tmpDir)
-      finally spark.conf.set(coPartKey, prevCoPart)
-    }
-    if (!fs.exists(base)) check(fs.mkdirs(base), s"mkdirs $base")
-    // swap every bucket present before OR after: a bucket absent from
-    // the merged output had all its keys deleted — dropping it IS the
-    // apply
-    val touched = listBuckets(fs, new Path(tmpDir)) ++ listBuckets(fs, base)
-    touched.toSeq.sorted.foreach(swapBucket(fs, replicaDir, tmpDir, _))
-    fs.delete(new Path(tmpDir), true)
+    val baseDf = readBase(spark, fs, replicaDir)
+      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+      .select(DeltaSchema.fieldNames.map(col).toSeq: _*)
+    val deltas = spark.read.schema(DeltaSchema)
+      .parquet(deltaDirs.map(_.toString): _*)
+      .select(DeltaSchema.fieldNames.map(col).toSeq: _*)
+    val merged = combineSummaries(baseDf.unionAll(deltas),
+      Seq(BucketCol, "id"), width = Some(numBuckets))
+    writeAndSwap(fs, base, replicaDir, merged)
     // commit point: once the watermark lands, the consumed deltas are
     // invisible everywhere; until then the full set re-applies
     // idempotently over the swapped base
@@ -587,6 +580,27 @@ object Replicate {
     // everywhere, and the trigger path's lazy stale-cleanup may have
     // raced us to the same dirs
     deltaDirs.foreach(d => fs.delete(d, true))
+  }
+
+  /** Physically remove tombstones (and fold any pending deltas first).
+    * Safe once the source can no longer deliver changes with lsns below
+    * the tombstones' delete lsns — the Postgres slot contract
+    * (confirmed_flush_lsn only advances; replicator/main.go:159-164
+    * consumes with get_changes, which advances it). Until then,
+    * tombstones are load-bearing: they are what absorbs a reordered or
+    * replayed older event without resurrecting a deleted row. A bucket
+    * whose keys are all tombstones is dropped outright. */
+  def vacuum(spark: SparkSession, replicaDir: String,
+      numBuckets: Int = DefaultNumBuckets): Unit = {
+    awaitCompactions()
+    val (fs, base) = fsOf(spark, replicaDir)
+    recoverSwap(fs, base)
+    compact(spark, fs, replicaDir, numBuckets)
+    val alive = readBase(spark, fs, replicaDir)
+      .filter(col("first_ins").isNotNull)
+      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+      .repartition(numBuckets, col(BucketCol))
+    writeAndSwap(fs, base, replicaDir, alive)
   }
 
   /** Truncate the replica (S9 — `TRUNCATE TABLE person RESTART IDENTITY`
@@ -615,7 +629,8 @@ object Replicate {
     * overlapping changes re-fold idempotently". */
   def snapshot(spark: SparkSession, rows: Dataset[PersonRow],
       replicaDir: String, numBuckets: Int = DefaultNumBuckets): Unit = {
-    rows.withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+    rowsAsSummaries(rows.toDF())
+      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
       .partitionBy(BucketCol)
@@ -697,6 +712,10 @@ object Replicate {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[PersonChange], epochId: Long) =>
+        if (trace) {
+          val r = batch.toDF().agg(min("lsn"), max("lsn")).head()
+          System.err.println(s"[cdc-trace] epoch=$epochId lsn=[${r.get(0)}, ${r.get(1)}]")
+        }
         applyBatch(spark, batch, replicaDir, numBuckets, mergeParallelism,
           batchId = epochId, compactEvery = compactEvery,
           compactAsync = true)

@@ -134,13 +134,15 @@ class CdcSpec extends AnyFunSuite {
     val batchDs = batch.toDS()
     val oracle = Replicate.applyChanges(curDs, batchDs)
       .collect().map(r => r.id -> r).toMap
-    val got = Replicate.mergeBatch(curDs.toDF(),
-        Replicate.summarize(batchDs.toDF()))
+    val got = Replicate.projectAlive(Replicate.combineSummaries(
+        Replicate.rowsAsSummaries(curDs.toDF())
+          .unionAll(Replicate.summarize(batchDs.toDF())),
+        Seq("id")))
       .as[PersonRow].collect().map(r => r.id -> r).toMap
     assert(got === oracle, s"engine merge diverged from oracle: $hint")
   }
 
-  test("mergeBatch == cogroup oracle on crafted edge sequences") {
+  test("summary fold == cogroup oracle on crafted edge sequences") {
     val t1 = java.sql.Timestamp.valueOf("2026-04-04 00:00:00")
     val cur = Seq(PersonRow(1, "old", "u1", 1, t0))
     assertMergeAgrees(cur, Seq(ch(10, "I", 1, "n", 8, t1)), "I-on-present")
@@ -161,7 +163,7 @@ class CdcSpec extends AnyFunSuite {
         ch(12, "U", 3, "post", 4, t1)), "U-before-first-I on absent")
   }
 
-  test("mergeBatch == cogroup oracle on random generated sequences") {
+  test("summary fold == cogroup oracle on random generated sequences") {
     for (seed <- Seq(3L, 21L, 77L)) {
       val ops = ChangeGen.ops(seed, n = 400)
       val (pre, post) = ops.splitAt(150)
@@ -211,7 +213,7 @@ class CdcSpec extends AnyFunSuite {
     assert(replicaAsMap(replica) === ChangeGen.replay(ops))
   }
 
-  test("applyBatch: bucket whose keys all die is physically dropped") {
+  test("keyed delete: tombstone guards reorder, vacuum physically drops the dead bucket") {
     val replica = tmp("cdc-replica-drop")
     // two keys in distinct buckets (numBuckets=2: id 2 → bucket 0, id 3 → 1);
     // compactEvery=1 = eager mode, so the layout assertions see the base
@@ -223,11 +225,43 @@ class CdcSpec extends AnyFunSuite {
       Seq(ch(3, "D", 2)).toDS(), replica, numBuckets = 2, batchId = 1L,
       compactEvery = 1)
     assert(replicaAsMap(replica).keySet === Set(3))
-    // the dead bucket dir is gone from the base, not just filtered out
     import org.apache.hadoop.fs.Path
     val fs = new Path(replica)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the dead key's bucket stays as a tombstone (that is what makes a
+    // reordered/replayed older event safe) but is invisible to reads
+    assert(fs.exists(new Path(s"$replica/id_bucket=0")))
+    // a REORDERED older event (lsn 2.5 < the delete's 3) arriving after
+    // the delete compacted must NOT resurrect the key — the tombstone
+    // absorbs it
+    Replicate.applyBatch(spark,
+      Seq(PersonChange(2L, "U", 2, Some("ghost"), Some("g"), Some(1),
+        Some(t0))).toDS(), replica, numBuckets = 2, batchId = 2L,
+      compactEvery = 1)
+    assert(replicaAsMap(replica).keySet === Set(3),
+      "tombstone must absorb an out-of-order pre-delete event")
+    // vacuum: once the source can't deliver older lsns, tombstones go —
+    // the dead bucket dir is physically dropped, not just filtered out
+    Replicate.vacuum(spark, replica, numBuckets = 2)
     assert(!fs.exists(new Path(s"$replica/id_bucket=0")))
+    assert(replicaAsMap(replica).keySet === Set(3))
+  }
+
+  test("out-of-order micro-batches: later-lsn epoch compacts first, state converges") {
+    // Spark's file source breaks modification-time ties nondeterministically
+    // (observed: epoch 4 delivering lsns 301-360 before epoch 5's 241-300),
+    // so a compaction can fold a LATER-lsn batch before an earlier one
+    // arrives. The summary algebra is order-independent: folding epochs in
+    // any order, with eager compaction in between, must equal the
+    // lsn-order replay.
+    val ops = ChangeGen.ops(seed = 53, n = 300)
+    val groups = ops.grouped(100).toSeq
+    val replica = tmp("cdc-ooo")
+    Seq(groups(0), groups(2), groups(1)).zipWithIndex.foreach { case (g, i) =>
+      Replicate.applyBatch(spark, ChangeGen.toChanges(g).toDS(), replica,
+        numBuckets = 4, batchId = i.toLong, compactEvery = 1)
+    }
+    assert(replicaAsMap(replica) === ChangeGen.replay(ops))
   }
 
   test("applyBatch: crashed rename-aside swap is recovered, no rows lost") {

@@ -97,53 +97,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("CDC compaction merge: delta partitioning reused, only base side adds an exchange") {
+  test("CDC compaction fold: one bucket exchange, no join — union feeds window, agg, write") {
     import java.sql.Timestamp
+    import org.apache.spark.sql.functions.{col, lit, pmod}
     import graft.cdc.{PersonChange, PersonRow, Replicate}
     import spark.implicits._
     val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
-    val changes = (1 to 100).map(i => PersonChange(i.toLong, "I", i,
+    val changes = (1 to 100).map(i => PersonChange(100L + i, "I", i,
       Some(s"n$i"), Some(s"u$i"), Some(i), Some(t0))).toDS()
     val dir = java.nio.file.Files.createTempDirectory("plan-cdc").toString
     Replicate.summarizeBucketed(changes.toDF(), 4)
       .write.parquet(s"$dir/delta")
+    val cols = Seq(Replicate.BucketCol, "id", "last_img", "first_ins",
+      "last_d_lsn")
     val deltas = spark.read.parquet(s"$dir/delta")
-    val base = (1 to 50).map(i => PersonRow(i, s"n$i", s"u$i", i, t0))
-      .toDS().toDF()
-      .withColumn(Replicate.BucketCol,
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col("id"),
-          org.apache.spark.sql.functions.lit(4)).cast("int"))
-    // compaction plans with subset co-partitioning on (same conf scope
-    // as Replicate.compact): without it the join re-shuffles BOTH sides
-    // on (bucket, id) and the write sprays buckets across tasks
-    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
-    val prevCoPart = spark.conf.get(coPartKey, "true")
-    spark.conf.set(coPartKey, "false")
-    val s = try {
-      val merged = Replicate.mergeBatch(base,
-        Replicate.combineDeltaSummaries(deltas, 4),
-        joinKeys = Seq(Replicate.BucketCol, "id"))
-      val qe = merged.queryExecution
-      qe.executedPlan.execute().foreach(_ => ())
-      qe.executedPlan.toString
-    } finally spark.conf.set(coPartKey, prevCoPart)
+      .select(cols.map(col): _*)
+    val base = Replicate.rowsAsSummaries(
+        (1 to 50).map(i => PersonRow(i, s"n$i", s"u$i", i, t0)).toDS().toDF())
+      .withColumn(Replicate.BucketCol, pmod(col("id"), lit(4)).cast("int"))
+      .select(cols.map(col): _*)
+    val merged = Replicate.combineSummaries(base.unionAll(deltas),
+      Seq(Replicate.BucketCol, "id"), width = Some(4))
+    val qe = merged.queryExecution
+    qe.executedPlan.execute().foreach(_ => ())
+    val s = qe.executedPlan.toString
     // AQE's string repeats the tree under "== Initial Plan ==" — count
     // only the final (executed) section
     val finalPlan = s.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"),
+      s"compaction fold must not plan a join:\n$s")
     val exchanges = finalPlan.linesIterator
       .count(_.contains("Exchange hashpartitioning"))
-    // one explicit bucket repartition on the delta side + one
-    // ENSURE_REQUIREMENTS exchange for the base side; a third would mean
-    // the join re-shuffled the combined deltas and the bucket-aligned
-    // write claim is false
-    assert(exchanges <= 2, s"unexpected extra exchange:\n$s")
-    // and the delta side's bucket partitioning must reach the join: the
-    // only ENSURE_REQUIREMENTS exchange is the base side's
-    val ensures = finalPlan.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning") &&
-        l.contains("ENSURE_REQUIREMENTS"))
-    assert(ensures <= 1, s"delta side re-shuffled for the join:\n$s")
+    // exactly the one explicit bucket repartition: window, aggregate,
+    // and the bucket-partitioned write all reuse it — a second exchange
+    // would spray buckets across write tasks
+    assert(exchanges <= 1, s"unexpected extra exchange:\n$s")
   }
 
   test("SRP bucket signatures are computed shuffle-free") {
