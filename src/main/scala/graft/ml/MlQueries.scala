@@ -580,6 +580,46 @@ object MlQueries {
                 s"WHEN lang = '$l' THEN $r" }.mkString(" ")} ELSE 0 END
             |ORDER BY doc_id""".stripMargin))
 
+  /** Shard-assignment oracle: same hash-mod shard key, same within-shard
+    * row numbering. */
+  private val shardAssign = Declared(
+    "ml_shard_assign",
+    (s, d) => TextAnalysis.shardAssign(Tables(s, d, "documents")),
+    Some(s"""SELECT doc_id, shard,
+            |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+            |       AS BIGINT) AS pos
+            |FROM (SELECT doc_id,
+            |        ${sqlHash60("'shard:' || doc_id")}
+            |          % ${TextAnalysis.NumShards} AS shard
+            |      FROM documents)
+            |ORDER BY shard, pos""".stripMargin))
+
+  /** Mixture-rebalance oracle: identical integer budget/rate/threshold
+    * arithmetic (sums cast to BIGINT — DuckDB widens sum to HUGEINT). */
+  private val mixRebalance = Declared(
+    "ml_mixture_rebalance",
+    (s, d) => TextAnalysis.mixtureRebalance(Tables(s, d, "documents")),
+    Some(s"""WITH ps AS (
+            |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars,
+            |         count(*) AS src_docs
+            |  FROM documents GROUP BY source),
+            |b AS (SELECT CAST(sum(src_chars) AS BIGINT) // count(*) AS budget
+            |      FROM ps),
+            |r AS (SELECT source, src_docs, src_chars,
+            |             least(CAST(1000 AS BIGINT),
+            |                   (1000 * b.budget) // src_chars) AS rate
+            |      FROM ps, b),
+            |k AS (SELECT d.source, count(*) AS kept_docs,
+            |             CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+            |      FROM documents d JOIN r ON d.source = r.source
+            |      WHERE ${sqlHash60("'mix:' || doc_id")} % 1000 < r.rate
+            |      GROUP BY d.source)
+            |SELECT r.source, r.src_docs, r.src_chars, r.rate,
+            |       coalesce(k.kept_docs, 0) AS kept_docs,
+            |       coalesce(k.kept_chars, 0) AS kept_chars
+            |FROM r LEFT JOIN k USING (source)
+            |ORDER BY source""".stripMargin))
+
   /** Contamination oracle: same 8-gram windows, same benchmark slice. */
   private val contam = Declared(
     "ml_contamination",
@@ -810,6 +850,7 @@ object MlQueries {
     cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, kmeansStep,
     embedNearDup,
     textStats, langId, tokenCounts, repetition, seqPack, stratSample, contam,
+    shardAssign, mixRebalance,
     tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)
 }

@@ -244,6 +244,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Number of output shards for [[shardAssign]]. */
+  val NumShards = 8
+
+  /** Deterministic training-shard layout: `shard = hash60('shard:'‖id)
+    * mod [[NumShards]]`, `pos` = row number within the shard ordered by
+    * doc_id — the write-side plan of a training-data export (each shard
+    * is one output file/stream, its content and order reproducible from
+    * the data alone: no RNG, no task-order dependence).
+    *
+    * Scale: one hash exchange on the shard key — exactly the write
+    * partitioning the export needs anyway — plus a within-shard sort;
+    * never a global sort. Shard count scales with writer parallelism. */
+  def shardAssign(docs: DataFrame): DataFrame = {
+    val sharded = docs.select(col("doc_id"),
+      (hash60Seeded(lit("shard"), col("doc_id")) % NumShards).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    sharded
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .orderBy("shard", "pos")
+  }
+
+  /** Uniform-mixture rebalancing across sources (the Pile/LLaMA-style
+    * mixture step): give every source an equal character budget
+    * `B = total_chars div n_sources`, convert it to a per-mille
+    * hash-threshold sampling rate `min(1000, 1000·B div src_chars)`,
+    * and report per source what the rebalanced corpus keeps. All
+    * arithmetic is integer division on BIGINTs — bit-identical on any
+    * engine, no float rates.
+    *
+    * Scale: the per-source aggregate is tiny (sources ≪ rows), so the
+    * rate table broadcasts back onto the corpus and the keep decision is
+    * a narrow filter — the corpus is read twice but never shuffled;
+    * only the per-source summaries aggregate. */
+  def mixtureRebalance(docs: DataFrame): DataFrame = {
+    val perSrc = docs.groupBy("source").agg(
+      sum("n_chars").as("src_chars"), count(lit(1)).as("src_docs"))
+    val budget = perSrc.agg(expr("sum(src_chars) div count(1)").as("budget"))
+    val rates = perSrc.crossJoin(broadcast(budget))
+      .withColumn("rate",
+        least(lit(1000L), expr("(1000 * budget) div src_chars")))
+    val kept = docs
+      .join(broadcast(rates.select("source", "rate")), Seq("source"))
+      .filter(hash60Seeded(lit("mix"), col("doc_id")) % 1000 < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_chars"))
+    rates.select("source", "src_docs", "src_chars", "rate")
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("src_docs"), col("src_chars"), col("rate"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
   val GramLen = 8
   val WinnowWindow = 4
 

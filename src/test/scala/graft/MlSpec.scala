@@ -308,6 +308,37 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("shard assignment: total, contiguous per shard, repartition-stable") {
+    val a = TextAnalysis.shardAssign(docs).collect()
+    assert(a.length === docs.count())
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.length === a.length)
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rows) =>
+      assert(sh >= 0 && sh < TextAnalysis.NumShards)
+      // positions are exactly 1..n within the shard
+      assert(rows.map(_.getAs[Long]("pos")).sorted
+        === (1L to rows.length).toArray.toSeq)
+    }
+    // deterministic layout: physical partitioning of the input is invisible
+    val b = TextAnalysis.shardAssign(docs.repartition(7)).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("mixture rebalance: budgets, rate caps, and keep-all strata") {
+    val rows = TextAnalysis.mixtureRebalance(docs).collect()
+    val nDocs = rows.map(_.getAs[Long]("src_docs")).sum
+    assert(nDocs === docs.count())
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("rate")
+      assert(rate >= 0 && rate <= 1000)
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("src_docs"))
+      assert(r.getAs[Long]("kept_chars") <= r.getAs[Long]("src_chars"))
+      // a source already under budget is kept whole (rate 1000 ⇒ no drop)
+      if (rate == 1000L)
+        assert(r.getAs[Long]("kept_docs") === r.getAs[Long]("src_docs"))
+    }
+  }
+
   test("multimodal: batched stub decode preserves ids and batch shape") {
     val media = Multimodal.asMedia(docs)
     val feats = Multimodal.decodeAll(spark, media).collect()
