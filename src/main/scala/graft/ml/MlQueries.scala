@@ -493,6 +493,30 @@ object MlQueries {
             |  JOIN nrm nb ON nb.vec_id = t.vec_b)
             |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin))
 
+  /** Semantic-dedup oracle: same blocked pair space, drop side as a NOT
+    * IN over the distinct higher ids. */
+  private val semDedup = Declared(
+    "ml_semantic_dedup",
+    (s, d) => Similarity.semanticDedup(Tables(s, d, "embeddings"),
+      minCos = 0.4),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |dots AS (
+            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            |         sum(a.q * b.q) AS d
+            |  FROM qe a JOIN qe b
+            |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+            |  GROUP BY a.vec_id, b.vec_id),
+            |drops AS (
+            |  SELECT DISTINCT t.vec_b
+            |  FROM dots t
+            |  JOIN nrm na ON na.vec_id = t.vec_a
+            |  JOIN nrm nb ON nb.vec_id = t.vec_b
+            |  WHERE ${cosSql("t.d", "na.n2", "nb.n2")} >= 0.4)
+            |SELECT vec_id, label FROM embeddings
+            |WHERE vec_id NOT IN (SELECT vec_b FROM drops)
+            |ORDER BY vec_id""".stripMargin))
+
   // ---- text analysis --------------------------------------------------
 
   private def sqlMarkerList(words: Seq[String]): String =
@@ -848,7 +872,7 @@ object MlQueries {
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
     cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, kmeansStep,
-    embedNearDup,
+    embedNearDup, semDedup,
     textStats, langId, tokenCounts, repetition, seqPack, stratSample, contam,
     shardAssign, mixRebalance,
     tfidfTopTerms, fingerprint,

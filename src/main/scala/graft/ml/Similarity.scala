@@ -288,4 +288,22 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. '23): remove
+    * embedding-space near-duplicates — drop the higher-id side of every
+    * same-cell pair with cosine ≥ `minCos` (greedy keep-lowest, the
+    * [[Dedup.dedupCorpus]] convention); returns the surviving
+    * (vec_id, label).
+    *
+    * Scale: the pair space is the cluster-blocked Σ|cell|² of
+    * [[embeddingNearDups]] (never n²), and the drop list is tiny
+    * relative to the corpus → broadcast anti-join; the corpus itself
+    * never shuffles. */
+  def semanticDedup(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    val drops = embeddingNearDups(emb, minCos)
+      .select(col("vec_b").as("vec_id")).distinct()
+    emb.select("vec_id", "label")
+      .join(broadcast(drops), Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
 }

@@ -308,6 +308,16 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup drops exactly the higher-id side of embed pairs") {
+    val dropIds = Similarity.embeddingNearDups(emb, 0.4).collect()
+      .map(_.getAs[Long]("vec_b")).toSet
+    val kept = Similarity.semanticDedup(emb, 0.4).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- dropIds)
+    assert(dropIds.nonEmpty, "fixture should contain embed near-dups")
+  }
+
   test("shard assignment: total, contiguous per shard, repartition-stable") {
     val a = TextAnalysis.shardAssign(docs).collect()
     assert(a.length === docs.count())
