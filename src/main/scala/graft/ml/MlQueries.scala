@@ -526,26 +526,51 @@ object MlQueries {
   private def sqlMarkerCount(words: Seq[String]): String =
     s"CAST(len(${sqlMarkerList(words)}) AS BIGINT)"
 
+  /** The textStats projection (no ORDER BY) — shared by the stats query
+    * and the quality gate built on top of it. */
+  private val textStatsSql =
+    s"""SELECT doc_id, lang, source, n_tokens, n_distinct, n_chars,
+       |       avg_token_len, ttr, stop_ratio,
+       |       ttr * (1.0 - stop_ratio) *
+       |         (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality
+       |FROM (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS n_distinct,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS avg_token_len,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS ttr,
+       |    CAST(len(${sqlMarkerList(TextAnalysis.Stopwords)}) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stop_ratio
+       |  FROM documents)""".stripMargin
+
   private val textStats = Declared(
     "ml_text_stats",
     (s, d) => TextAnalysis.textStats(Tables(s, d, "documents")),
-    Some(s"""SELECT doc_id, lang, source, n_tokens, n_distinct, n_chars,
-            |       avg_token_len, ttr, stop_ratio,
-            |       ttr * (1.0 - stop_ratio) *
-            |         (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality
+    Some(s"$textStatsSql\nORDER BY doc_id"))
+
+  /** Quality-gate oracle: the same stats body, thresholds as INT flags. */
+  private val qualityGate = Declared(
+    "ml_quality_gate",
+    (s, d) => TextAnalysis.qualityGate(Tables(s, d, "documents")),
+    Some(s"""WITH ts AS (
+            |$textStatsSql)
+            |SELECT doc_id, lang, source, n_tokens, stop_ratio, quality,
+            |  len_ok, stop_ok, quality_ok,
+            |  CAST(len_ok = 1 AND stop_ok = 1 AND quality_ok = 1 AS INT)
+            |    AS keep
             |FROM (
-            |  SELECT doc_id, lang, source,
-            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-            |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-            |      AS n_distinct,
-            |    CAST(length(text) AS BIGINT) AS n_chars,
-            |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
-            |      / len(string_split(text, ' ')) AS avg_token_len,
-            |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-            |      / len(string_split(text, ' ')) AS ttr,
-            |    CAST(len(${sqlMarkerList(TextAnalysis.Stopwords)}) AS DOUBLE)
-            |      / len(string_split(text, ' ')) AS stop_ratio
-            |  FROM documents)
+            |  SELECT *,
+            |    CAST(n_tokens >= ${TextAnalysis.GateMinTokens} AS INT)
+            |      AS len_ok,
+            |    CAST(stop_ratio <= ${TextAnalysis.GateMaxStop} AS INT)
+            |      AS stop_ok,
+            |    CAST(quality >= ${TextAnalysis.GateMinQuality} AS INT)
+            |      AS quality_ok
+            |  FROM ts)
             |ORDER BY doc_id""".stripMargin))
 
   private val langId = Declared(
@@ -873,7 +898,8 @@ object MlQueries {
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
     cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, kmeansStep,
     embedNearDup, semDedup,
-    textStats, langId, tokenCounts, repetition, seqPack, stratSample, contam,
+    textStats, qualityGate, langId, tokenCounts, repetition, seqPack,
+    stratSample, contam,
     shardAssign, mixRebalance,
     tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)

@@ -49,6 +49,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[qualityGate]] thresholds (C4/FineWeb-style — values illustrative;
+    * the operator is the audited-verdict machinery). */
+  val GateMinTokens = 30L
+  val GateMaxStop = 0.25
+  val GateMinQuality = 0.15
+
+  /** Quality gate — the top-of-funnel corpus filter (C4, Raffel '20;
+    * FineWeb): every document audited against length, stopword-mass and
+    * composite-quality rules, emitting per-rule flags plus the combined
+    * keep verdict. Keeping the reasons (not just the survivors) is what
+    * makes the filter operable: drop-rate-by-reason is the dashboard a
+    * 100 TB curation run is steered by.
+    *
+    * Scale: a per-row projection over [[textStats]] — no shuffle beyond
+    * the final presentation sort. Threshold comparisons are on values
+    * that are bit-identical across engines (integer-ratio doubles), so
+    * the flags are too. */
+  def qualityGate(docs: DataFrame): DataFrame =
+    textStats(docs)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("stop_ratio"), col("quality"),
+        (col("n_tokens") >= GateMinTokens).cast("int").as("len_ok"),
+        (col("stop_ratio") <= GateMaxStop).cast("int").as("stop_ok"),
+        (col("quality") >= GateMinQuality).cast("int").as("quality_ok"))
+      .withColumn("keep",
+        (col("len_ok") === 1 && col("stop_ok") === 1 &&
+          col("quality_ok") === 1).cast("int"))
+      .orderBy("doc_id")
+
   private def markerScore(markers: Seq[String]): Column =
     size(filter(tokens(col("text")), t => t.isin(markers: _*))).cast("long")
 

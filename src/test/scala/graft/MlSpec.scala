@@ -308,6 +308,19 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("quality gate: keep is the rule conjunction and splits the fixture") {
+    val rows = TextAnalysis.qualityGate(docs).collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      val conj = Seq("len_ok", "stop_ok", "quality_ok")
+        .forall(c => r.getAs[Int](c) == 1)
+      assert(r.getAs[Int]("keep") === (if (conj) 1 else 0))
+    }
+    val keeps = rows.count(_.getAs[Int]("keep") == 1)
+    assert(keeps > 0 && keeps < rows.length,
+      s"thresholds should split the fixture, kept $keeps/${rows.length}")
+  }
+
   test("semantic dedup drops exactly the higher-id side of embed pairs") {
     val dropIds = Similarity.embeddingNearDups(emb, 0.4).collect()
       .map(_.getAs[Long]("vec_b")).toSet
