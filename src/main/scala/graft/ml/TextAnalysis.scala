@@ -302,13 +302,17 @@ object TextAnalysis {
     * arithmetic is integer division on BIGINTs — bit-identical on any
     * engine, no float rates.
     *
-    * Scale: the per-source aggregate is tiny (sources ≪ rows), so the
-    * rate table broadcasts back onto the corpus and the keep decision is
-    * a narrow filter — the corpus is read twice but never shuffled;
-    * only the per-source summaries aggregate. */
+    * Scale: the per-source aggregate is tiny (sources ≪ rows) and is
+    * materialized ONCE (localCheckpoint) — without that, every consumer
+    * of the rate table re-plans its subtree and re-scans the corpus.
+    * The rate table then broadcasts back onto the corpus and the keep
+    * decision is a narrow filter — the corpus is read exactly twice
+    * (summary pass + keep pass) and never shuffled; both joins of the
+    * final 1-row-per-source summaries are broadcasts. */
   def mixtureRebalance(docs: DataFrame): DataFrame = {
     val perSrc = docs.groupBy("source").agg(
-      sum("n_chars").as("src_chars"), count(lit(1)).as("src_docs"))
+        sum("n_chars").as("src_chars"), count(lit(1)).as("src_docs"))
+      .localCheckpoint(true)
     val budget = perSrc.agg(expr("sum(src_chars) div count(1)").as("budget"))
     val rates = perSrc.crossJoin(broadcast(budget))
       .withColumn("rate",
@@ -319,7 +323,7 @@ object TextAnalysis {
       .groupBy("source")
       .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_chars"))
     rates.select("source", "src_docs", "src_chars", "rate")
-      .join(kept, Seq("source"), "left")
+      .join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("src_docs"), col("src_chars"), col("rate"),
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
         coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))

@@ -163,4 +163,35 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = s.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges >= 2, s"expected the two-phase shape, got $exchanges exchanges")
   }
+
+  test("semantic dedup: the drop list broadcasts into a left-anti probe") {
+    val s = planString(run("ml_semantic_dedup"))
+    assert(s.contains("LeftAnti"), "survivor filter must be an anti join")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "the tiny drop list must broadcast — the corpus must not shuffle")
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus side sort-merges for the anti join:\n${s.take(600)}")
+  }
+
+  test("mixture rebalance: the rate table broadcasts, the corpus never sort-merges") {
+    val s = planString(run("ml_mixture_rebalance"))
+    assert(s.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus shuffles for the rate join:\n${s.take(600)}")
+  }
+
+  test("shard assignment: the only hash exchange is the shard key itself") {
+    val s = planString(run("ml_shard_assign"))
+    val hashEx = s.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("shard"),
+      s"expected exactly the shard-key exchange (= the write partitioning):\n$hashEx")
+  }
+
+  test("quality gate is a pure projection: no hash exchange, no join") {
+    val s = planString(run("ml_quality_gate"))
+    assert(!s.contains("Join"), "gate must not join")
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"gate must stay a per-row projection:\n${s.take(600)}")
+  }
 }
