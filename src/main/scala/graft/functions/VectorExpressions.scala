@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -113,6 +113,72 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native sliding-window minimum over an `Array[Long]` column — the
+  * winnowing primitive (Schleimer SIGMOD'03): `out[i] = min(in[i ..
+  * i+w-1])` (trailing windows shrink), with consecutive repeats
+  * collapsed in-loop (adjacent windows usually share their minimum, so
+  * this cuts the emitted array ~w× before the `array_distinct` that
+  * completes the per-doc dedup). A `transform`+`slice`+`array_min`
+  * formulation allocates a w-element array per position — benchmarked
+  * ~2× slower than the window-function version it was meant to replace;
+  * this loop allocates once per row. */
+case class SlidingMinLong(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"window must be >= 1, got $w")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_min"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = new Array[Long](n)
+    var k = 0; var prev = 0L; var i = 0
+    while (i < n) {
+      var m = arr.getLong(i)
+      val end = math.min(i + w, n)
+      var j = i + 1
+      while (j < end) { val v = arr.getLong(j); if (v < m) m = v; j += 1 }
+      if (k == 0 || m != prev) { buf(k) = m; k += 1; prev = m }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val buf = ctx.freshName("buf")
+      val k = ctx.freshName("k")
+      val prev = ctx.freshName("prev")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val end = ctx.freshName("end")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $c.numElements();
+         |final long[] $buf = new long[$n];
+         |int $k = 0; long $prev = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $m = $c.getLong($i);
+         |  final int $end = java.lang.Math.min($i + $w, $n);
+         |  for (int $j = $i + 1; $j < $end; $j++) {
+         |    final long $v = $c.getLong($j);
+         |    if ($v < $m) $m = $v;
+         |  }
+         |  if ($k == 0 || $m != $prev) { $buf[$k] = $m; $k++; $prev = $m; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($buf, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SlidingMinLong = copy(child = newChild)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -122,4 +188,7 @@ object VectorFunctions {
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductLong(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def slidingMin(a: Column, w: Int): Column =
+    ColumnBridge.column(SlidingMinLong(ColumnBridge.expression(a), w))
 }

@@ -111,7 +111,7 @@ object Dedup {
     * [[HashP]]), folded by 64 `min` aggregates in a single
     * hash-aggregate pass (map-side combined). */
   def minhashWide(docs: DataFrame, k: Int = 3): DataFrame =
-    shingleRows(docs, k)
+    shingleRows(spread(docs), k)
       .withColumn("x", hash60(col("sh")) % HashP)
       .groupBy("doc_id")
       .agg(

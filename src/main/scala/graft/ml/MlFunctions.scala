@@ -48,6 +48,22 @@ object MlFunctions {
   def hash60Seeded(seed: Column, payload: Column): Column =
     hash60(concat(seed.cast("string"), lit(":"), payload))
 
+  /** Round-robin repartition to the session's core count, placed before
+    * a per-doc derivation whose HEAVY work (md5 chains, sliding-window
+    * hashing) runs BEFORE the plan's first exchange. The doc rows are
+    * the small payload of those ops — each doc amplifies to hundreds of
+    * derived rows and thousands of md5s — so balancing cores costs
+    * doc-bytes and removes input-layout skew; without it a
+    * single-row-group parquet input (small files, hot fixtures) pins the
+    * whole derivation to ONE core (measured 4.8× on winnowing at
+    * sf0.1). Do NOT apply where the first aggregation's exchange already
+    * sits upstream of the heavy work (simhash/TF-IDF hash after their
+    * token agg): there the extra exchange is pure cost (measured ~25%
+    * slower). At 100 TB the same tradeoff holds per-partition. */
+  def spread(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   /** Array[Float] → Array[Long] fixed-point quantization.
     * `floor(x + 0.5)` rather than `round` so both engines share one
     * rounding rule regardless of their round-half conventions. */

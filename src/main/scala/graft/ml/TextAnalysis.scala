@@ -3,6 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 import MlFunctions._
 
 /** Per-document text analysis over the `documents` table: quality
@@ -335,31 +336,34 @@ object TextAnalysis {
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * hash every char 8-gram, keep the minimum of each sliding window of
-    * 4, emit the distinct minima. Robust to small edits; the standard
-    * plagiarism/near-dup fingerprint. Returns (doc_id, fp). */
+    * 4 (trailing windows shrink), emit the distinct minima per doc.
+    * Robust to small edits; the standard plagiarism/near-dup
+    * fingerprint. Returns (doc_id, fp).
+    *
+    * Scale: winnowing is per-document, so the whole computation lives
+    * in ONE codegen'd projection — gram hashes, the native
+    * [[graft.functions.SlidingMinLong]] sliding-minimum loop
+    * (allocation-free, adjacent repeats collapsed in-loop), and the
+    * per-doc dedup all happen inside the row, and the corpus never
+    * shuffles grams (the window-function formulation paid a corpus-wide
+    * exchange + two sorts ON THE GRAM STREAM — ~150× the doc bytes —
+    * for embarrassingly parallel work; a `transform`+`slice`+
+    * `array_min` formulation allocated a w-array per position and
+    * benchmarked 2× slower still). The explicit repartition spreads the
+    * RAW DOCS before the ~750×-per-doc fan-out: the docs are the small
+    * side of this op (each doc amplifies to hundreds of gram hashes),
+    * so balancing cores costs doc-bytes and saves gram-compute skew —
+    * and a single-row-group input (this fixture; any small file) would
+    * otherwise pin the whole projection to one core. */
   def fingerprints(docs: DataFrame): DataFrame = {
-    // hash the grams INSIDE the array build so the explode emits 8-byte
-    // hashes, not (position, full-text) pairs — the text is evaluated
-    // once per document instead of being carried per gram row
-    val grams = docs
-      .filter(length(col("text")) >= GramLen)
+    val gh = transform(
+      sequence(lit(1), length(col("text")) - (GramLen - 1)),
+      i => hash60(col("text").substr(i, lit(GramLen))))
+    spread(docs.filter(length(col("text")) >= GramLen))
+      .select(col("doc_id"), gh.as("g"))
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), length(col("text")) - (GramLen - 1)),
-          i => hash60(col("text").substr(i, lit(GramLen)))))
-          .as(Seq("i", "gh")))
-    val w = Window.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(Window.currentRow, WinnowWindow - 1)
-    val wLag = Window.partitionBy("doc_id").orderBy("i")
-    // consecutive windows usually share their minimum — drop repeats
-    // with a lag over the SAME sort before the distinct shuffle, so the
-    // exchange carries ~w× fewer rows
-    grams
-      .select(col("doc_id"), col("i"), min(col("gh")).over(w).as("fp"))
-      .withColumn("prev_fp", lag(col("fp"), 1).over(wLag))
-      .filter(col("prev_fp").isNull || col("fp") =!= col("prev_fp"))
-      .select("doc_id", "fp")
-      .distinct()
+        explode(array_distinct(
+          VectorFunctions.slidingMin(col("g"), WinnowWindow))).as("fp"))
       .orderBy("doc_id", "fp")
   }
 }

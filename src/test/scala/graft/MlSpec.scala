@@ -271,6 +271,38 @@ class MlSpec extends AnyFunSuite {
     assert(overlap >= 0.9, f"fast/quantized top-k overlap $overlap%.2f")
   }
 
+  test("native sliding min: codegen == interpreted == Scala reference") {
+    def ref(a: Seq[Long], w: Int): Seq[Long] = {
+      val mins = a.indices.map(i => a.slice(i, math.min(i + w, a.length)).min)
+      // adjacent repeats collapsed, as the expression does
+      mins.foldLeft(Vector.empty[Long]) { (acc, m) =>
+        if (acc.lastOption.contains(m)) acc else acc :+ m
+      }
+    }
+    val arrays = Seq(
+      Seq(5L, 3L, 3L, 9L, 1L, 7L, 7L, 2L),
+      Seq(1L), Seq.empty[Long],
+      (1L to 20L).reverse, (1L to 20L).toSeq)
+    val df = arrays.toDF("a")
+    for (w <- Seq(1, 4, 50)) {
+      val got = df.select(graft.functions.VectorFunctions
+        .slidingMin(col("a"), w)).as[Seq[Long]].collect()
+      // collect() runs codegen; eval the interpreted path explicitly too
+      got.zip(arrays).foreach { case (g, a) =>
+        assert(g === ref(a, w), s"w=$w input=$a")
+      }
+      arrays.foreach { a =>
+        val interp = graft.functions.SlidingMinLong(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              a, org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType)), w)
+          .eval(null).asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+        assert(interp === ref(a, w), s"interpreted w=$w input=$a")
+      }
+    }
+  }
+
   test("winnowing fingerprints: shared for near-dups, robust to one edit") {
     val near = Dedup.nearDupBrute(docs, 0.9).limit(1)
       .as[(Long, Long, Double)].collect()
