@@ -669,6 +669,26 @@ object MlQueries {
             |FROM r LEFT JOIN k USING (source)
             |ORDER BY source""".stripMargin))
 
+  /** Chunking oracle: same stride windows, same joined-string hash. */
+  private val chunking = Declared(
+    "ml_chunking",
+    (s, d) => TextAnalysis.chunks(Tables(s, d, "documents")),
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            |c AS (
+            |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+            |    tk[i*${TextAnalysis.ChunkStride} + 1 :
+            |       least(i*${TextAnalysis.ChunkStride}
+            |             + ${TextAnalysis.ChunkTokens}, len(tk))] AS ck
+            |  FROM toks,
+            |    unnest(range(0, (len(tk)-1)//${TextAnalysis.ChunkStride} + 1))
+            |      AS t(i))
+            |SELECT doc_id, chunk_idx,
+            |  CAST(len(ck) AS BIGINT) AS chunk_tokens,
+            |  ${sqlHash60("list_aggregate(ck, 'string_agg', ' ')")}
+            |    AS chunk_hash
+            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+
   /** Contamination oracle: same 8-gram windows, same benchmark slice. */
   private val contam = Declared(
     "ml_contamination",
@@ -900,7 +920,7 @@ object MlQueries {
     embedNearDup, semDedup,
     textStats, qualityGate, langId, tokenCounts, repetition, seqPack,
     stratSample, contam,
-    shardAssign, mixRebalance,
+    shardAssign, mixRebalance, chunking,
     tfidfTopTerms, fingerprint,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)
 }

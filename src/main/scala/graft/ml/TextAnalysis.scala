@@ -243,6 +243,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[chunks]] window/stride (tokens). Stride < window ⇒ overlapping
+    * context, the standard RAG / pretraining chunking shape. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Overlapping token-window chunking — the document splitter feeding
+    * RAG indexes and fixed-context pretraining: chunk `i` covers tokens
+    * `[i·stride+1, i·stride+window]` (the trailing chunk shrinks), with
+    * a content hash per chunk for downstream chunk-level dedup. Emits
+    * (doc_id, chunk_idx, chunk_tokens, chunk_hash).
+    *
+    * Scale: pure per-row array arithmetic + a bounded lateral explode —
+    * ~n_tokens/stride rows per doc, no shuffle before the presentation
+    * sort. */
+  def chunks(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          floor((size(col("tk")) - 1) / lit(ChunkStride)).cast("long")))
+          .as("chunk_idx"),
+        col("tk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("tk"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkTokens)).as("ck"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ck")).cast("long").as("chunk_tokens"),
+        hash60(concat_ws(" ", col("ck"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Word-gram length for [[contamination]] screening. */
   val ContamGram = 8
 

@@ -340,6 +340,25 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: full coverage with stride overlap, hashes match re-join") {
+    val ch = TextAnalysis.chunks(docs).collect()
+    val byDoc = ch.groupBy(_.getAs[Long]("doc_id"))
+    val nTok = TextAnalysis.textStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    byDoc.foreach { case (id, rows) =>
+      val idxs = rows.map(_.getAs[Long]("chunk_idx")).sorted
+      assert(idxs === (0L until rows.length).toArray.toSeq)
+      // every chunk is exactly min(window, n − stride·idx) tokens — full
+      // coverage, stride-overlapped, trailing chunks shrink
+      rows.foreach { r =>
+        val i = r.getAs[Long]("chunk_idx")
+        assert(r.getAs[Long]("chunk_tokens") ===
+          math.min(TextAnalysis.ChunkTokens.toLong,
+            nTok(id) - TextAnalysis.ChunkStride * i))
+      }
+    }
+  }
+
   test("quality gate: keep is the rule conjunction and splits the fixture") {
     val rows = TextAnalysis.qualityGate(docs).collect()
     assert(rows.length === docs.count())
