@@ -340,7 +340,7 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
-  test("chunking: full coverage with stride overlap, hashes match re-join") {
+  test("chunking: stride-overlapped windows exactly tile every document") {
     val ch = TextAnalysis.chunks(docs).collect()
     val byDoc = ch.groupBy(_.getAs[Long]("doc_id"))
     val nTok = TextAnalysis.textStats(docs).collect()
