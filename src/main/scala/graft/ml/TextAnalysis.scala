@@ -193,27 +193,52 @@ object TextAnalysis {
     * sequence). */
   val PackBudget = 512L
 
+  /** Docs per doc_id-range block in [[sequencePack]]'s two-level prefix
+    * sum. Pick so the per-(lang, block) offsets table stays small enough
+    * to broadcast (n_blocks ≲ 10⁶ ⇒ a few MB): at 10¹⁰ docs use
+    * ~10⁴-10⁵; 64 keeps the block structure exercised at test scale. */
+  val PackBlockWidth = 64L
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining
     * batcher: per language stream, documents are concatenated in doc_id
     * order and sliced into fixed [[PackBudget]]-token context windows.
     * Emits each doc's placement: the window its first token lands in
     * (`bin_start`), its last (`bin_end`), and how many windows it spans.
     *
-    * Scale: ONE window pass per language partition — the running token
-    * sum is a prefix sum over (lang, doc_id), no join, no explode. At
-    * 100 TB the lang partitions are processed independently; a totally-
-    * ordered global pack would instead use range partitioning on
-    * (lang, doc_id) — same plan shape. */
+    * Scale: a TWO-LEVEL prefix sum — a single window keyed only by
+    * `lang` would sort each language's whole stream into one task (a
+    * 5-value key = a 5-task straggler wall at 100 TB). Instead: (1) docs
+    * bucket into contiguous doc_id-range blocks and a parallel aggregate
+    * computes per-(lang, block) token subtotals; (2) a cheap scan of
+    * that tiny table turns subtotals into cumulative block offsets;
+    * (3) the offsets broadcast back and a window keyed by the
+    * high-cardinality (lang, block) adds the within-block running sum.
+    * Same result as the one-level pack, full parallelism at every
+    * stage that touches document-scale data. */
   def sequencePack(docs: DataFrame): DataFrame = {
-    // budget is a power of two, so the cum/budget double division is
-    // IEEE-exact and the long cast is a true floor for these positives
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    val toks = docs
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("blk", floor(col("doc_id") / PackBlockWidth).cast("long"))
+    // level 1+2: parallel per-block subtotals, then cumulative offsets
+    // over the tiny aggregated table (n_langs × n_blocks rows — the
+    // lang-only window here scans block sums, never documents)
+    val wOff = Window.partitionBy("lang").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("lang", "blk")
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_offset",
+        coalesce(sum(col("blk_tokens")).over(wOff), lit(0L)))
+      .select("lang", "blk", "blk_offset")
+    // level 3: within-block running sum on the high-cardinality key
+    val wLocal = Window.partitionBy("lang", "blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // budget is a power of two, so the cum/budget double division is
+    // IEEE-exact and the long cast is a true floor for these positives
+    toks
+      .join(broadcast(offsets), Seq("lang", "blk"))
+      .withColumn("cum_before", col("blk_offset") +
+        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         (col("cum_before") / PackBudget).cast("long").as("bin_start"),
         ((col("cum_before") + col("n_tokens") - 1) / PackBudget)

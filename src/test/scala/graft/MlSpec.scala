@@ -359,6 +359,29 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("seq pack: two-level prefix sum equals the naive one-level pack") {
+    import org.apache.spark.sql.expressions.Window
+    // naive reference: single window per lang — the straggler-wall shape
+    // the production two-level form must reproduce exactly
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .select(col("doc_id"), col("lang"),
+        size(MlFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum_before") / TextAnalysis.PackBudget).cast("long")
+          .as("bin_start"),
+        ((col("cum_before") + col("n_tokens") - 1) / TextAnalysis.PackBudget)
+          .cast("long").as("bin_end"))
+      .withColumn("spans", col("bin_end") - col("bin_start") + lit(1L))
+      .orderBy("lang", "doc_id")
+    val got = TextAnalysis.sequencePack(docs)
+    assert(got.columns.toSeq === naive.columns.toSeq)
+    assert(got.collect().toSeq === naive.collect().toSeq)
+  }
+
   test("quality gate: keep is the rule conjunction and splits the fixture") {
     val rows = TextAnalysis.qualityGate(docs).collect()
     assert(rows.length === docs.count())

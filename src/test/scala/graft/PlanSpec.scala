@@ -188,6 +188,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the shard-key exchange (= the write partitioning):\n$hashEx")
   }
 
+  test("seq pack: two-level prefix sum — no document-scale window keyed only by lang") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = run("ml_seq_pack")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "seq pack must still be window-based")
+    // the window that touches document-scale data must key on the
+    // high-cardinality (lang, blk); a lang-only window is allowed ONLY
+    // over the aggregated per-block offsets table (bounded rows)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+      if (!keys.contains("blk"))
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"window keyed $keys runs over unaggregated document data — " +
+            "the 5-value lang key is a straggler wall at 100 TB")
+    }
+    assert(windows.exists(w =>
+      w.partitionSpec.flatMap(_.references.map(_.name)).toSet == Set("lang", "blk")),
+      "within-block running sum must key on (lang, blk)")
+    // offsets come back via broadcast — the doc stream must not
+    // sort-merge against the tiny offsets table
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), "offsets table must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      s"doc stream sort-merges against the offsets table:\n${s.take(600)}")
+  }
+
   test("quality gate is a pure projection: no hash exchange, no join") {
     val s = planString(run("ml_quality_gate"))
     assert(!s.contains("Join"), "gate must not join")
