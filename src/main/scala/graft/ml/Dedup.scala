@@ -68,8 +68,34 @@ object Dedup {
   // At 100 TB the operational shape is [[pipeline]], which stages each
   // intermediate to parquet instead of executor memory.
   // -------------------------------------------------------------------
+  /** Memo capacity: one corpus uses 2 entries (sigs + pairs); 8 covers
+    * ~3-4 concurrently-scanned corpora. A long-lived service scanning
+    * many corpora evicts least-recently-used entries instead of
+    * accumulating checkpointed blocks for the session lifetime
+    * (VERDICT r4 #3). */
+  val MaxMemoEntries = 8
+
+  // access-ordered LRU; eviction releases the checkpointed blocks of the
+  // evicted value eagerly (the map no longer hands it out, and a
+  // localCheckpoint'ed frame with dropped blocks must not be re-run)
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[AnyRef, DataFrame]()
+    new java.util.LinkedHashMap[AnyRef, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, DataFrame]): Boolean =
+        if (size > MaxMemoEntries) { releaseBlocks(e.getValue); true }
+        else false
+    }
+
+  /** Unpersist the RDD behind a `localCheckpoint(true)`-produced frame
+    * (its analyzed plan is a `LogicalRDD` over the checkpointed RDD).
+    * Best-effort: anything unexpected just leaves the blocks to the
+    * ContextCleaner, as before. */
+  private def releaseBlocks(df: DataFrame): Unit =
+    try df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   // the session REFERENCE itself (reference equality), not its identity
   // hash code — hash codes can collide across two live sessions reading
@@ -78,24 +104,30 @@ object Dedup {
   private def docsKey(docs: DataFrame): AnyRef =
     (docs.sparkSession, docs.queryExecution.analyzed.canonicalized)
 
-  // get-then-putIfAbsent rather than computeIfAbsent: memo entries build
-  // on each other (pairs → signatures), and a nested computeIfAbsent on
-  // the same map throws "Recursive update"
-  private def memoized(key: AnyRef)(build: => DataFrame): DataFrame = {
-    val hit = memo.get(key)
-    if (hit != null) hit
-    else {
-      val built = build
-      val raced = memo.putIfAbsent(key, built)
-      if (raced != null) raced else built
+  // the lock is reentrant, so the nested build chain (pairs → sigs)
+  // memoizes through the same monitor without the "Recursive update"
+  // hazard computeIfAbsent had; builds run under the lock — fine, the
+  // consumers are sequential query runners sharing one corpus pass
+  private def memoized(key: AnyRef)(build: => DataFrame): DataFrame =
+    memo.synchronized {
+      val hit = memo.get(key)
+      if (hit != null) hit
+      else {
+        val built = build
+        memo.put(key, built)
+        built
+      }
     }
+
+  /** Drop all memoized intermediates (tests / bench isolation), eagerly
+    * releasing their checkpointed blocks. */
+  def clearCache(): Unit = memo.synchronized {
+    memo.values().forEach(releaseBlocks(_))
+    memo.clear()
   }
 
-  /** Drop all memoized intermediates (tests / bench isolation). */
-  def clearCache(): Unit = memo.clear()
-
   /** Memoized-entry count (observability + spec assertions). */
-  def cacheSize: Int = memo.size()
+  def cacheSize: Int = memo.synchronized(memo.size())
 
   /** Materialized wide MinHash signatures for `docs` — ONE corpus pass
     * per (corpus, k) per session, shared by [[minhashLong]] and the LSH

@@ -151,6 +151,29 @@ class MlSpec extends AnyFunSuite {
     assert(blocked === allPairs)
   }
 
+  test("LSH memo: LRU-bounded — eviction under pressure, clearCache releases blocks") {
+    Dedup.clearCache()
+    val tiny = Seq(
+      (1L, "a b c d e f", "en", "t", 11L),
+      (2L, "a b c d e g", "en", "t", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // each distinct threshold is its own pairs entry (signatures shared):
+    // overfill past the cap and the map must stay bounded
+    val jacs = (1 to Dedup.MaxMemoEntries + 3).map(i => 0.05 * i)
+    jacs.foreach(j => Dedup.nearDupPairs(tiny, minJaccard = j).collect())
+    assert(Dedup.cacheSize <= Dedup.MaxMemoEntries,
+      s"memo must LRU-evict past $Dedup.MaxMemoEntries entries")
+    // the least-recently-used entry was evicted; asking again rebuilds
+    // a fresh, correct pair list (2-doc fixture: jaccard 5/7 ≥ 0.05)
+    val again = Dedup.nearDupPairs(tiny, minJaccard = jacs.head).collect()
+    assert(again.nonEmpty)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    Dedup.clearCache()
+    assert(Dedup.cacheSize === 0)
+    assert(spark.sparkContext.getPersistentRDDs.size < persistedBefore,
+      "clearCache must release the checkpointed blocks, not just the refs")
+  }
+
   test("cosine top-k: self excluded, k per query, rank orders cos desc") {
     val out = Similarity.cosineTopK(emb)
       .select("query_id", "neighbor_id", "cos", "rank")
