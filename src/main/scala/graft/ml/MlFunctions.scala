@@ -95,7 +95,7 @@ object MlFunctions {
   def shingles(text: Column, k: Int = 3): Column =
     shinglesOf(tokens(text), k)
 
-  private def shinglesOf(toks: Column, k: Int): Column =
+  private[ml] def shinglesOf(toks: Column, k: Int): Column =
     // sequence(1, n) counts DOWN when n < 1 — guard short docs explicitly
     when(size(toks) >= k,
       transform(

@@ -159,30 +159,39 @@ object TextAnalysis {
     * keep verdict against [[Dup2Max]]/[[Top2Max]]. Docs too short for a
     * k-gram count as zero-repetition (kept).
     *
-    * Scale: two explode → (doc, gram) count → per-doc aggregate passes,
-    * each one corpus-wide shuffle on doc_id; the second aggregate and
-    * the final join all reuse the doc_id partitioning. All ratios are
-    * integer-ratio doubles — engine-exact. */
+    * Scale: ONE corpus pass — both gram sizes come out of a single
+    * tokenize + explode (each gram tagged with its k), then one
+    * (doc, k, gram) count and one per-doc aggregate with k-conditional
+    * sums. Two shuffles total where the per-k form paid four plus two
+    * joins. All ratios are integer-ratio doubles — engine-exact. */
   def repetition(docs: DataFrame): DataFrame = {
-    def gramStats(k: Int): DataFrame =
-      shingleRows(docs, k)
-        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum(col("c")).as("n"), count(lit(1)).as("d"),
-          max(col("c")).as("t"))
-        .select(col("doc_id"), col("n").as(s"n_${k}gram"),
-          ((col("n") - col("d")).cast("double") / col("n"))
-            .as(s"dup_${k}gram_frac"),
-          (col("t").cast("double") / col("n")).as(s"top_${k}gram_frac"))
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(concat(
+        transform(MlFunctions.shinglesOf(col("tk"), 2),
+          s => struct(lit(2).as("k"), s.as("sh"))),
+        transform(MlFunctions.shinglesOf(col("tk"), 3),
+          s => struct(lit(3).as("k"), s.as("sh"))))).as("g"))
+      .select(col("doc_id"), col("g.k").as("k"), col("g.sh").as("sh"))
+    val stats = grams
+      .groupBy("doc_id", "k", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(when(col("k") === 2, col("c"))).as("n2"),
+        count(when(col("k") === 2, lit(1))).as("d2"),
+        max(when(col("k") === 2, col("c"))).as("t2"),
+        sum(when(col("k") === 3, col("c"))).as("n3"),
+        count(when(col("k") === 3, lit(1))).as("d3"))
     docs.select("doc_id")
-      .join(gramStats(2), Seq("doc_id"), "left")
-      .join(gramStats(3), Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_2gram"), lit(0L)).as("n_2gram"),
-        coalesce(col("dup_2gram_frac"), lit(0.0)).as("dup_2gram_frac"),
-        coalesce(col("top_2gram_frac"), lit(0.0)).as("top_2gram_frac"),
-        coalesce(col("n_3gram"), lit(0L)).as("n_3gram"),
-        coalesce(col("dup_3gram_frac"), lit(0.0)).as("dup_3gram_frac"))
+        coalesce(col("n2"), lit(0L)).as("n_2gram"),
+        coalesce((col("n2") - col("d2")).cast("double") / col("n2"),
+          lit(0.0)).as("dup_2gram_frac"),
+        coalesce(col("t2").cast("double") / col("n2"), lit(0.0))
+          .as("top_2gram_frac"),
+        coalesce(col("n3"), lit(0L)).as("n_3gram"),
+        coalesce((col("n3") - col("d3")).cast("double") / col("n3"),
+          lit(0.0)).as("dup_3gram_frac"))
       .withColumn("keep",
         (col("dup_2gram_frac") <= Dup2Max &&
           col("top_2gram_frac") <= Top2Max).cast("int"))
