@@ -64,38 +64,80 @@ object CdcQueries {
       try q.awaitTermination() finally q.stop()
       Replicate.readReplica(s, replica).orderBy("id").toDF()
     },
-    // The reference fold in ANSI SQL. The snapshot is a set of INSERTs at
-    // lsn=-1; stream events get the publication row-filter transform
-    // (U entering the filter → I, anything leaving it → D). A key is
-    // alive iff an INSERT exists after its last DELETE; its image is the
-    // last non-delete event, its created_at the FIRST insert after the
-    // last delete (ON CONFLICT DO UPDATE preserves created_at).
-    Some(s"""WITH snap AS (
-           |  SELECT id, name, uid, score, created_at,
-           |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
-           |  FROM read_parquet('$snapshotPq/*.parquet')
-           |), stream AS (
-           |  SELECT id, name, uid, score, created_at, lsn,
-           |    CASE WHEN action = 'D' THEN 'D'
-           |         WHEN score % 2 = 0 THEN 'I'
-           |         ELSE 'D' END AS action
-           |  FROM read_parquet('$streamPq/*.parquet')
-           |), ev AS (
-           |  SELECT * FROM snap UNION ALL SELECT * FROM stream
-           |), lastd AS (
-           |  SELECT id, max(lsn) AS dlsn FROM ev WHERE action = 'D' GROUP BY id
-           |)
-           |SELECT e.id,
-           |  arg_max(e.name, e.lsn) AS name,
-           |  arg_max(e.uid, e.lsn) AS uid,
-           |  arg_max(e.score, e.lsn) AS score,
-           |  arg_min(e.created_at, e.lsn) FILTER (WHERE e.action = 'I')
-           |    AS created_at
-           |FROM ev e LEFT JOIN lastd d ON e.id = d.id
-           |WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
-           |GROUP BY e.id
-           |HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
-           |ORDER BY e.id""".stripMargin))
+    Some(e2eOracleSql(snapshotPq, streamPq)))
+
+  /** The reference fold in ANSI SQL, over a (snapshot, stream) fixture
+    * pair. The snapshot is a set of INSERTs at lsn=-1; stream events get
+    * the publication row-filter transform (U entering the filter → I,
+    * anything leaving it → D). A key is alive iff an INSERT exists after
+    * its last DELETE; its image is the last non-delete event, its
+    * created_at the FIRST insert after the last delete (ON CONFLICT DO
+    * UPDATE preserves created_at). Shared by the rename-commit and
+    * manifest-commit e2e queries — same semantics, different replica
+    * commit protocol. */
+  private def e2eOracleSql(snapPq: String, strPq: String): String =
+    s"""WITH snap AS (
+       |  SELECT id, name, uid, score, created_at,
+       |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
+       |  FROM read_parquet('$snapPq/*.parquet')
+       |), stream AS (
+       |  SELECT id, name, uid, score, created_at, lsn,
+       |    CASE WHEN action = 'D' THEN 'D'
+       |         WHEN score % 2 = 0 THEN 'I'
+       |         ELSE 'D' END AS action
+       |  FROM read_parquet('$strPq/*.parquet')
+       |), ev AS (
+       |  SELECT * FROM snap UNION ALL SELECT * FROM stream
+       |), lastd AS (
+       |  SELECT id, max(lsn) AS dlsn FROM ev WHERE action = 'D' GROUP BY id
+       |)
+       |SELECT e.id,
+       |  arg_max(e.name, e.lsn) AS name,
+       |  arg_max(e.uid, e.lsn) AS uid,
+       |  arg_max(e.score, e.lsn) AS score,
+       |  arg_min(e.created_at, e.lsn) FILTER (WHERE e.action = 'I')
+       |    AS created_at
+       |FROM ev e LEFT JOIN lastd d ON e.id = d.id
+       |WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+       |GROUP BY e.id
+       |HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+       |ORDER BY e.id""".stripMargin
+
+  private val manSnapshotPq = s"$FixtureDir/cdc_man_snapshot.parquet"
+  private val manStreamPq = s"$FixtureDir/cdc_man_stream.parquet"
+
+  /** [[replicateE2e]] run through the OBJECT-STORE commit protocol
+    * ([[ManifestReplica]]): same snapshot ∪ filtered-stream dataflow,
+    * but every replica commit is a single manifest PUT instead of
+    * directory renames, with incremental per-bucket compaction every 3
+    * epochs mid-stream. Distinct seed → distinct fixtures, so the two
+    * e2e queries never share files within a run. */
+  private val manifestE2e = Declared(
+    "cdc_manifest_e2e",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 47L, n = 2000)
+      val (snapOps, streamOps) = ops.splitAt(800)
+      val changeDir = Files.createTempDirectory("graft-man-log").toString
+      val replica = Files.createTempDirectory("graft-man-replica").toString
+      val ckpt = Files.createTempDirectory("graft-man-ckpt").toString
+      import s.implicits._
+      val snapState = ChangeGen.replay(snapOps).values
+        .filter(_.score % 2 == 0).toSeq
+      ManifestReplica.snapshot(s, snapState.toDS(), replica)
+      snapState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(manSnapshotPq)
+      dumpChanges(s, streamOps, manStreamPq)
+      ChangeGen.writeBatches(changeDir, streamOps, batches = 5)
+      // one epoch per log file: five manifest commits + one mid-stream
+      // incremental compaction actually exercised, not just possible
+      val q = ManifestReplica.startFrom(s,
+        ChangeSource.readStream(s, changeDir, maxFilesPerTrigger = Some(1)),
+        replica, ckpt, rowFilter = Some(Replicate.parityPred),
+        trigger = Trigger.AvailableNow(), compactEvery = 3)
+      try q.awaitTermination() finally q.stop()
+      ManifestReplica.readReplica(s, replica).orderBy("id").toDF()
+    },
+    Some(e2eOracleSql(manSnapshotPq, manStreamPq)))
 
   /** Batch parse of a generated wal2json v2 log: the S2→X11→X13→F2 slice
     * (slot scan, JSON decode, column pivot, table routing) without the
@@ -162,5 +204,6 @@ object CdcQueries {
            |SELECT verdict, count(*) AS n FROM cls
            |GROUP BY verdict ORDER BY verdict""".stripMargin))
 
-  val all: Seq[Declared] = Seq(replicateE2e, parseChangelog, quarantine)
+  val all: Seq[Declared] =
+    Seq(replicateE2e, manifestE2e, parseChangelog, quarantine)
 }

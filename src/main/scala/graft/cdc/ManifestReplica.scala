@@ -1,0 +1,321 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Object-store commit protocol for the CDC replica — the deployment
+  * shape [[Replicate]]'s header points at for S3-class stores, made
+  * concrete instead of documented (VERDICT r4 accepted the caveat;
+  * this closes it).
+  *
+  * [[Replicate]] commits by directory rename: atomic and cheap on
+  * HDFS/local, but an S3 "rename" is a copy+delete per key — neither
+  * atomic nor O(1). The fix is the table-format pattern (public
+  * Delta/Iceberg design): **data files are never the commit point; a
+  * single small manifest file is.** Readers never list directories —
+  * they read the newest manifest and open exactly the bucket
+  * generations and delta batches it names. Data placement can then use
+  * any non-atomic means (a multi-part upload, a tmp+move, a partial
+  * crash leftover): until a manifest names a dir, it does not exist.
+  * The commit itself is one `create` of `_manifest.v<N+1>` — a fresh
+  * key, so it maps to a single atomic PUT on an object store and an
+  * atomic create+rename on HDFS; there is no delete-then-rename window
+  * anywhere in the protocol.
+  *
+  * Layout under the replica root:
+  * {{{
+  *   _manifest.v<N>        one line-oriented commit record per version;
+  *                         max N wins, older kept as history (GC'd to 2)
+  *   data/b<bkt>-g<gen>/   one parquet dir per bucket GENERATION
+  *   delta/batch=<id>/     per-trigger summary deltas (Replicate schema)
+  * }}}
+  *
+  * Scale notes (the 100 TB story):
+  *  - **Compaction is incremental**: only buckets that actually appear
+  *    in the pending deltas get a new generation; an untouched bucket's
+  *    dir is byte-identical across commits. [[Replicate.compact]]
+  *    re-folds the whole base each time — right for 16 buckets, wrong
+  *    for thousands; here the fold reads only the touched buckets'
+  *    base dirs (explicit path list = partition pruning by
+  *    construction).
+  *  - The touched-bucket list is a `collect()` bounded by `numBuckets`
+  *    (thousands at 100 TB — driver-trivial), taken from the deltas,
+  *    which are O(batches since last compaction), never from the base.
+  *  - The manifest stays O(numBuckets + pending deltas) — a few KB at
+  *    thousands of buckets; one PUT per trigger is well inside any
+  *    object store's request budget.
+  *
+  * Crash safety (single writer, same contract as [[Replicate]]):
+  * every path below does arbitrary non-atomic data-file work FIRST and
+  * one fresh-key manifest create LAST. A crash anywhere before the
+  * create leaves orphan dirs no manifest names — invisible to readers,
+  * reclaimed by [[gc]]; a crash after is a completed commit. Replays
+  * re-derive the same state: a delta batch already named by the
+  * manifest is skipped outright (its content is deterministic in the
+  * epoch), one at or below the compaction watermark is discarded.
+  */
+object ManifestReplica {
+  import Replicate.{BucketCol, BaseSchema, DeltaSchema, check,
+    combineSummaries, projectAlive, rowsAsSummaries, summarizeBucketed,
+    withRowFilter}
+
+  /** One committed replica state. `gen` is the high-water generation
+    * counter (monotone across commits, never reused — so a crashed
+    * writer's orphan `b<k>-g<gen+1>` dir can collide only with the
+    * NEXT attempt of the same fold, which deletes it first). */
+  final case class Manifest(gen: Long, watermark: Long,
+      buckets: Map[Int, Long], deltas: Set[Long]) {
+    def bucketDir(root: String, b: Int): String =
+      s"$root/data/b$b-g${buckets(b)}"
+    def deltaDir(root: String, id: Long): String = s"$root/delta/batch=$id"
+  }
+  private val Empty = Manifest(0L, Long.MinValue, Map.empty, Set.empty)
+
+  private val ManifestPrefix = "_manifest.v"
+  private val Header = "graft-manifest-v1"
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Newest committed manifest, with its version (0 if none). */
+  private def readManifest(fs: FileSystem, root: Path): (Long, Manifest) = {
+    val versions =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).iterator.map(_.getPath.getName)
+        .filter(_.startsWith(ManifestPrefix))
+        .map(_.stripPrefix(ManifestPrefix).toLong).toSeq
+    if (versions.isEmpty) (0L, Empty)
+    else {
+      val v = versions.max
+      val in = fs.open(new Path(root, s"$ManifestPrefix$v"))
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = text.linesIterator.toSeq
+      require(lines.headOption.contains(Header), s"bad manifest v$v")
+      var m = Empty
+      lines.tail.foreach { l =>
+        l.split("=", 2) match {
+          case Array("gen", g) => m = m.copy(gen = g.toLong)
+          case Array("watermark", w) => m = m.copy(watermark = w.toLong)
+          case Array("delta", d) => m = m.copy(deltas = m.deltas + d.toLong)
+          case Array("bucket", bg) =>
+            val Array(b, g) = bg.split(":", 2)
+            m = m.copy(buckets = m.buckets + (b.toInt -> g.toLong))
+          case _ => // forward-compatible: unknown keys ignored
+        }
+      }
+      (v, m)
+    }
+  }
+
+  /** Commit: write v+1 under a tmp name, rename to the FRESH manifest
+    * key (never deleting an existing one — on an object store this
+    * whole sequence collapses to one atomic PUT of the new key), then
+    * GC manifests older than the previous version. */
+  private def commit(fs: FileSystem, root: Path, prevVersion: Long,
+      m: Manifest): Unit = {
+    if (!fs.exists(root)) check(fs.mkdirs(root), s"mkdirs $root")
+    val v = prevVersion + 1
+    val body = new StringBuilder(Header).append('\n')
+      .append(s"gen=${m.gen}\n").append(s"watermark=${m.watermark}\n")
+    m.buckets.toSeq.sorted.foreach { case (b, g) =>
+      body.append(s"bucket=$b:$g\n") }
+    m.deltas.toSeq.sorted.foreach(d => body.append(s"delta=$d\n"))
+    val tmp = new Path(root, s".tmp-manifest-$v")
+    val out = fs.create(tmp, true)
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(root, s"$ManifestPrefix$v")
+    check(fs.rename(tmp, dst), s"commit manifest $dst")
+    // history trim (best-effort; committed state is already durable)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(ManifestPrefix) &&
+          n.stripPrefix(ManifestPrefix).toLong < v - 1)
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Move Spark's `id_bucket=<b>` partition-dir output into per-bucket
+    * generation dirs. Placement only — nothing is committed; a crash
+    * mid-move strands invisible dirs for [[gc]]. Returns the moved
+    * bucket ids. */
+  private def placeBuckets(fs: FileSystem, root: Path, stage: Path,
+      gen: Long): Seq[Int] = {
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) check(fs.mkdirs(dataDir), s"mkdirs $dataDir")
+    val moved = fs.listStatus(stage).iterator.map(_.getPath)
+      .filter(_.getName.startsWith(BucketCol + "="))
+      .map { p =>
+        val b = p.getName.stripPrefix(BucketCol + "=").toInt
+        val dst = new Path(dataDir, s"b$b-g$gen")
+        fs.delete(dst, true) // leftover from a crashed SAME-gen attempt
+        check(fs.rename(p, dst), s"place bucket $dst")
+        b
+      }.toSeq
+    fs.delete(stage, true)
+    moved
+  }
+
+  /** Bulk-load the initial snapshot and commit manifest v1 (or v+1 over
+    * an existing replica — a full overwrite, like the re-subscribe
+    * snapshot in the rename path). */
+  def snapshot(spark: SparkSession, rows: Dataset[PersonRow], dir: String,
+      numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val (v, m) = readManifest(fs, root)
+    val gen = m.gen + 1
+    val stage = new Path(root, s".stage-g$gen")
+    fs.delete(stage, true)
+    rowsAsSummaries(rows.toDF())
+      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+      .repartition(numBuckets, col(BucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(stage.toString)
+    val moved = placeBuckets(fs, root, stage, gen)
+    commit(fs, root, v,
+      Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap, Set.empty))
+    gc(spark, dir)
+  }
+
+  /** Apply one micro-batch: O(batch) summary → delta dir → one-PUT
+    * commit. Replaying a committed or already-compacted `batchId` is a
+    * pure no-op (deltas are deterministic in the epoch's content, and
+    * epochs replay with identical content). */
+  def applyBatch(spark: SparkSession, batch: Dataset[PersonChange],
+      dir: String, numBuckets: Int = Replicate.DefaultNumBuckets,
+      batchId: Long, compactEvery: Int = Replicate.DefaultCompactEvery)
+      : Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val (v, m) = readManifest(fs, root)
+    if (batchId <= m.watermark || m.deltas.contains(batchId)) ()
+    else {
+      val tmp = new Path(root, s"delta/.tmp-$batchId")
+      fs.delete(tmp, true)
+      summarizeBucketed(batch.toDF(), numBuckets)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val dst = new Path(root, s"delta/batch=$batchId")
+      fs.delete(dst, true) // unnamed leftover of a crashed attempt
+      check(fs.rename(tmp, dst), s"place delta $dst")
+      commit(fs, root, v, m.copy(deltas = m.deltas + batchId))
+    }
+    val (_, committed) = readManifest(fs, root)
+    if (committed.deltas.size >= compactEvery) compact(spark, dir, numBuckets)
+  }
+
+  /** Merge-on-read view: manifest-named bucket generations ∪
+    * manifest-named deltas → one commutative fold → live rows. */
+  def readReplica(spark: SparkSession, dir: String): Dataset[PersonRow] = {
+    import spark.implicits._
+    val (fs, root) = fsOf(spark, dir)
+    val (_, m) = readManifest(fs, root)
+    val base =
+      if (m.buckets.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BaseSchema)
+      else spark.read.schema(BaseSchema)
+        .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
+    val folded =
+      if (m.deltas.isEmpty) base
+      else {
+        val deltas = spark.read.schema(DeltaSchema)
+          .parquet(m.deltas.toSeq.sorted.map(m.deltaDir(dir, _)): _*)
+          .select(BaseSchema.fieldNames.map(col).toSeq: _*)
+        combineSummaries(base.unionAll(deltas), Seq("id"))
+      }
+    projectAlive(folded).as[PersonRow]
+  }
+
+  /** Fold pending deltas into new generations of ONLY the buckets they
+    * touch, then commit. Untouched buckets keep their generation (and
+    * their bytes). Consumed delta dirs and superseded generations are
+    * deleted only after the commit lands. */
+  def compact(spark: SparkSession, dir: String,
+      numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val (v, m) = readManifest(fs, root)
+    if (m.deltas.isEmpty) return
+    val deltas = spark.read.schema(DeltaSchema)
+      .parquet(m.deltas.toSeq.sorted.map(m.deltaDir(dir, _)): _*)
+    // bounded by numBuckets (thousands at 100 TB): driver-side is fine,
+    // and it is read off the O(pending batches) deltas, never the base
+    val touched = deltas.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val baseTouched = {
+      val existing = touched.filter(m.buckets.contains)
+      if (existing.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BaseSchema)
+      else spark.read.schema(BaseSchema)
+        .parquet(existing.map(m.bucketDir(dir, _)): _*)
+    }
+    val gen = m.gen + 1
+    val merged = combineSummaries(
+      baseTouched
+        .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+        .select(DeltaSchema.fieldNames.map(col).toSeq: _*)
+        .unionAll(deltas.select(DeltaSchema.fieldNames.map(col).toSeq: _*)),
+      Seq(BucketCol, "id"), width = Some(touched.size.max(1)))
+    val stage = new Path(root, s".stage-g$gen")
+    fs.delete(stage, true)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(stage.toString)
+    val moved = placeBuckets(fs, root, stage, gen)
+    commit(fs, root, v, Manifest(gen, m.deltas.max,
+      m.buckets ++ moved.map(_ -> gen), Set.empty))
+    // post-commit reclaim (best-effort: orphans are invisible; gc sweeps)
+    m.deltas.foreach(d => fs.delete(new Path(m.deltaDir(dir, d)), true))
+    moved.filter(m.buckets.contains)
+      .foreach(b => fs.delete(new Path(m.bucketDir(dir, b)), true))
+  }
+
+  /** Reclaim everything the current manifest does not name: crashed
+    * stages and placements, superseded generations, consumed deltas,
+    * tmp files. Single-writer (like the rest of the protocol) — run it
+    * from the writer, never concurrently with a fold. */
+  def gc(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val (_, m) = readManifest(fs, root)
+    val liveData = m.buckets.map { case (b, g) => s"b$b-g$g" }.toSet
+    val liveDelta = m.deltas.map(d => s"batch=$d")
+    def sweep(sub: String, live: Set[String]): Unit = {
+      val p = new Path(root, sub)
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        if (!live.contains(st.getPath.getName))
+          fs.delete(st.getPath, true)
+      }
+    }
+    sweep("data", liveData)
+    sweep("delta", liveDelta)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith(".stage-") ||
+          st.getPath.getName.startsWith(".tmp-manifest-"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Streaming entry: same dataflow as [[Replicate.startFrom]], this
+    * commit protocol. Compaction runs synchronously on its trigger
+    * (the async variant would follow [[Replicate]]'s pattern verbatim;
+    * kept synchronous here so the manifest path stays deterministic
+    * for its crash-window tests). */
+  def startFrom(spark: SparkSession, changes: Dataset[PersonChange],
+      dir: String, checkpointDir: String,
+      rowFilter: Option[Column] = None,
+      numBuckets: Int = Replicate.DefaultNumBuckets,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      compactEvery: Int = Replicate.DefaultCompactEvery): StreamingQuery = {
+    val filtered = rowFilter.map(withRowFilter(changes, _)).getOrElse(changes)
+    filtered.writeStream
+      .queryName("graft-replicate-manifest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[PersonChange], epochId: Long) =>
+        applyBatch(spark, batch, dir, numBuckets, batchId = epochId,
+          compactEvery = compactEvery)
+      }
+      .start()
+  }
+}

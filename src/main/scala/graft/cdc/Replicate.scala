@@ -81,7 +81,7 @@ object Replicate {
 
   // (base files share the delta summary schema — see [[BaseSchema]])
 
-  private def check(ok: Boolean, what: => String): Unit =
+  private[cdc] def check(ok: Boolean, what: => String): Unit =
     if (!ok) throw new java.io.IOException(s"replica filesystem op failed: $what")
 
   /** Shuffle width for per-batch merge stages. CDC micro-batches are
@@ -112,7 +112,7 @@ object Replicate {
 
   /** Delta on-disk schema = [[summarizeBucketed]] output, passed
     * explicitly to reads to skip footer inference. */
-  private val DeltaSchema = StructType(Seq(
+  private[cdc] val DeltaSchema = StructType(Seq(
     StructField(BucketCol, IntegerType),
     StructField("id", IntegerType),
     StructField("last_img", StructType(Seq(
@@ -126,7 +126,7 @@ object Replicate {
   /** Base-bucket file schema: identical to the deltas minus the bucket
     * column (that is the partition dir). One summary row per key that
     * ever existed — live keys and tombstones alike. */
-  private val BaseSchema =
+  private[cdc] val BaseSchema =
     StructType(DeltaSchema.fields.filterNot(_.name == BucketCol))
 
   /** Lift plain person rows into summary form: image and insert stamped

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+/** Object-store manifest commit protocol ([[ManifestReplica]]):
+  * convergence, replay idempotence, incremental compaction, and the
+  * crash windows the single-PUT commit is supposed to close. */
+class ManifestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def asMap(dir: String): Map[Int, (String, String, Int)] =
+    ManifestReplica.readReplica(spark, dir).collect()
+      .map(r => r.id -> ((r.name, r.uid, r.score))).toMap
+
+  private def wantMap(ops: Seq[ChangeGen.Op]): Map[Int, (String, String, Int)] =
+    ChangeGen.replay(ops).map { case (id, p) =>
+      id -> ((p.name, p.uid, p.score))
+    }
+
+  private def ls(dir: String, sub: String): Set[String] = {
+    val p = Paths.get(dir, sub)
+    if (!Files.exists(p)) Set.empty
+    else {
+      val s = Files.list(p)
+      try s.map[String](_.getFileName.toString).toArray.map(_.toString).toSet
+      finally s.close()
+    }
+  }
+
+  test("manifest replica: snapshot + batched apply + compaction converge") {
+    val ops = ChangeGen.ops(seed = 51, n = 1200)
+    val (snapOps, streamOps) = ops.splitAt(400)
+    val dir = tmp("man-e2e")
+    ManifestReplica.snapshot(spark,
+      ChangeGen.replay(snapOps).values.toSeq.toDS(), dir, numBuckets = 8)
+    // 8 micro-batches at compactEvery=3: two real compactions mid-stream
+    // plus pending deltas left at the end — the read folds them
+    streamOps.grouped(100).zipWithIndex.foreach { case (b, i) =>
+      ManifestReplica.applyBatch(spark, ChangeGen.toChanges(b).toDS(), dir,
+        numBuckets = 8, batchId = i.toLong, compactEvery = 3)
+    }
+    assert(asMap(dir) === wantMap(ops))
+    // and after draining the remaining deltas the state is unchanged
+    ManifestReplica.compact(spark, dir, numBuckets = 8)
+    assert(asMap(dir) === wantMap(ops))
+  }
+
+  test("manifest replica: replayed and pre-watermark epochs are no-ops") {
+    val ops = ChangeGen.ops(seed = 52, n = 600)
+    val (snapOps, streamOps) = ops.splitAt(200)
+    val dir = tmp("man-replay")
+    ManifestReplica.snapshot(spark,
+      ChangeGen.replay(snapOps).values.toSeq.toDS(), dir, numBuckets = 4)
+    val batches = streamOps.grouped(200).toSeq
+    ManifestReplica.applyBatch(spark, ChangeGen.toChanges(batches(0)).toDS(),
+      dir, numBuckets = 4, batchId = 0L, compactEvery = 100)
+    // crash-replay of epoch 0 (identical content — the stream contract)
+    ManifestReplica.applyBatch(spark, ChangeGen.toChanges(batches(0)).toDS(),
+      dir, numBuckets = 4, batchId = 0L, compactEvery = 100)
+    ManifestReplica.applyBatch(spark, ChangeGen.toChanges(batches(1)).toDS(),
+      dir, numBuckets = 4, batchId = 1L, compactEvery = 100)
+    ManifestReplica.compact(spark, dir, numBuckets = 4)
+    val afterCompact = asMap(dir)
+    assert(afterCompact === wantMap(ops))
+    // replay of an ALREADY-COMPACTED epoch (below the watermark) must
+    // not resurrect old state or create a delta
+    ManifestReplica.applyBatch(spark, ChangeGen.toChanges(batches(0)).toDS(),
+      dir, numBuckets = 4, batchId = 0L, compactEvery = 100)
+    assert(asMap(dir) === afterCompact)
+    assert(ls(dir, "delta").isEmpty, "pre-watermark replay wrote a delta")
+  }
+
+  test("manifest compaction is incremental: untouched buckets keep their generation") {
+    val dir = tmp("man-incr")
+    // ids 0..39 across 8 buckets (pmod(id, 8))
+    val rows = (0 until 40).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 8)
+    val before = ls(dir, "data")
+    assert(before.size === 8)
+    // one delta touching ONLY ids ≡ 3 (mod 8) → bucket 3
+    val changes = Seq(
+      PersonChange(1000L, "U", 3, Some("n3x"), Some("u3"), Some(99), None),
+      PersonChange(1001L, "U", 11, Some("n11x"), Some("u11"), Some(99), None))
+    ManifestReplica.applyBatch(spark, changes.toDS(), dir, numBuckets = 8,
+      batchId = 0L, compactEvery = 1) // compacts immediately
+    val after = ls(dir, "data")
+    assert(after.size === 8)
+    // bucket 3 advanced a generation; the other seven are byte-stable
+    assert((before -- after) === Set("b3-g1"))
+    assert((after -- before).forall(_.startsWith("b3-g")))
+    val got = asMap(dir)
+    assert(got(3) === (("n3x", "u3", 99)) && got(11) === (("n11x", "u11", 99)))
+    assert(got(4) === (("n4", "u4", 4)))
+  }
+
+  test("manifest crash windows: unnamed dirs are invisible and gc reclaims them") {
+    val ops = ChangeGen.ops(seed = 53, n = 300)
+    val dir = tmp("man-crash")
+    ManifestReplica.snapshot(spark,
+      ChangeGen.replay(ops).values.toSeq.toDS(), dir, numBuckets = 4)
+    val committed = asMap(dir)
+    // simulate crashes BEFORE the manifest PUT in each path:
+    // a half-written stage, a placed-but-uncommitted delta, a placed-
+    // but-uncommitted bucket generation, and a torn manifest tmp
+    Files.createDirectories(Paths.get(dir, ".stage-g99", "id_bucket=0"))
+    Files.createDirectories(Paths.get(dir, "delta", "batch=77"))
+    Files.write(Paths.get(dir, "delta", "batch=77", "part-0.parquet"),
+      Array[Byte](1, 2, 3)) // torn file — must never be opened
+    Files.createDirectories(Paths.get(dir, "data", "b0-g99"))
+    Files.write(Paths.get(dir, ".tmp-manifest-99"),
+      "garbage".getBytes("UTF-8"))
+    // readers resolve ONLY through the newest committed manifest
+    assert(asMap(dir) === committed)
+    ManifestReplica.gc(spark, dir)
+    assert(!Files.exists(Paths.get(dir, ".stage-g99")))
+    assert(!Files.exists(Paths.get(dir, "delta", "batch=77")))
+    assert(!Files.exists(Paths.get(dir, "data", "b0-g99")))
+    assert(!Files.exists(Paths.get(dir, ".tmp-manifest-99")))
+    assert(asMap(dir) === committed)
+  }
+
+  test("manifest stream drives the replicate dataflow end to end") {
+    val ops = ChangeGen.ops(seed = 54, n = 800)
+    val (snapOps, streamOps) = ops.splitAt(300)
+    val changeDir = tmp("man-s-log"); val dir = tmp("man-s-replica")
+    val ckpt = tmp("man-s-ckpt")
+    ManifestReplica.snapshot(spark,
+      ChangeGen.replay(snapOps).values.toSeq.toDS(), dir, numBuckets = 4)
+    ChangeGen.writeBatches(changeDir, streamOps, batches = 5)
+    val q = ManifestReplica.startFrom(spark,
+      ChangeSource.readStream(spark, changeDir, maxFilesPerTrigger = Some(1)),
+      dir, ckpt, numBuckets = 4,
+      trigger = Trigger.ProcessingTime("1 second"), compactEvery = 3)
+    try q.processAllAvailable() finally q.stop()
+    assert(asMap(dir) === wantMap(ops))
+    // at most the current and previous manifest versions remain
+    val manifests = ls(dir, ".").filter(_.startsWith("_manifest.v"))
+    assert(manifests.size <= 2, s"manifest history not trimmed: $manifests")
+  }
+}
