@@ -251,34 +251,35 @@ object Dedup {
     * sub-word similarity lens (robust to tokenization differences),
     * computed only on the candidate pair list.
     *
-    * Scale: char-grams explode to ~n_chars rows per doc, so they are
-    * built ONLY for docs that appear in a verified pair — the tiny pair
-    * list's doc-id set broadcast-semi-joins the corpus BEFORE the
-    * explode (VERDICT r2: the full-corpus explode was the one
-    * scale-killer left). */
+    * Scale/shape: the same per-PAIR-row form as [[levenshteinNearDups]]
+    * — the tiny pair list picks up both texts (two joins whose small
+    * side broadcasts), then each row computes its two distinct-gram
+    * sets and their overlap with codegen'd array functions. No gram
+    * explode, no gram self-join, and — unlike the previous explode
+    * formulation, whose gram subtree Catalyst re-executed three times
+    * (ga/gb/sizes) — one corpus touch per side. Docs shorter than the
+    * gram length drop out (they have no gram set), matching the
+    * oracle's inner-join semantics. */
   def charGramJaccard(docs: DataFrame, minJaccard: Double = 0.7)
       : DataFrame = {
     val pairs = nearDupPairs(docs, minJaccard).select("doc_a", "doc_b")
-    val candIds = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val grams = docs
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .filter(length(col("text")) >= CharGramLen)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col("text")) - (CharGramLen - 1)),
-          i => col("text").substr(i, lit(CharGramLen))))).as("g"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val txt = docs.select(col("doc_id"), col("text"))
+    def gramSet(t: Column): Column =
+      array_distinct(transform(
+        sequence(lit(1), length(t) - (CharGramLen - 1)),
+        i => t.substr(i, lit(CharGramLen))))
     pairs
-      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(grams.as("gb"),
-        col("doc_b") === col("gb.doc_id") && col("ga.g") === col("gb.g"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .filter(length(col("ta.text")) >= CharGramLen &&
+        length(col("tb.text")) >= CharGramLen)
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("za.sz") + col("zb.sz") - col("inter"))).as("char_jaccard"))
+        gramSet(col("ta.text")).as("ga"), gramSet(col("tb.text")).as("gb"))
+      .withColumn("ix", size(array_intersect(col("ga"), col("gb"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ix").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("ix")))
+          .as("char_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
