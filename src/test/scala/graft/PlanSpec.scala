@@ -84,6 +84,21 @@ class PlanSpec extends AnyFunSuite {
       s"cartesian products (non-broadcast cross joins) in: $offenders")
   }
 
+  test("rank-filter top-k plans insert WindowGroupLimit before the sort") {
+    // Spark 3.5+'s InferWindowGroupLimit turns Filter(rank/row_number
+    // <= k over Window) into a per-group bounded limit that runs BOTH
+    // map-side (before the exchange) and post-shuffle — at 100 TB each
+    // task forwards at most k rows per group to the sort instead of its
+    // whole partition. Our top-k and latest-per-key queries lean on
+    // that; pin it so a query reshape (e.g. projecting the rank without
+    // filtering it) doesn't silently fall back to sort-everything.
+    Seq("w_rank_topn", "a6_lww_window").foreach { n =>
+      val s = planString(run(n))
+      assert(s.contains("WindowGroupLimit"),
+        s"$n lost the group-limit rewrite:\n${s.take(600)}")
+    }
+  }
+
   test("flagship aggregates keep whole-stage codegen spans") {
     // AQE finalizes the physical plan only on execution; codegen'd
     // nodes then print with a "*(n)" stage prefix
