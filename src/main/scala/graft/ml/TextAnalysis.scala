@@ -159,44 +159,53 @@ object TextAnalysis {
     * keep verdict against [[Dup2Max]]/[[Top2Max]]. Docs too short for a
     * k-gram count as zero-repetition (kept).
     *
-    * Scale: ONE corpus pass — both gram sizes come out of a single
-    * tokenize + explode (each gram tagged with its k), then one
-    * (doc, k, gram) count and one per-doc aggregate with k-conditional
-    * sums. Two shuffles total where the per-k form paid four plus two
-    * joins. All ratios are integer-ratio doubles — engine-exact. */
+    * Scale: ZERO shuffles (bar the output sort) — a gram's total count,
+    * distinct count, and max multiplicity are all per-DOCUMENT facts,
+    * so they come straight off each row's sorted gram array
+    * (`size` / `size∘array_distinct` / longest equal-run via
+    * [[maxRunLength]]), all codegen'd array ops. The earlier forms
+    * shuffled the exploded grams corpus-wide (two exchanges fused, four
+    * plus two joins before that) to compute per-doc numbers — the
+    * per-row form does O(g log g) work inside the scan instead. All
+    * ratios are integer-ratio doubles — engine-exact. */
   def repetition(docs: DataFrame): DataFrame = {
-    val grams = docs
+    def stats(k: Int) = {
+      val sorted = array_sort(MlFunctions.shinglesOf(col("tk"), k))
+      struct(size(sorted).cast("long").as("n"),
+        size(array_distinct(sorted)).cast("long").as("d"),
+        maxRunLength(sorted).as("t"))
+    }
+    def frac(num: Column, den: Column): Column =
+      coalesce(num.cast("double") / den, lit(0.0)) // x/0 → null → 0.0
+    docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(concat(
-        transform(MlFunctions.shinglesOf(col("tk"), 2),
-          s => struct(lit(2).as("k"), s.as("sh"))),
-        transform(MlFunctions.shinglesOf(col("tk"), 3),
-          s => struct(lit(3).as("k"), s.as("sh"))))).as("g"))
-      .select(col("doc_id"), col("g.k").as("k"), col("g.sh").as("sh"))
-    val stats = grams
-      .groupBy("doc_id", "k", "sh").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum(when(col("k") === 2, col("c"))).as("n2"),
-        count(when(col("k") === 2, lit(1))).as("d2"),
-        max(when(col("k") === 2, col("c"))).as("t2"),
-        sum(when(col("k") === 3, col("c"))).as("n3"),
-        count(when(col("k") === 3, lit(1))).as("d3"))
-    docs.select("doc_id")
-      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), stats(2).as("s2"), stats(3).as("s3"))
       .select(col("doc_id"),
-        coalesce(col("n2"), lit(0L)).as("n_2gram"),
-        coalesce((col("n2") - col("d2")).cast("double") / col("n2"),
-          lit(0.0)).as("dup_2gram_frac"),
-        coalesce(col("t2").cast("double") / col("n2"), lit(0.0))
-          .as("top_2gram_frac"),
-        coalesce(col("n3"), lit(0L)).as("n_3gram"),
-        coalesce((col("n3") - col("d3")).cast("double") / col("n3"),
-          lit(0.0)).as("dup_3gram_frac"))
+        col("s2.n").as("n_2gram"),
+        frac(col("s2.n") - col("s2.d"), col("s2.n")).as("dup_2gram_frac"),
+        frac(col("s2.t"), col("s2.n")).as("top_2gram_frac"),
+        col("s3.n").as("n_3gram"),
+        frac(col("s3.n") - col("s3.d"), col("s3.n")).as("dup_3gram_frac"))
       .withColumn("keep",
         (col("dup_2gram_frac") <= Dup2Max &&
           col("top_2gram_frac") <= Top2Max).cast("int"))
       .orderBy("doc_id")
   }
+
+  /** Longest run of equal adjacent elements in a SORTED string array —
+    * i.e. the max multiplicity of any element (0 for an empty array).
+    * Shingles are never the empty string (tokens are non-empty), so ""
+    * is a safe below-any-element seed for `prev`. */
+  private def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   /** Context-window budget for [[sequencePack]] (tokens per packed
     * sequence). */
