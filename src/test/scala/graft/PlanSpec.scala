@@ -235,4 +235,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("Exchange hashpartitioning"),
       s"gate must stay a per-row projection:\n${s.take(600)}")
   }
+
+  test("repetition stats are per-row: no gram shuffle, no join") {
+    // round-5 shape: count/distinct/max-multiplicity come off each
+    // row's sorted gram array — the only exchange left is the output
+    // range sort, never a hash exchange of exploded grams
+    val s = planString(run("ml_repetition"))
+    assert(!s.contains("Join"), "repetition must not join")
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"gram stats must stay inside the scan:\n${s.take(600)}")
+  }
 }
