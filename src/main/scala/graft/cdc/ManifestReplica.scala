@@ -271,6 +271,51 @@ object ManifestReplica {
       .foreach(b => fs.delete(new Path(m.bucketDir(dir, b)), true))
   }
 
+  /** Physically remove tombstones — [[Replicate.vacuum]]'s manifest
+    * twin, with the same precondition (the source can no longer deliver
+    * lsns below the tombstones' delete lsns). Pending deltas fold
+    * first; then every live bucket is rewritten one generation up with
+    * only its alive keys, committed as usual by a single manifest PUT.
+    * Unlike compaction this touches ALL buckets by design — it is the
+    * rare, operator-invoked reclamation pass, not the steady-state
+    * fold. */
+  def vacuum(spark: SparkSession, dir: String,
+      numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
+    compact(spark, dir, numBuckets)
+    val (fs, root) = fsOf(spark, dir)
+    val (v, m) = readManifest(fs, root)
+    if (m.buckets.isEmpty) return
+    val alive = spark.read.schema(BaseSchema)
+      .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
+      .filter(col("first_ins").isNotNull)
+      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+      .repartition(numBuckets, col(BucketCol))
+    val gen = m.gen + 1
+    val stage = new Path(root, s".stage-g$gen")
+    fs.delete(stage, true)
+    alive.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(stage.toString)
+    val moved = placeBuckets(fs, root, stage, gen)
+    // buckets whose keys were ALL tombstones produce no output dir and
+    // leave the manifest entirely — ending up absent IS the vacuum
+    commit(fs, root, v,
+      Manifest(gen, m.watermark, moved.map(_ -> gen).toMap, Set.empty))
+    gc(spark, dir)
+  }
+
+  /** Truncate (S9 twin of [[Replicate.truncate]]): drop every data
+    * generation, delta, and manifest, leaving an empty root that
+    * accepts a fresh [[snapshot]]. */
+  def truncate(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n == "data" || n == "delta" || n.startsWith(ManifestPrefix) ||
+          n.startsWith(".stage-") || n.startsWith(".tmp-manifest-"))
+        check(fs.delete(st.getPath, true), s"truncate $n")
+    }
+  }
+
   /** Reclaim everything the current manifest does not name: crashed
     * stages and placements, superseded generations, consumed deltas,
     * tmp files. Single-writer (like the rest of the protocol) — run it

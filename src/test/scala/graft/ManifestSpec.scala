@@ -129,6 +129,48 @@ class ManifestSpec extends AnyFunSuite {
     assert(asMap(dir) === committed)
   }
 
+  test("manifest vacuum drops tombstones, keeps live rows, survives a re-delivered old delete") {
+    val dir = tmp("man-vac")
+    val rows = (0 until 20).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4)
+    // delete ids 0..7 (buckets 0..3 all hold tombstones afterwards),
+    // plus ALL of bucket 0's keys deleted (0,4,8,12,16 → full-tombstone
+    // bucket must vanish from the manifest on vacuum)
+    val dels = (0 until 8).map(i =>
+      PersonChange(100L + i, "D", i, None, None, None, None)) ++
+      Seq(8, 12, 16).map(i =>
+        PersonChange(200L + i, "D", i, None, None, None, None))
+    ManifestReplica.applyBatch(spark, dels.toDS(), dir, numBuckets = 4,
+      batchId = 0L, compactEvery = 1)
+    val want = asMap(dir)
+    assert(!want.contains(0) && want.contains(9))
+    ManifestReplica.vacuum(spark, dir, numBuckets = 4)
+    assert(asMap(dir) === want, "vacuum changed visible state")
+    // bucket 0 (ids 0,4,8,12,16 — all deleted) is gone physically
+    assert(!ls(dir, "data").exists(_.startsWith("b0-")),
+      "all-tombstone bucket should be dropped by vacuum")
+  }
+
+  test("manifest truncate leaves an empty root that accepts a fresh snapshot") {
+    val dir = tmp("man-trunc")
+    val rows = (0 until 10).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4)
+    ManifestReplica.applyBatch(spark,
+      Seq(PersonChange(50L, "U", 1, Some("x"), Some("u1"), Some(9), None))
+        .toDS(), dir, numBuckets = 4, batchId = 0L, compactEvery = 100)
+    ManifestReplica.truncate(spark, dir)
+    assert(asMap(dir).isEmpty)
+    assert(ls(dir, ".").forall(n =>
+      !n.startsWith("_manifest") && n != "data" && n != "delta"))
+    val fresh = rows.take(3)
+    ManifestReplica.snapshot(spark, fresh.toDS(), dir, numBuckets = 4)
+    assert(asMap(dir).keySet === Set(0, 1, 2))
+  }
+
   test("manifest stream drives the replicate dataflow end to end") {
     val ops = ChangeGen.ops(seed = 54, n = 800)
     val (snapOps, streamOps) = ops.splitAt(300)
