@@ -47,15 +47,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    thousands of buckets; one PUT per trigger is well inside any
   *    object store's request budget.
   *
-  * Crash safety (single writer, same contract as [[Replicate]]):
-  * every path below does arbitrary non-atomic data-file work FIRST and
-  * one fresh-key manifest create LAST. A crash anywhere before the
-  * create leaves orphan dirs no manifest names — invisible to readers,
-  * reclaimed by [[gc]]; a crash after is a completed commit. Replays
-  * re-derive the same state: a delta batch already named by the
-  * manifest is skipped outright (its content is deterministic in the
-  * epoch), one at or below the compaction watermark is discarded.
-  */
+  * Crash safety: every path below does arbitrary non-atomic data-file
+  * work FIRST and one fresh-key manifest create LAST. A crash anywhere
+  * before the create leaves orphan dirs no manifest names — invisible
+  * to readers, reclaimed by [[gc]]; a crash after is a completed
+  * commit. Replays re-derive the same state: a delta batch already
+  * named by the manifest is skipped outright (its content is
+  * deterministic in the epoch), one at or below the compaction
+  * watermark is discarded.
+  *
+  * Concurrency: commits go through an optimistic CAS loop
+  * ([[commitUpdate]]) — the versioned manifest key makes the loser's
+  * commit fail cleanly (a conditional PUT on an object store, a
+  * create+rename-to-fresh-key on HDFS), and every committer's change is
+  * a re-appliable logical update, so the trigger path and a background
+  * compaction fold can land in either order without losing each other's
+  * work. Bulk lifecycle ops (snapshot/vacuum/truncate/gc) remain
+  * operator-invoked, outside the steady-state race. */
 object ManifestReplica {
   import Replicate.{BucketCol, BaseSchema, DeltaSchema, check,
     combineSummaries, projectAlive, rowsAsSummaries, summarizeBucketed,
@@ -111,14 +119,14 @@ object ManifestReplica {
     }
   }
 
-  /** Commit: write v+1 under a tmp name, rename to the FRESH manifest
-    * key (never deleting an existing one — on an object store this
-    * whole sequence collapses to one atomic PUT of the new key), then
-    * GC manifests older than the previous version. */
-  private def commit(fs: FileSystem, root: Path, prevVersion: Long,
-      m: Manifest): Unit = {
+  /** One commit attempt: write the body under a tmp name, rename to the
+    * FRESH manifest key `v` — never deleting an existing one. On HDFS a
+    * rename onto an existing path fails; on an object store the whole
+    * sequence collapses to one conditional PUT (`If-None-Match`) of the
+    * new key. False = the version was taken by a concurrent committer. */
+  private def tryCommit(fs: FileSystem, root: Path, v: Long,
+      m: Manifest): Boolean = {
     if (!fs.exists(root)) check(fs.mkdirs(root), s"mkdirs $root")
-    val v = prevVersion + 1
     val body = new StringBuilder(Header).append('\n')
       .append(s"gen=${m.gen}\n").append(s"watermark=${m.watermark}\n")
     m.buckets.toSeq.sorted.foreach { case (b, g) =>
@@ -128,14 +136,48 @@ object ManifestReplica {
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
     val dst = new Path(root, s"$ManifestPrefix$v")
-    check(fs.rename(tmp, dst), s"commit manifest $dst")
-    // history trim (best-effort; committed state is already durable)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(ManifestPrefix) &&
-          n.stripPrefix(ManifestPrefix).toLong < v - 1)
-        fs.delete(st.getPath, false)
+    val won = !fs.exists(dst) && fs.rename(tmp, dst)
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** Test seam: invoked once per CAS attempt, between the manifest read
+    * and the commit attempt — lets specs interleave a competing commit
+    * deterministically. Never set outside tests. */
+  private[graft] var preCommitHook: () => Unit = () => ()
+
+  /** Optimistic-concurrency commit: read the newest manifest, derive
+    * the next state via `update` (None = nothing to do), attempt the
+    * fresh-key commit; on contention re-read and RE-APPLY the logical
+    * update to the winner's state. Every committer expresses its change
+    * as a re-appliable function (add this delta / consume exactly these
+    * deltas / replace everything), so a lost race never loses the other
+    * writer's work — the property that lets a background compactor and
+    * the trigger path commit concurrently against one state file. */
+  private def commitUpdate(fs: FileSystem, root: Path)
+      (update: Manifest => Option[Manifest]): Manifest = {
+    var attempts = 0
+    while (true) {
+      val (v, m) = readManifest(fs, root)
+      update(m) match {
+        case None => return m
+        case Some(next) =>
+          preCommitHook()
+          if (tryCommit(fs, root, v + 1, next)) {
+            // history trim (best-effort; committed state is durable)
+            fs.listStatus(root).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith(ManifestPrefix) &&
+                  n.stripPrefix(ManifestPrefix).toLong < v)
+                fs.delete(st.getPath, false)
+            }
+            return next
+          }
+          attempts += 1
+          check(attempts < 50, s"manifest contention at $root")
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Move Spark's `id_bucket=<b>` partition-dir output into per-bucket
@@ -165,7 +207,7 @@ object ManifestReplica {
   def snapshot(spark: SparkSession, rows: Dataset[PersonRow], dir: String,
       numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    val (v, m) = readManifest(fs, root)
+    val (_, m) = readManifest(fs, root)
     val gen = m.gen + 1
     val stage = new Path(root, s".stage-g$gen")
     fs.delete(stage, true)
@@ -175,10 +217,24 @@ object ManifestReplica {
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(stage.toString)
     val moved = placeBuckets(fs, root, stage, gen)
-    commit(fs, root, v,
-      Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap, Set.empty))
+    // full replace (operator-invoked before the stream starts — the
+    // one update that does not merge concurrent state)
+    commitUpdate(fs, root)(_ =>
+      Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
+        Set.empty)))
     gc(spark, dir)
   }
+
+  /** In-flight background compactions, one slot per replica dir —
+    * [[Replicate]]'s async pattern; the CAS commit makes the
+    * compactor's fold and the trigger's delta-adds safe to land in
+    * either order. */
+  private val compacting =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** Join any in-flight background compactions (clean-shutdown hook). */
+  def awaitCompactions(): Unit =
+    compacting.values().toArray(Array.empty[Thread]).foreach(_.join())
 
   /** Apply one micro-batch: O(batch) summary → delta dir → one-PUT
     * commit. Replaying a committed or already-compacted `batchId` is a
@@ -186,11 +242,11 @@ object ManifestReplica {
     * epochs replay with identical content). */
   def applyBatch(spark: SparkSession, batch: Dataset[PersonChange],
       dir: String, numBuckets: Int = Replicate.DefaultNumBuckets,
-      batchId: Long, compactEvery: Int = Replicate.DefaultCompactEvery)
-      : Unit = {
+      batchId: Long, compactEvery: Int = Replicate.DefaultCompactEvery,
+      compactAsync: Boolean = false): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    val (v, m) = readManifest(fs, root)
-    if (batchId <= m.watermark || m.deltas.contains(batchId)) ()
+    val (_, m0) = readManifest(fs, root)
+    if (batchId <= m0.watermark || m0.deltas.contains(batchId)) ()
     else {
       val tmp = new Path(root, s"delta/.tmp-$batchId")
       fs.delete(tmp, true)
@@ -199,10 +255,27 @@ object ManifestReplica {
       val dst = new Path(root, s"delta/batch=$batchId")
       fs.delete(dst, true) // unnamed leftover of a crashed attempt
       check(fs.rename(tmp, dst), s"place delta $dst")
-      commit(fs, root, v, m.copy(deltas = m.deltas + batchId))
+      commitUpdate(fs, root)(m =>
+        // re-checked against the WINNER's state on contention: a
+        // concurrent fold may have consumed everything and raised the
+        // watermark past us
+        if (batchId <= m.watermark || m.deltas.contains(batchId)) None
+        else Some(m.copy(deltas = m.deltas + batchId)))
     }
     val (_, committed) = readManifest(fs, root)
-    if (committed.deltas.size >= compactEvery) compact(spark, dir, numBuckets)
+    if (committed.deltas.size >= compactEvery) {
+      if (!compactAsync) compact(spark, dir, numBuckets)
+      else if (!compacting.containsKey(dir)) {
+        val t = new Thread(() => {
+          try compact(spark, dir, numBuckets)
+          catch { case e: Throwable =>
+            System.err.println(s"[cdc] async manifest compaction failed (deltas stay live, next trigger retries): $e")
+          } finally compacting.remove(dir)
+        }, s"graft-man-compact-$batchId")
+        t.setDaemon(true)
+        if (compacting.putIfAbsent(dir, t) == null) t.start()
+      }
+    }
   }
 
   /** Merge-on-read view: manifest-named bucket generations ∪
@@ -235,7 +308,7 @@ object ManifestReplica {
   def compact(spark: SparkSession, dir: String,
       numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    val (v, m) = readManifest(fs, root)
+    val (_, m) = readManifest(fs, root)
     if (m.deltas.isEmpty) return
     val deltas = spark.read.schema(DeltaSchema)
       .parquet(m.deltas.toSeq.sorted.map(m.deltaDir(dir, _)): _*)
@@ -263,10 +336,16 @@ object ManifestReplica {
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(stage.toString)
     val moved = placeBuckets(fs, root, stage, gen)
-    commit(fs, root, v, Manifest(gen, m.deltas.max,
-      m.buckets ++ moved.map(_ -> gen), Set.empty))
+    // logical update: consume EXACTLY the delta set this fold read, set
+    // the touched buckets' new generation. Re-applied verbatim if a
+    // trigger's delta-add wins the version race — its fresh delta ids
+    // survive in `cur.deltas -- consumed` for the next fold.
+    val consumed = m.deltas
+    commitUpdate(fs, root)(cur =>
+      Some(Manifest(cur.gen max gen, cur.watermark max consumed.max,
+        cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed)))
     // post-commit reclaim (best-effort: orphans are invisible; gc sweeps)
-    m.deltas.foreach(d => fs.delete(new Path(m.deltaDir(dir, d)), true))
+    consumed.foreach(d => fs.delete(new Path(m.deltaDir(dir, d)), true))
     moved.filter(m.buckets.contains)
       .foreach(b => fs.delete(new Path(m.bucketDir(dir, b)), true))
   }
@@ -283,7 +362,7 @@ object ManifestReplica {
       numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
     compact(spark, dir, numBuckets)
     val (fs, root) = fsOf(spark, dir)
-    val (v, m) = readManifest(fs, root)
+    val (_, m) = readManifest(fs, root)
     if (m.buckets.isEmpty) return
     val alive = spark.read.schema(BaseSchema)
       .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
@@ -297,9 +376,11 @@ object ManifestReplica {
       .parquet(stage.toString)
     val moved = placeBuckets(fs, root, stage, gen)
     // buckets whose keys were ALL tombstones produce no output dir and
-    // leave the manifest entirely — ending up absent IS the vacuum
-    commit(fs, root, v,
-      Manifest(gen, m.watermark, moved.map(_ -> gen).toMap, Set.empty))
+    // leave the manifest entirely — ending up absent IS the vacuum.
+    // Deltas that landed while we rewrote are preserved, not consumed.
+    commitUpdate(fs, root)(cur =>
+      Some(Manifest(cur.gen max gen, cur.watermark,
+        moved.map(_ -> gen).toMap, cur.deltas)))
     gc(spark, dir)
   }
 
@@ -342,16 +423,18 @@ object ManifestReplica {
   }
 
   /** Streaming entry: same dataflow as [[Replicate.startFrom]], this
-    * commit protocol. Compaction runs synchronously on its trigger
-    * (the async variant would follow [[Replicate]]'s pattern verbatim;
-    * kept synchronous here so the manifest path stays deterministic
-    * for its crash-window tests). */
+    * commit protocol. `compactAsync = true` moves the fold off the
+    * trigger path onto a guarded background thread (one per replica) —
+    * safe against in-flight delta commits because both sides commit
+    * through the CAS [[commitUpdate]]; the trigger path stays O(batch)
+    * and read visibility never waits on the fold (merge-on-read). */
   def startFrom(spark: SparkSession, changes: Dataset[PersonChange],
       dir: String, checkpointDir: String,
       rowFilter: Option[Column] = None,
       numBuckets: Int = Replicate.DefaultNumBuckets,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
-      compactEvery: Int = Replicate.DefaultCompactEvery): StreamingQuery = {
+      compactEvery: Int = Replicate.DefaultCompactEvery,
+      compactAsync: Boolean = false): StreamingQuery = {
     val filtered = rowFilter.map(withRowFilter(changes, _)).getOrElse(changes)
     filtered.writeStream
       .queryName("graft-replicate-manifest")
@@ -359,7 +442,7 @@ object ManifestReplica {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[PersonChange], epochId: Long) =>
         applyBatch(spark, batch, dir, numBuckets, batchId = epochId,
-          compactEvery = compactEvery)
+          compactEvery = compactEvery, compactAsync = compactAsync)
       }
       .start()
   }

@@ -171,6 +171,61 @@ class ManifestSpec extends AnyFunSuite {
     assert(asMap(dir).keySet === Set(0, 1, 2))
   }
 
+  test("manifest CAS: a fold losing the version race preserves the winner's delta") {
+    val dir = tmp("man-cas")
+    val rows = (0 until 16).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4)
+    ManifestReplica.applyBatch(spark,
+      Seq(PersonChange(100L, "U", 1, Some("x1"), Some("u1"), Some(91), None))
+        .toDS(), dir, numBuckets = 4, batchId = 0L, compactEvery = 100)
+    // interleave: while compact() is between its manifest read and its
+    // commit attempt, a trigger lands delta batch=1. The fold's first
+    // commit must fail on the taken version and its retry must re-apply
+    // "consume exactly batch 0" on top of the winner's state — batch 1
+    // survives in the manifest and in the read view.
+    @volatile var fired = false
+    ManifestReplica.preCommitHook = () => {
+      if (!fired) {
+        fired = true // self-disarm BEFORE the nested commit recurses
+        ManifestReplica.applyBatch(spark,
+          Seq(PersonChange(200L, "U", 2, Some("x2"), Some("u2"), Some(92),
+            None)).toDS(), dir, numBuckets = 4, batchId = 1L,
+          compactEvery = 100)
+      }
+    }
+    try ManifestReplica.compact(spark, dir, numBuckets = 4)
+    finally ManifestReplica.preCommitHook = () => ()
+    assert(fired, "race hook never fired")
+    val got = asMap(dir)
+    assert(got(1) === (("x1", "u1", 91)), "folded delta lost")
+    assert(got(2) === (("x2", "u2", 92)),
+      "concurrently-committed delta lost by the fold's CAS retry")
+    // and the pending delta is still fold-able
+    ManifestReplica.compact(spark, dir, numBuckets = 4)
+    assert(asMap(dir)(2) === (("x2", "u2", 92)))
+    assert(ls(dir, "delta").isEmpty)
+  }
+
+  test("manifest async compaction converges with the stream") {
+    val ops = ChangeGen.ops(seed = 55, n = 800)
+    val (snapOps, streamOps) = ops.splitAt(300)
+    val changeDir = tmp("man-a-log"); val dir = tmp("man-a-replica")
+    val ckpt = tmp("man-a-ckpt")
+    ManifestReplica.snapshot(spark,
+      ChangeGen.replay(snapOps).values.toSeq.toDS(), dir, numBuckets = 4)
+    ChangeGen.writeBatches(changeDir, streamOps, batches = 6)
+    val q = ManifestReplica.startFrom(spark,
+      ChangeSource.readStream(spark, changeDir, maxFilesPerTrigger = Some(1)),
+      dir, ckpt, numBuckets = 4,
+      trigger = Trigger.ProcessingTime("1 second"), compactEvery = 2,
+      compactAsync = true)
+    try q.processAllAvailable() finally q.stop()
+    ManifestReplica.awaitCompactions()
+    assert(asMap(dir) === wantMap(ops))
+  }
+
   test("manifest stream drives the replicate dataflow end to end") {
     val ops = ChangeGen.ops(seed = 54, n = 800)
     val (snapOps, streamOps) = ops.splitAt(300)
