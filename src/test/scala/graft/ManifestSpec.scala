@@ -171,6 +171,46 @@ class ManifestSpec extends AnyFunSuite {
     assert(asMap(dir).keySet === Set(0, 1, 2))
   }
 
+  test("property: manifest protocol == naive replay under random replay/compact schedules") {
+    // seeded random walks over the protocol's whole surface: in-order
+    // applies, replays of already-committed (and possibly compacted)
+    // epochs, folds at arbitrary points — the visible state must equal
+    // the sequential replay of exactly the batches applied so far, at
+    // every probed step, after the final fold, and after vacuum.
+    for (seed <- Seq(3L, 17L)) {
+      val rnd = new scala.util.Random(seed)
+      val ops = ChangeGen.ops(seed, n = 500)
+      val (snapOps, streamOps) = ops.splitAt(200)
+      val batches = streamOps.grouped(60).toIndexedSeq
+      val dir = tmp(s"man-prop-$seed")
+      ManifestReplica.snapshot(spark,
+        ChangeGen.replay(snapOps).values.toSeq.toDS(), dir, numBuckets = 4)
+      var applied = 0
+      def model = wantMap(snapOps ++ batches.take(applied).flatten)
+      while (applied < batches.size) {
+        rnd.nextInt(5) match {
+          case 0 if applied > 0 =>
+            val b = rnd.nextInt(applied) // crash-replay of an old epoch
+            ManifestReplica.applyBatch(spark,
+              ChangeGen.toChanges(batches(b)).toDS(), dir, numBuckets = 4,
+              batchId = b.toLong, compactEvery = 100)
+          case 1 => ManifestReplica.compact(spark, dir, numBuckets = 4)
+          case _ =>
+            ManifestReplica.applyBatch(spark,
+              ChangeGen.toChanges(batches(applied)).toDS(), dir,
+              numBuckets = 4, batchId = applied.toLong, compactEvery = 100)
+            applied += 1
+        }
+        if (rnd.nextInt(3) == 0)
+          assert(asMap(dir) === model, s"seed $seed diverged mid-schedule")
+      }
+      ManifestReplica.compact(spark, dir, numBuckets = 4)
+      assert(asMap(dir) === model, s"seed $seed diverged after final fold")
+      ManifestReplica.vacuum(spark, dir, numBuckets = 4)
+      assert(asMap(dir) === model, s"seed $seed diverged after vacuum")
+    }
+  }
+
   test("manifest CAS: a fold losing the version race preserves the winner's delta") {
     val dir = tmp("man-cas")
     val rows = (0 until 16).map(i =>
