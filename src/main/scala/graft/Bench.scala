@@ -34,7 +34,9 @@ import graft.streaming.BatchMetricsListener
   * queries report their MARGINAL cost instead of whichever ran first
   * absorbing the family's corpus pass.
   *
-  * `SPARK_GRAFT_ONLY=cdc|queries` restricts the run while iterating.
+  * `SPARK_GRAFT_ONLY=cdc|queries` restricts the run while iterating;
+  * `SPARK_GRAFT_QUERIES=a,b,c` (dev-only) restricts the query map to
+  * the named keys for targeted A/B timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -164,7 +166,10 @@ object Bench {
     }
 
     // ---- relational / ML queries: time the declared plan end-to-end ----
+    val onlyQueries = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     val qmap = SparkEntry.queries.filterNot(_._1.startsWith("cdc_"))
+      .filter { case (n, _) => onlyQueries.forall(_.contains(n)) }
     val results: Map[String, Double] =
       if (only.exists(_ != "queries")) Map.empty
       else {
