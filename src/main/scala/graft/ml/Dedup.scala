@@ -182,14 +182,21 @@ object Dedup {
   /** Verified near-dup pairs from an ALREADY-MATERIALIZED wide signature
     * frame (the staged form: [[pipeline]] feeds it parquet-backed sigs):
     * LSH banding over `sigs`, exact shingle-set Jaccard verification
-    * against `docs`. */
+    * against `docs`.
+    *
+    * Verification is per PAIR row (round 5 — the [[charGramJaccard]]
+    * shape): the tiny candidate list picks up both texts, then each row
+    * computes its two distinct-shingle sets and their overlap with
+    * array ops. The previous form materialized a corpus-wide distinct
+    * shingle table (a full exchange) and ran a three-join count — all
+    * of that work for candidates that are O(true near-dups), not
+    * O(corpus). */
   def verifiedPairsFrom(sigs: DataFrame, docs: DataFrame,
       minJaccard: Double = 0.7, k: Int = 3): DataFrame = {
     // persist the band keys: the LSH self-join references them twice and
     // runtime stage reuse does not dedupe across the join's two sides
     // (~doc_count×16 small rows)
     val bands = bandKeys(sigs).persist()
-    val sets = shingleSets(docs, k).persist() // probed twice (sa/sb)
     try {
       val cands = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") &&
@@ -197,24 +204,24 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = cands
-        .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sets.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      val txt = docs.select(col("doc_id"), col("text"))
+      def shSet(t: Column): Column =
+        array_distinct(MlFunctions.shingles(t, k))
+      cands
+        .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+          shSet(col("ta.text")).as("sa"), shSet(col("tb.text")).as("sb"))
+        .withColumn("ix", size(array_intersect(col("sa"), col("sb"))))
+        .select(col("doc_a"), col("doc_b"),
+          (col("ix").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("ix"))).as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
         // materialize the (tiny: O(true near-dups)) verified pair list
-        // eagerly, cutting lineage, so both cached inputs release NOW
+        // eagerly, cutting lineage, so the cached input releases NOW
         // instead of leaking for the session lifetime (ADVICE r2)
         .localCheckpoint(true)
-    } finally { bands.unpersist(); sets.unpersist() }
+    } finally bands.unpersist()
   }
 
   /** Near-dup pairs: LSH candidates verified by exact shingle-set Jaccard
