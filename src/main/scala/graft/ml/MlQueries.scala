@@ -169,9 +169,13 @@ object MlQueries {
     "ml_dedup_increment",
     (s, d) => {
       val docs = Tables(s, d, "documents")
+      // minhash is per-row independent, so sign/sigo are FILTERS of the
+      // corpus signature table — the family's one memoized pass (and,
+      // staged, one parquet table) instead of two fresh corpus scans
+      val sigs = Dedup.signatures(docs)
       Dedup.dedupIncrement(
-        Dedup.signatures(docs.filter(col("doc_id") % 10 === 0)),
-        Dedup.signatures(docs.filter(col("doc_id") % 10 =!= 0)),
+        sigs.filter(col("doc_id") % 10 === 0),
+        sigs.filter(col("doc_id") % 10 =!= 0),
         minEst = 0.5)
     },
     Some(s"""WITH $shingleCte,
