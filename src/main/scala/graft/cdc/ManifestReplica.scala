@@ -63,7 +63,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * a re-appliable logical update, so the trigger path and a background
   * compaction fold can land in either order without losing each other's
   * work. Bulk lifecycle ops (snapshot/vacuum/truncate/gc) remain
-  * operator-invoked, outside the steady-state race. */
+  * operator-invoked, outside the steady-state race.
+  *
+  * Reader retention caveat (the standard table-format trade): a reader
+  * resolves a manifest once at plan time; a compaction that commits and
+  * then immediately reclaims the superseded dirs can invalidate a plan
+  * that has not finished executing. Production object-store deployments
+  * give reclamation a retention window (Delta/Iceberg VACUUM
+  * semantics); here the post-commit delete is immediate — the
+  * single-writer test/bench shape — and a concurrent-reader deployment
+  * would defer the deletes (and [[gc]]) by a grace period. The
+  * rename-path twin has the same property (a swapped-out bucket dir
+  * dies under a slow reader). */
 object ManifestReplica {
   import Replicate.{BucketCol, BaseSchema, DeltaSchema, check,
     combineSummaries, projectAlive, rowsAsSummaries, summarizeBucketed,
@@ -146,6 +157,19 @@ object ManifestReplica {
     * deterministically. Never set outside tests. */
   private[graft] var preCommitHook: () => Unit = () => ()
 
+  /** Per-replica in-JVM commit locks. The fresh-key rename is a real
+    * compare-and-set on HDFS (rename onto an existing path fails) and
+    * on object stores (conditional PUT), but the LOCAL filesystem's
+    * POSIX rename silently overwrites — two same-JVM racers could both
+    * "win". Same-JVM committers (the trigger thread and the async
+    * compactor — the only concurrency this library itself creates)
+    * therefore serialize their read→update→commit sections here;
+    * cross-process safety comes from the store's own CAS semantics.
+    * Reentrant by construction (`synchronized`), which the CAS race
+    * spec leans on to interleave a nested commit deterministically. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Optimistic-concurrency commit: read the newest manifest, derive
     * the next state via `update` (None = nothing to do), attempt the
     * fresh-key commit; on contention re-read and RE-APPLY the logical
@@ -156,28 +180,32 @@ object ManifestReplica {
     * the trigger path commit concurrently against one state file. */
   private def commitUpdate(fs: FileSystem, root: Path)
       (update: Manifest => Option[Manifest]): Manifest = {
-    var attempts = 0
-    while (true) {
-      val (v, m) = readManifest(fs, root)
-      update(m) match {
-        case None => return m
-        case Some(next) =>
-          preCommitHook()
-          if (tryCommit(fs, root, v + 1, next)) {
-            // history trim (best-effort; committed state is durable)
-            fs.listStatus(root).foreach { st =>
-              val n = st.getPath.getName
-              if (n.startsWith(ManifestPrefix) &&
-                  n.stripPrefix(ManifestPrefix).toLong < v)
-                fs.delete(st.getPath, false)
+    val lock = commitLocks
+      .computeIfAbsent(root.toString, _ => new Object)
+    lock.synchronized {
+      var attempts = 0
+      while (true) {
+        val (v, m) = readManifest(fs, root)
+        update(m) match {
+          case None => return m
+          case Some(next) =>
+            preCommitHook()
+            if (tryCommit(fs, root, v + 1, next)) {
+              // history trim (best-effort; committed state is durable)
+              fs.listStatus(root).foreach { st =>
+                val n = st.getPath.getName
+                if (n.startsWith(ManifestPrefix) &&
+                    n.stripPrefix(ManifestPrefix).toLong < v)
+                  fs.delete(st.getPath, false)
+              }
+              return next
             }
-            return next
-          }
-          attempts += 1
-          check(attempts < 50, s"manifest contention at $root")
+            attempts += 1
+            check(attempts < 50, s"manifest contention at $root")
+        }
       }
+      throw new IllegalStateException("unreachable")
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Move Spark's `id_bucket=<b>` partition-dir output into per-bucket
@@ -246,23 +274,25 @@ object ManifestReplica {
       compactAsync: Boolean = false): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val (_, m0) = readManifest(fs, root)
-    if (batchId <= m0.watermark || m0.deltas.contains(batchId)) ()
-    else {
-      val tmp = new Path(root, s"delta/.tmp-$batchId")
-      fs.delete(tmp, true)
-      summarizeBucketed(batch.toDF(), numBuckets)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val dst = new Path(root, s"delta/batch=$batchId")
-      fs.delete(dst, true) // unnamed leftover of a crashed attempt
-      check(fs.rename(tmp, dst), s"place delta $dst")
-      commitUpdate(fs, root)(m =>
-        // re-checked against the WINNER's state on contention: a
-        // concurrent fold may have consumed everything and raised the
-        // watermark past us
-        if (batchId <= m.watermark || m.deltas.contains(batchId)) None
-        else Some(m.copy(deltas = m.deltas + batchId)))
-    }
-    val (_, committed) = readManifest(fs, root)
+    val committed =
+      if (batchId <= m0.watermark || m0.deltas.contains(batchId)) m0
+      else {
+        val tmp = new Path(root, s"delta/.tmp-$batchId")
+        fs.delete(tmp, true)
+        summarizeBucketed(batch.toDF(), numBuckets)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val dst = new Path(root, s"delta/batch=$batchId")
+        fs.delete(dst, true) // unnamed leftover of a crashed attempt
+        check(fs.rename(tmp, dst), s"place delta $dst")
+        // commitUpdate returns the committed state — no re-read on the
+        // hot path (each trigger is one LIST+GET plus one PUT)
+        commitUpdate(fs, root)(m =>
+          // re-checked against the WINNER's state on contention: a
+          // concurrent fold may have consumed everything and raised the
+          // watermark past us
+          if (batchId <= m.watermark || m.deltas.contains(batchId)) None
+          else Some(m.copy(deltas = m.deltas + batchId)))
+      }
     if (committed.deltas.size >= compactEvery) {
       if (!compactAsync) compact(spark, dir, numBuckets)
       else if (!compacting.containsKey(dir)) {
@@ -360,6 +390,7 @@ object ManifestReplica {
     * fold. */
   def vacuum(spark: SparkSession, dir: String,
       numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
+    awaitCompactions() // never rewrite under an in-flight async fold
     compact(spark, dir, numBuckets)
     val (fs, root) = fsOf(spark, dir)
     val (_, m) = readManifest(fs, root)
@@ -388,6 +419,7 @@ object ManifestReplica {
     * generation, delta, and manifest, leaving an empty root that
     * accepts a fresh [[snapshot]]. */
   def truncate(spark: SparkSession, dir: String): Unit = {
+    awaitCompactions() // a daemon fold may outlive its stopped stream
     val (fs, root) = fsOf(spark, dir)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName

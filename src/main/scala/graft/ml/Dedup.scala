@@ -75,15 +75,18 @@ object Dedup {
     * (VERDICT r4 #3). */
   val MaxMemoEntries = 8
 
-  // access-ordered LRU; eviction releases the checkpointed blocks of the
-  // evicted value eagerly (the map no longer hands it out, and a
-  // localCheckpoint'ed frame with dropped blocks must not be re-run)
+  // access-ordered LRU. Eviction only FORGETS the entry — it must NOT
+  // unpersist: a handed-out localCheckpoint'ed frame whose blocks are
+  // dropped cannot be recomputed, so eager release would crash any
+  // caller still holding (or lazily building on) the evicted frame.
+  // The ContextCleaner reaps the blocks once the frame is unreachable —
+  // exactly the wanted lifetime. clearCache() stays eager: it is the
+  // explicit isolation call whose contract is "no outstanding readers".
   private val memo =
     new java.util.LinkedHashMap[AnyRef, DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[AnyRef, DataFrame]): Boolean =
-        if (size > MaxMemoEntries) { releaseBlocks(e.getValue); true }
-        else false
+        size > MaxMemoEntries
     }
 
   /** Unpersist the RDD behind a `localCheckpoint(true)`-produced frame
@@ -104,20 +107,24 @@ object Dedup {
   private def docsKey(docs: DataFrame): AnyRef =
     (docs.sparkSession, docs.queryExecution.analyzed.canonicalized)
 
-  // the lock is reentrant, so the nested build chain (pairs → sigs)
-  // memoizes through the same monitor without the "Recursive update"
-  // hazard computeIfAbsent had; builds run under the lock — fine, the
-  // consumers are sequential query runners sharing one corpus pass
-  private def memoized(key: AnyRef)(build: => DataFrame): DataFrame =
-    memo.synchronized {
-      val hit = memo.get(key)
-      if (hit != null) hit
-      else {
-        val built = build
-        memo.put(key, built)
-        built
+  // builds (corpus-scale Spark jobs) run OUTSIDE the monitor: a
+  // minutes-long signature pass for corpus A must not block a cache hit
+  // for corpus B, and the nested build chain (pairs → sigs) needs no
+  // reentrancy games. Two threads racing the same cold key both build;
+  // the first put wins and the loser's duplicate frame is reaped by the
+  // ContextCleaner — wasted work in a rare race, never a wrong result.
+  private def memoized(key: AnyRef)(build: => DataFrame): DataFrame = {
+    val hit = memo.synchronized(memo.get(key))
+    if (hit != null) hit
+    else {
+      val built = build
+      memo.synchronized {
+        val winner = memo.get(key)
+        if (winner != null) winner
+        else { memo.put(key, built); built }
       }
     }
+  }
 
   /** Drop all memoized intermediates (tests / bench isolation), eagerly
     * releasing their checkpointed blocks. */

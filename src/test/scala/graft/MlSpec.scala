@@ -162,7 +162,7 @@ class MlSpec extends AnyFunSuite {
     val jacs = (1 to Dedup.MaxMemoEntries + 3).map(i => 0.05 * i)
     jacs.foreach(j => Dedup.nearDupPairs(tiny, minJaccard = j).collect())
     assert(Dedup.cacheSize <= Dedup.MaxMemoEntries,
-      s"memo must LRU-evict past $Dedup.MaxMemoEntries entries")
+      s"memo must LRU-evict past ${Dedup.MaxMemoEntries} entries")
     // the least-recently-used entry was evicted; asking again rebuilds
     // a fresh, correct pair list (2-doc fixture: jaccard 5/7 ≥ 0.05)
     val again = Dedup.nearDupPairs(tiny, minJaccard = jacs.head).collect()
