@@ -45,8 +45,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *  - **On read** ([[readReplica]]): base ∪ deltas → combine → project
   *    live rows. With no pending deltas this is a pure scan+filter (the
   *    compacted base is already one row per key).
-  *  - **Every `compactEvery` triggers**: fold base ∪ deltas
-  *    (union + combine — NO join) into fresh buckets in a temp dir,
+  *  - **Every `compactEvery` triggers**: fold the delta-TOUCHED
+  *    buckets' base rows ∪ deltas (union + combine — NO join;
+  *    untouched buckets are never read or rewritten, keeping the fold
+  *    O(hot data) at thousands of buckets) into fresh buckets in a
+  *    temp dir,
   *    RENAME-ASIDE swap each bucket (live → .__old, fresh → live, drop
   *    .__old; every rename checked; [[recoverSwap]] rolls a crashed
   *    swap back/forward), then drop the consumed deltas. Deltas are
@@ -350,8 +353,11 @@ object Replicate {
     * bucket count; [[compact]] recomputes it with the authoritative
     * `numBuckets`). */
   private def readBase(spark: SparkSession, fs: FileSystem,
-      replicaDir: String): DataFrame = {
-    val buckets = listBuckets(fs, new Path(replicaDir))
+      replicaDir: String, only: Option[Set[Int]] = None): DataFrame = {
+    val buckets = {
+      val all = listBuckets(fs, new Path(replicaDir))
+      only.fold(all)(all.intersect)
+    }
     if (buckets.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BaseSchema)
@@ -533,44 +539,55 @@ object Replicate {
   }
 
   /** Write bucket-partitioned summaries to a temp dir, then rename-aside
-    * swap every bucket present before or after into the live base.
-    * Shared by [[compact]] and [[vacuum]]. */
+    * swap the written buckets into the live base. `dropAbsent = true`
+    * (the [[vacuum]] full-rewrite) additionally swaps OUT live buckets
+    * the output no longer contains — absence then means "every key
+    * vacuumed"; [[compact]] passes false so buckets its incremental
+    * fold never read are left untouched. */
   private def writeAndSwap(fs: FileSystem, base: Path, replicaDir: String,
-      merged: DataFrame): Unit = {
+      merged: DataFrame, dropAbsent: Boolean): Unit = {
     val tmpDir = s"$replicaDir.__tmp"
     fs.delete(new Path(tmpDir), true)
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(tmpDir)
     if (!fs.exists(base)) check(fs.mkdirs(base), s"mkdirs $base")
-    val touched = listBuckets(fs, new Path(tmpDir)) ++ listBuckets(fs, base)
+    val touched = listBuckets(fs, new Path(tmpDir)) ++
+      (if (dropAbsent) listBuckets(fs, base) else Set.empty)
     touched.toSeq.sorted.foreach(swapBucket(fs, replicaDir, tmpDir, _))
     fs.delete(new Path(tmpDir), true)
   }
 
-  /** Fold the committed deltas into the base buckets and drop them.
-    * Base and deltas share one summary schema, so the fold is a pure
-    * union + [[combineSummaries]] — no join, no conf games: one
-    * bucket-keyed exchange feeds the window, the aggregate, AND the
-    * bucket-partitioned write (each write task holds whole buckets —
-    * one file per bucket, not numBuckets × numTasks). Deltas are
-    * deleted only AFTER every bucket swap completed; a crash anywhere
-    * replays into [[recoverSwap]] + re-folding deltas over the
-    * compacted base, which the max/min algebra absorbs idempotently.
-    * Dead keys persist as tombstones ([[vacuum]] removes them). */
+  /** Fold the committed deltas into the buckets they TOUCH and drop
+    * them (round 5 — incremental, like [[ManifestReplica.compact]]):
+    * the touched-bucket set comes off the small deltas (a collect
+    * bounded by `numBuckets`), only those buckets' base dirs are read
+    * (explicit path list = partition pruning by construction), and only
+    * they are swapped — an untouched bucket's dir is byte-stable across
+    * compactions, which is what keeps the fold O(hot data), not
+    * O(replica), at thousands of buckets. Base and deltas share one
+    * summary schema, so the fold is a pure union + [[combineSummaries]]
+    * — no join: one bucket-keyed exchange feeds the window, the
+    * aggregate, AND the bucket-partitioned write. Deltas are deleted
+    * only AFTER every bucket swap completed; a crash anywhere replays
+    * into [[recoverSwap]] + re-folding deltas over the compacted base,
+    * which the max/min algebra absorbs idempotently. Dead keys persist
+    * as tombstones ([[vacuum]] removes them). */
   private def compact(spark: SparkSession, fs: FileSystem,
       replicaDir: String, numBuckets: Int): Unit = {
     val base = new Path(replicaDir)
     val deltaDirs = listDeltas(fs, new Path(base, DeltaDirName))
     if (deltaDirs.isEmpty) return
-    val baseDf = readBase(spark, fs, replicaDir)
-      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-      .select(DeltaSchema.fieldNames.map(col).toSeq: _*)
     val deltas = spark.read.schema(DeltaSchema)
       .parquet(deltaDirs.map(_.toString): _*)
       .select(DeltaSchema.fieldNames.map(col).toSeq: _*)
+    val touched = deltas.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val baseDf = readBase(spark, fs, replicaDir, Some(touched))
+      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+      .select(DeltaSchema.fieldNames.map(col).toSeq: _*)
     val merged = combineSummaries(baseDf.unionAll(deltas),
-      Seq(BucketCol, "id"), width = Some(numBuckets))
-    writeAndSwap(fs, base, replicaDir, merged)
+      Seq(BucketCol, "id"), width = Some(touched.size.max(1)))
+    writeAndSwap(fs, base, replicaDir, merged, dropAbsent = false)
     // commit point: once the watermark lands, the consumed deltas are
     // invisible everywhere; until then the full set re-applies
     // idempotently over the swapped base
@@ -600,7 +617,7 @@ object Replicate {
       .filter(col("first_ins").isNotNull)
       .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
       .repartition(numBuckets, col(BucketCol))
-    writeAndSwap(fs, base, replicaDir, alive)
+    writeAndSwap(fs, base, replicaDir, alive, dropAbsent = true)
   }
 
   /** Truncate the replica (S9 — `TRUNCATE TABLE person RESTART IDENTITY`

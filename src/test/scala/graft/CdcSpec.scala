@@ -194,6 +194,39 @@ class CdcSpec extends AnyFunSuite {
     assert(replicaAsMap(replica) === first)
   }
 
+  test("compaction is incremental: untouched bucket dirs are byte-stable") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val replica = tmp("cdc-incr")
+    val rows = (0 until 40).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    Replicate.snapshot(spark, rows.toDS(), replica, numBuckets = 8)
+    def bucketFiles(b: Int): Set[(String, Long)] = {
+      val p = Paths.get(replica, s"id_bucket=$b")
+      val s = JFiles.list(p)
+      try s.toArray.map(_.toString).map { f =>
+        (f, JFiles.getLastModifiedTime(Paths.get(f)).toMillis)
+      }.toSet
+      finally s.close()
+    }
+    val before = (0 until 8).map(bucketFiles)
+    // one batch touching ONLY bucket 3 (ids ≡ 3 mod 8), compacted
+    // immediately (compactEvery = 1)
+    val changes = Seq(
+      PersonChange(900L, "U", 3, Some("x3"), Some("u3"), Some(77), None),
+      PersonChange(901L, "U", 11, Some("x11"), Some("u11"), Some(77), None))
+    Replicate.applyBatch(spark, changes.toDS(), replica, numBuckets = 8,
+      batchId = 0L, compactEvery = 1)
+    (0 until 8).filterNot(_ == 3).foreach { b =>
+      assert(bucketFiles(b) === before(b),
+        s"untouched bucket $b was rewritten by an incremental compaction")
+    }
+    assert(bucketFiles(3) !== before(3), "touched bucket must be refolded")
+    val got = replicaAsMap(replica)
+    assert(got(3).name === "x3" && got(11).score === 77)
+    assert(got(4).name === "n4")
+  }
+
   test("truncate empties the replica (buckets + deltas) and accepts a fresh snapshot") {
     val ops = ChangeGen.ops(seed = 21, n = 300)
     val dir = tmp("cdc-trunc-log"); val replica = tmp("cdc-trunc-replica")
