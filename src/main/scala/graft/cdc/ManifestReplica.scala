@@ -33,13 +33,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * }}}
   *
   * Scale notes (the 100 TB story):
-  *  - **Compaction is incremental**: only buckets that actually appear
-  *    in the pending deltas get a new generation; an untouched bucket's
-  *    dir is byte-identical across commits. [[Replicate.compact]]
-  *    re-folds the whole base each time — right for 16 buckets, wrong
-  *    for thousands; here the fold reads only the touched buckets'
-  *    base dirs (explicit path list = partition pruning by
-  *    construction).
+  *  - **Compaction is incremental** (as is [[Replicate.compact]]'s
+  *    since round 5): only buckets that actually appear in the pending
+  *    deltas get a new generation; an untouched bucket's dir is
+  *    byte-identical across commits, and the fold reads only the
+  *    touched buckets' base dirs (explicit path list = partition
+  *    pruning by construction).
   *  - The touched-bucket list is a `collect()` bounded by `numBuckets`
   *    (thousands at 100 TB — driver-trivial), taken from the deltas,
   *    which are O(batches since last compaction), never from the base.
