@@ -1,0 +1,119 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for the curated corpus — Z-order
+  * (Morton-curve) clustering, the standard lakehouse technique (public
+  * Delta `OPTIMIZE ZORDER BY` / Iceberg sort-order design; Morton '66)
+  * for making parquet min/max statistics prune on SEVERAL columns at
+  * once.
+  *
+  * Why it matters at 100 TB: a corpus written sorted by one column
+  * skips row groups only for filters on that column. Training-data
+  * reads slice by several at once (`lang = 'en' AND n_chars BETWEEN …`)
+  * — interleaving the bits of the filter columns into one sort key
+  * gives every file a tight min/max envelope in ALL of them, so each
+  * dimension's selectivity multiplies into the scan's file-skip rate.
+  *
+  * Everything here is exact integer bit arithmetic (codegen'd shifts
+  * and masks, no hashing, no sampling), so the z-values are
+  * bit-identical on any engine — the declared query is oracle-checked
+  * against DuckDB computing the same interleave in SQL. Only the FILE
+  * BOUNDARIES depend on Spark's range-partitioner sampling; the spec
+  * asserts the property that matters (per-file z-ranges are disjoint)
+  * rather than the sampled cut points.
+  */
+object Layout {
+  /** Bits per dimension in the interleave (16-bit z-values from two
+    * 8-bit lanes: 256 buckets per dimension bounds the rank tables and
+    * is plenty to steer file-level skipping). */
+  val LaneBits = 8
+
+  /** Morton-interleave two `bits`-wide non-negative lanes: bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1. One codegen'd
+    * shift/mask expression per bit — no UDF, no shuffle. */
+  def morton2(a: Column, b: Column, bits: Int = LaneBits): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as ANSI SQL over column expressions `a`/`b` —
+    * generated from the SAME loop so Spark and the oracle cannot
+    * drift. */
+  def morton2Sql(a: String, b: String, bits: Int = LaneBits): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Dictionary rank for the (tiny, known) language dimension. At scale
+    * this is a broadcast dictionary; for the fixture langs a CASE chain
+    * both engines evaluate identically.
+    *
+    * The rank is SCALED across the whole lane (`rank · ⌊255/6⌋`): a
+    * low-cardinality dimension left in a lane's low bits would never
+    * reach the interleave's significant positions, and the curve would
+    * degenerate to a plain sort on the other dimension — scaling is
+    * monotone, so dimension order is preserved while its bits land
+    * where they steer file boundaries. */
+  val LangRanks: Seq[(String, Int)] =
+    Seq("de" -> 0, "en" -> 1, "es" -> 2, "fr" -> 3, "zh" -> 4)
+
+  val LangLaneStep: Long = ((1L << LaneBits) - 1) / (LangRanks.size + 1)
+
+  def langLane(lang: Column): Column =
+    LangRanks.foldRight(lit(LangRanks.size * LangLaneStep)) {
+      case ((l, r), els) => when(lang === l, lit(r * LangLaneStep))
+        .otherwise(els)
+    }
+
+  def langLaneSql(lang: String): String =
+    "CASE " + LangRanks.map { case (l, r) =>
+      s"WHEN $lang = '$l' THEN ${r * LangLaneStep}" }.mkString(" ") +
+      s" ELSE ${LangRanks.size * LangLaneStep} END"
+
+  /** Cap-and-scale a non-negative numeric column into an 8-bit lane:
+    * power-of-two bucket width (a shift — exact integer arithmetic on
+    * both engines, no sampled quantiles), capped at the lane maximum. */
+  def numLane(v: Column, stepBits: Int): Column =
+    least(shiftright(v.cast("long"), stepBits), lit((1L << LaneBits) - 1))
+
+  def numLaneSql(v: String, stepBits: Int): String =
+    s"least(CAST($v AS BIGINT) >> $stepBits, ${(1L << LaneBits) - 1})"
+
+  /** Z-values for the documents table over (lang, n_chars/16):
+    * (doc_id, lang, n_chars, zval). The declared-query surface —
+    * ordered by the curve so the oracle compare also pins the curve's
+    * total order. */
+  val NCharsStepBits = 4
+
+  def zOrder(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        morton2(langLane(col("lang")),
+          numLane(col("n_chars"), NCharsStepBits)).as("zval"))
+      .orderBy("zval", "doc_id")
+
+  /** Write `docs` z-clustered: range-partition by z-value (each output
+    * file owns one contiguous, DISJOINT z-range ⇒ a tight min/max
+    * envelope in every interleaved dimension), sort within partitions,
+    * write parquet. `numFiles` is the target file count — at 100 TB,
+    * size it to ~1 GB files; the range exchange is the one shuffle and
+    * doubles as the write partitioning. */
+  def zOrderWrite(docs: DataFrame, outDir: String, numFiles: Int): Unit =
+    docs.withColumn("zval",
+        morton2(langLane(col("lang")),
+          numLane(col("n_chars"), NCharsStepBits)))
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** Per-file (min, max) z-envelopes of a [[zOrderWrite]] output — the
+    * skipping evidence: disjoint envelopes mean a reader's z-range
+    * predicate prunes whole files. */
+  def fileEnvelopes(docs: DataFrame): DataFrame =
+    docs.groupBy(input_file_name().as("file"))
+      .agg(min("zval").as("z_min"), max("zval").as("z_max"),
+        count(lit(1)).as("rows"))
+
+}

@@ -917,6 +917,23 @@ object MlQueries {
             |       frame_idx, frame_sig
             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
 
+  /** Z-order layout key (L49): Morton interleave of the language rank
+    * and the capped n_chars lane — exact shift/mask arithmetic, so the
+    * oracle computes the identical curve position (the SQL is GENERATED
+    * from the same bit loop, [[Layout.morton2Sql]]). The file-layout
+    * side (range partition by zval → disjoint per-file envelopes) is
+    * pinned in MlSpec; this query pins the curve itself. */
+  private val zorder = Declared(
+    "ml_zorder_key",
+    (s, d) => Layout.zOrder(Tables(s, d, "documents")),
+    Some(s"""SELECT doc_id, lang, n_chars,
+            |  CAST(${Layout.morton2Sql(
+                  Layout.langLaneSql("lang"),
+                  Layout.numLaneSql("n_chars", Layout.NCharsStepBits))}
+            |    AS BIGINT) AS zval
+            |FROM documents
+            |ORDER BY zval, doc_id""".stripMargin))
+
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
@@ -925,6 +942,6 @@ object MlQueries {
     textStats, qualityGate, langId, tokenCounts, repetition, seqPack,
     stratSample, contam,
     shardAssign, mixRebalance, chunking,
-    tfidfTopTerms, fingerprint,
+    tfidfTopTerms, fingerprint, zorder,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)
 }

@@ -459,6 +459,47 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order: morton interleave is exact and order-preserving per dimension") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (5L, 200L))
+    val got = cases.toDF("a", "b")
+      .select(Layout.morton2(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    // hand-computed Morton codes: a-bits at even positions, b at odd
+    def ref(a: Long, b: Long): Long = (0 until 8).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.sum
+    assert(got.toSeq === cases.map { case (a, b) => ref(a, b) })
+    assert(ref(255, 255) === 65535L)
+    // fixing one dimension, z is monotone in the other within its lane
+    val inc = (0L until 256L).map(ref(_, 7L))
+    assert(inc === inc.sorted, "curve must be monotone per dimension")
+  }
+
+  test("z-order write: per-file z-envelopes are disjoint (the skipping property)") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zOrderWrite(docs, dir, numFiles = 4)
+    val back = spark.read.parquet(dir)
+    val envs = Layout.fileEnvelopes(back)
+      .select("z_min", "z_max", "rows")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(envs.length > 1, "expected multiple files")
+    assert(envs.map(_._3).sum === docs.count())
+    envs.sliding(2).foreach {
+      case Array((_, max1, _), (min2, _, _)) =>
+        assert(max1 <= min2,
+          s"file envelopes overlap: $max1 > $min2 — range partitioning broken")
+      case _ => ()
+    }
+    // and the curve actually clusters BOTH dimensions: each file's lang
+    // set is a small subset, not all languages (256 n_chars buckets ×
+    // 5 langs would interleave arbitrarily without the z-sort)
+    val langsPerFile = back
+      .groupBy(input_file_name()).agg(countDistinct(col("lang")).as("n"))
+      .as[(String, Long)].collect().map(_._2)
+    assert(langsPerFile.exists(_ < 5),
+      "at least one file should see a restricted language range")
+  }
+
   test("multimodal: batched stub decode preserves ids and batch shape") {
     val media = Multimodal.asMedia(docs)
     val feats = Multimodal.decodeAll(spark, media).collect()
