@@ -924,7 +924,7 @@ object MlQueries {
     * side (range partition by zval → disjoint per-file envelopes) is
     * pinned in MlSpec; this query pins the curve itself. */
   private val zorder = Declared(
-    "ml_zorder_key",
+    "ml_zorder",
     (s, d) => Layout.zOrder(Tables(s, d, "documents")),
     Some(s"""SELECT doc_id, lang, n_chars,
             |  CAST(${Layout.morton2Sql(
