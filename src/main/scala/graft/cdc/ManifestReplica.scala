@@ -94,39 +94,52 @@ object ManifestReplica {
   private val ManifestPrefix = "_manifest.v"
   private val Header = "graft-manifest-v1"
 
+  /** Manifest versions retained by the commit-time trim — the time-
+    * travel window ([[readReplicaAt]]). Data files those versions name
+    * stay on disk until [[gc]], so every retained version is readable.
+    * Production tunes this to the retention the deployment owes its
+    * readers (the Delta/Iceberg VACUUM trade). */
+  val ManifestHistory = 4
+
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Committed manifest versions on disk, ascending (history depth =
+    * [[ManifestHistory]] until [[gc]]/[[vacuum]] prune). */
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).toLong).toSeq.sorted
+
+  private def readManifestAt(fs: FileSystem, root: Path, v: Long)
+      : Manifest = {
+    val in = fs.open(new Path(root, s"$ManifestPrefix$v"))
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lines = text.linesIterator.toSeq
+    require(lines.headOption.contains(Header), s"bad manifest v$v")
+    var m = Empty
+    lines.tail.foreach { l =>
+      l.split("=", 2) match {
+        case Array("gen", g) => m = m.copy(gen = g.toLong)
+        case Array("watermark", w) => m = m.copy(watermark = w.toLong)
+        case Array("delta", d) => m = m.copy(deltas = m.deltas + d.toLong)
+        case Array("bucket", bg) =>
+          val Array(b, g) = bg.split(":", 2)
+          m = m.copy(buckets = m.buckets + (b.toInt -> g.toLong))
+        case _ => // forward-compatible: unknown keys ignored
+      }
+    }
+    m
+  }
+
   /** Newest committed manifest, with its version (0 if none). */
   private def readManifest(fs: FileSystem, root: Path): (Long, Manifest) = {
-    val versions =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).iterator.map(_.getPath.getName)
-        .filter(_.startsWith(ManifestPrefix))
-        .map(_.stripPrefix(ManifestPrefix).toLong).toSeq
+    val versions = listVersions(fs, root)
     if (versions.isEmpty) (0L, Empty)
-    else {
-      val v = versions.max
-      val in = fs.open(new Path(root, s"$ManifestPrefix$v"))
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val lines = text.linesIterator.toSeq
-      require(lines.headOption.contains(Header), s"bad manifest v$v")
-      var m = Empty
-      lines.tail.foreach { l =>
-        l.split("=", 2) match {
-          case Array("gen", g) => m = m.copy(gen = g.toLong)
-          case Array("watermark", w) => m = m.copy(watermark = w.toLong)
-          case Array("delta", d) => m = m.copy(deltas = m.deltas + d.toLong)
-          case Array("bucket", bg) =>
-            val Array(b, g) = bg.split(":", 2)
-            m = m.copy(buckets = m.buckets + (b.toInt -> g.toLong))
-          case _ => // forward-compatible: unknown keys ignored
-        }
-      }
-      (v, m)
-    }
+    else (versions.max, readManifestAt(fs, root, versions.max))
   }
 
   /** One commit attempt: write the body under a tmp name, rename to the
@@ -190,11 +203,13 @@ object ManifestReplica {
           case Some(next) =>
             preCommitHook()
             if (tryCommit(fs, root, v + 1, next)) {
-              // history trim (best-effort; committed state is durable)
+              // trim history beyond the retained window (best-effort;
+              // committed state is durable, data reclaim is gc's)
               fs.listStatus(root).foreach { st =>
                 val n = st.getPath.getName
                 if (n.startsWith(ManifestPrefix) &&
-                    n.stripPrefix(ManifestPrefix).toLong < v)
+                    n.stripPrefix(ManifestPrefix).toLong <=
+                      v + 1 - ManifestHistory)
                   fs.delete(st.getPath, false)
               }
               return next
@@ -310,9 +325,33 @@ object ManifestReplica {
   /** Merge-on-read view: manifest-named bucket generations ∪
     * manifest-named deltas → one commutative fold → live rows. */
   def readReplica(spark: SparkSession, dir: String): Dataset[PersonRow] = {
-    import spark.implicits._
     val (fs, root) = fsOf(spark, dir)
-    val (_, m) = readManifest(fs, root)
+    readAt(spark, dir, readManifest(fs, root)._2)
+  }
+
+  /** Time travel: the replica as of manifest `version` — any version
+    * still inside the [[ManifestHistory]] window (and not yet [[gc]]'d /
+    * [[vacuum]]ed, which reclaim the named data files) resolves exactly
+    * like a current read, because commits never mutate or delete the
+    * files an older manifest names. [[versions]] lists what is
+    * available. */
+  def readReplicaAt(spark: SparkSession, dir: String, version: Long)
+      : Dataset[PersonRow] = {
+    val (fs, root) = fsOf(spark, dir)
+    require(listVersions(fs, root).contains(version),
+      s"manifest v$version not retained (have ${versions(spark, dir)})")
+    readAt(spark, dir, readManifestAt(fs, root, version))
+  }
+
+  /** Readable manifest versions, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    listVersions(fs, root)
+  }
+
+  private def readAt(spark: SparkSession, dir: String, m: Manifest)
+      : Dataset[PersonRow] = {
+    import spark.implicits._
     val base =
       if (m.buckets.isEmpty)
         spark.createDataFrame(
@@ -373,10 +412,14 @@ object ManifestReplica {
     commitUpdate(fs, root)(cur =>
       Some(Manifest(cur.gen max gen, cur.watermark max consumed.max,
         cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed)))
-    // post-commit reclaim (best-effort: orphans are invisible; gc sweeps)
-    consumed.foreach(d => fs.delete(new Path(m.deltaDir(dir, d)), true))
-    moved.filter(m.buckets.contains)
-      .foreach(b => fs.delete(new Path(m.bucketDir(dir, b)), true))
+    // NO inline reclaim (round 5): superseded generations and consumed
+    // deltas stay on disk until the operator's [[gc]] — so a reader
+    // that resolved the previous manifest finishes its scan against
+    // intact files, and retained manifest versions stay READABLE
+    // ([[readReplicaAt]] time travel). This is the Delta/Iceberg
+    // VACUUM model: commit advances state; reclamation is a separate,
+    // explicitly-invoked act with whatever retention the operator owes
+    // its readers.
   }
 
   /** Physically remove tombstones — [[Replicate.vacuum]]'s manifest
@@ -446,10 +489,18 @@ object ManifestReplica {
     }
     sweep("data", liveData)
     sweep("delta", liveDelta)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      if (st.getPath.getName.startsWith(".stage-") ||
-          st.getPath.getName.startsWith(".tmp-manifest-"))
-        fs.delete(st.getPath, true)
+    if (fs.exists(root)) {
+      val cur = listVersions(fs, root).lastOption.getOrElse(0L)
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".stage-") || n.startsWith(".tmp-manifest-"))
+          fs.delete(st.getPath, true)
+        // older manifests' data is gone with this sweep — prune them so
+        // `versions` only ever lists READABLE commits
+        else if (n.startsWith(ManifestPrefix) &&
+            n.stripPrefix(ManifestPrefix).toLong < cur)
+          fs.delete(st.getPath, false)
+      }
     }
   }
 

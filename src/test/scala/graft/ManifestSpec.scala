@@ -71,11 +71,17 @@ class ManifestSpec extends AnyFunSuite {
     val afterCompact = asMap(dir)
     assert(afterCompact === wantMap(ops))
     // replay of an ALREADY-COMPACTED epoch (below the watermark) must
-    // not resurrect old state or create a delta
+    // not resurrect old state or create a delta (consumed delta DIRS
+    // stay on disk until gc — the replay must not add to them)
+    val deltaDirsBefore = ls(dir, "delta")
     ManifestReplica.applyBatch(spark, ChangeGen.toChanges(batches(0)).toDS(),
       dir, numBuckets = 4, batchId = 0L, compactEvery = 100)
     assert(asMap(dir) === afterCompact)
-    assert(ls(dir, "delta").isEmpty, "pre-watermark replay wrote a delta")
+    assert(ls(dir, "delta") === deltaDirsBefore,
+      "pre-watermark replay wrote a delta")
+    ManifestReplica.gc(spark, dir)
+    assert(ls(dir, "delta").isEmpty, "gc must reclaim consumed deltas")
+    assert(asMap(dir) === afterCompact)
   }
 
   test("manifest compaction is incremental: untouched buckets keep their generation") {
@@ -94,13 +100,18 @@ class ManifestSpec extends AnyFunSuite {
     ManifestReplica.applyBatch(spark, changes.toDS(), dir, numBuckets = 8,
       batchId = 0L, compactEvery = 1) // compacts immediately
     val after = ls(dir, "data")
-    assert(after.size === 8)
-    // bucket 3 advanced a generation; the other seven are byte-stable
-    assert((before -- after) === Set("b3-g1"))
-    assert((after -- before).forall(_.startsWith("b3-g")))
+    // bucket 3 advanced a generation; the other seven are byte-stable;
+    // the superseded b3 gen stays on disk (time-travel retention) until
+    // gc reclaims it
+    assert((after -- before) === Set("b3-g2"))
+    assert(before.subsetOf(after))
     val got = asMap(dir)
     assert(got(3) === (("n3x", "u3", 99)) && got(11) === (("n11x", "u11", 99)))
     assert(got(4) === (("n4", "u4", 4)))
+    ManifestReplica.gc(spark, dir)
+    assert(!ls(dir, "data").contains("b3-g1"),
+      "gc must reclaim the superseded generation")
+    assert(asMap(dir) === got)
   }
 
   test("manifest crash windows: unnamed dirs are invisible and gc reclaims them") {
@@ -211,6 +222,39 @@ class ManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest time travel: retained versions read as of their commit; gc reclaims") {
+    val dir = tmp("man-tt")
+    val rows = (0 until 12).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4) // v1
+    val v1 = ManifestReplica.versions(spark, dir).max
+    val atSnap = asMap(dir)
+    ManifestReplica.applyBatch(spark,
+      Seq(PersonChange(100L, "U", 1, Some("x1"), Some("u1"), Some(91), None),
+        PersonChange(101L, "D", 2, None, None, None, None)).toDS(),
+      dir, numBuckets = 4, batchId = 0L, compactEvery = 100) // v2
+    val v2 = ManifestReplica.versions(spark, dir).max
+    ManifestReplica.compact(spark, dir, numBuckets = 4) // v3
+    val now = asMap(dir)
+    assert(now(1) === (("x1", "u1", 91)) && !now.contains(2))
+    // commits never touch the files older manifests name, so both
+    // retained versions still read exactly as of their commit
+    def at(v: Long) = ManifestReplica.readReplicaAt(spark, dir, v)
+      .collect().map(r => r.id -> ((r.name, r.uid, r.score))).toMap
+    assert(at(v1) === atSnap, "v1 must read as the pre-delta snapshot")
+    assert(at(v2) === now, "v2 (delta committed) must equal the folded view")
+    assert(ManifestReplica.versions(spark, dir).size === 3)
+    // gc keeps only the CURRENT version's data and prunes the now-
+    // unreadable older manifests with it
+    ManifestReplica.gc(spark, dir)
+    assert(asMap(dir) === now)
+    assert(ManifestReplica.versions(spark, dir).size === 1)
+    assert(intercept[IllegalArgumentException] {
+      ManifestReplica.readReplicaAt(spark, dir, v1)
+    }.getMessage.contains("not retained"))
+  }
+
   test("manifest CAS: a fold losing the version race preserves the winner's delta") {
     val dir = tmp("man-cas")
     val rows = (0 until 16).map(i =>
@@ -245,7 +289,9 @@ class ManifestSpec extends AnyFunSuite {
     // and the pending delta is still fold-able
     ManifestReplica.compact(spark, dir, numBuckets = 4)
     assert(asMap(dir)(2) === (("x2", "u2", 92)))
-    assert(ls(dir, "delta").isEmpty)
+    // a further compact with nothing pending is a no-op
+    ManifestReplica.compact(spark, dir, numBuckets = 4)
+    assert(asMap(dir)(2) === (("x2", "u2", 92)))
   }
 
   test("manifest async compaction converges with the stream") {
@@ -280,8 +326,9 @@ class ManifestSpec extends AnyFunSuite {
       trigger = Trigger.ProcessingTime("1 second"), compactEvery = 3)
     try q.processAllAvailable() finally q.stop()
     assert(asMap(dir) === wantMap(ops))
-    // at most the current and previous manifest versions remain
+    // history is trimmed to the retained time-travel window
     val manifests = ls(dir, ".").filter(_.startsWith("_manifest.v"))
-    assert(manifests.size <= 2, s"manifest history not trimmed: $manifests")
+    assert(manifests.size <= ManifestReplica.ManifestHistory,
+      s"manifest history not trimmed: $manifests")
   }
 }
