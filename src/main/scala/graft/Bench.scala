@@ -154,8 +154,12 @@ object Bench {
             manReplica, manCkpt, trigger = Trigger.AvailableNow(),
             compactAsync = true)
           try mq.awaitTermination() finally mq.stop()
+        } finally {
+          spark.streams.removeListener(manListener)
+          // in the finally: even on failure, never let an orphaned
+          // daemon fold run on into the timed query phase
           graft.cdc.ManifestReplica.awaitCompactions()
-        } finally spark.streams.removeListener(manListener)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] manifest CDC FAILED: $e")
         errors("cdc_manifest") = Option(e.getMessage)
@@ -198,7 +202,7 @@ object Bench {
         graft.ml.Dedup.clearCache()
         val lshConsumers = Set("ml_dedup_near", "ml_levenshtein_near",
           "ml_chargram_jaccard", "ml_dedup_corpus", "ml_dedup_clusters",
-          "ml_minhash_sig", "ml_dedup_increment")
+          "ml_dedup_corpus_cc", "ml_minhash_sig", "ml_dedup_increment")
         val lshLine: Map[String, Double] =
           if (!qmap.keys.exists(lshConsumers)) Map.empty
           else {

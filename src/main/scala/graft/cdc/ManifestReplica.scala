@@ -27,7 +27,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Layout under the replica root:
   * {{{
   *   _manifest.v<N>        one line-oriented commit record per version;
-  *                         max N wins, older kept as history (GC'd to 2)
+  *                         max N wins, last [[ManifestHistory]] retained
   *   data/b<bkt>-g<gen>/   one parquet dir per bucket GENERATION
   *   delta/batch=<id>/     per-trigger summary deltas (Replicate schema)
   * }}}
@@ -64,16 +64,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * work. Bulk lifecycle ops (snapshot/vacuum/truncate/gc) remain
   * operator-invoked, outside the steady-state race.
   *
-  * Reader retention caveat (the standard table-format trade): a reader
-  * resolves a manifest once at plan time; a compaction that commits and
-  * then immediately reclaims the superseded dirs can invalidate a plan
-  * that has not finished executing. Production object-store deployments
-  * give reclamation a retention window (Delta/Iceberg VACUUM
-  * semantics); here the post-commit delete is immediate — the
-  * single-writer test/bench shape — and a concurrent-reader deployment
-  * would defer the deletes (and [[gc]]) by a grace period. The
-  * rename-path twin has the same property (a swapped-out bucket dir
-  * dies under a slow reader). */
+  * Reader retention (the standard table-format trade): a reader
+  * resolves a manifest once at plan time, so reclamation must not race
+  * readers. Commits therefore NEVER delete data — consumed deltas and
+  * superseded generations stay on disk until the operator's explicit
+  * [[gc]]/[[vacuum]] (Delta/Iceberg VACUUM semantics), invoked with
+  * whatever grace period the deployment owes its slowest reader. The
+  * retained manifest history ([[ManifestHistory]] versions) is
+  * therefore snapshot-isolated time travel: [[readReplicaAt]]. (The
+  * rename-path twin reclaims inline instead — a swapped-out bucket dir
+  * dies under a slow reader there.) */
 object ManifestReplica {
   import Replicate.{BucketCol, BaseSchema, DeltaSchema, check,
     combineSummaries, projectAlive, rowsAsSummaries, summarizeBucketed,
@@ -84,12 +84,22 @@ object ManifestReplica {
     * writer's orphan `b<k>-g<gen+1>` dir can collide only with the
     * NEXT attempt of the same fold, which deletes it first). */
   final case class Manifest(gen: Long, watermark: Long,
-      buckets: Map[Int, Long], deltas: Set[Long]) {
+      buckets: Map[Int, Long], deltas: Set[Long], mod: Int = 0) {
     def bucketDir(root: String, b: Int): String =
       s"$root/data/b$b-g${buckets(b)}"
     def deltaDir(root: String, id: Long): String = s"$root/delta/batch=$id"
   }
   private val Empty = Manifest(0L, Long.MinValue, Map.empty, Set.empty)
+
+  /** `numBuckets` defines the key→bucket mapping on disk, so it must
+    * stay constant for a replica's lifetime (a different modulus would
+    * remap keys into fresh dirs while stale copies survive — silent
+    * duplicates on the no-delta read path). The manifest CARRIES the
+    * modulus (`mod=`; 0 = pre-r5 manifest, adopted on next commit) and
+    * every writer checks it. */
+  private def checkMod(m: Manifest, numBuckets: Int, what: String): Unit =
+    check(m.mod == 0 || m.mod == numBuckets,
+      s"$what: replica laid out with numBuckets=${m.mod}, caller passed $numBuckets")
 
   private val ManifestPrefix = "_manifest.v"
   private val Header = "graft-manifest-v1"
@@ -124,6 +134,7 @@ object ManifestReplica {
     lines.tail.foreach { l =>
       l.split("=", 2) match {
         case Array("gen", g) => m = m.copy(gen = g.toLong)
+        case Array("mod", n) => m = m.copy(mod = n.toInt)
         case Array("watermark", w) => m = m.copy(watermark = w.toLong)
         case Array("delta", d) => m = m.copy(deltas = m.deltas + d.toLong)
         case Array("bucket", bg) =>
@@ -152,6 +163,7 @@ object ManifestReplica {
     if (!fs.exists(root)) check(fs.mkdirs(root), s"mkdirs $root")
     val body = new StringBuilder(Header).append('\n')
       .append(s"gen=${m.gen}\n").append(s"watermark=${m.watermark}\n")
+      .append(s"mod=${m.mod}\n")
     m.buckets.toSeq.sorted.foreach { case (b, g) =>
       body.append(s"bucket=$b:$g\n") }
     m.deltas.toSeq.sorted.foreach(d => body.append(s"delta=$d\n"))
@@ -263,7 +275,7 @@ object ManifestReplica {
     // one update that does not merge concurrent state)
     commitUpdate(fs, root)(_ =>
       Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
-        Set.empty)))
+        Set.empty, mod = numBuckets)))
     gc(spark, dir)
   }
 
@@ -288,6 +300,7 @@ object ManifestReplica {
       compactAsync: Boolean = false): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val (_, m0) = readManifest(fs, root)
+    checkMod(m0, numBuckets, "applyBatch")
     val committed =
       if (batchId <= m0.watermark || m0.deltas.contains(batchId)) m0
       else {
@@ -305,7 +318,8 @@ object ManifestReplica {
           // concurrent fold may have consumed everything and raised the
           // watermark past us
           if (batchId <= m.watermark || m.deltas.contains(batchId)) None
-          else Some(m.copy(deltas = m.deltas + batchId)))
+          else Some(m.copy(deltas = m.deltas + batchId,
+            mod = if (m.mod == 0) numBuckets else m.mod)))
       }
     if (committed.deltas.size >= compactEvery) {
       if (!compactAsync) compact(spark, dir, numBuckets)
@@ -338,9 +352,16 @@ object ManifestReplica {
   def readReplicaAt(spark: SparkSession, dir: String, version: Long)
       : Dataset[PersonRow] = {
     val (fs, root) = fsOf(spark, dir)
-    require(listVersions(fs, root).contains(version),
-      s"manifest v$version not retained (have ${versions(spark, dir)})")
-    readAt(spark, dir, readManifestAt(fs, root, version))
+    // open first, classify on failure: a membership check BEFORE the
+    // open would race a concurrent commit's history trim (time travel
+    // exists precisely for readers concurrent with a live writer)
+    val m =
+      try readManifestAt(fs, root, version)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"manifest v$version not retained (have ${versions(spark, dir)})")
+      }
+    readAt(spark, dir, m)
   }
 
   /** Readable manifest versions, ascending. */
@@ -377,6 +398,7 @@ object ManifestReplica {
       numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val (_, m) = readManifest(fs, root)
+    checkMod(m, numBuckets, "compact")
     if (m.deltas.isEmpty) return
     val deltas = spark.read.schema(DeltaSchema)
       .parquet(m.deltas.toSeq.sorted.map(m.deltaDir(dir, _)): _*)
@@ -411,7 +433,8 @@ object ManifestReplica {
     val consumed = m.deltas
     commitUpdate(fs, root)(cur =>
       Some(Manifest(cur.gen max gen, cur.watermark max consumed.max,
-        cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed)))
+        cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed,
+        mod = numBuckets)))
     // NO inline reclaim (round 5): superseded generations and consumed
     // deltas stay on disk until the operator's [[gc]] — so a reader
     // that resolved the previous manifest finishes its scan against
@@ -436,6 +459,7 @@ object ManifestReplica {
     compact(spark, dir, numBuckets)
     val (fs, root) = fsOf(spark, dir)
     val (_, m) = readManifest(fs, root)
+    checkMod(m, numBuckets, "vacuum")
     if (m.buckets.isEmpty) return
     val alive = spark.read.schema(BaseSchema)
       .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
@@ -453,7 +477,7 @@ object ManifestReplica {
     // Deltas that landed while we rewrote are preserved, not consumed.
     commitUpdate(fs, root)(cur =>
       Some(Manifest(cur.gen max gen, cur.watermark,
-        moved.map(_ -> gen).toMap, cur.deltas)))
+        moved.map(_ -> gen).toMap, cur.deltas, mod = numBuckets)))
     gc(spark, dir)
   }
 

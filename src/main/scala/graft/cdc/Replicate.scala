@@ -113,6 +113,48 @@ object Replicate {
     * delta rows). */
   private val DeltaDirName = ".__delta"
 
+  /** Layout marker at the replica root recording the bucket count the
+    * replica was written with. `numBuckets` defines the key→bucket
+    * mapping on DISK, so a caller passing a different value would remap
+    * keys into fresh dirs while stale copies survive in the old ones —
+    * silent duplicates. Was doc-only ("must stay constant"); since the
+    * incremental compaction no longer re-buckets the whole base as a
+    * side effect, the constraint is now ENFORCED. Underscore prefix =
+    * invisible to Spark/Hadoop data listings. */
+  private val LayoutFile = "_layout"
+  private val layoutSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def checkLayout(fs: FileSystem, base: Path,
+      numBuckets: Int): Unit = {
+    val cached = layoutSeen.get(base.toString)
+    if (cached != null)
+      check(cached.intValue == numBuckets,
+        s"replica $base laid out with numBuckets=$cached, caller passed $numBuckets")
+    else {
+      val p = new Path(base, LayoutFile)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val n = try new String(in.readAllBytes(), "UTF-8").trim.toInt
+          finally in.close()
+        check(n == numBuckets,
+          s"replica $base laid out with numBuckets=$n, caller passed $numBuckets")
+      } else {
+        val out = fs.create(p, true) // adopt (also covers pre-r5 replicas)
+        try out.write(numBuckets.toString.getBytes("UTF-8"))
+        finally out.close()
+      }
+      layoutSeen.put(base.toString, numBuckets)
+    }
+  }
+
+  /** Forget a replica's cached/persisted layout (snapshot = full
+    * overwrite, truncate = fresh start — both may re-bucket). */
+  private def resetLayout(fs: FileSystem, base: Path): Unit = {
+    layoutSeen.remove(base.toString)
+    fs.delete(new Path(base, LayoutFile), false)
+  }
+
   /** Delta on-disk schema = [[summarizeBucketed]] output, passed
     * explicitly to reads to skip footer inference. */
   private[cdc] val DeltaSchema = StructType(Seq(
@@ -489,6 +531,7 @@ object Replicate {
       compactAsync: Boolean = false): Unit = {
     val base = new Path(replicaDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    traced("layout")(checkLayout(fs, base, numBuckets))
     if (!compacting.containsKey(replicaDir))
       traced("recoverSwap")(recoverSwap(fs, base))
     val dRoot = new Path(base, DeltaDirName)
@@ -611,6 +654,7 @@ object Replicate {
       numBuckets: Int = DefaultNumBuckets): Unit = {
     awaitCompactions()
     val (fs, base) = fsOf(spark, replicaDir)
+    checkLayout(fs, base, numBuckets)
     recoverSwap(fs, base)
     compact(spark, fs, replicaDir, numBuckets)
     val alive = readBase(spark, fs, replicaDir)
@@ -636,6 +680,7 @@ object Replicate {
           check(fs.delete(st.getPath, true), s"truncate $n")
       }
     }
+    resetLayout(fs, base) // a fresh snapshot may re-bucket
   }
 
   /** Initial snapshot (phase 2 of the replicator,
@@ -646,12 +691,15 @@ object Replicate {
     * overlapping changes re-fold idempotently". */
   def snapshot(spark: SparkSession, rows: Dataset[PersonRow],
       replicaDir: String, numBuckets: Int = DefaultNumBuckets): Unit = {
+    val (fs, base) = fsOf(spark, replicaDir)
+    resetLayout(fs, base) // full overwrite — may legitimately re-bucket
     rowsAsSummaries(rows.toDF())
       .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
       .partitionBy(BucketCol)
       .parquet(replicaDir)
+    checkLayout(fs, base, numBuckets) // stamp the fresh layout
   }
 
   /** The continuous pipeline: change log → parse → optional publication

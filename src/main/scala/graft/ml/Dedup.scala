@@ -211,14 +211,18 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val txt = docs.select(col("doc_id"), col("text"))
+      // tokens HOISTED into their own projection before the shingle
+      // build (MlFunctions.shingleRows documents the measured ~8×
+      // penalty of re-splitting text inside every element_at)
+      val txt = docs.select(col("doc_id"),
+        MlFunctions.tokens(col("text")).as("tk"))
       def shSet(t: Column): Column =
-        array_distinct(MlFunctions.shingles(t, k))
+        array_distinct(MlFunctions.shinglesOf(t, k))
       cands
         .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
         .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          shSet(col("ta.text")).as("sa"), shSet(col("tb.text")).as("sb"))
+          shSet(col("ta.tk")).as("sa"), shSet(col("tb.tk")).as("sb"))
         .withColumn("ix", size(array_intersect(col("sa"), col("sb"))))
         .select(col("doc_a"), col("doc_b"),
           (col("ix").cast("double") /

@@ -222,6 +222,42 @@ class ManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-count constancy is enforced by both replica paths") {
+    // manifest path: the modulus rides in the manifest
+    val mDir = tmp("man-mod")
+    ManifestReplica.snapshot(spark,
+      Seq(PersonRow(1, "a", "u", 1,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDS(),
+      mDir, numBuckets = 4)
+    val ch = Seq(PersonChange(10L, "U", 1, Some("b"), Some("u"), Some(2),
+      None))
+    val e1 = intercept[java.io.IOException] {
+      ManifestReplica.applyBatch(spark, ch.toDS(), mDir, numBuckets = 8,
+        batchId = 0L)
+    }
+    assert(e1.getMessage.contains("numBuckets=4"))
+    // rename path: the _layout marker at the replica root
+    val rDir = tmp("cdc-mod")
+    Replicate.snapshot(spark,
+      Seq(PersonRow(1, "a", "u", 1,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDS(),
+      rDir, numBuckets = 4)
+    val e2 = intercept[java.io.IOException] {
+      Replicate.applyBatch(spark, ch.toDS(), rDir, numBuckets = 8,
+        batchId = 0L)
+    }
+    assert(e2.getMessage.contains("numBuckets=4"))
+    // truncate resets the layout: a re-bucketed fresh start is legal
+    // (I, not U — an update on the now-empty replica is a no-op)
+    Replicate.truncate(spark, rDir)
+    Replicate.applyBatch(spark,
+      Seq(PersonChange(11L, "I", 1, Some("b"), Some("u"), Some(2),
+        Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))).toDS(),
+      rDir, numBuckets = 8, batchId = 0L)
+    assert(Replicate.readReplica(spark, rDir).collect()
+      .map(_.name).toSeq === Seq("b"))
+  }
+
   test("manifest time travel: retained versions read as of their commit; gc reclaims") {
     val dir = tmp("man-tt")
     val rows = (0 until 12).map(i =>
