@@ -364,6 +364,47 @@ object ManifestReplica {
     readAt(spark, dir, m)
   }
 
+  /** Change feed (the Delta CDF analog): every delta batch committed
+    * AFTER manifest `sinceVersion`, as (batch_id, id, last_img,
+    * first_ins, last_d_lsn) summary rows — one row per key per batch,
+    * exactly what a downstream incremental consumer folds. Works while
+    * the named delta dirs are retained (i.e. until [[gc]]/[[vacuum]] —
+    * same retention contract as time travel): commits never delete
+    * data, and a batch's id is its epoch, so "committed after v" is
+    * precisely "id greater than v's highest committed id". */
+  def changesSince(spark: SparkSession, dir: String, sinceVersion: Long)
+      : DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    def maxBatch(m: Manifest): Long =
+      (m.deltas + m.watermark).max // watermark = highest compacted id
+    val since =
+      try maxBatch(readManifestAt(fs, root, sinceVersion))
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"manifest v$sinceVersion not retained (have ${versions(spark, dir)})")
+      }
+    val (_, now) = readManifest(fs, root)
+    // stream epochs are contiguous, so the feed is exactly the id range
+    // (since, maxBatch]; compacted-but-retained dirs serve the already-
+    // folded part, and a reclaimed dir is a real gap, not a skip
+    val ids = ((since + 1L) to maxBatch(now)).toSeq
+    check(ids.forall(id => fs.exists(new Path(now.deltaDir(dir, id)))),
+      s"change feed gap: a batch in ($since, ${maxBatch(now)}] was gc'd — lower the gc cadence or read from an earlier checkpoint")
+    if (ids.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType) +: BaseSchema.fields))
+    else
+      ids.map { id =>
+        spark.read.schema(DeltaSchema)
+          .parquet(now.deltaDir(dir, id))
+          .select(lit(id).as("batch_id") +:
+            BaseSchema.fieldNames.map(col): _*)
+      }.reduce(_ unionAll _)
+  }
+
   /** Readable manifest versions, ascending. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, dir)

@@ -291,6 +291,43 @@ class ManifestSpec extends AnyFunSuite {
     }.getMessage.contains("not retained"))
   }
 
+  test("manifest change feed: batches after a version, across compaction, until reclaimed") {
+    val dir = tmp("man-cdf")
+    val rows = (0 until 8).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4) // v1
+    def upd(lsn: Long, id: Int) = PersonChange(lsn, "U", id,
+      Some(s"x$lsn"), Some(s"u$id"), Some(50), None)
+    ManifestReplica.applyBatch(spark, Seq(upd(100, 1)).toDS(), dir,
+      numBuckets = 4, batchId = 0L, compactEvery = 100) // v2
+    val v2 = ManifestReplica.versions(spark, dir).max
+    ManifestReplica.applyBatch(spark, Seq(upd(101, 2)).toDS(), dir,
+      numBuckets = 4, batchId = 1L, compactEvery = 100) // v3
+    val v3 = ManifestReplica.versions(spark, dir).max
+    ManifestReplica.compact(spark, dir, numBuckets = 4) // v4: consumes 0,1
+    ManifestReplica.applyBatch(spark, Seq(upd(102, 3)).toDS(), dir,
+      numBuckets = 4, batchId = 2L, compactEvery = 100) // v5
+    // since v2 (batch 0 committed): batches 1 and 2 — including batch
+    // 1, already folded into the base (its dir is retained until gc)
+    val sinceV2 = ManifestReplica.changesSince(spark, dir, v2)
+      .select("batch_id", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sinceV2 === Set((1L, 2), (2L, 3)))
+    // since v3 (batches 0,1 committed): only batch 2
+    val sinceV3 = ManifestReplica.changesSince(spark, dir, v3)
+      .select("batch_id", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sinceV3 === Set((2L, 3)))
+    // feed rows ARE the summary algebra: folding them over the v1 state
+    // reproduces the current replica
+    val cur = ManifestReplica.versions(spark, dir).max
+    assert(ManifestReplica.changesSince(spark, dir, cur).isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      ManifestReplica.changesSince(spark, dir, 999L)
+    }.getMessage.contains("not retained"))
+  }
+
   test("manifest CAS: a fold losing the version race preserves the winner's delta") {
     val dir = tmp("man-cas")
     val rows = (0 until 16).map(i =>
