@@ -318,8 +318,13 @@ object ManifestReplica {
           // concurrent fold may have consumed everything and raised the
           // watermark past us
           if (batchId <= m.watermark || m.deltas.contains(batchId)) None
-          else Some(m.copy(deltas = m.deltas + batchId,
-            mod = if (m.mod == 0) numBuckets else m.mod)))
+          else {
+            // re-asserted INSIDE the CAS: a concurrent first-writer may
+            // have adopted a different modulus since the pre-write check
+            checkMod(m, numBuckets, "applyBatch")
+            Some(m.copy(deltas = m.deltas + batchId,
+              mod = if (m.mod == 0) numBuckets else m.mod))
+          })
       }
     if (committed.deltas.size >= compactEvery) {
       if (!compactAsync) compact(spark, dir, numBuckets)
@@ -374,9 +379,15 @@ object ManifestReplica {
     * precisely "id greater than v's highest committed id". */
   def changesSince(spark: SparkSession, dir: String, sinceVersion: Long)
       : DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val (fs, root) = fsOf(spark, dir)
+    // highest committed id (watermark = highest compacted id), clamped:
+    // a snapshot-only manifest carries the Long.MinValue watermark
+    // sentinel, and epochs start at 0 — without the clamp the bootstrap
+    // call "everything since the snapshot" would compute an id range
+    // starting at Long.MinValue+1
     def maxBatch(m: Manifest): Long =
-      (m.deltas + m.watermark).max // watermark = highest compacted id
+      (m.deltas + m.watermark).max.max(-1L)
     val since =
       try maxBatch(readManifestAt(fs, root, sinceVersion))
       catch { case _: java.io.FileNotFoundException =>
@@ -388,21 +399,30 @@ object ManifestReplica {
     // (since, maxBatch]; compacted-but-retained dirs serve the already-
     // folded part, and a reclaimed dir is a real gap, not a skip
     val ids = ((since + 1L) to maxBatch(now)).toSeq
-    check(ids.forall(id => fs.exists(new Path(now.deltaDir(dir, id)))),
-      s"change feed gap: a batch in ($since, ${maxBatch(now)}] was gc'd — lower the gc cadence or read from an earlier checkpoint")
+    val feedSchema = StructType(
+      StructField("batch_id", LongType) +: BaseSchema.fields)
     if (ids.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[
-        org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField("batch_id",
-            org.apache.spark.sql.types.LongType) +: BaseSchema.fields))
-    else
-      ids.map { id =>
-        spark.read.schema(DeltaSchema)
-          .parquet(now.deltaDir(dir, id))
-          .select(lit(id).as("batch_id") +:
-            BaseSchema.fieldNames.map(col): _*)
-      }.reduce(_ unionAll _)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema)
+    else {
+      // ONE listing for the gap check and ONE partition-discovered scan
+      // (the dirs are literally batch=<id>) — not N exists round-trips
+      // plus an N-deep unionAll
+      val deltaRoot = new Path(root, "delta")
+      val present =
+        if (!fs.exists(deltaRoot)) Set.empty[String]
+        else fs.listStatus(deltaRoot).iterator
+          .map(_.getPath.getName).toSet
+      check(ids.forall(id => present.contains(s"batch=$id")),
+        s"change feed gap: a batch in ($since, ${maxBatch(now)}] was gc'd — lower the gc cadence or read from an earlier checkpoint")
+      spark.read
+        .schema(StructType(DeltaSchema.fields :+
+          StructField("batch", LongType)))
+        .option("basePath", deltaRoot.toString)
+        .parquet(ids.map(now.deltaDir(dir, _)): _*)
+        .select(col("batch").as("batch_id") +:
+          BaseSchema.fieldNames.map(col): _*)
+    }
   }
 
   /** Readable manifest versions, ascending. */
@@ -472,10 +492,12 @@ object ManifestReplica {
     // trigger's delta-add wins the version race — its fresh delta ids
     // survive in `cur.deltas -- consumed` for the next fold.
     val consumed = m.deltas
-    commitUpdate(fs, root)(cur =>
+    commitUpdate(fs, root) { cur =>
+      checkMod(cur, numBuckets, "compact") // re-asserted inside the CAS
       Some(Manifest(cur.gen max gen, cur.watermark max consumed.max,
         cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed,
-        mod = numBuckets)))
+        mod = numBuckets))
+    }
     // NO inline reclaim (round 5): superseded generations and consumed
     // deltas stay on disk until the operator's [[gc]] — so a reader
     // that resolved the previous manifest finishes its scan against
@@ -516,9 +538,11 @@ object ManifestReplica {
     // buckets whose keys were ALL tombstones produce no output dir and
     // leave the manifest entirely — ending up absent IS the vacuum.
     // Deltas that landed while we rewrote are preserved, not consumed.
-    commitUpdate(fs, root)(cur =>
+    commitUpdate(fs, root) { cur =>
+      checkMod(cur, numBuckets, "vacuum") // re-asserted inside the CAS
       Some(Manifest(cur.gen max gen, cur.watermark,
-        moved.map(_ -> gen).toMap, cur.deltas, mod = numBuckets)))
+        moved.map(_ -> gen).toMap, cur.deltas, mod = numBuckets))
+    }
     gc(spark, dir)
   }
 

@@ -131,20 +131,35 @@ object Replicate {
     if (cached != null)
       check(cached.intValue == numBuckets,
         s"replica $base laid out with numBuckets=$cached, caller passed $numBuckets")
-    else {
-      val p = new Path(base, LayoutFile)
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        val n = try new String(in.readAllBytes(), "UTF-8").trim.toInt
-          finally in.close()
-        check(n == numBuckets,
-          s"replica $base laid out with numBuckets=$n, caller passed $numBuckets")
-      } else {
-        val out = fs.create(p, true) // adopt (also covers pre-r5 replicas)
-        try out.write(numBuckets.toString.getBytes("UTF-8"))
-        finally out.close()
+    else layoutSeen.synchronized {
+      // serialized: two concurrent FIRST writers with different bucket
+      // counts must not both adopt (check-then-act); after adoption the
+      // lock-free cache path above carries every subsequent call
+      val raced = layoutSeen.get(base.toString)
+      if (raced != null)
+        check(raced.intValue == numBuckets,
+          s"replica $base laid out with numBuckets=$raced, caller passed $numBuckets")
+      else {
+        val p = new Path(base, LayoutFile)
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          val n = try new String(in.readAllBytes(), "UTF-8").trim.toInt
+            finally in.close()
+          check(n == numBuckets,
+            s"replica $base laid out with numBuckets=$n, caller passed $numBuckets")
+        } else {
+          // adopt (also covers pre-r5 replicas) — tmp+rename like every
+          // other small-file commit here, so a crash mid-write can
+          // never leave an empty marker that poisons later startups
+          val tmp = new Path(base, s".$LayoutFile.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(numBuckets.toString.getBytes("UTF-8"))
+          finally out.close()
+          fs.delete(p, false)
+          check(fs.rename(tmp, p), s"commit layout marker $p")
+        }
+        layoutSeen.put(base.toString, numBuckets)
       }
-      layoutSeen.put(base.toString, numBuckets)
     }
   }
 
