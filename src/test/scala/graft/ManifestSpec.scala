@@ -199,13 +199,14 @@ class ManifestSpec extends AnyFunSuite {
       var applied = 0
       def model = wantMap(snapOps ++ batches.take(applied).flatten)
       while (applied < batches.size) {
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 if applied > 0 =>
             val b = rnd.nextInt(applied) // crash-replay of an old epoch
             ManifestReplica.applyBatch(spark,
               ChangeGen.toChanges(batches(b)).toDS(), dir, numBuckets = 4,
               batchId = b.toLong, compactEvery = 100)
           case 1 => ManifestReplica.compact(spark, dir, numBuckets = 4)
+          case 2 => ManifestReplica.gc(spark, dir) // reclaim mid-stream
           case _ =>
             ManifestReplica.applyBatch(spark,
               ChangeGen.toChanges(batches(applied)).toDS(), dir,
@@ -326,6 +327,20 @@ class ManifestSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       ManifestReplica.changesSince(spark, dir, 999L)
     }.getMessage.contains("not retained"))
+    // bootstrap: "everything since the initial snapshot" — the snapshot
+    // manifest carries the Long.MinValue watermark sentinel, and the
+    // feed must clamp it to the epoch-0 origin, not overflow
+    val bDir = tmp("man-cdf-boot")
+    ManifestReplica.snapshot(spark, rows.toDS(), bDir, numBuckets = 4)
+    val bv1 = ManifestReplica.versions(spark, bDir).max
+    ManifestReplica.applyBatch(spark, Seq(upd(200, 1)).toDS(), bDir,
+      numBuckets = 4, batchId = 0L, compactEvery = 100)
+    ManifestReplica.applyBatch(spark, Seq(upd(201, 2)).toDS(), bDir,
+      numBuckets = 4, batchId = 1L, compactEvery = 100)
+    val boot = ManifestReplica.changesSince(spark, bDir, bv1)
+      .select("batch_id", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(boot === Set((0L, 1), (1L, 2)))
   }
 
   test("manifest CAS: a fold losing the version race preserves the winner's delta") {
