@@ -179,6 +179,74 @@ case class SlidingMinLong(child: Expression, w: Int)
       : SlidingMinLong = copy(child = newChild)
 }
 
+/** Native multiset statistics over a string array (the repetition
+  * filter's hot loop): returns `(n, best, uniq)` = (element count, max
+  * multiplicity of any element, distinct count) in one pass — sort a
+  * per-row copy (any total order works; only EQUAL-adjacency matters,
+  * and `UTF8String` is `Comparable`), then count runs. Replaces an
+  * interpreted `array_sort` + higher-order `aggregate` chain (HOFs are
+  * CodegenFallback) with straight-line Java inside whole-stage codegen.
+  * Values are exact integers — the oracle equality is untouched. Null
+  * elements are not expected (gram arrays). */
+case class GramStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("best", LongType, nullable = false),
+    StructField("uniq", LongType, nullable = false)))
+  override def prettyName: String = "gram_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { buf(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(buf.asInstanceOf[Array[AnyRef]])
+    var best = 0L; var uniq = 0L; var run = 0L
+    i = 0
+    while (i < n) {
+      if (i > 0 && buf(i) == buf(i - 1)) run += 1
+      else { run = 1L; uniq += 1L }
+      if (run > best) best = run
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, best, uniq))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val buf = ctx.freshName("buf")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val uniq = ctx.freshName("uniq")
+      val run = ctx.freshName("run")
+      s"""
+         |final int $n = $c.numElements();
+         |final org.apache.spark.unsafe.types.UTF8String[] $buf =
+         |  new org.apache.spark.unsafe.types.UTF8String[$n];
+         |for (int $i = 0; $i < $n; $i++) $buf[$i] = $c.getUTF8String($i);
+         |java.util.Arrays.sort($buf);
+         |long $best = 0L; long $uniq = 0L; long $run = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i > 0 && $buf[$i].equals($buf[$i - 1])) $run++;
+         |  else { $run = 1L; $uniq++; }
+         |  if ($run > $best) $best = $run;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] {(long) $n, $best, $uniq});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : GramStats = copy(child = newChild)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -191,4 +259,7 @@ object VectorFunctions {
 
   def slidingMin(a: Column, w: Int): Column =
     ColumnBridge.column(SlidingMinLong(ColumnBridge.expression(a), w))
+
+  def gramStats(a: Column): Column =
+    ColumnBridge.column(GramStats(ColumnBridge.expression(a)))
 }

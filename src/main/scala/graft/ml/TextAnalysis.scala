@@ -161,68 +161,38 @@ object TextAnalysis {
     *
     * Scale: ZERO shuffles (bar the output sort) — a gram's total count,
     * distinct count, and max multiplicity are all per-DOCUMENT facts,
-    * so they come straight off each row's sorted gram array: `size`,
-    * plus ONE [[runStats]] fold that counts run-starts (= distincts)
-    * and the longest run (= max multiplicity) together. The earlier
-    * forms shuffled the exploded grams corpus-wide (two exchanges
-    * fused, four plus two joins before that) to compute per-doc numbers
-    * — the per-row form does O(g log g) work inside the scan instead.
-    * Measured trade (sf0.1, local[32], isolated): explode+fused-agg
-    * 1.8 s vs per-row 2.3 s — the higher-order fold is interpreted, not
-    * codegen'd, so LOCAL cpu is ~25% worse; kept anyway because the
-    * explode form ships the whole exploded gram stream (≈ 2× corpus
-    * tokens) through an exchange, which at 100 TB is network-bound in a
-    * way no per-row cpu cost is. All ratios are integer-ratio doubles —
-    * engine-exact. */
+    * computed by the native [[graft.functions.GramStats]] expression
+    * (sort-a-copy + run count as straight-line Java inside whole-stage
+    * codegen) in the scan itself. The earlier forms shuffled the
+    * exploded grams corpus-wide (two exchanges fused, four plus two
+    * joins before that); the first per-row form used `array_sort` + a
+    * higher-order `aggregate`, both CodegenFallback — measured ~25%
+    * slower locally than the explode form, which the native expression
+    * reverses while keeping the no-shuffle shape. All ratios are
+    * integer-ratio doubles — engine-exact. */
   def repetition(docs: DataFrame): DataFrame = {
     def frac(num: Column, den: Column): Column =
       coalesce(num.cast("double") / den, lit(0.0)) // x/0 → null → 0.0
     docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-      // projection boundaries pin each sorted gram array to ONE
-      // evaluation; runStats then folds distinct-count and max-run in a
-      // single walk
       .select(col("doc_id"),
-        array_sort(MlFunctions.shinglesOf(col("tk"), 2)).as("a2"),
-        array_sort(MlFunctions.shinglesOf(col("tk"), 3)).as("a3"))
-      .select(col("doc_id"),
-        struct(size(col("a2")).cast("long").as("n"),
-          runStats(col("a2")).as("r")).as("s2"),
-        struct(size(col("a3")).cast("long").as("n"),
-          runStats(col("a3")).as("r")).as("s3"))
+        VectorFunctions.gramStats(MlFunctions.shinglesOf(col("tk"), 2))
+          .as("s2"),
+        VectorFunctions.gramStats(MlFunctions.shinglesOf(col("tk"), 3))
+          .as("s3"))
       .select(col("doc_id"),
         col("s2.n").as("n_2gram"),
-        frac(col("s2.n") - col("s2.r.uniq"), col("s2.n"))
+        frac(col("s2.n") - col("s2.uniq"), col("s2.n"))
           .as("dup_2gram_frac"),
-        frac(col("s2.r.best"), col("s2.n")).as("top_2gram_frac"),
+        frac(col("s2.best"), col("s2.n")).as("top_2gram_frac"),
         col("s3.n").as("n_3gram"),
-        frac(col("s3.n") - col("s3.r.uniq"), col("s3.n"))
+        frac(col("s3.n") - col("s3.uniq"), col("s3.n"))
           .as("dup_3gram_frac"))
       .withColumn("keep",
         (col("dup_2gram_frac") <= Dup2Max &&
           col("top_2gram_frac") <= Top2Max).cast("int"))
       .orderBy("doc_id")
   }
-
-  /** One fold over a SORTED string array returning
-    * `(best, uniq)` = (longest equal-run = max multiplicity,
-    * number of run starts = distinct count); (0, 0) for an empty
-    * array. Shingles are never the empty string (tokens are
-    * non-empty), so "" is a safe below-any-element seed for `prev`. */
-  private def runStats(sorted: Column): Column =
-    aggregate(sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
-        lit(0L).as("uniq")),
-      (acc, x) => {
-        val same = x === acc.getField("prev")
-        val run = when(same, acc.getField("run") + lit(1L)).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"),
-          (acc.getField("uniq") + when(same, lit(0L)).otherwise(lit(1L)))
-            .as("uniq"))
-      },
-      acc => struct(acc.getField("best").as("best"),
-        acc.getField("uniq").as("uniq")))
 
   /** Context-window budget for [[sequencePack]] (tokens per packed
     * sequence). */

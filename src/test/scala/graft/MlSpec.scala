@@ -459,6 +459,38 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("gram stats expression: codegen and interpreted agree with a naive count") {
+    def ref(a: Seq[String]): (Long, Long, Long) = {
+      val counts = a.groupBy(identity).view.mapValues(_.size.toLong)
+      (a.size.toLong,
+        if (counts.isEmpty) 0L else counts.values.max,
+        counts.size.toLong)
+    }
+    val arrays = Seq(
+      Seq("b", "a", "b", "c", "b", "a"),
+      Seq("x"), Seq.empty[String],
+      Seq("s", "s", "s", "s"),
+      Seq("2", "10", "2", "10")) // lexicographic vs numeric order moot
+    val df = arrays.toDF("a")
+    val got = df.select(graft.functions.VectorFunctions.gramStats(col("a"))
+        .as("s"))
+      .select("s.n", "s.best", "s.uniq")
+      .as[(Long, Long, Long)].collect()
+    got.zip(arrays).foreach { case (g, a) =>
+      assert(g === ref(a), s"codegen input=$a")
+    }
+    arrays.foreach { a =>
+      val row = graft.functions.GramStats(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            a, org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))
+        .eval(null).asInstanceOf[
+          org.apache.spark.sql.catalyst.InternalRow]
+      assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ref(a),
+        s"interpreted input=$a")
+    }
+  }
+
   test("z-order: morton interleave is exact and order-preserving per dimension") {
     val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (5L, 200L))
     val got = cases.toDF("a", "b")
