@@ -247,6 +247,74 @@ case class GramStats(child: Expression)
       : GramStats = copy(child = newChild)
 }
 
+/** The 56-bit SimHash kernel (Charikar '02), shared verbatim by the
+  * interpreted and codegen paths of [[SimHashTokens]]: for every token
+  * OCCURRENCE, hash `"t:" + token` with md5 and take the first 15 hex
+  * chars as a 60-bit value (byte-identical to the SQL/Column form
+  * `conv(substr(md5(concat('t:', tok)), 1, 15), 16, 10)` — the first 8
+  * digest bytes big-endian, shifted right 4); each of the 56 low bits
+  * contributes ±1 to its signed sum, and signature bit b is set iff
+  * sum(b) ≥ 0. Accumulating per occurrence instead of per distinct
+  * token × count is the same integer sum, so the result matches the
+  * explode+groupBy formulation bit for bit. */
+object SimHash56 {
+  val Bits = 56
+  private val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(arr: ArrayData): Long = {
+    val md = digest.get()
+    val sums = new Array[Long](Bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update('t'.toByte)
+      md.update(':'.toByte)
+      md.update(arr.getUTF8String(i).getBytes)
+      val h = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+      val th = v >>> 4 // first 15 hex chars = 60 bits
+      var b = 0
+      while (b < Bits) {
+        sums(b) += (((th >> b) & 1L) * 2L - 1L)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < Bits) { if (sums(b) >= 0L) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+/** Native per-row SimHash over a token array: the whole signature in
+  * one scan-side loop — no (doc, token) explode, no corpus-wide
+  * exchange, no 56 separate sum aggregates. Codegen emits a call to
+  * the SAME [[SimHash56.compute]] kernel the interpreted path uses, so
+  * the two cannot diverge. */
+case class SimHashTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash56"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash56.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash56.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHashTokens = copy(child = newChild)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -262,4 +330,7 @@ object VectorFunctions {
 
   def gramStats(a: Column): Column =
     ColumnBridge.column(GramStats(ColumnBridge.expression(a)))
+
+  def simhashTokens(a: Column): Column =
+    ColumnBridge.column(SimHashTokens(ColumnBridge.expression(a)))
 }

@@ -502,24 +502,19 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** 56-bit SimHash per doc: token hash bit b contributes +cnt when set,
-    * -cnt when clear; signature bit b is the sign of the sum
-    * (Charikar '02). 56 sum-aggregates in one pass, then one bit-assembly
-    * expression. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val bitSums = (0 until SimHashBits).map { b =>
-      sum(col("cnt") *
-        (shiftright(col("th"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$b")
-    }
-    val assemble = (0 until SimHashBits)
-      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("th", hash60Seeded(lit("t"), col("tok"))) // md5 once/token
-      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), assemble.as("simhash"))
-  }
+  /** 56-bit SimHash per doc: token hash bit b contributes ±1 per
+    * occurrence; signature bit b is the sign of the sum (Charikar '02).
+    * Round 5: the whole signature is the native
+    * [[graft.functions.SimHashTokens]] expression — one scan-side loop
+    * per row, no (doc, token) explode, no corpus-wide exchange, no 56
+    * separate sum aggregates (the previous shape shuffled ~corpus-token
+    * rows just to regroup them by doc). The md5 kernel is byte-identical
+    * to `hash60Seeded("t", tok)`, so the DuckDB oracle's explode+sum
+    * formulation still matches bit for bit. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.VectorFunctions
+        .simhashTokens(tokens(col("text"))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming ≤ [[MaxHamming]], via exact
     * byte-block candidate join (recall 1.0 by pigeonhole — never
