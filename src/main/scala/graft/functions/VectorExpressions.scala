@@ -188,17 +188,11 @@ case class SlidingMinLong(child: Expression, w: Int)
   * CodegenFallback) with straight-line Java inside whole-stage codegen.
   * Values are exact integers — the oracle equality is untouched. Null
   * elements are not expected (gram arrays). */
-case class GramStats(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes = Seq(ArrayType(StringType))
-  override def dataType: DataType = StructType(Seq(
-    StructField("n", LongType, nullable = false),
-    StructField("best", LongType, nullable = false),
-    StructField("uniq", LongType, nullable = false)))
-  override def prettyName: String = "gram_stats"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+object GramStats {
+  /** The kernel, shared verbatim by the interpreted and codegen paths
+    * (the [[SimHash56]] pattern — the two cannot diverge): sort a
+    * per-row copy, count runs; returns {n, best, uniq}. */
+  def compute(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val buf = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
@@ -212,34 +206,35 @@ case class GramStats(child: Expression)
       if (run > best) best = run
       i += 1
     }
+    Array(n.toLong, best, uniq)
+  }
+}
+
+case class GramStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("best", LongType, nullable = false),
+    StructField("uniq", LongType, nullable = false)))
+  override def prettyName: String = "gram_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = GramStats.compute(input.asInstanceOf[ArrayData])
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](n.toLong, best, uniq))
+      Array[Any](r(0), r(1), r(2)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val n = ctx.freshName("n")
-      val buf = ctx.freshName("buf")
-      val i = ctx.freshName("i")
-      val best = ctx.freshName("best")
-      val uniq = ctx.freshName("uniq")
-      val run = ctx.freshName("run")
+      val r = ctx.freshName("r")
       s"""
-         |final int $n = $c.numElements();
-         |final org.apache.spark.unsafe.types.UTF8String[] $buf =
-         |  new org.apache.spark.unsafe.types.UTF8String[$n];
-         |for (int $i = 0; $i < $n; $i++) $buf[$i] = $c.getUTF8String($i);
-         |java.util.Arrays.sort($buf);
-         |long $best = 0L; long $uniq = 0L; long $run = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($i > 0 && $buf[$i].equals($buf[$i - 1])) $run++;
-         |  else { $run = 1L; $uniq++; }
-         |  if ($run > $best) $best = $run;
-         |}
+         |final long[] $r = graft.functions.GramStats.compute($c);
          |${ev.value} =
          |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |    new Object[] {(long) $n, $best, $uniq});
+         |    new Object[] {java.lang.Long.valueOf($r[0]),
+         |      java.lang.Long.valueOf($r[1]), java.lang.Long.valueOf($r[2])});
        """.stripMargin
     })
 

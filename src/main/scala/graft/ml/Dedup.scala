@@ -32,7 +32,9 @@ object Dedup {
   val NumHashes = 64
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands // 4 → s-curve threshold ≈ 0.5
-  val SimHashBits = 56
+  val SimHashBits = graft.functions.SimHash56.Bits // one source of truth:
+  // the native kernel's width drives the block split, the pigeonhole
+  // recall guarantee, and the oracle SQL alike
   val SimHashBlocks = 7
   val MaxHamming = 6 // < SimHashBlocks → pigeonhole recall guarantee
 
@@ -512,9 +514,16 @@ object Dedup {
     * to `hash60Seeded("t", tok)`, so the DuckDB oracle's explode+sum
     * formulation still matches bit for bit. */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.VectorFunctions
-        .simhashTokens(tokens(col("text"))).as("simhash"))
+    // spread: ALL the md5 work is now scan-side, so core balance needs
+    // the round-robin repartition (the winnowing shape) — the old form
+    // didn't need it only because its explode+groupBy exchange sat
+    // upstream of the hashing. Null-text docs are dropped to match the
+    // explode formulation (zero token rows → absent), not emitted with
+    // a null signature.
+    spread(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions
+          .simhashTokens(tokens(col("text"))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming ≤ [[MaxHamming]], via exact
     * byte-block candidate join (recall 1.0 by pigeonhole — never

@@ -56,10 +56,12 @@ object MlFunctions {
     * doc-bytes and removes input-layout skew; without it a
     * single-row-group parquet input (small files, hot fixtures) pins the
     * whole derivation to ONE core (measured 4.8× on winnowing at
-    * sf0.1). Do NOT apply where the first aggregation's exchange already
-    * sits upstream of the heavy work (simhash/TF-IDF hash after their
-    * token agg): there the extra exchange is pure cost (measured ~25%
-    * slower). At 100 TB the same tradeoff holds per-partition. */
+    * sf0.1). Applies to winnowing AND (since its round-5 native
+    * rewrite moved all hashing scan-side) simhash. Do NOT apply where
+    * the first aggregation's exchange already sits upstream of the
+    * heavy work (TF-IDF's hash after its token agg): there the extra
+    * exchange is pure cost (measured ~25% slower). At 100 TB the same
+    * tradeoff holds per-partition. */
   def spread(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)

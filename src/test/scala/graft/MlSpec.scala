@@ -489,6 +489,20 @@ class MlSpec extends AnyFunSuite {
       assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ref(a),
         s"interpreted input=$a")
     }
+    // and over a PARQUET-backed relation: a local relation constant-folds
+    // to interpreted eval before codegen ever runs — this path compiles
+    // and executes the generated Java
+    val sub = docs.filter(col("doc_id") < 30)
+    val fromParquet = sub
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.gramStats(split(col("text"), " "))
+          .as("s"))
+      .select(col("doc_id"), col("s.n"), col("s.best"), col("s.uniq"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, b, u) => id -> ((n, b, u)) }.toMap
+    val naive = sub.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> ref(t.split(" ", -1).toSeq) }.toMap
+    assert(fromParquet.nonEmpty && fromParquet === naive)
   }
 
   test("z-order: morton interleave is exact and order-preserving per dimension") {
