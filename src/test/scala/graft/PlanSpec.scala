@@ -245,4 +245,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("Exchange hashpartitioning"),
       s"gram stats must stay inside the scan:\n${s.take(600)}")
   }
+
+  test("native-kernel queries explode nothing: no Generate node") {
+    // the GramStats/SimHashTokens rewrites' whole point is that the
+    // per-row kernels replaced explode+aggregate pipelines — a reshape
+    // that re-introduces a Generate silently reverts them
+    Seq("ml_dedup_simhash", "ml_repetition").foreach { n =>
+      val s = planString(run(n))
+      assert(!s.contains("Generate"),
+        s"$n re-introduced an explode:\n${s.take(400)}")
+    }
+  }
 }
