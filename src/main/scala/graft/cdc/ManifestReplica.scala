@@ -56,13 +56,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * watermark is discarded.
   *
   * Concurrency: commits go through an optimistic CAS loop
-  * ([[commitUpdate]]) — the versioned manifest key makes the loser's
-  * commit fail cleanly (a conditional PUT on an object store, a
-  * create+rename-to-fresh-key on HDFS), and every committer's change is
-  * a re-appliable logical update, so the trigger path and a background
-  * compaction fold can land in either order without losing each other's
-  * work. Bulk lifecycle ops (snapshot/vacuum/truncate/gc) remain
-  * operator-invoked, outside the steady-state race.
+  * ([[commitUpdate]]) — each version is claimed by an atomic exclusive
+  * create (round 6: `File.createNewFile` O_EXCL on local FS,
+  * `create(overwrite=false)` on HDFS — a true cross-process CAS on
+  * both; S3-class stores must plug a conditional PUT into
+  * [[claimImpl]] or deploy single-writer), and every committer's
+  * change is a re-appliable logical update, so the trigger path and a
+  * background compaction fold can land in either order without losing
+  * each other's work. Bulk lifecycle ops (snapshot/vacuum/truncate)
+  * set a per-replica flag that pauses new compaction folds for their
+  * duration; gc sweeps under the commit lock.
   *
   * Reader retention (the standard table-format trade): a reader
   * resolves a manifest once at plan time, so reclamation must not race
@@ -153,14 +156,63 @@ object ManifestReplica {
     else (versions.max, readManifestAt(fs, root, versions.max))
   }
 
-  /** One commit attempt: write the body under a tmp name, rename to the
-    * FRESH manifest key `v` — never deleting an existing one. On HDFS a
-    * rename onto an existing path fails; on an object store the whole
-    * sequence collapses to one conditional PUT (`If-None-Match`) of the
-    * new key. False = the version was taken by a concurrent committer. */
-  private def tryCommit(fs: FileSystem, root: Path, v: Long,
+  /** How long a claim marker with no manifest behind it must sit before
+    * a committer treats it as a crashed claimant's leftover and reclaims
+    * the version number (the claim→rename window is milliseconds; 30 s
+    * of quiescence is orders of magnitude past it). */
+  private val StaleClaimMs = 30000L
+
+  /** Cross-process exclusive create — the commit protocol's one true
+    * CAS primitive (round-6: replaces the check-then-act
+    * `!exists && rename`, which POSIX rename made a silent lost-update
+    * across processes). Local FS: `File.createNewFile`, documented
+    * atomic (O_EXCL). HDFS-like stores: `create(overwrite = false)`,
+    * an atomic namespace operation. S3-class stores have no conditional
+    * create through the generic FileSystem API — a deployment there
+    * must either plug a conditional-PUT implementation into this seam
+    * (the public Delta LogStore pattern) or run single-writer; plain
+    * S3A gives NO cross-process commit safety on its own. */
+  private[graft] var claimImpl: (FileSystem, Path) => Boolean =
+    (fs, marker) => fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        new java.io.File(marker.toUri.getPath).createNewFile()
+      case _ =>
+        try { fs.create(marker, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+    }
+
+  /** One commit attempt: atomically CLAIM version `v` with an exclusive
+    * marker create ([[claimImpl]]), then write the body under a tmp name
+    * and rename onto the fresh manifest key — the rename cannot race
+    * (the claim made `v` ours alone) and is atomic content visibility
+    * for readers. False = a concurrent committer claimed `v` first.
+    * A claimant that crashes between claim and rename leaves a marker
+    * with no manifest: reclaimed after [[StaleClaimMs]] of quiescence.
+    * `private[graft]` so the CAS spec can race two committers WITHOUT
+    * the in-JVM commit lock — the honest two-process simulation. */
+  private[graft] def tryCommit(fs: FileSystem, root: Path, v: Long,
       m: Manifest): Boolean = {
     if (!fs.exists(root)) check(fs.mkdirs(root), s"mkdirs $root")
+    val marker = new Path(root, s".commit-v$v")
+    val dst = new Path(root, s"$ManifestPrefix$v")
+    def claim(): Boolean = claimImpl(fs, marker)
+    val claimed = claim() || {
+      // crashed-claimant recovery: marker with no manifest, quiescent
+      // past the grace window → reclaim the version number. (Narrow
+      // check-then-act, entered only in the crash path after 30 s of
+      // silence — a live claimant renames within milliseconds.)
+      val stale =
+        try !fs.exists(dst) &&
+          System.currentTimeMillis() - fs.getFileStatus(marker)
+            .getModificationTime > StaleClaimMs
+        catch { case _: java.io.FileNotFoundException => false }
+      stale && { fs.delete(marker, false); claim() }
+    }
+    if (!claimed) return false
     val body = new StringBuilder(Header).append('\n')
       .append(s"gen=${m.gen}\n").append(s"watermark=${m.watermark}\n")
       .append(s"mod=${m.mod}\n")
@@ -170,10 +222,8 @@ object ManifestReplica {
     val tmp = new Path(root, s".tmp-manifest-$v")
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(root, s"$ManifestPrefix$v")
-    val won = !fs.exists(dst) && fs.rename(tmp, dst)
-    if (!won) fs.delete(tmp, false)
-    won
+    check(fs.rename(tmp, dst), s"commit $dst")
+    true
   }
 
   /** Test seam: invoked once per CAS attempt, between the manifest read
@@ -181,16 +231,15 @@ object ManifestReplica {
     * deterministically. Never set outside tests. */
   private[graft] var preCommitHook: () => Unit = () => ()
 
-  /** Per-replica in-JVM commit locks. The fresh-key rename is a real
-    * compare-and-set on HDFS (rename onto an existing path fails) and
-    * on object stores (conditional PUT), but the LOCAL filesystem's
-    * POSIX rename silently overwrites — two same-JVM racers could both
-    * "win". Same-JVM committers (the trigger thread and the async
-    * compactor — the only concurrency this library itself creates)
-    * therefore serialize their read→update→commit sections here;
-    * cross-process safety comes from the store's own CAS semantics.
-    * Reentrant by construction (`synchronized`), which the CAS race
-    * spec leans on to interleave a nested commit deterministically. */
+  /** Per-replica in-JVM commit locks. Cross-process atomicity comes
+    * from the exclusive-create claim in [[tryCommit]]; this lock exists
+    * so same-JVM committers (the trigger thread and the async
+    * compactor) serialize whole read→update→commit sections instead of
+    * spinning CAS retries against each other, and so [[gc]]'s sweep
+    * cannot interleave between a committer's data placement and its
+    * manifest commit. Reentrant by construction (`synchronized`), which
+    * the CAS race spec leans on to interleave a nested commit
+    * deterministically. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -202,10 +251,12 @@ object ManifestReplica {
     * deltas / replace everything), so a lost race never loses the other
     * writer's work — the property that lets a background compactor and
     * the trigger path commit concurrently against one state file. */
+  private def lockFor(root: Path): Object =
+    commitLocks.computeIfAbsent(root.toString, _ => new Object)
+
   private def commitUpdate(fs: FileSystem, root: Path)
       (update: Manifest => Option[Manifest]): Manifest = {
-    val lock = commitLocks
-      .computeIfAbsent(root.toString, _ => new Object)
+    val lock = lockFor(root)
     lock.synchronized {
       var attempts = 0
       while (true) {
@@ -216,12 +267,19 @@ object ManifestReplica {
             preCommitHook()
             if (tryCommit(fs, root, v + 1, next)) {
               // trim history beyond the retained window (best-effort;
-              // committed state is durable, data reclaim is gc's)
+              // committed state is durable, data reclaim is gc's).
+              // Claim markers leave with their manifest — a marker must
+              // outlive its version's retention so a stalled committer
+              // can never resurrect a trimmed version number.
               fs.listStatus(root).foreach { st =>
                 val n = st.getPath.getName
-                if (n.startsWith(ManifestPrefix) &&
-                    n.stripPrefix(ManifestPrefix).toLong <=
-                      v + 1 - ManifestHistory)
+                val ver =
+                  if (n.startsWith(ManifestPrefix))
+                    Some(n.stripPrefix(ManifestPrefix).toLong)
+                  else if (n.startsWith(".commit-v"))
+                    Some(n.stripPrefix(".commit-v").toLong)
+                  else None
+                if (ver.exists(_ <= v + 1 - ManifestHistory))
                   fs.delete(st.getPath, false)
               }
               return next
@@ -270,12 +328,14 @@ object ManifestReplica {
       .repartition(numBuckets, col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(stage.toString)
-    val moved = placeBuckets(fs, root, stage, gen)
-    // full replace (operator-invoked before the stream starts — the
-    // one update that does not merge concurrent state)
-    commitUpdate(fs, root)(_ =>
-      Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
-        Set.empty, mod = numBuckets)))
+    lockFor(root).synchronized {
+      val moved = placeBuckets(fs, root, stage, gen)
+      // full replace (operator-invoked before the stream starts — the
+      // one update that does not merge concurrent state)
+      commitUpdate(fs, root)(_ =>
+        Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
+          Set.empty, mod = numBuckets)))
+    }
     gc(spark, dir)
   }
 
@@ -285,6 +345,15 @@ object ManifestReplica {
     * either order. */
   private val compacting =
     new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** Replica dirs with a bulk lifecycle op (vacuum/truncate) in flight.
+    * [[applyBatch]] refuses to START a compaction fold while set: a fold
+    * reads its base OUTSIDE the commit lock, so one racing a vacuum's
+    * full rewrite would re-commit buckets folded from the pre-vacuum
+    * base — CAS-safe but semantically stale (r5 ADVICE). Delta adds
+    * stay allowed: vacuum's commit merges `cur.deltas` explicitly. */
+  private val lifecycleOps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Join any in-flight background compactions (clean-shutdown hook). */
   def awaitCompactions(): Unit =
@@ -308,6 +377,10 @@ object ManifestReplica {
         fs.delete(tmp, true)
         summarizeBucketed(batch.toDF(), numBuckets)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // placement + commit under the per-replica lock: a [[gc]] sweep
+        // can then never interleave between the rename and the manifest
+        // naming it (the heavy summary write above stays outside)
+        lockFor(root).synchronized {
         val dst = new Path(root, s"delta/batch=$batchId")
         fs.delete(dst, true) // unnamed leftover of a crashed attempt
         check(fs.rename(tmp, dst), s"place delta $dst")
@@ -325,8 +398,10 @@ object ManifestReplica {
             Some(m.copy(deltas = m.deltas + batchId,
               mod = if (m.mod == 0) numBuckets else m.mod))
           })
+        }
       }
-    if (committed.deltas.size >= compactEvery) {
+    if (committed.deltas.size >= compactEvery &&
+        !lifecycleOps.contains(dir)) {
       if (!compactAsync) compact(spark, dir, numBuckets)
       else if (!compacting.containsKey(dir)) {
         val t = new Thread(() => {
@@ -486,17 +561,22 @@ object ManifestReplica {
     fs.delete(stage, true)
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(stage.toString)
-    val moved = placeBuckets(fs, root, stage, gen)
-    // logical update: consume EXACTLY the delta set this fold read, set
-    // the touched buckets' new generation. Re-applied verbatim if a
-    // trigger's delta-add wins the version race — its fresh delta ids
-    // survive in `cur.deltas -- consumed` for the next fold.
-    val consumed = m.deltas
-    commitUpdate(fs, root) { cur =>
-      checkMod(cur, numBuckets, "compact") // re-asserted inside the CAS
-      Some(Manifest(cur.gen max gen, cur.watermark max consumed.max,
-        cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed,
-        mod = numBuckets))
+    // placement + commit under the lock (gc-sweep exclusion); the
+    // expensive merged fold above runs outside it, so a concurrent
+    // trigger's delta commit never waits on the fold itself
+    lockFor(root).synchronized {
+      val moved = placeBuckets(fs, root, stage, gen)
+      // logical update: consume EXACTLY the delta set this fold read,
+      // set the touched buckets' new generation. Re-applied verbatim if
+      // a trigger's delta-add wins the version race — its fresh delta
+      // ids survive in `cur.deltas -- consumed` for the next fold.
+      val consumed = m.deltas
+      commitUpdate(fs, root) { cur =>
+        checkMod(cur, numBuckets, "compact") // re-asserted inside the CAS
+        Some(Manifest(cur.gen max gen, cur.watermark max consumed.max,
+          cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed,
+          mod = numBuckets))
+      }
     }
     // NO inline reclaim (round 5): superseded generations and consumed
     // deltas stay on disk until the operator's [[gc]] — so a reader
@@ -518,79 +598,143 @@ object ManifestReplica {
     * fold. */
   def vacuum(spark: SparkSession, dir: String,
       numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
-    awaitCompactions() // never rewrite under an in-flight async fold
-    compact(spark, dir, numBuckets)
-    val (fs, root) = fsOf(spark, dir)
-    val (_, m) = readManifest(fs, root)
-    checkMod(m, numBuckets, "vacuum")
-    if (m.buckets.isEmpty) return
-    val alive = spark.read.schema(BaseSchema)
-      .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
-      .filter(col("first_ins").isNotNull)
-      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-      .repartition(numBuckets, col(BucketCol))
-    val gen = m.gen + 1
-    val stage = new Path(root, s".stage-g$gen")
-    fs.delete(stage, true)
-    alive.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-      .parquet(stage.toString)
-    val moved = placeBuckets(fs, root, stage, gen)
-    // buckets whose keys were ALL tombstones produce no output dir and
-    // leave the manifest entirely — ending up absent IS the vacuum.
-    // Deltas that landed while we rewrote are preserved, not consumed.
-    commitUpdate(fs, root) { cur =>
-      checkMod(cur, numBuckets, "vacuum") // re-asserted inside the CAS
-      Some(Manifest(cur.gen max gen, cur.watermark,
-        moved.map(_ -> gen).toMap, cur.deltas, mod = numBuckets))
-    }
-    gc(spark, dir)
+    check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
+    try {
+      awaitCompactions() // never rewrite under an in-flight async fold
+      compact(spark, dir, numBuckets)
+      val (fs, root) = fsOf(spark, dir)
+      val (_, m) = readManifest(fs, root)
+      checkMod(m, numBuckets, "vacuum")
+      if (m.buckets.isEmpty) return
+      val alive = spark.read.schema(BaseSchema)
+        .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
+        .filter(col("first_ins").isNotNull)
+        .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+        .repartition(numBuckets, col(BucketCol))
+      val gen = m.gen + 1
+      val stage = new Path(root, s".stage-g$gen")
+      fs.delete(stage, true)
+      alive.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .parquet(stage.toString)
+      lockFor(root).synchronized {
+        val moved = placeBuckets(fs, root, stage, gen)
+        // buckets whose keys were ALL tombstones produce no output dir
+        // and leave the manifest entirely — ending up absent IS the
+        // vacuum. Deltas that landed while we rewrote are preserved,
+        // not consumed.
+        commitUpdate(fs, root) { cur =>
+          checkMod(cur, numBuckets, "vacuum") // re-asserted inside CAS
+          Some(Manifest(cur.gen max gen, cur.watermark,
+            moved.map(_ -> gen).toMap, cur.deltas, mod = numBuckets))
+        }
+      }
+      // vacuum exists to REMOVE bytes (tombstone reclamation / privacy
+      // deletes) — it deliberately collapses the time-travel window to
+      // the rewritten state before sweeping, or retained history would
+      // keep every pre-vacuum generation alive. gc alone (no vacuum)
+      // preserves the full retained window.
+      pruneHistory(fs, root)
+      gc(spark, dir)
+    } finally lifecycleOps.remove(dir)
   }
+
+  /** Drop every manifest version (and claim marker) below the newest —
+    * the deliberate forfeiture of time travel that [[vacuum]] performs
+    * before its sweep. */
+  private def pruneHistory(fs: FileSystem, root: Path): Unit =
+    listVersions(fs, root).lastOption.foreach { cur =>
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val ver =
+          if (n.startsWith(ManifestPrefix))
+            Some(n.stripPrefix(ManifestPrefix).toLong)
+          else if (n.startsWith(".commit-v"))
+            Some(n.stripPrefix(".commit-v").toLong)
+          else None
+        if (ver.exists(_ < cur)) fs.delete(st.getPath, false)
+      }
+    }
 
   /** Truncate (S9 twin of [[Replicate.truncate]]): drop every data
     * generation, delta, and manifest, leaving an empty root that
     * accepts a fresh [[snapshot]]. */
   def truncate(spark: SparkSession, dir: String): Unit = {
-    awaitCompactions() // a daemon fold may outlive its stopped stream
+    check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
+    try {
+      awaitCompactions() // a daemon fold may outlive its stopped stream
+      val (fs, root) = fsOf(spark, dir)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n == "data" || n == "delta" || n.startsWith(ManifestPrefix) ||
+            n.startsWith(".stage-") || n.startsWith(".tmp-manifest-") ||
+            n.startsWith(".commit-v"))
+          check(fs.delete(st.getPath, true), s"truncate $n")
+      }
+    } finally lifecycleOps.remove(dir)
+  }
+
+  /** Reclaim everything NO retained manifest version names (round-6:
+    * retention-aware, the Delta/Iceberg VACUUM horizon — r5's gc kept
+    * only the newest version's files, collapsing the advertised
+    * time-travel window on first use). Kept live:
+    *  - every bucket generation any retained manifest names
+    *    ([[readReplicaAt]] must serve every version [[versions]] lists);
+    *  - every delta dir a retained manifest names, plus every delta id
+    *    above the OLDEST retained version's high-water id — the
+    *    [[changesSince]] feed from any retained version reads exactly
+    *    that range, compacted or not.
+    * Swept: crashed stages/placements, superseded generations and
+    * consumed deltas older than the whole window, tmp files.
+    *
+    * Runs under the per-replica commit lock, so it cannot race an
+    * in-JVM committer between data placement and manifest commit (a
+    * placed-but-uncommitted dir looks orphaned). Cross-process
+    * placements have no such lock — `graceMs` additionally spares
+    * anything modified within the grace window (pass the retention the
+    * deployment owes its slowest reader/committer; 0 = in-JVM-only
+    * deployments, the sandbox default). */
+  def gc(spark: SparkSession, dir: String, graceMs: Long = 0L): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (n == "data" || n == "delta" || n.startsWith(ManifestPrefix) ||
-          n.startsWith(".stage-") || n.startsWith(".tmp-manifest-"))
-        check(fs.delete(st.getPath, true), s"truncate $n")
+    val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
+    lock.synchronized {
+      val vs = listVersions(fs, root)
+      val retained = vs.map(readManifestAt(fs, root, _))
+      if (retained.nonEmpty) gcRetained(fs, root, retained, graceMs)
     }
   }
 
-  /** Reclaim everything the current manifest does not name: crashed
-    * stages and placements, superseded generations, consumed deltas,
-    * tmp files. Single-writer (like the rest of the protocol) — run it
-    * from the writer, never concurrently with a fold. */
-  def gc(spark: SparkSession, dir: String): Unit = {
-    val (fs, root) = fsOf(spark, dir)
-    val (_, m) = readManifest(fs, root)
-    val liveData = m.buckets.map { case (b, g) => s"b$b-g$g" }.toSet
-    val liveDelta = m.deltas.map(d => s"batch=$d")
-    def sweep(sub: String, live: Set[String]): Unit = {
-      val p = new Path(root, sub)
-      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-        if (!live.contains(st.getPath.getName))
-          fs.delete(st.getPath, true)
+  private def gcRetained(fs: FileSystem, root: Path,
+      retained: Seq[Manifest], graceMs: Long): Unit = {
+      val liveData = retained
+        .flatMap(_.buckets.map { case (b, g) => s"b$b-g$g" }).toSet
+      def maxBatch(m: Manifest): Long = (m.deltas + m.watermark).max.max(-1L)
+      val feedFloor = maxBatch(retained.head) // oldest retained version
+      val feedCeil = maxBatch(retained.last)  // newest committed id —
+      // a dir above it is an uncommitted placement (crash leftover or,
+      // cross-process only, in-flight — spared by graceMs, never listed
+      // by any manifest)
+      val namedDeltas = retained.flatMap(_.deltas).toSet
+      val cutoff = System.currentTimeMillis() - graceMs
+      def sweep(sub: String)(live: String => Boolean): Unit = {
+        val p = new Path(root, sub)
+        if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+          if (!live(st.getPath.getName) && st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
       }
-    }
-    sweep("data", liveData)
-    sweep("delta", liveDelta)
-    if (fs.exists(root)) {
-      val cur = listVersions(fs, root).lastOption.getOrElse(0L)
+      sweep("data")(liveData.contains)
+      sweep("delta") { n =>
+        val id = n.stripPrefix("batch=")
+        n.startsWith("batch=") && id.nonEmpty && id.forall(_.isDigit) &&
+          (namedDeltas.contains(id.toLong) ||
+            (id.toLong > feedFloor && id.toLong <= feedCeil))
+      }
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(".stage-") || n.startsWith(".tmp-manifest-"))
+        if ((n.startsWith(".stage-") || n.startsWith(".tmp-manifest-")) &&
+            st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
-        // older manifests' data is gone with this sweep — prune them so
-        // `versions` only ever lists READABLE commits
-        else if (n.startsWith(ManifestPrefix) &&
-            n.stripPrefix(ManifestPrefix).toLong < cur)
-          fs.delete(st.getPath, false)
       }
-    }
   }
 
   /** Streaming entry: same dataflow as [[Replicate.startFrom]], this

@@ -79,8 +79,17 @@ class ManifestSpec extends AnyFunSuite {
     assert(asMap(dir) === afterCompact)
     assert(ls(dir, "delta") === deltaDirsBefore,
       "pre-watermark replay wrote a delta")
+    // round 6: gc is retention-aware — while the pre-compaction
+    // versions are still in the retained window, the consumed delta
+    // dirs serve their change feed and MUST survive a gc …
     ManifestReplica.gc(spark, dir)
-    assert(ls(dir, "delta").isEmpty, "gc must reclaim consumed deltas")
+    assert(ls(dir, "delta") === deltaDirsBefore,
+      "gc reclaimed deltas the retained versions still serve")
+    assert(asMap(dir) === afterCompact)
+    // … vacuum, which exists to remove bytes, collapses the window and
+    // reclaims them
+    ManifestReplica.vacuum(spark, dir, numBuckets = 4)
+    assert(ls(dir, "delta").isEmpty, "vacuum must reclaim consumed deltas")
     assert(asMap(dir) === afterCompact)
   }
 
@@ -108,9 +117,15 @@ class ManifestSpec extends AnyFunSuite {
     val got = asMap(dir)
     assert(got(3) === (("n3x", "u3", 99)) && got(11) === (("n11x", "u11", 99)))
     assert(got(4) === (("n4", "u4", 4)))
+    // round 6: the superseded generation is still named by the retained
+    // snapshot/delta manifests — gc keeps it readable for time travel;
+    // vacuum (history collapse by design) reclaims it
     ManifestReplica.gc(spark, dir)
+    assert(ls(dir, "data").contains("b3-g1"),
+      "gc reclaimed a generation a retained version names")
+    ManifestReplica.vacuum(spark, dir, numBuckets = 8)
     assert(!ls(dir, "data").contains("b3-g1"),
-      "gc must reclaim the superseded generation")
+      "vacuum must reclaim the superseded generation")
     assert(asMap(dir) === got)
   }
 
@@ -259,36 +274,56 @@ class ManifestSpec extends AnyFunSuite {
       .map(_.name).toSeq === Seq("b"))
   }
 
-  test("manifest time travel: retained versions read as of their commit; gc reclaims") {
+  test("manifest time travel survives gc: every listed version readable, feed gap-free") {
+    // r5 VERDICT ask #2: gc must keep all data+deltas any RETAINED
+    // manifest names — commit 5 versions, gc, then every version
+    // `versions()` lists still reads exactly as of its commit and the
+    // change feed across the retained window has no gap.
     val dir = tmp("man-tt")
     val rows = (0 until 12).map(i =>
       PersonRow(i, s"n$i", s"u$i", i,
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4) // v1
-    val v1 = ManifestReplica.versions(spark, dir).max
-    val atSnap = asMap(dir)
-    ManifestReplica.applyBatch(spark,
-      Seq(PersonChange(100L, "U", 1, Some("x1"), Some("u1"), Some(91), None),
-        PersonChange(101L, "D", 2, None, None, None, None)).toDS(),
-      dir, numBuckets = 4, batchId = 0L, compactEvery = 100) // v2
-    val v2 = ManifestReplica.versions(spark, dir).max
-    ManifestReplica.compact(spark, dir, numBuckets = 4) // v3
-    val now = asMap(dir)
-    assert(now(1) === (("x1", "u1", 91)) && !now.contains(2))
-    // commits never touch the files older manifests name, so both
-    // retained versions still read exactly as of their commit
+    def upd(lsn: Long, id: Int, v: Int) = PersonChange(lsn, "U", id,
+      Some(s"x$lsn"), Some(s"u$id"), Some(v), None)
     def at(v: Long) = ManifestReplica.readReplicaAt(spark, dir, v)
       .collect().map(r => r.id -> ((r.name, r.uid, r.score))).toMap
-    assert(at(v1) === atSnap, "v1 must read as the pre-delta snapshot")
-    assert(at(v2) === now, "v2 (delta committed) must equal the folded view")
-    assert(ManifestReplica.versions(spark, dir).size === 3)
-    // gc keeps only the CURRENT version's data and prunes the now-
-    // unreadable older manifests with it
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4) // v1
+    ManifestReplica.applyBatch(spark,
+      Seq(upd(100, 1, 91), PersonChange(101L, "D", 2, None, None, None,
+        None)).toDS(), dir, numBuckets = 4, batchId = 0L,
+      compactEvery = 100)                                             // v2
+    ManifestReplica.compact(spark, dir, numBuckets = 4)               // v3
+    ManifestReplica.applyBatch(spark, Seq(upd(102, 3, 93)).toDS(),
+      dir, numBuckets = 4, batchId = 1L, compactEvery = 100)          // v4
+    ManifestReplica.applyBatch(spark, Seq(upd(103, 4, 94)).toDS(),
+      dir, numBuckets = 4, batchId = 2L, compactEvery = 100)          // v5
+    // 5 commits; history trims to the ManifestHistory=4 newest
+    val vs = ManifestReplica.versions(spark, dir)
+    assert(vs.size === ManifestReplica.ManifestHistory)
+    val statesBefore = vs.map(v => v -> at(v)).toMap
+    val feedBefore = ManifestReplica.changesSince(spark, dir, vs.min)
+      .select("batch_id", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
     ManifestReplica.gc(spark, dir)
+    // every version the replica still lists reads as of its commit...
+    val vsAfter = ManifestReplica.versions(spark, dir)
+    assert(vsAfter === vs, "gc changed the version list")
+    vsAfter.foreach { v =>
+      assert(at(v) === statesBefore(v), s"v$v unreadable after gc")
+    }
+    // ...and the change feed across the whole retained window is intact
+    val feedAfter = ManifestReplica.changesSince(spark, dir, vsAfter.min)
+      .select("batch_id", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(feedAfter === feedBefore, "gc opened a change-feed gap")
+    assert(feedAfter.map(_._1) === Set(1L, 2L))
+    // vacuum is the explicit byte-removal act: it collapses the window
+    val now = asMap(dir)
+    ManifestReplica.vacuum(spark, dir, numBuckets = 4)
     assert(asMap(dir) === now)
     assert(ManifestReplica.versions(spark, dir).size === 1)
     assert(intercept[IllegalArgumentException] {
-      ManifestReplica.readReplicaAt(spark, dir, v1)
+      ManifestReplica.readReplicaAt(spark, dir, vs.min)
     }.getMessage.contains("not retained"))
   }
 
@@ -380,6 +415,51 @@ class ManifestSpec extends AnyFunSuite {
     // a further compact with nothing pending is a no-op
     ManifestReplica.compact(spark, dir, numBuckets = 4)
     assert(asMap(dir)(2) === (("x2", "u2", 92)))
+  }
+
+  test("manifest cross-process CAS: two lockless racers, exactly one winner; stale claims block then recover") {
+    // r5 VERDICT ask #5 / ADVICE medium: the commit point must be a true
+    // CAS across processes, not check-then-act. Two threads race
+    // tryCommit directly — bypassing the in-JVM commit lock, exactly
+    // what two separate JVMs on one filesystem look like — for the SAME
+    // version with different payloads; exactly one may win each round.
+    val dir = tmp("man-xcas")
+    val rows = (0 until 8).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = ManifestReplica.versions(spark, dir).max
+    for (round <- 1 to 40) {
+      val v = base + round
+      val payload = (g: Long) => ManifestReplica.Manifest(
+        g, -1L, Map(0 -> 1L), Set.empty, mod = 4)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = Seq(100L, 200L).map { g =>
+        new Thread(() => {
+          barrier.await()
+          if (ManifestReplica.tryCommit(fs, root, v, payload(g)))
+            wins.incrementAndGet()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(wins.get() === 1, s"round $round: ${wins.get()} winners")
+    }
+    // a crashed claimant (marker, no manifest) blocks the version —
+    // then ages past the quiescence window and is reclaimed
+    val v = ManifestReplica.versions(spark, dir).max + 1
+    Files.write(Paths.get(dir, s".commit-v$v"), Array.empty[Byte])
+    assert(!ManifestReplica.tryCommit(fs, root, v, ManifestReplica.Manifest(
+      1L, -1L, Map(0 -> 1L), Set.empty, mod = 4)),
+      "fresh orphan claim must block the version")
+    Files.setLastModifiedTime(Paths.get(dir, s".commit-v$v"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    assert(ManifestReplica.tryCommit(fs, root, v, ManifestReplica.Manifest(
+      1L, -1L, Map(0 -> 1L), Set.empty, mod = 4)),
+      "stale orphan claim must be reclaimed")
   }
 
   test("manifest async compaction converges with the stream") {
