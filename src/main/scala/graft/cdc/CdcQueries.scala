@@ -204,6 +204,109 @@ object CdcQueries {
            |SELECT verdict, count(*) AS n FROM cls
            |GROUP BY verdict ORDER BY verdict""".stripMargin))
 
+  private val mtPersonSnapPq = s"$FixtureDir/cdc_mt_person_snap.parquet"
+  private val mtPersonStrPq = s"$FixtureDir/cdc_mt_person_stream.parquet"
+  private val mtAccountStrPq = s"$FixtureDir/cdc_mt_account_stream.parquet"
+
+  /** Multi-table replication e2e (r5 VERDICT ask #3): ONE interleaved
+    * change log carrying `person` and `account` rows fans out through
+    * [[MultiTable.start]] to two independently-keyed replicas — person
+    * bootstrapped from a snapshot, account purely from the stream (both
+    * bootstrap modes in one run). The result unions both replicas into
+    * a common (tbl, id, label, amount, created_at) shape; the oracle
+    * replays each table's changes INDEPENDENTLY from its own fixture —
+    * "each table's replica equals the filtered replay of its own
+    * changes" is literally the compared statement. */
+  private val multitableE2e = Declared(
+    "cdc_multitable_e2e",
+    (s: SparkSession, _: String) => {
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val (pOps, aOps) = ChangeGen.mtOps(seed = 61L, nPerson = 900,
+        nAccount = 600)
+      val (pSnap, pStream) = pOps.splitAt(400)
+      val changeDir = Files.createTempDirectory("graft-mt-log").toString
+      val root = Files.createTempDirectory("graft-mt-replica").toString
+      val ckpt = Files.createTempDirectory("graft-mt-ckpt").toString
+      val personSpec = TableSpec("person", "id", Some("created_at"),
+        StructType(Seq(StructField("id", IntegerType),
+          StructField("name", StringType), StructField("uid", StringType),
+          StructField("score", IntegerType),
+          StructField("created_at", TimestampType))))
+      val accountSpec = TableSpec("account", "id", Some("created_at"),
+        StructType(Seq(StructField("id", IntegerType),
+          StructField("owner", StringType),
+          StructField("balance", IntegerType),
+          StructField("created_at", TimestampType))))
+      val snapState = ChangeGen.replay(pSnap).values.toSeq
+      MultiTable.snapshot(s, snapState.toDS().toDF(), root, personSpec)
+      snapState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(mtPersonSnapPq)
+      dumpChanges(s, pStream, mtPersonStrPq)
+      ChangeGen.toChanges(aOps).toDS().toDF()
+        .withColumnRenamed("name", "owner")
+        .withColumnRenamed("score", "balance").drop("uid")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(mtAccountStrPq)
+      ChangeGen.writeMtBatches(changeDir, pStream, aOps, batches = 5)
+      val q = MultiTable.start(s, changeDir, root, ckpt,
+        Seq(personSpec, accountSpec), maxFilesPerTrigger = Some(1),
+        trigger = Trigger.AvailableNow(), compactEvery = 3)
+      try q.awaitTermination() finally q.stop()
+      val p = MultiTable.readTable(s, root, personSpec)
+        .select(org.apache.spark.sql.functions.lit("person").as("tbl"),
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("name").as("label"),
+          org.apache.spark.sql.functions.col("score").as("amount"),
+          org.apache.spark.sql.functions.col("created_at"))
+      val a = MultiTable.readTable(s, root, accountSpec)
+        .select(org.apache.spark.sql.functions.lit("account").as("tbl"),
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("owner").as("label"),
+          org.apache.spark.sql.functions.col("balance").as("amount"),
+          org.apache.spark.sql.functions.col("created_at"))
+      p.unionAll(a).orderBy("tbl", "id")
+    },
+    Some(s"""WITH pev AS (
+           |  SELECT id, name AS label, score AS amount, created_at,
+           |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
+           |  FROM read_parquet('$mtPersonSnapPq/*.parquet')
+           |  UNION ALL
+           |  SELECT id, name, score, created_at, lsn, action
+           |  FROM read_parquet('$mtPersonStrPq/*.parquet')
+           |), plastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM pev WHERE action = 'D'
+           |  GROUP BY id
+           |), pfold AS (
+           |  SELECT 'person' AS tbl, e.id,
+           |    arg_max(e.label, e.lsn) AS label,
+           |    arg_max(e.amount, e.lsn) AS amount,
+           |    arg_min(e.created_at, e.lsn) FILTER (WHERE e.action = 'I')
+           |      AS created_at
+           |  FROM pev e LEFT JOIN plastd d ON e.id = d.id
+           |  WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |  GROUP BY e.id
+           |  HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |), aev AS (
+           |  SELECT id, owner AS label, balance AS amount, created_at,
+           |         lsn, action
+           |  FROM read_parquet('$mtAccountStrPq/*.parquet')
+           |), alastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM aev WHERE action = 'D'
+           |  GROUP BY id
+           |), afold AS (
+           |  SELECT 'account' AS tbl, e.id,
+           |    arg_max(e.label, e.lsn) AS label,
+           |    arg_max(e.amount, e.lsn) AS amount,
+           |    arg_min(e.created_at, e.lsn) FILTER (WHERE e.action = 'I')
+           |      AS created_at
+           |  FROM aev e LEFT JOIN alastd d ON e.id = d.id
+           |  WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |  GROUP BY e.id
+           |  HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |)
+           |SELECT * FROM pfold UNION ALL SELECT * FROM afold
+           |ORDER BY tbl, id""".stripMargin))
+
   val all: Seq[Declared] =
-    Seq(replicateE2e, manifestE2e, parseChangelog, quarantine)
+    Seq(replicateE2e, manifestE2e, parseChangelog, quarantine, multitableE2e)
 }

@@ -145,6 +145,55 @@ object ChangeGen {
         Some(op.score), Some(java.sql.Timestamp.valueOf(op.createdAt)))
   }
 
+  /** Two-table interleaved change log (multi-table replication fixture):
+    * person ops on even global lsns, `account` ops on odd — each table's
+    * per-table order is preserved, so [[replay]] on either leg is still
+    * the exact oracle for that table. Deterministic in `seed`. */
+  def mtOps(seed: Long, nPerson: Int, nAccount: Int): (Seq[Op], Seq[Op]) = (
+    ops(seed, nPerson).map(o => o.copy(lsn = o.lsn * 2)),
+    ops(seed + 7919, nAccount).map(o => o.copy(lsn = o.lsn * 2 + 1)))
+
+  /** Render an op as an `account`-table wal2json line: columns
+    * id/owner/balance/created_at (owner ← name, balance ← score). */
+  def toAccountJsonLine(op: Op): String = {
+    val ts = jstr(op.createdAt.format(fmt) + "+00")
+    val head = s""""lsn":${op.lsn},"action":${jstr(op.action)},"timestamp":$ts,"schema":"public","table":"account""""
+    op.action match {
+      case "D" =>
+        val ident = colJson("id", "integer", op.id.toString, quote = false)
+        s"""{$head,"identity":[$ident]}"""
+      case a =>
+        val cols = Seq(
+          colJson("id", "integer", op.id.toString, quote = false),
+          colJson("owner", "character varying(100)", op.name, quote = true),
+          colJson("balance", "integer", op.score.toString, quote = false),
+          colJson("created_at", "timestamp without time zone",
+            op.createdAt.format(fmt), quote = true)).mkString(",")
+        val ident = if (a == "U")
+          s""","identity":[${colJson("id", "integer", op.id.toString, quote = false)}]"""
+        else ""
+        s"""{$head,"columns":[$cols]$ident}"""
+    }
+  }
+
+  /** Merge both tables' ops into one lsn-ordered change log split across
+    * micro-batch files — the single-slot / single-topic shape a real
+    * publication has (noise lines included as in [[writeBatches]]). */
+  def writeMtBatches(dir: String, person: Seq[Op], account: Seq[Op],
+      batches: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val merged: Seq[String] =
+      (person.map(o => o.lsn -> toJsonLine(o)) ++
+        account.map(o => o.lsn -> toAccountJsonLine(o)))
+        .sortBy(_._1).map(_._2)
+    val per = math.max(1, math.ceil(merged.size.toDouble / batches).toInt)
+    merged.grouped(per).zipWithIndex.foreach { case (group, i) =>
+      val lines = group ++ Seq(auditLine(900000L + i), malformedLine)
+      Files.write(Paths.get(dir, f"batch_$i%05d.json"),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   /** Naive in-memory replay — the test oracle (SURVEY.md §5): final state
     * after applying ops in lsn order with reference upsert semantics. */
   def replay(ops: Seq[Op]): Map[Int, PersonRow] = {

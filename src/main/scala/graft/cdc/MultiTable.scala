@@ -1,0 +1,293 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** One replicated table's contract: how to route it out of the shared
+  * envelope stream, which column is its key, and its typed row schema.
+  *
+  * `createdAtCol` names the insert-stamped column preserved across
+  * upserts (the reference's ON CONFLICT semantics for `person.created_at`,
+  * replicator/main.go:204-217); None for tables without one. */
+final case class TableSpec(
+    table: String,
+    keyCol: String,
+    createdAtCol: Option[String],
+    rowSchema: StructType)
+
+/** Multi-table CDC replication — the generalization of [[Replicate]]'s
+  * single `person` pipeline to the shape a real Debezium topic set has
+  * (r5 VERDICT ask #3): ONE change stream carrying rows for N tables
+  * (the reference routes on `table == "person"` and drops the rest,
+  * replicator/main.go:191-193; a production slot carries the whole
+  * publication), fanned out to N independently-keyed replicas.
+  *
+  * Design (Spark-first, one scan per trigger):
+  *  - **Parse once, route N ways.** [[parseAll]] decodes the wal2json
+  *    envelope in one codegen'd projection into a GENERIC change row —
+  *    `(tbl, lsn, action, key STRING, img JSON-string, created_at)` —
+  *    for every declared table at once. The per-trigger fan-out caches
+  *    that parsed batch and filters per table; the raw text is scanned
+  *    once no matter how many tables subscribe.
+  *  - **Schema-generic summary algebra.** [[Replicate]]'s per-key fold
+  *    needs only (a) an orderable image and (b) the key — so the
+  *    generic image is the envelope's column map AS A JSON STRING
+  *    (maps aren't orderable in Spark; strings are, and the struct
+  *    comparison orders by the unique `lsn` first so the img text is
+  *    never semantically compared). [[Replicate.combineSummaries]] is
+  *    already schema-generic and is reused verbatim; only the
+  *    batch-summarize and the final typed projection differ.
+  *  - **Same storage machinery.** Each table lives at
+  *    `<root>/<table>/` with [[Replicate]]'s exact layout: hash-bucket
+  *    partition dirs, hidden delta log, compaction watermark,
+  *    rename-aside swap, layout marker — all reused (`private[cdc]`),
+  *    so every crash-window argument in [[Replicate]]'s header carries
+  *    over unchanged. Buckets key on `pmod(hash(key), n)` (string keys;
+  *    production pins the hash function version with the layout).
+  *  - **Typed projection at the edge.** [[readTable]] folds
+  *    base ∪ deltas and only THEN parses the winning image's JSON once
+  *    per surviving key, casting each field to `rowSchema`'s type —
+  *    O(live keys), not O(events), and the replica files stay
+  *    schema-evolution-friendly (adding a column is just a new key in
+  *    the JSON map).
+  *
+  * At 100 TB: tables partition the work naturally (separate dirs,
+  * separate buckets); hot tables get their own stream with this same
+  * module declared single-table. The per-trigger cost is one source
+  * scan + one O(batch-slice) summary job per touched table. */
+object MultiTable {
+  import Replicate.{BucketCol, check, combineSummaries}
+
+  /** Generic delta schema: [[Replicate.DeltaSchema]] with the typed
+    * image replaced by (key STRING, img JSON-string). */
+  private[cdc] val MtDeltaSchema = StructType(Seq(
+    StructField(BucketCol, IntegerType),
+    StructField("key", StringType),
+    StructField("last_img", StructType(Seq(
+      StructField("lsn", LongType), StructField("img", StringType)))),
+    StructField("first_ins", StructType(Seq(
+      StructField("lsn", LongType),
+      StructField("created_at", TimestampType)))),
+    StructField("last_d_lsn", LongType)))
+
+  private[cdc] val MtBaseSchema =
+    StructType(MtDeltaSchema.fields.filterNot(_.name == BucketCol))
+
+  val DefaultNumBuckets = 8
+
+  private def tableDir(root: String, spec: TableSpec): String =
+    s"$root/${spec.table}"
+
+  /** Decode raw wal2json lines into generic change rows for ALL declared
+    * tables in one narrow codegen'd stage: no shuffle, no per-table
+    * rescan. Unknown tables and malformed lines drop here (the F2
+    * routing filter, generalized from `= "person"` to the declared
+    * set). Key and created_at column NAMES can differ per table — they
+    * resolve through a table-dispatched when-chain. */
+  def parseAll(lines: DataFrame, specs: Seq[TableSpec]): DataFrame = {
+    import Wal2JsonSchema._
+    def dispatch(f: TableSpec => org.apache.spark.sql.Column) =
+      specs.foldLeft(lit(null).cast(StringType)) { (acc, sp) =>
+        when(col("tbl") === sp.table, f(sp)).otherwise(acc)
+      }
+    lines
+      .select(from_json(col("value"), envelope).as("c"))
+      .filter(col("c").isNotNull && col("c.action").isin("I", "U", "D"))
+      .filter(col("c.table").isin(specs.map(_.table): _*))
+      .select(
+        col("c.table").as("tbl"),
+        col("c.lsn").as("lsn"),
+        col("c.action").as("action"),
+        map_from_arrays(col("c.columns.name"), col("c.columns.value"))
+          .as("cols"),
+        map_from_arrays(col("c.identity.name"), col("c.identity.value"))
+          .as("ident"))
+      .select(
+        col("tbl"), col("lsn"), col("action"),
+        dispatch(sp => coalesce(element_at(col("cols"), sp.keyCol),
+          element_at(col("ident"), sp.keyCol))).as("key"),
+        to_json(col("cols")).as("img"),
+        to_timestamp(dispatch(sp => sp.createdAtCol
+            .map(c => element_at(col("cols"), c))
+            .getOrElse(lit(null).cast(StringType))), tsFormat)
+          .as("created_at"))
+      .filter(col("key").isNotNull)
+  }
+
+  /** [[Replicate.summarizeBucketed]] over the generic change shape: one
+    * batch-sized shuffle keyed on the hash bucket feeds the window, the
+    * aggregate, and the bucket-partitioned delta write. */
+  private def summarizeMt(batch: DataFrame, numBuckets: Int): DataFrame = {
+    val byKey = Window.partitionBy(BucketCol, "key")
+    val afterD = col("lsn") > coalesce(col("last_d_lsn"), lit(Long.MinValue))
+    batch
+      .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+      .repartition(col(BucketCol))
+      .withColumn("last_d_lsn",
+        max(when(col("action") === "D", col("lsn"))).over(byKey))
+      .groupBy(BucketCol, "key")
+      .agg(
+        max(when(col("action") =!= "D" && afterD,
+          struct(col("lsn"), col("img")))).as("last_img"),
+        min(when(col("action") === "I" && afterD,
+          struct(col("lsn"), col("created_at")))).as("first_ins"),
+        max(col("last_d_lsn")).as("last_d_lsn"))
+  }
+
+  /** Lift typed rows into generic summary form for the initial
+    * [[snapshot]] (lsn 0 — outranked by every real change). */
+  private def rowsAsMtSummaries(rows: DataFrame, spec: TableSpec)
+      : DataFrame = {
+    val imgMap = map(spec.rowSchema.fields.flatMap(f =>
+      Seq(lit(f.name), col(f.name).cast(StringType))).toSeq: _*)
+    rows.select(
+      col(spec.keyCol).cast(StringType).as("key"),
+      struct(lit(0L).as("lsn"), to_json(imgMap).as("img")).as("last_img"),
+      struct(lit(0L).as("lsn"),
+        spec.createdAtCol.map(col).getOrElse(lit(null).cast(TimestampType))
+          .as("created_at")).as("first_ins"),
+      lit(null).cast(LongType).as("last_d_lsn"))
+  }
+
+  /** Bulk-load one table's initial state (full overwrite). */
+  def snapshot(spark: SparkSession, rows: DataFrame, root: String,
+      spec: TableSpec, numBuckets: Int = DefaultNumBuckets): Unit = {
+    val dir = tableDir(root, spec)
+    val (fs, base) = {
+      val p = new Path(dir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    Replicate.truncate(spark, dir)
+    rowsAsMtSummaries(rows, spec)
+      .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(BucketCol)
+      .parquet(dir)
+    Replicate.checkLayout(fs, base, numBuckets)
+  }
+
+  /** Apply one micro-batch of PARSED generic changes to every declared
+    * table's replica: filter the (cached) batch per table, summarize,
+    * commit as that table's delta `batch=<id>`, compact on threshold —
+    * [[Replicate.applyBatch]]'s exact dataflow per table, idempotent
+    * under replay for the same reasons. Tables absent from the batch
+    * cost one empty-filter check. */
+  def applyBatch(spark: SparkSession, parsed: DataFrame, root: String,
+      specs: Seq[TableSpec], batchId: Long,
+      numBuckets: Int = DefaultNumBuckets,
+      compactEvery: Int = Replicate.DefaultCompactEvery): Unit = {
+    parsed.persist()
+    try specs.foreach { spec =>
+      val dir = tableDir(root, spec)
+      val base = new Path(dir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Replicate.checkLayout(fs, base, numBuckets)
+      Replicate.recoverSwap(fs, base)
+      val dRoot = new Path(base, Replicate.DeltaDirName)
+      val tmp = new Path(dRoot, s".tmp-$batchId")
+      fs.delete(tmp, true)
+      summarizeMt(parsed.filter(col("tbl") === spec.table)
+        .drop("tbl"), numBuckets)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val dst = new Path(dRoot, s"batch=$batchId")
+      fs.delete(dst, true)
+      check(fs.rename(tmp, dst), s"commit delta $dst")
+      val entries = fs.listStatus(dRoot)
+      entries.iterator.filter(_.getPath.getName.startsWith(".tmp-"))
+        .foreach(e => fs.delete(e.getPath, true))
+      val wm = Replicate.readWatermark(fs, dRoot)
+      val (stale, live) = entries.iterator.map(_.getPath)
+        .filter(_.getName.startsWith("batch=")).toSeq
+        .partition(Replicate.batchIdOf(_) <= wm)
+      stale.foreach(p => fs.delete(p, true))
+      if (live.size >= compactEvery) compact(spark, dir, numBuckets)
+    } finally parsed.unpersist()
+  }
+
+  /** Fold one table's pending deltas into the buckets they touch —
+    * [[Replicate.compact]]'s incremental shape over the generic schema. */
+  def compact(spark: SparkSession, dir: String,
+      numBuckets: Int = DefaultNumBuckets): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaDirs = Replicate.listDeltas(
+      fs, new Path(base, Replicate.DeltaDirName))
+    if (deltaDirs.isEmpty) return
+    val deltas = spark.read.schema(MtDeltaSchema)
+      .parquet(deltaDirs.map(_.toString): _*)
+      .select(MtDeltaSchema.fieldNames.map(col).toSeq: _*)
+    val touched = deltas.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val baseDf = Replicate.readBase(spark, fs, dir, Some(touched),
+      schema = MtBaseSchema)
+      .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+      .select(MtDeltaSchema.fieldNames.map(col).toSeq: _*)
+    val merged = combineSummaries(baseDf.unionAll(deltas),
+      Seq(BucketCol, "key"), width = Some(touched.size.max(1)))
+    Replicate.writeAndSwap(fs, base, dir, merged, dropAbsent = false)
+    Replicate.writeWatermark(fs, new Path(base, Replicate.DeltaDirName),
+      deltaDirs.map(Replicate.batchIdOf).max)
+    deltaDirs.foreach(d => fs.delete(d, true))
+  }
+
+  /** Merge-on-read view of one table, projected to its typed schema:
+    * fold base ∪ pending deltas, keep live keys, parse each surviving
+    * image's JSON once and cast per the declared schema. */
+  def readTable(spark: SparkSession, root: String, spec: TableSpec)
+      : DataFrame = {
+    val dir = tableDir(root, spec)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseDf = Replicate.readBase(spark, fs, dir, schema = MtBaseSchema)
+    val deltaDirs = Replicate.listDeltas(
+      fs, new Path(base, Replicate.DeltaDirName))
+    val folded =
+      if (deltaDirs.isEmpty) baseDf
+      else {
+        val deltas = spark.read.schema(MtDeltaSchema)
+          .parquet(deltaDirs.map(_.toString): _*)
+          .select(MtBaseSchema.fieldNames.map(col).toSeq: _*)
+        combineSummaries(baseDf.unionAll(deltas), Seq("key"))
+      }
+    val m = from_json(col("last_img.img"),
+      MapType(StringType, StringType)).as("m")
+    folded.filter(col("first_ins").isNotNull)
+      .select(col("key"), m, col("first_ins.created_at").as("__cat"))
+      .select(spec.rowSchema.fields.map { f =>
+        if (f.name == spec.keyCol)
+          col("key").cast(f.dataType).as(f.name)
+        else if (spec.createdAtCol.contains(f.name))
+          col("__cat").cast(f.dataType).as(f.name)
+        else element_at(col("m"), f.name).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+  }
+
+  /** The continuous multi-table pipeline: one change-log stream →
+    * [[parseAll]] once per trigger → per-table keyed apply. */
+  def start(spark: SparkSession, changeDir: String, root: String,
+      checkpointDir: String, specs: Seq[TableSpec],
+      numBuckets: Int = DefaultNumBuckets,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Int = Replicate.DefaultCompactEvery): StreamingQuery = {
+    val reader = spark.readStream.format("text")
+    val lines = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .load(changeDir)
+    lines.writeStream
+      .queryName("graft-replicate-multitable")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyBatch(spark, parseAll(batch, specs), root, specs,
+          batchId = epochId, numBuckets = numBuckets,
+          compactEvery = compactEvery)
+      }
+      .start()
+  }
+}

@@ -111,7 +111,7 @@ object Replicate {
   /** Hidden delta-log dir under the replica root (leading dot: invisible
     * to Hadoop/Spark listings, so plain reads of the base never pick up
     * delta rows). */
-  private val DeltaDirName = ".__delta"
+  private[cdc] val DeltaDirName = ".__delta"
 
   /** Layout marker at the replica root recording the bucket count the
     * replica was written with. `numBuckets` defines the key→bucket
@@ -125,7 +125,7 @@ object Replicate {
   private val layoutSeen =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  private def checkLayout(fs: FileSystem, base: Path,
+  private[cdc] def checkLayout(fs: FileSystem, base: Path,
       numBuckets: Int): Unit = {
     val cached = layoutSeen.get(base.toString)
     if (cached != null)
@@ -148,9 +148,19 @@ object Replicate {
           check(n == numBuckets,
             s"replica $base laid out with numBuckets=$n, caller passed $numBuckets")
         } else {
-          // adopt (also covers pre-r5 replicas) — tmp+rename like every
-          // other small-file commit here, so a crash mid-write can
-          // never leave an empty marker that poisons later startups
+          // adopt (also covers pre-r5 replicas) — but never blindly
+          // (r5 ADVICE): existing bucket dirs prove the real modulus'
+          // LOWER bound, and a dir with id >= the adopted count means
+          // the caller's modulus is provably wrong — stale higher
+          // buckets would hold duplicate keys the incremental
+          // compaction never rewrites. One cheap one-time LIST.
+          val existing = listBuckets(fs, base)
+          check(existing.forall(_ < numBuckets),
+            s"replica $base has bucket dir id_bucket=${existing.max} — " +
+              s"cannot adopt numBuckets=$numBuckets")
+          // tmp+rename like every other small-file commit here, so a
+          // crash mid-write can never leave an empty marker that
+          // poisons later startups
           val tmp = new Path(base, s".$LayoutFile.tmp")
           val out = fs.create(tmp, true)
           try out.write(numBuckets.toString.getBytes("UTF-8"))
@@ -350,7 +360,7 @@ object Replicate {
   // newer image the way "summary beats base" did)
 
   /** Bucket ids present on disk — one listing call, aside dirs excluded. */
-  private def listBuckets(fs: FileSystem, base: Path): Set[Int] =
+  private[cdc] def listBuckets(fs: FileSystem, base: Path): Set[Int] =
     if (!fs.exists(base)) Set.empty
     else fs.listStatus(base).iterator.map(_.getPath.getName)
       .filter(_.startsWith(BucketCol + "="))
@@ -367,7 +377,7 @@ object Replicate {
     * re-applied; after it, none are. */
   private val WatermarkFile = "_watermark"
 
-  private def readWatermark(fs: FileSystem, dRoot: Path): Long = {
+  private[cdc] def readWatermark(fs: FileSystem, dRoot: Path): Long = {
     val p = new Path(dRoot, WatermarkFile)
     if (!fs.exists(p)) Long.MinValue
     else {
@@ -377,7 +387,7 @@ object Replicate {
     }
   }
 
-  private def writeWatermark(fs: FileSystem, dRoot: Path, id: Long): Unit = {
+  private[cdc] def writeWatermark(fs: FileSystem, dRoot: Path, id: Long): Unit = {
     val tmp = new Path(dRoot, s".$WatermarkFile.tmp")
     val out = fs.create(tmp, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
@@ -386,12 +396,12 @@ object Replicate {
     check(fs.rename(tmp, dst), s"commit watermark $dst")
   }
 
-  private def batchIdOf(p: Path): Long =
+  private[cdc] def batchIdOf(p: Path): Long =
     p.getName.stripPrefix("batch=").toLong
 
   /** Live (uncompacted) delta dirs: batch=<epoch> with epoch past the
     * compaction watermark. One listing + one marker read. */
-  private def listDeltas(fs: FileSystem, dRoot: Path): Seq[Path] =
+  private[cdc] def listDeltas(fs: FileSystem, dRoot: Path): Seq[Path] =
     if (!fs.exists(dRoot)) Seq.empty
     else {
       val wm = readWatermark(fs, dRoot)
@@ -409,16 +419,17 @@ object Replicate {
     * the bucket column (a plain reader never needs to know the writer's
     * bucket count; [[compact]] recomputes it with the authoritative
     * `numBuckets`). */
-  private def readBase(spark: SparkSession, fs: FileSystem,
-      replicaDir: String, only: Option[Set[Int]] = None): DataFrame = {
+  private[cdc] def readBase(spark: SparkSession, fs: FileSystem,
+      replicaDir: String, only: Option[Set[Int]] = None,
+      schema: StructType = BaseSchema): DataFrame = {
     val buckets = {
       val all = listBuckets(fs, new Path(replicaDir))
       only.fold(all)(all.intersect)
     }
     if (buckets.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BaseSchema)
-    else spark.read.schema(BaseSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
       .parquet(buckets.toSeq.sorted
         .map(b => s"$replicaDir/$BucketCol=$b"): _*)
   }
@@ -476,7 +487,7 @@ object Replicate {
     * exists means that swap completed — drop the aside; a missing live
     * dir means the swap aborted between the two renames — restore the
     * aside, and the replayed micro-batch re-merges idempotently. */
-  private def recoverSwap(fs: FileSystem, base: Path): Unit =
+  private[cdc] def recoverSwap(fs: FileSystem, base: Path): Unit =
     if (fs.exists(base)) fs.listStatus(base).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(AsidePrefix)) {
@@ -602,7 +613,7 @@ object Replicate {
     * the output no longer contains — absence then means "every key
     * vacuumed"; [[compact]] passes false so buckets its incremental
     * fold never read are left untouched. */
-  private def writeAndSwap(fs: FileSystem, base: Path, replicaDir: String,
+  private[cdc] def writeAndSwap(fs: FileSystem, base: Path, replicaDir: String,
       merged: DataFrame, dropAbsent: Boolean): Unit = {
     val tmpDir = s"$replicaDir.__tmp"
     fs.delete(new Path(tmpDir), true)
