@@ -167,11 +167,70 @@ object Bench {
           .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
       }
 
+      // 10× scale probe (r5 verdict ask #6, backstop-only): 150k stream
+      // rows into a 64-bucket replica — 10× the rows and 4× the buckets
+      // of the graded run — to surface read-amplification and fold-cost
+      // curves the 15k run is too small to show. compactEvery=4 leaves
+      // real mid-stream folds AND pending deltas at the end, so the
+      // pre-fold read pays genuine merge-on-read cost; compactNow then
+      // measures the folded read. Own failure scope: a probe error must
+      // never discard the graded envelope above.
+      val probe10x = try {
+        val ops10 = ChangeGen.ops(seed = 44L, n = 180000)
+        val (snap10, stream10) = ops10.splitAt(30000)
+        val log10 = Files.createTempDirectory("bench-cdc-10x-log").toString
+        val dir10 = Files.createTempDirectory("bench-cdc-10x").toString
+        val ckpt10 = Files.createTempDirectory("bench-cdc-10x-ckpt").toString
+        Replicate.snapshot(spark,
+          ChangeGen.replay(snap10).values.toSeq.toDS(), dir10,
+          numBuckets = 64)
+        ChangeGen.writeBatches(log10, stream10, batches = 10)
+        // the 64-bucket summarize+write is a NEW plan shape (the main
+        // warm pass compiled the 16-bucket one) — one throwaway apply
+        // warms its codegen so the probe measures steady state, same
+        // policy as the graded run
+        val w10 = Files.createTempDirectory("bench-cdc-10x-warm").toString
+        Replicate.snapshot(spark,
+          ChangeGen.replay(snap10.take(2000)).values.toSeq.toDS(), w10,
+          numBuckets = 64)
+        Replicate.applyBatch(spark,
+          ChangeGen.toChanges(stream10.take(2000)).toDS(), w10,
+          numBuckets = 64, batchId = 0L, compactEvery = 1)
+        val l10 = new BatchMetricsListener(Some("graft-replicate"))
+        spark.streams.addListener(l10)
+        try {
+          val q10 = Replicate.start(spark, log10, dir10, ckpt10,
+            trigger = Trigger.AvailableNow(), numBuckets = 64,
+            maxFilesPerTrigger = Some(1), compactEvery = 4)
+          try q10.awaitTermination() finally q10.stop()
+          Replicate.awaitCompactions()
+        } finally spark.streams.removeListener(l10)
+        def timeRead(): Double = {
+          val t0 = System.nanoTime()
+          Replicate.readReplica(spark, dir10).write.format("noop")
+            .mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val readPre = timeRead()
+        val t1 = System.nanoTime()
+        Replicate.compactNow(spark, dir10, numBuckets = 64)
+        val foldSec = (System.nanoTime() - t1) / 1e9
+        val readPost = timeRead()
+        val bs10 = l10.batches.filter(_.inputRows > 0)
+          .map(b => num(b.triggerExecSec, 2)).mkString("[", ",", "]")
+        s""","cdc10x":{"rows":150000,"buckets":64,"rows_per_sec":${num(l10.rowsPerSec, 1)},"worst_batch_sec":${num(l10.worstBatchSec, 3)},"batch_secs":$bs10,"read_premerge_sec":${num(readPre, 3)},"final_fold_sec":${num(foldSec, 3)},"read_compacted_sec":${num(readPost, 3)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] 10x CDC probe FAILED: $e")
+        errors("cdc10x") = Option(e.getMessage)
+          .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+        ""
+      }
+
       // (compact, full): the printed line carries the graded rename-path
       // numbers; man_* and batch-level detail live in the backstop only
       // (r5 verdict ask #1 — every printed char competes with the tail)
       (s"""{"rows_per_sec":${num(listener.rowsPerSec, 0)},"worst_batch_sec":${num(listener.worstBatchSec, 2)},"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 0)}}""",
-        s"""{"rows_per_sec":${num(listener.rowsPerSec, 1)},"worst_batch_sec":${num(listener.worstBatchSec, 3)},"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs,"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 1)},"man_rows_per_sec":${num(manListener.rowsPerSec, 1)},"man_worst_batch_sec":${num(manListener.worstBatchSec, 3)}}""")
+        s"""{"rows_per_sec":${num(listener.rowsPerSec, 1)},"worst_batch_sec":${num(listener.worstBatchSec, 3)},"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs,"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 1)},"man_rows_per_sec":${num(manListener.rowsPerSec, 1)},"man_worst_batch_sec":${num(manListener.worstBatchSec, 3)}$probe10x}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] CDC FAILED: $e")
       errors("cdc_pipeline") = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -668,6 +668,18 @@ object Replicate {
     deltaDirs.foreach(d => fs.delete(d, true))
   }
 
+  /** Operator-invoked fold of all pending deltas into the base (public
+    * entry over the incremental [[compact]] the trigger path schedules)
+    * — read amplification drops to zero until new deltas land. */
+  def compactNow(spark: SparkSession, replicaDir: String,
+      numBuckets: Int = DefaultNumBuckets): Unit = {
+    awaitCompactions()
+    val (fs, base) = fsOf(spark, replicaDir)
+    checkLayout(fs, base, numBuckets)
+    recoverSwap(fs, base)
+    compact(spark, fs, replicaDir, numBuckets)
+  }
+
   /** Physically remove tombstones (and fold any pending deltas first).
     * Safe once the source can no longer deliver changes with lsns below
     * the tombstones' delete lsns — the Postgres slot contract

@@ -195,18 +195,26 @@ object GramStats {
   def compute(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val buf = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    // null elements skip (r5 ADVICE): the internal call sites never
+    // produce them, but this is a public Column API and a null in the
+    // sort would NPE — skipping = "no gram there", the only sane read
+    var m = 0
     var i = 0
-    while (i < n) { buf(i) = arr.getUTF8String(i); i += 1 }
-    java.util.Arrays.sort(buf.asInstanceOf[Array[AnyRef]])
+    while (i < n) {
+      val v = arr.getUTF8String(i)
+      if (v != null) { buf(m) = v; m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(buf.asInstanceOf[Array[AnyRef]], 0, m)
     var best = 0L; var uniq = 0L; var run = 0L
     i = 0
-    while (i < n) {
+    while (i < m) {
       if (i > 0 && buf(i) == buf(i - 1)) run += 1
       else { run = 1L; uniq += 1L }
       if (run > best) best = run
       i += 1
     }
-    Array(n.toLong, best, uniq)
+    Array(m.toLong, best, uniq)
   }
 }
 
@@ -264,10 +272,12 @@ object SimHash56 {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      val tok = arr.getUTF8String(i)
+      if (tok == null) { i += 1 } else {
       md.reset()
       md.update('t'.toByte)
       md.update(':'.toByte)
-      md.update(arr.getUTF8String(i).getBytes)
+      md.update(tok.getBytes)
       val h = md.digest()
       var v = 0L
       var j = 0
@@ -279,6 +289,7 @@ object SimHash56 {
         b += 1
       }
       i += 1
+      }
     }
     var sig = 0L
     var b = 0

@@ -273,15 +273,63 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Cells larger than this sub-block their pair space (r5 VERDICT ask
+    * #4): Σ|cell|² assumes balanced cells, and one degenerate cluster
+    * re-introduces the n² corner — both in pair count and in compute,
+    * since every same-key pair materializes inside ONE join task. Sized
+    * so the fixtures (≈1.2k vectors/cell at sf0.1) never hit it;
+    * production sets it to what one task's pair scan comfortably
+    * absorbs. */
+  val DefaultCellCap = 100000
+
   /** Embedding near-duplicates, blocked by coarse cluster: same-label
     * pairs with cosine ≥ `minCos`. The label equi-join is the blocking
     * key (near-dups co-cluster), so the pair space is Σ|cell|², not n².
-    * Returns (vec_a, vec_b, label, cos). */
-  def embeddingNearDups(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    * Returns (vec_a, vec_b, label, cos).
+    *
+    * Skew guard: a cell above `cellCap` is re-bucketed into
+    * B = ⌈|cell|/cap⌉ hash sub-blocks, and candidates pair within a
+    * block and across one adjacent block — the sub-block id joins as an
+    * EQUI key, so both the pair count and the per-task compute drop
+    * from |cell|² to ~2·cap·|cell| (the examined fraction is ~2/B; the
+    * published SemDeDup practice of capping cluster size makes the same
+    * recall-for-boundedness trade). Cells at or under the cap take the
+    * exact all-pairs path unchanged — sf-fixture results and plans are
+    * identical unless a degenerate cell actually occurs. Cell sizes are
+    * model-sized driver state (≤ #cells rows, like the centroids
+    * collect — bounded). */
+  def embeddingNearDups(emb: DataFrame, minCos: Double = 0.4,
+      cellCap: Int = DefaultCellCap): DataFrame = {
     val q = quantized(emb)
-    q.as("a").join(q.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
+    val over = q.groupBy("label").count().collect()
+      .collect { case r if r.getLong(1) > cellCap =>
+        r.getInt(0) -> math.ceil(r.getLong(1).toDouble / cellCap).toInt }
+      .toMap
+    val paired =
+      if (over.isEmpty)
+        q.as("a").join(q.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+      else {
+        // per-label block count as a literal dispatch (bounded, like the
+        // centroid literals); 1 for every non-oversized cell
+        val bExpr = over.foldLeft(lit(1)) { case (acc, (l, b)) =>
+          when(col("label") === l, lit(b)).otherwise(acc)
+        }
+        val sub = pmod(hash(col("vec_id")), bExpr)
+        val a = q.withColumn("subkey", sub)
+        // the probe side emits (sub, sub+1 mod B): within-block pairs
+        // match at sub, cross-adjacent at sub+1; array_distinct
+        // collapses B=1 to a single key so small cells keep exact
+        // all-pairs semantics with no duplicate candidates
+        val b = q.withColumn("subkey", explode(array_distinct(
+          array(sub, pmod(sub + 1, bExpr)))))
+        a.as("a").join(b.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.subkey") === col("b.subkey") &&
+            col("a.vec_id") < col("b.vec_id"))
+      }
+    paired
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"),
         pairCos(col("a.q"), col("b.q"), col("a.n2"), col("b.n2")).as("cos"))
@@ -299,8 +347,9 @@ object Similarity {
     * [[embeddingNearDups]] (never n²), and the drop list is tiny
     * relative to the corpus → broadcast anti-join; the corpus itself
     * never shuffles. */
-  def semanticDedup(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
-    val drops = embeddingNearDups(emb, minCos)
+  def semanticDedup(emb: DataFrame, minCos: Double = 0.4,
+      cellCap: Int = DefaultCellCap): DataFrame = {
+    val drops = embeddingNearDups(emb, minCos, cellCap)
       .select(col("vec_b").as("vec_id")).distinct()
     emb.select("vec_id", "label")
       .join(broadcast(drops), Seq("vec_id"), "left_anti")

@@ -428,6 +428,29 @@ class MlSpec extends AnyFunSuite {
     assert(dropIds.nonEmpty, "fixture should contain embed near-dups")
   }
 
+  test("skew cap: a degenerate embedding cell's pair space stays far below |cell|^2") {
+    // r5 VERDICT ask #4: all n vectors land in ONE cell — the balanced-
+    // cells assumption behind the label-blocked pair join fails
+    // completely. With a cap, the candidate space must be bounded
+    // ~2·cap·n, not n²/2; without one (default cap), the path stays the
+    // exact all-pairs join.
+    val n = 2000
+    val rnd = new scala.util.Random(7)
+    import spark.implicits._
+    val df = (0 until n).map { i =>
+      (i.toLong, 0, Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "label", "embedding")
+    val full = n.toLong * (n - 1) / 2
+    // minCos=-2 keeps every candidate → the count IS the pair space
+    val capped = Similarity.embeddingNearDups(df, minCos = -2.0,
+      cellCap = 100).count()
+    assert(capped > 0)
+    assert(capped < full / 4,
+      s"cap failed to bound the pair space: $capped of $full")
+    val exact = Similarity.embeddingNearDups(df, minCos = -2.0).count()
+    assert(exact === full, "default cap must keep the exact all-pairs path")
+  }
+
   test("shard assignment: total, contiguous per shard, repartition-stable") {
     val a = TextAnalysis.shardAssign(docs).collect()
     assert(a.length === docs.count())
@@ -503,6 +526,27 @@ class MlSpec extends AnyFunSuite {
     val naive = sub.select("doc_id", "text").as[(Long, String)].collect()
       .map { case (id, t) => id -> ref(t.split(" ", -1).toSeq) }.toMap
     assert(fromParquet.nonEmpty && fromParquet === naive)
+  }
+
+  test("native kernels skip null array elements instead of NPEing (public Column API)") {
+    // r5 ADVICE: gramStats/simhashTokens are public Column APIs; a null
+    // element must behave as "not there", matching the null-stripped
+    // array, on both the interpreted and codegen paths
+    val withNulls = Seq(Seq("a", null, "b", "a", null),
+      Seq[String](null, null), Seq("x"))
+    val stripped = withNulls.map(_.filter(_ != null))
+    val df = withNulls.toDF("a")
+    val got = df.select(graft.functions.VectorFunctions.gramStats(col("a"))
+        .as("s"), graft.functions.VectorFunctions.simhashTokens(col("a"))
+        .as("h"))
+      .select("s.n", "s.best", "s.uniq", "h")
+      .as[(Long, Long, Long, Long)].collect()
+    val want = stripped.toDF("a")
+      .select(graft.functions.VectorFunctions.gramStats(col("a")).as("s"),
+        graft.functions.VectorFunctions.simhashTokens(col("a")).as("h"))
+      .select("s.n", "s.best", "s.uniq", "h")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === want.toSeq)
   }
 
   test("z-order: morton interleave is exact and order-preserving per dimension") {

@@ -92,7 +92,12 @@ class PlanSpec extends AnyFunSuite {
     // whole partition. Our top-k and latest-per-key queries lean on
     // that; pin it so a query reshape (e.g. projecting the rank without
     // filtering it) doesn't silently fall back to sort-everything.
-    Seq("w_rank_topn", "a6_lww_window").foreach { n =>
+    // r5 VERDICT ask #8: the similarity top-k family joins the pin —
+    // these are the queries where the PRE-exchange row count (corpus ×
+    // queries scored pairs) actually dwarfs k·groups, so losing the
+    // rewrite costs the most at scale.
+    Seq("w_rank_topn", "a6_lww_window", "ml_cosine_topk",
+      "ml_cosine_topk_fast", "ml_ann_ivf", "ml_ann_lsh").foreach { n =>
       val s = planString(run(n))
       assert(s.contains("WindowGroupLimit"),
         s"$n lost the group-limit rewrite:\n${s.take(600)}")
