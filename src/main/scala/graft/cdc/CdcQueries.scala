@@ -307,6 +307,65 @@ object CdcQueries {
            |SELECT * FROM pfold UNION ALL SELECT * FROM afold
            |ORDER BY tbl, id""".stripMargin))
 
+  private val jdbcSnapPq = s"$FixtureDir/cdc_jdbc_snap.parquet"
+  private val jdbcStrPq = s"$FixtureDir/cdc_jdbc_stream.parquet"
+
+  /** [[replicateE2e]]'s dataflow against a REAL SQL target over JDBC
+    * (S1's production form, previously documented-only — the Spark
+    * distribution ships embedded Derby, so the whole path executes
+    * in-sandbox): bulk JDBC load → change stream → per-key summaries →
+    * transactional prepared-statement apply ([[JdbcReplica]]) → final
+    * table read back through the PARTITIONED `spark.read.jdbc` extract.
+    * No publication filter (that transform is pinned by the other two
+    * e2e rows); the oracle is the plain reference fold. */
+  private val jdbcE2e = Declared(
+    "cdc_jdbc_e2e",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 67L, n = 2000)
+      val (snapOps, streamOps) = ops.splitAt(800)
+      val changeDir = Files.createTempDirectory("graft-jdbc-log").toString
+      val ckpt = Files.createTempDirectory("graft-jdbc-ckpt").toString
+      System.setProperty("derby.stream.error.file", "/tmp/graft-derby.log")
+      val url =
+        s"jdbc:derby:${Files.createTempDirectory("graft-jdbc-db")}/db;create=true"
+      import s.implicits._
+      val snapState = ChangeGen.replay(snapOps).values.toSeq
+      JdbcReplica.load(snapState.toDS(), url, "person")
+      snapState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(jdbcSnapPq)
+      dumpChanges(s, streamOps, jdbcStrPq)
+      ChangeGen.writeBatches(changeDir, streamOps, batches = 5)
+      val q = JdbcReplica.start(s, changeDir, url, "person", ckpt,
+        trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+      try q.awaitTermination() finally q.stop()
+      JdbcReplica.snapshot(s, url, "person").toDF().orderBy("id")
+    },
+    Some(s"""WITH snap AS (
+           |  SELECT id, name, uid, score, created_at,
+           |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
+           |  FROM read_parquet('$jdbcSnapPq/*.parquet')
+           |), ev AS (
+           |  SELECT * FROM snap
+           |  UNION ALL
+           |  SELECT id, name, uid, score, created_at, lsn, action
+           |  FROM read_parquet('$jdbcStrPq/*.parquet')
+           |), lastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM ev WHERE action = 'D'
+           |  GROUP BY id
+           |)
+           |SELECT e.id,
+           |  arg_max(e.name, e.lsn) AS name,
+           |  arg_max(e.uid, e.lsn) AS uid,
+           |  arg_max(e.score, e.lsn) AS score,
+           |  arg_min(e.created_at, e.lsn) FILTER (WHERE e.action = 'I')
+           |    AS created_at
+           |FROM ev e LEFT JOIN lastd d ON e.id = d.id
+           |WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |GROUP BY e.id
+           |HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |ORDER BY e.id""".stripMargin))
+
   val all: Seq[Declared] =
-    Seq(replicateE2e, manifestE2e, parseChangelog, quarantine, multitableE2e)
+    Seq(replicateE2e, manifestE2e, parseChangelog, quarantine,
+      multitableE2e, jdbcE2e)
 }

@@ -119,6 +119,20 @@ object ChangeGen {
   def missingIdLine(lsn: Long): String =
     s"""{"lsn":$lsn,"action":"I","timestamp":"2026-01-01 00:00:00.000000+00","schema":"public","table":"person","columns":[{"name":"name","type":"character varying(100)","value":"ghost"}]}"""
 
+  /** Stamp batch files with strictly increasing mtimes: Spark's file
+    * source orders pending files by modification time and breaks ties
+    * NONDETERMINISTICALLY, so same-millisecond writes can deliver
+    * epochs out of lsn order. The summary-fold replicas absorb that by
+    * algebra (their header's whole point), but "one file = one slot
+    * poll" means temporal order IS the contract the log models — and
+    * order-requiring sinks (the JDBC apply, exactly like the
+    * reference's slot consumer) depend on it. */
+  private def stampOrder(dir: String, i: Int, file: java.nio.file.Path)
+      : Unit =
+    Files.setLastModifiedTime(file,
+      java.nio.file.attribute.FileTime.fromMillis(
+        (System.currentTimeMillis() / 60000L) * 60000L + i * 1000L))
+
   /** Split ops into micro-batch files under `dir` (one file = one slot
     * poll, replicator/main.go:154-166), interleaving noise lines. */
   def writeBatches(dir: String, ops: Seq[Op], batches: Int,
@@ -128,8 +142,9 @@ object ChangeGen {
     ops.grouped(per).zipWithIndex.foreach { case (group, i) =>
       val lines = group.map(toJsonLine) ++
         (if (withNoise) Seq(auditLine(900000L + i), malformedLine) else Nil)
-      Files.write(Paths.get(dir, f"batch_$i%05d.json"),
-        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val f = Paths.get(dir, f"batch_$i%05d.json")
+      Files.write(f, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      stampOrder(dir, i, f)
     }
   }
 
@@ -189,8 +204,9 @@ object ChangeGen {
     val per = math.max(1, math.ceil(merged.size.toDouble / batches).toInt)
     merged.grouped(per).zipWithIndex.foreach { case (group, i) =>
       val lines = group ++ Seq(auditLine(900000L + i), malformedLine)
-      Files.write(Paths.get(dir, f"batch_$i%05d.json"),
-        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val f = Paths.get(dir, f"batch_$i%05d.json")
+      Files.write(f, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      stampOrder(dir, i, f)
     }
   }
 

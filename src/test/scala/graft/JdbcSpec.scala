@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+/** JDBC source/sink against a REAL SQL database — embedded Derby ships
+  * with the Spark distribution, so S1's production form (partitioned
+  * `spark.read.jdbc` extract + prepared-statement apply into a SQL
+  * target, replicator/main.go:98-269) runs end-to-end in-sandbox. */
+class JdbcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  System.setProperty("derby.stream.error.file", "/tmp/graft-derby.log")
+
+  private def freshDb(name: String): String =
+    s"jdbc:derby:${Files.createTempDirectory(name)}/db;create=true"
+
+  private def tableMap(url: String, table: String)
+      : Map[Int, (String, String, Int, java.sql.Timestamp)] = {
+    val c = JdbcReplica.connect(url)
+    try {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT id, name, uid, score, created_at FROM $table")
+        val out = scala.collection.mutable.Map
+          [Int, (String, String, Int, java.sql.Timestamp)]()
+        while (rs.next()) out(rs.getInt(1)) =
+          ((rs.getString(2), rs.getString(3), rs.getInt(4),
+            rs.getTimestamp(5)))
+        rs.close(); out.toMap
+      } finally st.close()
+    } finally c.close()
+  }
+
+  test("jdbc pipeline: partitioned snapshot read + transactional streaming apply equal replay") {
+    val url = freshDb("jdbc-e2e")
+    val ops = ChangeGen.ops(seed = 81L, n = 1200)
+    val (snapOps, streamOps) = ops.splitAt(400)
+    val snapState = ChangeGen.replay(snapOps).values.toSeq
+
+    // bulk load the source-of-truth state, then the PARTITIONED extract
+    JdbcReplica.load(snapState.toDS(), url, "person")
+    val got = JdbcReplica.snapshot(spark, url, "person", numPartitions = 4)
+    assert(got.rdd.getNumPartitions === 4,
+      "snapshot read must fan out over range partitions")
+    assert(got.collect().map(p => p.id -> p.name).toMap ===
+      snapState.map(p => p.id -> p.name).toMap)
+
+    // continuous apply: change log → summaries → JDBC transactions
+    val changeDir = Files.createTempDirectory("jdbc-log").toString
+    val ckpt = Files.createTempDirectory("jdbc-ckpt").toString
+    ChangeGen.writeBatches(changeDir, streamOps, batches = 4)
+    val q = JdbcReplica.start(spark, changeDir, url, "person", ckpt,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+
+    val want = ChangeGen.replay(ops)
+    val gotFinal = tableMap(url, "person")
+    assert(gotFinal.view.mapValues(v => (v._1, v._2, v._3)).toMap ===
+      want.map { case (id, p) => id -> ((p.name, p.uid, p.score)) })
+    // created_at preserved across upserts (the ON CONFLICT semantics the
+    // update-then-insert emulation must keep)
+    assert(gotFinal.view.mapValues(_._4).toMap ===
+      want.map { case (id, p) => id -> p.created_at })
+
+    // replaying an already-committed epoch is a transactional no-op
+    // (the (epoch, partition) marker short-circuits before any write)
+    val lastBatch = ChangeGen.toChanges(
+      streamOps.takeRight(streamOps.size / 4)).toDS()
+    JdbcReplica.applyBatch(lastBatch, url, "person", batchId = 3L)
+    assert(tableMap(url, "person") === gotFinal,
+      "epoch replay mutated the target")
+
+    // the reference monitor's parity probe, production form
+    JdbcReplica.load(spark.createDataset(Seq.empty[PersonRow]), url,
+      "person_src") // ensure table exists for the probe
+    val (_, tgt) = JdbcReplica.parity(url, "person_src", "person")
+    assert(tgt === want.size.toLong)
+  }
+
+  test("jdbc apply: a NEW epoch with regressing content still applies (markers key on epoch)") {
+    val url = freshDb("jdbc-epochs")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    JdbcReplica.load(Seq(PersonRow(1, "a", "u1", 10, t0)).toDS(),
+      url, "person")
+    JdbcReplica.applyBatch(
+      Seq(PersonChange(100L, "U", 1, Some("b"), Some("u1"), Some(20),
+        None)).toDS(), url, "person", batchId = 0L)
+    assert(tableMap(url, "person")(1)._1 === "b")
+    // distinct epoch, same key: applies (only same-epoch replays skip)
+    JdbcReplica.applyBatch(
+      Seq(PersonChange(101L, "D", 1, None, None, None, None)).toDS(),
+      url, "person", batchId = 1L)
+    assert(!tableMap(url, "person").contains(1))
+    // delete-then-reinsert inside ONE batch: reborn with the new image
+    JdbcReplica.applyBatch(
+      Seq(PersonChange(102L, "I", 1, Some("c"), Some("u2"), Some(30),
+          Some(t0)),
+        PersonChange(103L, "D", 1, None, None, None, None),
+        PersonChange(104L, "I", 1, Some("d"), Some("u3"), Some(40),
+          Some(java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))))
+        .toDS(), url, "person", batchId = 2L)
+    val r = tableMap(url, "person")(1)
+    assert(r._1 === "d" && r._3 === 40)
+    assert(r._4 === java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))
+  }
+}
