@@ -556,6 +556,56 @@ object MlQueries {
     (s, d) => TextAnalysis.textStats(Tables(s, d, "documents")),
     Some(s"$textStatsSql\nORDER BY doc_id"))
 
+  /** PII redaction (L50): the fixture text carries no PII, so the query
+    * seeds deterministic synthetic PII (doc_id-derived emails / IPs /
+    * phone numbers on a doc_id % 3 rotation) into the text on BOTH
+    * sides, then compares per-kind match counts and the md5 of the
+    * scrubbed text — redaction equality is exact, not sampled. */
+  private val piiRedact = Declared(
+    "ml_pii_redact",
+    (s, d) => {
+      val seeded = Tables(s, d, "documents").withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com or 555-867-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              concat(lit(" from 10."),
+                pmod(col("doc_id"), lit(256)).cast("string"),
+                lit(".0."), pmod(col("doc_id"), lit(100)).cast("string")))
+            .otherwise(lit(""))))
+      TextAnalysis.piiRedact(seeded)
+    },
+    Some("""WITH seeded AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+           |           CAST(doc_id AS VARCHAR) ||
+           |           '@mail.example.com or 555-867-' ||
+           |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |         WHEN doc_id % 3 = 1 THEN ' from 10.' ||
+           |           CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+           |           CAST(doc_id % 100 AS VARCHAR)
+           |         ELSE '' END AS text
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           |    AS n_email,
+           |  CAST(len(regexp_extract_all(text,
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+           |    AS n_ip,
+           |  CAST(len(regexp_extract_all(text,
+           |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |    '<EMAIL>', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'))
+           |    AS redacted_md5
+           |FROM seeded ORDER BY doc_id""".stripMargin))
+
   /** Quality-gate oracle: the same stats body, thresholds as INT flags. */
   private val qualityGate = Declared(
     "ml_quality_gate",
@@ -940,7 +990,7 @@ object MlQueries {
     cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, qualityGate, langId, tokenCounts, repetition, seqPack,
-    stratSample, contam,
+    stratSample, contam, piiRedact,
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, fingerprint, zorder,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)

@@ -301,7 +301,9 @@ object Similarity {
   def embeddingNearDups(emb: DataFrame, minCos: Double = 0.4,
       cellCap: Int = DefaultCellCap): DataFrame = {
     val q = quantized(emb)
-    val over = q.groupBy("label").count().collect()
+    // sized off the RAW columns (no quantize work) — one cheap count
+    // whose result is model-sized driver state (≤ #cells rows)
+    val over = emb.groupBy("label").count().collect()
       .collect { case r if r.getLong(1) > cellCap =>
         r.getInt(0) -> math.ceil(r.getLong(1).toDouble / cellCap).toInt }
       .toMap

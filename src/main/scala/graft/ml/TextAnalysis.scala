@@ -50,6 +50,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII pattern lexicon: (kind, regex, replacement), applied in order.
+    * The operator is the detection/redaction machinery; patterns are
+    * pluggable and these are chosen to evaluate IDENTICALLY under Java
+    * regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+    * repetition, and `\b` only — no lookaround, no backrefs. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** PII scrub — the redaction pass every published training corpus
+    * runs (emails/IPs/phones here; the production lexicon adds SSNs,
+    * credit cards, names-via-NER): per-document match counts by kind
+    * plus the scrubbed text (emitted as md5 so the verified row stays
+    * narrow — the full text path is the same expression). Patterns
+    * apply in declaration order, so overlapping matches resolve
+    * deterministically.
+    *
+    * Scale: a pure per-row codegen'd projection — zero shuffles, no
+    * UDF; regex evaluation is the whole cost and scales linearly with
+    * corpus bytes. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (kind, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$kind")
+    }
+    val scrubbed = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    docs.select(col("doc_id") +: counts :+
+        md5(scrubbed).as("redacted_md5"): _*)
+      .orderBy("doc_id")
+  }
+
   /** [[qualityGate]] thresholds (C4/FineWeb-style — values illustrative;
     * the operator is the audited-verdict machinery). */
   val GateMinTokens = 30L
