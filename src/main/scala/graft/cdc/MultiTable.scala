@@ -118,6 +118,54 @@ object MultiTable {
       .filter(col("key").isNotNull)
   }
 
+  /** Debezium-envelope twin of [[parseAll]] (a real Debezium topic set
+    * IS the multi-table deployment this module models): before/after
+    * images decode as generic string maps — Spark's JSON parser copies
+    * non-string scalars through as raw JSON text, the same property the
+    * wal2json path leans on — so ONE parser serves every declared
+    * table. op c/r → I, u → U, d → D; `source.lsn` orders; TIMESTAMP
+    * columns arrive as epoch-micros integers, converted for the table's
+    * declared created_at column. */
+  def parseAllDebezium(lines: DataFrame, specs: Seq[TableSpec])
+      : DataFrame = {
+    val imgMap = MapType(StringType, StringType)
+    val env = StructType(Seq(
+      StructField("before", imgMap),
+      StructField("after", imgMap),
+      StructField("op", StringType),
+      StructField("ts_ms", LongType),
+      StructField("source", StructType(Seq(
+        StructField("lsn", LongType),
+        StructField("schema", StringType),
+        StructField("table", StringType))))))
+    def dispatch(f: TableSpec => org.apache.spark.sql.Column) =
+      specs.foldLeft(lit(null).cast(StringType)) { (acc, sp) =>
+        when(col("tbl") === sp.table, f(sp)).otherwise(acc)
+      }
+    lines
+      .select(from_json(col("value"), env).as("e"))
+      .filter(col("e").isNotNull &&
+        col("e.op").isin("c", "u", "d", "r"))
+      .filter(col("e.source.table").isin(specs.map(_.table): _*))
+      .select(
+        col("e.source.table").as("tbl"),
+        col("e.source.lsn").as("lsn"),
+        when(col("e.op") === "d", "D")
+          .when(col("e.op") === "u", "U")
+          .otherwise("I").as("action"), // c and r are both inserts
+        col("e.after").as("cols"), col("e.before").as("ident"))
+      .select(
+        col("tbl"), col("lsn"), col("action"),
+        dispatch(sp => coalesce(element_at(col("cols"), sp.keyCol),
+          element_at(col("ident"), sp.keyCol))).as("key"),
+        to_json(col("cols")).as("img"),
+        timestamp_micros(dispatch(sp => sp.createdAtCol
+            .map(c => element_at(col("cols"), c))
+            .getOrElse(lit(null).cast(StringType))).cast(LongType))
+          .as("created_at"))
+      .filter(col("key").isNotNull)
+  }
+
   /** [[Replicate.summarizeBucketed]] over the generic change shape: one
     * batch-sized shuffle keyed on the hash bucket feeds the window, the
     * aggregate, and the bucket-partitioned delta write. */

@@ -70,6 +70,42 @@ class MultiTableSpec extends AnyFunSuite {
     assert(gotCreated === created)
   }
 
+  test("debezium envelope drives the same multi-table fan-out") {
+    def dbzLine(op: ChangeGen.Op, table: String, labelCol: String,
+        amountCol: String): String = {
+      val us = java.sql.Timestamp.valueOf(op.createdAt).getTime * 1000
+      def j(s: String) = "\"" + s.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\""
+      val uid = if (table == "person") s""","uid":${j(op.uid)}""" else ""
+      val row = s"""{"id":${op.id},${j(labelCol)}:${j(op.name)},${j(amountCol)}:${op.score}$uid,"created_at":$us}"""
+      val (before, after, o) = op.action match {
+        case "I" => ("null", row, "c")
+        case "U" => (row, row, "u")
+        case _ => (row, "null", "d")
+      }
+      s"""{"before":$before,"after":$after,"op":"$o","ts_ms":${op.lsn},"source":{"lsn":${op.lsn},"schema":"public","table":"$table"}}"""
+    }
+    val (pOps, aOps) = ChangeGen.mtOps(seed = 73L, nPerson = 150,
+      nAccount = 100)
+    val lines = ((pOps.map(o => o.lsn ->
+      dbzLine(o, "person", "name", "score")) ++
+      aOps.map(o => o.lsn -> dbzLine(o, "account", "owner", "balance")))
+      .sortBy(_._1).map(_._2) ++ Seq("""{"op":"c" BROKEN""")).toDF("value")
+    val parsed = MultiTable.parseAllDebezium(lines, specs)
+    assert(parsed.count() === (pOps.size + aOps.size))
+    val root = Files.createTempDirectory("mt-dbz").toString
+    MultiTable.applyBatch(spark, parsed, root, specs, batchId = 0L)
+    assert(personMap(root) === wantPerson(pOps))
+    assert(accountMap(root) === wantAccount(aOps))
+    // created_at flows through the epoch-micros conversion
+    val created = ChangeGen.replay(aOps).map { case (id, p) =>
+      id -> p.created_at }
+    val gotCreated = MultiTable.readTable(spark, root, accountSpec)
+      .select("id", "created_at").collect()
+      .map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    assert(gotCreated === created)
+  }
+
   test("routing: undeclared tables and malformed lines drop; batch replay is idempotent") {
     val (pOps, aOps) = ChangeGen.mtOps(seed = 72L, nPerson = 120,
       nAccount = 80)
