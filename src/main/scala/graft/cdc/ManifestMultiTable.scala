@@ -1,0 +1,200 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Multi-table replication under the OBJECT-STORE commit protocol —
+  * [[MultiTable]]'s fan-out running on [[ManifestReplica]]'s manifest
+  * machinery instead of directory renames, so the full generalization
+  * matrix closes: {single, multi} × {rename, manifest, state-store,
+  * JDBC} all share one summary algebra.
+  *
+  * Each declared table is its own manifest root at `<root>/<table>/` —
+  * per-table commit streams, per-table time travel and gc, no
+  * cross-table coupling in the commit path (exactly how a table format
+  * deploys: one log per table). ALL commit-protocol primitives are
+  * reused from [[ManifestReplica]] verbatim (versioned fresh-key
+  * manifests, exclusive-create CAS claims, the per-replica commit lock,
+  * retention-aware [[ManifestReplica.gc]], history trim); only the
+  * summary schema (generic key + img-as-JSON, [[MultiTable]]'s) and the
+  * final typed projection differ, so every crash-window and concurrency
+  * argument in the ManifestReplica header carries over unchanged. */
+object ManifestMultiTable {
+  import Replicate.{BucketCol, check, combineSummaries}
+  import MultiTable.{MtBaseSchema, MtDeltaSchema}
+  import ManifestReplica.{Manifest, checkMod, commitUpdate, lockFor,
+    placeBuckets, readManifest}
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def tableDir(root: String, spec: TableSpec): String =
+    s"$root/${spec.table}"
+
+  /** Bulk-load one table's initial state — a full-replace manifest
+    * commit ([[ManifestReplica.snapshot]]'s shape over the generic
+    * schema). */
+  def snapshot(spark: SparkSession, rows: DataFrame, root: String,
+      spec: TableSpec,
+      numBuckets: Int = MultiTable.DefaultNumBuckets): Unit = {
+    val dir = tableDir(root, spec)
+    val (fs, rootP) = fsOf(spark, dir)
+    val (_, m) = readManifest(fs, rootP)
+    val gen = m.gen + 1
+    val stage = new Path(rootP, s".stage-g$gen")
+    fs.delete(stage, true)
+    MultiTable.rowsAsMtSummaries(rows, spec)
+      .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+      .repartition(numBuckets, col(BucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(stage.toString)
+    lockFor(rootP).synchronized {
+      val moved = placeBuckets(fs, rootP, stage, gen)
+      commitUpdate(fs, rootP)(_ =>
+        Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
+          Set.empty, mod = numBuckets)))
+    }
+    ManifestReplica.gc(spark, dir)
+  }
+
+  /** Apply one micro-batch of PARSED generic changes to every declared
+    * table's manifest replica: per table, one O(batch-slice) summary →
+    * delta placement → single manifest commit; replayed epochs are
+    * no-ops exactly as in [[ManifestReplica.applyBatch]]. */
+  def applyBatch(spark: SparkSession, parsed: DataFrame, root: String,
+      specs: Seq[TableSpec], batchId: Long,
+      numBuckets: Int = MultiTable.DefaultNumBuckets,
+      compactEvery: Int = Replicate.DefaultCompactEvery): Unit = {
+    parsed.persist()
+    try specs.foreach { spec =>
+      val dir = tableDir(root, spec)
+      val (fs, rootP) = fsOf(spark, dir)
+      val (_, m0) = readManifest(fs, rootP)
+      checkMod(m0, numBuckets, "applyBatch")
+      val committed =
+        if (batchId <= m0.watermark || m0.deltas.contains(batchId)) m0
+        else {
+          val tmp = new Path(rootP, s"delta/.tmp-$batchId")
+          fs.delete(tmp, true)
+          MultiTable.summarizeMt(
+              parsed.filter(col("tbl") === spec.table).drop("tbl"),
+              numBuckets)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          lockFor(rootP).synchronized {
+            val dst = new Path(rootP, s"delta/batch=$batchId")
+            fs.delete(dst, true)
+            check(fs.rename(tmp, dst), s"place delta $dst")
+            commitUpdate(fs, rootP)(m =>
+              if (batchId <= m.watermark || m.deltas.contains(batchId))
+                None
+              else {
+                checkMod(m, numBuckets, "applyBatch")
+                Some(m.copy(deltas = m.deltas + batchId,
+                  mod = if (m.mod == 0) numBuckets else m.mod))
+              })
+          }
+        }
+      if (committed.deltas.size >= compactEvery)
+        compact(spark, dir, numBuckets)
+    } finally parsed.unpersist()
+  }
+
+  /** Incremental fold of one table's pending deltas into new
+    * generations of only the buckets they touch —
+    * [[ManifestReplica.compact]] over the generic schema. */
+  def compact(spark: SparkSession, dir: String,
+      numBuckets: Int = MultiTable.DefaultNumBuckets): Unit = {
+    val (fs, rootP) = fsOf(spark, dir)
+    val (_, m) = readManifest(fs, rootP)
+    checkMod(m, numBuckets, "compact")
+    if (m.deltas.isEmpty) return
+    val deltas = spark.read.schema(MtDeltaSchema)
+      .parquet(m.deltas.toSeq.sorted.map(m.deltaDir(dir, _)): _*)
+    val touched = deltas.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val baseTouched = {
+      val existing = touched.filter(m.buckets.contains)
+      if (existing.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          MtBaseSchema)
+      else spark.read.schema(MtBaseSchema)
+        .parquet(existing.map(m.bucketDir(dir, _)): _*)
+    }
+    val gen = m.gen + 1
+    val merged = combineSummaries(
+      baseTouched
+        .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+        .select(MtDeltaSchema.fieldNames.map(col).toSeq: _*)
+        .unionAll(deltas.select(MtDeltaSchema.fieldNames.map(col).toSeq: _*)),
+      Seq(BucketCol, "key"), width = Some(touched.size.max(1)))
+    val stage = new Path(rootP, s".stage-g$gen")
+    fs.delete(stage, true)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(stage.toString)
+    lockFor(rootP).synchronized {
+      val moved = placeBuckets(fs, rootP, stage, gen)
+      val consumed = m.deltas
+      commitUpdate(fs, rootP) { cur =>
+        checkMod(cur, numBuckets, "compact")
+        Some(Manifest(cur.gen max gen, cur.watermark max consumed.max,
+          cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed,
+          mod = numBuckets))
+      }
+    }
+  }
+
+  /** Merge-on-read typed view of one table through its newest
+    * manifest. */
+  def readTable(spark: SparkSession, root: String, spec: TableSpec)
+      : DataFrame = {
+    val dir = tableDir(root, spec)
+    val (fs, rootP) = fsOf(spark, dir)
+    val (_, m) = readManifest(fs, rootP)
+    val base =
+      if (m.buckets.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          MtBaseSchema)
+      else spark.read.schema(MtBaseSchema)
+        .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
+    val folded =
+      if (m.deltas.isEmpty) base
+      else {
+        val deltas = spark.read.schema(MtDeltaSchema)
+          .parquet(m.deltas.toSeq.sorted.map(m.deltaDir(dir, _)): _*)
+          .select(MtBaseSchema.fieldNames.map(col).toSeq: _*)
+        combineSummaries(base.unionAll(deltas), Seq("key"))
+      }
+    MultiTable.projectTyped(folded, spec)
+  }
+
+  /** The continuous multi-table pipeline on the manifest protocol:
+    * one change-log stream → [[MultiTable.parseAll]] once per trigger →
+    * per-table manifest-committed apply. */
+  def start(spark: SparkSession, changeDir: String, root: String,
+      checkpointDir: String, specs: Seq[TableSpec],
+      numBuckets: Int = MultiTable.DefaultNumBuckets,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Int = Replicate.DefaultCompactEvery): StreamingQuery = {
+    val reader = spark.readStream.format("text")
+    val lines = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .load(changeDir)
+    lines.writeStream
+      .queryName("graft-replicate-multitable-manifest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyBatch(spark, MultiTable.parseAll(batch, specs), root, specs,
+          batchId = epochId, numBuckets = numBuckets,
+          compactEvery = compactEvery)
+      }
+      .start()
+  }
+}

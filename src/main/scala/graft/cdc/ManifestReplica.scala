@@ -100,7 +100,7 @@ object ManifestReplica {
     * duplicates on the no-delta read path). The manifest CARRIES the
     * modulus (`mod=`; 0 = pre-r5 manifest, adopted on next commit) and
     * every writer checks it. */
-  private def checkMod(m: Manifest, numBuckets: Int, what: String): Unit =
+  private[cdc] def checkMod(m: Manifest, numBuckets: Int, what: String): Unit =
     check(m.mod == 0 || m.mod == numBuckets,
       s"$what: replica laid out with numBuckets=${m.mod}, caller passed $numBuckets")
 
@@ -150,7 +150,7 @@ object ManifestReplica {
   }
 
   /** Newest committed manifest, with its version (0 if none). */
-  private def readManifest(fs: FileSystem, root: Path): (Long, Manifest) = {
+  private[cdc] def readManifest(fs: FileSystem, root: Path): (Long, Manifest) = {
     val versions = listVersions(fs, root)
     if (versions.isEmpty) (0L, Empty)
     else (versions.max, readManifestAt(fs, root, versions.max))
@@ -251,10 +251,10 @@ object ManifestReplica {
     * deltas / replace everything), so a lost race never loses the other
     * writer's work — the property that lets a background compactor and
     * the trigger path commit concurrently against one state file. */
-  private def lockFor(root: Path): Object =
+  private[cdc] def lockFor(root: Path): Object =
     commitLocks.computeIfAbsent(root.toString, _ => new Object)
 
-  private def commitUpdate(fs: FileSystem, root: Path)
+  private[cdc] def commitUpdate(fs: FileSystem, root: Path)
       (update: Manifest => Option[Manifest]): Manifest = {
     val lock = lockFor(root)
     lock.synchronized {
@@ -296,7 +296,7 @@ object ManifestReplica {
     * generation dirs. Placement only — nothing is committed; a crash
     * mid-move strands invisible dirs for [[gc]]. Returns the moved
     * bucket ids. */
-  private def placeBuckets(fs: FileSystem, root: Path, stage: Path,
+  private[cdc] def placeBuckets(fs: FileSystem, root: Path, stage: Path,
       gen: Long): Seq[Int] = {
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) check(fs.mkdirs(dataDir), s"mkdirs $dataDir")

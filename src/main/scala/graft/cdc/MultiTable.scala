@@ -169,7 +169,7 @@ object MultiTable {
   /** [[Replicate.summarizeBucketed]] over the generic change shape: one
     * batch-sized shuffle keyed on the hash bucket feeds the window, the
     * aggregate, and the bucket-partitioned delta write. */
-  private def summarizeMt(batch: DataFrame, numBuckets: Int): DataFrame = {
+  private[cdc] def summarizeMt(batch: DataFrame, numBuckets: Int): DataFrame = {
     val byKey = Window.partitionBy(BucketCol, "key")
     val afterD = col("lsn") > coalesce(col("last_d_lsn"), lit(Long.MinValue))
     batch
@@ -188,7 +188,7 @@ object MultiTable {
 
   /** Lift typed rows into generic summary form for the initial
     * [[snapshot]] (lsn 0 — outranked by every real change). */
-  private def rowsAsMtSummaries(rows: DataFrame, spec: TableSpec)
+  private[cdc] def rowsAsMtSummaries(rows: DataFrame, spec: TableSpec)
       : DataFrame = {
     val imgMap = map(spec.rowSchema.fields.flatMap(f =>
       Seq(lit(f.name), col(f.name).cast(StringType))).toSeq: _*)
@@ -302,6 +302,14 @@ object MultiTable {
           .select(MtBaseSchema.fieldNames.map(col).toSeq: _*)
         combineSummaries(baseDf.unionAll(deltas), Seq("key"))
       }
+    projectTyped(folded, spec)
+  }
+
+  /** Live-rows typed projection over folded generic summaries: parse
+    * each surviving key's winning image JSON once, cast per the
+    * declared schema. Shared by both commit protocols. */
+  private[cdc] def projectTyped(folded: DataFrame, spec: TableSpec)
+      : DataFrame = {
     val m = from_json(col("last_img.img"),
       MapType(StringType, StringType)).as("m")
     folded.filter(col("first_ins").isNotNull)

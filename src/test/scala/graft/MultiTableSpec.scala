@@ -70,6 +70,45 @@ class MultiTableSpec extends AnyFunSuite {
     assert(gotCreated === created)
   }
 
+  test("manifest-protocol multi-table: same fan-out, manifest commits, time travel intact") {
+    val (pOps, aOps) = ChangeGen.mtOps(seed = 74L, nPerson = 400,
+      nAccount = 250)
+    val (pSnap, pStream) = pOps.splitAt(150)
+    val changeDir = Files.createTempDirectory("mtm-log").toString
+    val root = Files.createTempDirectory("mtm-replica").toString
+    val ckpt = Files.createTempDirectory("mtm-ckpt").toString
+    ManifestMultiTable.snapshot(spark,
+      ChangeGen.replay(pSnap).values.toSeq.toDS().toDF(), root, personSpec)
+    ChangeGen.writeMtBatches(changeDir, pStream, aOps, batches = 4)
+    val q = ManifestMultiTable.start(spark, changeDir, root, ckpt, specs,
+      maxFilesPerTrigger = Some(1),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEvery = 2)
+    try q.awaitTermination() finally q.stop()
+    def pMap = ManifestMultiTable.readTable(spark, root, personSpec)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    def aMap = ManifestMultiTable.readTable(spark, root, accountSpec)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getInt(2)))).toMap
+    assert(pMap === wantPerson(pOps))
+    assert(aMap === wantAccount(aOps))
+    // the commit machinery IS ManifestReplica's: per-table manifest
+    // versions exist, and retention-aware gc keeps them readable
+    val pDir = s"$root/person"
+    val versions = ManifestReplica.versions(spark, pDir)
+    assert(versions.size > 1, "manifest history should be retained")
+    ManifestReplica.gc(spark, pDir)
+    assert(ManifestReplica.versions(spark, pDir) === versions,
+      "gc changed the retained version list")
+    assert(pMap === wantPerson(pOps))
+    // epoch replay through the manifest path is a no-op
+    val parsed = MultiTable.parseAll(
+      spark.read.text(changeDir), specs)
+    ManifestMultiTable.applyBatch(spark, parsed, root, specs, batchId = 0L)
+    assert(pMap === wantPerson(pOps) && aMap === wantAccount(aOps))
+  }
+
   test("debezium envelope drives the same multi-table fan-out") {
     def dbzLine(op: ChangeGen.Op, table: String, labelCol: String,
         amountCol: String): String = {
