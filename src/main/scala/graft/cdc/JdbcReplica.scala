@@ -151,6 +151,17 @@ object JdbcReplica {
               mk.setString(1, table); mk.setLong(2, batchId)
               mk.setInt(3, pid); mk.executeUpdate()
             } finally mk.close()
+            // marker retention: Structured Streaming replays at most
+            // the CURRENT epoch (batch N re-runs only before N+1
+            // starts), so markers below this epoch can never be
+            // consulted again — prune them in the same transaction to
+            // keep the table O(partitions), not O(stream lifetime)
+            val pr = c.prepareStatement(
+              s"DELETE FROM $EpochTable WHERE target=? AND epoch<?")
+            try {
+              pr.setString(1, table); pr.setLong(2, batchId)
+              pr.executeUpdate()
+            } finally pr.close()
             c.commit()
           } else c.rollback()
         } catch { case e: Throwable => c.rollback(); throw e }

@@ -117,6 +117,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pii scrub is a pure projection: no aggregate, no hash exchange") {
+    // per-row regex projection + presentation sort — the ONLY exchange
+    // allowed is the orderBy's range partitioning; a hash exchange or
+    // aggregate would mean the scrub stopped being embarrassingly
+    // parallel
+    val s = planString(run("ml_pii_redact"))
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"pii scrub grew a hash shuffle:\n${s.take(600)}")
+    assert(!s.contains("HashAggregate"),
+      s"pii scrub grew an aggregate:\n${s.take(600)}")
+  }
+
   test("CDC compaction fold: one bucket exchange, no join — union feeds window, agg, write") {
     import java.sql.Timestamp
     import org.apache.spark.sql.functions.{col, lit, pmod}
