@@ -323,7 +323,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
+    // Failure rounds must NOT blow the window they matter most in:
+    // exception text is unbounded (a Spark first line runs 150-300+
+    // chars), so the printed line carries only a bounded failed-key
+    // list (count + csv capped at 60 chars ≈ 80 chars worst case,
+    // inside the measured ~94-char margin); full messages ride the
+    // backstop files' "errors" object.
+    val errField =
+      if (errors.isEmpty) ""
+      else s""","errn":${errors.size},"err":${
+        jstr(errors.keys.toSeq.sorted.mkString(",").take(60))}"""
     val line =
       s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","sf":"$sfName"$errField,"cdc":${cdcJson._1},"qunit":"ds","qk":"$qkCsv","qv":$qvArr}"""
     val fullLine =

@@ -28,11 +28,20 @@ object ChangeSource {
     * reference's destructive at-most-once slot read to exactly-once
     * (SURVEY.md §2.9 T2). */
   def readStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): Dataset[PersonChange] = {
+      maxFilesPerTrigger: Option[Int] = None): Dataset[PersonChange] =
+    parse(rawLines(spark, dir, maxFilesPerTrigger))
+
+  /** Raw change-log lines as an unparsed streaming frame — the ONE
+    * reader every pipeline variant shares (single-table, multi-table,
+    * both commit protocols), so a new source option or the documented
+    * Kafka swap lands in one place instead of drifting across three
+    * hand-rolled copies (r6 review). */
+  def rawLines(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val reader = spark.readStream.format("text")
-    val withOpt = maxFilesPerTrigger
+    maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    parse(withOpt.load(dir))
+      .load(dir)
   }
 
   /** Lines that failed to parse (batch-side audit). */

@@ -25,7 +25,7 @@ object ManifestMultiTable {
   import Replicate.{BucketCol, check, combineSummaries}
   import MultiTable.{MtBaseSchema, MtDeltaSchema}
   import ManifestReplica.{Manifest, checkMod, commitUpdate, lockFor,
-    placeBuckets, readManifest}
+    placeBuckets, readManifest, writingTo}
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -46,6 +46,7 @@ object ManifestMultiTable {
     val (_, m) = readManifest(fs, rootP)
     val gen = m.gen + 1
     val stage = new Path(rootP, s".stage-g$gen")
+    writingTo(stage) {
     fs.delete(stage, true)
     MultiTable.rowsAsMtSummaries(rows, spec)
       .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
@@ -58,19 +59,27 @@ object ManifestMultiTable {
         Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
           Set.empty, mod = numBuckets)))
     }
+    }
     ManifestReplica.gc(spark, dir)
   }
 
   /** Apply one micro-batch of PARSED generic changes to every declared
     * table's manifest replica: per table, one O(batch-slice) summary →
     * delta placement → single manifest commit; replayed epochs are
-    * no-ops exactly as in [[ManifestReplica.applyBatch]]. */
+    * no-ops exactly as in [[ManifestReplica.applyBatch]]. Tables absent
+    * from the batch are skipped entirely (see
+    * [[MultiTable.presentTables]]) — critically here, because an empty
+    * per-trigger commit would burn a manifest version and trim an idle
+    * table's retained time-travel/changes window down to the last ~4
+    * triggers of wall-clock regardless of traffic (r6 review). */
   def applyBatch(spark: SparkSession, parsed: DataFrame, root: String,
       specs: Seq[TableSpec], batchId: Long,
       numBuckets: Int = MultiTable.DefaultNumBuckets,
       compactEvery: Int = Replicate.DefaultCompactEvery): Unit = {
     parsed.persist()
-    try specs.foreach { spec =>
+    try {
+      val present = MultiTable.presentTables(parsed)
+      specs.filter(sp => present.contains(sp.table)).foreach { spec =>
       val dir = tableDir(root, spec)
       val (fs, rootP) = fsOf(spark, dir)
       val (_, m0) = readManifest(fs, rootP)
@@ -79,6 +88,7 @@ object ManifestMultiTable {
         if (batchId <= m0.watermark || m0.deltas.contains(batchId)) m0
         else {
           val tmp = new Path(rootP, s"delta/.tmp-$batchId")
+          writingTo(tmp) {
           fs.delete(tmp, true)
           MultiTable.summarizeMt(
               parsed.filter(col("tbl") === spec.table).drop("tbl"),
@@ -97,9 +107,11 @@ object ManifestMultiTable {
                   mod = if (m.mod == 0) numBuckets else m.mod))
               })
           }
+          }
         }
       if (committed.deltas.size >= compactEvery)
         compact(spark, dir, numBuckets)
+      }
     } finally parsed.unpersist()
   }
 
@@ -133,6 +145,7 @@ object ManifestMultiTable {
         .unionAll(deltas.select(MtDeltaSchema.fieldNames.map(col).toSeq: _*)),
       Seq(BucketCol, "key"), width = Some(touched.size.max(1)))
     val stage = new Path(rootP, s".stage-g$gen")
+    writingTo(stage) {
     fs.delete(stage, true)
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(stage.toString)
@@ -145,6 +158,7 @@ object ManifestMultiTable {
           cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed,
           mod = numBuckets))
       }
+    }
     }
   }
 
@@ -182,11 +196,7 @@ object ManifestMultiTable {
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       maxFilesPerTrigger: Option[Int] = None,
       compactEvery: Int = Replicate.DefaultCompactEvery): StreamingQuery = {
-    val reader = spark.readStream.format("text")
-    val lines = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .load(changeDir)
-    lines.writeStream
+    ChangeSource.rawLines(spark, changeDir, maxFilesPerTrigger).writeStream
       .queryName("graft-replicate-multitable-manifest")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

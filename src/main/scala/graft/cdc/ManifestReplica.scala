@@ -127,7 +127,7 @@ object ManifestReplica {
       .filter(_.startsWith(ManifestPrefix))
       .map(_.stripPrefix(ManifestPrefix).toLong).toSeq.sorted
 
-  private def readManifestAt(fs: FileSystem, root: Path, v: Long)
+  private[graft] def readManifestAt(fs: FileSystem, root: Path, v: Long)
       : Manifest = {
     val in = fs.open(new Path(root, s"$ManifestPrefix$v"))
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -185,6 +185,59 @@ object ManifestReplica {
         }
     }
 
+  /** Serialize stale-claim reclaimers for one version. Local FS: an OS
+    * file lock on `.reclaim-v<v>.lock` — atomic across processes AND
+    * released by the kernel if its holder crashes, so reclaim needs no
+    * staleness scheme of its own (lock files are never gc-swept: on
+    * POSIX a swept-and-recreated lock path means two holders locking
+    * different inodes — [[truncate]] alone removes them). Same-JVM
+    * contenders surface as OverlappingFileLockException → busy. Other
+    * stores: exclusive create of a reclaim tombstone, itself stolen by
+    * atomic rename-aside when aged (a crashed reclaimer); the
+    * residual window there needs a crashed reclaimer OF a crashed
+    * claimant raced within milliseconds after 30 s of quiescence. */
+  private def withReclaimLock(fs: FileSystem, root: Path, v: Long)
+      (body: => Boolean): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val lockPath = java.nio.file.Paths.get(
+        root.toUri.getPath, s".reclaim-v$v.lock")
+      try {
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lk =
+            try ch.tryLock()
+            catch {
+              case _: java.nio.channels.OverlappingFileLockException => null
+            }
+          if (lk == null) false
+          else try body finally lk.release()
+        } finally ch.close()
+      } catch { case _: java.io.IOException => false }
+    case _ =>
+      val tomb = new Path(root, s".reclaim-v$v")
+      def grab(): Boolean =
+        try { fs.create(tomb, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      val acquired = grab() || {
+        val stale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(tomb).getModificationTime > StaleClaimMs
+          catch { case _: java.io.FileNotFoundException => false }
+        stale && {
+          val aside =
+            new Path(root, s".reaped-t$v-${java.util.UUID.randomUUID()}")
+          (try fs.rename(tomb, aside)
+           catch { case _: java.io.IOException => false }) && {
+            fs.delete(aside, false); grab()
+          }
+        }
+      }
+      acquired && (try body finally fs.delete(tomb, false))
+  }
+
   /** One commit attempt: atomically CLAIM version `v` with an exclusive
     * marker create ([[claimImpl]]), then write the body under a tmp name
     * and rename onto the fresh manifest key — the rename cannot race
@@ -200,18 +253,25 @@ object ManifestReplica {
     val marker = new Path(root, s".commit-v$v")
     val dst = new Path(root, s"$ManifestPrefix$v")
     def claim(): Boolean = claimImpl(fs, marker)
-    val claimed = claim() || {
+    def isStale: Boolean =
+      try !fs.exists(dst) &&
+        System.currentTimeMillis() - fs.getFileStatus(marker)
+          .getModificationTime > StaleClaimMs
+      catch { case _: java.io.FileNotFoundException => false }
+    val claimed = claim() || (isStale && withReclaimLock(fs, root, v) {
       // crashed-claimant recovery: marker with no manifest, quiescent
-      // past the grace window → reclaim the version number. (Narrow
-      // check-then-act, entered only in the crash path after 30 s of
-      // silence — a live claimant renames within milliseconds.)
-      val stale =
-        try !fs.exists(dst) &&
-          System.currentTimeMillis() - fs.getFileStatus(marker)
-            .getModificationTime > StaleClaimMs
-        catch { case _: java.io.FileNotFoundException => false }
-      stale && { fs.delete(marker, false); claim() }
-    }
+      // past the grace window → reclaim the version number. Reclaimers
+      // are SERIALIZED by withReclaimLock and re-check staleness under
+      // it: a marker's mtime only moves forward through a reclaim, so
+      // a fresh marker here means we raced a completed reclaim and must
+      // not touch it. (The r6 first cut renamed the stale marker aside
+      // on a PRE-lock mtime read — two racing reclaimers could
+      // leapfrog, one stealing the other's fresh re-claim; the race
+      // spec caught it.) Between our delete and claim a brand-new
+      // claimant can still slip in — then ITS exclusive create wins and
+      // ours fails: either way the version is awarded at most once.
+      isStale && { fs.delete(marker, false); claim() }
+    })
     if (!claimed) return false
     val body = new StringBuilder(Header).append('\n')
       .append(s"gen=${m.gen}\n").append(s"watermark=${m.watermark}\n")
@@ -322,6 +382,7 @@ object ManifestReplica {
     val (_, m) = readManifest(fs, root)
     val gen = m.gen + 1
     val stage = new Path(root, s".stage-g$gen")
+    writingTo(stage) {
     fs.delete(stage, true)
     rowsAsSummaries(rows.toDF())
       .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
@@ -335,6 +396,7 @@ object ManifestReplica {
       commitUpdate(fs, root)(_ =>
         Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
           Set.empty, mod = numBuckets)))
+    }
     }
     gc(spark, dir)
   }
@@ -355,6 +417,24 @@ object ManifestReplica {
   private val lifecycleOps =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Paths an in-JVM writer is currently materializing OUTSIDE the
+    * commit lock — the heavy parquet writes (delta tmp dirs, stage
+    * dirs) that by design run before lock acquisition, so the lock
+    * alone cannot shield them from a concurrent [[gc]] sweep (r6
+    * review: at `graceMs = 0` gc would delete a live trigger's
+    * `delta/.tmp-*` mid-write). Registration spans write → locked
+    * placement; gc spares registered paths unconditionally.
+    * Cross-process writers remain covered only by `graceMs`. */
+  private val inFlightWrites =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def writingTo[A](p: Path)(body: => A): A = {
+    // scheme-stripped form: listStatus returns fully-qualified paths
+    // (file:/...), the write sites build unqualified ones
+    inFlightWrites.add(p.toUri.getPath)
+    try body finally inFlightWrites.remove(p.toUri.getPath)
+  }
+
   /** Join any in-flight background compactions (clean-shutdown hook). */
   def awaitCompactions(): Unit =
     compacting.values().toArray(Array.empty[Thread]).foreach(_.join())
@@ -374,12 +454,14 @@ object ManifestReplica {
       if (batchId <= m0.watermark || m0.deltas.contains(batchId)) m0
       else {
         val tmp = new Path(root, s"delta/.tmp-$batchId")
+        writingTo(tmp) {
         fs.delete(tmp, true)
         summarizeBucketed(batch.toDF(), numBuckets)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         // placement + commit under the per-replica lock: a [[gc]] sweep
         // can then never interleave between the rename and the manifest
-        // naming it (the heavy summary write above stays outside)
+        // naming it (the heavy summary write above stays outside the
+        // lock but inside the in-flight registration)
         lockFor(root).synchronized {
         val dst = new Path(root, s"delta/batch=$batchId")
         fs.delete(dst, true) // unnamed leftover of a crashed attempt
@@ -398,6 +480,7 @@ object ManifestReplica {
             Some(m.copy(deltas = m.deltas + batchId,
               mod = if (m.mod == 0) numBuckets else m.mod))
           })
+        }
         }
       }
     if (committed.deltas.size >= compactEvery &&
@@ -558,6 +641,7 @@ object ManifestReplica {
         .unionAll(deltas.select(DeltaSchema.fieldNames.map(col).toSeq: _*)),
       Seq(BucketCol, "id"), width = Some(touched.size.max(1)))
     val stage = new Path(root, s".stage-g$gen")
+    writingTo(stage) {
     fs.delete(stage, true)
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(stage.toString)
@@ -577,6 +661,7 @@ object ManifestReplica {
           cur.buckets ++ moved.map(_ -> gen), cur.deltas -- consumed,
           mod = numBuckets))
       }
+    }
     }
     // NO inline reclaim (round 5): superseded generations and consumed
     // deltas stay on disk until the operator's [[gc]] — so a reader
@@ -613,6 +698,7 @@ object ManifestReplica {
         .repartition(numBuckets, col(BucketCol))
       val gen = m.gen + 1
       val stage = new Path(root, s".stage-g$gen")
+      writingTo(stage) {
       fs.delete(stage, true)
       alive.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
         .parquet(stage.toString)
@@ -627,6 +713,7 @@ object ManifestReplica {
           Some(Manifest(cur.gen max gen, cur.watermark,
             moved.map(_ -> gen).toMap, cur.deltas, mod = numBuckets))
         }
+      }
       }
       // vacuum exists to REMOVE bytes (tombstone reclamation / privacy
       // deletes) — it deliberately collapses the time-travel window to
@@ -667,7 +754,8 @@ object ManifestReplica {
         val n = st.getPath.getName
         if (n == "data" || n == "delta" || n.startsWith(ManifestPrefix) ||
             n.startsWith(".stage-") || n.startsWith(".tmp-manifest-") ||
-            n.startsWith(".commit-v"))
+            n.startsWith(".commit-v") || n.startsWith(".reaped-") ||
+            n.startsWith(".reclaim-"))
           check(fs.delete(st.getPath, true), s"truncate $n")
       }
     } finally lifecycleOps.remove(dir)
@@ -688,11 +776,14 @@ object ManifestReplica {
     *
     * Runs under the per-replica commit lock, so it cannot race an
     * in-JVM committer between data placement and manifest commit (a
-    * placed-but-uncommitted dir looks orphaned). Cross-process
-    * placements have no such lock — `graceMs` additionally spares
-    * anything modified within the grace window (pass the retention the
-    * deployment owes its slowest reader/committer; 0 = in-JVM-only
-    * deployments, the sandbox default). */
+    * placed-but-uncommitted dir looks orphaned); the heavy parquet
+    * writes that run BEFORE the lock (delta tmp, stage dirs) are
+    * shielded by the [[inFlightWrites]] registry instead, so
+    * `graceMs = 0` is genuinely safe in-JVM. Cross-process placements
+    * have neither — `graceMs` additionally spares anything modified
+    * within the grace window (pass the retention the deployment owes
+    * its slowest reader/committer; 0 = in-JVM-only deployments, the
+    * sandbox default). */
   def gc(spark: SparkSession, dir: String, graceMs: Long = 0L): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
@@ -718,7 +809,8 @@ object ManifestReplica {
       def sweep(sub: String)(live: String => Boolean): Unit = {
         val p = new Path(root, sub)
         if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-          if (!live(st.getPath.getName) && st.getModificationTime < cutoff)
+          if (!live(st.getPath.getName) && st.getModificationTime < cutoff &&
+              !inFlightWrites.contains(st.getPath.toUri.getPath))
             fs.delete(st.getPath, true)
         }
       }
@@ -731,8 +823,10 @@ object ManifestReplica {
       }
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
-        if ((n.startsWith(".stage-") || n.startsWith(".tmp-manifest-")) &&
-            st.getModificationTime < cutoff)
+        if ((n.startsWith(".stage-") || n.startsWith(".tmp-manifest-") ||
+             n.startsWith(".reaped-")) &&
+            st.getModificationTime < cutoff &&
+            !inFlightWrites.contains(st.getPath.toUri.getPath))
           fs.delete(st.getPath, true)
       }
   }

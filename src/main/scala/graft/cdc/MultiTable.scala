@@ -224,13 +224,25 @@ object MultiTable {
     * commit as that table's delta `batch=<id>`, compact on threshold —
     * [[Replicate.applyBatch]]'s exact dataflow per table, idempotent
     * under replay for the same reasons. Tables absent from the batch
-    * cost one empty-filter check. */
+    * are SKIPPED entirely — one bounded `groupBy(tbl)` over the cached
+    * parse decides presence, so an idle table costs no summarize job,
+    * no empty delta dir (which would count toward `compactEvery` and
+    * periodically fold nothing), and — on the manifest twin — no burned
+    * manifest version per trigger (r6 review: per-trigger empty commits
+    * collapsed an idle table's retained history window to the last ~4
+    * triggers of wall-clock). Presence derives from batch content, so
+    * an epoch replay skips identically. */
+  private[cdc] def presentTables(parsed: DataFrame): Set[String] =
+    parsed.groupBy("tbl").count().collect().map(_.getString(0)).toSet
+
   def applyBatch(spark: SparkSession, parsed: DataFrame, root: String,
       specs: Seq[TableSpec], batchId: Long,
       numBuckets: Int = DefaultNumBuckets,
       compactEvery: Int = Replicate.DefaultCompactEvery): Unit = {
     parsed.persist()
-    try specs.foreach { spec =>
+    try {
+      val present = presentTables(parsed)
+      specs.filter(sp => present.contains(sp.table)).foreach { spec =>
       val dir = tableDir(root, spec)
       val base = new Path(dir)
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -254,6 +266,7 @@ object MultiTable {
         .partition(Replicate.batchIdOf(_) <= wm)
       stale.foreach(p => fs.delete(p, true))
       if (live.size >= compactEvery) compact(spark, dir, numBuckets)
+      }
     } finally parsed.unpersist()
   }
 
@@ -331,11 +344,7 @@ object MultiTable {
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       maxFilesPerTrigger: Option[Int] = None,
       compactEvery: Int = Replicate.DefaultCompactEvery): StreamingQuery = {
-    val reader = spark.readStream.format("text")
-    val lines = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .load(changeDir)
-    lines.writeStream
+    ChangeSource.rawLines(spark, changeDir, maxFilesPerTrigger).writeStream
       .queryName("graft-replicate-multitable")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

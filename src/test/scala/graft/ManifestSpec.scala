@@ -483,6 +483,78 @@ class ManifestSpec extends AnyFunSuite {
       "stale orphan claim must be reclaimed")
   }
 
+  test("manifest CAS: racing stale-claim reclaimers award the version at most once") {
+    // r6 review: the old reclaim path was delete-marker-then-create —
+    // two racers interleaving delete/create could BOTH claim the
+    // version and cross-write the manifest (lost update). The fix
+    // steals the marker with an atomic rename-aside; of N racers at
+    // most one may commit, and the version must end up committed with
+    // exactly one body. Many rounds to give the scheduler chances.
+    val dir = tmp("man-reclaim-race")
+    Files.createDirectories(Paths.get(dir))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (round <- 1 to 40) {
+      val v = round.toLong
+      // a crashed claimant's leftover, aged past the quiescence window
+      Files.write(Paths.get(dir, s".commit-v$v"), Array.empty[Byte])
+      Files.setLastModifiedTime(Paths.get(dir, s".commit-v$v"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000L))
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (1 to 4).map { g =>
+        new Thread(() => {
+          barrier.await()
+          if (ManifestReplica.tryCommit(fs, root, v,
+              ManifestReplica.Manifest(g.toLong, -1L, Map(0 -> g.toLong),
+                Set.empty, mod = 4)))
+            wins.incrementAndGet()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(wins.get() <= 1, s"round $round: ${wins.get()} winners")
+      if (wins.get() == 1) {
+        // the committed body must be internally consistent — written
+        // whole by the single winner, not interleaved by a loser
+        val m = ManifestReplica.readManifestAt(fs, root, v)
+        assert(m.buckets(0) === m.gen,
+          s"round $round: body gen ${m.gen} vs bucket ${m.buckets(0)} — cross-written manifest")
+      }
+    }
+  }
+
+  test("gc spares an in-flight unlocked write; sweeps aged leftovers") {
+    // r6 review: applyBatch/compact write their heavy parquet OUTSIDE
+    // the commit lock by design, so the lock alone cannot shield those
+    // paths from a concurrent gc at graceMs=0 — the in-flight registry
+    // must. An unregistered aged leftover with the same shape is
+    // swept (crash cleanup still works).
+    val dir = tmp("man-gc-inflight")
+    val rows = (0 until 8).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(root, "delta/.tmp-99")
+    val dead = new org.apache.hadoop.fs.Path(root, "delta/.tmp-98")
+    fs.mkdirs(live); fs.mkdirs(dead)
+    // both look old enough to sweep; only the registered one survives
+    Seq("98", "99").foreach(b =>
+      Files.setLastModifiedTime(Paths.get(dir, "delta", s".tmp-$b"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600000L)))
+    ManifestReplica.writingTo(live) {
+      ManifestReplica.gc(spark, dir, graceMs = 0L)
+      assert(fs.exists(live), "gc swept a registered in-flight write")
+      assert(!fs.exists(dead), "gc failed to sweep an aged crash leftover")
+    }
+    ManifestReplica.gc(spark, dir, graceMs = 0L)
+    assert(!fs.exists(live),
+      "deregistered leftover must be sweepable again")
+  }
+
   test("manifest async compaction converges with the stream") {
     val ops = ChangeGen.ops(seed = 55, n = 800)
     val (snapOps, streamOps) = ops.splitAt(300)

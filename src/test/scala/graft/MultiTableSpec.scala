@@ -168,4 +168,39 @@ class MultiTableSpec extends AnyFunSuite {
     MultiTable.compact(spark, s"$root/account")
     assert(personMap(root) === p0 && accountMap(root) === a0)
   }
+
+  test("idle tables are skipped: no per-trigger work, no burned manifest versions") {
+    // r6 review: an idle declared table used to pay a full summarize
+    // job + an empty delta per trigger — and on the manifest path a
+    // manifest COMMIT per trigger, trimming its retained time-travel
+    // window to the last ~ManifestHistory triggers of wall-clock.
+    val pOps = ChangeGen.ops(seed = 99L, n = 60)
+    val lines = pOps.map(ChangeGen.toJsonLine).toDF("value")
+    val parsed = MultiTable.parseAll(lines, specs) // person rows only
+    // rename path: the idle account table materializes NOTHING
+    val root = Files.createTempDirectory("mt-idle").toString
+    MultiTable.applyBatch(spark, parsed, root, specs, batchId = 0L)
+    assert(personMap(root) === wantPerson(pOps))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "account")),
+      "idle table must not materialize a replica dir")
+    // manifest path: snapshot account so it HAS committed versions,
+    // then stream person-only batches past ManifestHistory
+    val rootM = Files.createTempDirectory("mtm-idle").toString
+    ManifestMultiTable.snapshot(spark,
+      Seq((1, "ann", 10,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("id", "owner", "balance", "created_at"),
+      rootM, accountSpec)
+    val before = ManifestReplica.versions(spark, s"$rootM/account")
+    (0L to 6L).foreach(b =>
+      ManifestMultiTable.applyBatch(spark, parsed, rootM, specs,
+        batchId = b))
+    assert(ManifestReplica.versions(spark, s"$rootM/account") === before,
+      "idle table burned manifest versions / lost its history window")
+    assert(ManifestReplica.versions(spark, s"$rootM/person").nonEmpty,
+      "active table must still commit")
+    assert(ManifestMultiTable.readTable(spark, rootM, accountSpec)
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap === Map(1 -> (("ann", 10))))
+  }
 }
