@@ -162,13 +162,10 @@ object ManifestMultiTable {
     }
   }
 
-  /** Merge-on-read typed view of one table through its newest
-    * manifest. */
-  def readTable(spark: SparkSession, root: String, spec: TableSpec)
+  /** Fold base ∪ pending deltas exactly as a given manifest names
+    * them — shared by the current read and time travel. */
+  private def foldAt(spark: SparkSession, dir: String, m: Manifest)
       : DataFrame = {
-    val dir = tableDir(root, spec)
-    val (fs, rootP) = fsOf(spark, dir)
-    val (_, m) = readManifest(fs, rootP)
     val base =
       if (m.buckets.isEmpty)
         spark.createDataFrame(
@@ -176,16 +173,55 @@ object ManifestMultiTable {
           MtBaseSchema)
       else spark.read.schema(MtBaseSchema)
         .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
-    val folded =
-      if (m.deltas.isEmpty) base
-      else {
-        val deltas = spark.read.schema(MtDeltaSchema)
-          .parquet(m.deltas.toSeq.sorted.map(m.deltaDir(dir, _)): _*)
-          .select(MtBaseSchema.fieldNames.map(col).toSeq: _*)
-        combineSummaries(base.unionAll(deltas), Seq("key"))
-      }
-    MultiTable.projectTyped(folded, spec)
+    if (m.deltas.isEmpty) base
+    else {
+      val deltas = spark.read.schema(MtDeltaSchema)
+        .parquet(m.deltas.toSeq.sorted.map(m.deltaDir(dir, _)): _*)
+        .select(MtBaseSchema.fieldNames.map(col).toSeq: _*)
+      combineSummaries(base.unionAll(deltas), Seq("key"))
+    }
   }
+
+  /** Merge-on-read typed view of one table through its newest
+    * manifest. */
+  def readTable(spark: SparkSession, root: String, spec: TableSpec)
+      : DataFrame = {
+    val dir = tableDir(root, spec)
+    val (fs, rootP) = fsOf(spark, dir)
+    val (_, m) = readManifest(fs, rootP)
+    MultiTable.projectTyped(foldAt(spark, dir, m), spec)
+  }
+
+  /** Time travel for one table — [[ManifestReplica.readReplicaAt]]'s
+    * contract over the generic schema (per-table manifest roots make
+    * retention per-table by construction: a hot table's commits never
+    * trim an idle table's window). */
+  def readTableAt(spark: SparkSession, root: String, spec: TableSpec,
+      version: Long): DataFrame = {
+    val dir = tableDir(root, spec)
+    val (fs, rootP) = fsOf(spark, dir)
+    val m =
+      try ManifestReplica.readManifestAt(fs, rootP, version)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"manifest v$version not retained (have ${
+            ManifestReplica.versions(spark, dir)})")
+      }
+    MultiTable.projectTyped(foldAt(spark, dir, m), spec)
+  }
+
+  /** Per-table change feed — [[ManifestReplica.changesSince]]'s
+    * contract (gap-checked delta range as generic summary rows, one
+    * row per key per batch) through the shared implementation. */
+  def changesSince(spark: SparkSession, root: String, spec: TableSpec,
+      sinceVersion: Long): DataFrame =
+    ManifestReplica.changesSinceWith(spark, tableDir(root, spec),
+      sinceVersion, MtBaseSchema, MtDeltaSchema)
+
+  /** Committed manifest versions of one table (time-travel targets). */
+  def versions(spark: SparkSession, root: String, spec: TableSpec)
+      : Seq[Long] =
+    ManifestReplica.versions(spark, tableDir(root, spec))
 
   /** The continuous multi-table pipeline on the manifest protocol:
     * one change-log stream → [[MultiTable.parseAll]] once per trigger →

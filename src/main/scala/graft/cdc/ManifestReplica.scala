@@ -536,7 +536,16 @@ object ManifestReplica {
     * data, and a batch's id is its epoch, so "committed after v" is
     * precisely "id greater than v's highest committed id". */
   def changesSince(spark: SparkSession, dir: String, sinceVersion: Long)
-      : DataFrame = {
+      : DataFrame =
+    changesSinceWith(spark, dir, sinceVersion, BaseSchema, DeltaSchema)
+
+  /** [[changesSince]] parameterized over the summary schema pair, so
+    * the multi-table generic replicas ([[ManifestMultiTable]]) serve
+    * the same feed without duplicating the gap-check/scan logic. */
+  private[cdc] def changesSinceWith(spark: SparkSession, dir: String,
+      sinceVersion: Long,
+      baseSchema: org.apache.spark.sql.types.StructType,
+      deltaSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val (fs, root) = fsOf(spark, dir)
     // highest committed id (watermark = highest compacted id), clamped:
@@ -558,7 +567,7 @@ object ManifestReplica {
     // folded part, and a reclaimed dir is a real gap, not a skip
     val ids = ((since + 1L) to maxBatch(now)).toSeq
     val feedSchema = StructType(
-      StructField("batch_id", LongType) +: BaseSchema.fields)
+      StructField("batch_id", LongType) +: baseSchema.fields)
     if (ids.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema)
@@ -574,12 +583,12 @@ object ManifestReplica {
       check(ids.forall(id => present.contains(s"batch=$id")),
         s"change feed gap: a batch in ($since, ${maxBatch(now)}] was gc'd — lower the gc cadence or read from an earlier checkpoint")
       spark.read
-        .schema(StructType(DeltaSchema.fields :+
+        .schema(StructType(deltaSchema.fields :+
           StructField("batch", LongType)))
         .option("basePath", deltaRoot.toString)
         .parquet(ids.map(now.deltaDir(dir, _)): _*)
         .select(col("batch").as("batch_id") +:
-          BaseSchema.fieldNames.map(col): _*)
+          baseSchema.fieldNames.map(col): _*)
     }
   }
 
