@@ -67,8 +67,20 @@ object JdbcReplica {
       if (md.storesUpperCaseIdentifiers) name.toUpperCase
       else if (md.storesLowerCaseIdentifiers) name.toLowerCase
       else name
+    // getTables takes SEARCH PATTERNS: an unescaped '_' matches any
+    // character and a null schema searches every schema, so a probe for
+    // graft_epochs could hit an unrelated graft3epochs or a same-named
+    // table on another schema (r6 review) — escape the name and scope
+    // to the connection's current schema when the driver reports one
+    val esc = Option(md.getSearchStringEscape).getOrElse("")
+    def escape(n: String): String =
+      if (esc.isEmpty) n
+      else n.replace(esc, esc + esc).replace("_", esc + "_")
+        .replace("%", esc + "%")
+    val schema =
+      try c.getSchema catch { case _: Throwable => null }
     def probe(n: String): Boolean = {
-      val rs = md.getTables(null, null, n, null)
+      val rs = md.getTables(null, schema, escape(n), null)
       try rs.next() finally rs.close()
     }
     probe(folded) || (folded != name && probe(name))

@@ -188,14 +188,19 @@ object ManifestReplica {
   /** Serialize stale-claim reclaimers for one version. Local FS: an OS
     * file lock on `.reclaim-v<v>.lock` — atomic across processes AND
     * released by the kernel if its holder crashes, so reclaim needs no
-    * staleness scheme of its own (lock files are never gc-swept: on
-    * POSIX a swept-and-recreated lock path means two holders locking
-    * different inodes — [[truncate]] alone removes them). Same-JVM
+    * staleness scheme of its own (lock files are NEVER deleted, not
+    * even by [[truncate]]: on POSIX a deleted-and-recreated lock path
+    * means two holders locking different inodes, and this JVM caches
+    * its channel per path — they are 0-byte and only appear after a
+    * crash recovery). Same-JVM
     * contenders surface as OverlappingFileLockException → busy. Other
     * stores: exclusive create of a reclaim tombstone, itself stolen by
     * atomic rename-aside when aged (a crashed reclaimer); the
     * residual window there needs a crashed reclaimer OF a crashed
     * claimant raced within milliseconds after 30 s of quiescence. */
+  private val reclaimChannels = new java.util.concurrent
+    .ConcurrentHashMap[String, java.nio.channels.FileChannel]()
+
   private def withReclaimLock(fs: FileSystem, root: Path, v: Long)
       (body: => Boolean): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
@@ -203,18 +208,23 @@ object ManifestReplica {
       val lockPath = java.nio.file.Paths.get(
         root.toUri.getPath, s".reclaim-v$v.lock")
       try {
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lk =
-            try ch.tryLock()
-            catch {
-              case _: java.nio.channels.OverlappingFileLockException => null
-            }
-          if (lk == null) false
-          else try body finally lk.release()
-        } finally ch.close()
+        // ONE channel per lock path per JVM, cached and NEVER closed
+        // (r6 review): per the FileLock javadoc, closing ANY channel on
+        // the file releases every lock this JVM holds on it — so a
+        // same-JVM loser's close would silently drop the holder's lock
+        // mid-reclaim and let another process in. The cache is bounded
+        // by reclaim events (crash recoveries), each one 0-byte.
+        val ch = reclaimChannels.computeIfAbsent(lockPath.toString, _ =>
+          java.nio.channels.FileChannel.open(lockPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE))
+        val lk =
+          try ch.tryLock()
+          catch {
+            case _: java.nio.channels.OverlappingFileLockException => null
+          }
+        if (lk == null) false
+        else try body finally lk.release()
       } catch { case _: java.io.IOException => false }
     case _ =>
       val tomb = new Path(root, s".reclaim-v$v")
@@ -562,10 +572,21 @@ object ManifestReplica {
           s"manifest v$sinceVersion not retained (have ${versions(spark, dir)})")
       }
     val (_, now) = readManifest(fs, root)
-    // stream epochs are contiguous, so the feed is exactly the id range
-    // (since, maxBatch]; compacted-but-retained dirs serve the already-
-    // folded part, and a reclaimed dir is a real gap, not a skip
-    val ids = ((since + 1L) to maxBatch(now)).toSeq
+    // The committed ids after `since` are reconstructed EXACTLY from
+    // the retained manifests, not assumed dense (r6 review: the
+    // multi-table idle-skip makes per-table ids sparse — an idle epoch
+    // never commits a delta, and a dense range check would report a
+    // spurious gap). The reconstruction is sound because retention
+    // trims from the bottom: `sinceVersion` being readable means every
+    // later version is too, and each committed delta id appears in its
+    // commit version's (retained) manifest — so the union of retained
+    // `deltas` sets restricted to (since, maxBatch] is precisely what
+    // was committed after `since`. A dir missing from THAT set is a
+    // real gap (reclaimed or deleted), not a skip.
+    val vs = listVersions(fs, root)
+    val ids = vs.filter(_ >= sinceVersion)
+      .flatMap(v => readManifestAt(fs, root, v).deltas)
+      .distinct.filter(id => id > since && id <= maxBatch(now)).sorted
     val feedSchema = StructType(
       StructField("batch_id", LongType) +: baseSchema.fields)
     if (ids.isEmpty)
@@ -581,7 +602,7 @@ object ManifestReplica {
         else fs.listStatus(deltaRoot).iterator
           .map(_.getPath.getName).toSet
       check(ids.forall(id => present.contains(s"batch=$id")),
-        s"change feed gap: a batch in ($since, ${maxBatch(now)}] was gc'd — lower the gc cadence or read from an earlier checkpoint")
+        s"change feed gap: a committed batch in ($since, ${maxBatch(now)}] was reclaimed — lower the gc cadence or read from an earlier checkpoint")
       spark.read
         .schema(StructType(deltaSchema.fields :+
           StructField("batch", LongType)))
@@ -764,7 +785,7 @@ object ManifestReplica {
         if (n == "data" || n == "delta" || n.startsWith(ManifestPrefix) ||
             n.startsWith(".stage-") || n.startsWith(".tmp-manifest-") ||
             n.startsWith(".commit-v") || n.startsWith(".reaped-") ||
-            n.startsWith(".reclaim-"))
+            (n.startsWith(".reclaim-") && !n.endsWith(".lock")))
           check(fs.delete(st.getPath, true), s"truncate $n")
       }
     } finally lifecycleOps.remove(dir)

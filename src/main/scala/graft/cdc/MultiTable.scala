@@ -242,12 +242,21 @@ object MultiTable {
     parsed.persist()
     try {
       val present = presentTables(parsed)
-      specs.filter(sp => present.contains(sp.table)).foreach { spec =>
+      specs.foreach { spec =>
       val dir = tableDir(root, spec)
       val base = new Path(dir)
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Replicate.checkLayout(fs, base, numBuckets)
-      Replicate.recoverSwap(fs, base)
+      val active = present.contains(spec.table)
+      // crash recovery runs for EVERY declared table with an existing
+      // replica, traffic or not (r6 review: gating it on presence left
+      // a crashed bucket swap on a then-idle table serving incomplete
+      // reads until its next write — recoverSwap is one cheap LIST);
+      // only the write path is gated on presence
+      if (active || fs.exists(base)) {
+        Replicate.checkLayout(fs, base, numBuckets)
+        Replicate.recoverSwap(fs, base)
+      }
+      if (active) {
       val dRoot = new Path(base, Replicate.DeltaDirName)
       val tmp = new Path(dRoot, s".tmp-$batchId")
       fs.delete(tmp, true)
@@ -266,6 +275,7 @@ object MultiTable {
         .partition(Replicate.batchIdOf(_) <= wm)
       stale.foreach(p => fs.delete(p, true))
       if (live.size >= compactEvery) compact(spark, dir, numBuckets)
+      }
       }
     } finally parsed.unpersist()
   }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
@@ -235,6 +237,66 @@ class MultiTableSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet === Set(1L))
     assert(feed.select("key").distinct().count() ===
       p2.map(_.id).distinct.size)
+  }
+
+  test("change feed tolerates sparse per-table ids from idle epochs") {
+    // r6 review: the idle-table skip makes per-table delta ids sparse
+    // (an idle epoch commits nothing), so the feed must reconstruct
+    // committed ids from the retained manifests instead of assuming a
+    // dense epoch range — a dense check reported a spurious gap here.
+    val pOps = ChangeGen.ops(seed = 107L, n = 60)
+    val (pa, pb) = pOps.splitAt(30)
+    val aOps = ChangeGen.ops(seed = 109L, n = 20)
+    val root = Files.createTempDirectory("mtm-sparse").toString
+    def parsedP(ops: Seq[ChangeGen.Op]) =
+      MultiTable.parseAll(ops.map(ChangeGen.toJsonLine).toDF("value"),
+        specs)
+    val parsedA = MultiTable.parseAll(
+      aOps.map(ChangeGen.toAccountJsonLine).toDF("value"), specs)
+    ManifestMultiTable.applyBatch(spark, parsedP(pa), root, specs,
+      batchId = 0L)
+    val v0 = ManifestMultiTable.versions(spark, root, personSpec).max
+    // epoch 1 carries account rows only — person is idle
+    ManifestMultiTable.applyBatch(spark, parsedA, root, specs,
+      batchId = 1L)
+    ManifestMultiTable.applyBatch(spark, parsedP(pb), root, specs,
+      batchId = 2L)
+    val feed = ManifestMultiTable.changesSince(spark, root, personSpec, v0)
+    assert(feed.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(2L),
+      "person's feed after v0 is exactly its sparse epoch 2")
+    assert(personMapOf(ManifestMultiTable.readTable(spark, root,
+      personSpec)) === wantPerson(pOps))
+  }
+
+  test("idle tables still run crash recovery: an aborted bucket swap is restored") {
+    // r6 review: gating recoverSwap on batch presence left a crashed
+    // swap on a then-idle table serving incomplete reads indefinitely;
+    // recovery must run for every declared table with a replica dir.
+    val aOps = ChangeGen.ops(seed = 113L, n = 40)
+    val pOps = ChangeGen.ops(seed = 115L, n = 20)
+    val root = Files.createTempDirectory("mt-recover").toString
+    MultiTable.applyBatch(spark, MultiTable.parseAll(
+      aOps.map(ChangeGen.toAccountJsonLine).toDF("value"), specs), root,
+      specs, batchId = 0L)
+    MultiTable.compact(spark, s"$root/account")
+    val want = wantAccount(aOps)
+    assert(accountMap(root) === want)
+    // simulate a swap crash on account: a live bucket renamed aside,
+    // fresh dir never arrived (the aborted-between-renames window)
+    val accountDir = java.nio.file.Paths.get(root, "account")
+    val bucket = Files.list(accountDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .find(_.startsWith("id_bucket=")).get
+    Files.move(accountDir.resolve(bucket),
+      accountDir.resolve(s".__old.$bucket"))
+    assert(accountMap(root) !== want, "sanity: the crash lost a bucket")
+    // a person-only trigger must still repair the idle account table
+    MultiTable.applyBatch(spark, MultiTable.parseAll(
+      pOps.map(ChangeGen.toJsonLine).toDF("value"), specs), root, specs,
+      batchId = 1L)
+    assert(accountMap(root) === want,
+      "recoverSwap must run for idle declared tables")
   }
 
   test("schema evolution: a widened declared schema reads old rows with nulls, no rewrite") {
