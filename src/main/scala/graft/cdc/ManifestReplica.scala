@@ -585,7 +585,18 @@ object ManifestReplica {
     // real gap (reclaimed or deleted), not a skip.
     val vs = listVersions(fs, root)
     val ids = vs.filter(_ >= sinceVersion)
-      .flatMap(v => readManifestAt(fs, root, v).deltas)
+      .flatMap { v =>
+        // a concurrent commit's history trim can remove a listed
+        // version mid-scan; skipping it would silently drop its delta
+        // ids from the feed, so a vanished version means this call's
+        // retention window is gone — same contract failure as an
+        // unretained sinceVersion, same error
+        try readManifestAt(fs, root, v).deltas
+        catch { case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"manifest v$v trimmed during the read — feed window lost; read from a newer checkpoint")
+        }
+      }
       .distinct.filter(id => id > since && id <= maxBatch(now)).sorted
     val feedSchema = StructType(
       StructField("batch_id", LongType) +: baseSchema.fields)
