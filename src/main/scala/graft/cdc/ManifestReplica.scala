@@ -620,7 +620,7 @@ object ManifestReplica {
         .option("basePath", deltaRoot.toString)
         .parquet(ids.map(now.deltaDir(dir, _)): _*)
         .select(col("batch").as("batch_id") +:
-          baseSchema.fieldNames.map(col): _*)
+          baseSchema.fieldNames.toSeq.map(col): _*)
     }
   }
 

@@ -109,4 +109,41 @@ class JdbcSpec extends AnyFunSuite {
     assert(r._1 === "d" && r._3 === 40)
     assert(r._4 === java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))
   }
+
+  test("jdbc batching: >1000 keys in one partition apply correctly across chunk boundaries") {
+    // applyPartition chunks at JdbcBatchSize=1000 and executes three
+    // batch phases per chunk; 2500 keys on parallelism=1 crosses two
+    // chunk boundaries and exercises every statement path at volume:
+    // insert-on-miss (fresh keys), update-hit, delete, delete+rebirth.
+    val url = freshDb("jdbc-chunks")
+    JdbcReplica.ensureTables(url, "person")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-03 00:00:00")
+    val n = 2500
+    val ins = (1 to n).map(i => PersonChange(i.toLong, "I", i,
+      Some(s"n$i"), Some(s"u$i"), Some(i), Some(t0)))
+    JdbcReplica.applyBatch(ins.toDS(), url, "person", batchId = 0L,
+      parallelism = 1)
+    assert(tableMap(url, "person").size === n)
+    val upd = (1 to n).filter(_ % 3 == 0).map(i =>
+      PersonChange(10000L + i, "U", i, Some(s"N$i"), Some(s"u$i"),
+        Some(i * 2), None))
+    val del = (1 to 600).filter(_ % 3 == 1).map(i =>
+      PersonChange(20000L + i, "D", i, None, None, None, None))
+    val reb = (1 to 600).filter(_ % 3 == 2).flatMap(i => Seq(
+      PersonChange(30000L + i, "D", i, None, None, None, None),
+      PersonChange(40000L + i, "I", i, Some(s"R$i"), Some(s"r$i"),
+        Some(i * 3), Some(t1))))
+    JdbcReplica.applyBatch((upd ++ del ++ reb).toDS(), url, "person",
+      batchId = 1L, parallelism = 1)
+    val got = tableMap(url, "person")
+    val want = (1 to n).flatMap { i =>
+      if (i % 3 == 0) Some(i -> ((s"N$i", s"u$i", i * 2, t0)))
+      else if (i <= 600 && i % 3 == 1) None // deleted
+      else if (i <= 600 && i % 3 == 2)
+        Some(i -> ((s"R$i", s"r$i", i * 3, t1))) // reborn, new created_at
+      else Some(i -> ((s"n$i", s"u$i", i, t0))) // untouched
+    }.toMap
+    assert(got === want)
+  }
 }
