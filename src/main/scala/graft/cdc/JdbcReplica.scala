@@ -86,6 +86,24 @@ object JdbcReplica {
     probe(folded) || (folded != name && probe(name))
   }
 
+  private[cdc] def tableExists(c: Connection, name: String): Boolean =
+    hasTable(c, name)
+
+  /** Create the shared epoch-marker table if absent. */
+  private[cdc] def ensureEpochTable(url: String): Unit = {
+    val c = connect(url)
+    try {
+      if (!hasTable(c, EpochTable)) {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          s"""CREATE TABLE $EpochTable (
+             |  target VARCHAR(128), epoch BIGINT, part INT,
+             |  PRIMARY KEY (target, epoch, part))""".stripMargin)
+        finally st.close()
+      }
+    } finally c.close()
+  }
+
   /** Create the person target + epoch-marker tables if absent. */
   def ensureTables(url: String, table: String): Unit = {
     val c = connect(url)
@@ -98,15 +116,44 @@ object JdbcReplica {
              |  score INT, created_at TIMESTAMP)""".stripMargin)
         finally st.close()
       }
-      if (!hasTable(c, EpochTable)) {
-        val st = c.createStatement()
-        try st.executeUpdate(
-          s"""CREATE TABLE $EpochTable (
-             |  target VARCHAR(128), epoch BIGINT, part INT,
-             |  PRIMARY KEY (target, epoch, part))""".stripMargin)
-        finally st.close()
-      }
     } finally c.close()
+    ensureEpochTable(url)
+  }
+
+  /** Exactly-once markers: (target, epoch, partition) rows committing
+    * atomically with the data they guard. */
+  private[cdc] def epochSeen(c: Connection, target: String, epoch: Long,
+      part: Int): Boolean = {
+    val ps = c.prepareStatement(
+      s"SELECT 1 FROM $EpochTable WHERE target=? AND epoch=? AND part=?")
+    try {
+      ps.setString(1, target); ps.setLong(2, epoch); ps.setInt(3, part)
+      val rs = ps.executeQuery()
+      try rs.next() finally rs.close()
+    } finally ps.close()
+  }
+
+  private[cdc] def markEpoch(c: Connection, target: String, epoch: Long,
+      part: Int): Unit = {
+    val ps = c.prepareStatement(s"INSERT INTO $EpochTable VALUES (?, ?, ?)")
+    try {
+      ps.setString(1, target); ps.setLong(2, epoch); ps.setInt(3, part)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  /** Marker retention: Structured Streaming replays at most the
+    * CURRENT epoch (batch N re-runs only before N+1 starts), so markers
+    * below this epoch can never be consulted again — prune them in the
+    * same transaction to keep the table O(partitions), not O(stream
+    * lifetime). */
+  private[cdc] def pruneEpochs(c: Connection, target: String,
+      epoch: Long): Unit = {
+    val ps = c.prepareStatement(
+      s"DELETE FROM $EpochTable WHERE target=? AND epoch<?")
+    try {
+      ps.setString(1, target); ps.setLong(2, epoch); ps.executeUpdate()
+    } finally ps.close()
   }
 
   /** Partitioned JDBC snapshot — the parallel bulk extract
@@ -158,35 +205,10 @@ object JdbcReplica {
           c.setAutoCommit(false)
           // exactly-once: the (target, epoch, partition) marker commits
           // atomically WITH the rows; a replayed epoch short-circuits
-          val seen = {
-            val ps = c.prepareStatement(
-              s"SELECT 1 FROM $EpochTable WHERE target=? AND epoch=? AND part=?")
-            try {
-              ps.setString(1, table); ps.setLong(2, batchId)
-              ps.setInt(3, pid)
-              val rs = ps.executeQuery()
-              try rs.next() finally rs.close()
-            } finally ps.close()
-          }
-          if (!seen) {
+          if (!epochSeen(c, table, batchId, pid)) {
             applyPartition(c, table, buf)
-            val mk = c.prepareStatement(
-              s"INSERT INTO $EpochTable VALUES (?, ?, ?)")
-            try {
-              mk.setString(1, table); mk.setLong(2, batchId)
-              mk.setInt(3, pid); mk.executeUpdate()
-            } finally mk.close()
-            // marker retention: Structured Streaming replays at most
-            // the CURRENT epoch (batch N re-runs only before N+1
-            // starts), so markers below this epoch can never be
-            // consulted again — prune them in the same transaction to
-            // keep the table O(partitions), not O(stream lifetime)
-            val pr = c.prepareStatement(
-              s"DELETE FROM $EpochTable WHERE target=? AND epoch<?")
-            try {
-              pr.setString(1, table); pr.setLong(2, batchId)
-              pr.executeUpdate()
-            } finally pr.close()
+            markEpoch(c, table, batchId, pid)
+            pruneEpochs(c, table, batchId)
             c.commit()
           } else c.rollback()
         } catch { case e: Throwable => c.rollback(); throw e }
@@ -204,6 +226,51 @@ object JdbcReplica {
     * memory; 1k × 3 phases ≈ 3 round-trips per 1k keys). */
   private val JdbcBatchSize = 1000
 
+  /** One per-key summary in binder form — the shape-independent input
+    * to [[applyOps]], so the typed single-table sink and the generic
+    * multi-table sink ([[JdbcMultiTable]]) share one batch engine. */
+  private[cdc] final case class RowOp(
+      bindDel: java.sql.PreparedStatement => Unit,
+      bindUpd: java.sql.PreparedStatement => Unit,
+      bindIns: java.sql.PreparedStatement => Unit,
+      hasDel: Boolean, hasIns: Boolean, hasImg: Boolean)
+
+  /** The three-phase chunked batch engine (see [[applyPartition]]'s
+    * scaladoc for the round-trip and ordering argument): per
+    * [[JdbcBatchSize]] chunk — delete batch, update batch (counts
+    * drive insert-on-miss; SUCCESS_NO_INFO resolved with one exact
+    * single-row update), insert batch (rebirths + misses). */
+  private[cdc] def applyOps(c: Connection, delSql: String, updSql: String,
+      insSql: String, ops: Iterator[RowOp]): Unit = {
+    val del = c.prepareStatement(delSql)
+    val upd = c.prepareStatement(updSql)
+    val ins = c.prepareStatement(insSql)
+    try {
+      ops.grouped(JdbcBatchSize).foreach { chunk =>
+        val dels = chunk.filter(_.hasDel)
+        if (dels.nonEmpty) {
+          dels.foreach { k => k.bindDel(del); del.addBatch() }
+          del.executeBatch()
+        }
+        val upds = chunk.filter(k => !k.hasDel && (k.hasIns || k.hasImg))
+        val counts =
+          if (upds.isEmpty) Array.empty[Int]
+          else { upds.foreach { k => k.bindUpd(upd); upd.addBatch() }
+                 upd.executeBatch() }
+        val missed = upds.iterator.zip(counts.iterator).collect {
+          case (k, n) if k.hasIns &&
+              (n == 0 || (n == java.sql.Statement.SUCCESS_NO_INFO &&
+                { k.bindUpd(upd); upd.executeUpdate() == 0 })) => k
+        }.toSeq
+        val toInsert = dels.filter(_.hasIns) ++ missed
+        if (toInsert.nonEmpty) {
+          toInsert.foreach { k => k.bindIns(ins); ins.addBatch() }
+          ins.executeBatch()
+        }
+      }
+    } finally { del.close(); upd.close(); ins.close() }
+  }
+
   /** Statement shapes for one partition of per-key summaries, executed
     * as THREE JDBC batches per [[JdbcBatchSize]] chunk — delete, then
     * update, then insert — instead of one round-trip per key (r6
@@ -217,24 +284,13 @@ object JdbcReplica {
     * rewrite) is resolved exactly with one follow-up single-row update
     * for that key. */
   private def applyPartition(c: Connection, table: String,
-      rows: Array[Row]): Unit = {
-    val del = c.prepareStatement(s"DELETE FROM $table WHERE id=?")
-    val upd = c.prepareStatement(
-      s"UPDATE $table SET name=?, uid=?, score=? WHERE id=?")
-    val ins = c.prepareStatement(
-      s"INSERT INTO $table (id, name, uid, score, created_at) VALUES (?,?,?,?,?)")
-    def bindUpd(k: KeyOp): Unit = {
-      upd.setString(1, k.name); upd.setString(2, k.uid)
-      upd.setInt(3, k.score); upd.setInt(4, k.id)
-    }
-    def bindIns(k: KeyOp): Unit = {
-      ins.setInt(1, k.id); ins.setString(2, k.name)
-      ins.setString(3, k.uid); ins.setInt(4, k.score)
-      ins.setTimestamp(5, k.cAt)
-    }
-    try {
+      rows: Array[Row]): Unit =
+    applyOps(c,
+      s"DELETE FROM $table WHERE id=?",
+      s"UPDATE $table SET name=?, uid=?, score=? WHERE id=?",
+      s"INSERT INTO $table (id, name, uid, score, created_at) VALUES (?,?,?,?,?)",
       rows.iterator.map { r =>
-        KeyOp(
+        val k = KeyOp(
           id = r.getInt(r.fieldIndex("id")),
           name = r.getString(r.fieldIndex("name")),
           uid = r.getString(r.fieldIndex("uid")),
@@ -244,36 +300,21 @@ object JdbcReplica {
           hasDel = !r.isNullAt(r.fieldIndex("last_d_lsn")),
           hasIns = !r.isNullAt(r.fieldIndex("ins_lsn")),
           hasImg = !r.isNullAt(r.fieldIndex("img_lsn")))
-      }.grouped(JdbcBatchSize).foreach { chunk =>
-        // phase 1 — keys deleted mid-batch: stored history is gone
-        val dels = chunk.filter(_.hasDel)
-        if (dels.nonEmpty) {
-          dels.foreach { k => del.setInt(1, k.id); del.addBatch() }
-          del.executeBatch()
-        }
-        // phase 2 — upsert first leg + update-only rows (a miss on an
-        // update-only key is a no-op, reference U semantics)
-        val upds = chunk.filter(k => !k.hasDel && (k.hasIns || k.hasImg))
-        val counts =
-          if (upds.isEmpty) Array.empty[Int]
-          else { upds.foreach { k => bindUpd(k); upd.addBatch() }
-                 upd.executeBatch() }
-        // phase 3 — inserts: keys reborn after their delete, plus
-        // upsert misses (insert preserves the batch's created_at; a
-        // HIT preserved the stored one by never touching the column)
-        val missed = upds.iterator.zip(counts.iterator).collect {
-          case (k, n) if k.hasIns &&
-              (n == 0 || (n == java.sql.Statement.SUCCESS_NO_INFO &&
-                { bindUpd(k); upd.executeUpdate() == 0 })) => k
-        }.toSeq
-        val toInsert = dels.filter(_.hasIns) ++ missed
-        if (toInsert.nonEmpty) {
-          toInsert.foreach { k => bindIns(k); ins.addBatch() }
-          ins.executeBatch()
-        }
-      }
-    } finally { del.close(); upd.close(); ins.close() }
-  }
+        RowOp(
+          bindDel = del => del.setInt(1, k.id),
+          bindUpd = upd => {
+            // a HIT preserves the stored created_at by never touching
+            // the column (reference ON CONFLICT semantics)
+            upd.setString(1, k.name); upd.setString(2, k.uid)
+            upd.setInt(3, k.score); upd.setInt(4, k.id)
+          },
+          bindIns = ins => {
+            ins.setInt(1, k.id); ins.setString(2, k.name)
+            ins.setString(3, k.uid); ins.setInt(4, k.score)
+            ins.setTimestamp(5, k.cAt)
+          },
+          hasDel = k.hasDel, hasIns = k.hasIns, hasImg = k.hasImg)
+      })
 
   /** Bulk-load rows into the JDBC target (snapshot phase of the
     * replicator): distributed append through Spark's JDBC writer. */

@@ -146,4 +146,58 @@ class JdbcSpec extends AnyFunSuite {
     }.toMap
     assert(got === want)
   }
+
+  test("jdbc multi-table: one interleaved log fans out to typed SQL targets") {
+    import org.apache.spark.sql.types._
+    val personSpec = TableSpec("person", "id", Some("created_at"),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("name", StringType), StructField("uid", StringType),
+        StructField("score", IntegerType),
+        StructField("created_at", TimestampType))))
+    val accountSpec = TableSpec("account", "id", Some("created_at"),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("owner", StringType),
+        StructField("balance", IntegerType),
+        StructField("created_at", TimestampType))))
+    val specs = Seq(personSpec, accountSpec)
+    val url = freshDb("jdbc-mt")
+    val (pOps, aOps) = ChangeGen.mtOps(seed = 121L, nPerson = 400,
+      nAccount = 300)
+    val changeDir = Files.createTempDirectory("jdbc-mt-log").toString
+    val ckpt = Files.createTempDirectory("jdbc-mt-ckpt").toString
+    ChangeGen.writeMtBatches(changeDir, pOps, aOps, batches = 4)
+    val q = JdbcMultiTable.start(spark, changeDir, url, ckpt, specs,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+    try q.awaitTermination() finally q.stop()
+    // each SQL target equals the replay of ITS OWN changes, with
+    // created_at preserved through upserts (ON CONFLICT semantics)
+    val wantP = ChangeGen.replay(pOps).map { case (id, p) =>
+      id -> ((p.name, p.uid, p.score, p.created_at)) }
+    assert(tableMap(url, "person") === wantP)
+    val gotA = {
+      val c = JdbcReplica.connect(url)
+      try {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            "SELECT id, owner, balance, created_at FROM account")
+          val out = scala.collection.mutable.Map
+            [Int, (String, Int, java.sql.Timestamp)]()
+          while (rs.next()) out(rs.getInt(1)) =
+            ((rs.getString(2), rs.getInt(3), rs.getTimestamp(4)))
+          rs.close(); out.toMap
+        } finally st.close()
+      } finally c.close()
+    }
+    val wantA = ChangeGen.replay(aOps).map { case (id, p) =>
+      id -> ((p.name, p.score, p.created_at)) }
+    assert(gotA === wantA)
+    // replaying a committed epoch is a no-op (markers key on epoch)
+    val lines = (pOps.take(50).map(ChangeGen.toJsonLine) ++
+      aOps.take(50).map(ChangeGen.toAccountJsonLine)).toDF("value")
+    JdbcMultiTable.applyBatch(spark,
+      MultiTable.parseAll(lines, specs), url, specs, batchId = 3L)
+    assert(tableMap(url, "person") === wantP,
+      "replayed epoch must be skipped by its markers")
+  }
 }
