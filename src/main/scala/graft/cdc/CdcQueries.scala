@@ -204,75 +204,78 @@ object CdcQueries {
            |SELECT verdict, count(*) AS n FROM cls
            |GROUP BY verdict ORDER BY verdict""".stripMargin))
 
-  private val mtPersonSnapPq = s"$FixtureDir/cdc_mt_person_snap.parquet"
-  private val mtPersonStrPq = s"$FixtureDir/cdc_mt_person_stream.parquet"
-  private val mtAccountStrPq = s"$FixtureDir/cdc_mt_account_stream.parquet"
+  private val personSpecMt: TableSpec = {
+    import org.apache.spark.sql.types._
+    TableSpec("person", "id", Some("created_at"),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("name", StringType), StructField("uid", StringType),
+        StructField("score", IntegerType),
+        StructField("created_at", TimestampType))))
+  }
+  private val accountSpecMt: TableSpec = {
+    import org.apache.spark.sql.types._
+    TableSpec("account", "id", Some("created_at"),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("owner", StringType),
+        StructField("balance", IntegerType),
+        StructField("created_at", TimestampType))))
+  }
+  private val mtSpecs = Seq(personSpecMt, accountSpecMt)
 
-  /** Multi-table replication e2e (r5 VERDICT ask #3): ONE interleaved
-    * change log carrying `person` and `account` rows fans out through
-    * [[MultiTable.start]] to two independently-keyed replicas — person
-    * bootstrapped from a snapshot, account purely from the stream (both
-    * bootstrap modes in one run). The result unions both replicas into
-    * a common (tbl, id, label, amount, created_at) shape; the oracle
-    * replays each table's changes INDEPENDENTLY from its own fixture —
-    * "each table's replica equals the filtered replay of its own
-    * changes" is literally the compared statement. */
-  private val multitableE2e = Declared(
-    "cdc_multitable_e2e",
-    (s: SparkSession, _: String) => {
-      import org.apache.spark.sql.types._
-      import s.implicits._
-      val (pOps, aOps) = ChangeGen.mtOps(seed = 61L, nPerson = 900,
-        nAccount = 600)
-      val (pSnap, pStream) = pOps.splitAt(400)
-      val changeDir = Files.createTempDirectory("graft-mt-log").toString
-      val root = Files.createTempDirectory("graft-mt-replica").toString
-      val ckpt = Files.createTempDirectory("graft-mt-ckpt").toString
-      val personSpec = TableSpec("person", "id", Some("created_at"),
-        StructType(Seq(StructField("id", IntegerType),
-          StructField("name", StringType), StructField("uid", StringType),
-          StructField("score", IntegerType),
-          StructField("created_at", TimestampType))))
-      val accountSpec = TableSpec("account", "id", Some("created_at"),
-        StructType(Seq(StructField("id", IntegerType),
-          StructField("owner", StringType),
-          StructField("balance", IntegerType),
-          StructField("created_at", TimestampType))))
-      val snapState = ChangeGen.replay(pSnap).values.toSeq
-      MultiTable.snapshot(s, snapState.toDS().toDF(), root, personSpec)
-      snapState.toDS().toDF().coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(mtPersonSnapPq)
-      dumpChanges(s, pStream, mtPersonStrPq)
-      ChangeGen.toChanges(aOps).toDS().toDF()
-        .withColumnRenamed("name", "owner")
-        .withColumnRenamed("score", "balance").drop("uid")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(mtAccountStrPq)
-      ChangeGen.writeMtBatches(changeDir, pStream, aOps, batches = 5)
-      val q = MultiTable.start(s, changeDir, root, ckpt,
-        Seq(personSpec, accountSpec), maxFilesPerTrigger = Some(1),
-        trigger = Trigger.AvailableNow(), compactEvery = 3)
-      try q.awaitTermination() finally q.stop()
-      val p = MultiTable.readTable(s, root, personSpec)
-        .select(org.apache.spark.sql.functions.lit("person").as("tbl"),
-          org.apache.spark.sql.functions.col("id"),
-          org.apache.spark.sql.functions.col("name").as("label"),
-          org.apache.spark.sql.functions.col("score").as("amount"),
-          org.apache.spark.sql.functions.col("created_at"))
-      val a = MultiTable.readTable(s, root, accountSpec)
-        .select(org.apache.spark.sql.functions.lit("account").as("tbl"),
-          org.apache.spark.sql.functions.col("id"),
-          org.apache.spark.sql.functions.col("owner").as("label"),
-          org.apache.spark.sql.functions.col("balance").as("amount"),
-          org.apache.spark.sql.functions.col("created_at"))
-      p.unionAll(a).orderBy("tbl", "id")
-    },
-    Some(s"""WITH pev AS (
+  /** Multi-table replication e2e, parameterized over the storage path
+    * (r5 VERDICT ask #3, extended round 6 to the full matrix): ONE
+    * interleaved change log carrying `person` and `account` rows fans
+    * out to two independently-keyed replicas — person bootstrapped from
+    * a snapshot, account purely from the stream (both bootstrap modes
+    * in one run). `pipeline` bootstraps + runs the streaming fan-out
+    * and returns a per-table reader; the result unions both replicas
+    * into a common (tbl, id, label, amount, created_at) shape. The
+    * oracle replays each table's changes INDEPENDENTLY from its own
+    * fixture — "each table's replica equals the filtered replay of its
+    * own changes" is literally the compared statement, identical SQL
+    * for every storage path. */
+  private def mtE2e(name: String, tag: String, seed: Long,
+      pipeline: (SparkSession, Seq[PersonRow], String) =>
+        TableSpec => DataFrame): Declared = {
+    val snapPq = s"$FixtureDir/${tag}_person_snap.parquet"
+    val pStrPq = s"$FixtureDir/${tag}_person_stream.parquet"
+    val aStrPq = s"$FixtureDir/${tag}_account_stream.parquet"
+    Declared(
+      name,
+      (s: SparkSession, _: String) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        import s.implicits._
+        val (pOps, aOps) = ChangeGen.mtOps(seed, nPerson = 900,
+          nAccount = 600)
+        val (pSnap, pStream) = pOps.splitAt(400)
+        val changeDir = Files.createTempDirectory(s"graft-$tag-log").toString
+        val snapState = ChangeGen.replay(pSnap).values.toSeq
+        snapState.toDS().toDF().coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(snapPq)
+        dumpChanges(s, pStream, pStrPq)
+        ChangeGen.toChanges(aOps).toDS().toDF()
+          .withColumnRenamed("name", "owner")
+          .withColumnRenamed("score", "balance").drop("uid")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(aStrPq)
+        ChangeGen.writeMtBatches(changeDir, pStream, aOps, batches = 5)
+        val read = pipeline(s, snapState, changeDir)
+        val p = read(personSpecMt)
+          .select(lit("person").as("tbl"), col("id"),
+            col("name").as("label"), col("score").as("amount"),
+            col("created_at"))
+        val a = read(accountSpecMt)
+          .select(lit("account").as("tbl"), col("id"),
+            col("owner").as("label"), col("balance").as("amount"),
+            col("created_at"))
+        p.unionAll(a).orderBy("tbl", "id")
+      },
+      Some(s"""WITH pev AS (
            |  SELECT id, name AS label, score AS amount, created_at,
            |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
-           |  FROM read_parquet('$mtPersonSnapPq/*.parquet')
+           |  FROM read_parquet('$snapPq/*.parquet')
            |  UNION ALL
            |  SELECT id, name, score, created_at, lsn, action
-           |  FROM read_parquet('$mtPersonStrPq/*.parquet')
+           |  FROM read_parquet('$pStrPq/*.parquet')
            |), plastd AS (
            |  SELECT id, max(lsn) AS dlsn FROM pev WHERE action = 'D'
            |  GROUP BY id
@@ -289,7 +292,7 @@ object CdcQueries {
            |), aev AS (
            |  SELECT id, owner AS label, balance AS amount, created_at,
            |         lsn, action
-           |  FROM read_parquet('$mtAccountStrPq/*.parquet')
+           |  FROM read_parquet('$aStrPq/*.parquet')
            |), alastd AS (
            |  SELECT id, max(lsn) AS dlsn FROM aev WHERE action = 'D'
            |  GROUP BY id
@@ -306,6 +309,59 @@ object CdcQueries {
            |)
            |SELECT * FROM pfold UNION ALL SELECT * FROM afold
            |ORDER BY tbl, id""".stripMargin))
+  }
+
+  private val multitableE2e = mtE2e("cdc_multitable_e2e", "cdc_mt", 61L,
+    (s, snap, changeDir) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-mt-replica").toString
+      val ckpt = Files.createTempDirectory("graft-mt-ckpt").toString
+      MultiTable.snapshot(s, snap.toDS().toDF(), root, personSpecMt)
+      val q = MultiTable.start(s, changeDir, root, ckpt, mtSpecs,
+        maxFilesPerTrigger = Some(1), trigger = Trigger.AvailableNow(),
+        compactEvery = 3)
+      try q.awaitTermination() finally q.stop()
+      spec => MultiTable.readTable(s, root, spec)
+    })
+
+  /** The same fan-out on the MANIFEST commit protocol — the driver's
+    * oracle now checks the object-store-shaped multi-table path too. */
+  private val mtManifestE2e = mtE2e("cdc_mt_manifest_e2e", "cdc_mtm", 62L,
+    (s, snap, changeDir) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-mtm-replica").toString
+      val ckpt = Files.createTempDirectory("graft-mtm-ckpt").toString
+      ManifestMultiTable.snapshot(s, snap.toDS().toDF(), root,
+        personSpecMt)
+      val q = ManifestMultiTable.start(s, changeDir, root, ckpt, mtSpecs,
+        maxFilesPerTrigger = Some(1), trigger = Trigger.AvailableNow(),
+        compactEvery = 3)
+      try q.awaitTermination() finally q.stop()
+      spec => ManifestMultiTable.readTable(s, root, spec)
+    })
+
+  /** The same fan-out into SQL targets over JDBC (embedded Derby) —
+    * person bulk-loaded through Spark's JDBC writer, the stream applied
+    * through the three-phase batched sink, read back over JDBC. */
+  private val mtJdbcE2e = mtE2e("cdc_mt_jdbc_e2e", "cdc_mtj", 63L,
+    (s, snap, changeDir) => {
+      import s.implicits._
+      System.setProperty("derby.stream.error.file", "/tmp/graft-derby.log")
+      val url = s"jdbc:derby:${
+        Files.createTempDirectory("graft-mtj-db")}/db;create=true"
+      val ckpt = Files.createTempDirectory("graft-mtj-ckpt").toString
+      mtSpecs.foreach(JdbcMultiTable.ensureTable(url, _))
+      snap.toDS().toDF().write.mode("append")
+        .jdbc(url, "person", new java.util.Properties)
+      val q = JdbcMultiTable.start(s, changeDir, url, ckpt, mtSpecs,
+        trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+      try q.awaitTermination() finally q.stop()
+      spec => {
+        import org.apache.spark.sql.functions.col
+        s.read.jdbc(url, spec.table, new java.util.Properties)
+          .select(spec.rowSchema.fieldNames.toSeq.map(col): _*)
+      }
+    })
 
   private val jdbcSnapPq = s"$FixtureDir/cdc_jdbc_snap.parquet"
   private val jdbcStrPq = s"$FixtureDir/cdc_jdbc_stream.parquet"
@@ -367,5 +423,5 @@ object CdcQueries {
 
   val all: Seq[Declared] =
     Seq(replicateE2e, manifestE2e, parseChangelog, quarantine,
-      multitableE2e, jdbcE2e)
+      multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e)
 }
