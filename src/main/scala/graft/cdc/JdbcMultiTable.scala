@@ -33,18 +33,28 @@ object JdbcMultiTable {
   import JdbcReplica.{RowOp, applyOps, connect, epochSeen, markEpoch,
     pruneEpochs}
 
-  private def sqlType(dt: DataType): String = dt match {
-    case IntegerType => "INT"
-    case LongType => "BIGINT"
-    case DoubleType => "DOUBLE"
-    case FloatType => "REAL"
-    case BooleanType => "BOOLEAN"
-    case TimestampType => "TIMESTAMP"
-    case DateType => "DATE"
-    case StringType => "VARCHAR(500)"
-    case other =>
-      throw new IllegalArgumentException(s"no SQL mapping for $other")
-  }
+  private def sqlType(f: StructField, isKey: Boolean): String =
+    f.dataType match {
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case TimestampType => "TIMESTAMP"
+      case DateType => "DATE"
+      case StringType =>
+        // free-text columns get the widest portable VARCHAR (Derby's
+        // max; a 500-char default silently failed streams the other
+        // three matrix cells accept — r6 review). Keys stay modest so
+        // they index everywhere; override either via "maxLength" in
+        // the field's metadata.
+        val len =
+          if (f.metadata.contains("maxLength")) f.metadata.getLong("maxLength")
+          else if (isKey) 500L else 32672L
+        s"VARCHAR($len)"
+      case other =>
+        throw new IllegalArgumentException(s"no SQL mapping for $other")
+    }
 
   private def jdbcType(dt: DataType): Int = dt match {
     case IntegerType => java.sql.Types.INTEGER
@@ -65,8 +75,9 @@ object JdbcMultiTable {
     try {
       if (!JdbcReplica.tableExists(c, spec.table)) {
         val cols = spec.rowSchema.fields.map { f =>
-          val constraint = if (f.name == spec.keyCol) " PRIMARY KEY" else ""
-          s"${f.name} ${sqlType(f.dataType)}$constraint"
+          val isKey = f.name == spec.keyCol
+          val constraint = if (isKey) " PRIMARY KEY" else ""
+          s"${f.name} ${sqlType(f, isKey)}$constraint"
         }.mkString(", ")
         val st = c.createStatement()
         try st.executeUpdate(s"CREATE TABLE ${spec.table} ($cols)")
@@ -124,8 +135,16 @@ object JdbcMultiTable {
         val updCols = nonKey.filterNot { case (f, _) =>
           spec.createdAtCol.contains(f.name) } // never touch created_at
         val delSql = s"DELETE FROM ${spec.table} WHERE ${spec.keyCol}=?"
-        val updSql = s"UPDATE ${spec.table} SET ${
-          updCols.map(_._1.name + "=?").mkString(", ")} WHERE ${spec.keyCol}=?"
+        // a spec whose only columns are the key and created_at has
+        // nothing to update — "SET key=key" keeps the statement valid
+        // AND its update count still answers "did the key exist", which
+        // the insert-on-miss decision needs (r6 review: an empty SET
+        // list was a syntax error that killed the stream)
+        val setList =
+          if (updCols.isEmpty) s"${spec.keyCol}=${spec.keyCol}"
+          else updCols.map(_._1.name + "=?").mkString(", ")
+        val updSql =
+          s"UPDATE ${spec.table} SET $setList WHERE ${spec.keyCol}=?"
         val insSql = s"INSERT INTO ${spec.table} (${
           fields.map(_.name).mkString(", ")}) VALUES (${
           fields.map(_ => "?").mkString(",")})"

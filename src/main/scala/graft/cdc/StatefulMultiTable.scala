@@ -51,7 +51,14 @@ object StatefulMultiTable {
               case _ => None // "D"
             }
           }
-          state.update(MtReplicaState(fin))
+          // dead keys REMOVE their state rather than parking a
+          // tombstone (r6 review: NoTimeout tombstones grew state with
+          // every key ever seen). Removal is semantics-preserving:
+          // this path is order-dependent by contract, a later U on
+          // absent state is already a no-op, and a later I re-creates
+          // the key — so state size really is live keys × row width.
+          if (fin.isDefined) state.update(MtReplicaState(fin))
+          else if (state.exists) state.remove()
           Iterator(MtUpdate(tbl, key, fin.isDefined, fin.map(_.img),
             fin.flatMap(_.created_at)))
       }

@@ -3,8 +3,9 @@ package graft.cdc
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Per-key replica state for the state-store path. `row` is None for a
-  * deleted/never-inserted key (a retained tombstone). */
+/** Per-key replica state for the state-store path. `row` is None only
+  * transiently (a key that dies within a batch removes its state
+  * entirely rather than parking a tombstone). */
 final case class ReplicaState(row: Option[PersonRow])
 
 /** One emitted state transition: the key's new live image, or a
@@ -43,7 +44,12 @@ object StatefulReplica {
           val init = state.getOption.flatMap(_.row)
           val fin = events.toSeq.sortBy(_.lsn).foldLeft(init)(
             Replicate.foldEvent)
-          state.update(ReplicaState(fin))
+          // dead keys remove their state outright — a retained
+          // tombstone buys nothing on this order-dependent path (U on
+          // absent is a no-op, I re-creates) and would grow state with
+          // every key ever seen instead of the live set (r6 review)
+          if (fin.isDefined) state.update(ReplicaState(fin))
+          else if (state.exists) state.remove()
           Iterator(ReplicaUpdate(id, fin.isDefined, fin))
       }
   }

@@ -148,18 +148,7 @@ class JdbcSpec extends AnyFunSuite {
   }
 
   test("jdbc multi-table: one interleaved log fans out to typed SQL targets") {
-    import org.apache.spark.sql.types._
-    val personSpec = TableSpec("person", "id", Some("created_at"),
-      StructType(Seq(StructField("id", IntegerType),
-        StructField("name", StringType), StructField("uid", StringType),
-        StructField("score", IntegerType),
-        StructField("created_at", TimestampType))))
-    val accountSpec = TableSpec("account", "id", Some("created_at"),
-      StructType(Seq(StructField("id", IntegerType),
-        StructField("owner", StringType),
-        StructField("balance", IntegerType),
-        StructField("created_at", TimestampType))))
-    val specs = Seq(personSpec, accountSpec)
+    val specs = MtTestSpecs.both
     val url = freshDb("jdbc-mt")
     val (pOps, aOps) = ChangeGen.mtOps(seed = 121L, nPerson = 400,
       nAccount = 300)
@@ -174,7 +163,7 @@ class JdbcSpec extends AnyFunSuite {
     val wantP = ChangeGen.replay(pOps).map { case (id, p) =>
       id -> ((p.name, p.uid, p.score, p.created_at)) }
     assert(tableMap(url, "person") === wantP)
-    val gotA = {
+    def accountTable: Map[Int, (String, Int, java.sql.Timestamp)] = {
       val c = JdbcReplica.connect(url)
       try {
         val st = c.createStatement()
@@ -191,13 +180,16 @@ class JdbcSpec extends AnyFunSuite {
     }
     val wantA = ChangeGen.replay(aOps).map { case (id, p) =>
       id -> ((p.name, p.score, p.created_at)) }
-    assert(gotA === wantA)
-    // replaying a committed epoch is a no-op (markers key on epoch)
+    assert(accountTable === wantA)
+    // replaying a committed epoch is a no-op for EVERY declared table
+    // (markers key on (target, epoch, partition))
     val lines = (pOps.take(50).map(ChangeGen.toJsonLine) ++
       aOps.take(50).map(ChangeGen.toAccountJsonLine)).toDF("value")
     JdbcMultiTable.applyBatch(spark,
       MultiTable.parseAll(lines, specs), url, specs, batchId = 3L)
     assert(tableMap(url, "person") === wantP,
       "replayed epoch must be skipped by its markers")
+    assert(accountTable === wantA,
+      "replayed epoch must be skipped for the second table too")
   }
 }

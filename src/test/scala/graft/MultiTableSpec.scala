@@ -17,17 +17,9 @@ class MultiTableSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private val personSpec = TableSpec("person", "id", Some("created_at"),
-    StructType(Seq(StructField("id", IntegerType),
-      StructField("name", StringType), StructField("uid", StringType),
-      StructField("score", IntegerType),
-      StructField("created_at", TimestampType))))
-  private val accountSpec = TableSpec("account", "id", Some("created_at"),
-    StructType(Seq(StructField("id", IntegerType),
-      StructField("owner", StringType),
-      StructField("balance", IntegerType),
-      StructField("created_at", TimestampType))))
-  private val specs = Seq(personSpec, accountSpec)
+  private val personSpec = MtTestSpecs.person
+  private val accountSpec = MtTestSpecs.account
+  private val specs = MtTestSpecs.both
 
   private def personMap(root: String): Map[Int, (String, String, Int)] =
     MultiTable.readTable(spark, root, personSpec).collect()

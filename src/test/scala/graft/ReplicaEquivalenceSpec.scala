@@ -101,18 +101,8 @@ class ReplicaEquivalenceSpec extends AnyFunSuite {
 
   test("property: all four MULTI-TABLE paths equal replay over 30 seeds") {
     import org.apache.spark.sql.functions.{col, from_json}
-    import org.apache.spark.sql.types.{MapType, StringType, StructType, StructField, IntegerType, TimestampType}
-    val personSpec = TableSpec("person", "id", Some("created_at"),
-      StructType(Seq(StructField("id", IntegerType),
-        StructField("name", StringType), StructField("uid", StringType),
-        StructField("score", IntegerType),
-        StructField("created_at", TimestampType))))
-    val accountSpec = TableSpec("account", "id", Some("created_at"),
-      StructType(Seq(StructField("id", IntegerType),
-        StructField("owner", StringType),
-        StructField("balance", IntegerType),
-        StructField("created_at", TimestampType))))
-    val specs = Seq(personSpec, accountSpec)
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val specs = MtTestSpecs.both
     val Seeds = 30
     val Batches = 3
     // per seed: interleaved person+account ops on the seed's own key
