@@ -89,7 +89,7 @@ object JdbcMultiTable {
   /** Per-key summaries of one table's batch slice, projected to typed
     * columns + action flags — the executor-side decode that keeps the
     * JDBC partition loop free of JSON work. */
-  private[cdc] def typedSummaries(slice: DataFrame, spec: TableSpec,
+  private[graft] def typedSummaries(slice: DataFrame, spec: TableSpec,
       parallelism: Int): DataFrame = {
     val byKey = Window.partitionBy("key")
     val afterD = col("lsn") > coalesce(col("last_d_lsn"), lit(Long.MinValue))

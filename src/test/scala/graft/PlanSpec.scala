@@ -263,6 +263,29 @@ class PlanSpec extends AnyFunSuite {
       s"gram stats must stay inside the scan:\n${s.take(600)}")
   }
 
+  test("JDBC multi-table summaries: one exchange serves repartition, window, and aggregate") {
+    // typedSummaries keys everything on `key`: the explicit
+    // repartition, the last-delete window, and the per-key aggregate
+    // must share ONE hash exchange — a second one would re-shuffle the
+    // batch between stages for nothing
+    import spark.implicits._
+    val parsed = graft.cdc.MultiTable.parseAll(
+      graft.cdc.ChangeGen.ops(seed = 9L, n = 200)
+        .map(graft.cdc.ChangeGen.toJsonLine)
+        .toDF("value"), MtTestSpecs.both)
+    val typed = graft.cdc.JdbcMultiTable.typedSummaries(
+      parsed.filter(org.apache.spark.sql.functions.col("tbl") === "person")
+        .drop("tbl"), MtTestSpecs.person, parallelism = 4)
+    val qe = typed.queryExecution
+    qe.executedPlan.execute().foreach(_ => ())
+    val finalPlan = qe.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"typedSummaries re-shuffles between stages:\n$finalPlan")
+  }
+
   test("native-kernel queries explode nothing: no Generate node") {
     // the GramStats/SimHashTokens rewrites' whole point is that the
     // per-row kernels replaced explode+aggregate pipelines — a reshape
