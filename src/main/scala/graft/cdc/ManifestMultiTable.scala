@@ -223,6 +223,62 @@ object ManifestMultiTable {
       : Seq[Long] =
     ManifestReplica.versions(spark, tableDir(root, spec))
 
+  /** Retention-aware reclamation across every declared table — each
+    * table's root gets [[ManifestReplica.gc]]'s exact sweep (keep
+    * everything any retained version names), independently. */
+  def gc(spark: SparkSession, root: String, specs: Seq[TableSpec],
+      graceMs: Long = 0L): Unit =
+    specs.foreach(sp => ManifestReplica.gc(spark, tableDir(root, sp),
+      graceMs))
+
+  /** Drop one table's replica entirely (S9) — the schema-independent
+    * [[ManifestReplica.truncate]] on its root. */
+  def truncate(spark: SparkSession, root: String, spec: TableSpec): Unit =
+    ManifestReplica.truncate(spark, tableDir(root, spec))
+
+  /** Physically remove one table's tombstones —
+    * [[ManifestReplica.vacuum]] over the generic schema (the privacy-
+    * delete / reclamation pass; same precondition: the source can no
+    * longer deliver lsns below the tombstones' delete lsns). Pending
+    * deltas fold first; every live bucket is rewritten one generation
+    * up with only its alive keys; like the single-table vacuum this
+    * deliberately collapses the table's time-travel window before
+    * sweeping (it exists to remove bytes). */
+  def vacuum(spark: SparkSession, root: String, spec: TableSpec,
+      numBuckets: Int = MultiTable.DefaultNumBuckets): Unit = {
+    val dir = tableDir(root, spec)
+    ManifestReplica.withLifecycle(dir) {
+      compact(spark, dir, numBuckets)
+      val (fs, rootP) = fsOf(spark, dir)
+      val (_, m) = readManifest(fs, rootP)
+      checkMod(m, numBuckets, "vacuum")
+      if (m.buckets.nonEmpty) {
+      val alive = spark.read.schema(MtBaseSchema)
+        .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
+        .filter(col("first_ins").isNotNull)
+        .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+        .repartition(numBuckets, col(BucketCol))
+      val gen = m.gen + 1
+      val stage = new Path(rootP, s".stage-g$gen")
+      writingTo(stage) {
+        fs.delete(stage, true)
+        alive.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+          .parquet(stage.toString)
+        lockFor(rootP).synchronized {
+          val moved = placeBuckets(fs, rootP, stage, gen)
+          commitUpdate(fs, rootP) { cur =>
+            checkMod(cur, numBuckets, "vacuum")
+            Some(Manifest(cur.gen max gen, cur.watermark,
+              moved.map(_ -> gen).toMap, cur.deltas, mod = numBuckets))
+          }
+        }
+      }
+      ManifestReplica.pruneHistory(fs, rootP)
+      ManifestReplica.gc(spark, dir)
+      }
+    }
+  }
+
   /** The continuous multi-table pipeline on the manifest protocol:
     * one change-log stream → [[MultiTable.parseAll]] once per trigger →
     * per-table manifest-committed apply. */

@@ -427,6 +427,13 @@ object ManifestReplica {
   private val lifecycleOps =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Run a bulk lifecycle op (vacuum/truncate) with the per-dir flag
+    * held — shared with the generic multi-table twins. */
+  private[cdc] def withLifecycle[A](dir: String)(body: => A): A = {
+    check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
+    try body finally lifecycleOps.remove(dir)
+  }
+
   /** Paths an in-JVM writer is currently materializing OUTSIDE the
     * commit lock — the heavy parquet writes (delta tmp dirs, stage
     * dirs) that by design run before lock acquisition, so the lock
@@ -769,7 +776,7 @@ object ManifestReplica {
   /** Drop every manifest version (and claim marker) below the newest —
     * the deliberate forfeiture of time travel that [[vacuum]] performs
     * before its sweep. */
-  private def pruneHistory(fs: FileSystem, root: Path): Unit =
+  private[cdc] def pruneHistory(fs: FileSystem, root: Path): Unit =
     listVersions(fs, root).lastOption.foreach { cur =>
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName

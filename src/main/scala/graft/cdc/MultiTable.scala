@@ -74,7 +74,7 @@ object MultiTable {
       StructField("created_at", TimestampType)))),
     StructField("last_d_lsn", LongType)))
 
-  private[cdc] val MtBaseSchema =
+  private[graft] val MtBaseSchema =
     StructType(MtDeltaSchema.fields.filterNot(_.name == BucketCol))
 
   val DefaultNumBuckets = 8

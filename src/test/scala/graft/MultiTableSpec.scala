@@ -291,6 +291,36 @@ class MultiTableSpec extends AnyFunSuite {
       "recoverSwap must run for idle declared tables")
   }
 
+  test("multi-table manifest vacuum drops tombstone bytes, preserves state, collapses history") {
+    val pOps = ChangeGen.ops(seed = 131L, n = 120)
+    val root = Files.createTempDirectory("mtm-vacuum").toString
+    val parsed = MultiTable.parseAll(
+      pOps.map(ChangeGen.toJsonLine).toDF("value"), specs)
+    ManifestMultiTable.applyBatch(spark, parsed, root, specs, batchId = 0L)
+    val want = personMapOf(
+      ManifestMultiTable.readTable(spark, root, personSpec))
+    assert(want === wantPerson(pOps))
+    ManifestMultiTable.vacuum(spark, root, personSpec)
+    // state unchanged through the rewrite
+    assert(personMapOf(ManifestMultiTable.readTable(spark, root,
+      personSpec)) === want)
+    // tombstones are physically gone: the rewritten buckets hold only
+    // alive keys (raw generic read, no filter)
+    val dir = s"$root/person"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = ManifestReplica.readManifestAt(fs, p,
+      ManifestMultiTable.versions(spark, root, personSpec).max)
+    assert(m.deltas.isEmpty, "vacuum must fold pending deltas first")
+    val raw = spark.read.schema(MultiTable.MtBaseSchema)
+      .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
+    assert(raw.filter(col("first_ins").isNull).count() === 0,
+      "tombstone rows must be physically removed")
+    assert(raw.count().toInt === want.size)
+    // vacuum deliberately forfeits time travel before sweeping
+    assert(ManifestMultiTable.versions(spark, root, personSpec).size === 1)
+  }
+
   test("schema evolution: a widened declared schema reads old rows with nulls, no rewrite") {
     // the replica stores the envelope's column map as JSON, so adding
     // a column to the DECLARED schema is a read-side change only (the
