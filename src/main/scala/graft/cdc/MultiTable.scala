@@ -306,6 +306,31 @@ object MultiTable {
     deltaDirs.foreach(d => fs.delete(d, true))
   }
 
+  /** Physically remove one table's tombstones — [[Replicate.vacuum]]
+    * over the generic schema (same precondition: the source can no
+    * longer deliver lsns below the tombstones' delete lsns). Pending
+    * deltas fold first; live buckets are rewritten alive-keys-only via
+    * the same rename-aside swap; all-tombstone buckets drop outright. */
+  def vacuum(spark: SparkSession, root: String, spec: TableSpec,
+      numBuckets: Int = DefaultNumBuckets): Unit = {
+    val dir = tableDir(root, spec)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Replicate.checkLayout(fs, base, numBuckets)
+    Replicate.recoverSwap(fs, base)
+    compact(spark, dir, numBuckets)
+    val alive = Replicate.readBase(spark, fs, dir, schema = MtBaseSchema)
+      .filter(col("first_ins").isNotNull)
+      .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+      .repartition(numBuckets, col(BucketCol))
+    Replicate.writeAndSwap(fs, base, dir, alive, dropAbsent = true)
+  }
+
+  /** Drop one table's replica entirely (S9) — [[Replicate.truncate]]
+    * on its root (schema-independent). */
+  def truncate(spark: SparkSession, root: String, spec: TableSpec): Unit =
+    Replicate.truncate(spark, tableDir(root, spec))
+
   /** Merge-on-read view of one table, projected to its typed schema:
     * fold base ∪ pending deltas, keep live keys, parse each surviving
     * image's JSON once and cast per the declared schema. */

@@ -419,7 +419,7 @@ object Replicate {
     * the bucket column (a plain reader never needs to know the writer's
     * bucket count; [[compact]] recomputes it with the authoritative
     * `numBuckets`). */
-  private[cdc] def readBase(spark: SparkSession, fs: FileSystem,
+  private[graft] def readBase(spark: SparkSession, fs: FileSystem,
       replicaDir: String, only: Option[Set[Int]] = None,
       schema: StructType = BaseSchema): DataFrame = {
     val buckets = {

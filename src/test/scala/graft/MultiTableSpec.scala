@@ -291,6 +291,26 @@ class MultiTableSpec extends AnyFunSuite {
       "recoverSwap must run for idle declared tables")
   }
 
+  test("multi-table rename-path vacuum drops tombstone bytes, preserves state") {
+    val pOps = ChangeGen.ops(seed = 137L, n = 120)
+    val root = Files.createTempDirectory("mt-vacuum").toString
+    MultiTable.applyBatch(spark, MultiTable.parseAll(
+      pOps.map(ChangeGen.toJsonLine).toDF("value"), specs), root, specs,
+      batchId = 0L)
+    val want = personMap(root)
+    assert(want === wantPerson(pOps))
+    MultiTable.vacuum(spark, root, personSpec)
+    assert(personMap(root) === want, "state must survive the rewrite")
+    val dir = s"$root/person"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = Replicate.readBase(spark, fs, dir,
+      schema = MultiTable.MtBaseSchema)
+    assert(raw.filter(col("first_ins").isNull).count() === 0,
+      "tombstone rows must be physically removed")
+    assert(raw.count().toInt === want.size)
+  }
+
   test("multi-table manifest vacuum drops tombstone bytes, preserves state, collapses history") {
     val pOps = ChangeGen.ops(seed = 131L, n = 120)
     val root = Files.createTempDirectory("mtm-vacuum").toString
