@@ -109,7 +109,13 @@ object ManifestMultiTable {
           }
           }
         }
-      if (committed.deltas.size >= compactEvery)
+      // same gate as ManifestReplica.applyBatch (r6 review: without it
+      // a trigger's compact could race a vacuum's rewrite — both
+      // computing gen+1 from the same manifest and clobbering each
+      // other's stage dir — or re-commit pre-vacuum tombstones from a
+      // base read that predates the rewrite)
+      if (committed.deltas.size >= compactEvery &&
+          !ManifestReplica.lifecycleBusy(dir))
         compact(spark, dir, numBuckets)
       }
     } finally parsed.unpersist()
@@ -247,36 +253,9 @@ object ManifestMultiTable {
   def vacuum(spark: SparkSession, root: String, spec: TableSpec,
       numBuckets: Int = MultiTable.DefaultNumBuckets): Unit = {
     val dir = tableDir(root, spec)
-    ManifestReplica.withLifecycle(dir) {
-      compact(spark, dir, numBuckets)
-      val (fs, rootP) = fsOf(spark, dir)
-      val (_, m) = readManifest(fs, rootP)
-      checkMod(m, numBuckets, "vacuum")
-      if (m.buckets.nonEmpty) {
-      val alive = spark.read.schema(MtBaseSchema)
-        .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
-        .filter(col("first_ins").isNotNull)
-        .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
-        .repartition(numBuckets, col(BucketCol))
-      val gen = m.gen + 1
-      val stage = new Path(rootP, s".stage-g$gen")
-      writingTo(stage) {
-        fs.delete(stage, true)
-        alive.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-          .parquet(stage.toString)
-        lockFor(rootP).synchronized {
-          val moved = placeBuckets(fs, rootP, stage, gen)
-          commitUpdate(fs, rootP) { cur =>
-            checkMod(cur, numBuckets, "vacuum")
-            Some(Manifest(cur.gen max gen, cur.watermark,
-              moved.map(_ -> gen).toMap, cur.deltas, mod = numBuckets))
-          }
-        }
-      }
-      ManifestReplica.pruneHistory(fs, rootP)
-      ManifestReplica.gc(spark, dir)
-      }
-    }
+    ManifestReplica.vacuumWith(spark, dir, numBuckets, MtBaseSchema,
+      pmod(hash(col("key")), lit(numBuckets)),
+      () => compact(spark, dir, numBuckets))
   }
 
   /** The continuous multi-table pipeline on the manifest protocol:

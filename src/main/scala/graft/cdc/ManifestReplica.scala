@@ -429,7 +429,10 @@ object ManifestReplica {
 
   /** Run a bulk lifecycle op (vacuum/truncate) with the per-dir flag
     * held — shared with the generic multi-table twins. */
-  private[cdc] def withLifecycle[A](dir: String)(body: => A): A = {
+  private[cdc] def lifecycleBusy(dir: String): Boolean =
+    lifecycleOps.contains(dir)
+
+  private[graft] def withLifecycle[A](dir: String)(body: => A): A = {
     check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
     try body finally lifecycleOps.remove(dir)
   }
@@ -730,19 +733,32 @@ object ManifestReplica {
     * rare, operator-invoked reclamation pass, not the steady-state
     * fold. */
   def vacuum(spark: SparkSession, dir: String,
-      numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
-    check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
-    try {
+      numBuckets: Int = Replicate.DefaultNumBuckets): Unit =
+    vacuumWith(spark, dir, numBuckets, BaseSchema,
+      pmod(col("id"), lit(numBuckets)).cast("int"),
+      () => compact(spark, dir, numBuckets))
+
+  /** [[vacuum]] parameterized over the summary schema and bucket
+    * expression, so the generic multi-table twin shares this exact
+    * stage/place/commit/prune/gc sequence instead of hand-copying the
+    * trickiest crash-window logic in the module (r6 review — the
+    * [[changesSinceWith]] pattern). `compactFn` folds pending deltas
+    * first (each caller's own compact). */
+  private[cdc] def vacuumWith(spark: SparkSession, dir: String,
+      numBuckets: Int,
+      baseSchema: org.apache.spark.sql.types.StructType,
+      bucketExpr: Column, compactFn: () => Unit): Unit = {
+    withLifecycle(dir) {
       awaitCompactions() // never rewrite under an in-flight async fold
-      compact(spark, dir, numBuckets)
+      compactFn()
       val (fs, root) = fsOf(spark, dir)
       val (_, m) = readManifest(fs, root)
       checkMod(m, numBuckets, "vacuum")
-      if (m.buckets.isEmpty) return
-      val alive = spark.read.schema(BaseSchema)
+      if (m.buckets.nonEmpty) {
+      val alive = spark.read.schema(baseSchema)
         .parquet(m.buckets.keys.toSeq.sorted.map(m.bucketDir(dir, _)): _*)
         .filter(col("first_ins").isNotNull)
-        .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+        .withColumn(BucketCol, bucketExpr)
         .repartition(numBuckets, col(BucketCol))
       val gen = m.gen + 1
       val stage = new Path(root, s".stage-g$gen")
@@ -770,7 +786,8 @@ object ManifestReplica {
       // preserves the full retained window.
       pruneHistory(fs, root)
       gc(spark, dir)
-    } finally lifecycleOps.remove(dir)
+      }
+    }
   }
 
   /** Drop every manifest version (and claim marker) below the newest —
@@ -794,8 +811,7 @@ object ManifestReplica {
     * generation, delta, and manifest, leaving an empty root that
     * accepts a fresh [[snapshot]]. */
   def truncate(spark: SparkSession, dir: String): Unit = {
-    check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
-    try {
+    withLifecycle(dir) {
       awaitCompactions() // a daemon fold may outlive its stopped stream
       val (fs, root) = fsOf(spark, dir)
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
@@ -806,7 +822,7 @@ object ManifestReplica {
             (n.startsWith(".reclaim-") && !n.endsWith(".lock")))
           check(fs.delete(st.getPath, true), s"truncate $n")
       }
-    } finally lifecycleOps.remove(dir)
+    }
   }
 
   /** Reclaim everything NO retained manifest version names (round-6:

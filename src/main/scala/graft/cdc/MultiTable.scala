@@ -251,8 +251,11 @@ object MultiTable {
       // replica, traffic or not (r6 review: gating it on presence left
       // a crashed bucket swap on a then-idle table serving incomplete
       // reads until its next write — recoverSwap is one cheap LIST);
-      // only the write path is gated on presence
-      if (active || fs.exists(base)) {
+      // only the write path is gated on presence. While a lifecycle op
+      // (vacuum) holds the table, recovery must NOT run: the op's own
+      // rename-aside swaps are live, not crash leftovers (r6 review).
+      if ((active || fs.exists(base)) &&
+          !Replicate.lifecycleBusy(dir)) {
         Replicate.checkLayout(fs, base, numBuckets)
         Replicate.recoverSwap(fs, base)
       }
@@ -274,7 +277,8 @@ object MultiTable {
         .filter(_.getName.startsWith("batch=")).toSeq
         .partition(Replicate.batchIdOf(_) <= wm)
       stale.foreach(p => fs.delete(p, true))
-      if (live.size >= compactEvery) compact(spark, dir, numBuckets)
+      if (live.size >= compactEvery && !Replicate.lifecycleBusy(dir))
+        compact(spark, dir, numBuckets)
       }
       }
     } finally parsed.unpersist()
@@ -314,16 +318,22 @@ object MultiTable {
   def vacuum(spark: SparkSession, root: String, spec: TableSpec,
       numBuckets: Int = DefaultNumBuckets): Unit = {
     val dir = tableDir(root, spec)
-    val base = new Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Replicate.checkLayout(fs, base, numBuckets)
-    Replicate.recoverSwap(fs, base)
-    compact(spark, dir, numBuckets)
-    val alive = Replicate.readBase(spark, fs, dir, schema = MtBaseSchema)
-      .filter(col("first_ins").isNotNull)
-      .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
-      .repartition(numBuckets, col(BucketCol))
-    Replicate.writeAndSwap(fs, base, dir, alive, dropAbsent = true)
+    // the lifecycle flag stops a concurrent trigger's recoverSwap from
+    // tearing our rename-aside swaps apart mid-flight (the multi-table
+    // stream recovers EVERY declared table each trigger, idle or not)
+    // and from folding a base read that predates this rewrite
+    Replicate.withLifecycle(dir) {
+      val base = new Path(dir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Replicate.checkLayout(fs, base, numBuckets)
+      Replicate.recoverSwap(fs, base)
+      compact(spark, dir, numBuckets)
+      val alive = Replicate.readBase(spark, fs, dir, schema = MtBaseSchema)
+        .filter(col("first_ins").isNotNull)
+        .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+        .repartition(numBuckets, col(BucketCol))
+      Replicate.writeAndSwap(fs, base, dir, alive, dropAbsent = true)
+    }
   }
 
   /** Drop one table's replica entirely (S9) — [[Replicate.truncate]]

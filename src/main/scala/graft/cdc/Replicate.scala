@@ -543,6 +543,27 @@ object Replicate {
   private val compacting =
     new java.util.concurrent.ConcurrentHashMap[String, Thread]()
 
+  /** Replica dirs with a bulk lifecycle op (vacuum) in flight — the
+    * rename-path twin of [[ManifestReplica]]'s flag (r6 review: the
+    * multi-table stream runs recoverSwap every trigger on EVERY
+    * declared table, so an operator vacuum's rename-aside swap on an
+    * idle table could be torn apart mid-swap by a trigger that
+    * mistook it for a crash; triggers also must not start a fold whose
+    * base read predates the vacuum rewrite). Triggers skip
+    * recoverSwap and the compaction threshold while the flag is set;
+    * delta writes stay allowed (the next fold consumes them against
+    * the post-vacuum base). */
+  private val lifecycleOps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[cdc] def lifecycleBusy(dir: String): Boolean =
+    lifecycleOps.contains(dir)
+
+  private[graft] def withLifecycle[A](dir: String)(body: => A): A = {
+    check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
+    try body finally lifecycleOps.remove(dir)
+  }
+
   /** Join any in-flight background compactions (clean-shutdown hook:
     * call before `spark.stop()` so a mid-flight fold isn't killed with
     * the context — killed folds are still crash-safe, just wasted). */
@@ -558,7 +579,7 @@ object Replicate {
     val base = new Path(replicaDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     traced("layout")(checkLayout(fs, base, numBuckets))
-    if (!compacting.containsKey(replicaDir))
+    if (!compacting.containsKey(replicaDir) && !lifecycleBusy(replicaDir))
       traced("recoverSwap")(recoverSwap(fs, base))
     val dRoot = new Path(base, DeltaDirName)
     // ONE O(batch) job per trigger: micro-batch → per-key summary (one
@@ -585,7 +606,7 @@ object Replicate {
       .filter(_.getName.startsWith("batch=")).toSeq
       .partition(batchIdOf(_) <= wm)
     stale.foreach(p => fs.delete(p, true))
-    if (live.size >= compactEvery) {
+    if (live.size >= compactEvery && !lifecycleBusy(replicaDir)) {
       if (!compactAsync)
         traced("compact")(compact(spark, fs, replicaDir, numBuckets))
       else if (!compacting.containsKey(replicaDir)) {
@@ -689,18 +710,19 @@ object Replicate {
     * replayed older event without resurrecting a deleted row. A bucket
     * whose keys are all tombstones is dropped outright. */
   def vacuum(spark: SparkSession, replicaDir: String,
-      numBuckets: Int = DefaultNumBuckets): Unit = {
-    awaitCompactions()
-    val (fs, base) = fsOf(spark, replicaDir)
-    checkLayout(fs, base, numBuckets)
-    recoverSwap(fs, base)
-    compact(spark, fs, replicaDir, numBuckets)
-    val alive = readBase(spark, fs, replicaDir)
-      .filter(col("first_ins").isNotNull)
-      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-      .repartition(numBuckets, col(BucketCol))
-    writeAndSwap(fs, base, replicaDir, alive, dropAbsent = true)
-  }
+      numBuckets: Int = DefaultNumBuckets): Unit =
+    withLifecycle(replicaDir) {
+      awaitCompactions()
+      val (fs, base) = fsOf(spark, replicaDir)
+      checkLayout(fs, base, numBuckets)
+      recoverSwap(fs, base)
+      compact(spark, fs, replicaDir, numBuckets)
+      val alive = readBase(spark, fs, replicaDir)
+        .filter(col("first_ins").isNotNull)
+        .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
+        .repartition(numBuckets, col(BucketCol))
+      writeAndSwap(fs, base, replicaDir, alive, dropAbsent = true)
+    }
 
   /** Truncate the replica (S9 — `TRUNCATE TABLE person RESTART IDENTITY`
     * before a subscription re-copy, pubsub/main.go:88): drop every

@@ -311,6 +311,53 @@ class MultiTableSpec extends AnyFunSuite {
     assert(raw.count().toInt === want.size)
   }
 
+  test("a lifecycle flag stops triggers from recovering/compacting under a vacuum") {
+    // r6 review: the stream recovers EVERY declared table per trigger,
+    // so a vacuum's own rename-aside swaps looked like crash leftovers
+    // to a concurrent trigger; and a trigger-driven compact could fold
+    // a base read predating the rewrite. Both are gated on the
+    // per-table lifecycle flag.
+    val pOps = ChangeGen.ops(seed = 139L, n = 60)
+    val root = Files.createTempDirectory("mt-lifecycle").toString
+    def apply(b: Long) = MultiTable.applyBatch(spark, MultiTable.parseAll(
+      pOps.map(ChangeGen.toJsonLine).toDF("value"), specs), root, specs,
+      batchId = b)
+    apply(0L)
+    val dir = s"$root/person"
+    MultiTable.compact(spark, dir) // materialize bucket dirs
+    // plant a completed-swap aside (live dir exists): outside a
+    // lifecycle op the next trigger's recoverSwap DROPS it
+    val pdir = java.nio.file.Paths.get(dir)
+    val bucket = Files.list(pdir).iterator().asScala
+      .map(_.getFileName.toString).find(_.startsWith("id_bucket=")).get
+    val aside = pdir.resolve(s".__old.$bucket")
+    def plant(): Unit = {
+      val src = pdir.resolve(bucket)
+      java.nio.file.Files.createDirectory(aside)
+      Files.list(src).iterator().asScala.foreach(f =>
+        Files.copy(f, aside.resolve(f.getFileName.toString)))
+    }
+    plant()
+    Replicate.withLifecycle(dir) { apply(1L) }
+    assert(Files.exists(aside),
+      "a trigger under the lifecycle flag must not touch swap state")
+    apply(2L)
+    assert(!Files.exists(aside),
+      "outside the flag the trigger recovers the completed swap")
+    // manifest path: the compact threshold is also gated
+    val rootM = Files.createTempDirectory("mtm-lifecycle").toString
+    def applyM(b: Long) = ManifestMultiTable.applyBatch(spark,
+      MultiTable.parseAll(pOps.map(ChangeGen.toJsonLine).toDF("value"),
+        specs), rootM, specs, batchId = b, compactEvery = 1)
+    val dirM = s"$rootM/person"
+    ManifestReplica.withLifecycle(dirM) { applyM(0L) }
+    assert(ManifestReplica.versions(spark, dirM).size === 1,
+      "compactEvery=1 must NOT fold under the lifecycle flag (one delta commit only)")
+    applyM(1L)
+    assert(ManifestReplica.versions(spark, dirM).size >= 2,
+      "outside the flag the threshold fold runs")
+  }
+
   test("multi-table manifest vacuum drops tombstone bytes, preserves state, collapses history") {
     val pOps = ChangeGen.ops(seed = 131L, n = 120)
     val root = Files.createTempDirectory("mtm-vacuum").toString
