@@ -556,6 +556,37 @@ object MlQueries {
     (s, d) => TextAnalysis.textStats(Tables(s, d, "documents")),
     Some(s"$textStatsSql\nORDER BY doc_id"))
 
+  /** Text normalization (L51): the fixture text is already clean, so
+    * the query seeds deterministic doc_id-derived whitespace mess and a
+    * control character into the text on BOTH sides (the [[piiRedact]]
+    * pattern), then compares the normalized text exactly. */
+  private val textNormalize = Declared(
+    "ml_text_normalize",
+    (s, d) => {
+      val messy = Tables(s, d, "documents").withColumn("text",
+        concat(col("text"), lit(" \t\t "),
+          expr("repeat(' ', CAST(doc_id % 5 AS INT) + 1)"),
+          lit("tail\n\r\u0001x")))
+      TextAnalysis.normalizeText(messy)
+    },
+    Some("""WITH messy AS (
+           |  SELECT doc_id,
+           |    text || ' ' || chr(9) || chr(9) || ' ' ||
+           |    repeat(' ', CAST(doc_id % 5 AS INT) + 1) || 'tail' ||
+           |    chr(10) || chr(13) || chr(1) || 'x' AS text
+           |  FROM documents
+           |), norm AS (
+           |  SELECT doc_id, text,
+           |    trim(regexp_replace(regexp_replace(text,
+           |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
+           |      '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+           |  FROM messy
+           |)
+           |SELECT doc_id, norm_text,
+           |  CAST(length(text) - length(norm_text) AS BIGINT)
+           |    AS chars_removed
+           |FROM norm ORDER BY doc_id""".stripMargin))
+
   /** PII redaction (L50): the fixture text carries no PII, so the query
     * seeds deterministic synthetic PII (doc_id-derived emails / IPs /
     * phone numbers on a doc_id % 3 rotation) into the text on BOTH
@@ -989,8 +1020,8 @@ object MlQueries {
     dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
     cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, kmeansStep,
     embedNearDup, semDedup,
-    textStats, qualityGate, langId, tokenCounts, repetition, seqPack,
-    stratSample, contam, piiRedact,
+    textStats, textNormalize, qualityGate, langId, tokenCounts,
+    repetition, seqPack, stratSample, contam, piiRedact,
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, fingerprint, zorder,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)

@@ -29,6 +29,25 @@ object TextAnalysis {
 
   val Stopwords: Seq[String] = Seq("data", "join", "row", "table", "value")
 
+  /** Text normalization (L51) — the standard pre-tokenization cleanup
+    * every corpus pass runs before hashing/sharding: strip
+    * non-whitespace control characters, collapse whitespace runs to a
+    * single space, trim. A pure codegen'd per-row regex projection
+    * (zero shuffles besides the presentation sort); the character
+    * classes evaluate identically under Java regex and RE2, so the
+    * DuckDB oracle is bit-exact. `chars_removed` makes the cleanup
+    * auditable per document. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(col("text"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""),
+      "[ \\t\\n\\r\\f]+", " "))
+    docs.select(col("doc_id"), norm.as("norm_text"),
+        (length(col("text")) - length(norm)).cast("long")
+          .as("chars_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Quality statistics per document. `quality` is a bounded rational
     * score: type-token ratio × non-stopword mass × length saturation. */
   def textStats(docs: DataFrame): DataFrame = {
