@@ -311,6 +311,36 @@ class MultiTableSpec extends AnyFunSuite {
     assert(raw.count().toInt === want.size)
   }
 
+  test("stream restart resumes from the checkpoint: converged, no duplicates") {
+    // T2 across a process boundary: drain half the log, STOP the query,
+    // start a NEW query on the same checkpoint over new files — the
+    // resumed stream must pick up exactly where the checkpoint left off
+    // and converge to the full replay (map equality catches both
+    // replayed duplicates and dropped epochs).
+    val (pOps, aOps) = ChangeGen.mtOps(seed = 149L, nPerson = 160,
+      nAccount = 120)
+    val (p1, p2) = pOps.splitAt(80)
+    val (a1, a2) = aOps.splitAt(60)
+    val changeDir = Files.createTempDirectory("mt-restart-log").toString
+    val root = Files.createTempDirectory("mt-restart-replica").toString
+    val ckpt = Files.createTempDirectory("mt-restart-ckpt").toString
+    def drain(): Unit = {
+      val q = MultiTable.start(spark, changeDir, root, ckpt, specs,
+        maxFilesPerTrigger = Some(1),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        compactEvery = 2)
+      try q.awaitTermination() finally q.stop()
+    }
+    ChangeGen.writeMtBatches(changeDir, p1, a1, batches = 3)
+    drain()
+    assert(personMap(root) === wantPerson(p1))
+    ChangeGen.writeMtBatches(changeDir, p2, a2, batches = 3,
+      startIndex = 3)
+    drain()
+    assert(personMap(root) === wantPerson(pOps))
+    assert(accountMap(root) === wantAccount(aOps))
+  }
+
   test("a lifecycle flag stops triggers from recovering/compacting under a vacuum") {
     // r6 review: the stream recovers EVERY declared table per trigger,
     // so a vacuum's own rename-aside swaps looked like crash leftovers
