@@ -136,10 +136,11 @@ object ChangeGen {
   /** Split ops into micro-batch files under `dir` (one file = one slot
     * poll, replicator/main.go:154-166), interleaving noise lines. */
   def writeBatches(dir: String, ops: Seq[Op], batches: Int,
-      withNoise: Boolean = true): Unit = {
+      withNoise: Boolean = true, startIndex: Int = 0): Unit = {
     Files.createDirectories(Paths.get(dir))
     val per = math.max(1, math.ceil(ops.size.toDouble / batches).toInt)
-    ops.grouped(per).zipWithIndex.foreach { case (group, i) =>
+    ops.grouped(per).zipWithIndex.foreach { case (group, i0) =>
+      val i = i0 + startIndex // later waves land as NEW, later-mtime files
       val lines = group.map(toJsonLine) ++
         (if (withNoise) Seq(auditLine(900000L + i), malformedLine) else Nil)
       val f = Paths.get(dir, f"batch_$i%05d.json")

@@ -147,6 +147,33 @@ class JdbcSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("jdbc stream restart resumes from the checkpoint: converged, no duplicates") {
+    // the destructive SQL sink is where restart safety is earned the
+    // hard way: a resumed query replays at most its current epoch, and
+    // the (target, epoch, partition) markers make that replay a no-op.
+    // Drain half the log, stop, restart on the same checkpoint over new
+    // files — final table equals the full replay exactly.
+    val url = freshDb("jdbc-restart")
+    val ops = ChangeGen.ops(seed = 157L, n = 600)
+    val (h1, h2) = ops.splitAt(300)
+    val changeDir = Files.createTempDirectory("jdbc-restart-log").toString
+    val ckpt = Files.createTempDirectory("jdbc-restart-ckpt").toString
+    def drain(): Unit = {
+      val q = JdbcReplica.start(spark, changeDir, url, "person", ckpt,
+        trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+      try q.awaitTermination() finally q.stop()
+    }
+    ChangeGen.writeBatches(changeDir, h1, batches = 3)
+    drain()
+    assert(tableMap(url, "person").keySet ===
+      ChangeGen.replay(h1).keySet)
+    ChangeGen.writeBatches(changeDir, h2, batches = 3, startIndex = 3)
+    drain()
+    val want = ChangeGen.replay(ops).map { case (id, p) =>
+      id -> ((p.name, p.uid, p.score, p.created_at)) }
+    assert(tableMap(url, "person") === want)
+  }
+
   test("jdbc multi-table: one interleaved log fans out to typed SQL targets") {
     val specs = MtTestSpecs.both
     val url = freshDb("jdbc-mt")
