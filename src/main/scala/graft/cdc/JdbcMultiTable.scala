@@ -203,14 +203,16 @@ object JdbcMultiTable {
       checkpointDir: String, specs: Seq[TableSpec],
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       maxFilesPerTrigger: Option[Int] = None,
-      parallelism: Int = 4): StreamingQuery = {
+      parallelism: Int = 4,
+      parser: (DataFrame, Seq[TableSpec]) => DataFrame =
+        MultiTable.parseAll): StreamingQuery = {
     specs.foreach(ensureTable(url, _))
     ChangeSource.rawLines(spark, changeDir, maxFilesPerTrigger).writeStream
       .queryName("graft-replicate-multitable-jdbc")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        applyBatch(spark, MultiTable.parseAll(batch, specs), url, specs,
+        applyBatch(spark, parser(batch, specs), url, specs,
           batchId = epochId, parallelism = parallelism)
       }
       .start()

@@ -266,13 +266,15 @@ object ManifestMultiTable {
       numBuckets: Int = MultiTable.DefaultNumBuckets,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       maxFilesPerTrigger: Option[Int] = None,
-      compactEvery: Int = Replicate.DefaultCompactEvery): StreamingQuery = {
+      compactEvery: Int = Replicate.DefaultCompactEvery,
+      parser: (DataFrame, Seq[TableSpec]) => DataFrame =
+        MultiTable.parseAll): StreamingQuery = {
     ChangeSource.rawLines(spark, changeDir, maxFilesPerTrigger).writeStream
       .queryName("graft-replicate-multitable-manifest")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        applyBatch(spark, MultiTable.parseAll(batch, specs), root, specs,
+        applyBatch(spark, parser(batch, specs), root, specs,
           batchId = epochId, numBuckets = numBuckets,
           compactEvery = compactEvery)
       }

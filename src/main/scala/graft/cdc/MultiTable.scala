@@ -382,19 +382,24 @@ object MultiTable {
   }
 
   /** The continuous multi-table pipeline: one change-log stream →
-    * [[parseAll]] once per trigger → per-table keyed apply. */
+    * `parser` once per trigger → per-table keyed apply. `parser`
+    * defaults to the wal2json envelope ([[parseAll]]); pass
+    * [[parseAllDebezium]] for a Debezium topic set — the downstream
+    * fan-out is identical. */
   def start(spark: SparkSession, changeDir: String, root: String,
       checkpointDir: String, specs: Seq[TableSpec],
       numBuckets: Int = DefaultNumBuckets,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       maxFilesPerTrigger: Option[Int] = None,
-      compactEvery: Int = Replicate.DefaultCompactEvery): StreamingQuery = {
+      compactEvery: Int = Replicate.DefaultCompactEvery,
+      parser: (DataFrame, Seq[TableSpec]) => DataFrame = parseAll)
+      : StreamingQuery = {
     ChangeSource.rawLines(spark, changeDir, maxFilesPerTrigger).writeStream
       .queryName("graft-replicate-multitable")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        applyBatch(spark, parseAll(batch, specs), root, specs,
+        applyBatch(spark, parser(batch, specs), root, specs,
           batchId = epochId, numBuckets = numBuckets,
           compactEvery = compactEvery)
       }

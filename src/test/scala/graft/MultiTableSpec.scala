@@ -103,21 +103,22 @@ class MultiTableSpec extends AnyFunSuite {
     assert(pMap === wantPerson(pOps) && aMap === wantAccount(aOps))
   }
 
-  test("debezium envelope drives the same multi-table fan-out") {
-    def dbzLine(op: ChangeGen.Op, table: String, labelCol: String,
-        amountCol: String): String = {
-      val us = java.sql.Timestamp.valueOf(op.createdAt).getTime * 1000
-      def j(s: String) = "\"" + s.replace("\\", "\\\\")
-        .replace("\"", "\\\"") + "\""
-      val uid = if (table == "person") s""","uid":${j(op.uid)}""" else ""
-      val row = s"""{"id":${op.id},${j(labelCol)}:${j(op.name)},${j(amountCol)}:${op.score}$uid,"created_at":$us}"""
-      val (before, after, o) = op.action match {
-        case "I" => ("null", row, "c")
-        case "U" => (row, row, "u")
-        case _ => (row, "null", "d")
-      }
-      s"""{"before":$before,"after":$after,"op":"$o","ts_ms":${op.lsn},"source":{"lsn":${op.lsn},"schema":"public","table":"$table"}}"""
+  private def dbzLine(op: ChangeGen.Op, table: String, labelCol: String,
+      amountCol: String): String = {
+    val us = java.sql.Timestamp.valueOf(op.createdAt).getTime * 1000
+    def j(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val uid = if (table == "person") s""","uid":${j(op.uid)}""" else ""
+    val row = s"""{"id":${op.id},${j(labelCol)}:${j(op.name)},${j(amountCol)}:${op.score}$uid,"created_at":$us}"""
+    val (before, after, o) = op.action match {
+      case "I" => ("null", row, "c")
+      case "U" => (row, row, "u")
+      case _ => (row, "null", "d")
     }
+    s"""{"before":$before,"after":$after,"op":"$o","ts_ms":${op.lsn},"source":{"lsn":${op.lsn},"schema":"public","table":"$table"}}"""
+  }
+
+  test("debezium envelope drives the same multi-table fan-out") {
     val (pOps, aOps) = ChangeGen.mtOps(seed = 73L, nPerson = 150,
       nAccount = 100)
     val lines = ((pOps.map(o => o.lsn ->
@@ -137,6 +138,41 @@ class MultiTableSpec extends AnyFunSuite {
       .select("id", "created_at").collect()
       .map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
     assert(gotCreated === created)
+  }
+
+  test("debezium envelope drives the STREAMING fan-out through the parser seam") {
+    // the start() entry points take the envelope parser as a parameter;
+    // a Debezium topic set is the same pipeline with parseAllDebezium
+    val (pOps, aOps) = ChangeGen.mtOps(seed = 163L, nPerson = 100,
+      nAccount = 80)
+    val merged = (pOps.map(o => o.lsn ->
+      dbzLine(o, "person", "name", "score")) ++
+      aOps.map(o => o.lsn -> dbzLine(o, "account", "owner", "balance")))
+      .sortBy(_._1).map(_._2)
+    val changeDir = Files.createTempDirectory("mtm-dbz-log")
+    merged.grouped(math.max(1, merged.size / 3)).zipWithIndex.foreach {
+      case (group, i) =>
+        val f = changeDir.resolve(f"batch_$i%05d.json")
+        Files.write(f, group.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            (System.currentTimeMillis() / 60000L) * 60000L + i * 1000L))
+    }
+    val root = Files.createTempDirectory("mtm-dbz-replica").toString
+    val ckpt = Files.createTempDirectory("mtm-dbz-ckpt").toString
+    val q = ManifestMultiTable.start(spark, changeDir.toString, root,
+      ckpt, specs, maxFilesPerTrigger = Some(1),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEvery = 2, parser = MultiTable.parseAllDebezium)
+    try q.awaitTermination() finally q.stop()
+    assert(ManifestMultiTable.readTable(spark, root, personSpec)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3)))).toMap ===
+      wantPerson(pOps))
+    assert(ManifestMultiTable.readTable(spark, root, accountSpec)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getInt(2)))).toMap === wantAccount(aOps))
   }
 
   test("routing: undeclared tables and malformed lines drop; batch replay is idempotent") {
