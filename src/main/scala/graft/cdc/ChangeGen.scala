@@ -149,6 +149,22 @@ object ChangeGen {
     }
   }
 
+  /** Split PRE-RENDERED envelope lines (any format — used for the
+    * Debezium fixtures) into ordered micro-batch files, with the same
+    * strictly-increasing mtime stamping as [[writeBatches]] — the one
+    * place the file-source ordering contract lives. */
+  def writeLineBatches(dir: String, lines: Seq[String], batches: Int,
+      startIndex: Int = 0): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val per = math.max(1, math.ceil(lines.size.toDouble / batches).toInt)
+    lines.grouped(per).zipWithIndex.foreach { case (group, i0) =>
+      val i = i0 + startIndex
+      val f = Paths.get(dir, f"batch_$i%05d.json")
+      Files.write(f, group.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      stampOrder(dir, i, f)
+    }
+  }
+
   /** Typed view of ops as [[PersonChange]] rows (deletes carry only the
     * PK image, like the parsed wal2json envelope). Used to persist the
     * deterministic change log as a parquet fixture the DuckDB oracle can

@@ -125,7 +125,8 @@ object ManifestMultiTable {
     * generations of only the buckets they touch —
     * [[ManifestReplica.compact]] over the generic schema. */
   def compact(spark: SparkSession, dir: String,
-      numBuckets: Int = MultiTable.DefaultNumBuckets): Unit = {
+      numBuckets: Int = MultiTable.DefaultNumBuckets): Unit =
+      ManifestReplica.foldLock(dir).synchronized {
     val (fs, rootP) = fsOf(spark, dir)
     val (_, m) = readManifest(fs, rootP)
     checkMod(m, numBuckets, "compact")
@@ -166,7 +167,7 @@ object ManifestMultiTable {
       }
     }
     }
-  }
+      }
 
   /** Fold base ∪ pending deltas exactly as a given manifest names
     * them — shared by the current read and time travel. */
@@ -259,8 +260,9 @@ object ManifestMultiTable {
   }
 
   /** The continuous multi-table pipeline on the manifest protocol:
-    * one change-log stream → [[MultiTable.parseAll]] once per trigger →
-    * per-table manifest-committed apply. */
+    * one change-log stream → `parser` once per trigger (wal2json
+    * [[MultiTable.parseAll]] by default; [[MultiTable.parseAllDebezium]]
+    * for a Debezium topic set) → per-table manifest-committed apply. */
   def start(spark: SparkSession, changeDir: String, root: String,
       checkpointDir: String, specs: Seq[TableSpec],
       numBuckets: Int = MultiTable.DefaultNumBuckets,

@@ -432,6 +432,21 @@ object ManifestReplica {
   private[cdc] def lifecycleBusy(dir: String): Boolean =
     lifecycleOps.contains(dir)
 
+  /** Per-replica monitors serializing whole FOLD/REWRITE bodies
+    * (compact, vacuum's rewrite) in-JVM. The commit itself is already
+    * CAS-safe; this closes the narrower stage-dir hazard (r6 review):
+    * two same-JVM folds reading the same manifest both derive
+    * `gen+1`, write the same `.stage-g<gen>` path, and clobber each
+    * other's in-flight files before either commits. Trigger DELTA
+    * commits never take this lock — only folds do, and folds re-read
+    * the manifest at entry, so a fold parked behind a vacuum resumes
+    * against the post-rewrite state. */
+  private val foldLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[cdc] def foldLock(dir: String): Object =
+    foldLocks.computeIfAbsent(dir, _ => new Object)
+
   private[graft] def withLifecycle[A](dir: String)(body: => A): A = {
     check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
     try body finally lifecycleOps.remove(dir)
@@ -665,7 +680,8 @@ object ManifestReplica {
     * their bytes). Consumed delta dirs and superseded generations are
     * deleted only after the commit lands. */
   def compact(spark: SparkSession, dir: String,
-      numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
+      numBuckets: Int = Replicate.DefaultNumBuckets): Unit =
+      foldLock(dir).synchronized {
     val (fs, root) = fsOf(spark, dir)
     val (_, m) = readManifest(fs, root)
     checkMod(m, numBuckets, "compact")
@@ -750,6 +766,10 @@ object ManifestReplica {
       bucketExpr: Column, compactFn: () => Unit): Unit = {
     withLifecycle(dir) {
       awaitCompactions() // never rewrite under an in-flight async fold
+      // the whole rewrite holds the fold monitor: a trigger fold that
+      // raced the lifecycle flag parks until the rewrite commits, then
+      // re-reads the post-vacuum manifest (reentrant for compactFn)
+      foldLock(dir).synchronized {
       compactFn()
       val (fs, root) = fsOf(spark, dir)
       val (_, m) = readManifest(fs, root)
@@ -786,6 +806,7 @@ object ManifestReplica {
       // preserves the full retained window.
       pruneHistory(fs, root)
       gc(spark, dir)
+      }
       }
     }
   }

@@ -254,10 +254,14 @@ object MultiTable {
       // only the write path is gated on presence. While a lifecycle op
       // (vacuum) holds the table, recovery must NOT run: the op's own
       // rename-aside swaps are live, not crash leftovers (r6 review).
-      if ((active || fs.exists(base)) &&
-          !Replicate.lifecycleBusy(dir)) {
-        Replicate.checkLayout(fs, base, numBuckets)
-        Replicate.recoverSwap(fs, base)
+      if (active || fs.exists(base)) Replicate.swapLock(dir).synchronized {
+        // flag read INSIDE the swap monitor (r6 review: an advisory
+        // read outside it left a descheduled trigger free to wake
+        // inside a vacuum's rename-aside window)
+        if (!Replicate.lifecycleBusy(dir)) {
+          Replicate.checkLayout(fs, base, numBuckets)
+          Replicate.recoverSwap(fs, base)
+        }
       }
       if (active) {
       val dRoot = new Path(base, Replicate.DeltaDirName)
@@ -277,8 +281,9 @@ object MultiTable {
         .filter(_.getName.startsWith("batch=")).toSeq
         .partition(Replicate.batchIdOf(_) <= wm)
       stale.foreach(p => fs.delete(p, true))
-      if (live.size >= compactEvery && !Replicate.lifecycleBusy(dir))
-        compact(spark, dir, numBuckets)
+      if (live.size >= compactEvery) Replicate.swapLock(dir).synchronized {
+        if (!Replicate.lifecycleBusy(dir)) compact(spark, dir, numBuckets)
+      }
       }
       }
     } finally parsed.unpersist()
@@ -323,16 +328,19 @@ object MultiTable {
     // stream recovers EVERY declared table each trigger, idle or not)
     // and from folding a base read that predates this rewrite
     Replicate.withLifecycle(dir) {
-      val base = new Path(dir)
-      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Replicate.checkLayout(fs, base, numBuckets)
-      Replicate.recoverSwap(fs, base)
-      compact(spark, dir, numBuckets)
-      val alive = Replicate.readBase(spark, fs, dir, schema = MtBaseSchema)
-        .filter(col("first_ins").isNotNull)
-        .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
-        .repartition(numBuckets, col(BucketCol))
-      Replicate.writeAndSwap(fs, base, dir, alive, dropAbsent = true)
+      Replicate.swapLock(dir).synchronized {
+        val base = new Path(dir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Replicate.checkLayout(fs, base, numBuckets)
+        Replicate.recoverSwap(fs, base)
+        compact(spark, dir, numBuckets)
+        val alive = Replicate.readBase(spark, fs, dir,
+          schema = MtBaseSchema)
+          .filter(col("first_ins").isNotNull)
+          .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+          .repartition(numBuckets, col(BucketCol))
+        Replicate.writeAndSwap(fs, base, dir, alive, dropAbsent = true)
+      }
     }
   }
 

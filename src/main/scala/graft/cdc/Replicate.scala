@@ -559,6 +559,22 @@ object Replicate {
   private[cdc] def lifecycleBusy(dir: String): Boolean =
     lifecycleOps.contains(dir)
 
+  /** Per-replica-dir monitors serializing every section that touches
+    * SWAP STATE — the trigger's checkLayout+recoverSwap, the inline
+    * compact, and the bulk lifecycle rewrites (vacuum/truncate). The
+    * lifecycle FLAG alone was check-then-act (r6 review): a trigger
+    * descheduled between `!lifecycleBusy` and its recoverSwap could
+    * wake inside a vacuum's rename-aside window and tear the swap
+    * apart; flag reads now happen INSIDE the monitor and lifecycle ops
+    * hold it across their whole rewrite, so the interleaving cannot
+    * occur. Delta writes/commits stay outside — only swap-touching
+    * sections serialize. */
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[cdc] def swapLock(dir: String): Object =
+    swapLocks.computeIfAbsent(dir, _ => new Object)
+
   private[graft] def withLifecycle[A](dir: String)(body: => A): A = {
     check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
     try body finally lifecycleOps.remove(dir)
@@ -578,9 +594,11 @@ object Replicate {
       compactAsync: Boolean = false): Unit = {
     val base = new Path(replicaDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    traced("layout")(checkLayout(fs, base, numBuckets))
-    if (!compacting.containsKey(replicaDir) && !lifecycleBusy(replicaDir))
-      traced("recoverSwap")(recoverSwap(fs, base))
+    swapLock(replicaDir).synchronized {
+      traced("layout")(checkLayout(fs, base, numBuckets))
+      if (!compacting.containsKey(replicaDir) && !lifecycleBusy(replicaDir))
+        traced("recoverSwap")(recoverSwap(fs, base))
+    }
     val dRoot = new Path(base, DeltaDirName)
     // ONE O(batch) job per trigger: micro-batch → per-key summary (one
     // bucket-keyed shuffle) → one small parquet file per bucket
@@ -606,10 +624,13 @@ object Replicate {
       .filter(_.getName.startsWith("batch=")).toSeq
       .partition(batchIdOf(_) <= wm)
     stale.foreach(p => fs.delete(p, true))
-    if (live.size >= compactEvery && !lifecycleBusy(replicaDir)) {
-      if (!compactAsync)
-        traced("compact")(compact(spark, fs, replicaDir, numBuckets))
-      else if (!compacting.containsKey(replicaDir)) {
+    if (live.size >= compactEvery) {
+      if (!compactAsync) swapLock(replicaDir).synchronized {
+        if (!lifecycleBusy(replicaDir))
+          traced("compact")(compact(spark, fs, replicaDir, numBuckets))
+      }
+      else if (!compacting.containsKey(replicaDir) &&
+          !lifecycleBusy(replicaDir)) {
         // async (Hudi-style): the trigger path stays O(batch) — readers
         // already merge deltas, so visibility gains nothing from an
         // inline fold, and the fold's lumpy cost leaves the latency
@@ -617,7 +638,14 @@ object Replicate {
         // (the consumed set is listed once, the watermark rises only to
         // its max). One fold per replica at a time.
         val t = new Thread(() => {
-          try traced("compact")(compact(spark, fs, replicaDir, numBuckets))
+          // the fold's swaps serialize with lifecycle rewrites too — a
+          // spawn that raced a starting vacuum (advisory flag read)
+          // parks here until the rewrite finishes, then folds from the
+          // post-rewrite state (compact re-reads base and deltas)
+          try swapLock(replicaDir).synchronized {
+            if (!lifecycleBusy(replicaDir))
+              traced("compact")(compact(spark, fs, replicaDir, numBuckets))
+          }
           catch { case e: Throwable =>
             System.err.println(s"[cdc] async compaction failed (deltas stay live, next trigger retries): $e")
           } finally compacting.remove(replicaDir)
@@ -713,15 +741,18 @@ object Replicate {
       numBuckets: Int = DefaultNumBuckets): Unit =
     withLifecycle(replicaDir) {
       awaitCompactions()
-      val (fs, base) = fsOf(spark, replicaDir)
-      checkLayout(fs, base, numBuckets)
-      recoverSwap(fs, base)
-      compact(spark, fs, replicaDir, numBuckets)
-      val alive = readBase(spark, fs, replicaDir)
-        .filter(col("first_ins").isNotNull)
-        .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-        .repartition(numBuckets, col(BucketCol))
-      writeAndSwap(fs, base, replicaDir, alive, dropAbsent = true)
+      swapLock(replicaDir).synchronized {
+        val (fs, base) = fsOf(spark, replicaDir)
+        checkLayout(fs, base, numBuckets)
+        recoverSwap(fs, base)
+        compact(spark, fs, replicaDir, numBuckets)
+        val alive = readBase(spark, fs, replicaDir)
+          .filter(col("first_ins").isNotNull)
+          .withColumn(BucketCol,
+            pmod(col("id"), lit(numBuckets)).cast("int"))
+          .repartition(numBuckets, col(BucketCol))
+        writeAndSwap(fs, base, replicaDir, alive, dropAbsent = true)
+      }
     }
 
   /** Truncate the replica (S9 — `TRUNCATE TABLE person RESTART IDENTITY`
@@ -730,18 +761,25 @@ object Replicate {
     * empty replica root ready for a fresh [[snapshot]] + stream. Also
     * clears any crashed-swap aside dirs (they reference truncated
     * state). */
-  def truncate(spark: SparkSession, replicaDir: String): Unit = {
-    val (fs, base) = fsOf(spark, replicaDir)
-    if (fs.exists(base)) {
-      fs.listStatus(base).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(BucketCol + "=") || n.startsWith(AsidePrefix) ||
-            n == DeltaDirName)
-          check(fs.delete(st.getPath, true), s"truncate $n")
+  def truncate(spark: SparkSession, replicaDir: String): Unit =
+    // same protection as vacuum (r6 review: an unguarded truncate raced
+    // a live trigger's recoverSwap — a deleted aside mid-restore kills
+    // the stream; an in-flight fold re-creates dirs after the delete)
+    withLifecycle(replicaDir) {
+      awaitCompactions()
+      swapLock(replicaDir).synchronized {
+        val (fs, base) = fsOf(spark, replicaDir)
+        if (fs.exists(base)) {
+          fs.listStatus(base).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith(BucketCol + "=") ||
+                n.startsWith(AsidePrefix) || n == DeltaDirName)
+              check(fs.delete(st.getPath, true), s"truncate $n")
+          }
+        }
+        resetLayout(fs, base) // a fresh snapshot may re-bucket
       }
     }
-    resetLayout(fs, base) // a fresh snapshot may re-bucket
-  }
 
   /** Initial snapshot (phase 2 of the replicator,
     * replicator/main.go:98-140): bulk-load existing rows into the replica.

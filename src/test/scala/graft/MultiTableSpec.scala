@@ -150,15 +150,7 @@ class MultiTableSpec extends AnyFunSuite {
       aOps.map(o => o.lsn -> dbzLine(o, "account", "owner", "balance")))
       .sortBy(_._1).map(_._2)
     val changeDir = Files.createTempDirectory("mtm-dbz-log")
-    merged.grouped(math.max(1, merged.size / 3)).zipWithIndex.foreach {
-      case (group, i) =>
-        val f = changeDir.resolve(f"batch_$i%05d.json")
-        Files.write(f, group.mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(
-            (System.currentTimeMillis() / 60000L) * 60000L + i * 1000L))
-    }
+    ChangeGen.writeLineBatches(changeDir.toString, merged, batches = 3)
     val root = Files.createTempDirectory("mtm-dbz-replica").toString
     val ckpt = Files.createTempDirectory("mtm-dbz-ckpt").toString
     val q = ManifestMultiTable.start(spark, changeDir.toString, root,
