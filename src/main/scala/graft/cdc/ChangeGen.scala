@@ -136,31 +136,32 @@ object ChangeGen {
   /** Split ops into micro-batch files under `dir` (one file = one slot
     * poll, replicator/main.go:154-166), interleaving noise lines. */
   def writeBatches(dir: String, ops: Seq[Op], batches: Int,
-      withNoise: Boolean = true, startIndex: Int = 0): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val per = math.max(1, math.ceil(ops.size.toDouble / batches).toInt)
-    ops.grouped(per).zipWithIndex.foreach { case (group, i0) =>
-      val i = i0 + startIndex // later waves land as NEW, later-mtime files
-      val lines = group.map(toJsonLine) ++
+      withNoise: Boolean = true, startIndex: Int = 0): Unit =
+    writeChunks(dir, ops, batches, startIndex) { (group, i) =>
+      group.map(toJsonLine) ++
         (if (withNoise) Seq(auditLine(900000L + i), malformedLine) else Nil)
-      val f = Paths.get(dir, f"batch_$i%05d.json")
-      Files.write(f, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      stampOrder(dir, i, f)
     }
-  }
 
   /** Split PRE-RENDERED envelope lines (any format — used for the
-    * Debezium fixtures) into ordered micro-batch files, with the same
-    * strictly-increasing mtime stamping as [[writeBatches]] — the one
-    * place the file-source ordering contract lives. */
+    * Debezium fixtures) into ordered micro-batch files through the same
+    * chunk/name/stamp core as [[writeBatches]]. */
   def writeLineBatches(dir: String, lines: Seq[String], batches: Int,
-      startIndex: Int = 0): Unit = {
+      startIndex: Int = 0): Unit =
+    writeChunks(dir, lines, batches, startIndex)((group, _) => group)
+
+  /** The one place the file layout lives: ceil-split into `batches`
+    * chunks, `batch_%05d.json` names offset by `startIndex` (later
+    * waves land as NEW files — the file source tracks processed files
+    * by name), strictly increasing mtimes via [[stampOrder]]. */
+  private def writeChunks[A](dir: String, items: Seq[A], batches: Int,
+      startIndex: Int)(render: (Seq[A], Int) => Seq[String]): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val per = math.max(1, math.ceil(lines.size.toDouble / batches).toInt)
-    lines.grouped(per).zipWithIndex.foreach { case (group, i0) =>
+    val per = math.max(1, math.ceil(items.size.toDouble / batches).toInt)
+    items.grouped(per).zipWithIndex.foreach { case (group, i0) =>
       val i = i0 + startIndex
       val f = Paths.get(dir, f"batch_$i%05d.json")
-      Files.write(f, group.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(f, render(group, i).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
       stampOrder(dir, i, f)
     }
   }

@@ -43,6 +43,8 @@ object ManifestMultiTable {
       numBuckets: Int = MultiTable.DefaultNumBuckets): Unit = {
     val dir = tableDir(root, spec)
     val (fs, rootP) = fsOf(spark, dir)
+    // gen derived inside the fold monitor (see ManifestReplica.snapshot)
+    ManifestReplica.foldLock(dir).synchronized {
     val (_, m) = readManifest(fs, rootP)
     val gen = m.gen + 1
     val stage = new Path(rootP, s".stage-g$gen")
@@ -58,6 +60,7 @@ object ManifestMultiTable {
       commitUpdate(fs, rootP)(_ =>
         Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
           Set.empty, mod = numBuckets)))
+    }
     }
     }
     ManifestReplica.gc(spark, dir)

@@ -389,6 +389,10 @@ object ManifestReplica {
   def snapshot(spark: SparkSession, rows: Dataset[PersonRow], dir: String,
       numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
     val (fs, root) = fsOf(spark, dir)
+    // gen derived INSIDE the fold monitor (r6 review: a re-snapshot
+    // over a live replica racing a fold could derive the same gen+1
+    // and clobber the shared .stage-g<gen> dir)
+    foldLock(dir).synchronized {
     val (_, m) = readManifest(fs, root)
     val gen = m.gen + 1
     val stage = new Path(root, s".stage-g$gen")
@@ -406,6 +410,7 @@ object ManifestReplica {
       commitUpdate(fs, root)(_ =>
         Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
           Set.empty, mod = numBuckets)))
+    }
     }
     }
     gc(spark, dir)
@@ -835,6 +840,12 @@ object ManifestReplica {
     withLifecycle(dir) {
       awaitCompactions() // a daemon fold may outlive its stopped stream
       val (fs, root) = fsOf(spark, dir)
+      // fold monitor excludes a trigger's INLINE fold (awaitCompactions
+      // only joins async ones: an inline fold runs on the trigger
+      // thread and would otherwise re-commit a manifest over the
+      // freshly truncated root, r6 review); the commit lock excludes a
+      // delta commit interleaving the manifest deletes
+      foldLock(dir).synchronized { lockFor(root).synchronized {
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
         if (n == "data" || n == "delta" || n.startsWith(ManifestPrefix) ||
@@ -843,6 +854,7 @@ object ManifestReplica {
             (n.startsWith(".reclaim-") && !n.endsWith(".lock")))
           check(fs.delete(st.getPath, true), s"truncate $n")
       }
+      } }
     }
   }
 

@@ -201,22 +201,26 @@ object MultiTable {
       lit(null).cast(LongType).as("last_d_lsn"))
   }
 
-  /** Bulk-load one table's initial state (full overwrite). */
+  /** Bulk-load one table's initial state (full overwrite; exclusive on
+    * the dir lock — the write lock is reentrant through the inner
+    * truncate). */
   def snapshot(spark: SparkSession, rows: DataFrame, root: String,
       spec: TableSpec, numBuckets: Int = DefaultNumBuckets): Unit = {
     val dir = tableDir(root, spec)
-    val (fs, base) = {
-      val p = new Path(dir)
-      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    Replicate.exclusive(dir) {
+      val (fs, base) = {
+        val p = new Path(dir)
+        (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      }
+      Replicate.truncate(spark, dir)
+      rowsAsMtSummaries(rows, spec)
+        .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(BucketCol)
+        .parquet(dir)
+      Replicate.checkLayout(fs, base, numBuckets)
     }
-    Replicate.truncate(spark, dir)
-    rowsAsMtSummaries(rows, spec)
-      .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "static")
-      .partitionBy(BucketCol)
-      .parquet(dir)
-    Replicate.checkLayout(fs, base, numBuckets)
   }
 
   /** Apply one micro-batch of PARSED generic changes to every declared
@@ -254,10 +258,12 @@ object MultiTable {
       // only the write path is gated on presence. While a lifecycle op
       // (vacuum) holds the table, recovery must NOT run: the op's own
       // rename-aside swaps are live, not crash leftovers (r6 review).
-      if (active || fs.exists(base)) Replicate.swapLock(dir).synchronized {
-        // flag read INSIDE the swap monitor (r6 review: an advisory
-        // read outside it left a descheduled trigger free to wake
-        // inside a vacuum's rename-aside window)
+      // whole per-table trigger section under the SHARED side of the
+      // dir lock: recovery, delta write/commit, and the threshold fold
+      // cannot interleave an exclusive lifecycle rewrite, and never
+      // contend with each other (r6 review)
+      Replicate.shared(dir) {
+      if (active || fs.exists(base)) {
         if (!Replicate.lifecycleBusy(dir)) {
           Replicate.checkLayout(fs, base, numBuckets)
           Replicate.recoverSwap(fs, base)
@@ -281,8 +287,8 @@ object MultiTable {
         .filter(_.getName.startsWith("batch=")).toSeq
         .partition(Replicate.batchIdOf(_) <= wm)
       stale.foreach(p => fs.delete(p, true))
-      if (live.size >= compactEvery) Replicate.swapLock(dir).synchronized {
-        if (!Replicate.lifecycleBusy(dir)) compact(spark, dir, numBuckets)
+      if (live.size >= compactEvery && !Replicate.lifecycleBusy(dir))
+        compactUnlocked(spark, dir, numBuckets)
       }
       }
       }
@@ -290,8 +296,15 @@ object MultiTable {
   }
 
   /** Fold one table's pending deltas into the buckets they touch —
-    * [[Replicate.compact]]'s incremental shape over the generic schema. */
+    * [[Replicate.compact]]'s incremental shape over the generic
+    * schema. Operator entry: exclusive on the dir lock (an unguarded
+    * public compact racing the trigger's would share the staging
+    * dir). */
   def compact(spark: SparkSession, dir: String,
+      numBuckets: Int = DefaultNumBuckets): Unit =
+    Replicate.exclusive(dir) { compactUnlocked(spark, dir, numBuckets) }
+
+  private[cdc] def compactUnlocked(spark: SparkSession, dir: String,
       numBuckets: Int = DefaultNumBuckets): Unit = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -328,12 +341,12 @@ object MultiTable {
     // stream recovers EVERY declared table each trigger, idle or not)
     // and from folding a base read that predates this rewrite
     Replicate.withLifecycle(dir) {
-      Replicate.swapLock(dir).synchronized {
+      Replicate.exclusive(dir) {
         val base = new Path(dir)
         val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         Replicate.checkLayout(fs, base, numBuckets)
         Replicate.recoverSwap(fs, base)
-        compact(spark, dir, numBuckets)
+        compactUnlocked(spark, dir, numBuckets)
         val alive = Replicate.readBase(spark, fs, dir,
           schema = MtBaseSchema)
           .filter(col("first_ins").isNotNull)

@@ -559,21 +559,37 @@ object Replicate {
   private[cdc] def lifecycleBusy(dir: String): Boolean =
     lifecycleOps.contains(dir)
 
-  /** Per-replica-dir monitors serializing every section that touches
-    * SWAP STATE — the trigger's checkLayout+recoverSwap, the inline
-    * compact, and the bulk lifecycle rewrites (vacuum/truncate). The
-    * lifecycle FLAG alone was check-then-act (r6 review): a trigger
-    * descheduled between `!lifecycleBusy` and its recoverSwap could
-    * wake inside a vacuum's rename-aside window and tear the swap
-    * apart; flag reads now happen INSIDE the monitor and lifecycle ops
-    * hold it across their whole rewrite, so the interleaving cannot
-    * occur. Delta writes/commits stay outside — only swap-touching
-    * sections serialize. */
-  private val swapLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Per-replica-dir READ-WRITE locks: the trigger's sections (swap
+    * recovery, the whole delta write/commit, threshold folds) and the
+    * async fold take the SHARED side — they never contend with each
+    * other, preserving the async design's trigger-stays-O(batch)
+    * property — while operator ops that rewrite or delete state
+    * (vacuum, truncate, compactNow, the public compacts) take the
+    * EXCLUSIVE side. The earlier advisory flag was check-then-act
+    * (r6 review: a trigger descheduled between `!lifecycleBusy` and
+    * its recoverSwap could wake inside a vacuum's rename-aside window
+    * and tear the swap apart; a truncate could delete a delta tmp
+    * mid-commit and kill the stream); reader/writer exclusion closes
+    * every such interleaving without serializing the steady state.
+    * The flag survives only to SKIP work while a lifecycle op runs or
+    * waits (recoverSwap would misread its swaps; new folds would
+    * starve it). */
+  private val dirLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
 
-  private[cdc] def swapLock(dir: String): Object =
-    swapLocks.computeIfAbsent(dir, _ => new Object)
+  private def rwLock(dir: String) =
+    dirLocks.computeIfAbsent(dir,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  private[cdc] def shared[A](dir: String)(body: => A): A = {
+    val l = rwLock(dir).readLock(); l.lock()
+    try body finally l.unlock()
+  }
+
+  private[cdc] def exclusive[A](dir: String)(body: => A): A = {
+    val l = rwLock(dir).writeLock(); l.lock()
+    try body finally l.unlock()
+  }
 
   private[graft] def withLifecycle[A](dir: String)(body: => A): A = {
     check(lifecycleOps.add(dir), s"lifecycle op already in flight at $dir")
@@ -586,6 +602,12 @@ object Replicate {
   def awaitCompactions(): Unit =
     compacting.values().toArray(Array.empty[Thread]).foreach(_.join())
 
+  /** Join only ONE replica dir's in-flight async fold — what a
+    * lifecycle op actually needs (the global join stalls on unrelated
+    * tables' folds in a multi-table deployment, r6 review). */
+  private[cdc] def awaitCompactions(replicaDir: String): Unit =
+    Option(compacting.get(replicaDir)).foreach(_.join())
+
   def applyBatch(spark: SparkSession, batch: Dataset[PersonChange],
       replicaDir: String, numBuckets: Int = DefaultNumBuckets,
       mergeParallelism: Int = DefaultMergeParallelism,
@@ -594,11 +616,10 @@ object Replicate {
       compactAsync: Boolean = false): Unit = {
     val base = new Path(replicaDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    swapLock(replicaDir).synchronized {
-      traced("layout")(checkLayout(fs, base, numBuckets))
-      if (!compacting.containsKey(replicaDir) && !lifecycleBusy(replicaDir))
-        traced("recoverSwap")(recoverSwap(fs, base))
-    }
+    shared(replicaDir) {
+    traced("layout")(checkLayout(fs, base, numBuckets))
+    if (!compacting.containsKey(replicaDir) && !lifecycleBusy(replicaDir))
+      traced("recoverSwap")(recoverSwap(fs, base))
     val dRoot = new Path(base, DeltaDirName)
     // ONE O(batch) job per trigger: micro-batch → per-key summary (one
     // bucket-keyed shuffle) → one small parquet file per bucket
@@ -625,7 +646,7 @@ object Replicate {
       .partition(batchIdOf(_) <= wm)
     stale.foreach(p => fs.delete(p, true))
     if (live.size >= compactEvery) {
-      if (!compactAsync) swapLock(replicaDir).synchronized {
+      if (!compactAsync) {
         if (!lifecycleBusy(replicaDir))
           traced("compact")(compact(spark, fs, replicaDir, numBuckets))
       }
@@ -642,7 +663,7 @@ object Replicate {
           // spawn that raced a starting vacuum (advisory flag read)
           // parks here until the rewrite finishes, then folds from the
           // post-rewrite state (compact re-reads base and deltas)
-          try swapLock(replicaDir).synchronized {
+          try shared(replicaDir) {
             if (!lifecycleBusy(replicaDir))
               traced("compact")(compact(spark, fs, replicaDir, numBuckets))
           }
@@ -653,6 +674,7 @@ object Replicate {
         t.setDaemon(true)
         if (compacting.putIfAbsent(replicaDir, t) == null) t.start()
       }
+    }
     }
   }
 
@@ -722,11 +744,16 @@ object Replicate {
     * — read amplification drops to zero until new deltas land. */
   def compactNow(spark: SparkSession, replicaDir: String,
       numBuckets: Int = DefaultNumBuckets): Unit = {
-    awaitCompactions()
-    val (fs, base) = fsOf(spark, replicaDir)
-    checkLayout(fs, base, numBuckets)
-    recoverSwap(fs, base)
-    compact(spark, fs, replicaDir, numBuckets)
+    awaitCompactions(replicaDir)
+    // operator entry: exclusive — an unguarded compact raced the
+    // trigger's (both write the same staging dir) and could tear a
+    // vacuum's swaps (r6 review)
+    exclusive(replicaDir) {
+      val (fs, base) = fsOf(spark, replicaDir)
+      checkLayout(fs, base, numBuckets)
+      recoverSwap(fs, base)
+      compact(spark, fs, replicaDir, numBuckets)
+    }
   }
 
   /** Physically remove tombstones (and fold any pending deltas first).
@@ -740,8 +767,8 @@ object Replicate {
   def vacuum(spark: SparkSession, replicaDir: String,
       numBuckets: Int = DefaultNumBuckets): Unit =
     withLifecycle(replicaDir) {
-      awaitCompactions()
-      swapLock(replicaDir).synchronized {
+      awaitCompactions(replicaDir)
+      exclusive(replicaDir) {
         val (fs, base) = fsOf(spark, replicaDir)
         checkLayout(fs, base, numBuckets)
         recoverSwap(fs, base)
@@ -766,8 +793,8 @@ object Replicate {
     // a live trigger's recoverSwap — a deleted aside mid-restore kills
     // the stream; an in-flight fold re-creates dirs after the delete)
     withLifecycle(replicaDir) {
-      awaitCompactions()
-      swapLock(replicaDir).synchronized {
+      awaitCompactions(replicaDir)
+      exclusive(replicaDir) {
         val (fs, base) = fsOf(spark, replicaDir)
         if (fs.exists(base)) {
           fs.listStatus(base).foreach { st =>
@@ -788,17 +815,21 @@ object Replicate {
     * overlap trick becomes "snapshot then start the stream from offset 0;
     * overlapping changes re-fold idempotently". */
   def snapshot(spark: SparkSession, rows: Dataset[PersonRow],
-      replicaDir: String, numBuckets: Int = DefaultNumBuckets): Unit = {
-    val (fs, base) = fsOf(spark, replicaDir)
-    resetLayout(fs, base) // full overwrite — may legitimately re-bucket
-    rowsAsSummaries(rows.toDF())
-      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "static")
-      .partitionBy(BucketCol)
-      .parquet(replicaDir)
-    checkLayout(fs, base, numBuckets) // stamp the fresh layout
-  }
+      replicaDir: String, numBuckets: Int = DefaultNumBuckets): Unit =
+    // operator entry rewriting the whole replica: exclusive, like
+    // vacuum/truncate/compactNow
+    exclusive(replicaDir) {
+      val (fs, base) = fsOf(spark, replicaDir)
+      resetLayout(fs, base) // full overwrite — may legitimately re-bucket
+      rowsAsSummaries(rows.toDF())
+        .withColumn(BucketCol,
+          pmod(col("id"), lit(numBuckets)).cast("int"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(BucketCol)
+        .parquet(replicaDir)
+      checkLayout(fs, base, numBuckets) // stamp the fresh layout
+    }
 
   /** The continuous pipeline: change log → parse → optional publication
     * row filter → keyed merge, every `trigger` interval (the 2 s poll,
