@@ -40,31 +40,10 @@ object ManifestMultiTable {
     * schema). */
   def snapshot(spark: SparkSession, rows: DataFrame, root: String,
       spec: TableSpec,
-      numBuckets: Int = MultiTable.DefaultNumBuckets): Unit = {
-    val dir = tableDir(root, spec)
-    val (fs, rootP) = fsOf(spark, dir)
-    // gen derived inside the fold monitor (see ManifestReplica.snapshot)
-    ManifestReplica.foldLock(dir).synchronized {
-    val (_, m) = readManifest(fs, rootP)
-    val gen = m.gen + 1
-    val stage = new Path(rootP, s".stage-g$gen")
-    writingTo(stage) {
-    fs.delete(stage, true)
-    MultiTable.rowsAsMtSummaries(rows, spec)
-      .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
-      .repartition(numBuckets, col(BucketCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-      .parquet(stage.toString)
-    lockFor(rootP).synchronized {
-      val moved = placeBuckets(fs, rootP, stage, gen)
-      commitUpdate(fs, rootP)(_ =>
-        Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
-          Set.empty, mod = numBuckets)))
-    }
-    }
-    }
-    ManifestReplica.gc(spark, dir)
-  }
+      numBuckets: Int = MultiTable.DefaultNumBuckets): Unit =
+    ManifestReplica.snapshotWith(spark, tableDir(root, spec), numBuckets,
+      MultiTable.rowsAsMtSummaries(rows, spec),
+      pmod(hash(col("key")), lit(numBuckets)))
 
   /** Apply one micro-batch of PARSED generic changes to every declared
     * table's manifest replica: per table, one O(batch-slice) summary →
@@ -89,7 +68,9 @@ object ManifestMultiTable {
       checkMod(m0, numBuckets, "applyBatch")
       val committed =
         if (batchId <= m0.watermark || m0.deltas.contains(batchId)) m0
-        else {
+        else Replicate.shared(dir) {
+          // shared vs an exclusive truncate (see
+          // ManifestReplica.applyBatch)
           val tmp = new Path(rootP, s"delta/.tmp-$batchId")
           writingTo(tmp) {
           fs.delete(tmp, true)

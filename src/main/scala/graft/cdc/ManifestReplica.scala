@@ -387,31 +387,39 @@ object ManifestReplica {
     * an existing replica — a full overwrite, like the re-subscribe
     * snapshot in the rename path). */
   def snapshot(spark: SparkSession, rows: Dataset[PersonRow], dir: String,
-      numBuckets: Int = Replicate.DefaultNumBuckets): Unit = {
+      numBuckets: Int = Replicate.DefaultNumBuckets): Unit =
+    snapshotWith(spark, dir, numBuckets, rowsAsSummaries(rows.toDF()),
+      pmod(col("id"), lit(numBuckets)).cast("int"))
+
+  /** [[snapshot]] parameterized over the summary frame and bucket
+    * expression — the [[vacuumWith]] pattern, so the generic
+    * multi-table twin shares this exact monitor/stage/place/commit
+    * sequence instead of hand-copying it (r6 review). The generation
+    * is derived INSIDE the fold monitor: a re-snapshot over a live
+    * replica racing a fold could otherwise derive the same gen+1 and
+    * clobber the shared `.stage-g<gen>` dir. */
+  private[cdc] def snapshotWith(spark: SparkSession, dir: String,
+      numBuckets: Int, summaries: DataFrame, bucketExpr: Column): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    // gen derived INSIDE the fold monitor (r6 review: a re-snapshot
-    // over a live replica racing a fold could derive the same gen+1
-    // and clobber the shared .stage-g<gen> dir)
     foldLock(dir).synchronized {
-    val (_, m) = readManifest(fs, root)
-    val gen = m.gen + 1
-    val stage = new Path(root, s".stage-g$gen")
-    writingTo(stage) {
-    fs.delete(stage, true)
-    rowsAsSummaries(rows.toDF())
-      .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
-      .repartition(numBuckets, col(BucketCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-      .parquet(stage.toString)
-    lockFor(root).synchronized {
-      val moved = placeBuckets(fs, root, stage, gen)
-      // full replace (operator-invoked before the stream starts — the
-      // one update that does not merge concurrent state)
-      commitUpdate(fs, root)(_ =>
-        Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
-          Set.empty, mod = numBuckets)))
-    }
-    }
+      val (_, m) = readManifest(fs, root)
+      val gen = m.gen + 1
+      val stage = new Path(root, s".stage-g$gen")
+      writingTo(stage) {
+        fs.delete(stage, true)
+        summaries.withColumn(BucketCol, bucketExpr)
+          .repartition(numBuckets, col(BucketCol))
+          .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+          .parquet(stage.toString)
+        lockFor(root).synchronized {
+          val moved = placeBuckets(fs, root, stage, gen)
+          // full replace (operator-invoked before the stream starts —
+          // the one update that does not merge concurrent state)
+          commitUpdate(fs, root)(_ =>
+            Some(Manifest(gen, Long.MinValue, moved.map(_ -> gen).toMap,
+              Set.empty, mod = numBuckets)))
+        }
+      }
     }
     gc(spark, dir)
   }
@@ -479,6 +487,12 @@ object ManifestReplica {
   def awaitCompactions(): Unit =
     compacting.values().toArray(Array.empty[Thread]).foreach(_.join())
 
+  /** Join only one replica dir's in-flight async fold (r6 review: the
+    * global join stalled one table's lifecycle op on every other
+    * table's fold). */
+  private[cdc] def awaitCompactions(dir: String): Unit =
+    Option(compacting.get(dir)).foreach(_.join())
+
   /** Apply one micro-batch: O(batch) summary → delta dir → one-PUT
     * commit. Replaying a committed or already-compacted `batchId` is a
     * pure no-op (deltas are deterministic in the epoch's content, and
@@ -492,7 +506,11 @@ object ManifestReplica {
     checkMod(m0, numBuckets, "applyBatch")
     val committed =
       if (batchId <= m0.watermark || m0.deltas.contains(batchId)) m0
-      else {
+      else Replicate.shared(dir) {
+        // shared side of the per-dir RW lock (r6 review: a truncate —
+        // exclusive — could delete this tmp mid-write and kill the
+        // stream; folds/vacuum never delete live delta state, so they
+        // stay off this lock entirely)
         val tmp = new Path(root, s"delta/.tmp-$batchId")
         writingTo(tmp) {
         fs.delete(tmp, true)
@@ -770,7 +788,7 @@ object ManifestReplica {
       baseSchema: org.apache.spark.sql.types.StructType,
       bucketExpr: Column, compactFn: () => Unit): Unit = {
     withLifecycle(dir) {
-      awaitCompactions() // never rewrite under an in-flight async fold
+      awaitCompactions(dir) // never rewrite under an in-flight async fold
       // the whole rewrite holds the fold monitor: a trigger fold that
       // raced the lifecycle flag parks until the rewrite commits, then
       // re-reads the post-vacuum manifest (reentrant for compactFn)
@@ -838,8 +856,11 @@ object ManifestReplica {
     * accepts a fresh [[snapshot]]. */
   def truncate(spark: SparkSession, dir: String): Unit = {
     withLifecycle(dir) {
-      awaitCompactions() // a daemon fold may outlive its stopped stream
+      awaitCompactions(dir) // a daemon fold may outlive its stopped stream
       val (fs, root) = fsOf(spark, dir)
+      // exclusive vs the trigger's SHARED delta section (which is the
+      // one writer foldLock/lockFor do not cover)
+      Replicate.exclusive(dir) {
       // fold monitor excludes a trigger's INLINE fold (awaitCompactions
       // only joins async ones: an inline fold runs on the trigger
       // thread and would otherwise re-commit a manifest over the
@@ -855,6 +876,7 @@ object ManifestReplica {
           check(fs.delete(st.getPath, true), s"truncate $n")
       }
       } }
+      }
     }
   }
 

@@ -207,12 +207,15 @@ object MultiTable {
   def snapshot(spark: SparkSession, rows: DataFrame, root: String,
       spec: TableSpec, numBuckets: Int = DefaultNumBuckets): Unit = {
     val dir = tableDir(root, spec)
+    // join BEFORE exclusive (r6 review: joining a fold parked on the
+    // shared side while holding the write lock deadlocks)
+    Replicate.awaitCompactions(dir)
     Replicate.exclusive(dir) {
       val (fs, base) = {
         val p = new Path(dir)
         (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
       }
-      Replicate.truncate(spark, dir)
+      Replicate.truncateLocked(spark, dir)
       rowsAsMtSummaries(rows, spec)
         .withColumn(BucketCol, pmod(hash(col("key")), lit(numBuckets)))
         .write.mode(SaveMode.Overwrite)

@@ -791,22 +791,29 @@ object Replicate {
   def truncate(spark: SparkSession, replicaDir: String): Unit =
     // same protection as vacuum (r6 review: an unguarded truncate raced
     // a live trigger's recoverSwap — a deleted aside mid-restore kills
-    // the stream; an in-flight fold re-creates dirs after the delete)
+    // the stream; an in-flight fold re-creates dirs after the delete).
+    // Join BEFORE exclusive: joining a fold parked on the shared side
+    // while holding the write lock would deadlock.
     withLifecycle(replicaDir) {
       awaitCompactions(replicaDir)
-      exclusive(replicaDir) {
-        val (fs, base) = fsOf(spark, replicaDir)
-        if (fs.exists(base)) {
-          fs.listStatus(base).foreach { st =>
-            val n = st.getPath.getName
-            if (n.startsWith(BucketCol + "=") ||
-                n.startsWith(AsidePrefix) || n == DeltaDirName)
-              check(fs.delete(st.getPath, true), s"truncate $n")
-          }
-        }
-        resetLayout(fs, base) // a fresh snapshot may re-bucket
+      exclusive(replicaDir) { truncateLocked(spark, replicaDir) }
+    }
+
+  /** The delete body, for callers already holding the dir's write lock
+    * (e.g. [[MultiTable.snapshot]]). */
+  private[cdc] def truncateLocked(spark: SparkSession,
+      replicaDir: String): Unit = {
+    val (fs, base) = fsOf(spark, replicaDir)
+    if (fs.exists(base)) {
+      fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(BucketCol + "=") ||
+            n.startsWith(AsidePrefix) || n == DeltaDirName)
+          check(fs.delete(st.getPath, true), s"truncate $n")
       }
     }
+    resetLayout(fs, base) // a fresh snapshot may re-bucket
+  }
 
   /** Initial snapshot (phase 2 of the replicator,
     * replicator/main.go:98-140): bulk-load existing rows into the replica.
