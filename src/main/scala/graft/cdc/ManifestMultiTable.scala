@@ -64,13 +64,13 @@ object ManifestMultiTable {
       specs.filter(sp => present.contains(sp.table)).foreach { spec =>
       val dir = tableDir(root, spec)
       val (fs, rootP) = fsOf(spark, dir)
-      val (_, m0) = readManifest(fs, rootP)
-      checkMod(m0, numBuckets, "applyBatch")
-      val committed =
+      // whole per-table body — pre-check included — shared vs an
+      // exclusive truncate (see ManifestReplica.applyBatch)
+      val committed = Replicate.shared(dir) {
+        val (_, m0) = readManifest(fs, rootP)
+        checkMod(m0, numBuckets, "applyBatch")
         if (batchId <= m0.watermark || m0.deltas.contains(batchId)) m0
-        else Replicate.shared(dir) {
-          // shared vs an exclusive truncate (see
-          // ManifestReplica.applyBatch)
+        else {
           val tmp = new Path(rootP, s"delta/.tmp-$batchId")
           writingTo(tmp) {
           fs.delete(tmp, true)
@@ -93,6 +93,7 @@ object ManifestMultiTable {
           }
           }
         }
+      }
       // same gate as ManifestReplica.applyBatch (r6 review: without it
       // a trigger's compact could race a vacuum's rewrite — both
       // computing gen+1 from the same manifest and clobbering each

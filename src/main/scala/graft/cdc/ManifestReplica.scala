@@ -401,6 +401,8 @@ object ManifestReplica {
   private[cdc] def snapshotWith(spark: SparkSession, dir: String,
       numBuckets: Int, summaries: DataFrame, bucketExpr: Column): Unit = {
     val (fs, root) = fsOf(spark, dir)
+    withLifecycle(dir) {
+    awaitCompactions(dir)
     foldLock(dir).synchronized {
       val (_, m) = readManifest(fs, root)
       val gen = m.gen + 1
@@ -420,6 +422,7 @@ object ManifestReplica {
               Set.empty, mod = numBuckets)))
         }
       }
+    }
     }
     gc(spark, dir)
   }
@@ -502,15 +505,17 @@ object ManifestReplica {
       batchId: Long, compactEvery: Int = Replicate.DefaultCompactEvery,
       compactAsync: Boolean = false): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    val (_, m0) = readManifest(fs, root)
-    checkMod(m0, numBuckets, "applyBatch")
-    val committed =
+    // the WHOLE trigger body — replay pre-check included — sits on the
+    // shared side of the per-dir RW lock (r6 review: a truncate —
+    // exclusive — could delete the manifest between the pre-check's
+    // listing and open, or delete the delta tmp mid-write; either
+    // kills the stream. Folds/vacuum never delete live delta state, so
+    // they stay off this lock entirely)
+    val committed = Replicate.shared(dir) {
+      val (_, m0) = readManifest(fs, root)
+      checkMod(m0, numBuckets, "applyBatch")
       if (batchId <= m0.watermark || m0.deltas.contains(batchId)) m0
-      else Replicate.shared(dir) {
-        // shared side of the per-dir RW lock (r6 review: a truncate —
-        // exclusive — could delete this tmp mid-write and kill the
-        // stream; folds/vacuum never delete live delta state, so they
-        // stay off this lock entirely)
+      else {
         val tmp = new Path(root, s"delta/.tmp-$batchId")
         writingTo(tmp) {
         fs.delete(tmp, true)
@@ -541,6 +546,7 @@ object ManifestReplica {
         }
         }
       }
+    }
     if (committed.deltas.size >= compactEvery &&
         !lifecycleOps.contains(dir)) {
       if (!compactAsync) compact(spark, dir, numBuckets)

@@ -201,14 +201,16 @@ object MultiTable {
       lit(null).cast(LongType).as("last_d_lsn"))
   }
 
-  /** Bulk-load one table's initial state (full overwrite; exclusive on
-    * the dir lock — the write lock is reentrant through the inner
-    * truncate). */
+  /** Bulk-load one table's initial state (full overwrite). Registers
+    * as a lifecycle op so a concurrent vacuum/truncate FAILS FAST
+    * instead of silently queueing behind the write lock and deleting
+    * the freshly loaded state (r6 review); joins the dir's async fold
+    * BEFORE acquiring exclusive (joining while holding the write lock
+    * deadlocks on a fold parked on the shared side). */
   def snapshot(spark: SparkSession, rows: DataFrame, root: String,
       spec: TableSpec, numBuckets: Int = DefaultNumBuckets): Unit = {
     val dir = tableDir(root, spec)
-    // join BEFORE exclusive (r6 review: joining a fold parked on the
-    // shared side while holding the write lock deadlocks)
+    Replicate.withLifecycle(dir) {
     Replicate.awaitCompactions(dir)
     Replicate.exclusive(dir) {
       val (fs, base) = {
@@ -223,6 +225,7 @@ object MultiTable {
         .partitionBy(BucketCol)
         .parquet(dir)
       Replicate.checkLayout(fs, base, numBuckets)
+    }
     }
   }
 

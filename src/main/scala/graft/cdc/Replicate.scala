@@ -823,8 +823,11 @@ object Replicate {
     * overlapping changes re-fold idempotently". */
   def snapshot(spark: SparkSession, rows: Dataset[PersonRow],
       replicaDir: String, numBuckets: Int = DefaultNumBuckets): Unit =
-    // operator entry rewriting the whole replica: exclusive, like
-    // vacuum/truncate/compactNow
+    // operator entry rewriting the whole replica: a registered
+    // lifecycle op (concurrent bulk ops fail fast) + exclusive, like
+    // vacuum/truncate; fold joined before the write lock
+    withLifecycle(replicaDir) {
+    awaitCompactions(replicaDir)
     exclusive(replicaDir) {
       val (fs, base) = fsOf(spark, replicaDir)
       resetLayout(fs, base) // full overwrite — may legitimately re-bucket
@@ -836,6 +839,7 @@ object Replicate {
         .partitionBy(BucketCol)
         .parquet(replicaDir)
       checkLayout(fs, base, numBuckets) // stamp the fresh layout
+    }
     }
 
   /** The continuous pipeline: change log → parse → optional publication

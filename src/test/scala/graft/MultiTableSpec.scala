@@ -369,6 +369,46 @@ class MultiTableSpec extends AnyFunSuite {
     assert(accountMap(root) === wantAccount(aOps))
   }
 
+  test("concurrent bulk lifecycle ops fail fast instead of silently queueing") {
+    // r6 review: MultiTable.snapshot had stopped registering as a
+    // lifecycle op — a concurrent truncate would have queued behind the
+    // write lock and silently deleted the freshly loaded state. Every
+    // bulk rewrite (snapshot/vacuum/truncate, both protocols) must
+    // refuse while another holds the table.
+    val root = Files.createTempDirectory("mt-conflict").toString
+    val dir = s"$root/person"
+    val rows = Seq((1, "a", "u", 1,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "name", "uid", "score", "created_at")
+    Replicate.withLifecycle(dir) {
+      intercept[java.io.IOException] {
+        MultiTable.snapshot(spark, rows, root, personSpec)
+      }
+      intercept[java.io.IOException] {
+        MultiTable.vacuum(spark, root, personSpec)
+      }
+      intercept[java.io.IOException] {
+        MultiTable.truncate(spark, root, personSpec)
+      }
+    }
+    // flag released → the same ops proceed
+    MultiTable.snapshot(spark, rows, root, personSpec)
+    assert(personMap(root) === Map(1 -> (("a", "u", 1))))
+    val rootM = Files.createTempDirectory("mtm-conflict").toString
+    val dirM = s"$rootM/person"
+    ManifestReplica.withLifecycle(dirM) {
+      intercept[java.io.IOException] {
+        ManifestMultiTable.snapshot(spark, rows, rootM, personSpec)
+      }
+      intercept[java.io.IOException] {
+        ManifestMultiTable.vacuum(spark, rootM, personSpec)
+      }
+    }
+    ManifestMultiTable.snapshot(spark, rows, rootM, personSpec)
+    assert(ManifestMultiTable.readTable(spark, rootM, personSpec)
+      .count() === 1)
+  }
+
   test("a lifecycle flag stops triggers from recovering/compacting under a vacuum") {
     // r6 review: the stream recovers EVERY declared table per trigger,
     // so a vacuum's own rename-aside swaps looked like crash leftovers
