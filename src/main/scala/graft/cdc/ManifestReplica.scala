@@ -423,8 +423,10 @@ object ManifestReplica {
         }
       }
     }
-    }
+    // gc INSIDE the lifecycle flag, like vacuumWith: the fail-fast
+    // invariant covers the sweep tail too
     gc(spark, dir)
+    }
   }
 
   /** In-flight background compactions, one slot per replica dir —
