@@ -483,6 +483,50 @@ class ManifestSpec extends AnyFunSuite {
       "stale orphan claim must be reclaimed")
   }
 
+  test("claimImpl seam: a plugged conditional-PUT carries the whole CAS protocol") {
+    // the documented object-store deployment path: replace the
+    // filesystem exclusive-create with a store-side conditional PUT
+    // (Delta LogStore pattern). Simulate one with an atomic in-memory
+    // key set and run real commits + a lockless two-racer round
+    // through it — the seam must carry the protocol, not just exist.
+    val claimed = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[String]()
+    val prior = ManifestReplica.claimImpl
+    ManifestReplica.claimImpl = (_, marker) => claimed.add(marker.toString)
+    try {
+      val dir = tmp("man-claim-seam")
+      val rows = (0 until 8).map(i =>
+        PersonRow(i, s"n$i", s"u$i", i,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4)
+      ManifestReplica.applyBatch(spark,
+        Seq(PersonChange(1000L, "U", 1, Some("x"), Some("u1"), Some(99),
+          None)).toDS(), dir, numBuckets = 4, batchId = 0L)
+      assert(ManifestReplica.readReplica(spark, dir).collect()
+        .find(_.id == 1).get.name === "x",
+        "commits must flow through the plugged claim")
+      // lockless racers through the seam: exactly one winner per round
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (round <- 1 to 20) {
+        val v = ManifestReplica.versions(spark, dir).max + round
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val ts = Seq(1L, 2L).map { g =>
+          new Thread(() => {
+            barrier.await()
+            if (ManifestReplica.tryCommit(fs, root, v,
+                ManifestReplica.Manifest(g, -1L, Map(0 -> g), Set.empty,
+                  mod = 4)))
+              wins.incrementAndGet()
+          })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        assert(wins.get() === 1, s"round $round: ${wins.get()} winners")
+      }
+    } finally ManifestReplica.claimImpl = prior
+  }
+
   test("manifest CAS: racing stale-claim reclaimers award the version at most once") {
     // r6 review: the old reclaim path was delete-marker-then-create —
     // two racers interleaving delete/create could BOTH claim the
