@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver json-parses the bench line out of the LAST 2000
+// chars of sbt's combined output. Two sbt decorations defeated that in
+// rounds 1-6 even once the line fit the window: LoggedOutput prefixes
+// every forked-process line with "[info] " (so the line never starts
+// with '{'), and the "[success] Total time…" epilogue lands AFTER the
+// line (so it is never last). StdoutOutput passes the forked JVM's
+// stdout/stderr through verbatim; showSuccess removes the epilogue —
+// the bench JSON becomes the literal, undecorated last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

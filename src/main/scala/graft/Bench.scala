@@ -298,21 +298,18 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Round-6 tail-window model, corrected against the driver's actual
-    // r5 artifact (BENCH_r05.json): the driver keeps the last 2000 RAW
-    // chars of combined stdout+stderr — which necessarily end with
-    // sbt's "[success] Total time: …" line (~73 chars we cannot
-    // suppress) — and json-parses within that tail. So the printed line
-    // must fit ~1927 chars WHOLE; a 96-key JSON object has a structural
-    // floor of ~1970 chars (1350 chars of key names + 4 chars/key of
-    // quotes/colon/comma + values) and can NEVER fit. The fix is shape,
-    // not trimming: the per-query timings ride as parallel arrays —
-    // "qk" (comma-joined key csv) + "qv" (integer deciseconds, the same
-    // 100 ms resolution the r5 line had) — saving the 2 quote chars per
-    // key that the object shape wastes. ~1810 chars total, >100 margin.
+    // Tail-window model (r6 artifact, BENCH_r06.json): the driver keeps
+    // the last 2000 RAW chars of combined stdout+stderr and json-parses
+    // within that tail. Round 7 closes the two sbt decorations that
+    // defeated the parse even once the line fit: build.sbt now sets
+    // StdoutOutput (no "[info] " prefix — the line starts with '{') and
+    // showSuccess := false (no "[success] Total time…" epilogue — the
+    // line is LAST). The line itself stays in the r6 parallel-array
+    // shape — "qk" (comma-joined key csv) + "qv" (integer deciseconds)
+    // — which keeps ~100 keys inside the window with >100 chars margin.
     // metric/value/unit/sf/cdc keep their contract names and units.
     // Full-precision map + CDC batch detail: /tmp/graft_bench.json and
-    // BENCHFULL_r06.json in the repo.
+    // BENCHFULL_r07.json in the repo.
     def ds(v: Double): String = math.max(0L, math.round(v * 10)).toString
     val qKeys = results.keys.toSeq.sorted
     val qkCsv = qKeys.mkString(",")
@@ -341,7 +338,7 @@ object Bench {
     // detail): /tmp for the dev loop, in-repo so the judge reads it
     // without leaving the repo (driver commits round-end work)
     Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), fullLine)
-    try Files.writeString(java.nio.file.Paths.get("BENCHFULL_r06.json"), fullLine)
+    try Files.writeString(java.nio.file.Paths.get("BENCHFULL_r07.json"), fullLine)
     catch { case e: Throwable => System.err.println(s"[bench] repo backstop write failed: $e") }
     // accounting + failure report BEFORE the JSON line: every char of
     // stderr printed after it would eat the driver's tail window

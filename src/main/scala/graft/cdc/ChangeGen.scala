@@ -214,22 +214,12 @@ object ChangeGen {
     * publication has (noise lines included as in [[writeBatches]]). */
   def writeMtBatches(dir: String, person: Seq[Op], account: Seq[Op],
       batches: Int, startIndex: Int = 0): Unit = {
-    Files.createDirectories(Paths.get(dir))
     val merged: Seq[String] =
       (person.map(o => o.lsn -> toJsonLine(o)) ++
         account.map(o => o.lsn -> toAccountJsonLine(o)))
         .sortBy(_._1).map(_._2)
-    val per = math.max(1, math.ceil(merged.size.toDouble / batches).toInt)
-    merged.grouped(per).zipWithIndex.foreach { case (group, i0) =>
-      // startIndex lets a later wave land under fresh names with later
-      // mtimes (the file source tracks processed files BY NAME and
-      // ignores modifications — a restart test needs wave 2 to be new
-      // files, not rewrites)
-      val i = i0 + startIndex
-      val lines = group ++ Seq(auditLine(900000L + i), malformedLine)
-      val f = Paths.get(dir, f"batch_$i%05d.json")
-      Files.write(f, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      stampOrder(dir, i, f)
+    writeChunks(dir, merged, batches, startIndex) { (group, i) =>
+      group ++ Seq(auditLine(900000L + i), malformedLine)
     }
   }
 

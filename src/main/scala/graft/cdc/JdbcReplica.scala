@@ -219,8 +219,17 @@ object JdbcReplica {
 
   /** One decoded per-key summary, ready for statement binding. */
   private final case class KeyOp(id: Int, name: String, uid: String,
-      score: Int, cAt: Timestamp, hasDel: Boolean, hasIns: Boolean,
-      hasImg: Boolean)
+      score: Option[Int], cAt: Timestamp, hasDel: Boolean, hasIns: Boolean,
+      hasImg: Boolean) {
+    /** SQL NULL when the winning image carried no score — matching the
+      * parquet/state-store cells, which preserve null (a 0 coercion
+      * here silently diverged the matrix for null-score events). */
+    def bindScore(ps: java.sql.PreparedStatement, at: Int): Unit =
+      score match {
+        case Some(s) => ps.setInt(at, s)
+        case None    => ps.setNull(at, java.sql.Types.INTEGER)
+      }
+  }
 
   /** Keys per executeBatch round-trip (bounds driver-side batch
     * memory; 1k × 3 phases ≈ 3 round-trips per 1k keys). */
@@ -294,8 +303,8 @@ object JdbcReplica {
           id = r.getInt(r.fieldIndex("id")),
           name = r.getString(r.fieldIndex("name")),
           uid = r.getString(r.fieldIndex("uid")),
-          score = if (r.isNullAt(r.fieldIndex("score"))) 0
-                  else r.getInt(r.fieldIndex("score")),
+          score = if (r.isNullAt(r.fieldIndex("score"))) None
+                  else Some(r.getInt(r.fieldIndex("score"))),
           cAt = r.getAs[Timestamp](r.fieldIndex("created_at")),
           hasDel = !r.isNullAt(r.fieldIndex("last_d_lsn")),
           hasIns = !r.isNullAt(r.fieldIndex("ins_lsn")),
@@ -306,11 +315,11 @@ object JdbcReplica {
             // a HIT preserves the stored created_at by never touching
             // the column (reference ON CONFLICT semantics)
             upd.setString(1, k.name); upd.setString(2, k.uid)
-            upd.setInt(3, k.score); upd.setInt(4, k.id)
+            k.bindScore(upd, 3); upd.setInt(4, k.id)
           },
           bindIns = ins => {
             ins.setInt(1, k.id); ins.setString(2, k.name)
-            ins.setString(3, k.uid); ins.setInt(4, k.score)
+            ins.setString(3, k.uid); k.bindScore(ins, 4)
             ins.setTimestamp(5, k.cAt)
           },
           hasDel = k.hasDel, hasIns = k.hasIns, hasImg = k.hasImg)

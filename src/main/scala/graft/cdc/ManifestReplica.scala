@@ -185,6 +185,18 @@ object ManifestReplica {
         }
     }
 
+  /** Second half of the claim seam: is the claim we made still
+    * standing? The history trim REVOKES long-stalled claims by deleting
+    * their markers ([[commitUpdate]]); [[tryCommit]] re-checks through
+    * this hook immediately before its publish rename so a committer
+    * stalled past the marker-retention window aborts instead of
+    * resurrecting a trimmed version number. A deployment plugging a
+    * store-side [[claimImpl]] must plug the matching existence probe
+    * here (and revoke claims in its trim path) — the two halves travel
+    * together. */
+  private[graft] var claimHeldImpl: (FileSystem, Path) => Boolean =
+    (fs, marker) => fs.exists(marker)
+
   /** Serialize stale-claim reclaimers for one version. Local FS: an OS
     * file lock on `.reclaim-v<v>.lock` — atomic across processes AND
     * released by the kernel if its holder crashes, so reclaim needs no
@@ -292,6 +304,11 @@ object ManifestReplica {
     val tmp = new Path(root, s".tmp-manifest-$v")
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    // Re-verify our claim right before publishing: if the marker is
+    // gone, the history trim passed our version's (extended) retention
+    // while we stalled — the version number is dead and renaming onto
+    // it would resurrect a bogus old version for time-travel readers.
+    if (!claimHeldImpl(fs, marker)) { fs.delete(tmp, false); return false }
     check(fs.rename(tmp, dst), s"commit $dst")
     true
   }
@@ -338,18 +355,23 @@ object ManifestReplica {
             if (tryCommit(fs, root, v + 1, next)) {
               // trim history beyond the retained window (best-effort;
               // committed state is durable, data reclaim is gc's).
-              // Claim markers leave with their manifest — a marker must
-              // outlive its version's retention so a stalled committer
-              // can never resurrect a trimmed version number.
+              // Claim markers outlive their manifest by one extra
+              // history window: a committer stalled between claim and
+              // rename must still find (or miss) its marker when it
+              // wakes — trimming the marker with the manifest let a
+              // long-stalled committer rename its tmp onto the freed
+              // version number, resurrecting a bogus old version
+              // (r6 advice). tryCommit's pre-rename marker re-check is
+              // the second line of defense for stalls past BOTH windows.
               fs.listStatus(root).foreach { st =>
                 val n = st.getPath.getName
-                val ver =
-                  if (n.startsWith(ManifestPrefix))
-                    Some(n.stripPrefix(ManifestPrefix).toLong)
-                  else if (n.startsWith(".commit-v"))
-                    Some(n.stripPrefix(".commit-v").toLong)
-                  else None
-                if (ver.exists(_ <= v + 1 - ManifestHistory))
+                if (n.startsWith(ManifestPrefix) &&
+                    n.stripPrefix(ManifestPrefix).toLong <=
+                      v + 1 - ManifestHistory)
+                  fs.delete(st.getPath, false)
+                else if (n.startsWith(".commit-v") &&
+                    n.stripPrefix(".commit-v").toLong <=
+                      v + 1 - 2L * ManifestHistory)
                   fs.delete(st.getPath, false)
               }
               return next

@@ -243,7 +243,7 @@ object MultiTable {
     * triggers of wall-clock). Presence derives from batch content, so
     * an epoch replay skips identically. */
   private[cdc] def presentTables(parsed: DataFrame): Set[String] =
-    parsed.groupBy("tbl").count().collect().map(_.getString(0)).toSet
+    parsed.select("tbl").distinct().collect().map(_.getString(0)).toSet
 
   def applyBatch(spark: SparkSession, parsed: DataFrame, root: String,
       specs: Seq[TableSpec], batchId: Long,

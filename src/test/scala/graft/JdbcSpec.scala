@@ -110,6 +110,36 @@ class JdbcSpec extends AnyFunSuite {
     assert(r._4 === java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))
   }
 
+  test("jdbc apply: a null score binds SQL NULL, not 0 (matrix parity)") {
+    // the parquet/state-store cells preserve a null score in the winning
+    // image (e.g. a TOAST-style update that omits the column); the JDBC
+    // sink used to coerce it to 0 — a silent cross-path divergence the
+    // equivalence fixtures never caught because they always carry scores
+    val url = freshDb("jdbc-nullscore")
+    JdbcReplica.ensureTables(url, "person")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    JdbcReplica.applyBatch(
+      Seq(PersonChange(1L, "I", 1, Some("a"), Some("u1"), None, Some(t0)),
+        PersonChange(2L, "I", 2, Some("b"), Some("u2"), Some(7), Some(t0)),
+        PersonChange(3L, "U", 2, Some("b2"), Some("u2"), None, None))
+        .toDS(), url, "person", batchId = 0L)
+    def scoreOf(id: Int): Option[Int] = {
+      val c = JdbcReplica.connect(url)
+      try {
+        val st = c.prepareStatement("SELECT score FROM person WHERE id=?")
+        try {
+          st.setInt(1, id)
+          val rs = st.executeQuery()
+          assert(rs.next()); val v = rs.getInt(1)
+          val out = if (rs.wasNull()) None else Some(v)
+          rs.close(); out
+        } finally st.close()
+      } finally c.close()
+    }
+    assert(scoreOf(1) === None, "fresh insert with no score must be NULL")
+    assert(scoreOf(2) === None, "null-score update must overwrite with NULL")
+  }
+
   test("jdbc batching: >1000 keys in one partition apply correctly across chunk boundaries") {
     // applyPartition chunks at JdbcBatchSize=1000 and executes three
     // batch phases per chunk; 2500 keys on parallelism=1 crosses two

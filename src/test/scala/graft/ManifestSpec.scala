@@ -483,6 +483,69 @@ class ManifestSpec extends AnyFunSuite {
       "stale orphan claim must be reclaimed")
   }
 
+  test("claim markers outlive their manifest; a trim-overtaken committer aborts at the rename") {
+    // r6 advice: trimming a claim marker WITH its manifest let a
+    // committer stalled between claim and rename resurrect the trimmed
+    // version number. Two defenses, both pinned here: markers are
+    // retained one extra ManifestHistory window (a retained marker
+    // blocks any new claimant of a trimmed version), and tryCommit
+    // re-verifies its marker immediately before the publish rename (a
+    // stall past BOTH windows aborts instead of resurrecting).
+    val dir = tmp("man-marker-retention")
+    val rows = (0 until 8).map(i =>
+      PersonRow(i, s"n$i", s"u$i", i,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    def upd(lsn: Long, id: Int, v: Int) = PersonChange(lsn, "U", id,
+      Some(s"x$lsn"), Some(s"u$id"), Some(v), None)
+    ManifestReplica.snapshot(spark, rows.toDS(), dir, numBuckets = 4) // v1
+    for (b <- 0 until 11)
+      ManifestReplica.applyBatch(spark, Seq(upd(100L + b, b % 8, b)).toDS(),
+        dir, numBuckets = 4, batchId = b.toLong, compactEvery = 1000)
+    val h = ManifestReplica.ManifestHistory
+    val names = ls(dir, "")
+    val manifestVs = names.filter(_.startsWith("_manifest.v"))
+      .map(_.stripPrefix("_manifest.v").toLong)
+    val markerVs = names.filter(_.startsWith(".commit-v"))
+      .map(_.stripPrefix(".commit-v").toLong)
+    val head = manifestVs.max
+    assert(manifestVs.min === head - h + 1, "manifest window drifted")
+    assert(markerVs.min <= head - h,
+      "claim markers must survive their manifest's trim")
+    assert(markerVs.min > head - 2L * h,
+      "marker retention must itself stay bounded")
+
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bogus = ManifestReplica.Manifest(999L, -1L, Map(0 -> 999L),
+      Set.empty, mod = 4)
+    // defense 1: a trimmed version whose marker is RETAINED — a new
+    // claimant finds the (fresh-mtime) marker and is refused
+    val vTrimmed = head - h
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"_manifest.v$vTrimmed")))
+    assert(!ManifestReplica.tryCommit(fs, root, vTrimmed, bogus),
+      "retained marker must block re-claiming a trimmed version")
+    // defense 2: a version past BOTH windows (marker gone too) — the
+    // claim succeeds, but the trim overtakes the stalled committer
+    // before its rename (simulated via the claim seam); the pre-rename
+    // marker re-check must abort the commit
+    val vAncient = head - 2L * h
+    assert(!names.contains(s".commit-v$vAncient"))
+    val prior = ManifestReplica.claimImpl
+    ManifestReplica.claimImpl = (fs2, marker) => {
+      val ok = prior(fs2, marker)
+      if (ok) fs2.delete(marker, false) // the trim passing mid-stall
+      ok
+    }
+    try
+      assert(!ManifestReplica.tryCommit(fs, root, vAncient, bogus),
+        "trim-overtaken committer must abort, not resurrect")
+    finally ManifestReplica.claimImpl = prior
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"_manifest.v$vAncient")), "no bogus resurrected version")
+    assert(ManifestReplica.versions(spark, dir).max === head)
+  }
+
   test("claimImpl seam: a plugged conditional-PUT carries the whole CAS protocol") {
     // the documented object-store deployment path: replace the
     // filesystem exclusive-create with a store-side conditional PUT
@@ -492,7 +555,12 @@ class ManifestSpec extends AnyFunSuite {
     val claimed = java.util.concurrent.ConcurrentHashMap
       .newKeySet[String]()
     val prior = ManifestReplica.claimImpl
+    val priorHeld = ManifestReplica.claimHeldImpl
+    // both halves of the seam travel together: the store-side claim set
+    // also answers "is my claim still standing?" for the pre-rename check
     ManifestReplica.claimImpl = (_, marker) => claimed.add(marker.toString)
+    ManifestReplica.claimHeldImpl =
+      (_, marker) => claimed.contains(marker.toString)
     try {
       val dir = tmp("man-claim-seam")
       val rows = (0 until 8).map(i =>
@@ -524,7 +592,10 @@ class ManifestSpec extends AnyFunSuite {
         ts.foreach(_.start()); ts.foreach(_.join())
         assert(wins.get() === 1, s"round $round: ${wins.get()} winners")
       }
-    } finally ManifestReplica.claimImpl = prior
+    } finally {
+      ManifestReplica.claimImpl = prior
+      ManifestReplica.claimHeldImpl = priorHeld
+    }
   }
 
   test("manifest CAS: racing stale-claim reclaimers award the version at most once") {

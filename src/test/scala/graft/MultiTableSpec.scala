@@ -64,6 +64,52 @@ class MultiTableSpec extends AnyFunSuite {
     assert(gotCreated === created)
   }
 
+  test("re-snapshot with a different numBuckets re-buckets cleanly; stale bucket count fails fast") {
+    // r6 advice claimed MultiTable.snapshot skips the resetLayout step —
+    // it doesn't (truncateLocked ends with resetLayout); pin the exact
+    // scenario: old-modulus state must be GONE after the re-snapshot,
+    // incremental triggers under the new modulus converge, and a caller
+    // resuming with the old bucket count dies at checkLayout instead of
+    // silently folding against a mixed-modulus layout
+    val (pOps, _) = ChangeGen.mtOps(seed = 311L, nPerson = 300, nAccount = 1)
+    val (snap1, rest) = pOps.splitAt(100)
+    val (snap2src, stream2) = rest.splitAt(100)
+    val root = Files.createTempDirectory("mt-rebucket").toString
+    val dir = s"$root/${personSpec.table}"
+
+    MultiTable.snapshot(spark,
+      ChangeGen.replay(snap1).values.toSeq.toDS().toDF(), root, personSpec,
+      numBuckets = 8)
+    def bucketDirs: Set[String] = {
+      val d = new java.io.File(dir)
+      d.listFiles().map(_.getName).filter(_.startsWith("id_bucket=")).toSet
+    }
+    assert(bucketDirs.nonEmpty)
+
+    // full re-snapshot of a DIFFERENT state under a different modulus
+    val state2 = ChangeGen.replay(snap1 ++ snap2src)
+    MultiTable.snapshot(spark, state2.values.toSeq.toDS().toDF(), root,
+      personSpec, numBuckets = 4)
+    val after = bucketDirs
+    assert(after.forall(n =>
+        n.stripPrefix("id_bucket=").toInt < 4),
+      s"old-modulus bucket dirs survived the re-snapshot: $after")
+
+    // incremental batches under the NEW modulus converge to replay
+    def parsedOf(ops: Seq[ChangeGen.Op]) = MultiTable.parseAll(
+      ops.map(ChangeGen.toJsonLine).toDF("value"), Seq(personSpec))
+    MultiTable.applyBatch(spark, parsedOf(stream2), root, Seq(personSpec),
+      batchId = 0L, numBuckets = 4)
+    assert(personMap(root) === wantPerson(pOps))
+
+    // resuming with the OLD count is a layout violation, not silent skew
+    val e = intercept[java.io.IOException] {
+      MultiTable.applyBatch(spark, parsedOf(stream2), root, Seq(personSpec),
+        batchId = 1L, numBuckets = 8)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+  }
+
   test("manifest-protocol multi-table: same fan-out, manifest commits, time travel intact") {
     val (pOps, aOps) = ChangeGen.mtOps(seed = 74L, nPerson = 400,
       nAccount = 250)
