@@ -21,6 +21,7 @@ run / fork := true
 // the bench JSON becomes the literal, undecorated last line.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -396,32 +396,155 @@ object CdcQueries {
       try q.awaitTermination() finally q.stop()
       JdbcReplica.snapshot(s, url, "person").toDF().orderBy("id")
     },
-    Some(s"""WITH snap AS (
-           |  SELECT id, name, uid, score, created_at,
-           |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
-           |  FROM read_parquet('$jdbcSnapPq/*.parquet')
-           |), ev AS (
-           |  SELECT * FROM snap
-           |  UNION ALL
-           |  SELECT id, name, uid, score, created_at, lsn, action
-           |  FROM read_parquet('$jdbcStrPq/*.parquet')
-           |), lastd AS (
-           |  SELECT id, max(lsn) AS dlsn FROM ev WHERE action = 'D'
-           |  GROUP BY id
-           |)
-           |SELECT e.id,
-           |  arg_max(e.name, e.lsn) AS name,
-           |  arg_max(e.uid, e.lsn) AS uid,
-           |  arg_max(e.score, e.lsn) AS score,
-           |  arg_min(e.created_at, e.lsn) FILTER (WHERE e.action = 'I')
-           |    AS created_at
-           |FROM ev e LEFT JOIN lastd d ON e.id = d.id
-           |WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
-           |GROUP BY e.id
-           |HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
-           |ORDER BY e.id""".stripMargin))
+    Some(plainFoldOracleSql(jdbcSnapPq, jdbcStrPq)))
+
+  /** The reference fold with NO publication filter — [[e2eOracleSql]]
+    * minus the row-filter transform. Shared by the JDBC and state-store
+    * e2e rows (the filter transform is pinned by the other two). */
+  private def plainFoldOracleSql(snapPq: String, strPq: String): String =
+    s"""WITH snap AS (
+       |  SELECT id, name, uid, score, created_at,
+       |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
+       |  FROM read_parquet('$snapPq/*.parquet')
+       |), ev AS (
+       |  SELECT * FROM snap
+       |  UNION ALL
+       |  SELECT id, name, uid, score, created_at, lsn, action
+       |  FROM read_parquet('$strPq/*.parquet')
+       |), lastd AS (
+       |  SELECT id, max(lsn) AS dlsn FROM ev WHERE action = 'D'
+       |  GROUP BY id
+       |)
+       |SELECT e.id,
+       |  arg_max(e.name, e.lsn) AS name,
+       |  arg_max(e.uid, e.lsn) AS uid,
+       |  arg_max(e.score, e.lsn) AS score,
+       |  arg_min(e.created_at, e.lsn) FILTER (WHERE e.action = 'I')
+       |    AS created_at
+       |FROM ev e LEFT JOIN lastd d ON e.id = d.id
+       |WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+       |GROUP BY e.id
+       |HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+       |ORDER BY e.id""".stripMargin
+
+  private val stateSnapPq = s"$FixtureDir/cdc_state_snap.parquet"
+  private val stateStrPq = s"$FixtureDir/cdc_state_stream.parquet"
+
+  /** [[jdbcE2e]]'s dataflow through the STATE-STORE cell
+    * ([[StatefulReplica]], flatMapGroupsWithState): the snapshot
+    * bootstraps as an epoch-0 wave of lsn-0 inserts, the stream arrives
+    * over real micro-batch boundaries, and the replica is the final
+    * live-key state read back from the emitted update stream — the
+    * driver-oracle signal the r6 verdict asked for on this cell (its
+    * only pin was the seeded equivalence property). */
+  private val statefulE2e = Declared(
+    "cdc_stateful_e2e",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 69L, n = 2000)
+      val (snapOps, streamOps) = ops.splitAt(800)
+      import s.implicits._
+      val snapState = ChangeGen.replay(snapOps).values.toSeq
+      snapState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(stateSnapPq)
+      dumpChanges(s, streamOps, stateStrPq)
+      // lsn 0 sits below every stream lsn (they start at 801), so the
+      // bootstrap folds exactly like the oracle's lsn=-1 snapshot rows
+      val bootstrap = snapState.map(p => PersonChange(0L, "I", p.id,
+        Some(p.name), Some(p.uid), Some(p.score), Some(p.created_at)))
+      val per = math.max(1, math.ceil(streamOps.size / 5.0).toInt)
+      val waves = bootstrap +:
+        ChangeGen.toChanges(streamOps).grouped(per).toSeq
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[PersonChange](s)
+      val state =
+        new java.util.concurrent.ConcurrentHashMap[Int, PersonRow]()
+      val q = StatefulReplica.liveUpdates(in.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-state-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[ReplicaUpdate], _: Long) =>
+            batch.collect().foreach { u =>
+              u.row match {
+                case Some(p) if u.live => state.put(u.id, p)
+                case _ => state.remove(u.id)
+              }
+            }
+        }
+        .start()
+      try waves.foreach { w =>
+        if (w.nonEmpty) in.addData(w)
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      state.values().asScala.toSeq.toDS().toDF().orderBy("id")
+    },
+    Some(plainFoldOracleSql(stateSnapPq, stateStrPq)))
+
+  /** The multi-table state-store cell ([[StatefulMultiTable]]) through
+    * the SAME harness and oracle as the other three mt cells: the
+    * harness's change-log files feed one-file-per-epoch (the slot-poll
+    * contract), the person snapshot bootstraps as an epoch-0 wave of
+    * lsn-0 lines, and each table's replica materializes from the final
+    * live (table, key) state. */
+  private val mtStatefulE2e = mtE2e("cdc_mt_stateful_e2e", "cdc_mts", 64L,
+    (s, snap, changeDir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val snapLines = snap.map(p => ChangeGen.toJsonLine(ChangeGen.Op(
+        0L, "I", p.id, p.name, p.uid, p.score,
+        p.created_at.toLocalDateTime)))
+      val files = new java.io.File(changeDir).listFiles()
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      val waves = snapLines +: files.toSeq.map(f =>
+        java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[String](s)
+      val state = new java.util.concurrent.ConcurrentHashMap[
+        (String, String), MtUpdate]()
+      val q = StatefulMultiTable.liveUpdates(
+          MultiTable.parseAll(in.toDF(), mtSpecs))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-mts-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[MtUpdate], _: Long) =>
+            batch.collect().foreach { u =>
+              if (u.live) state.put((u.tbl, u.key), u)
+              else state.remove((u.tbl, u.key))
+            }
+        }
+        .start()
+      try waves.foreach { w =>
+        if (w.nonEmpty) in.addData(w)
+        q.processAllAvailable()
+      } finally q.stop()
+      spec => {
+        import org.apache.spark.sql.functions.{col, element_at, from_json}
+        import org.apache.spark.sql.types.{MapType, StringType}
+        val rows = state.asScala.collect {
+          case ((t, k), u) if t == spec.table =>
+            (k, u.img.getOrElse(""), u.created_at)
+        }.toSeq
+        val parsed = rows.toDF("key", "img", "created_at")
+          .select(col("key"),
+            from_json(col("img"), MapType(StringType, StringType)).as("m"),
+            col("created_at"))
+        // created_at comes from the STATE (first-insert preservation),
+        // not the last image; every other column decodes from the image
+        val cols = spec.rowSchema.fields.toSeq.map { f =>
+          if (spec.createdAtCol.contains(f.name))
+            col("created_at").cast(f.dataType).as(f.name)
+          else if (f.name == spec.keyCol)
+            col("key").cast(f.dataType).as(f.name)
+          else element_at(col("m"), f.name).cast(f.dataType).as(f.name)
+        }
+        parsed.select(cols: _*)
+      }
+    })
 
   val all: Seq[Declared] =
     Seq(replicateE2e, manifestE2e, parseChangelog, quarantine,
-      multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e)
+      multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
+      mtStatefulE2e)
 }
