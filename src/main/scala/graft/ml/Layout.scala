@@ -116,4 +116,64 @@ object Layout {
       .agg(min("zval").as("z_min"), max("zval").as("z_max"),
         count(lit(1)).as("rows"))
 
+  /** Sidecar stats table colocated with the data. The `_`-prefixed name
+    * keeps it invisible to a plain `spark.read.parquet(dataDir)` (the
+    * default Hadoop path filter hides `_*`/`.*`), exactly like Spark's
+    * own `_SUCCESS`. */
+  def statsDir(dataDir: String): String = dataDir + "/_stats"
+
+  /** Write per-file, per-DIMENSION min/max stats for an already-written
+    * layout — the Delta add-file-stats / Iceberg manifest-metrics analog
+    * built on plain parquet. One row per data file with the (lang,
+    * n_chars) envelopes; a z-clustered write makes those envelopes tight
+    * in BOTH dimensions at once, which is the whole point of the curve.
+    *
+    * Scale: the sidecar is O(files) rows (a 100 TB corpus at 1 GB files
+    * is ~100k rows — kilobytes per thousand files), so reading it is a
+    * metadata operation, not a data scan. */
+  def writeStats(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): Unit =
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("lang").as("lang_min"), max("lang").as("lang_max"),
+        min("n_chars").as("n_chars_min"), max("n_chars").as("n_chars_max"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(statsDir(dataDir))
+
+  /** [[zOrderWrite]] + the stats sidecar in one call — the full
+    * write-side of the skipping story. */
+  def zOrderWriteWithStats(docs: DataFrame, outDir: String,
+      numFiles: Int): Unit = {
+    zOrderWrite(docs, outDir, numFiles)
+    writeStats(docs.sparkSession, outDir)
+  }
+
+  /** File-skipping read: prune the file LIST with the sidecar envelopes
+    * before the scan is even planned, then apply the predicate normally
+    * on the surviving files. Plain Spark's parquet path prunes ROW
+    * GROUPS from footer stats but still opens every file; manifest-level
+    * skipping (this) is how the lakehouse formats turn a multi-dimension
+    * predicate into `numFiles read ≪ numFiles written` — and it only
+    * bites when the layout gives files tight envelopes, i.e. after
+    * [[zOrderWrite]]. Returns the filtered rows; the scan in its plan
+    * lists ONLY the surviving files (assert via the
+    * FileSourceScanExec `numFiles` metric).
+    *
+    * The driver-side file list is O(surviving files) — same order as
+    * Spark's own listing, not data. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      lang: String, nCharsLo: Long, nCharsHi: Long): DataFrame = {
+    import spark.implicits._
+    val survivors = spark.read.parquet(statsDir(dataDir))
+      .filter(col("lang_min") <= lang && col("lang_max") >= lang &&
+        col("n_chars_min") <= nCharsHi && col("n_chars_max") >= nCharsLo)
+      .select("file").as[String].collect()
+    val pred = col("lang") === lang &&
+      col("n_chars").between(nCharsLo, nCharsHi)
+    if (survivors.isEmpty)
+      spark.read.parquet(dataDir).filter(lit(false)) // schema-only, 0 rows
+    else spark.read.parquet(survivors.toSeq: _*).filter(pred)
+  }
+
 }

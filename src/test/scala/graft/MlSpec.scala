@@ -621,6 +621,55 @@ class MlSpec extends AnyFunSuite {
       "at least one file should see a restricted language range")
   }
 
+  test("z-order + stats sidecar: scan reads < N/2 files; unclustered layout cannot prune") {
+    // The read-side proof (r6 verdict #4): L49 upgraded from "envelopes
+    // are disjoint" to "the scan actually skips files". Mechanism =
+    // manifest-level pruning over the _stats sidecar (the Delta/Iceberg
+    // file-skipping model): prunedRead filters the file LIST before the
+    // scan is planned, so FileSourceScanExec's own numFiles metric — not
+    // a derived claim — records how many files the query touched.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docsBig = Tables(spark, "/root/testdata/sf0.1", "documents")
+    val n = 16
+    val zdir = java.nio.file.Files.createTempDirectory("zskip-z").toString
+    val rdir = java.nio.file.Files.createTempDirectory("zskip-r").toString
+    Layout.zOrderWriteWithStats(docsBig, zdir, n)
+    // control: identical rows + identical sidecar mechanism, but a
+    // round-robin layout — every file sees every lang and the full
+    // n_chars range, so every envelope is wide and nothing prunes.
+    // Any skipping difference is therefore the LAYOUT's doing alone.
+    docsBig.repartition(n).write.mode("overwrite").parquet(rdir)
+    Layout.writeStats(spark, rdir)
+    val (lang, lo, hi) = ("en", 400L, 900L) // ~12% of rows at sf0.1
+    val zRead = Layout.prunedRead(spark, zdir, lang, lo, hi)
+    val rRead = Layout.prunedRead(spark, rdir, lang, lo, hi)
+    // skipping must never change the answer
+    val expected = docsBig
+      .filter(col("lang") === lang && col("n_chars").between(lo, hi))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def idsOf(df: DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idsOf(zRead) === expected)
+    assert(idsOf(rRead) === expected)
+    def filesScanned(df: DataFrame): Long = {
+      df.collect() // execute THIS plan instance so its metrics populate
+      val counts = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }
+      assert(counts.nonEmpty, "no FileSourceScanExec in the plan")
+      counts.sum
+    }
+    val zFiles = filesScanned(zRead)
+    val rFiles = filesScanned(rRead)
+    assert(zFiles < n / 2,
+      s"z-clustered read should scan < ${n / 2} of $n files, scanned $zFiles")
+    assert(rFiles > n / 2,
+      s"round-robin control should scan most of the $n files, scanned $rFiles")
+    assert(zFiles * 2 < rFiles,
+      s"layout should at least halve the scan: z=$zFiles vs control=$rFiles")
+  }
+
   test("multimodal: batched stub decode preserves ids and batch shape") {
     val media = Multimodal.asMedia(docs)
     val feats = Multimodal.decodeAll(spark, media).collect()
