@@ -286,6 +286,119 @@ class PlanSpec extends AnyFunSuite {
       s"typedSummaries re-shuffles between stages:\n$finalPlan")
   }
 
+  test("skew datum: partial agg absorbs a hot key; AQE splits a hot join partition") {
+    // The 100× decision datum behind agg_salted_skew (r6 verdict #6):
+    // WHEN is manual salting actually needed?
+    //  (a) Algebraic aggregates (sum/count/min/max — the L24 shape):
+    //      never. Map-side partial aggregation collapses a hot key to
+    //      one partial row PER MAP TASK before the exchange, so the
+    //      reducer owning "hot" reads O(mappers) rows no matter how
+    //      skewed the input. Proven here with task-level shuffle-read
+    //      bytes: a 40% hot key leaves the max task share flat.
+    //  (b) Join skew: AQE's OptimizeSkewedJoin splits the oversized
+    //      partition at runtime (thresholds scale with partition size),
+    //      so unsalted + AQE is the production answer there too —
+    //      proven by the skew marker in the final adaptive plan AND a
+    //      >3× drop in max-task shuffle-read bytes vs AQE-skew-off.
+    // Manual salting remains for the residual case: holistic aggregates
+    // whose partials don't collapse (and engines without AQE).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions._
+    val rows = 200000
+    // 40% of rows on one key, remainder spread over 997 keys
+    def skewed = spark.range(rows).select(
+      when(pmod(col("id"), lit(10)) < 4, lit("hot"))
+        .otherwise(concat(lit("k"), pmod(col("id"), lit(997)))).as("key"),
+      col("id").as("v"))
+
+    class ShuffleTasks extends SparkListener {
+      val bytes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null && m.shuffleReadMetrics.totalBytesRead > 0)
+          bytes.add(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    // (max, total) shuffle-read bytes across the body's tasks. Task-end
+    // events arrive on the async listener bus — poll to quiescence.
+    def measure(body: => Unit): (Long, Long) = {
+      val l = new ShuffleTasks
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          if (l.bytes.size == last) stable += 1
+          else { stable = 0; last = l.bytes.size }
+        }
+        import scala.jdk.CollectionConverters._
+        val bs = l.bytes.asScala.map(_.longValue).toSeq
+        (if (bs.isEmpty) 0L else bs.max, bs.sum)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    // ---- (a) algebraic agg: skew never reaches the shuffle ----------
+    withConf(
+      "spark.sql.shuffle.partitions" -> "32",
+      // coalescing merges the tiny test partitions and would blur the
+      // per-task attribution; at 100 TB partitions are advisory-sized
+      // and this doesn't apply
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val agg = skewed.groupBy("key").agg(sum("v").as("s"))
+      assert(planString(agg).contains("partial_sum"),
+        "algebraic agg must keep its map-side partial")
+      val (maxAgg, totAgg) = measure(
+        agg.write.format("noop").mode("overwrite").save())
+      assert(totAgg > 0, "expected a shuffle to measure")
+      assert(maxAgg * 5 < totAgg,
+        s"hot key concentrated the agg shuffle: max task $maxAgg of " +
+          s"$totAgg total — partial aggregation stopped absorbing skew")
+    }
+
+    // ---- (b) join skew: AQE splits; without it one task eats the key --
+    withConf(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // force a shuffle join: the point is reducer-side skew, and at
+      // 100 TB the probe side isn't broadcastable either
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // scale AQE's skew thresholds to the test's MB-sized partitions —
+      // production leaves the 256 MB default; the MECHANISM is the same
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "131072") {
+      def right = spark.range(997).select(
+          concat(lit("k"), col("id")).as("key"),
+          lit("x" * 32).as("payload"))
+        .union(spark.range(1).select(lit("hot").as("key"),
+          lit("x" * 32).as("payload")))
+      // rebuilt under each conf so AQE plans against the active settings
+      def joined = skewed.join(right, "key")
+        .select(col("key"), col("v"), col("payload"))
+      var maxOff = 0L
+      withConf("spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        maxOff = measure(
+          joined.write.format("noop").mode("overwrite").save())._1
+      }
+      val qe = joined.queryExecution
+      val maxOn = measure(qe.executedPlan.execute().foreach(_ => ()))._1
+      val finalPlan = qe.executedPlan.toString.split("== Initial Plan ==").head
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"AQE did not mark the skewed join:\n${finalPlan.take(1200)}")
+      assert(maxOn * 3 < maxOff,
+        s"skew split should bound the hot task: on=$maxOn off=$maxOff")
+    }
+  }
+
   test("native-kernel queries explode nothing: no Generate node") {
     // the GramStats/SimHashTokens rewrites' whole point is that the
     // per-row kernels replaced explode+aggregate pipelines — a reshape
