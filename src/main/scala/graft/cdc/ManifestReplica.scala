@@ -76,7 +76,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * retained manifest history ([[ManifestHistory]] versions) is
   * therefore snapshot-isolated time travel: [[readReplicaAt]]. (The
   * rename-path twin reclaims inline instead — a swapped-out bucket dir
-  * dies under a slow reader there.) */
+  * dies under a slow reader there.)
+  *
+  * Schema evolution: fixed at compile time by design, same documented
+  * decision as [[Replicate]] — widening deployments use the generic
+  * declared-schema twin ([[ManifestMultiTable]] with one [[TableSpec]]),
+  * whose JSON image map makes a widened schema a read-side change. */
 object ManifestReplica {
   import Replicate.{BucketCol, BaseSchema, DeltaSchema, check,
     combineSummaries, projectAlive, rowsAsSummaries, summarizeBucketed,
