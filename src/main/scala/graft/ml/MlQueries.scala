@@ -208,6 +208,98 @@ object MlQueries {
             |  FROM est WHERE est_jaccard >= 0.5)
             |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  /** One banding+estimate screen stage as CTEs: increment relation
+    * `inc` vs signature-store relation `store` (both long-form sigs),
+    * ending in `out(doc_id, matched_id, est_jaccard)` — each doc's best
+    * store match at ≥ 0.5. The same fragment instantiated per epoch
+    * gives the SEQUENTIAL screen an exact SQL form. */
+  private def screenCtes(inc: String, store: String, out: String): String =
+    s"""bn_$out AS (
+       |  SELECT doc_id, h // $RowsPerBand AS band,
+       |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
+       |  FROM $inc GROUP BY doc_id, h // $RowsPerBand),
+       |bo_$out AS (
+       |  SELECT doc_id, h // $RowsPerBand AS band,
+       |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
+       |  FROM $store GROUP BY doc_id, h // $RowsPerBand),
+       |cd_$out AS (
+       |  SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS matched_id
+       |  FROM bn_$out i JOIN bo_$out c ON i.band = c.band AND i.bk = c.bk),
+       |es_$out AS (
+       |  SELECT cd.new_id AS doc_id, cd.matched_id,
+       |         CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+       |              AS DOUBLE) / $NumHashes AS est_jaccard
+       |  FROM cd_$out cd
+       |  JOIN $inc a ON a.doc_id = cd.new_id
+       |  JOIN $store b ON b.doc_id = cd.matched_id AND b.h = a.h
+       |  GROUP BY cd.new_id, cd.matched_id),
+       |$out AS (
+       |  SELECT doc_id, matched_id, est_jaccard FROM (
+       |    SELECT doc_id, matched_id, est_jaccard,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY est_jaccard DESC, matched_id) AS rn
+       |    FROM es_$out WHERE est_jaccard >= 0.5)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The STREAMING incremental-dedup semantics as a declared query
+    * (r7): two "daily" epochs screened SEQUENTIALLY — epoch 2's store
+    * is the corpus PLUS epoch 1's accepted signatures, exactly what
+    * [[graft.streaming.IncrementalDedup]] does per micro-batch (its
+    * checkpoint/restart behavior is spec-pinned; this row pins the
+    * fold semantics against the DuckDB oracle). One row per screened
+    * doc: (doc_id, epoch, accepted, matched_id, est_jaccard). */
+  private val dedupStream = Declared(
+    "ml_dedup_stream",
+    (s, d) => {
+      import org.apache.spark.sql.DataFrame
+      val sigs = Dedup.signatures(Tables(s, d, "documents"))
+      val corpus = sigs.filter(col("doc_id") % 10 =!= 0)
+      val i1 = sigs.filter(col("doc_id") % 20 === 0)
+      val i2 = sigs.filter(col("doc_id") % 20 === 10)
+      val r1 = Dedup.dedupIncrement(i1, corpus, minEst = 0.5)
+      val a1Sigs = i1.join(r1.select("doc_id"), Seq("doc_id"), "left_anti")
+      val r2 = Dedup.dedupIncrement(i2, corpus.unionByName(a1Sigs),
+        minEst = 0.5)
+      val a2 = i2.select("doc_id")
+        .join(r2.select("doc_id"), Seq("doc_id"), "left_anti")
+      def rej(r: DataFrame, e: Int): DataFrame =
+        r.select(col("doc_id"), lit(e).as("epoch"), lit(0).as("accepted"),
+          col("matched_id"), col("est_jaccard"))
+      def acc(a: DataFrame, e: Int): DataFrame =
+        a.select(col("doc_id"), lit(e).as("epoch"), lit(1).as("accepted"),
+          lit(null).cast("long").as("matched_id"),
+          lit(null).cast("double").as("est_jaccard"))
+      rej(r1, 1).unionByName(acc(a1Sigs.select("doc_id"), 1))
+        .unionByName(rej(r2, 2)).unionByName(acc(a2, 2))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $shingleCte,
+            |$sigCte,
+            |sc AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+            |i1 AS (SELECT * FROM sig WHERE doc_id % 20 = 0),
+            |i2 AS (SELECT * FROM sig WHERE doc_id % 20 = 10),
+            |${screenCtes("i1", "sc", "rej1")},
+            |a1 AS (SELECT DISTINCT doc_id FROM i1
+            |       WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+            |st2 AS (SELECT * FROM sc
+            |        UNION ALL
+            |        SELECT s.* FROM sig s JOIN a1 USING (doc_id)),
+            |${screenCtes("i2", "st2", "rej2")},
+            |a2 AS (SELECT DISTINCT doc_id FROM i2
+            |       WHERE doc_id NOT IN (SELECT doc_id FROM rej2))
+            |SELECT doc_id, epoch, accepted, matched_id, est_jaccard FROM (
+            |  SELECT doc_id, 1 AS epoch, 0 AS accepted,
+            |         matched_id, est_jaccard FROM rej1
+            |  UNION ALL
+            |  SELECT doc_id, 1, 1, CAST(NULL AS BIGINT),
+            |         CAST(NULL AS DOUBLE) FROM a1
+            |  UNION ALL
+            |  SELECT doc_id, 2, 0, matched_id, est_jaccard FROM rej2
+            |  UNION ALL
+            |  SELECT doc_id, 2, 1, CAST(NULL AS BIGINT),
+            |         CAST(NULL AS DOUBLE) FROM a2)
+            |ORDER BY doc_id""".stripMargin))
+
   private val dedupSimhash = Declared(
     "ml_dedup_simhash",
     (s, d) => Dedup.simhashPairs(Tables(s, d, "documents")),
@@ -1017,7 +1109,8 @@ object MlQueries {
 
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
-    dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC, dedupPipeline,
+    dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
+    dedupPipeline,
     cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, langId, tokenCounts,
