@@ -15,17 +15,26 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-      // outright; read it as a long and rebuild a TimestampType column.
-      // Fixture nanos are µs-aligned (TESTDATA), so `DIV 1000` is exact.
-      // ParquetOptions has no per-read key for this, so the legacy conf is
-      // the only lever; guard it so the session conf is written at most
-      // once (the driver may run these queries in a session it built).
+      // events.ts has shipped in two fixture generations: TIMESTAMP(NANOS)
+      // parquet (which Spark 4 rejects outright — read as long via the
+      // legacy conf and rebuild; nanos are µs-aligned so `DIV 1000` is
+      // exact) and, since the 2026-08-13 regeneration, plain
+      // timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ under
+      // Spark 4's inferTimestampNTZ). Normalize BOTH to session-TZ
+      // TimestampType (session TZ pinned UTC — wall-clock preserving)
+      // so every downstream plan sees one type regardless of which
+      // fixture generation is on disk.
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)")
+        case _ =>
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType)
+      }
+      raw.withColumn("ts", ts)
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }
