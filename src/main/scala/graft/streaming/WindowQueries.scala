@@ -53,5 +53,27 @@ object WindowQueries {
            |FROM g GROUP BY user_id, grp
            |ORDER BY user_id, w_start""".stripMargin))
 
-  val all: Seq[Declared] = Seq(tumbling, sessions)
+  /** Interval attribution join, batch mode: each purchase matched to the
+    * same user's views in the preceding 2 hours ([[StreamJoins]] — the
+    * identical builder runs stream-stream with watermarked state). */
+  private val attribution = Declared(
+    "j_stream_attrib",
+    (s, d) => {
+      val ev = Tables(s, d, "events")
+      StreamJoins.attribution(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        horizon = "2 hours")
+        .orderBy("user_id", "purchase_id", "view_id")
+    },
+    Some("""SELECT a.user_id AS user_id, a.event_id AS purchase_id,
+           |       a.ts AS purchase_ts, b.event_id AS view_id,
+           |       b.ts AS view_ts
+           |FROM events a JOIN events b
+           |  ON a.user_id = b.user_id
+           | AND a.event_type = 'purchase' AND b.event_type = 'view'
+           | AND b.ts BETWEEN a.ts - INTERVAL 2 HOUR AND a.ts
+           |ORDER BY user_id, purchase_id, view_id""".stripMargin))
+
+  val all: Seq[Declared] = Seq(tumbling, sessions, attribution)
 }

@@ -399,6 +399,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter: selective dim filter reaches the fact side pre-shuffle") {
+    // the 100 TB datum for non-broadcastable dim-fact joins: Spark's
+    // InjectRuntimeFilter builds a bloom filter from the FILTERED dim
+    // keys and applies it to the fact scan BEFORE the join shuffle, so
+    // rows that cannot match never pay exchange bytes. Production keeps
+    // the 10 MB creation / 10 GB application size gates (a 100 TB fact
+    // trivially clears them); here they scale to fixture MBs — the
+    // MECHANISM under test is the same.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConf(
+      // force a shuffle join: with a broadcast the probe side already
+      // filters via the broadcast relation, so no runtime filter —
+      // this datum is about the joins too big to broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val dim = Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === lit("1-URGENT"))
+      val fact = Tables(spark, sf, "lineitem")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val s = planString(j)
+      assert(s.contains("might_contain") ||
+        s.toLowerCase.contains("bloomfilter"),
+        s"runtime bloom filter not injected:\n${s.take(1500)}")
+    }
+  }
+
   test("native-kernel queries explode nothing: no Generate node") {
     // the GramStats/SimHashTokens rewrites' whole point is that the
     // per-row kernels replaced explode+aggregate pipelines — a reshape

@@ -10,6 +10,10 @@ import graft.streaming.Windows
 /** Streaming event-time windows + watermark (SURVEY.md §2.9 T5/T6):
   * append-mode finalization and late-data dropping, driven by a
   * MemoryStream acting as a manual event-time clock. */
+// file-level: a spec-nested case class has no stable outer scope for
+// Catalyst's deserializer (`Seq(...).toDF` fails in ResolveNewInstance)
+private[graft] case class AtEv(user_id: Long, event_id: Long, ts: Timestamp)
+
 class StreamingWindowSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -76,6 +80,54 @@ class StreamingWindowSpec extends AnyFunSuite {
       assert(out === Set(
         (1L, ts(0), ts(22), 3L, 7.0), // one merged session, end=last+gap
         (2L, ts(2), ts(12), 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch twin; late side dropped") {
+    val views = MemoryStream[AtEv](spark)
+    val purchases = MemoryStream[AtEv](spark)
+    val joined = graft.streaming.StreamJoins.attribution(
+      views.toDF(), purchases.toDF(),
+      horizon = "30 minutes", watermark = Some("10 minutes"))
+    val q = startQuery(joined, "attrib_sink")
+    try {
+      // u1: views at 00:00/00:05, purchase 00:20 → both match (≤30 min);
+      // u2: view 00:02, purchase 00:50 → outside horizon, no pair
+      views.addData(AtEv(1, 10, ts(0)), AtEv(1, 11, ts(5)),
+        AtEv(2, 12, ts(2)))
+      purchases.addData(AtEv(1, 20, ts(20)), AtEv(2, 21, ts(50)))
+      q.processAllAvailable()
+      def pairs = spark.table("attrib_sink")
+        .select("user_id", "purchase_id", "view_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 20L, 10L), (1L, 20L, 11L)))
+
+      // advance both watermarks far past 00:30 (the user-9 pair joins:
+      // same user, zero gap — that is correct, not noise) …
+      views.addData(AtEv(9, 90, ts(59)))
+      purchases.addData(AtEv(9, 91, ts(59)))
+      q.processAllAvailable()
+      // … then a LATE view at 00:18 (inside purchase 20's horizon but
+      // behind the watermark) must be dropped, not retro-joined
+      views.addData(AtEv(1, 13, ts(18)))
+      q.processAllAvailable()
+      assert(pairs === Set((1L, 20L, 10L), (1L, 20L, 11L), (9L, 91L, 90L)),
+        "late candidate must not retro-join a closed window")
+
+      // batch twin over the NON-late rows = the streaming answer
+      val bViews = Seq(AtEv(1, 10, ts(0)), AtEv(1, 11, ts(5)),
+        AtEv(2, 12, ts(2)), AtEv(9, 90, ts(59))).toDF()
+      val bPurch = Seq(AtEv(1, 20, ts(20)), AtEv(2, 21, ts(50)),
+        AtEv(9, 91, ts(59))).toDF()
+      val batch = graft.streaming.StreamJoins
+        .attribution(bViews, bPurch, horizon = "30 minutes")
+        .select("user_id", "purchase_id", "view_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val streamed = spark.table("attrib_sink")
+        .select("user_id", "purchase_id", "view_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "identical builder must agree across execution modes")
     } finally q.stop()
   }
 
