@@ -176,4 +176,63 @@ object Layout {
     else spark.read.parquet(survivors.toSeq: _*).filter(pred)
   }
 
+  /** Small-file compaction — the lakehouse `OPTIMIZE` bin-pack: rewrite
+    * a directory whose file population has degraded (streaming appends,
+    * per-trigger commits, over-parallel writes) into ~`targetBytes`
+    * files. The output file count derives from ACTUAL on-disk bytes
+    * (`ceil(totalBytes / targetBytes)`), not row counts, so compressed
+    * width skew doesn't produce lopsided files.
+    *
+    * A [[zOrderWrite]] layout (detected by its `zval` column) is
+    * re-packed with the SAME range-partition-by-z discipline, so
+    * compaction preserves disjoint per-file z-envelopes — OPTIMIZE must
+    * not undo clustering. An existing `_stats` sidecar is recomputed
+    * over the new files.
+    *
+    * Contract: a batch maintenance op over a directory with no
+    * concurrent writer (the corpus-curation lake path; the CDC replicas
+    * have their own fold/lock lifecycle and never use this). The
+    * rewrite stages into `<dir>.compact-tmp` and swaps via two renames,
+    * so a crash leaves either the old or the new population, never a
+    * mix. Returns (filesBefore, filesAfter).
+    *
+    * Scale: one job — a read of every small file and one exchange
+    * (range by z, or round-robin) sized to the target; at 100 TB with
+    * 1 GB targets this is the nightly book-keeping pass every serious
+    * lake runs, and its cost is exactly one pass over the compacted
+    * partition's bytes. */
+  def binPack(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      targetBytes: Long = 1L << 30): (Int, Int) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = dir.getFileSystem(hconf)
+    val dataFiles = fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val numFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(dataDir)
+    val packed =
+      if (df.columns.contains("zval"))
+        df.repartitionByRange(numFiles, col("zval"))
+          .sortWithinPartitions("zval")
+      else df.repartition(numFiles)
+    val tmp = new org.apache.hadoop.fs.Path(dataDir + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(dataDir + ".compact-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    packed.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val hadStats = fs.exists(new org.apache.hadoop.fs.Path(statsDir(dataDir)))
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compact swap: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back — old population restored
+      throw new java.io.IOException(s"compact swap: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+    if (hadStats) writeStats(spark, dataDir)
+    (dataFiles.size, numFiles)
+  }
+
 }

@@ -294,6 +294,38 @@ class MlSpec extends AnyFunSuite {
     assert(overlap >= 0.9, f"fast/quantized top-k overlap $overlap%.2f")
   }
 
+  test("native kernels are SQL functions: extension path == Column API") {
+    import graft.functions.{GraftExtensions, VectorFunctions => VF}
+    GraftExtensions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f),
+        Array(7L, 1L, 5L, 2L), Seq("a", "b", "a", "c")))
+      .toDF("fa", "fb", "la", "toks")
+    df.createOrReplaceTempView("kern_in")
+    val viaSql = spark.sql(
+      """SELECT cosine_sim_f(fa, fb) AS c, dot_product_long(la, la) AS d,
+        |       sliding_min_long(la, 2) AS s, gram_stats(toks) AS g,
+        |       simhash_tokens(toks) AS h
+        |FROM kern_in""".stripMargin).collect()(0)
+    val viaCol = df.select(VF.cosineSimF(col("fa"), col("fb")).as("c"),
+      VF.dotLong(col("la"), col("la")).as("d"),
+      VF.slidingMin(col("la"), 2).as("s"),
+      VF.gramStats(col("toks")).as("g"),
+      VF.simhashTokens(col("toks")).as("h")).collect()(0)
+    assert(viaSql.toSeq.map(String.valueOf) ===
+      viaCol.toSeq.map(String.valueOf),
+      "SQL registration must resolve to the identical expressions")
+    // the spark.sql.extensions entry point carries the same table
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // registers all five, must not throw
+    // misuse surfaces the usage string, not a MatchError
+    val err = intercept[Exception] {
+      spark.sql("SELECT sliding_min_long(la, la) FROM kern_in").collect()
+    }
+    assert(err.getMessage.contains("sliding_min_long usage") ||
+      Option(err.getCause).exists(_.getMessage.contains("sliding_min_long usage")),
+      s"unexpected misuse error: ${err.getMessage}")
+  }
+
   test("native sliding min: codegen == interpreted == Scala reference") {
     def ref(a: Seq[Long], w: Int): Seq[Long] = {
       val mins = a.indices.map(i => a.slice(i, math.min(i + w, a.length)).min)
@@ -668,6 +700,56 @@ class MlSpec extends AnyFunSuite {
       s"round-robin control should scan most of the $n files, scanned $rFiles")
     assert(zFiles * 2 < rFiles,
       s"layout should at least halve the scan: z=$zFiles vs control=$rFiles")
+  }
+
+  test("binPack compaction: byte-sized targets, clustering + sidecar survive, swap is all-or-nothing") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles(d: String): Seq[Path] =
+      fs.listStatus(new Path(d)).toSeq.map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    def ids(d: String): Seq[Long] = spark.read.parquet(d)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    // degraded z-clustered population: 16 small files + stats sidecar
+    val zdir = java.nio.file.Files.createTempDirectory("binpack-z").toString
+    Layout.zOrderWriteWithStats(docs, zdir, numFiles = 16)
+    val origIds = ids(zdir)
+    val totalBytes = fs.listStatus(new Path(zdir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    // target ⇒ ceil(total/target) = 3 output files
+    val (nBefore, nAfter) =
+      Layout.binPack(spark, zdir, targetBytes = (totalBytes + 2) / 3)
+    assert(nBefore === 16)
+    assert(nAfter === 3)
+    assert(dataFiles(zdir).size === 3, "on-disk population must match")
+    assert(ids(zdir) === origIds, "compaction must not change the data")
+    // clustering preserved: envelopes of the NEW files still disjoint
+    val envs = Layout.fileEnvelopes(spark.read.parquet(zdir))
+      .select("z_min", "z_max").as[(Long, Long)].collect().sortBy(_._1)
+    envs.sliding(2).foreach {
+      case Array((_, max1), (min2, _)) =>
+        assert(max1 <= min2, "compaction undid the z-clustering")
+      case _ => ()
+    }
+    // sidecar recomputed: stats rows now describe the 3 new files, and
+    // manifest pruning still serves correct answers from ≤ 3 files
+    assert(spark.read.parquet(Layout.statsDir(zdir)).count() === 3)
+    val pruned = Layout.prunedRead(spark, zdir, "en", 400L, 900L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val expected = docs
+      .filter(col("lang") === "en" && col("n_chars").between(400, 900))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(pruned === expected)
+
+    // plain (non-z) population compacts via round-robin
+    val rdir = java.nio.file.Files.createTempDirectory("binpack-r").toString
+    docs.repartition(16).write.mode("overwrite").parquet(rdir)
+    val (rb, ra) = Layout.binPack(spark, rdir, targetBytes = Long.MaxValue)
+    assert(rb === 16 && ra === 1 && dataFiles(rdir).size === 1)
+    assert(ids(rdir) === origIds)
   }
 
   test("multimodal: batched stub decode preserves ids and batch shape") {
