@@ -399,6 +399,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j_stream_attrib: interval join keys on user_id, range stays inside the join") {
+    // the stream-stream twin buffers state per user_id; the batch plan
+    // must show the same discipline — an EQUI join on user_id with the
+    // time-range as its condition, never a cartesian-with-filter (whose
+    // streaming analog would be unbounded state)
+    val s = planString(run("j_stream_attrib"))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a pair scan:\n${s.take(800)}")
+    val joinLine = s.linesIterator
+      .find(l => l.contains("Join") && !l.contains("Reused")).getOrElse("")
+    assert(joinLine.contains("user_id"),
+      s"join must key on user_id: $joinLine")
+  }
+
   test("runtime bloom filter: selective dim filter reaches the fact side pre-shuffle") {
     // the 100 TB datum for non-broadcastable dim-fact joins: Spark's
     // InjectRuntimeFilter builds a bloom filter from the FILTERED dim
