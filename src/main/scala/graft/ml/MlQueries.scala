@@ -256,8 +256,13 @@ object MlQueries {
       val corpus = sigs.filter(col("doc_id") % 10 =!= 0)
       val i1 = sigs.filter(col("doc_id") % 20 === 0)
       val i2 = sigs.filter(col("doc_id") % 20 === 10)
+      // epoch 1's screen feeds THREE branches (its own output rows, the
+      // accepted-signature anti-join, and epoch 2's store) — pin it
+      // once or Spark recomputes the banding screen per branch
       val r1 = Dedup.dedupIncrement(i1, corpus, minEst = 0.5)
+        .localCheckpoint()
       val a1Sigs = i1.join(r1.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val r2 = Dedup.dedupIncrement(i2, corpus.unionByName(a1Sigs),
         minEst = 0.5)
       val a2 = i2.select("doc_id")
