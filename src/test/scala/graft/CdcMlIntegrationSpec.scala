@@ -99,5 +99,19 @@ class CdcMlIntegrationSpec extends AnyFunSuite {
     // → 1; group 2 = {2,6} (10 deleted) → 2; group 3 = {7,11} (3
     // deleted) → 7; unique doc 5 survives alone
     assert(survivors === Set(1L, 2L, 4L, 5L, 7L))
+
+    // the LSH banding path composes too: near-dup pairs computed off
+    // the replica read equal pairs off the ground truth (identical
+    // texts are J=1.0 pairs, so every planted group must surface)
+    Dedup.clearCache() // replica and expected must not share a memo key
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupPairs(df).select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+    val fromReplica = pairsOf(replica)
+    Dedup.clearCache()
+    assert(fromReplica === pairsOf(expected))
+    assert(fromReplica.contains((4L, 8L)) && fromReplica.contains((1L, 9L)),
+      "planted exact-dup pairs must surface through the banding join")
+    Dedup.clearCache()
   }
 }
