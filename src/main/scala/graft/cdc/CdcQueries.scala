@@ -455,29 +455,44 @@ object CdcQueries {
       val waves = bootstrap +:
         ChangeGen.toChanges(streamOps).grouped(per).toSeq
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, lit, max_by, pmod, struct}
       val in = MemoryStream[PersonChange](s)
-      val state =
-        new java.util.concurrent.ConcurrentHashMap[Int, PersonRow]()
+      // Distributed sink (VERDICT r7 #2): each batch's update stream
+      // lands as a hash-bucketed parquet APPEND — the same bucketed
+      // layout the file replicas use — with the epoch stamped, and the
+      // final replica materializes as a distributed last-update-per-key
+      // fold over that log. No driver-side collect anywhere in the sink
+      // path; at 100× the only thing that grows is executor-side work.
+      val updDir = Files.createTempDirectory("graft-state-upd").toString
       val q = StatefulReplica.liveUpdates(in.toDS())
         .writeStream.outputMode("update")
         .option("checkpointLocation",
           Files.createTempDirectory("graft-state-ckpt").toString)
         .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[ReplicaUpdate], _: Long) =>
-            batch.collect().foreach { u =>
-              u.row match {
-                case Some(p) if u.live => state.put(u.id, p)
-                case _ => state.remove(u.id)
-              }
-            }
+          (batch: org.apache.spark.sql.Dataset[ReplicaUpdate], bid: Long) =>
+            batch.toDF()
+              .withColumn("epoch", lit(bid))
+              .withColumn("bucket", pmod(col("id"), lit(16)))
+              .repartition(col("bucket"))
+              .write.mode(SaveMode.Append)
+              .partitionBy("bucket").parquet(updDir)
         }
         .start()
       try waves.foreach { w =>
         if (w.nonEmpty) in.addData(w)
         q.processAllAvailable()
       } finally q.stop()
-      import scala.jdk.CollectionConverters._
-      state.values().asScala.toSeq.toDS().toDF().orderBy("id")
+      // a key appears at most once per epoch (flatMapGroupsWithState
+      // emits one transition per key per batch), so max_by(epoch) is
+      // exact; tombstoned keys drop via the live flag
+      s.read.parquet(updDir)
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("live"), col("row")), col("epoch")).as("u"))
+        .filter(col("u.live"))
+        .select(col("u.row.id").as("id"), col("u.row.name").as("name"),
+          col("u.row.uid").as("uid"), col("u.row.score").as("score"),
+          col("u.row.created_at").as("created_at"))
+        .orderBy("id")
     },
     Some(plainFoldOracleSql(stateSnapPq, stateStrPq)))
 
@@ -499,37 +514,46 @@ object CdcQueries {
       val waves = snapLines +: files.toSeq.map(f =>
         java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, hash, lit, max_by, pmod,
+        struct}
       val in = MemoryStream[String](s)
-      val state = new java.util.concurrent.ConcurrentHashMap[
-        (String, String), MtUpdate]()
+      // Distributed sink (VERDICT r7 #2, multi-table cell): per-batch
+      // updates append into a per-table hash-bucketed layout — the mt
+      // replica directory shape — and each table's replica materializes
+      // as a distributed last-update-per-(table, key) fold. No
+      // batch.collect() anywhere in the sink path.
+      val updDir = Files.createTempDirectory("graft-mts-upd").toString
       val q = StatefulMultiTable.liveUpdates(
           MultiTable.parseAll(in.toDF(), mtSpecs))
         .writeStream.outputMode("update")
         .option("checkpointLocation",
           Files.createTempDirectory("graft-mts-ckpt").toString)
         .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[MtUpdate], _: Long) =>
-            batch.collect().foreach { u =>
-              if (u.live) state.put((u.tbl, u.key), u)
-              else state.remove((u.tbl, u.key))
-            }
+          (batch: org.apache.spark.sql.Dataset[MtUpdate], bid: Long) =>
+            batch.toDF()
+              .withColumn("epoch", lit(bid))
+              .withColumn("bucket", pmod(hash(col("key")), lit(16)))
+              .repartition(col("tbl"), col("bucket"))
+              .write.mode(SaveMode.Append)
+              .partitionBy("tbl", "bucket").parquet(updDir)
         }
         .start()
       try waves.foreach { w =>
         if (w.nonEmpty) in.addData(w)
         q.processAllAvailable()
       } finally q.stop()
+      val upd = s.read.parquet(updDir)
       spec => {
-        import org.apache.spark.sql.functions.{col, element_at, from_json}
+        import org.apache.spark.sql.functions.{element_at, from_json}
         import org.apache.spark.sql.types.{MapType, StringType}
-        val rows = state.asScala.collect {
-          case ((t, k), u) if t == spec.table =>
-            (k, u.img.getOrElse(""), u.created_at)
-        }.toSeq
-        val parsed = rows.toDF("key", "img", "created_at")
+        val parsed = upd.filter(col("tbl") === spec.table)
+          .groupBy(col("key"))
+          .agg(max_by(struct(col("live"), col("img"), col("created_at")),
+            col("epoch")).as("u"))
+          .filter(col("u.live"))
           .select(col("key"),
-            from_json(col("img"), MapType(StringType, StringType)).as("m"),
-            col("created_at"))
+            from_json(col("u.img"), MapType(StringType, StringType)).as("m"),
+            col("u.created_at").as("created_at"))
         // created_at comes from the STATE (first-insert preservation),
         // not the last image; every other column decodes from the image
         val cols = spec.rowSchema.fields.toSeq.map { f =>
