@@ -54,7 +54,44 @@ object JdbcReplica {
   /** Epoch-marker table DDL (created on demand). */
   private val EpochTable = "graft_epochs"
 
-  def connect(url: String): Connection = DriverManager.getConnection(url)
+  /** Bounded-backoff connect across an ordered endpoint list — the
+    * reference's connection-retry-with-fallback-address behavior
+    * (pubsub/main.go:109-119 retries the failed subscription connect
+    * with the docker hostname) generalized: each ROUND tries every
+    * endpoint in order (the alternate address is the immediate
+    * fallback, as in the reference), rounds are separated by a doubling
+    * backoff capped at 2 s, and only connect-level failures
+    * (`SQLException`) are retried — a missing driver class or an
+    * interrupt propagates. The `open` seam exists for specs (a
+    * first-attempt-fails fake); production uses the default
+    * `DriverManager`. Throws the LAST failure (earlier ones as its
+    * cause chain context) after `rounds` full passes. */
+  def connectWithRetry(urls: Seq[String], rounds: Int = 3,
+      backoffMs: Long = 50,
+      open: String => Connection = DriverManager.getConnection)
+      : Connection = {
+    require(urls.nonEmpty, "connectWithRetry: empty endpoint list")
+    var last: Throwable = null
+    var delay = backoffMs
+    for (round <- 0 until rounds) {
+      if (round > 0) { Thread.sleep(delay); delay = math.min(delay * 2, 2000L) }
+      for (u <- urls) {
+        try return open(u)
+        catch { case e: java.sql.SQLException => last = e }
+      }
+    }
+    throw new java.sql.SQLException(
+      s"connect failed after $rounds rounds over ${urls.size} endpoint(s): " +
+        urls.mkString(", "), last)
+  }
+
+  /** Every source/sink connect (driver-side DDL/bounds probes AND the
+    * per-partition executor connects) routes through the retry: a
+    * transient refusal — a database restarting mid-stream, the exact
+    * failure the reference's fallback exists for — costs a bounded
+    * backoff instead of failing the batch. Single-endpoint form; pass
+    * alternates via [[connectWithRetry]]. */
+  def connect(url: String): Connection = connectWithRetry(Seq(url))
 
   private def hasTable(c: Connection, name: String): Boolean = {
     // Unquoted identifiers fold per engine — Derby stores them

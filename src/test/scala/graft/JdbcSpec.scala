@@ -249,4 +249,50 @@ class JdbcSpec extends AnyFunSuite {
     assert(accountTable === wantA,
       "replayed epoch must be skipped for the second table too")
   }
+
+  test("jdbc connect retry: transient failures back off and the alternate endpoint is the immediate fallback") {
+    val url = freshDb("jdbc-retry")
+    // first-attempt-fails fake over a REAL connection factory: the
+    // primary endpoint refuses twice then recovers; the fake records
+    // the exact attempt order
+    val attempts = scala.collection.mutable.ArrayBuffer[String]()
+    var failuresLeft = 2
+    def flaky(u: String): java.sql.Connection = {
+      attempts += u
+      if (u.startsWith("bad:") || { val f = failuresLeft > 0
+          if (f) failuresLeft -= 1; f })
+        throw new java.sql.SQLException(s"connection refused: $u")
+      java.sql.DriverManager.getConnection(u)
+    }
+
+    // transient refusal on a single endpoint: bounded backoff, recovers
+    val c1 = JdbcReplica.connectWithRetry(Seq(url), rounds = 3,
+      backoffMs = 1, open = flaky)
+    try assert(!c1.isClosed) finally c1.close()
+    assert(attempts.toSeq === Seq(url, url, url),
+      "two refusals then success on the recovered endpoint")
+
+    // alternate endpoint: the fallback is tried WITHIN the same round
+    // (reference semantics: the docker hostname is the immediate
+    // fallback, pubsub/main.go:109-119), so a dead primary costs one
+    // failed attempt, not a full backoff cycle
+    attempts.clear(); failuresLeft = 0
+    val c2 = JdbcReplica.connectWithRetry(Seq(s"bad:$url", url),
+      rounds = 3, backoffMs = 1, open = flaky)
+    try assert(!c2.isClosed) finally c2.close()
+    assert(attempts.toSeq === Seq(s"bad:$url", url),
+      "fallback endpoint reached in round 1, no extra rounds")
+
+    // every endpoint dead for every round: the failure is loud, carries
+    // the endpoint list, and chains the last refusal as its cause
+    attempts.clear()
+    val ex = intercept[java.sql.SQLException] {
+      JdbcReplica.connectWithRetry(Seq("bad:a", "bad:b"), rounds = 2,
+        backoffMs = 1, open = flaky)
+    }
+    assert(attempts.toSeq === Seq("bad:a", "bad:b", "bad:a", "bad:b"))
+    assert(ex.getMessage.contains("bad:a") && ex.getMessage.contains("bad:b"))
+    assert(ex.getCause != null &&
+      ex.getCause.getMessage.contains("connection refused"))
+  }
 }
