@@ -30,9 +30,16 @@ object Tables {
       val ts = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)")
-        case _ =>
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
           org.apache.spark.sql.functions.col("ts")
             .cast(org.apache.spark.sql.types.TimestampType)
+        // fail fast on any other type: a future fixture regeneration
+        // shipping ts as e.g. string/double must not silently cast
+        // (possibly to nulls) — re-check all fixture schemas instead
+        case other => throw new IllegalStateException(
+          s"events.ts: unexpected fixture type $other — fixture " +
+            "generation changed again; re-check schemas (TESTDATA.md)")
       }
       raw.withColumn("ts", ts)
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -30,16 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  // applyOrElse (not try/catch MatchError): only the ARGUMENT-pattern
+  // mismatch maps to the usage error — a genuine MatchError raised inside
+  // an expression constructor must propagate as the defect it is
   private def one(name: String, usage: String)(
-      builder: Seq[Expression] => Expression)
+      builder: PartialFunction[Seq[Expression], Expression])
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
       new ExpressionInfo("graft.functions", name),
-      args =>
-        try builder(args)
-        catch { case _: MatchError =>
-          throw new IllegalArgumentException(s"$name usage: $usage")
-        })
+      args => builder.applyOrElse(args, (_: Seq[Expression]) =>
+        throw new IllegalArgumentException(s"$name usage: $usage")))
 
   /** name → (info, builder) for every native kernel. */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
