@@ -247,8 +247,18 @@ object Similarity {
     * cosine scale-invariance makes the unnormalized sum the exact
     * direction). Ties take the lowest label. Returns
     * (vec_id, label, new_label, moved). */
-  def kmeansStep(emb: DataFrame): DataFrame = {
-    val cent = centroids(emb).collect()
+  def kmeansStep(emb: DataFrame): DataFrame =
+    reassign(emb)
+      .select(col("vec_id"), col("label"), col("new_label"), col("moved"))
+      .orderBy("vec_id")
+
+  /** The shared reassignment core of [[kmeansStep]] and [[kmeansTrain]]:
+    * centroids of the CURRENT (vec_id, label, embedding) assignment are
+    * collected (bounded model state) and baked as literal weight
+    * arrays; the pass itself is one codegen'd fused-dot scan carrying
+    * the embedding through, so the next round needs no join back. */
+  private def reassign(assign: DataFrame): DataFrame = {
+    val cent = centroids(assign).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     val byLabel = cent.groupBy(_._1).map { case (l, rows) =>
       val w = new Array[Long](64)
@@ -263,14 +273,54 @@ object Similarity {
             sqrt(lit(nc).cast("double")))).as("c"),
         lit(-l).as("nl"))
     }
-    quantized(emb)
-      .select(col("vec_id"), col("label"),
+    assign
+      .select(col("vec_id"), col("label"), col("embedding"),
+        quantize(col("embedding")).as("q"))
+      .withColumn("n2", dotQ(col("q"), col("q")))
+      .select(col("vec_id"), col("label"), col("embedding"),
         array_max(array(scored: _*)).as("best"))
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"), col("label"), col("embedding"),
         (-col("best.nl")).as("new_label"))
       .withColumn("moved",
         (col("label") =!= col("new_label")).cast("int"))
-      .orderBy("vec_id")
+  }
+
+  /** Iterated Lloyd training (r7 verdict #6) — the loop that makes
+    * IVF's ingest-time clustering trainable in-engine: each round
+    * refreshes centroids from the current assignment ([[reassign]]'s
+    * bounded model-state collect), reassigns every vector in one
+    * codegen'd literal-dot scan, and `localCheckpoint`s the new
+    * assignment so lineage stays O(1) across rounds (the same
+    * discipline as the connected-components label propagation,
+    * Dedup.scala). Stops at the fixpoint (a round that moves nothing)
+    * or after `maxIter` rounds — iteration count is always bounded.
+    *
+    * Scale: per round the corpus is scanned once and never shuffled;
+    * the only exchange is the centroid aggregation, whose output is
+    * cells × dim rows. Returns the final (vec_id, label) assignment and
+    * the per-round movement counts (the training curve; on the fixtures
+    * it is monotone non-increasing to 0 — spec-pinned). */
+  def kmeansTrain(emb: DataFrame, maxIter: Int = 10)
+      : (DataFrame, Seq[Long]) = {
+    require(maxIter >= 1, s"kmeansTrain: maxIter must be >= 1, got $maxIter")
+    var assign = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val moves = scala.collection.mutable.ArrayBuffer[Long]()
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      val step = reassign(assign)
+        .select(col("vec_id"), col("new_label"), col("embedding"),
+          col("moved"))
+        .localCheckpoint()
+      val moved = step.agg(sum(col("moved"))).head.getLong(0)
+      moves += moved
+      assign = step.select(col("vec_id"),
+        col("new_label").as("label"), col("embedding"))
+      converged = moved == 0L
+      it += 1
+    }
+    (assign.select(col("vec_id"), col("label")).orderBy("vec_id"),
+      moves.toSeq)
   }
 
   /** Cells larger than this sub-block their pair space (r5 VERDICT ask
