@@ -187,8 +187,11 @@ object ChangeGen {
     ops(seed + 7919, nAccount).map(o => o.copy(lsn = o.lsn * 2 + 1)))
 
   /** Render an op as an `account`-table wal2json line: columns
-    * id/owner/balance/created_at (owner ← name, balance ← score). */
-  def toAccountJsonLine(op: Op): String = {
+    * id/owner/balance/created_at (owner ← name, balance ← score).
+    * `tier` adds a fifth column — the post-evolution envelope a source
+    * database emits after `ALTER TABLE account ADD tier` (the
+    * schema-evolution fixtures; default None = the original shape). */
+  def toAccountJsonLine(op: Op, tier: Option[String] = None): String = {
     val ts = jstr(op.createdAt.format(fmt) + "+00")
     val head = s""""lsn":${op.lsn},"action":${jstr(op.action)},"timestamp":$ts,"schema":"public","table":"account""""
     op.action match {
@@ -196,12 +199,15 @@ object ChangeGen {
         val ident = colJson("id", "integer", op.id.toString, quote = false)
         s"""{$head,"identity":[$ident]}"""
       case a =>
-        val cols = Seq(
+        val cols = (Seq(
           colJson("id", "integer", op.id.toString, quote = false),
           colJson("owner", "character varying(100)", op.name, quote = true),
           colJson("balance", "integer", op.score.toString, quote = false),
           colJson("created_at", "timestamp without time zone",
-            op.createdAt.format(fmt), quote = true)).mkString(",")
+            op.createdAt.format(fmt), quote = true)) ++
+          tier.map(t =>
+            colJson("tier", "character varying(20)", t, quote = true))
+          ).mkString(",")
         val ident = if (a == "U")
           s""","identity":[${colJson("id", "integer", op.id.toString, quote = false)}]"""
         else ""

@@ -68,7 +68,14 @@ object JdbcMultiTable {
   }
 
   /** Create one table's target (+ the shared epoch-marker table) if
-    * absent, with DDL derived from the declared schema. */
+    * absent, with DDL derived from the declared schema — or WIDEN an
+    * existing one: declared columns missing from the live table are
+    * added with `ALTER TABLE … ADD COLUMN` (nullable — pre-evolution
+    * rows read SQL NULL, the same semantics as the parquet replicas'
+    * read-side widening; r7 verdict #5). DDL-first like the reference:
+    * the declared spec IS the contract, and only widening is handled —
+    * a narrowed or retyped column throws at apply time rather than
+    * silently dropping data. */
   def ensureTable(url: String, spec: TableSpec): Unit = {
     JdbcReplica.ensureEpochTable(url)
     val c = connect(url)
@@ -82,6 +89,16 @@ object JdbcMultiTable {
         val st = c.createStatement()
         try st.executeUpdate(s"CREATE TABLE ${spec.table} ($cols)")
         finally st.close()
+      } else {
+        val existing = JdbcReplica.tableColumns(c, spec.table)
+        spec.rowSchema.fields
+          .filterNot(f => existing.contains(f.name.toLowerCase))
+          .foreach { f =>
+            val st = c.createStatement()
+            try st.executeUpdate(s"ALTER TABLE ${spec.table} " +
+              s"ADD COLUMN ${f.name} ${sqlType(f, isKey = false)}")
+            finally st.close()
+          }
       }
     } finally c.close()
   }

@@ -93,22 +93,21 @@ object JdbcReplica {
     * alternates via [[connectWithRetry]]. */
   def connect(url: String): Connection = connectWithRetry(Seq(url))
 
-  private def hasTable(c: Connection, name: String): Boolean = {
-    // Unquoted identifiers fold per engine — Derby stores them
-    // upper-case, Postgres lower-case — so probe with the connection's
-    // OWN folding rule (a hard-coded toUpperCase finds nothing on
-    // Postgres and ensureTables would then CREATE an existing table,
-    // r6 review), falling back to the name as given.
+  /** (folded name, pattern-escaper, current schema) for metadata
+    * probes. Unquoted identifiers fold per engine — Derby stores them
+    * upper-case, Postgres lower-case — so probe with the connection's
+    * OWN folding rule (a hard-coded toUpperCase finds nothing on
+    * Postgres, r6 review). Metadata calls take SEARCH PATTERNS: an
+    * unescaped '_' matches any character and a null schema searches
+    * every schema, so names are escaped and scoped to the connection's
+    * current schema when the driver reports one (r6 review). */
+  private def metaProbe(c: Connection, name: String)
+      : (String, String => String, String) = {
     val md = c.getMetaData
     val folded =
       if (md.storesUpperCaseIdentifiers) name.toUpperCase
       else if (md.storesLowerCaseIdentifiers) name.toLowerCase
       else name
-    // getTables takes SEARCH PATTERNS: an unescaped '_' matches any
-    // character and a null schema searches every schema, so a probe for
-    // graft_epochs could hit an unrelated graft3epochs or a same-named
-    // table on another schema (r6 review) — escape the name and scope
-    // to the connection's current schema when the driver reports one
     val esc = Option(md.getSearchStringEscape).getOrElse("")
     def escape(n: String): String =
       if (esc.isEmpty) n
@@ -116,11 +115,34 @@ object JdbcReplica {
         .replace("%", esc + "%")
     val schema =
       try c.getSchema catch { case _: Throwable => null }
+    (folded, escape, schema)
+  }
+
+  private def hasTable(c: Connection, name: String): Boolean = {
+    val (folded, escape, schema) = metaProbe(c, name)
     def probe(n: String): Boolean = {
-      val rs = md.getTables(null, schema, escape(n), null)
+      val rs = c.getMetaData.getTables(null, schema, escape(n), null)
       try rs.next() finally rs.close()
     }
     probe(folded) || (folded != name && probe(name))
+  }
+
+  /** The live table's column names, lower-cased — the
+    * declared-vs-actual diff that drives schema widening
+    * ([[JdbcMultiTable.ensureTable]]'s ALTER TABLE ADD). */
+  private[cdc] def tableColumns(c: Connection, name: String)
+      : Set[String] = {
+    val (folded, escape, schema) = metaProbe(c, name)
+    def probe(n: String): Set[String] = {
+      val rs = c.getMetaData.getColumns(null, schema, escape(n), null)
+      try {
+        val b = Set.newBuilder[String]
+        while (rs.next()) b += rs.getString("COLUMN_NAME").toLowerCase
+        b.result()
+      } finally rs.close()
+    }
+    val s = probe(folded)
+    if (s.nonEmpty || folded == name) s else probe(name)
   }
 
   private[cdc] def tableExists(c: Connection, name: String): Boolean =

@@ -408,11 +408,82 @@ object MultiTable {
       }.toSeq: _*)
   }
 
+  // ---- declared-schema version log (r7 verdict #5) ---------------------
+
+  private def schemaLogDir(root: String, table: String): Path =
+    new Path(s"$root/$table/_schema")
+
+  /** Record the declared schema in the LAYOUT's version log —
+    * `<table>/_schema/v<N>.json`, one small StructType-JSON file per
+    * DDL change. The reference's model is DDL-first
+    * (writer/main.go:34-41); versioning the DDL in the replica layout
+    * makes mid-stream widening an auditable event: a stream (re)start
+    * with an unchanged spec appends nothing, a widened spec appends
+    * v<N+1>, and rows written before v<N+1> read null for its new
+    * columns (the widening trade documented in r7, now implemented).
+    * Publish is write-tmp-then-rename, so a torn write is never a
+    * readable version. Returns the current version number. */
+  def recordSchema(spark: SparkSession, root: String,
+      spec: TableSpec): Int = {
+    val dir = schemaLogDir(root, spec.table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    schemaVersions(spark, root, spec.table).lastOption match {
+      case Some((v, s)) if s == spec.rowSchema => v
+      case last =>
+        val v = last.map(_._1 + 1).getOrElse(1)
+        val tmp = new Path(dir, s".tmp-v$v.json")
+        val out = fs.create(tmp, true)
+        try out.write(spec.rowSchema.json.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        Replicate.check(fs.rename(tmp, new Path(dir, s"v$v.json")),
+          s"schema log publish failed: ${spec.table} v$v")
+        v
+    }
+  }
+
+  /** All recorded declared-schema versions of a table, oldest first. */
+  def schemaVersions(spark: SparkSession, root: String, table: String)
+      : Seq[(Int, StructType)] = {
+    val dir = schemaLogDir(root, table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+      .sorted
+      .map { v =>
+        val in = fs.open(new Path(dir, s"v$v.json"))
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        v -> DataType.fromJson(text).asInstanceOf[StructType]
+      }
+  }
+
+  /** The newest layout-declared schema, if any was recorded. */
+  def declaredSchema(spark: SparkSession, root: String, table: String)
+      : Option[StructType] =
+    schemaVersions(spark, root, table).lastOption.map(_._2)
+
+  /** [[readTable]] under the LATEST layout-declared schema: a reader
+    * still carrying a pre-widening spec sees the widened table (new
+    * columns null on old rows) without a code redeploy — the read-side
+    * half of schema evolution. Falls back to the caller's spec when no
+    * version was ever recorded. */
+  def readTableVersioned(spark: SparkSession, root: String,
+      spec: TableSpec): DataFrame =
+    readTable(spark, root, spec.copy(rowSchema =
+      declaredSchema(spark, root, spec.table).getOrElse(spec.rowSchema)))
+
   /** The continuous multi-table pipeline: one change-log stream →
     * `parser` once per trigger → per-table keyed apply. `parser`
     * defaults to the wal2json envelope ([[parseAll]]); pass
     * [[parseAllDebezium]] for a Debezium topic set — the downstream
-    * fan-out is identical. */
+    * fan-out is identical. Each declared spec's schema is recorded in
+    * the layout's version log at stream start ([[recordSchema]]), so a
+    * restart with a widened spec IS the evolution event. */
   def start(spark: SparkSession, changeDir: String, root: String,
       checkpointDir: String, specs: Seq[TableSpec],
       numBuckets: Int = DefaultNumBuckets,
@@ -421,6 +492,7 @@ object MultiTable {
       compactEvery: Int = Replicate.DefaultCompactEvery,
       parser: (DataFrame, Seq[TableSpec]) => DataFrame = parseAll)
       : StreamingQuery = {
+    specs.foreach(recordSchema(spark, root, _))
     ChangeSource.rawLines(spark, changeDir, maxFilesPerTrigger).writeStream
       .queryName("graft-replicate-multitable")
       .option("checkpointLocation", checkpointDir)

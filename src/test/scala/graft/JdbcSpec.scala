@@ -241,7 +241,7 @@ class JdbcSpec extends AnyFunSuite {
     // replaying a committed epoch is a no-op for EVERY declared table
     // (markers key on (target, epoch, partition))
     val lines = (pOps.take(50).map(ChangeGen.toJsonLine) ++
-      aOps.take(50).map(ChangeGen.toAccountJsonLine)).toDF("value")
+      aOps.take(50).map(o => ChangeGen.toAccountJsonLine(o))).toDF("value")
     JdbcMultiTable.applyBatch(spark,
       MultiTable.parseAll(lines, specs), url, specs, batchId = 3L)
     assert(tableMap(url, "person") === wantP,

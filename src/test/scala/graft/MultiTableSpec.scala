@@ -318,7 +318,7 @@ class MultiTableSpec extends AnyFunSuite {
       MultiTable.parseAll(ops.map(ChangeGen.toJsonLine).toDF("value"),
         specs)
     val parsedA = MultiTable.parseAll(
-      aOps.map(ChangeGen.toAccountJsonLine).toDF("value"), specs)
+      aOps.map(o => ChangeGen.toAccountJsonLine(o)).toDF("value"), specs)
     ManifestMultiTable.applyBatch(spark, parsedP(pa), root, specs,
       batchId = 0L)
     val v0 = ManifestMultiTable.versions(spark, root, personSpec).max
@@ -343,7 +343,7 @@ class MultiTableSpec extends AnyFunSuite {
     val pOps = ChangeGen.ops(seed = 115L, n = 20)
     val root = Files.createTempDirectory("mt-recover").toString
     MultiTable.applyBatch(spark, MultiTable.parseAll(
-      aOps.map(ChangeGen.toAccountJsonLine).toDF("value"), specs), root,
+      aOps.map(o => ChangeGen.toAccountJsonLine(o)).toDF("value"), specs), root,
       specs, batchId = 0L)
     MultiTable.compact(spark, s"$root/account")
     val want = wantAccount(aOps)
@@ -537,7 +537,7 @@ class MultiTableSpec extends AnyFunSuite {
     // a column to the DECLARED schema is a read-side change only (the
     // module docstring's claim, pinned here)
     val aOps = ChangeGen.ops(seed = 103L, n = 40)
-    val lines = aOps.map(ChangeGen.toAccountJsonLine).toDF("value")
+    val lines = aOps.map(o => ChangeGen.toAccountJsonLine(o)).toDF("value")
     val root = Files.createTempDirectory("mt-evolve").toString
     MultiTable.applyBatch(spark, MultiTable.parseAll(lines, specs), root,
       specs, batchId = 0L)
