@@ -12,6 +12,10 @@ object SparkTestSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // FAIR so named scheduler pools exist (ConcurrentPipelinesSpec);
+    // undeclared pools get default weight/minShare — for the suites
+    // that never set a pool this behaves like FIFO in one pool
+    .config("spark.scheduler.mode", "FAIR")
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
 }
