@@ -693,7 +693,20 @@ class CdcSpec extends AnyFunSuite {
       if (n % 100 == 0) Replicate.vacuum(spark, dir)
       else if (n % 25 == 0) {
         val t0 = System.nanoTime()
-        assert(Replicate.readReplica(spark, dir).count() > 0)
+        // the rename protocol's documented reader caveat: a scan that
+        // listed files before a concurrent fold's bucket swap can open
+        // a renamed-away file and fail transiently — the window the
+        // manifest protocol exists to close (its reads pin exact
+        // files). An operational reader retries; so does the probe.
+        def countWithRetry(left: Int): Long =
+          try Replicate.readReplica(spark, dir).count()
+          catch {
+            case e: org.apache.spark.SparkException
+                if left > 0 && Option(e.getMessage)
+                  .exists(_.contains("FAILED_READ_FILE")) =>
+              countWithRetry(left - 1)
+          }
+        assert(countWithRetry(3) > 0)
         readSecs += (System.nanoTime() - t0) / 1e9
         // ".__delta" is the on-disk delta log dir (Replicate.DeltaDirName)
         val deltas = ls(".__delta").count(_.startsWith("batch="))

@@ -736,15 +736,32 @@ class ManifestSpec extends AnyFunSuite {
         val t0 = System.nanoTime()
         assert(ManifestReplica.readReplica(spark, dir).count() > 0)
         readSecs += (System.nanoTime() - t0) / 1e9
-        val vs = ManifestReplica.versions(spark, dir)
-        assert(vs.nonEmpty)
-        // the advertised window must SERVE, not just list
-        Seq(vs.head, vs.last).distinct.foreach(v =>
-          assert(ManifestReplica.readReplicaAt(spark, dir, v).count() > 0))
-        // change feed from the window floor: gap check runs inside
-        ManifestReplica.changesSince(spark, dir, vs.head).count()
-        assert(vs.size <= ManifestReplica.ManifestHistory + 4,
-          s"manifest history unbounded at trigger $n: ${vs.size}")
+        // the probes race the async fold's window trim BY DESIGN: a
+        // version listed a moment ago can be trimmed (and its exclusive
+        // files swept) before the read executes — the documented
+        // retention contract, which trims from the bottom and fails
+        // loudly. An operational reader re-lists and retries from the
+        // new floor; so does the probe.
+        def probeWindow(left: Int): Unit = {
+          val vs = ManifestReplica.versions(spark, dir)
+          assert(vs.nonEmpty)
+          try {
+            // the advertised window must SERVE, not just list
+            Seq(vs.head, vs.last).distinct.foreach(v =>
+              assert(ManifestReplica.readReplicaAt(spark, dir, v)
+                .count() > 0))
+            // change feed from the window floor: gap check runs inside
+            ManifestReplica.changesSince(spark, dir, vs.head).count()
+          } catch {
+            case e: Exception if left > 0 && Option(e.getMessage).exists(
+                m => m.contains("not retained") ||
+                  m.contains("FAILED_READ_FILE")) =>
+              probeWindow(left - 1)
+          }
+          assert(vs.size <= ManifestReplica.ManifestHistory + 4,
+            s"manifest history unbounded at trigger $n: ${vs.size}")
+        }
+        probeWindow(3)
         deltaPeak = deltaPeak max
           ls(dir, "delta").count(_.startsWith("batch="))
         dataPeak = dataPeak max ls(dir, "data").size
