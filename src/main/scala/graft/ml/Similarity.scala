@@ -312,7 +312,10 @@ object Similarity {
         .select(col("vec_id"), col("new_label"), col("embedding"),
           col("moved"))
         .localCheckpoint()
-      val moved = step.agg(sum(col("moved"))).head.getLong(0)
+      // coalesce: an empty input's sum is null, which must read as a
+      // 0-movement (immediately converged) round, not an NPE
+      val moved = step.agg(coalesce(sum(col("moved")), lit(0L)))
+        .head.getLong(0)
       moves += moved
       assign = step.select(col("vec_id"),
         col("new_label").as("label"), col("embedding"))

@@ -702,6 +702,73 @@ class MlSpec extends AnyFunSuite {
       s"layout should at least halve the scan: z=$zFiles vs control=$rFiles")
   }
 
+  test("sidecar FileIndex: planning-time pruning is conservative and never loses rows") {
+    // The r7-verdict #4 upgrade is planner-adjacent code, so its safety
+    // property gets its own pin: pruning may only drop a file when the
+    // pushed-down filters PROVABLY cannot match its envelope — any
+    // unknown shape, any un-stat'd file, keeps the file.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("sidecar-fi").toString
+    Layout.zOrderWriteWithStats(docs, dir, numFiles = 8)
+    val total = docs.count()
+    def filesScanned(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    def expect(pred: org.apache.spark.sql.Column): Seq[Long] = docs
+      .filter(pred).select("doc_id").as[Long].collect().sorted.toSeq
+    def got(pred: org.apache.spark.sql.Column): (Seq[Long], Long) = {
+      val df = SidecarFileIndex.read(spark, dir).filter(pred)
+      (df.select("doc_id").as[Long].collect().sorted.toSeq,
+        filesScanned(df))
+    }
+
+    // unfiltered: every row, every file
+    val all = SidecarFileIndex.read(spark, dir)
+    assert(all.count() === total)
+    assert(filesScanned(all) === 8)
+
+    // the two stat'd dimensions prune AND answer exactly
+    val p1 = col("lang") === "en" && col("n_chars").between(100L, 400L)
+    val (ids1, files1) = got(p1)
+    assert(ids1 === expect(p1))
+    assert(files1 < 8, "a selective two-dim predicate must prune")
+
+    // OR across envelopes: still exact (union semantics)
+    val p2 = col("lang") === "de" || col("n_chars") > 900L
+    val (ids2, _) = got(p2)
+    assert(ids2 === expect(p2))
+
+    // IN-list on a stat'd dimension: exact
+    val p3 = col("lang").isin("en", "zh")
+    val (ids3, _) = got(p3)
+    assert(ids3 === expect(p3))
+
+    // a filter shape the evaluator does NOT understand must keep every
+    // file — correctness never depends on pruning
+    val p4 = org.apache.spark.sql.functions.length(col("text")) > 50
+    val (ids4, files4) = got(p4)
+    assert(ids4 === expect(p4))
+    assert(files4 === 8, "unknown predicate shapes must not prune")
+
+    // a data file the sidecar does not describe (written after the last
+    // stats refresh) stays scannable with an unbounded envelope
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val aFile = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .head.getPath
+    val extraRows = spark.read.parquet(aFile.toString).count()
+    org.apache.hadoop.fs.FileUtil.copy(fs, aFile, fs,
+      new org.apache.hadoop.fs.Path(dir, "zz-late-arrival.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(SidecarFileIndex.read(spark, dir).count() === total + extraRows,
+      "un-stat'd files must be kept, never silently dropped")
+  }
+
   test("binPack compaction: byte-sized targets, clustering + sidecar survive, swap is all-or-nothing") {
     import org.apache.hadoop.fs.Path
     val fs = new Path("/tmp").getFileSystem(
