@@ -1003,9 +1003,66 @@ object Relational {
            |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin))
 
+  private val aggGroupingSets = Declared(
+    "agg_grouping_sets",
+    // Explicit GROUPING SETS — the mixed-granularity rollup CUBE/ROLLUP
+    // can't express: ((flag,status), (flag), ()) but never ((status)).
+    // Same single-shuffle expansion as cube (each input row fans out to
+    // its matching sets map-side, partial agg combines before exchange).
+    // grouping() flags (not grouping_id) keep the oracle engine-neutral.
+    (s, d) => t(s, d)("lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("_all")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("_all")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus", "g_flag", "g_status"),
+    Some("""SELECT coalesce(l_returnflag, '_all') AS returnflag,
+           |  coalesce(l_linestatus, '_all') AS linestatus,
+           |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           |  (l_returnflag), ())
+           |ORDER BY returnflag, linestatus, g_flag, g_status""".stripMargin))
+
+  private val aggHistogram = Declared(
+    "agg_histogram",
+    // Equi-width histogram: the profiling primitive behind optimizer
+    // stats and data-quality dashboards. Bucket id via explicit floor()
+    // over a decimal quotient — floor is engine-neutral, whereas
+    // decimal→int CASTs round in DuckDB but truncate in Spark. One
+    // map-side-combined shuffle keyed on ~O(buckets) groups.
+    (s, d) => t(s, d)("orders")
+      .select(floor(col("o_totalprice").cast("decimal(30,4)") / lit(50000))
+        .cast("bigint").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket"),
+    Some("""SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(30,4)) / 50000)
+           |    AS BIGINT) AS bucket,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+           |    AS sum_price,
+           |  min(o_totalprice) AS min_price,
+           |  max(o_totalprice) AS max_price
+           |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Declared] = Seq(
+    aggGroupingSets, aggHistogram,
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
