@@ -3,6 +3,8 @@ package graft.cdc
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lead, when}
 import org.apache.spark.sql.streaming.Trigger
 import graft.sql.Declared
 
@@ -154,6 +156,46 @@ object CdcQueries {
     },
     Some(s"""SELECT lsn, action, id, name, uid, score, created_at
            |FROM read_parquet('$changelogPq/*.parquet') ORDER BY lsn""".stripMargin))
+
+  private val scd2Pq = s"$FixtureDir/cdc_scd2_changelog.parquet"
+
+  /** SCD Type-2 history off the changelog: where the replica keeps only
+    * each key's LATEST image (the reference fold, replicator/main.go:
+    * 195-269), a warehouse dimension keeps EVERY image with its validity
+    * interval — the standard slowly-changing-dimension shape the same
+    * change stream feeds. Each I/U opens a version at its lsn; the next
+    * change on the key (any action, deletes included) closes it; a
+    * version is current iff nothing follows it. One shuffle, keyed on
+    * `id` (the window partition) — at 100 TB this is the same per-key
+    * exchange as the replica fold, and the window never sees more than
+    * one key's history per task. The oracle re-derives the intervals
+    * with the identical window over the dumped typed changelog. */
+  private val scd2History = Declared(
+    "cdc_scd2_history",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 11L, n = 1500)
+      val changeDir = Files.createTempDirectory("graft-cdc-scd2").toString
+      ChangeGen.writeBatches(changeDir, ops, batches = 4)
+      dumpChanges(s, ops, scd2Pq)
+      val w = Window.partitionBy("id").orderBy("lsn")
+      ChangeSource.readBatch(s, changeDir).toDF()
+        .withColumn("valid_to", lead(col("lsn"), 1).over(w))
+        .filter(col("action") =!= "D")
+        .select(col("id"), col("name"), col("uid"), col("score"),
+          col("created_at"), col("lsn").as("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+        .orderBy("id", "valid_from")
+    },
+    Some(s"""WITH ch AS (
+           |  SELECT *, lead(lsn) OVER (PARTITION BY id ORDER BY lsn)
+           |    AS valid_to
+           |  FROM read_parquet('$scd2Pq/*.parquet')
+           |)
+           |SELECT id, name, uid, score, created_at,
+           |  lsn AS valid_from, valid_to,
+           |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+           |FROM ch WHERE action <> 'D'
+           |ORDER BY id, valid_from""".stripMargin))
 
   private val linesPq = s"$FixtureDir/cdc_rawlines.parquet"
 
@@ -568,7 +610,7 @@ object CdcQueries {
     })
 
   val all: Seq[Declared] =
-    Seq(replicateE2e, manifestE2e, parseChangelog, quarantine,
+    Seq(replicateE2e, manifestE2e, parseChangelog, scd2History, quarantine,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
       mtStatefulE2e)
 }
