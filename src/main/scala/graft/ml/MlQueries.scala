@@ -893,6 +893,49 @@ object MlQueries {
             |WHERE g.doc_id % 23 <> 0
             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))
 
+  /** Duplicate-span-removal oracle: identical window hashing, coverage
+    * masking, and reassembly in DuckDB list lambdas. `coalesce(.., '')`
+    * on the reassembled text: string_agg of an empty list is NULL in
+    * DuckDB where Spark's concat_ws gives ''. */
+  private val dupSpans = Declared(
+    "ml_dup_spans",
+    (s, d) => TextAnalysis.dupSpans(Tables(s, d, "documents")),
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            |w AS (
+            |  SELECT doc_id, i - 1 AS pos,
+            |    ${sqlHash60(
+               s"list_aggregate(tk[i:i+${TextAnalysis.SpanGram - 1}], " +
+                 "'string_agg', ' ')")} AS wh
+            |  FROM toks,
+            |    unnest(range(1, len(tk) - ${TextAnalysis.SpanGram - 2}))
+            |      AS t(i)
+            |  WHERE len(tk) >= ${TextAnalysis.SpanGram}),
+            |dw AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+            |dp AS (SELECT doc_id, count(*) AS dup_windows,
+            |         list_sort(list(pos)) AS dps
+            |       FROM w JOIN dw USING (wh) GROUP BY doc_id),
+            |base AS (
+            |  SELECT t.doc_id, t.tk,
+            |    coalesce(dp.dup_windows, 0) AS dup_windows,
+            |    coalesce(dp.dps, []) AS dps
+            |  FROM toks t LEFT JOIN dp USING (doc_id)),
+            |kept AS (
+            |  SELECT doc_id, tk, dup_windows,
+            |    list_filter(range(0, len(tk)), j ->
+            |      len(list_filter(dps, p -> j >= p AND
+            |        j <= p + ${TextAnalysis.SpanGram - 1})) = 0) AS ki
+            |  FROM base)
+            |SELECT doc_id,
+            |  CAST(len(tk) AS BIGINT) AS n_tokens,
+            |  CAST(greatest(len(tk) - ${TextAnalysis.SpanGram - 1}, 0)
+            |    AS BIGINT) AS n_windows,
+            |  CAST(dup_windows AS BIGINT) AS dup_windows,
+            |  CAST(len(tk) - len(ki) AS BIGINT) AS removed_tokens,
+            |  coalesce(list_aggregate(list_transform(ki, j -> tk[j + 1]),
+            |    'string_agg', ' '), '') AS clean_text
+            |FROM kept ORDER BY doc_id""".stripMargin))
+
   /** Repetition-filter oracle: word 2-/3-gram windows from the same
     * string_split, duplicate mass and top-gram concentration as
     * integer-ratio doubles, keep verdict at the same thresholds. */
@@ -1119,7 +1162,7 @@ object MlQueries {
     cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, langId, tokenCounts,
-    repetition, seqPack, stratSample, contam, piiRedact,
+    repetition, dupSpans, seqPack, stratSample, contam, piiRedact,
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, fingerprint, zorder,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)

@@ -357,6 +357,63 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** [[dupSpans]] window length (tokens). */
+  val SpanGram = 8
+
+  /** Duplicate-span removal — the exact-substring dedup shape of
+    * [Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22], at token-window granularity: every `SpanGram`-token
+    * sliding window is hashed; a window whose hash occurs ≥ 2 times in
+    * the corpus (any doc, same doc included) is a duplicate span, and
+    * every token it covers is removed before the doc is reassembled.
+    * Emits (doc_id, n_tokens, n_windows, dup_windows, removed_tokens,
+    * clean_text).
+    *
+    * Scale: the gram stream is the data — three keyed exchanges, all on
+    * bounded keys: (1) window-hash counts (map-side combined, one row
+    * per distinct window after the partial), (2) the join of positions
+    * against the duplicate-hash set (equi on the 60-bit hash — never a
+    * broadcast; at 100 TB the dup set is unbounded), (3) the per-doc
+    * regroup of duplicate positions. Coverage masking and reassembly
+    * are per-row array ops — O(n_tokens · dup_windows_in_doc) worst
+    * case, bounded by doc length. Same exchange count as minhash; no
+    * all-pairs path anywhere. */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val k = SpanGram
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    // (doc_id, pos 0-based, window hash) — shinglesOf positions are
+    // 1-based array slots; posexplode re-derives 0-based positions
+    val wins = toksDf
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(shinglesOf(col("tk"), k)))
+      .select(col("doc_id"), col("pos"), hash60(col("col")).as("wh"))
+    val dupW = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("wh")
+    val dupPos = wins.join(dupW, Seq("wh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"),
+        sort_array(collect_list(col("pos"))).as("dps"))
+    toksDf.join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dps"), array().cast("array<int>")).as("dps"))
+      .select(col("doc_id"), col("tk"), col("dup_windows"),
+        filter(sequence(lit(0), size(col("tk")) - 1),
+          j => !exists(col("dps"),
+            p => j >= p && j <= p + lit(k - 1))).as("kept"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        greatest(size(col("tk")) - (k - 1), lit(0)).cast("long")
+          .as("n_windows"),
+        col("dup_windows"),
+        (size(col("tk")) - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        concat_ws(" ",
+          transform(col("kept"), j => element_at(col("tk"), j + 1)))
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Word-gram length for [[contamination]] screening. */
   val ContamGram = 8
 
