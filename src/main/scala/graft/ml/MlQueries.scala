@@ -893,6 +893,37 @@ object MlQueries {
             |WHERE g.doc_id % 23 <> 0
             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))
 
+  /** BM25 oracle: identical rational-k1/b integer arithmetic; DuckDB's
+    * `//` is floor division like Spark's `div` (all operands positive
+    * here), and its HUGEINT sum is cast back to BIGINT. */
+  private val bm25 = Declared(
+    "ml_bm25_topk",
+    (s, d) => TextAnalysis.bm25TopK(Tables(s, d, "documents")),
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |tf AS (SELECT doc_id, term, count(*) AS tf
+            |       FROM tok GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+            |       FROM tf GROUP BY 1),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            |st AS (SELECT count(*) AS n, CAST(sum(dlen) AS BIGINT) AS t
+            |       FROM dl),
+            |c AS (
+            |  SELECT tf.doc_id,
+            |    ((2 * (st.n - df.df) + 1) *
+            |     ((44 * tf.tf * st.t * ${TextAnalysis.Bm25Scale}) //
+            |      (20 * tf.tf * st.t + 6 * st.t + 18 * dl.dlen * st.n)))
+            |      // (2 * df.df + 1) AS contrib
+            |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
+            |  WHERE tf.term IN (${TextAnalysis.Bm25Query
+               .map(t => s"'$t'").mkString(", ")}))
+            |SELECT doc_id, count(*) AS matched,
+            |  CAST(sum(contrib) AS BIGINT) AS score_fp
+            |FROM c GROUP BY doc_id
+            |ORDER BY score_fp DESC, doc_id
+            |LIMIT ${TextAnalysis.Bm25K}""".stripMargin))
+
   /** Duplicate-span-removal oracle: identical window hashing, coverage
     * masking, and reassembly in DuckDB list lambdas. `coalesce(.., '')`
     * on the reassembled text: string_agg of an empty list is NULL in
@@ -1164,6 +1195,6 @@ object MlQueries {
     textStats, textNormalize, qualityGate, langId, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, contam, piiRedact,
     shardAssign, mixRebalance, chunking,
-    tfidfTopTerms, fingerprint, zorder,
+    tfidfTopTerms, bm25, fingerprint, zorder,
     mediaMeta, mediaDecode, mediaResize, mediaFrames)
 }

@@ -357,6 +357,50 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** [[bm25TopK]] fixed query, result size, and fixed-point scale. */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "merge", "window")
+  val Bm25K = 15
+  val Bm25Scale = 16384L // 2^14
+
+  /** BM25 top-k retrieval [Robertson & Zaragoza, FnTIR'09] with k1=1.2,
+    * b=0.75 carried as exact rationals so the score is INTEGER-exact at
+    * any parallelism (engine doctrine: no float accumulation). With
+    * T = Σ dl (avgdl = T/N), the per-term saturation
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) becomes the integer ratio
+    * 44·tf·T / (20·tf·T + 6·T + 18·dl·N), floored at 2^14 fixed point;
+    * the log-free idf surrogate (N−df+½)/(df+½) = (2(N−df)+1)/(2df+1)
+    * (the same monotone rational family as TF-IDF's idf) scales it in a
+    * second floor division. Production note: at corpus sizes where
+    * 44·tf·T·2^14 exceeds int64 (~10⁸ docs) the scoring would move to
+    * doubles — the fixture-scale integer form exists for bit-exact
+    * cross-engine verification.
+    *
+    * Scale: ONE corpus explode+shuffle builds tf; dl and df derive from
+    * it (the TF-IDF pattern). df and the (N, T) scalar are broadcast;
+    * only docs containing a query term reach the scoring join; top-k is
+    * TakeOrdered (per-partition k, no global sort). */
+  def bm25TopK(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dlen"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dlen")).as("t"))
+    tf.filter(col("term").isin(Bm25Query: _*))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        s"(44 * tf * t * $Bm25Scale) div " +
+          "(20 * tf * t + 6 * t + 18 * dlen * n) as tr_fp",
+        "2 * (n - df) + 1 as idf_num", "2 * df + 1 as idf_den")
+      .selectExpr("doc_id", "(idf_num * tr_fp) div idf_den as contrib_fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("matched"), sum(col("contrib_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(Bm25K)
+  }
+
   /** [[dupSpans]] window length (tokens). */
   val SpanGram = 8
 
