@@ -68,6 +68,14 @@ object MlQueries {
   private val nrmCte =
     "nrm AS (SELECT vec_id, sum(q*q) AS n2 FROM qe GROUP BY vec_id)"
 
+  /** PID-scoped fixture dir for model state the oracle must read back
+    * (the [[graft.cdc.CdcQueries.FixtureDir]] pattern): the query run
+    * writes it, the oracle SQL `read_parquet`s it within the same
+    * driver invocation. */
+  private val FixtureDir: String =
+    s"/tmp/graft_fixtures_${ProcessHandle.current().pid()}"
+  private val pqCbPq = s"$FixtureDir/pq_codebook.parquet"
+
   private def cosSql(d: String, na: String, nb: String): String =
     s"CAST($d AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
@@ -531,6 +539,54 @@ object MlQueries {
 
   /** JL projection oracle: same md5-derived weight matrix, long-form
     * integer dot per (vector, target dim). */
+  /** PQ-ANN oracle: re-derives encoding and ADC from the dumped
+    * codebooks. The query-side (vec, m, code) distance table doubles as
+    * the ADC lookup table — `adc` joins it against the corpus encoding
+    * instead of recomputing distances, exactly the LUT a production ADC
+    * scan builds per query. Tie-breaks match the engine bit-for-bit via
+    * the shared d2·K+code packing. */
+  private val pqAnn = Declared(
+    "ml_pq_ann",
+    (s, d) => Similarity.pqTopK(Tables(s, d, "embeddings"), pqCbPq),
+    Some(s"""WITH $qeCte,
+            |cb AS (SELECT m, code, centroid
+            |       FROM read_parquet('$pqCbPq/*.parquet')),
+            |dist AS (
+            |  SELECT qe.vec_id, cb.m, cb.code,
+            |    CAST(sum(
+            |      (qe.q - cb.centroid[(qe.i - 1) % ${Similarity.PqDims} + 1])
+            |      * (qe.q - cb.centroid[(qe.i - 1) % ${Similarity.PqDims} + 1]))
+            |      AS BIGINT) AS d2
+            |  FROM qe JOIN cb ON (qe.i - 1) // ${Similarity.PqDims} = cb.m
+            |  GROUP BY qe.vec_id, cb.m, cb.code),
+            |enc AS (SELECT vec_id, m,
+            |          CAST(min(d2 * ${Similarity.PqK} + code)
+            |               % ${Similarity.PqK} AS INT) AS code
+            |        FROM dist GROUP BY vec_id, m),
+            |adc AS (
+            |  SELECT q.vec_id AS query_id, e.vec_id,
+            |         CAST(sum(q.d2) AS BIGINT) AS adc
+            |  FROM dist q JOIN enc e ON q.m = e.m AND q.code = e.code
+            |  WHERE q.vec_id % ${Similarity.QueryStride} = 0
+            |  GROUP BY 1, 2),
+            |cand AS (SELECT query_id, vec_id, adc,
+            |           row_number() OVER (PARTITION BY query_id
+            |             ORDER BY adc, vec_id) AS crank
+            |         FROM adc),
+            |ex AS (
+            |  SELECT c.query_id, c.vec_id, c.adc,
+            |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS exact_d2
+            |  FROM cand c
+            |  JOIN qe a ON a.vec_id = c.query_id
+            |  JOIN qe b ON b.vec_id = c.vec_id AND b.i = a.i
+            |  WHERE c.crank <= ${Similarity.PqTopK}
+            |  GROUP BY 1, 2, 3)
+            |SELECT query_id,
+            |  CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY exact_d2, vec_id) AS BIGINT) AS rank,
+            |  vec_id, adc, exact_d2
+            |FROM ex ORDER BY query_id, rank""".stripMargin))
+
   private val randProj = Declared(
     "ml_rand_proj",
     (s, d) => Similarity.randomProjection(Tables(s, d, "embeddings")),
@@ -1190,7 +1246,7 @@ object MlQueries {
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
-    cosineTopk, cosineTopkFast, annIvf, annSrp, randProj, kmeansStep,
+    cosineTopk, cosineTopkFast, annIvf, annSrp, pqAnn, randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, langId, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, contam, piiRedact,

@@ -392,6 +392,136 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- Product quantization (IVFADC's compression half) ---------------
+
+  /** PQ geometry: 64 dims → [[PqM]] subspaces × [[PqDims]] dims, each
+    * coded against a [[PqK]]-centroid codebook ⇒ 8 bytes per vector. */
+  val PqM = 8
+  val PqDims = 8
+  val PqK = 16
+  /** Lloyd rounds for codebook training. */
+  val PqIters = 4
+  /** Result size (ADC candidates = exact-reranked set). */
+  val PqTopK = 10
+
+  /** Integer squared L2 between two quantized arrays. */
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** argmin code for subvector `sv` in subspace `m` against the literal
+    * codebook, ties to the LOWEST code: the (d2, code) pair is packed
+    * into one integer key d2·K + code so argmin is a plain `array_min`
+    * — the same packing the oracle's `min(d2*K + code)` uses, so
+    * tie-breaks are bit-identical across engines. */
+  private def pqCode(cb: Column, sv: Column, m: Column): Column = {
+    val keys = transform(sequence(lit(0), lit(PqK - 1)),
+      c => pqD2(sv, element_at(element_at(cb, m + 1), c + 1)) * PqK + c)
+    (array_min(keys) % PqK).cast("int")
+  }
+
+  private def subCol(q: Column, m: Column): Column =
+    slice(q, m * lit(PqDims) + 1, lit(PqDims))
+
+  /** (vec_id, m, sv) exploded quantized subvectors — the training-side
+    * table only; encoding never explodes (see [[pqTopK]]). */
+  private def subvectors(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("q"))
+      .select(col("vec_id"), col("m"), subCol(col("q"), col("m")).as("sv"))
+
+  /** Per-subspace k-means codebooks (Jégou et al., PQ for nearest
+    * neighbor search, TPAMI'11): deterministic init (the [[PqK]] lowest
+    * vec_ids' subvectors), then [[PqIters]] Lloyd rounds over ALL
+    * subspaces at once — assignment is one scan of the exploded
+    * subvector table with the codebooks baked as literals, refresh is
+    * one (m, code, dim) aggregation whose ≤ M·K·dims rows are the
+    * collected bounded model state (the [[kmeansTrain]] doctrine).
+    * Centroid means are floorDiv — exact integers, no float drift;
+    * empty cells keep their previous centroid. */
+  def pqTrain(emb: DataFrame): Seq[Seq[Seq[Long]]] = {
+    val sub = subvectors(emb).localCheckpoint()
+    val init = quantized(emb).select(col("vec_id"), col("q"))
+      .orderBy("vec_id").limit(PqK).collect()
+    require(init.length == PqK, s"corpus smaller than $PqK vectors")
+    var cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map { m =>
+      (0 until PqK).map { c =>
+        init(c).getSeq[Long](1).slice(m * PqDims, (m + 1) * PqDims).toSeq
+      }
+    }
+    for (_ <- 1 to PqIters) {
+      val stats = sub.withColumn("code", pqCode(typedLit(cb), col("sv"), col("m")))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("d", "v")))
+        .groupBy("m", "code", "d")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(3), r.getLong(4)))).toMap
+      cb = (0 until PqM).map { m =>
+        (0 until PqK).map { c =>
+          (0 until PqDims).map { d =>
+            stats.get((m, c, d))
+              .map { case (s, n) => Math.floorDiv(s, n) }
+              .getOrElse(cb(m)(c)(d))
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  /** PQ-compressed ANN with asymmetric distance computation (ADC) +
+    * exact rerank: train codebooks, encode the corpus to [[PqM]] codes
+    * per vector IN THE SCAN (one per-row nested argmin — no explode, no
+    * exchange), then score each broadcast query against the encoded
+    * corpus by Σ_m d²(query_sub_m, codebook[m][code_m]) and exact-rerank
+    * the per-query ADC top-[[PqTopK]]. Codebooks are dumped to
+    * `codebookPath` so the oracle re-derives encoding + ADC from the
+    * same model state.
+    *
+    * Scale: the corpus is scanned once for encoding+ADC with queries
+    * and codebooks broadcast (block-nested ANN, like [[cosineTopK]]);
+    * the 8-byte codes are the representation a 100 TB deployment stores
+    * — 64× smaller than the raw vectors — and the exact rerank touches
+    * only the bounded candidate set. */
+  def pqTopK(emb: DataFrame, codebookPath: String, k: Int = PqTopK)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    val cb = pqTrain(emb)
+    import spark.implicits._
+    (for { m <- 0 until PqM; c <- 0 until PqK } yield (m, c, cb(m)(c)))
+      .toDF("m", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(codebookPath)
+    val cbl = typedLit(cb)
+    val enc = quantized(emb).select(col("vec_id"), col("q"),
+      transform(sequence(lit(0), lit(PqM - 1)),
+        m => pqCode(cbl, subCol(col("q"), m), m)).as("codes"))
+    val qs = quantized(emb).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+      (acc, m) => acc + pqD2(subCol(col("qq"), m),
+        element_at(element_at(cbl, m + 1),
+          element_at(col("codes"), m + 1) + 1)))
+    val scored = enc.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("vec_id"))
+    val cand = scored.withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= k)
+      .select("query_id", "vec_id", "adc")
+    val wEx = Window.partitionBy("query_id")
+      .orderBy(col("exact_d2"), col("vec_id"))
+    cand
+      .join(quantized(emb).select(col("vec_id"), col("q")), Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("adc"),
+        pqD2(col("qq"), col("q")).as("exact_d2"))
+      .withColumn("rank", row_number().over(wEx).cast("long"))
+      .select("query_id", "rank", "vec_id", "adc", "exact_d2")
+      .orderBy("query_id", "rank")
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. '23): remove
     * embedding-space near-duplicates — drop the higher-id side of every
     * same-cell pair with cosine ≥ `minCos` (greedy keep-lowest, the
