@@ -440,16 +440,32 @@ object Similarity {
     * collected bounded model state (the [[kmeansTrain]] doctrine).
     * Centroid means are floorDiv — exact integers, no float drift;
     * empty cells keep their previous centroid. */
-  def pqTrain(emb: DataFrame): Seq[Seq[Seq[Long]]] = {
-    val sub = subvectors(emb).localCheckpoint()
+  def pqInit(emb: DataFrame): Seq[Seq[Seq[Long]]] = {
     val init = quantized(emb).select(col("vec_id"), col("q"))
       .orderBy("vec_id").limit(PqK).collect()
     require(init.length == PqK, s"corpus smaller than $PqK vectors")
-    var cb: Seq[Seq[Seq[Long]]] = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       (0 until PqK).map { c =>
         init(c).getSeq[Long](1).slice(m * PqDims, (m + 1) * PqDims).toSeq
       }
     }
+  }
+
+  /** Total quantization distortion of a codebook over the corpus:
+    * Σ over all (vector, subspace) of the min-code squared error. One
+    * aggregation job; the training-quality metric specs assert on. */
+  def pqDistortion(emb: DataFrame, cb: Seq[Seq[Seq[Long]]]): Long = {
+    val keys = transform(sequence(lit(0), lit(PqK - 1)),
+      c => pqD2(col("sv"), element_at(element_at(typedLit(cb),
+        col("m") + 1), c + 1)) * PqK + c)
+    subvectors(emb)
+      .select((array_min(keys).cast("long") / lit(PqK)).cast("long").as("d2"))
+      .agg(sum(col("d2"))).head().getLong(0)
+  }
+
+  def pqTrain(emb: DataFrame): Seq[Seq[Seq[Long]]] = {
+    val sub = subvectors(emb).localCheckpoint()
+    var cb = pqInit(emb)
     for (_ <- 1 to PqIters) {
       val stats = sub.withColumn("code", pqCode(typedLit(cb), col("sv"), col("m")))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("d", "v")))

@@ -864,4 +864,32 @@ class MlSpec extends AnyFunSuite {
       .map(f => f.doc_id -> f.feature.toSeq).toMap
     feats.foreach(f => assert(again(f.doc_id) === f.feature.toSeq))
   }
+
+  test("PQ: training reduces distortion deterministically; ADC+rerank ranks self first") {
+    val cb1 = Similarity.pqTrain(emb)
+    // deterministic: init, assignment tie-breaks, and floorDiv means
+    // are all exact-integer → retraining reproduces the codebook bit
+    // for bit
+    assert(Similarity.pqTrain(emb) === cb1)
+    assert(cb1.length === Similarity.PqM)
+    assert(cb1.forall(_.length === Similarity.PqK))
+    assert(cb1.forall(_.forall(_.length === Similarity.PqDims)))
+    // Lloyd rounds improve (or at worst match) the deterministic init
+    val d0 = Similarity.pqDistortion(emb, Similarity.pqInit(emb))
+    val dT = Similarity.pqDistortion(emb, cb1)
+    assert(dT <= d0, s"trained distortion $dT worse than init $d0")
+    assert(dT > 0L) // 16 codes can't represent 500 distinct subvectors
+    // every query's exact-reranked top hit is itself: the corpus holds
+    // no duplicate vectors (checked against the fixture), self-ADC is
+    // the global minimum by construction, and self exact d² = 0
+    val out = java.nio.file.Files.createTempDirectory("pq-spec").toString
+    val top = Similarity.pqTopK(emb, s"$out/cb.parquet")
+      .filter(col("rank") === 1).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getAs[Long]("vec_id") === r.getAs[Long]("query_id"))
+      assert(r.getAs[Long]("exact_d2") === 0L)
+      assert(r.getAs[Long]("adc") > 0L) // ADC sees quantization error
+    }
+  }
 }

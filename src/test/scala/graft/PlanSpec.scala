@@ -65,6 +65,20 @@ class PlanSpec extends AnyFunSuite {
       "corpus must not hash-exchange before scoring")
   }
 
+  test("PQ ADC: queries broadcast, encoded corpus never exchanges before candidate ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-plan").toString
+    val plan = planString(
+      Similarity.pqTopK(Tables(spark, sf, "embeddings"), s"$dir/cb.parquet"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "query block must broadcast against the encoded corpus")
+    // encoding is scan-side (argmin over codebook literals): below the
+    // deepest window the corpus feeds the broadcast join directly
+    val beforeWindow = plan.split("Window").last
+    assert(!beforeWindow.contains("Exchange hashpartitioning"),
+      "corpus must not hash-exchange before ADC scoring")
+  }
+
   test("no query plans a non-broadcast cartesian product") {
     // eager side-effecting builders (staged pipeline writes, CTAS DDL,
     // sketch + collect) run real jobs just to produce their final
