@@ -75,6 +75,8 @@ object MlQueries {
   private val FixtureDir: String =
     s"/tmp/graft_fixtures_${ProcessHandle.current().pid()}"
   private val pqCbPq = s"$FixtureDir/pq_codebook.parquet"
+  private val ivfadcCentPq = s"$FixtureDir/ivfadc_centroids.parquet"
+  private val ivfadcCbPq = s"$FixtureDir/ivfadc_codebook.parquet"
 
   private def cosSql(d: String, na: String, nb: String): String =
     s"CAST($d AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
@@ -568,6 +570,87 @@ object MlQueries {
             |         CAST(sum(q.d2) AS BIGINT) AS adc
             |  FROM dist q JOIN enc e ON q.m = e.m AND q.code = e.code
             |  WHERE q.vec_id % ${Similarity.QueryStride} = 0
+            |  GROUP BY 1, 2),
+            |cand AS (SELECT query_id, vec_id, adc,
+            |           row_number() OVER (PARTITION BY query_id
+            |             ORDER BY adc, vec_id) AS crank
+            |         FROM adc),
+            |ex AS (
+            |  SELECT c.query_id, c.vec_id, c.adc,
+            |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS exact_d2
+            |  FROM cand c
+            |  JOIN qe a ON a.vec_id = c.query_id
+            |  JOIN qe b ON b.vec_id = c.vec_id AND b.i = a.i
+            |  WHERE c.crank <= ${Similarity.PqTopK}
+            |  GROUP BY 1, 2, 3)
+            |SELECT query_id,
+            |  CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY exact_d2, vec_id) AS BIGINT) AS rank,
+            |  vec_id, adc, exact_d2
+            |FROM ex ORDER BY query_id, rank""".stripMargin))
+
+  /** IVFADC oracle: coarse centroids + residual codebooks read from the
+    * dumped model state; residual encoding, coarse probing, the
+    * query-residual ADC LUT per probed cell, and exact rerank all
+    * re-derived in SQL with the same integer arithmetic. */
+  private val ivfAdc = Declared(
+    "ml_ivfadc",
+    (s, d) => Similarity.ivfAdcTopK(Tables(s, d, "embeddings"),
+      ivfadcCentPq, ivfadcCbPq),
+    Some(s"""WITH $qeCte,
+            |cent AS (SELECT label, centroid
+            |         FROM read_parquet('$ivfadcCentPq/*.parquet')),
+            |cb AS (SELECT m, code, centroid
+            |       FROM read_parquet('$ivfadcCbPq/*.parquet')),
+            |re AS (
+            |  SELECT qe.vec_id, qe.label, qe.i,
+            |         qe.q - cent.centroid[qe.i] AS r
+            |  FROM qe JOIN cent ON qe.label = cent.label),
+            |dist AS (
+            |  SELECT re.vec_id, cb.m, cb.code,
+            |    CAST(sum(
+            |      (re.r - cb.centroid[(re.i - 1) % ${Similarity.PqDims} + 1])
+            |      * (re.r - cb.centroid[(re.i - 1) % ${Similarity.PqDims} + 1]))
+            |      AS BIGINT) AS d2
+            |  FROM re JOIN cb ON (re.i - 1) // ${Similarity.PqDims} = cb.m
+            |  GROUP BY 1, 2, 3),
+            |enc AS (SELECT vec_id, m,
+            |          CAST(min(d2 * ${Similarity.PqK} + code)
+            |               % ${Similarity.PqK} AS INT) AS code
+            |        FROM dist GROUP BY 1, 2),
+            |cq AS (
+            |  SELECT qe.vec_id AS query_id, cent.label AS cell,
+            |    CAST(sum((qe.q - cent.centroid[qe.i])
+            |             * (qe.q - cent.centroid[qe.i])) AS BIGINT) AS cd2
+            |  FROM qe CROSS JOIN cent
+            |  WHERE qe.vec_id % ${Similarity.QueryStride} = 0
+            |  GROUP BY 1, 2),
+            |probe AS (
+            |  SELECT query_id, cell FROM (
+            |    SELECT query_id, cell, row_number() OVER (
+            |      PARTITION BY query_id ORDER BY cd2, cell) AS pr
+            |    FROM cq)
+            |  WHERE pr <= ${Similarity.IvfAdcProbe}),
+            |qlut AS (
+            |  SELECT p.query_id, p.cell, cb.m, cb.code,
+            |    CAST(sum(
+            |      ((qe.q - cent.centroid[qe.i])
+            |       - cb.centroid[(qe.i - 1) % ${Similarity.PqDims} + 1])
+            |      * ((qe.q - cent.centroid[qe.i])
+            |         - cb.centroid[(qe.i - 1) % ${Similarity.PqDims} + 1]))
+            |      AS BIGINT) AS d2
+            |  FROM probe p
+            |  JOIN qe ON qe.vec_id = p.query_id
+            |  JOIN cent ON cent.label = p.cell
+            |  JOIN cb ON (qe.i - 1) // ${Similarity.PqDims} = cb.m
+            |  GROUP BY 1, 2, 3, 4),
+            |lv AS (SELECT DISTINCT vec_id, label FROM qe),
+            |adc AS (
+            |  SELECT q.query_id, lv.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc
+            |  FROM qlut q
+            |  JOIN lv ON lv.label = q.cell
+            |  JOIN enc e ON e.vec_id = lv.vec_id
+            |    AND e.m = q.m AND e.code = q.code
             |  GROUP BY 1, 2),
             |cand AS (SELECT query_id, vec_id, adc,
             |           row_number() OVER (PARTITION BY query_id
@@ -1246,7 +1329,8 @@ object MlQueries {
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
-    cosineTopk, cosineTopkFast, annIvf, annSrp, pqAnn, randProj, kmeansStep,
+    cosineTopk, cosineTopkFast, annIvf, annSrp, pqAnn, ivfAdc, randProj,
+    kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, langId, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, contam, piiRedact,

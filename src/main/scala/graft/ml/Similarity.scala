@@ -424,12 +424,17 @@ object Similarity {
     slice(q, m * lit(PqDims) + 1, lit(PqDims))
 
   /** (vec_id, m, sv) exploded quantized subvectors — the training-side
-    * table only; encoding never explodes (see [[pqTopK]]). */
-  private def subvectors(emb: DataFrame): DataFrame =
-    quantized(emb)
+    * table only; encoding never explodes (see [[pqTopK]]). `qdf` is any
+    * (vec_id, q: array<long>) frame — raw quantized vectors for plain
+    * PQ, coarse-centroid residuals for IVFADC. */
+  private def subvectorsOf(qdf: DataFrame): DataFrame =
+    qdf
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("q"))
       .select(col("vec_id"), col("m"), subCol(col("q"), col("m")).as("sv"))
+
+  private def subvectors(emb: DataFrame): DataFrame =
+    subvectorsOf(quantized(emb))
 
   /** Per-subspace k-means codebooks (Jégou et al., PQ for nearest
     * neighbor search, TPAMI'11): deterministic init (the [[PqK]] lowest
@@ -440,8 +445,11 @@ object Similarity {
     * collected bounded model state (the [[kmeansTrain]] doctrine).
     * Centroid means are floorDiv — exact integers, no float drift;
     * empty cells keep their previous centroid. */
-  def pqInit(emb: DataFrame): Seq[Seq[Seq[Long]]] = {
-    val init = quantized(emb).select(col("vec_id"), col("q"))
+  def pqInit(emb: DataFrame): Seq[Seq[Seq[Long]]] =
+    pqInitOn(quantized(emb))
+
+  private def pqInitOn(qdf: DataFrame): Seq[Seq[Seq[Long]]] = {
+    val init = qdf.select(col("vec_id"), col("q"))
       .orderBy("vec_id").limit(PqK).collect()
     require(init.length == PqK, s"corpus smaller than $PqK vectors")
     (0 until PqM).map { m =>
@@ -463,9 +471,12 @@ object Similarity {
       .agg(sum(col("d2"))).head().getLong(0)
   }
 
-  def pqTrain(emb: DataFrame): Seq[Seq[Seq[Long]]] = {
-    val sub = subvectors(emb).localCheckpoint()
-    var cb = pqInit(emb)
+  def pqTrain(emb: DataFrame): Seq[Seq[Seq[Long]]] =
+    pqTrainOn(quantized(emb))
+
+  private def pqTrainOn(qdf: DataFrame): Seq[Seq[Seq[Long]]] = {
+    val sub = subvectorsOf(qdf).localCheckpoint()
+    var cb = pqInitOn(qdf)
     for (_ <- 1 to PqIters) {
       val stats = sub.withColumn("code", pqCode(typedLit(cb), col("sv"), col("m")))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("d", "v")))
@@ -520,6 +531,109 @@ object Similarity {
         element_at(element_at(cbl, m + 1),
           element_at(col("codes"), m + 1) + 1)))
     val scored = enc.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("vec_id"))
+    val cand = scored.withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= k)
+      .select("query_id", "vec_id", "adc")
+    val wEx = Window.partitionBy("query_id")
+      .orderBy(col("exact_d2"), col("vec_id"))
+    cand
+      .join(quantized(emb).select(col("vec_id"), col("q")), Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("adc"),
+        pqD2(col("qq"), col("q")).as("exact_d2"))
+      .withColumn("rank", row_number().over(wEx).cast("long"))
+      .select("query_id", "rank", "vec_id", "adc", "exact_d2")
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- IVFADC: coarse cells + residual PQ ------------------------------
+
+  /** Cells probed per query in [[ivfAdcTopK]]. */
+  val IvfAdcProbe = 2
+
+  /** Integer coarse centroids per cell: elementwise floorDiv mean of
+    * the quantized members. Bounded model state (cells × 64 longs).
+    * Labels must be contiguous 0-based (the fixture contract) so the
+    * literal lookup is a plain index — fail fast otherwise. */
+  def coarseCentroids(emb: DataFrame): Seq[Seq[Long]] = {
+    val rows = quantized(emb)
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val labels = rows.map(_.getInt(0)).distinct.sorted
+    require(labels.sameElements(labels.indices),
+      s"labels must be contiguous 0-based, got ${labels.mkString(",")}")
+    val byKey = rows.map(r => ((r.getInt(0), r.getInt(1)),
+      Math.floorDiv(r.getLong(2), r.getLong(3)))).toMap
+    labels.toSeq.map(l => (0 until PqM * PqDims).map(d => byKey((l, d))))
+  }
+
+  private def residual(q: Column, label: Column,
+      cents: Seq[Seq[Long]]): Column =
+    zip_with(q, element_at(typedLit(cents), label + 1), (a, b) => a - b)
+
+  /** The full IVFADC pipeline (Jégou et al., TPAMI'11 §III): a coarse
+    * quantizer (the fixture's `label` cells, integer mean centroids)
+    * plus PQ trained on the RESIDUALS v − c(v) — residual energy is far
+    * below vector energy, so the same 8-byte code carries much more
+    * precision than vanilla PQ. Search probes the [[IvfAdcProbe]]
+    * nearest cells by coarse distance and runs ADC only over those
+    * cells' members, with the query's residual taken against each
+    * probed cell's centroid (the same centroid its members encoded
+    * against); exact rerank on the ADC top-k.
+    *
+    * Scale: the probe table (queries × nprobe, with residuals) is
+    * broadcast and the corpus side joins it ON ITS CELL — with the
+    * corpus partitioned by cell on disk this prunes to nprobe/cells of
+    * the data (the [[ivfTopK]] pruning) AND reads 8-byte codes instead
+    * of raw vectors (the PQ compression); no corpus exchange before
+    * candidate ranking. Coarse centroids and codebooks dump to fixture
+    * parquet so the oracle re-derives encoding, probing, and ADC from
+    * the same model state. */
+  def ivfAdcTopK(emb: DataFrame, centroidPath: String, codebookPath: String,
+      k: Int = PqTopK, nprobe: Int = IvfAdcProbe): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = coarseCentroids(emb)
+    cents.zipWithIndex.map { case (c, l) => (l, c) }
+      .toDF("label", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(centroidPath)
+    val cb = pqTrainOn(quantized(emb).select(col("vec_id"),
+      residual(col("q"), col("label"), cents).as("q")))
+    (for { m <- 0 until PqM; c <- 0 until PqK } yield (m, c, cb(m)(c)))
+      .toDF("m", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(codebookPath)
+    val cbl = typedLit(cb)
+    val enc = quantized(emb)
+      .select(col("vec_id"), col("label"),
+        residual(col("q"), col("label"), cents).as("r"))
+      .select(col("vec_id"), col("label"),
+        transform(sequence(lit(0), lit(PqM - 1)),
+          m => pqCode(cbl, subCol(col("r"), m), m)).as("codes"))
+    val qs = quantized(emb).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    // nprobe nearest cells per query by coarse L2, ties to the lower
+    // cell — the query set is tiny, so the query × cells explode is too
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cd2"), col("cell"))
+    val probed = qs
+      .select(col("query_id"), col("qq"),
+        explode(sequence(lit(0), lit(cents.length - 1))).as("cell"))
+      .withColumn("cd2",
+        pqD2(col("qq"), element_at(typedLit(cents), col("cell") + 1)))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        residual(col("qq"), col("cell"), cents).as("qr"))
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+      (acc, m) => acc + pqD2(subCol(col("qr"), m),
+        element_at(element_at(cbl, m + 1),
+          element_at(col("codes"), m + 1) + 1)))
+    val scored = enc.join(broadcast(probed), col("label") === col("cell"))
       .select(col("query_id"), col("vec_id"), adc.as("adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc"), col("vec_id"))
