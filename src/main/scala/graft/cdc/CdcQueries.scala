@@ -197,6 +197,37 @@ object CdcQueries {
            |FROM ch WHERE action <> 'D'
            |ORDER BY id, valid_from""".stripMargin))
 
+  private val diffOldPq = s"$FixtureDir/cdc_diff_old.parquet"
+  private val diffNewPq = s"$FixtureDir/cdc_diff_new.parquet"
+
+  /** Snapshot diff ([[Replicate.snapshotDiff]]): two states of the same
+    * table (the replay at 900 and 1600 ops of one seeded history),
+    * diffed back into the minimal I/U/D change set. The oracle runs the
+    * same full-outer classification over the dumped snapshots. */
+  private val snapshotDiff = Declared(
+    "cdc_snapshot_diff",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 29L, n = 1600)
+      import s.implicits._
+      val oldDs = ChangeGen.replay(ops.take(900)).values.toSeq.toDS().toDF()
+      val newDs = ChangeGen.replay(ops).values.toSeq.toDS().toDF()
+      oldDs.coalesce(1).write.mode(SaveMode.Overwrite).parquet(diffOldPq)
+      newDs.coalesce(1).write.mode(SaveMode.Overwrite).parquet(diffNewPq)
+      Replicate.snapshotDiff(oldDs, newDs)
+    },
+    Some(s"""SELECT coalesce(n.id, o.id) AS id,
+           |  CASE WHEN o.id IS NULL THEN 'I'
+           |       WHEN n.id IS NULL THEN 'D'
+           |       ELSE 'U' END AS op,
+           |  n.name, n.uid, n.score, n.created_at
+           |FROM read_parquet('$diffOldPq/*.parquet') o
+           |FULL OUTER JOIN read_parquet('$diffNewPq/*.parquet') n
+           |  ON o.id = n.id
+           |WHERE o.id IS NULL OR n.id IS NULL
+           |   OR (o.name, o.uid, o.score, o.created_at)
+           |      <> (n.name, n.uid, n.score, n.created_at)
+           |ORDER BY id""".stripMargin))
+
   private val linesPq = s"$FixtureDir/cdc_rawlines.parquet"
 
   /** Dead-letter classification of a raw change log (T9): the generated
@@ -610,7 +641,8 @@ object CdcQueries {
     })
 
   val all: Seq[Declared] =
-    Seq(replicateE2e, manifestE2e, parseChangelog, scd2History, quarantine,
+    Seq(replicateE2e, manifestE2e, parseChangelog, scd2History,
+      snapshotDiff, quarantine,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
       mtStatefulE2e)
 }

@@ -854,6 +854,42 @@ object Replicate {
     }
     }
 
+  /** Snapshot diff — the INVERSE of replication: given two table
+    * states, re-derive the minimal change set (I/U/D by key) that maps
+    * `oldSnap` to `newSnap`. This is how a pipeline bootstraps CDC for
+    * a source with no changelog (the Debezium snapshot-mode analog of
+    * pubsub's `copy_data=true` initial sync, pubsub/main.go:96-104),
+    * and how replica drift is audited against a fresh extract.
+    *
+    * One full-outer equi-join on the key: with both snapshots bucketed
+    * by key (the replica layout) the join is co-partitioned and
+    * exchange-free; otherwise it is the single unavoidable keyed
+    * shuffle. Unchanged rows drop before any downstream work. All
+    * image columns are non-null in snapshots, so plain `=!=`
+    * classification is total. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("id").as("o_id"), col("name").as("o_name"),
+      col("uid").as("o_uid"), col("score").as("o_score"),
+      col("created_at").as("o_created_at"))
+    val n = newSnap.select(col("id").as("n_id"), col("name").as("n_name"),
+      col("uid").as("n_uid"), col("score").as("n_score"),
+      col("created_at").as("n_created_at"))
+    o.join(n, col("o_id") === col("n_id"), "full_outer")
+      .withColumn("op",
+        when(col("o_id").isNull, "I")
+          .when(col("n_id").isNull, "D")
+          .when(col("o_name") =!= col("n_name") ||
+            col("o_uid") =!= col("n_uid") ||
+            col("o_score") =!= col("n_score") ||
+            col("o_created_at") =!= col("n_created_at"), "U")
+          .otherwise("="))
+      .filter(col("op") =!= "=")
+      .select(coalesce(col("n_id"), col("o_id")).as("id"), col("op"),
+        col("n_name").as("name"), col("n_uid").as("uid"),
+        col("n_score").as("score"), col("n_created_at").as("created_at"))
+      .orderBy("id")
+  }
+
   /** The continuous pipeline: change log → parse → optional publication
     * row filter → keyed merge, every `trigger` interval (the 2 s poll,
     * replicator/main.go:154; README.md:35). */

@@ -1059,10 +1059,44 @@ object Relational {
            |  max(o_totalprice) AS max_price
            |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
 
+  private val jQ18TopOrders = Declared(
+    "j_q18_toporders",
+    // TPC-H Q18 shape (large-volume customer): HAVING on a fact
+    // aggregate, then join back to orders + a broadcast dim, top-k.
+    // The lineitem aggregate and the orders join share the orderkey
+    // shuffle; customer broadcasts; the final top-20 is TakeOrdered
+    // (per-partition k, no global sort).
+    (s, d) => {
+      val bigOrders = t(s, d)("lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      t(s, d)("orders")
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d)("customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_name, o_orderkey, o_custkey, o_totalprice, sum_qty
+           |FROM orders
+           |JOIN (SELECT l_orderkey,
+           |        CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+           |          AS sum_qty
+           |      FROM lineitem GROUP BY l_orderkey
+           |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,4)))
+           |             AS DOUBLE) > 150) big
+           |  ON o_orderkey = big.l_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 20""".stripMargin))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Declared] = Seq(
-    aggGroupingSets, aggHistogram,
+    aggGroupingSets, aggHistogram, jQ18TopOrders,
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
