@@ -437,6 +437,48 @@ object MlQueries {
                  |  WHERE a.vec_id % $QueryStride = 0
                  |  GROUP BY a.vec_id, b.vec_id)""".stripMargin)}""".stripMargin))
 
+  /** k-NN classification oracle: the cosine-topk pipeline (same CTEs)
+    * plus a majority vote — max neighbor-label count, ties to the
+    * lowest label via the row_number ordering. */
+  private val knnClassify = Declared(
+    "ml_knn_classify",
+    (s, d) => Similarity.knnClassify(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |dots AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |         sum(a.q * b.q) AS d
+            |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id <> b.vec_id
+            |  WHERE a.vec_id % $QueryStride = 0
+            |  GROUP BY a.vec_id, b.vec_id),
+            |scored AS (
+            |  SELECT d.query_id, d.neighbor_id,
+            |         ${cosSql("d.d", "na.n2", "nb.n2")} AS cos
+            |  FROM dots d
+            |  JOIN nrm na ON na.vec_id = d.query_id
+            |  JOIN nrm nb ON nb.vec_id = d.neighbor_id),
+            |top AS (
+            |  SELECT query_id, neighbor_id FROM (
+            |    SELECT query_id, neighbor_id,
+            |      row_number() OVER (PARTITION BY query_id
+            |        ORDER BY cos DESC, neighbor_id) AS rn
+            |    FROM scored)
+            |  WHERE rn <= ${Similarity.TopK}),
+            |votes AS (
+            |  SELECT t.query_id, e.label, count(*) AS c
+            |  FROM top t JOIN embeddings e ON e.vec_id = t.neighbor_id
+            |  GROUP BY 1, 2),
+            |pred AS (
+            |  SELECT query_id, label AS predicted FROM (
+            |    SELECT query_id, label, row_number() OVER (
+            |      PARTITION BY query_id ORDER BY c DESC, label) AS r
+            |    FROM votes)
+            |  WHERE r = 1)
+            |SELECT p.query_id, p.predicted, e.label AS actual,
+            |  CAST(p.predicted = e.label AS INT) AS correct
+            |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+            |ORDER BY query_id""".stripMargin))
+
   /** Oracle for the native float-cosine expression: an explicit 64-term
     * left-associated sum — float→double casts and float×float products
     * are exact, and the addition chain matches the codegen loop's
@@ -1329,8 +1371,8 @@ object MlQueries {
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
-    cosineTopk, cosineTopkFast, annIvf, annSrp, pqAnn, ivfAdc, randProj,
-    kmeansStep,
+    cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
+    randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, langId, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, contam, piiRedact,

@@ -549,6 +549,31 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** k-NN label classification over the exact top-k: each query
+    * vector's label predicted by majority vote of its [[TopK]] cosine
+    * neighbors (ties to the lowest label), reported against its actual
+    * label — the standard embedding-quality probe a training pipeline
+    * runs after re-embedding.
+    *
+    * Scale: the expensive half is [[cosineTopK]] (corpus scan against
+    * the broadcast query block); everything after operates on the
+    * bounded k·|queries| neighbor set. */
+  def knnClassify(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val votes = cosineTopK(emb, k)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .groupBy("query_id", "label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("c").desc, col("label"))
+    votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("query_id"), col("label").as("predicted"))
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("actual")), Seq("query_id"))
+      .withColumn("correct", (col("predicted") === col("actual")).cast("int"))
+      .select("query_id", "predicted", "actual", "correct")
+      .orderBy("query_id")
+  }
+
   // ---- IVFADC: coarse cells + residual PQ ------------------------------
 
   /** Cells probed per query in [[ivfAdcTopK]]. */
