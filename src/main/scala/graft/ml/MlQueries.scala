@@ -1367,6 +1367,51 @@ object MlQueries {
             |FROM documents
             |ORDER BY zval, doc_id""".stripMargin))
 
+  /** Hashed-linear quality classifier: oracle re-derives the md5 weight
+    * vector inline (token → bucket → weight), same fold as the Spark
+    * literal-array lookup. */
+  private val qualityClassifier = Declared(
+    "ml_quality_classifier",
+    (s, d) => TextAnalysis.qualityClassifier(Tables(s, d, "documents")),
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |w AS (
+            |  SELECT doc_id,
+            |    (${sqlHash60(s"'qw:' || (${sqlHash60("'qb:' || term")}" +
+              s" % ${TextAnalysis.ClfBuckets})")} % 16) - 8 AS w
+            |  FROM tok)
+            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            |  CAST(sum(w) AS BIGINT) AS score_num,
+            |  CAST(sum(w) AS DOUBLE) / count(*) AS mean_w,
+            |  CAST(sum(w) >= 0 AS INT) AS keep
+            |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Unigram-surprisal oracle: integer floor-log2 via binary-string
+    * length (`format('{:b}', …)`), the same bit-length arithmetic the
+    * Spark side uses (`length(bin(…)) - 1`). */
+  private val lmSurprisal = Declared(
+    "ml_lm_surprisal",
+    (s, d) => TextAnalysis.lmSurprisal(Tables(s, d, "documents")),
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |tf AS (SELECT doc_id, term, count(*) AS tf
+            |       FROM tok GROUP BY doc_id, term),
+            |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+            |nn AS (SELECT count(*) AS n FROM tok),
+            |b AS (
+            |  SELECT tf.doc_id, tf.tf,
+            |         length(format('{:b}', nn.n // cnt.c)) - 1 AS bits
+            |  FROM tf JOIN cnt USING (term) CROSS JOIN nn)
+            |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            |  CAST(sum(tf * bits) AS BIGINT) AS sum_bits,
+            |  CAST(sum(tf * bits) AS DOUBLE) / sum(tf) AS mean_bits,
+            |  CAST(8 * sum(tf * bits) <=
+            |       ${TextAnalysis.SurprisalKeepNum} * sum(tf) AS INT)
+            |    AS keep
+            |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Declared] = Seq(
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
@@ -1374,7 +1419,8 @@ object MlQueries {
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
     randProj, kmeansStep,
     embedNearDup, semDedup,
-    textStats, textNormalize, qualityGate, langId, tokenCounts,
+    textStats, textNormalize, qualityGate, qualityClassifier, lmSurprisal,
+    langId, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, contam, piiRedact,
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, bm25, fingerprint, zorder,

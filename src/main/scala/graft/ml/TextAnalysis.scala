@@ -581,4 +581,93 @@ object TextAnalysis {
           VectorFunctions.slidingMin(col("g"), WinnowWindow))).as("fp"))
       .orderBy("doc_id", "fp")
   }
+
+  // ---- Model-based quality classifier (hashed linear scorer) ----------
+
+  /** Feature buckets for [[qualityClassifier]]'s hashed bag-of-tokens. */
+  val ClfBuckets = 64
+
+  /** Per-bucket weights in [-8, 7] — the "trained model". Derived from
+    * the shared md5 primitive so the DuckDB oracle rebuilds them
+    * bit-for-bit; in production this is the learned coefficient vector
+    * loaded from the model store. Bounded model state (64 longs). */
+  private[ml] def clfWeights: Seq[Long] =
+    (0 until ClfBuckets).map(b => Hash60.of(s"qw:$b") % 16 - 8)
+
+  /** Model-based quality filtering — the fastText/CCNet shape (Wenzek
+    * et al., LREC'20; the GPT-3 quality sieve, Brown et al. NeurIPS'20
+    * appendix A): a linear classifier over hashed bag-of-words
+    * features, applied corpus-wide. Whitespace tokens hash into
+    * [[ClfBuckets]] feature buckets; the md5-derived integer weight
+    * vector stands in for trained coefficients (deterministic fake,
+    * real shape and plumbing — the multimodal-stub doctrine). Score =
+    * Σ w(bucket(token)); keep on score ≥ 0. Emits (doc_id, n_tokens,
+    * score_num, mean_w, keep).
+    *
+    * Scale: the model is bounded state baked as a 64-element literal
+    * array (the kmeans-centroid pattern — a bigger model would
+    * broadcast); scoring is ONE per-row projection — one md5 per
+    * token, an element_at lookup, an integer fold. Zero shuffles, zero
+    * joins: classifying 100 TB is exactly one corpus scan. The one
+    * int/int double division per doc is IEEE-exact, so diagnostics AND
+    * verdict are bit-identical to the single-threaded oracle. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val weights = array(clfWeights.map(lit): _*)
+    val toks = tokens(col("text"))
+    val score = aggregate(toks, lit(0L),
+      (acc, t) => acc + element_at(weights,
+        (hash60Seeded(lit("qb"), t) % ClfBuckets).cast("int") + 1))
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"), score.as("score_num"))
+      .withColumn("mean_w",
+        col("score_num").cast("double") / col("n_tokens"))
+      .withColumn("keep", (col("score_num") >= 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Unigram-LM surprisal filter (perplexity-filter analog) ---------
+
+  /** [[lmSurprisal]] keep threshold: mean surprisal ≤ 33/8 = 4.125
+    * bits/token (the corpus' natural-text band). */
+  val SurprisalKeepNum = 33L
+
+  /** Unigram-LM surprisal scoring — the in-engine analog of CCNet's
+    * KenLM perplexity filter (Wenzek et al., LREC'20): train a unigram
+    * language model ON the corpus (term counts), score each document
+    * by mean per-token surprisal, drop the high-perplexity tail.
+    * Surprisal is measured in exact integer BITS: for a token with
+    * count c in an N-token corpus, bits = floor(log2(N/c)) =
+    * length(bin(N div c)) - 1 — pure integer arithmetic. (A double
+    * log2 is NOT safe here: Math.log(8)/Math.log(2) can land at
+    * 2.9999999999999996 and floor the wrong way at every power of two;
+    * bit-length cannot.) Emits (doc_id, n_tokens, sum_bits, mean_bits,
+    * keep) with keep = mean ≤ 4.125 bits — the dropped tail is the
+    * rare-token gibberish a perplexity filter exists to catch.
+    *
+    * Scale: "training" is one map-side-combined term aggregate; the
+    * count table IS the model — bounded by vocabulary, not corpus, so
+    * it broadcasts (the BM25/TF-IDF df pattern). Scoring reuses the tf
+    * aggregate (one keyed exchange on doc_id,term) + the broadcast
+    * join: the corpus text itself never shuffles, and the keep verdict
+    * is an integer cross-multiply, exact at any parallelism. */
+  def lmSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val nn = tf.agg(sum(col("tf")).as("n"))
+    tf.join(broadcast(cnt), Seq("term"))
+      .crossJoin(broadcast(nn))
+      .withColumn("bits",
+        (length(bin(expr("n div c"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double") / col("n_tokens"))
+      .withColumn("keep",
+        (col("sum_bits") * 8 <= col("n_tokens") * SurprisalKeepNum)
+          .cast("int"))
+      .orderBy("doc_id")
+  }
 }

@@ -52,4 +52,35 @@ object StreamJoins {
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("view_id"), col("view_ts"))
   }
+
+  /** Stream-static enrichment join — the other canonical streaming join
+    * shape (next to [[attribution]]'s stream-stream): each event
+    * decorated with its user's dimension attributes from a static
+    * table, the lookup every event pipeline does before routing.
+    *
+    * The one builder serves both modes:
+    *  - batch: the declared query (`j_stream_enrich`) over the
+    *    `events`/`customer` fixtures, DuckDB-verified;
+    *  - streaming: the static side needs no watermark and holds NO join
+    *    state — Spark re-plans it into each micro-batch, and the
+    *    `broadcast` hint makes every batch a stateless
+    *    BroadcastHashJoin (dim ships once per executor, the stream side
+    *    never shuffles). LEFT join so an event with no dim row passes
+    *    through with nulls instead of silently dropping — at 100 TB the
+    *    unmatched stream is a data-quality signal, not noise to eat.
+    *
+    * Scale: dim is the small side by design (customers vs events). A
+    * dim too big to broadcast flips to a shuffled hash join on the same
+    * builder — but then the RIGHT design is pre-bucketing the dim and
+    * stream on the key, which `Replicate`'s bucketed replica layout
+    * already provides. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        broadcast(dim.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nationkey"))
 }

@@ -75,5 +75,19 @@ object WindowQueries {
            | AND b.ts BETWEEN a.ts - INTERVAL 2 HOUR AND a.ts
            |ORDER BY user_id, purchase_id, view_id""".stripMargin))
 
-  val all: Seq[Declared] = Seq(tumbling, sessions, attribution)
+  /** Stream-static enrichment, batch mode: every event decorated with
+    * its user's dimension attributes ([[StreamJoins.enrich]] — the
+    * identical builder runs stream-static with a per-batch broadcast
+    * of the dim and zero join state). */
+  private val enrichment = Declared(
+    "j_stream_enrich",
+    (s, d) => StreamJoins.enrich(
+      Tables(s, d, "events"), Tables(s, d, "customer"))
+      .orderBy("event_id"),
+    Some("""SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+           |       c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+           |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+           |ORDER BY event_id""".stripMargin))
+
+  val all: Seq[Declared] = Seq(tumbling, sessions, attribution, enrichment)
 }

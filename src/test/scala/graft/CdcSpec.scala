@@ -637,6 +637,58 @@ class CdcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful replica: RocksDB state store provider converges identically") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    // The production provider for state that outgrows the heap: RocksDB
+    // keeps per-partition state off-heap/on-disk with changelog-style
+    // checkpointing, so state size is bounded by local disk, not
+    // executor memory. The operator is provider-agnostic — this pins
+    // that the SAME liveUpdates converges bit-identically under it and
+    // that the provider is genuinely engaged (its custom metrics ride
+    // the progress), not silently fallen back.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val ops = ChangeGen.ops(seed = 31, n = 600)
+      val in = MemoryStream[PersonChange](spark)
+      val q = StatefulReplica.liveUpdates(in.toDS())
+        .writeStream.format("memory").queryName("stateful_replica_rocks")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        ops.grouped(200).foreach { batch =>
+          in.addData(ChangeGen.toChanges(batch): _*)
+          q.processAllAvailable()
+        }
+        val rocksEngaged = q.lastProgress.stateOperators.exists(
+          _.customMetrics.keySet().asScala.exists(
+            _.toLowerCase.contains("rocksdb")))
+        assert(rocksEngaged, "RocksDB provider metrics absent — " +
+          "query silently ran on a different provider")
+        val updates = spark.table("stateful_replica_rocks")
+          .select("id", "live", "row.name", "row.score", "row.created_at")
+          .collect().zipWithIndex
+        val live = updates.groupBy(_._1.getInt(0)).flatMap {
+          case (id, us) =>
+            val r = us.maxBy(_._2)._1
+            if (r.getBoolean(1))
+              Some(id -> ((r.getString(2), r.getInt(3), r.getTimestamp(4))))
+            else None
+        }
+        val want = ChangeGen.replay(ops).map { case (id, p) =>
+          id -> ((p.name, p.score, p.created_at))
+        }
+        assert(live === want)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   // -------------------------------------------------------------------
   // Listener counters (A7 processedChanges analog, T8 progress)
   // -------------------------------------------------------------------

@@ -267,6 +267,26 @@ class PlanSpec extends AnyFunSuite {
       s"gate must stay a per-row projection:\n${s.take(600)}")
   }
 
+  test("quality classifier is one corpus scan: model baked, no exchange, no join") {
+    // the weight vector is a literal array (bounded model state); a
+    // join or hash exchange here would mean the model was planned as
+    // data — the 100 TB cost model (exactly one scan) depends on this
+    val s = planString(run("ml_quality_classifier"))
+    assert(!s.contains("Join"), "classifier must not join")
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"classifier must stay a per-row projection:\n${s.take(600)}")
+  }
+
+  test("lm surprisal: count model broadcasts, corpus text never hash-joins by shuffle") {
+    // the unigram model (term counts) must reach the tf table as a
+    // broadcast — a sort-merge join here shuffles the corpus gram
+    // stream twice at 100 TB
+    val s = planString(run("ml_lm_surprisal"))
+    assert(s.contains("BroadcastHashJoin"), "count model must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join is the scale killer:\n${s.take(800)}")
+  }
+
   test("repetition stats are per-row: no gram shuffle, no join") {
     // round-5 shape: count/distinct/max-multiplicity come off each
     // row's sorted gram array — the only exchange left is the output
@@ -411,6 +431,16 @@ class PlanSpec extends AnyFunSuite {
       assert(maxOn * 3 < maxOff,
         s"skew split should bound the hot task: on=$maxOn off=$maxOff")
     }
+  }
+
+  test("j_stream_enrich: dim broadcasts, stream side never shuffles for the join") {
+    // the streaming twin re-plans this per micro-batch with zero join
+    // state — that only holds if the dim broadcasts; a sort-merge here
+    // would shuffle every micro-batch of the stream side
+    val s = planString(run("j_stream_enrich"))
+    assert(s.contains("BroadcastHashJoin"), "dim must broadcast")
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"enrichment must not shuffle the stream side:\n${s.take(800)}")
   }
 
   test("j_stream_attrib: interval join keys on user_id, range stays inside the join") {

@@ -13,6 +13,8 @@ import graft.streaming.Windows
 // file-level: a spec-nested case class has no stable outer scope for
 // Catalyst's deserializer (`Seq(...).toDF` fails in ResolveNewInstance)
 private[graft] case class AtEv(user_id: Long, event_id: Long, ts: Timestamp)
+private[graft] case class EnEv(event_id: Long, user_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
 
 class StreamingWindowSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -128,6 +130,44 @@ class StreamingWindowSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSet
       assert(streamed === batch,
         "identical builder must agree across execution modes")
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment matches batch twin; dim misses pass through") {
+    val in = MemoryStream[EnEv](spark)
+    val dim = Seq((1L, "BUILDING", 7), (2L, "MACHINERY", 3))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+    val q = startQuery(
+      graft.streaming.StreamJoins.enrich(in.toDF(), dim), "enrich_sink")
+    try {
+      // user 9 has no dim row — LEFT join must pass it through with
+      // nulls, not drop it
+      in.addData(EnEv(10, 1, ts(0), "view", 1.0),
+        EnEv(11, 2, ts(1), "purchase", 2.0),
+        EnEv(12, 9, ts(2), "view", 3.0))
+      q.processAllAvailable()
+      // second micro-batch: the static side joins again (no state, the
+      // dim is re-planned into every batch)
+      in.addData(EnEv(13, 1, ts(3), "click", 4.0))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_sink")
+        .select("event_id", "segment", "nationkey")
+        .as[(Long, Option[String], Option[Int])].collect().toSet
+      assert(streamed === Set(
+        (10L, Some("BUILDING"), Some(7)),
+        (11L, Some("MACHINERY"), Some(3)),
+        (12L, None, None),
+        (13L, Some("BUILDING"), Some(7))))
+
+      // identical builder, batch mode, same inputs → same answer
+      val bEvents = Seq(EnEv(10, 1, ts(0), "view", 1.0),
+        EnEv(11, 2, ts(1), "purchase", 2.0),
+        EnEv(12, 9, ts(2), "view", 3.0),
+        EnEv(13, 1, ts(3), "click", 4.0)).toDF()
+      val batch = graft.streaming.StreamJoins.enrich(bEvents, dim)
+        .select("event_id", "segment", "nationkey")
+        .as[(Long, Option[String], Option[Int])].collect().toSet
+      assert(streamed === batch)
     } finally q.stop()
   }
 
