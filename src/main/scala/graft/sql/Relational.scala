@@ -1093,10 +1093,108 @@ object Relational {
            |ORDER BY o_totalprice DESC, o_orderkey
            |LIMIT 20""".stripMargin))
 
+  private val jQ5Volume = Declared(
+    "j_q5_volume",
+    // TPC-H Q5 shape (local supplier volume): the six-table chain with
+    // the cross-dim "local" constraint (customer and supplier share a
+    // nation). Plan discipline: lineitem⋈orders is the one big
+    // fact-fact shuffle on orderkey; supplier and customer join on
+    // their keys; nation and the filtered region broadcast. The
+    // orderdate filter pushes into the orders scan so the fact shuffle
+    // carries only the two-year slice. Revenue is the exact decimal
+    // sum (order-insensitive at any parallelism).
+    (s, d) => {
+      val lo = t(s, d)("lineitem")
+        .join(t(s, d)("orders").filter(
+            col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+      lo.join(t(s, d)("supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d)("customer"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d)("nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d)("region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           |      AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           |FROM customer, orders, lineitem, supplier, nation, region
+           |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           |  AND r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name""".stripMargin))
+
+  private val aggQ12Shipmode = Declared(
+    "agg_q12_shipmode",
+    // TPC-H Q12 shape (shipping-priority audit): conditional aggregates
+    // — one orders⋈lineitem join on the shipdate year slice, then
+    // per-group CASE sums. The CASE evaluates map-side inside the
+    // partial aggregate, so the shuffle carries 3 groups × 2 longs, not
+    // rows. (The fixture has no l_shipmode; l_returnflag plays the
+    // grouping role, o_orderpriority the urgency classification —
+    // identical shape.)
+    (s, d) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d)("orders")
+        .join(t(s, d)("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .groupBy("l_returnflag")
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  private val wNtile = Declared(
+    "w_ntile_pctrank",
+    // Distribution windows: ntile quartiles + percent_rank per priority
+    // class — the histogram-bucketing window family (rows-frame rank
+    // functions, not aggregates). Deterministic: the window order has
+    // the unique orderkey as tie-break, and percent_rank's
+    // (rank-1)/(n-1) is an int/int IEEE division — exact both engines.
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d)("orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"))
+        .orderBy("o_orderpriority", "pct_rank", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+           |  CAST(ntile(4) OVER w AS INT) AS quartile,
+           |  percent_rank() OVER w AS pct_rank
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority
+           |             ORDER BY o_totalprice DESC, o_orderkey)
+           |ORDER BY o_orderpriority, pct_rank, o_orderkey""".stripMargin))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Declared] = Seq(
-    aggGroupingSets, aggHistogram, jQ18TopOrders,
+    aggGroupingSets, aggHistogram, jQ18TopOrders, jQ5Volume, aggQ12Shipmode,
+    wNtile,
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,

@@ -637,6 +637,39 @@ class CdcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot diff roundtrip: old + diff = new, and the diff is minimal") {
+    val ops = ChangeGen.ops(seed = 41L, n = 1200)
+    val oldMap = ChangeGen.replay(ops.take(700))
+    val newMap = ChangeGen.replay(ops)
+    val oldDf = oldMap.values.toSeq.toDS().toDF()
+    val newDf = newMap.values.toSeq.toDF()
+    val diff = Replicate.snapshotDiff(oldDf, newDf).collect()
+
+    // completeness: applying the emitted change set to the old snapshot
+    // reproduces the new one exactly
+    val applied = diff.foldLeft(oldMap) { (m, r) =>
+      r.getString(1) match {
+        case "D" => m - r.getInt(0)
+        case _ => m + (r.getInt(0) -> PersonRow(r.getInt(0), r.getString(2),
+          r.getString(3), r.getInt(4), r.getTimestamp(5)))
+      }
+    }
+    assert(applied === newMap)
+
+    // minimality: every emitted id genuinely changed state; ops match
+    diff.foreach { r =>
+      val id = r.getInt(0)
+      (oldMap.get(id), newMap.get(id)) match {
+        case (None, Some(_)) => assert(r.getString(1) === "I")
+        case (Some(_), None) => assert(r.getString(1) === "D")
+        case (Some(o), Some(n)) =>
+          assert(r.getString(1) === "U" && o != n,
+            s"id $id emitted as U but rows are identical")
+        case (None, None) => fail(s"diff emitted unknown id $id")
+      }
+    }
+  }
+
   test("stateful replica: RocksDB state store provider converges identically") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
