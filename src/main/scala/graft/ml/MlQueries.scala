@@ -1412,7 +1412,83 @@ object MlQueries {
             |    AS keep
             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Unrolled BPE training as SQL: w0 is the word-frequency table in
+    * delimited-segmentation form; each round i derives pair counts
+    * (p_i), the argmax merge (m_i), and the merged word table (w_i).
+    * The oracle re-runs the ENTIRE training loop — k rounds unrolled
+    * as CTEs — so the learned merges are checked end-to-end, not
+    * assumed. */
+  private def bpeCtes(k: Int): String = {
+    val b = new StringBuilder
+    b ++= """w0 AS (
+            |  SELECT ',' || array_to_string(
+            |           regexp_extract_all(w, '[a-z0-9]'), ',,') || ','
+            |           AS s, freq
+            |  FROM (SELECT w, count(*) AS freq
+            |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+            |              FROM documents)
+            |        WHERE w <> '' GROUP BY w))""".stripMargin
+    for (i <- 1 to k) {
+      b ++= s""",
+              |p$i AS (
+              |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+              |         sum(freq) AS pair_count
+              |  FROM (SELECT string_split(trim(s, ','), ',,') AS syms,
+              |               freq FROM w${i - 1}),
+              |       unnest(range(1, len(syms))) AS t(i)
+              |  GROUP BY 1, 2),
+              |m$i AS (SELECT lhs, rhs, pair_count FROM p$i
+              |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+              |w$i AS (
+              |  SELECT replace(s, ',' || q.lhs || ',,' || q.rhs || ',',
+              |                 ',' || q.lhs || q.rhs || ',') AS s, freq
+              |  FROM w${i - 1}, m$i AS q)""".stripMargin
+    }
+    b.toString
+  }
+
+  private val bpeMerges = Declared(
+    "ml_bpe_merges",
+    (s, d) => Bpe.mergeTable(s, Tables(s, d, "documents")),
+    Some {
+      val union = (1 to Bpe.Merges).map(i =>
+        s"SELECT $i AS merge_rank, lhs, rhs, " +
+          s"CAST(pair_count AS BIGINT) AS pair_count FROM m$i")
+        .mkString("\nUNION ALL ")
+      s"WITH ${bpeCtes(Bpe.Merges)}\n$union\nORDER BY merge_rank"
+    })
+
+  private val bpeEncode = Declared(
+    "ml_bpe_encode",
+    (s, d) => Bpe.encode(Tables(s, d, "documents")),
+    Some {
+      val k = Bpe.Merges
+      val enc = (1 to k).foldLeft("',' || array_to_string(" +
+        "regexp_extract_all(w, '[a-z0-9]'), ',,') || ','") { (e, i) =>
+        s"replace($e, ',' || q$i.lhs || ',,' || q$i.rhs || ',', " +
+          s"',' || q$i.lhs || q$i.rhs || ',')"
+      }
+      val crosses = (1 to k).map(i => s"CROSS JOIN m$i AS q$i").mkString(" ")
+      s"""WITH ${bpeCtes(k)},
+         |enc AS (
+         |  SELECT doc_id, count(*) AS n_words,
+         |         sum(length(w)) AS char_tokens,
+         |         sum(len(string_split(trim($enc, ','), ',,')))
+         |           AS bpe_tokens
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  $crosses
+         |  WHERE w <> ''
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(char_tokens AS BIGINT) AS char_tokens,
+         |  CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+         |  CAST(char_tokens AS DOUBLE) / bpe_tokens AS compression
+         |FROM enc ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[Declared] = Seq(
+    bpeMerges, bpeEncode,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,

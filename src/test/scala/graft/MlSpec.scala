@@ -892,4 +892,39 @@ class MlSpec extends AnyFunSuite {
       assert(r.getAs[Long]("adc") > 0L) // ADC sees quantization error
     }
   }
+
+  test("bpe: engine merges equal an independent single-threaded reference") {
+    import graft.ml.Bpe
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val k = 6
+    val got = Bpe.train(docs, k)
+
+    // naive reference: word-freq map, then k rounds of count/argmax/
+    // merge with the same greedy left-to-right fold BPE specifies
+    val wordFreq = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var segs: Map[Vector[String], Long] =
+      wordFreq.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (seg, m) => seg -> m.values.sum }
+    val want = (1 to k).map { rank =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((seg, f) <- segs; i <- 0 until seg.length - 1)
+        counts((seg(i), seg(i + 1))) =
+          counts.getOrElse((seg(i), seg(i + 1)), 0L) + f
+      val ((l, r), c) = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.head
+      def merge(seg: Vector[String]): Vector[String] =
+        seg.foldLeft(Vector.empty[String]) { (out, s) =>
+          if (out.nonEmpty && out.last == l && s == r)
+            out.init :+ (l + r)
+          else out :+ s
+        }
+      segs = segs.groupBy { case (seg, _) => merge(seg) }
+        .map { case (seg, m) => seg -> m.values.sum }
+      (rank, l, r, c)
+    }
+    assert(got.map(m =>
+      (m.merge_rank, m.lhs, m.rhs, m.pair_count)) === want)
+  }
 }
