@@ -1487,8 +1487,66 @@ object MlQueries {
          |FROM enc ORDER BY doc_id""".stripMargin
     })
 
+  /** PageRank oracle: the SAME fixed-point power iterations, unrolled
+    * (edges re-derived from the cosine top-k CTEs; every division a
+    * positive-integer floor → bit-exact). */
+  private val pageRank = Declared(
+    "ml_pagerank",
+    (s, d) => GraphOps.pageRank(Tables(s, d, "embeddings")),
+    Some {
+      val S = GraphOps.PrScale
+      val iters = (1 to GraphOps.PrIters).map { i =>
+        s"""in$i AS (
+           |  SELECT e.dst AS id, sum(p.pr // d.deg) AS inflow
+           |  FROM edges e JOIN pr${i - 1} p ON p.id = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY 1),
+           |pr$i AS (
+           |  SELECT nd.id,
+           |         ((15 * CAST($S AS BIGINT)) // (100 * nn.n)) +
+           |         (${GraphOps.PrDampNum} * coalesce(i.inflow, 0)) // 100
+           |           AS pr
+           |  FROM nodes nd CROSS JOIN nn
+           |  LEFT JOIN in$i i ON i.id = nd.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $qeCte,
+         |$nrmCte,
+         |dots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         sum(a.q * b.q) AS d
+         |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % $QueryStride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |scored AS (
+         |  SELECT d.query_id, d.neighbor_id,
+         |         ${cosSql("d.d", "na.n2", "nb.n2")} AS cos
+         |  FROM dots d
+         |  JOIN nrm na ON na.vec_id = d.query_id
+         |  JOIN nrm nb ON nb.vec_id = d.neighbor_id),
+         |top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rn
+         |    FROM scored)
+         |  WHERE rn <= $TopK),
+         |e0 AS (SELECT query_id AS src, neighbor_id AS dst FROM top),
+         |edges AS (SELECT src, dst FROM e0
+         |          UNION ALL SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (SELECT id, CAST($S AS BIGINT) // nn.n AS pr
+         |        FROM nodes, nn),
+         |$iters
+         |SELECT p.id AS vec_id, CAST(d.deg AS BIGINT) AS deg,
+         |  CAST(p.pr AS BIGINT) AS pr_fp
+         |FROM pr${GraphOps.PrIters} p JOIN deg d ON d.src = p.id
+         |ORDER BY pr_fp DESC, vec_id""".stripMargin
+    })
+
   val all: Seq[Declared] = Seq(
-    bpeMerges, bpeEncode,
+    bpeMerges, bpeEncode, pageRank,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
