@@ -506,4 +506,74 @@ class PlanSpec extends AnyFunSuite {
         s"$n re-introduced an explode:\n${s.take(400)}")
     }
   }
+
+  private def withSessionConf(pairs: (String, String)*)(body: => Unit)
+      : Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed tables co-locate: fact-fact equi join plans zero exchanges") {
+    // the 100 TB claim behind "pre-bucket for co-located joins": both
+    // sides written bucketed (+per-bucket sorted) on the join key with
+    // EQUAL bucket counts → the join consumes the bucket layout
+    // directly; no Exchange anywhere in the plan. This is what turns
+    // the nightly fact-fact join from two full shuffles into a local
+    // merge per bucket.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-buck").toString
+    withSessionConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+      Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/li").saveAsTable("li_bucketed")
+      Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/ord").saveAsTable("ord_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val s = planString(joined)
+      assert(s.contains("SortMergeJoin"), s"expected SMJ:\n${s.take(400)}")
+      assert(!s.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n${s.take(800)}")
+      // and it is the SAME answer the shuffled join gives
+      assert(joined.count() ===
+        Tables(spark, sf, "lineitem").count())
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered inside the scan") {
+    // global min/max/count over 100 TB should read parquet FOOTERS, not
+    // rows — DSv2's aggregate pushdown. Pin that the scan advertises
+    // PushedAggregation and returns the same numbers the row-level
+    // aggregate computes.
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val baseline = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1)))
+      .collect()(0)
+    withSessionConf(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "") {
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+          count(lit(1)).as("n"))
+      val s = planString(df)
+      assert(s.contains("PushedAggregation"),
+        s"aggregate did not reach the scan:\n${s.take(800)}")
+      val r = df.collect()(0)
+      assert(r.getLong(0) === baseline.getLong(0) &&
+        r.getLong(1) === baseline.getLong(1) &&
+        r.getLong(2) === baseline.getLong(2))
+    }
+  }
 }
