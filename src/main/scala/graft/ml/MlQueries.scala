@@ -1545,8 +1545,71 @@ object MlQueries {
          |ORDER BY pr_fp DESC, vec_id""".stripMargin
     })
 
+  /** Hybrid-retrieval oracle: the BM25 body + the cosine ranking for
+    * query vector 0, fused with integer RRF — every division a
+    * positive-integer floor. */
+  private val hybridRetrieve = Declared(
+    "ml_hybrid_rrf",
+    (s, d) => TextAnalysis.hybridRetrieve(
+      Tables(s, d, "documents"), Tables(s, d, "embeddings")),
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |tf AS (SELECT doc_id, term, count(*) AS tf
+            |       FROM tok GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+            |       FROM tf GROUP BY 1),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            |st AS (SELECT count(*) AS n, CAST(sum(dlen) AS BIGINT) AS t
+            |       FROM dl),
+            |c AS (
+            |  SELECT tf.doc_id,
+            |    ((2 * (st.n - df.df) + 1) *
+            |     ((44 * tf.tf * st.t * ${TextAnalysis.Bm25Scale}) //
+            |      (20 * tf.tf * st.t + 6 * st.t + 18 * dl.dlen * st.n)))
+            |      // (2 * df.df + 1) AS contrib
+            |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
+            |  WHERE tf.term IN (${TextAnalysis.Bm25Query
+               .map(t => s"'$t'").mkString(", ")})),
+            |bm AS (
+            |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp
+            |  FROM c GROUP BY doc_id
+            |  ORDER BY score_fp DESC, doc_id LIMIT ${TextAnalysis.Bm25K}),
+            |lex AS (
+            |  SELECT doc_id, CAST(row_number() OVER (
+            |    ORDER BY score_fp DESC, doc_id) AS BIGINT) AS lex_rank
+            |  FROM bm),
+            |$qeCte,
+            |$nrmCte,
+            |dots AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |         sum(a.q * b.q) AS d
+            |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id <> b.vec_id
+            |  WHERE a.vec_id = 0
+            |  GROUP BY a.vec_id, b.vec_id),
+            |scored AS (
+            |  SELECT d.query_id, d.neighbor_id,
+            |         ${cosSql("d.d", "na.n2", "nb.n2")} AS cos
+            |  FROM dots d
+            |  JOIN nrm na ON na.vec_id = d.query_id
+            |  JOIN nrm nb ON nb.vec_id = d.neighbor_id),
+            |sem AS (
+            |  SELECT neighbor_id AS doc_id, CAST(rn AS BIGINT) AS sem_rank
+            |  FROM (SELECT neighbor_id, row_number() OVER (
+            |          ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+            |  WHERE rn <= ${TextAnalysis.RrfDepth})
+            |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+            |  l.lex_rank, s.sem_rank,
+            |  CAST(coalesce(${TextAnalysis.RrfScale} //
+            |         (${TextAnalysis.RrfK} + l.lex_rank), 0) +
+            |       coalesce(${TextAnalysis.RrfScale} //
+            |         (${TextAnalysis.RrfK} + s.sem_rank), 0)
+            |    AS BIGINT) AS rrf_fp
+            |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+            |ORDER BY rrf_fp DESC, doc_id""".stripMargin))
+
   val all: Seq[Declared] = Seq(
-    bpeMerges, bpeEncode, pageRank,
+    bpeMerges, bpeEncode, pageRank, hybridRetrieve,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,

@@ -582,6 +582,48 @@ object TextAnalysis {
       .orderBy("doc_id", "fp")
   }
 
+  // ---- Hybrid retrieval: reciprocal-rank fusion -----------------------
+
+  /** RRF constant k=60 (Cormack et al., SIGIR'09). */
+  val RrfK = 60L
+
+  /** Fixed-point scale for fused scores (10^6). */
+  val RrfScale = 1000000L
+
+  /** Fusion depth per ranked list. */
+  val RrfDepth = 15
+
+  /** Hybrid lexical+semantic retrieval — the modern RAG-stack shape:
+    * a BM25 ranking and a vector-similarity ranking fused by
+    * reciprocal-rank fusion, `rrf(d) = Σ_lists 1/(k + rank_list(d))`.
+    * Ranks come from [[bm25TopK]] (the fixed query terms) and
+    * [[Similarity.cosineTopK]] (query vector 0 — the embedding of the
+    * same information need in a real stack). RRF contributions are
+    * integer fixed-point at [[RrfScale]], so fused scores and order
+    * are exact at any parallelism. Docs missing from a list simply
+    * contribute 0 (the full-outer semantics RRF specifies).
+    *
+    * Scale: both input rankings are top-k — the fusion operates on two
+    * k-row lists, so the joins and windows here cost nothing no matter
+    * the corpus size; the heavy lifting is inside the two retrievers,
+    * each already shaped for 100 TB (df/query broadcast, corpus never
+    * shuffles). */
+  def hybridRetrieve(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val wLex = Window.orderBy(col("score_fp").desc, col("doc_id"))
+    val lex = bm25TopK(docs)
+      .select(col("doc_id"),
+        row_number().over(wLex).cast("long").as("lex_rank"))
+    val sem = Similarity.cosineTopK(emb, RrfDepth)
+      .filter(col("query_id") === 0)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"$RrfScale div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfK + sem_rank)"), lit(0L)))
+          .as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+  }
+
   // ---- Model-based quality classifier (hashed linear scorer) ----------
 
   /** Feature buckets for [[qualityClassifier]]'s hashed bag-of-tokens. */
