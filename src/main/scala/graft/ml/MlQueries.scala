@@ -1608,8 +1608,18 @@ object MlQueries {
             |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
             |ORDER BY rrf_fp DESC, doc_id""".stripMargin))
 
+  /** Trained-quantizer IVF: rows-only declared entry (the kmeans
+    * training loop is not SQL-expressible; the mechanical guarantee —
+    * trained IVF == brute force restricted to its trained probed
+    * cells — is spec-pinned in MlSpec, the L52 precedent). */
+  private val ivfTrained = Declared(
+    "ml_ann_ivf_trained",
+    (s, d) => Similarity.ivfTopKTrained(
+      Tables(s, d, "embeddings"), maxIter = 5),
+    None)
+
   val all: Seq[Declared] = Seq(
-    bpeMerges, bpeEncode, pageRank, hybridRetrieve,
+    bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,

@@ -893,6 +893,32 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF equals brute force restricted to its trained probed cells") {
+    // same mechanical guarantee as the fixture-label IVF spec, but the
+    // cells come from the in-engine kmeans training — the end-to-end
+    // trained index path (train → relabel → probe)
+    val rel = Similarity.relabeled(emb, maxIter = 5).localCheckpoint()
+    val probed = Similarity.probedCells(rel).as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val labels = rel.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    // training must actually move something off the fixture labels
+    val fixture = emb.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    assert(labels !== fixture, "training was a no-op on the fixture")
+    val bruteAll = Similarity.cosineTopK(rel, k = Int.MaxValue - 1)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val expected = bruteAll.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.filter(r => probed(q).contains(labels(r._2)))
+        .sortBy(r => (-r._3, r._2)).take(Similarity.TopK)
+        .map(r => (q, r._2)).toSeq
+    }.toSet
+    val ivf = Similarity.ivfTopK(rel).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ivf === expected)
+  }
+
   test("bpe: engine merges equal an independent single-threaded reference") {
     import graft.ml.Bpe
     val docs = graft.core.Tables(spark, sf, "documents")
