@@ -131,13 +131,31 @@ object Layout {
     * Scale: the sidecar is O(files) rows (a 100 TB corpus at 1 GB files
     * is ~100k rows — kilobytes per thousand files), so reading it is a
     * metadata operation, not a data scan. */
+  /** Bit-space of the per-file doc_id membership filter (two md5 hash
+    * families over [[BloomBits]] positions). The sidecar stores each
+    * file's SET bit positions as a sorted int array — an explicit-bit
+    * bloom filter; production packs the same positions into a bitset,
+    * the semantics (no false negatives, rare false positives) are
+    * identical. Sized so fixture-scale files (~10²–10³ rows) stay far
+    * from saturation; scale it with rows-per-file in production. */
+  val BloomBits = 4096L
+
   def writeStats(spark: org.apache.spark.sql.SparkSession,
       dataDir: String): Unit =
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(min("lang").as("lang_min"), max("lang").as("lang_max"),
         min("n_chars").as("n_chars_min"), max("n_chars").as("n_chars_max"),
-        count(lit(1)).as("rows"))
+        count(lit(1)).as("rows"),
+        // doc_id membership filter: min/max can't prune a point lookup
+        // on a column the layout scatters (z-order clusters (lang,
+        // n_chars), so doc_id spans every file) — set-bit positions can
+        sort_array(collect_set(
+          MlFunctions.hash60Seeded(lit("bf0"), col("doc_id")) % BloomBits))
+          .as("bf0"),
+        sort_array(collect_set(
+          MlFunctions.hash60Seeded(lit("bf1"), col("doc_id")) % BloomBits))
+          .as("bf1"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(statsDir(dataDir))
 

@@ -40,9 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SidecarFileIndex {
   /** One data file's stat envelopes: column → (min, max), both
-    * inclusive, as the sidecar recorded them. */
+    * inclusive, as the sidecar recorded them — plus per-column
+    * membership filters (column → set-bit positions of the two md5
+    * hash families, [[Layout.BloomBits]] bit-space). */
   final case class FileStats(status: FileStatus,
-      bounds: Map[String, (Any, Any)])
+      bounds: Map[String, (Any, Any)],
+      blooms: Map[String, (Set[Long], Set[Long])] = Map.empty)
 
   /** Build the index for a [[Layout.writeStats]]-described directory.
     * One fs listing (the same metadata op any Spark scan performs) +
@@ -57,15 +60,24 @@ object SidecarFileIndex {
       }
       .map(st => st.getPath.getName -> st).toMap
     // input_file_name() recorded full URIs; match on the basename
-    val statRows = spark.read.parquet(Layout.statsDir(dataDir))
-      .select("file", "lang_min", "lang_max", "n_chars_min", "n_chars_max")
-      .collect()
+    val sidecar = spark.read.parquet(Layout.statsDir(dataDir))
+    // membership filters arrived with the r8 sidecar format; older
+    // sidecars (none in-repo, but external dirs may lag) just lose
+    // equality pruning, never correctness
+    val hasBloom = sidecar.columns.contains("bf0")
+    val cols = Seq("file", "lang_min", "lang_max", "n_chars_min",
+      "n_chars_max") ++ (if (hasBloom) Seq("bf0", "bf1") else Nil)
+    val statRows = sidecar.select(cols.head, cols.tail: _*).collect()
     val stats = statRows.flatMap { r =>
       val name = new Path(r.getString(0)).getName
       byName.get(name).map { st =>
+        val blooms = if (hasBloom)
+          Map("doc_id" -> ((r.getSeq[Long](5).toSet,
+            r.getSeq[Long](6).toSet)))
+        else Map.empty[String, (Set[Long], Set[Long])]
         FileStats(st, Map(
           "lang" -> ((r.getString(1), r.getString(2))),
-          "n_chars" -> ((r.getLong(3), r.getLong(4)))))
+          "n_chars" -> ((r.getLong(3), r.getLong(4)))), blooms)
       }
     }
     // files the sidecar doesn't describe (e.g. written after the last
@@ -120,8 +132,10 @@ final class SidecarFileIndex private (dataDir: String,
   private def mayMatch(st: FileStats, e: Expression): Boolean = e match {
     case And(l, r) => mayMatch(st, l) && mayMatch(st, r)
     case Or(l, r) => mayMatch(st, l) || mayMatch(st, r)
-    case EqualTo(a: Attribute, Literal(v, _)) => overlaps(st, a.name, v, v)
-    case EqualTo(Literal(v, _), a: Attribute) => overlaps(st, a.name, v, v)
+    case EqualTo(a: Attribute, Literal(v, _)) =>
+      overlaps(st, a.name, v, v) && bloomMayContain(st, a.name, v)
+    case EqualTo(Literal(v, _), a: Attribute) =>
+      overlaps(st, a.name, v, v) && bloomMayContain(st, a.name, v)
     case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
       aboveMin(st, a.name, v) // [v, ∞) ∩ envelope ≠ ∅ ⇔ max ≥ v
     case GreaterThan(a: Attribute, Literal(v, _)) => aboveMin(st, a.name, v)
@@ -135,10 +149,28 @@ final class SidecarFileIndex private (dataDir: String,
       aboveMin(st, a.name, v)
     case LessThan(Literal(v, _), a: Attribute) => aboveMin(st, a.name, v)
     case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
-      list.exists { case Literal(v, _) => overlaps(st, a.name, v, v) }
+      list.exists { case Literal(v, _) =>
+        overlaps(st, a.name, v, v) && bloomMayContain(st, a.name, v) }
     case IsNotNull(_) => true
     case _ => true // unknown shape: keep the file, never lose rows
   }
+
+  /** Membership-filter test for equality predicates: false ONLY when
+    * the file's filter provably excludes the value (no false
+    * negatives by construction — both hash families must agree on
+    * containment to keep the file). Columns without a filter, and
+    * non-integral literals, keep the file. */
+  private def bloomMayContain(st: FileStats, col: String, v: Any)
+      : Boolean =
+    st.blooms.get(col) match {
+      case Some((s0, s1)) => norm(v) match {
+        case x: Long =>
+          s0.contains(Hash60.of(s"bf0:$x") % Layout.BloomBits) &&
+            s1.contains(Hash60.of(s"bf1:$x") % Layout.BloomBits)
+        case _ => true
+      }
+      case None => true
+    }
 
   // sidecar values are String (lang) or Long (n_chars); Catalyst
   // literals arrive as UTF8String / integral — normalize then compare

@@ -702,6 +702,48 @@ class MlSpec extends AnyFunSuite {
       s"layout should at least halve the scan: z=$zFiles vs control=$rFiles")
   }
 
+  test("bloom sidecar: doc_id point lookup prunes files the envelopes cannot") {
+    // z-order clusters (lang, n_chars) and SCATTERS doc_id across every
+    // file — min/max envelopes cannot prune `doc_id = X`; the per-file
+    // membership filter (set-bit positions of two md5 hash families)
+    // can, with no false negatives by construction
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("sidecar-bloom")
+      .toString
+    Layout.zOrderWriteWithStats(docs, dir, numFiles = 8)
+    def filesScanned(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+
+    // present id: exactly its row, opening only admitting files
+    val one = SidecarFileIndex.read(spark, dir)
+      .filter(col("doc_id") === mid)
+    assert(one.select("doc_id").as[Long].collect().toSeq === Seq(mid))
+    assert(filesScanned(one) <= 2,
+      "a point lookup should open ~1 file, not the directory")
+
+    // IN-list: union of admitting files, still exact
+    val three = Seq(ids.head, mid, ids.last)
+    val dfIn = SidecarFileIndex.read(spark, dir)
+      .filter(col("doc_id").isin(three: _*))
+    assert(dfIn.select("doc_id").as[Long].collect().sorted.toSeq ===
+      three.sorted)
+
+    // absent id: (almost) nothing opens — false positives are the
+    // bloom trade, bounded far below the file count
+    val absent = SidecarFileIndex.read(spark, dir)
+      .filter(col("doc_id") === (ids.last + 999999L))
+    assert(absent.isEmpty)
+    assert(filesScanned(absent) <= 1,
+      "an absent key should prune (almost) every file")
+  }
+
   test("sidecar FileIndex: planning-time pruning is conservative and never loses rows") {
     // The r7-verdict #4 upgrade is planner-adjacent code, so its safety
     // property gets its own pin: pruning may only drop a file when the
