@@ -197,6 +197,47 @@ object CdcQueries {
            |FROM ch WHERE action <> 'D'
            |ORDER BY id, valid_from""".stripMargin))
 
+  private val scd2AsofPq = s"$FixtureDir/cdc_scd2_asof.parquet"
+
+  /** Temporal AS-OF probe over the SCD2 history — time travel as a
+    * QUERY, not a storage feature: snapshot the dimension at four lsn
+    * watermarks via interval containment ([valid_from, valid_to) ∋
+    * as_of); deleted keys have no covering interval and drop out. The
+    * probe set is tiny and broadcasts; a probe TABLE at scale takes
+    * the banded range-join pattern (L18) instead. The oracle
+    * re-derives history AND snapshots from the dumped typed
+    * changelog. */
+  private val scd2AsOf = Declared(
+    "cdc_scd2_asof",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 11L, n = 1500)
+      dumpChanges(s, ops, scd2AsofPq)
+      import s.implicits._
+      import org.apache.spark.sql.functions.broadcast
+      val w = Window.partitionBy("id").orderBy("lsn")
+      val hist = ChangeGen.toChanges(ops).toDS().toDF()
+        .withColumn("valid_to", lead(col("lsn"), 1).over(w))
+        .filter(col("action") =!= "D")
+      val probes = Seq(200L, 700L, 1100L, 1499L).toDF("as_of")
+      hist.join(broadcast(probes),
+          col("lsn") <= col("as_of") &&
+            (col("valid_to").isNull || col("valid_to") > col("as_of")))
+        .select(col("as_of"), col("id"), col("name"), col("uid"),
+          col("score"), col("created_at"))
+        .orderBy("as_of", "id")
+    },
+    Some(s"""WITH ch AS (
+           |  SELECT *, lead(lsn) OVER (PARTITION BY id ORDER BY lsn)
+           |    AS valid_to
+           |  FROM read_parquet('$scd2AsofPq/*.parquet')),
+           |probes AS (SELECT CAST(unnest([200, 700, 1100, 1499]) AS BIGINT)
+           |           AS as_of)
+           |SELECT p.as_of, ch.id, ch.name, ch.uid, ch.score, ch.created_at
+           |FROM ch JOIN probes p
+           |  ON ch.action <> 'D' AND ch.lsn <= p.as_of
+           | AND (ch.valid_to IS NULL OR ch.valid_to > p.as_of)
+           |ORDER BY as_of, id""".stripMargin))
+
   private val diffOldPq = s"$FixtureDir/cdc_diff_old.parquet"
   private val diffNewPq = s"$FixtureDir/cdc_diff_new.parquet"
 
@@ -641,7 +682,7 @@ object CdcQueries {
     })
 
   val all: Seq[Declared] =
-    Seq(replicateE2e, manifestE2e, parseChangelog, scd2History,
+    Seq(replicateE2e, manifestE2e, parseChangelog, scd2History, scd2AsOf,
       snapshotDiff, quarantine,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
       mtStatefulE2e)

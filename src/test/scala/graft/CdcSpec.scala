@@ -637,6 +637,43 @@ class CdcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVM deltas maintain a downstream aggregate by addition alone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val ops = ChangeGen.ops(seed = 37, n = 900)
+    val in = MemoryStream[PersonChange](spark)
+    val q = Ivm.deltas(in.toDS()).writeStream.format("memory")
+      .queryName("ivm_deltas").outputMode(OutputMode.Update()).start()
+    try {
+      var consumed = 0
+      // the maintained view: parity -> (count, sum(score)), updated
+      // ONLY from the delta stream — never from the replica
+      val acc = scala.collection.mutable.Map[Long, (Long, Long)]()
+      val batches = ops.grouped(300).toSeq
+      batches.zipWithIndex.foreach { case (batch, bi) =>
+        in.addData(ChangeGen.toChanges(batch): _*)
+        q.processAllAvailable()
+        val rows = spark.table("ivm_deltas").collect().drop(consumed)
+        consumed += rows.length
+        rows.foreach { r =>
+          val sign = r.getInt(1); val score = r.getInt(2).toLong
+          val p = score % 2
+          val (c, s) = acc.getOrElse(p, (0L, 0L))
+          acc(p) = (c + sign, s + sign * score)
+        }
+        // after every batch, the maintained view equals the full
+        // recompute over the prefix replayed from scratch
+        val want = ChangeGen.replay(ops.take(300 * (bi + 1))).values
+          .groupBy(_.score % 2)
+          .map { case (p, rs) =>
+            p.toLong -> ((rs.size.toLong, rs.map(_.score.toLong).sum))
+          }
+        assert(acc.filter(_._2._1 != 0).toMap === want,
+          s"view diverged after batch ${bi + 1}")
+      }
+    } finally q.stop()
+  }
+
   test("snapshot diff roundtrip: old + diff = new, and the diff is minimal") {
     val ops = ChangeGen.ops(seed = 41L, n = 1200)
     val oldMap = ChangeGen.replay(ops.take(700))
