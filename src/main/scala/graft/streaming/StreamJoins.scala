@@ -32,9 +32,17 @@ object StreamJoins {
     * batch (watermark on a batch plan is a no-op column-wise but blocks
     * DuckDB-comparable plans from staying simple).
     */
+  /** [[attribution]]'s join type: `"inner"` (default) emits matched
+    * pairs only; `"left_outer"` ALSO emits each unmatched conversion
+    * once — with null candidate fields — after the watermark proves no
+    * candidate can still arrive (Spark's outer stream-stream contract:
+    * the null-extended row is withheld until state for that window is
+    * provably complete). The outer form is the audit shape:
+    * "conversions with no preceding view" is itself the signal. */
   def attribution(candidates: DataFrame, conversions: DataFrame,
       horizon: String = "2 hours",
-      watermark: Option[String] = None): DataFrame = {
+      watermark: Option[String] = None,
+      joinType: String = "inner"): DataFrame = {
     val cand0 = candidates.select(
       col("user_id").as("cand_user"),
       col("event_id").as("view_id"),
@@ -48,7 +56,8 @@ object StreamJoins {
     conv.join(cand,
         col("user_id") === col("cand_user") &&
           col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon") &&
-          col("view_ts") <= col("purchase_ts"))
+          col("view_ts") <= col("purchase_ts"),
+        joinType)
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("view_id"), col("view_ts"))
   }

@@ -133,6 +133,48 @@ class StreamingWindowSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched conversions emit nulls after watermark") {
+    val views = MemoryStream[AtEv](spark)
+    val purchases = MemoryStream[AtEv](spark)
+    val joined = graft.streaming.StreamJoins.attribution(
+      views.toDF(), purchases.toDF(),
+      horizon = "30 minutes", watermark = Some("10 minutes"),
+      joinType = "left_outer")
+    val q = startQuery(joined, "attrib_outer_sink")
+    try {
+      // u1 purchase has a matching view; u2's purchase at 00:50 has
+      // none within its 30-min horizon
+      views.addData(AtEv(1, 10, ts(0)), AtEv(2, 12, ts(2)))
+      purchases.addData(AtEv(1, 20, ts(20)), AtEv(2, 21, ts(50)))
+      q.processAllAvailable()
+      def rows = spark.table("attrib_outer_sink")
+        .select("user_id", "purchase_id", "view_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      // the null-extended row must be WITHHELD while a matching view
+      // could still arrive (watermark hasn't passed 00:50+horizon)
+      assert(rows === Set((1L, 20L, Some(10L))),
+        "outer row emitted before its window provably closed")
+
+      // advance both watermarks far past every horizon → the unmatched
+      // conversion emits exactly once, with null candidate fields
+      views.addData(AtEv(9, 90, ts(59, 59)))
+      purchases.addData(AtEv(9, 91, ts(59, 58)))
+      q.processAllAvailable()
+      views.addData(AtEv(8, 80, Timestamp.valueOf("2026-01-01 03:00:00")))
+      purchases.addData(AtEv(8, 81,
+        Timestamp.valueOf("2026-01-01 03:00:00")))
+      q.processAllAvailable()
+      assert(rows.contains((2L, 21L, None)),
+        "unmatched conversion must surface with null view after watermark")
+      // exactly once — count on the raw sink rows, not the set
+      val outerEmissions = spark.table("attrib_outer_sink")
+        .select("user_id", "purchase_id", "view_id")
+        .as[(Long, Long, Option[Long])].collect()
+        .count(_ == ((2L, 21L, None)))
+      assert(outerEmissions === 1)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment matches batch twin; dim misses pass through") {
     val in = MemoryStream[EnEv](spark)
     val dim = Seq((1L, "BUILDING", 7), (2L, "MACHINERY", 3))
