@@ -118,7 +118,36 @@ object SqlQueries {
            |GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE` / `UnionLoop`): walk
+    * each customer's order-successor chain from their first order,
+    * numbering hops recursively. Every order is reached exactly once
+    * and `hop` must equal the window `row_number` — the recursion is
+    * cross-checked against the non-recursive formulation inside the
+    * same result. Dialect-neutral text; DuckDB runs it verbatim.
+    *
+    * Scale: each recursion level is one keyed join on the successor
+    * edge (Catalyst plans `UnionLoop` as iterated micro-plans, the
+    * same shape as the CC label-propagation loop in L27); depth is the
+    * longest chain (24 at sf0.1), not table size. */
+  private val recursiveChainSql =
+    """WITH RECURSIVE nxt AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         lead(o_orderkey) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey) AS next_key,
+      |         CAST(row_number() OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey) AS INT) AS seq
+      |  FROM orders),
+      |chain AS (
+      |  SELECT o_custkey, o_orderkey, next_key, seq, 1 AS hop
+      |  FROM nxt WHERE seq = 1
+      |  UNION ALL
+      |  SELECT n.o_custkey, n.o_orderkey, n.next_key, n.seq, c.hop + 1
+      |  FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key)
+      |SELECT o_custkey, o_orderkey, hop, seq
+      |FROM chain ORDER BY o_custkey, hop""".stripMargin
+
   val all: Seq[Declared] = Seq(
+    sqlDeclared("sql_recursive_chain", recursiveChainSql),
     sqlDeclared("sql_q1_pricing", oracleOf("q1_agg_pricing")),
     sqlDeclared("sql_q3_shipping", oracleOf("j_q3_shipping")),
     sqlDeclared("sql_exists_semi", oracleOf("j2_semi_exists")),
