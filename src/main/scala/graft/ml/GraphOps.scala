@@ -67,4 +67,61 @@ object GraphOps {
       .select(col("id").as("vec_id"), col("deg"), col("pr").as("pr_fp"))
       .orderBy(col("pr_fp").desc, col("vec_id"))
   }
+
+  /** Cosine threshold for the [[triangles]] similarity graph — loose
+    * enough that near-dup CLUSTERS (not just isolated pairs) survive,
+    * which is the whole point: triangle density is the cluster signal. */
+  val TriMinCos = 0.2
+
+  /** Degree-ordered triangle counting (Suri & Vassilvitskii, "Counting
+    * triangles and the curse of the last reducer", WWW'11) over the
+    * same-cell cosine similarity graph ([[Similarity.embeddingNearDups]]
+    * at [[TriMinCos]]) — the clustering-coefficient numerator, i.e. the
+    * duplicate-cluster diagnostic next to [[pageRank]]'s hubness: a
+    * pairwise near-dup LIST can't tell two independent pairs from one
+    * 4-clique, but triangle counts can, and clique-dense neighborhoods
+    * are what SemDeDup-style pruning actually removes.
+    *
+    * Each undirected edge is oriented from its lower endpoint to its
+    * higher under the total order (degree, id); every triangle then has
+    * EXACTLY ONE apex with out-edges to the other two, so counting =
+    * join out-edges with themselves on the apex (v < w kills the
+    * wedge's mirror) and close each wedge against the undirected edge
+    * set. Emits (vec_id, deg, tri_cnt) — per-node participation, every
+    * triangle crediting all three corners.
+    *
+    * Scale: orientation is THE mitigation — out-degree under the
+    * degree order is O(√m) even at hub nodes, so the wedge join is
+    * Σ outdeg² bounded instead of Σ deg² (the last-reducer curse); all
+    * three joins are keyed equi joins, integers end to end (the edge
+    * list itself comes cell-blocked and skew-capped from
+    * [[Similarity.embeddingNearDups]]). */
+  def triangles(emb: DataFrame): DataFrame = {
+    val und = Similarity.embeddingNearDups(emb, minCos = TriMinCos)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val aFirst = und
+      .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+      .withColumn("afirst", col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+    val dir = aFirst.select(
+      when(col("afirst"), col("a")).otherwise(col("b")).as("u"),
+      when(col("afirst"), col("b")).otherwise(col("a")).as("v"))
+    val tri = dir.toDF("u", "v")
+      .join(dir.toDF("u", "w"), "u")
+      .filter(col("v") < col("w"))
+      .join(und, col("v") === col("a") && col("w") === col("b"))
+      .select(col("u"), col("v"), col("w"))
+    val per = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("tri_cnt"))
+    deg.toDF("vec_id", "deg")
+      .join(per, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .orderBy("vec_id")
+  }
 }

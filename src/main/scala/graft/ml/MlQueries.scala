@@ -1618,7 +1618,163 @@ object MlQueries {
       Tables(s, d, "embeddings"), maxIter = 5),
     None)
 
+  /** Data-quality suite oracle: the same one-scan aggregate, unioned
+    * into constraint rows (verdicts re-derived independently). */
+  private val dqSuite = Declared(
+    "ml_dq_suite",
+    (s, d) => DataQuality.suite(Tables(s, d, "documents")),
+    Some {
+      val langs = DataQuality.Langs.map(l => s"'$l'").mkString(", ")
+      def row(name: String, num: String, den: String, pass: String) =
+        s"""SELECT '$name' AS constraint_name,
+           |  CAST($num AS BIGINT) AS metric_num,
+           |  CAST($den AS BIGINT) AS metric_den,
+           |  CAST($num AS DOUBLE) / ($den) AS metric_value,
+           |  CAST($pass AS INT) AS passed FROM a""".stripMargin
+      s"""WITH a AS (
+         |  SELECT count(*) AS n,
+         |    count(CASE WHEN text IS NOT NULL AND length(text) > 0
+         |               THEN 1 END) AS txt_ok,
+         |    count(DISTINCT doc_id) AS ids,
+         |    count(DISTINCT source) AS srcs,
+         |    min(n_chars) AS min_c, max(n_chars) AS max_c,
+         |    sum(n_chars) AS sum_c,
+         |    count(CASE WHEN lang IN ($langs) THEN 1 END) AS lang_ok,
+         |    count(CASE WHEN doc_id >= 0 THEN 1 END) AS id_ok
+         |  FROM documents)
+         |${row("completeness_text", "txt_ok", "n", "txt_ok = n")}
+         |UNION ALL ${row("doc_id_non_negative", "id_ok", "n", "id_ok = n")}
+         |UNION ALL ${row("lang_in_set", "lang_ok", "n", "lang_ok = n")}
+         |UNION ALL ${row("max_n_chars", "max_c", "1",
+           s"max_c <= ${DataQuality.MaxChars}")}
+         |UNION ALL ${row("mean_n_chars_band", "sum_c", "n",
+           s"${DataQuality.MeanLo} * n <= sum_c AND " +
+             s"sum_c <= ${DataQuality.MeanHi} * n")}
+         |UNION ALL ${row("min_n_chars", "min_c", "1",
+           s"min_c >= ${DataQuality.MinChars}")}
+         |UNION ALL ${row("uniqueness_doc_id", "ids", "n", "ids = n")}
+         |ORDER BY constraint_name""".stripMargin
+    })
+
+  /** Bigram Stupid-Backoff oracle: model CTEs over the even-doc_id
+    * half, the same bit-length floor-log2 and α=1/4 backoff. */
+  private val lmBigram = Declared(
+    "ml_lm_bigram",
+    (s, d) => TextAnalysis.lmBigram(Tables(s, d, "documents")),
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS tk
+            |  FROM documents),
+            |big AS (
+            |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg,
+            |         tk[i] AS w1, tk[i+1] AS w2
+            |  FROM toks, unnest(range(1, len(tk))) AS t(i)),
+            |tf AS (SELECT doc_id, bg, w1, w2, count(*) AS tf
+            |       FROM big GROUP BY 1, 2, 3, 4),
+            |mt AS (SELECT unnest(string_split(text, ' ')) AS term
+            |       FROM documents WHERE doc_id % 2 = 0),
+            |c1 AS (SELECT term, count(*) AS c FROM mt GROUP BY 1),
+            |mb AS (
+            |  SELECT tk[i] || ' ' || tk[i+1] AS bg
+            |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+            |        WHERE doc_id % 2 = 0) s,
+            |       unnest(range(1, len(tk))) AS t(i)),
+            |c12 AS (SELECT bg, count(*) AS c FROM mb GROUP BY 1),
+            |nn AS (SELECT count(*) AS n FROM mt),
+            |sc AS (
+            |  SELECT f.doc_id, f.tf,
+            |    CASE WHEN b.c IS NOT NULL
+            |         THEN length(format('{:b}', u1.c // b.c)) - 1
+            |         ELSE length(format('{:b}',
+            |                (4 * nn.n) // greatest(coalesce(u2.c, 1), 1)))
+            |              - 1 END AS bits,
+            |    CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS bo
+            |  FROM tf f
+            |  LEFT JOIN c12 b ON b.bg = f.bg
+            |  LEFT JOIN c1 u1 ON u1.term = f.w1
+            |  LEFT JOIN c1 u2 ON u2.term = f.w2
+            |  CROSS JOIN nn)
+            |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_big,
+            |  CAST(sum(tf * bits) AS BIGINT) AS sum_bits,
+            |  CAST(sum(tf * bo) AS BIGINT) AS n_backoff,
+            |  CAST(sum(tf * bits) AS DOUBLE) / sum(tf) AS mean_bits,
+            |  CAST(8 * sum(tf * bits) <=
+            |       ${TextAnalysis.BigramKeepNum} * sum(tf) AS INT) AS keep
+            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Inverted-index oracle: same tf → rank → block chain; postings
+    * re-joined as the ordered comma string. */
+  private val postingsIdx = Declared(
+    "ml_postings",
+    (s, d) => TextAnalysis.postings(Tables(s, d, "documents")),
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |tf AS (SELECT term, doc_id, count(*) AS tf
+            |       FROM tok GROUP BY 1, 2),
+            |rk AS (
+            |  SELECT term, doc_id, tf,
+            |         row_number() OVER (PARTITION BY term
+            |           ORDER BY doc_id) AS rk
+            |  FROM tf)
+            |SELECT term,
+            |  CAST((rk - 1) // ${TextAnalysis.PostingsBlock} AS BIGINT)
+            |    AS block,
+            |  CAST(count(*) AS BIGINT) AS block_df,
+            |  CAST(sum(tf) AS BIGINT) AS block_cf,
+            |  string_agg(CAST(doc_id AS VARCHAR), ','
+            |             ORDER BY doc_id) AS postings_docs
+            |FROM rk GROUP BY 1, 2 ORDER BY term, block""".stripMargin))
+
+  /** Triangle-counting oracle: the embed-near-dup pair CTEs at the
+    * triangle threshold, then the SAME (deg, id) orientation, wedge
+    * join + closure. */
+  private val triangles = Declared(
+    "ml_triangles",
+    (s, d) => GraphOps.triangles(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |dots AS (
+            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            |         sum(a.q * b.q) AS d
+            |  FROM qe a JOIN qe b
+            |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+            |  GROUP BY a.vec_id, b.vec_id),
+            |und AS (
+            |  SELECT t.vec_a AS a, t.vec_b AS b
+            |  FROM dots t
+            |  JOIN nrm na ON na.vec_id = t.vec_a
+            |  JOIN nrm nb ON nb.vec_id = t.vec_b
+            |  WHERE ${cosSql("t.d", "na.n2", "nb.n2")}
+            |        >= ${GraphOps.TriMinCos}),
+            |dg AS (SELECT id, count(*) AS deg FROM (
+            |         SELECT a AS id FROM und
+            |         UNION ALL SELECT b FROM und) GROUP BY 1),
+            |dir AS (
+            |  SELECT CASE WHEN da.deg < db.deg OR
+            |                   (da.deg = db.deg AND u.a < u.b)
+            |              THEN u.a ELSE u.b END AS u,
+            |         CASE WHEN da.deg < db.deg OR
+            |                   (da.deg = db.deg AND u.a < u.b)
+            |              THEN u.b ELSE u.a END AS v
+            |  FROM und u
+            |  JOIN dg da ON da.id = u.a
+            |  JOIN dg db ON db.id = u.b),
+            |tri AS (
+            |  SELECT e1.u, e1.v AS x, e2.v AS y
+            |  FROM dir e1
+            |  JOIN dir e2 ON e1.u = e2.u AND e1.v < e2.v
+            |  JOIN und c ON c.a = e1.v AND c.b = e2.v),
+            |pn AS (SELECT id, count(*) AS tri FROM (
+            |         SELECT u AS id FROM tri
+            |         UNION ALL SELECT x FROM tri
+            |         UNION ALL SELECT y FROM tri) GROUP BY 1)
+            |SELECT d.id AS vec_id, CAST(d.deg AS BIGINT) AS deg,
+            |  CAST(coalesce(p.tri, 0) AS BIGINT) AS tri_cnt
+            |FROM dg d LEFT JOIN pn p ON p.id = d.id
+            |ORDER BY vec_id""".stripMargin))
+
   val all: Seq[Declared] = Seq(
+    dqSuite, lmBigram, postingsIdx, triangles,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,

@@ -712,4 +712,115 @@ object TextAnalysis {
           .cast("int"))
       .orderBy("doc_id")
   }
+
+  // ---- Inverted-index build -------------------------------------------
+
+  /** Postings-block size: doc ids per block row. */
+  val PostingsBlock = 128L
+
+  /** Blocked inverted-index build — the retrieval-side artifact the
+    * BM25/contamination queries presuppose, materialized: for every
+    * term, its postings list as fixed-size BLOCKS of at most
+    * [[PostingsBlock]] doc ids (ascending), each row carrying the
+    * block's document count and collection frequency. Blocking is the
+    * real inverted-file layout (a hot term's postings must not live in
+    * one row/task — the "curse of the last reducer"); the
+    * comma-joined id string is the oracle-checkable stand-in for a
+    * binary-packed block. Emits (term, block, block_df, block_cf,
+    * postings_docs).
+    *
+    * Scale: one (term, doc_id) map-side-combined tf aggregate, one
+    * per-term window to rank ids into blocks (WindowGroupLimit doesn't
+    * apply — all rows survive — but the exchange is on the term key the
+    * index is laid out by anyway), one (term, block) aggregate whose
+    * groups are ≤ [[PostingsBlock]] rows by construction, so no
+    * collect_list ever exceeds the block bound regardless of term
+    * frequency. */
+  def postings(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    tf.withColumn("rk", row_number().over(w))
+      .withColumn("block", expr(s"CAST((rk - 1) div $PostingsBlock AS BIGINT)"))
+      .groupBy("term", "block")
+      .agg(count(lit(1)).as("block_df"), sum(col("tf")).as("block_cf"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings_docs"))
+      .orderBy("term", "block")
+  }
+
+  // ---- Bigram Stupid-Backoff LM filter --------------------------------
+
+  /** [[lmBigram]] keep threshold: mean transition surprisal ≤ 36/8 =
+    * 4.5 bits (splits the fixture corpus non-trivially — ~87% keep). */
+  val BigramKeepNum = 36L
+
+  /** Backoff penalty α = 1/4 ⇒ an exact +2 bits (kept a power of two so
+    * the whole score stays integer). */
+  val BigramBackoffShift = 2L
+
+  /** Bigram LM scoring with Stupid Backoff (Brants et al., EMNLP'07 —
+    * "Large language models in machine translation"): the next step up
+    * from [[lmSurprisal]]'s unigram model, and the in-engine analog of
+    * CCNet's KenLM filter with a model/score SPLIT — the model trains
+    * on the even-`doc_id` half (the held-out reference corpus: CCNet
+    * trains on Wikipedia, scores CommonCrawl) and scores ALL documents,
+    * so unseen transitions genuinely exercise the backoff path.
+    * Per-transition surprisal in exact integer bits:
+    *
+    *   - seen bigram:  floor(log2(c(w1) / c(w1 w2)))  — the conditional
+    *   - unseen:       floor(log2(4N / max(c(w2), 1))) — unigram backoff
+    *                   with α = 1/4 (+2 bits), OOV floored at count 1
+    *
+    * via the same bit-length floor-log2 as [[lmSurprisal]] (a double
+    * log2 rounds the wrong way at powers of two; bit-length cannot).
+    * Emits (doc_id, n_big, sum_bits, n_backoff, mean_bits, keep) —
+    * `n_backoff` makes the model-coverage rate auditable per document.
+    *
+    * Scale: the model is vocabulary-bounded, not corpus-bounded — the
+    * unigram table broadcasts (the [[lmSurprisal]] pattern) and the
+    * bigram table broadcasts while it fits (at a real 100 TB vocabulary
+    * it becomes an equi join on the bigram key — same plan shape, one
+    * exchange of per-doc bigram COUNTS, never raw text). Scoring
+    * pre-aggregates to (doc_id, bigram, tf) so each distinct transition
+    * is scored once per document, and every verdict is an integer
+    * cross-multiply — exact at any parallelism. */
+  def lmBigram(docs: DataFrame): DataFrame = {
+    def bigrams(c: Column): Column = {
+      val toks = tokens(c)
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    }
+    val model = docs.filter(col("doc_id") % 2 === 0)
+    val mtok = model.select(explode(tokens(col("text"))).as("term"))
+    val c1 = mtok.groupBy("term").agg(count(lit(1)).as("c"))
+    val c12 = model.select(explode(bigrams(col("text"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val nn = mtok.agg(count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    tf.join(broadcast(c12), Seq("bg"), "left")
+      .join(broadcast(c1.toDF("w1", "c1")), Seq("w1"), "left")
+      .join(broadcast(c1.toDF("w2", "c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nn))
+      .withColumn("bits", when(col("c12").isNotNull,
+          length(bin(expr("c1 div c12"))) - 1)
+        .otherwise(
+          length(bin(expr("(4 * n) div greatest(coalesce(c2, 1), 1)"))) - 1)
+        .cast("long"))
+      .withColumn("bo", col("c12").isNull.cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_big"),
+        sum(col("tf") * col("bits")).as("sum_bits"),
+        sum(col("tf") * col("bo")).as("n_backoff"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double") / col("n_big"))
+      .withColumn("keep",
+        (col("sum_bits") * 8 <= col("n_big") * BigramKeepNum).cast("int"))
+      .orderBy("doc_id")
+  }
 }

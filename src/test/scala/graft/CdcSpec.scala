@@ -826,9 +826,12 @@ class CdcSpec extends AnyFunSuite {
             case e: org.apache.spark.SparkException
                 if left > 0 && Option(e.getMessage)
                   .exists(_.contains("FAILED_READ_FILE")) =>
+              // back off briefly: an immediate retry can re-list inside
+              // the SAME swap window when the fold runs long under load
+              Thread.sleep(100)
               countWithRetry(left - 1)
           }
-        assert(countWithRetry(3) > 0)
+        assert(countWithRetry(6) > 0)
         readSecs += (System.nanoTime() - t0) / 1e9
         // ".__delta" is the on-disk delta log dir (Replicate.DeltaDirName)
         val deltas = ls(".__delta").count(_.startsWith("batch="))

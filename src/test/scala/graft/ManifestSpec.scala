@@ -756,12 +756,13 @@ class ManifestSpec extends AnyFunSuite {
             case e: Exception if left > 0 && Option(e.getMessage).exists(
                 m => m.contains("not retained") ||
                   m.contains("FAILED_READ_FILE")) =>
+              Thread.sleep(100)
               probeWindow(left - 1)
           }
           assert(vs.size <= ManifestReplica.ManifestHistory + 4,
             s"manifest history unbounded at trigger $n: ${vs.size}")
         }
-        probeWindow(3)
+        probeWindow(6)
         deltaPeak = deltaPeak max
           ls(dir, "delta").count(_.startsWith("batch="))
         dataPeak = dataPeak max ls(dir, "data").size

@@ -995,4 +995,107 @@ class MlSpec extends AnyFunSuite {
     assert(got.map(m =>
       (m.merge_rank, m.lhs, m.rhs, m.pair_count)) === want)
   }
+
+  test("dq suite: one row per constraint, both verdict polarities, exact rationals") {
+    val rows = DataQuality.suite(docs).collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getString(0)).distinct.length === 7)
+    assert(rows.map(_.getInt(4)).toSet === Set(0, 1),
+      "the fixture suite must exercise both pass and fail verdicts")
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, s"zero denominator in ${r.getString(0)}")
+      assert(r.getDouble(3) === r.getLong(1).toDouble / r.getLong(2))
+    }
+    // the deliberately-tight bound is the one that trips
+    assert(rows.find(_.getString(0) == "max_n_chars").get.getInt(4) === 0)
+    assert(rows.find(_.getString(0) == "uniqueness_doc_id").get.getInt(4) === 1)
+  }
+
+  test("bigram LM: engine scores equal an independent single-threaded replay") {
+    val rows = TextAnalysis.lmBigram(docs).collect()
+    val txt = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigs(t: String): Seq[(String, String)] =
+      t.split(" ", -1).toSeq.sliding(2).filter(_.length == 2)
+        .map(a => (a.head, a(1))).toSeq
+    val model = txt.filter { case (id, _) => id % 2 == 0 }
+    val c1 = model.values.flatMap(_.split(" ", -1)).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c12 = model.values.flatMap(bigs).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = c1.values.sum
+    def bitlen(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    assert(rows.length === txt.count(_._2.contains(" ")))
+    var backoffs = 0L
+    rows.foreach { r =>
+      val bs = bigs(txt(r.getLong(0)))
+      val bits = bs.map { bg =>
+        c12.get(bg) match {
+          case Some(c) => bitlen(c1(bg._1) / c)
+          case None => bitlen(4 * n / math.max(c1.getOrElse(bg._2, 1L), 1L))
+        }
+      }.sum
+      val bo = bs.count(bg => !c12.contains(bg)).toLong
+      assert(r.getLong(1) === bs.length.toLong, s"n_big for doc ${r.getLong(0)}")
+      assert(r.getLong(2) === bits, s"sum_bits for doc ${r.getLong(0)}")
+      assert(r.getLong(3) === bo, s"n_backoff for doc ${r.getLong(0)}")
+      backoffs += bo
+    }
+    // the held-out split must make the backoff path real: odd docs
+    // contain transitions the even-doc model never saw
+    assert(backoffs > 0, "no unseen transition exercised the backoff")
+  }
+
+  test("postings: blocks bounded and ordered, concatenating to the full sorted list") {
+    val rows = TextAnalysis.postings(docs).collect()
+    val naive = docs.select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1)
+        .map(t => (t, r.getLong(0))))
+      .groupBy(_._1)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length
+      === rows.length)
+    rows.groupBy(_.getString(0)).foreach { case (term, blocks) =>
+      val ord = blocks.sortBy(_.getLong(1))
+      assert(ord.map(_.getLong(1)).toSeq === ord.indices.map(_.toLong),
+        s"block ids not contiguous for $term")
+      ord.foreach(b =>
+        assert(b.getLong(2) <= TextAnalysis.PostingsBlock))
+      assert(ord.init.forall(_.getLong(2) === TextAnalysis.PostingsBlock),
+        s"only the LAST block of $term may be short")
+      val ids = ord.flatMap(_.getString(4).split(",")).map(_.toLong)
+      assert(ids.toSeq === naive(term).map(_._2).distinct.sorted.toSeq,
+        s"postings for $term")
+      assert(ord.map(_.getLong(3)).sum === naive(term).length.toLong,
+        s"collection frequency for $term")
+    }
+  }
+
+  test("triangles: degree-ordered count equals a naive adjacency-set count") {
+    val rows = GraphOps.triangles(emb).collect()
+    val und = Similarity
+      .embeddingNearDups(emb, minCos = GraphOps.TriMinCos)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map(v => v -> und.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }).toMap
+    val perNode = nodes.map { v =>
+      val ns = adj(v).toSeq.sorted
+      v -> (for {
+        i <- ns.indices; j <- (i + 1) until ns.size
+        if adj(ns(i)).contains(ns(j))
+      } yield 1).size.toLong
+    }.toMap
+    assert(rows.length === nodes.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) === adj(r.getLong(0)).size.toLong,
+        s"deg for ${r.getLong(0)}")
+      assert(r.getLong(2) === perNode(r.getLong(0)),
+        s"tri_cnt for ${r.getLong(0)}")
+    }
+    assert(rows.map(_.getLong(2)).sum % 3 === 0)
+    assert(rows.map(_.getLong(2)).sum > 0, "fixture graph has no triangles")
+  }
 }

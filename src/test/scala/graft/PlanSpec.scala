@@ -98,6 +98,19 @@ class PlanSpec extends AnyFunSuite {
       s"cartesian products (non-broadcast cross joins) in: $offenders")
   }
 
+  test("dq suite: a single-scan aggregate — no join anywhere in the plan") {
+    val s = planString(run("ml_dq_suite"))
+    assert(!s.contains("Join"),
+      "the constraint suite must stay one corpus scan + stack")
+  }
+
+  test("bigram LM: model tables broadcast, the corpus never sort-merges") {
+    val s = planString(run("ml_lm_bigram"))
+    assert(s.contains("BroadcastHashJoin"), "count model must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "per-doc bigram table must not sort-merge against the model")
+  }
+
   test("rank-filter top-k plans insert WindowGroupLimit before the sort") {
     // Spark 3.5+'s InferWindowGroupLimit turns Filter(rank/row_number
     // <= k over Window) into a per-group bounded limit that runs BOTH
