@@ -1190,11 +1190,126 @@ object Relational {
            |             ORDER BY o_totalprice DESC, o_orderkey)
            |ORDER BY o_orderpriority, pct_rank, o_orderkey""".stripMargin))
 
+  private val jQ4Priority = Declared(
+    "j_q4_priority",
+    // TPC-H Q4 shape (order-priority checking): a quarter of orders,
+    // EXISTS-reduced against lineitem with a correlated NON-EQUI
+    // predicate (a "late line" — shipped > 90 days after the order;
+    // the fixture has no commit/receipt dates, identical shape),
+    // counted per priority. Plan discipline: the EXISTS is a left-semi
+    // join on orderkey with the date window pushed into the orders
+    // scan — never a dedup-after-join; the semi join short-circuits
+    // per probe row, so a 100 TB lineitem contributes at most one
+    // match probe per order.
+    (s, d) => {
+      val ord = t(s, d)("orders")
+        .filter(
+          col("o_orderdate") >= to_timestamp(lit("1997-07-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+      val li = t(s, d)("lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  private val jQ10Returns = Declared(
+    "j_q10_returns",
+    // TPC-H Q10 shape (returned-item reporting): which customers
+    // returned the most revenue in a quarter. One fact-fact shuffle
+    // (lineitem⋈orders on orderkey, both sides filtered IN-SCAN — the
+    // quarter on orders, the R flag on lineitem), customer joined on
+    // custkey, nation broadcast; exact decimal revenue; top-20
+    // TakeOrdered.
+    (s, d) => {
+      val ord = t(s, d)("orders")
+        .filter(
+          col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, d)("lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d)("customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d)("nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           |      AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           |  c_acctbal, n_name
+           |FROM customer, orders, lineitem, nation
+           |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+           |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+           |GROUP BY c_custkey, c_name, c_acctbal, n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  private val wValueFuncs = Declared(
+    "w_value_funcs",
+    // Value windows: first_value / last_value / nth_value over an
+    // explicit running ROWS frame (under the ANSI default RANGE frame
+    // last_value degenerates to the current peer group, so the frame
+    // is pinned identically in both engines) plus cume_dist over the
+    // full partition. The fixture DOES carry duplicate (orderkey,
+    // linenumber) pairs, so l_quantity joins the ordering: rows still
+    // tied after that are tied on every emitted column (peers share
+    // cume_dist; the value picks all resolve to l_quantity), making
+    // every output row engine-order-independent. cume_dist is an
+    // int/int IEEE division — bit-exact at any parallelism.
+    (s, d) => {
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      val wf = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wo = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+      t(s, d)("lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          first(col("l_quantity")).over(wf).as("first_qty"),
+          last(col("l_quantity")).over(wf).as("last_qty"),
+          nth_value(col("l_quantity"), 2).over(wf).as("second_qty"),
+          cume_dist().over(wo).as("cdist"))
+        .orderBy(col("l_suppkey") +: ord: _*)
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           |  first_value(l_quantity) OVER wf AS first_qty,
+           |  last_value(l_quantity) OVER wf AS last_qty,
+           |  nth_value(l_quantity, 2) OVER wf AS second_qty,
+           |  cume_dist() OVER wo AS cdist
+           |FROM lineitem
+           |WINDOW wf AS (PARTITION BY l_suppkey
+           |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  wo AS (PARTITION BY l_suppkey
+           |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
+           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           |  l_quantity""".stripMargin))
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Declared] = Seq(
     aggGroupingSets, aggHistogram, jQ18TopOrders, jQ5Volume, aggQ12Shipmode,
-    wNtile,
+    wNtile, jQ4Priority, jQ10Returns, wValueFuncs,
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,

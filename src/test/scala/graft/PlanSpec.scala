@@ -98,6 +98,20 @@ class PlanSpec extends AnyFunSuite {
       s"cartesian products (non-broadcast cross joins) in: $offenders")
   }
 
+  test("j_q4_priority: EXISTS is one left-semi, date window pushed to the orders scan") {
+    val s = planString(run("j_q4_priority"))
+    assert(s.contains("LeftSemi"), "EXISTS must plan as left-semi")
+    assert(s.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "quarter filter must reach the orders scan")
+  }
+
+  test("j_q10_returns: nation broadcasts, return-flag filter pushed to the lineitem scan") {
+    val s = planString(run("j_q10_returns"))
+    assert(s.contains("BroadcastHashJoin"), "nation must broadcast")
+    assert(s.contains("EqualTo(l_returnflag,R)"),
+      "R-flag filter must reach the lineitem scan")
+  }
+
   test("dq suite: a single-scan aggregate — no join anywhere in the plan") {
     val s = planString(run("ml_dq_suite"))
     assert(!s.contains("Join"),
