@@ -7,8 +7,9 @@ import org.apache.spark.sql.graftbridge.RegistryBridge
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration for the native codegen kernels — the
-  * `SparkSessionExtensions` entry point that makes the five custom
-  * Catalyst expressions first-class SQL functions:
+  * `SparkSessionExtensions` entry point that makes the six custom
+  * Catalyst expressions (five scalar kernels + the [[NgramWindows]]
+  * generator) first-class SQL functions:
   *
   * {{{
   * spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions …
@@ -59,6 +60,9 @@ object GraftExtensions {
     },
     one("simhash_tokens", "simhash_tokens(array<string>)") {
       case Seq(c) => SimHashTokens(c)
+    },
+    one("ngram_windows", "ngram_windows(array<string>, <int literal n>)") {
+      case Seq(c, Literal(n: Int, IntegerType)) => NgramWindows(c, n)
     })
 
   /** Register every kernel into an already-running session's function

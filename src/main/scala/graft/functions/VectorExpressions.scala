@@ -1,11 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: one-pass cosine similarity over two
   * `Array[Float]` columns, accumulating dot product and both norms in a
@@ -321,6 +323,54 @@ case class SimHashTokens(child: Expression)
       : SimHashTokens = copy(child = newChild)
 }
 
+/** Native Catalyst GENERATOR — the UDTF half of the §2.10 surface:
+  * sliding n-token windows over an `array<string>` column emitted as
+  * (pos, gram) rows. The composed form (`transform` + `slice` +
+  * `concat_ws` + `posexplode`) materializes every gram in a per-row
+  * array BEFORE the Generate; this emits each row straight off the
+  * unsafe array data — no intermediate allocation, one UTF8String
+  * concat per window.
+  *
+  * Generators execute inside `GenerateExec`, which calls `eval`
+  * row-by-row — only the built-in explode family inlines into
+  * whole-stage codegen, so `CodegenFallback` is the supported path for
+  * a custom generator (the kernel cost is the string concat either
+  * way). Null elements are not expected (tokenizer output); a null
+  * input array generates nothing.
+  */
+case class NgramWindows(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback
+    with ExpectsInputTypes {
+  require(n >= 1, s"ngram_windows: n must be >= 1, got $n")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def prettyName: String = "ngram_windows"
+
+  override def elementSchema: StructType = StructType(
+    StructField("pos", IntegerType, nullable = false) ::
+      StructField("gram", StringType, nullable = true) :: Nil)
+
+  private lazy val sep = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val a = v.asInstanceOf[ArrayData]
+      val m = a.numElements() - n + 1
+      if (m <= 0) Iterator.empty
+      else Iterator.tabulate(m) { i =>
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = a.getUTF8String(i + j); j += 1 }
+        InternalRow(i, UTF8String.concatWs(sep, parts: _*))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NgramWindows = copy(child = newChild)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -339,4 +389,7 @@ object VectorFunctions {
 
   def simhashTokens(a: Column): Column =
     ColumnBridge.column(SimHashTokens(ColumnBridge.expression(a)))
+
+  def ngramWindows(a: Column, n: Int): Column =
+    ColumnBridge.column(NgramWindows(ColumnBridge.expression(a), n))
 }

@@ -1773,8 +1773,28 @@ object MlQueries {
             |FROM dg d LEFT JOIN pn p ON p.id = d.id
             |ORDER BY vec_id""".stripMargin))
 
+  /** Native-Generator UDTF query: 3-token sliding windows straight off
+    * the tokenizer output via [[graft.functions.NgramWindows]] — the
+    * UDTF surface next to the five scalar kernels; the oracle unnests
+    * the same windows positionally. */
+  private val udtfNgrams = Declared(
+    "x_udtf_ngrams",
+    (s, d) => Tables(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions
+          .ngramWindows(MlFunctions.tokens(col("text")), 3)
+          .as(Seq("pos", "gram")))
+      .orderBy("doc_id", "pos"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS tk
+           |  FROM documents)
+           |SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           |  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+           |FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
+           |ORDER BY doc_id, pos""".stripMargin))
+
   val all: Seq[Declared] = Seq(
-    dqSuite, lmBigram, postingsIdx, triangles,
+    dqSuite, lmBigram, postingsIdx, triangles, udtfNgrams,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,

@@ -316,7 +316,7 @@ class MlSpec extends AnyFunSuite {
       "SQL registration must resolve to the identical expressions")
     // the spark.sql.extensions entry point carries the same table
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext) // registers all five, must not throw
+    new GraftExtensions().apply(ext) // registers all six, must not throw
     // misuse surfaces the usage string, not a MatchError
     val err = intercept[Exception] {
       spark.sql("SELECT sliding_min_long(la, la) FROM kern_in").collect()
@@ -994,6 +994,36 @@ class MlSpec extends AnyFunSuite {
     }
     assert(got.map(m =>
       (m.merge_rank, m.lhs, m.rhs, m.pair_count)) === want)
+  }
+
+  test("ngram generator: SQL LATERAL VIEW == Column API, exact windows, clean misuse") {
+    import graft.functions.{GraftExtensions, VectorFunctions => VF}
+    GraftExtensions.register(spark)
+    val df = Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("x")),
+      (3L, Seq.empty[String])).toDF("id", "toks")
+    df.createOrReplaceTempView("ng_in")
+    val viaCol = df.select(col("id"),
+        VF.ngramWindows(col("toks"), 2).as(Seq("pos", "gram")))
+      .orderBy("id", "pos").collect()
+    assert(viaCol.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      === Seq((1L, 0, "a b"), (1L, 1, "b c"), (1L, 2, "c d")),
+      "short and empty arrays must generate nothing")
+    val viaSql = spark.sql(
+      """SELECT id, pos, gram FROM ng_in
+        |LATERAL VIEW ngram_windows(toks, 2) t AS pos, gram
+        |ORDER BY id, pos""".stripMargin).collect()
+    assert(viaSql.toSeq.map(_.toSeq) === viaCol.toSeq.map(_.toSeq),
+      "SQL registration must resolve to the same generator")
+    // n = 1 degenerates to posexplode of the tokens themselves
+    val unit = df.filter(col("id") === 1)
+      .select(VF.ngramWindows(col("toks"), 1).as(Seq("pos", "gram")))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(unit.toSeq === Seq((0, "a"), (1, "b"), (2, "c"), (3, "d")))
+    // misuse surfaces the usage string, not a MatchError
+    val err = intercept[Exception] {
+      spark.sql("SELECT ngram_windows(toks, toks) FROM ng_in").collect()
+    }
+    assert(err.getMessage.contains("ngram_windows usage"))
   }
 
   test("dq suite: one row per constraint, both verdict polarities, exact rationals") {
