@@ -89,5 +89,59 @@ object WindowQueries {
            |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
            |ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Declared] = Seq(tumbling, sessions, attribution, enrichment)
+  /** Conversion funnel, batch mode ([[Funnel.completions]] — the
+    * identical semantics run streaming through `transformWithState`,
+    * spec-pinned equal). Oracle: the same greedy two-stage-min chain
+    * per step, every "first" tie-broken on event_id. */
+  private val funnel = Declared(
+    "j_funnel_vcp",
+    (s, d) => Funnel.completions(Tables(s, d, "events")),
+    Some(s"""WITH v1 AS (
+            |  SELECT user_id, min(ts) AS vt FROM events
+            |  WHERE event_type = 'view' GROUP BY 1),
+            |v2 AS (
+            |  SELECT e.user_id, v1.vt, min(e.event_id) AS vid
+            |  FROM events e JOIN v1
+            |    ON e.user_id = v1.user_id AND e.ts = v1.vt
+            |  WHERE e.event_type = 'view' GROUP BY 1, 2),
+            |c1 AS (
+            |  SELECT e.user_id, min(e.ts) AS ct
+            |  FROM events e JOIN v2 ON e.user_id = v2.user_id
+            |  WHERE e.event_type = 'click'
+            |    AND (e.ts > v2.vt OR (e.ts = v2.vt AND e.event_id > v2.vid))
+            |    AND epoch_us(e.ts) - epoch_us(v2.vt) <= ${Funnel.GapUs}
+            |  GROUP BY 1),
+            |c2 AS (
+            |  SELECT e.user_id, c1.ct, min(e.event_id) AS cid
+            |  FROM events e
+            |  JOIN c1 ON e.user_id = c1.user_id AND e.ts = c1.ct
+            |  JOIN v2 ON v2.user_id = e.user_id
+            |  WHERE e.event_type = 'click'
+            |    AND (e.ts > v2.vt OR (e.ts = v2.vt AND e.event_id > v2.vid))
+            |  GROUP BY 1, 2),
+            |p1 AS (
+            |  SELECT e.user_id, min(e.ts) AS pt
+            |  FROM events e JOIN c2 ON e.user_id = c2.user_id
+            |  WHERE e.event_type = 'purchase'
+            |    AND (e.ts > c2.ct OR (e.ts = c2.ct AND e.event_id > c2.cid))
+            |    AND epoch_us(e.ts) - epoch_us(c2.ct) <= ${Funnel.GapUs}
+            |  GROUP BY 1),
+            |p2 AS (
+            |  SELECT e.user_id, p1.pt, min(e.event_id) AS pid
+            |  FROM events e
+            |  JOIN p1 ON e.user_id = p1.user_id AND e.ts = p1.pt
+            |  JOIN c2 ON c2.user_id = e.user_id
+            |  WHERE e.event_type = 'purchase'
+            |    AND (e.ts > c2.ct OR (e.ts = c2.ct AND e.event_id > c2.cid))
+            |  GROUP BY 1, 2)
+            |SELECT v2.user_id, v2.vid AS view_id, c2.cid AS click_id,
+            |  p2.pid AS purchase_id, v2.vt AS view_ts, p2.pt AS purchase_ts,
+            |  epoch_us(p2.pt) - epoch_us(v2.vt) AS funnel_us
+            |FROM v2
+            |JOIN c2 ON c2.user_id = v2.user_id
+            |JOIN p2 ON p2.user_id = v2.user_id
+            |ORDER BY v2.user_id""".stripMargin))
+
+  val all: Seq[Declared] = Seq(tumbling, sessions, attribution, enrichment,
+    funnel)
 }

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.streaming.Funnel
+
+// file-level: a spec-nested case class has no stable outer scope for
+// Catalyst's deserializer
+private[graft] case class FnEv(user_id: Long, event_id: Long,
+    ts: Timestamp, event_type: String)
+
+/** The streaming conversion funnel ([[graft.streaming.Funnel]], Spark 4
+  * `transformWithState`): same completions as the oracle-checked batch
+  * query across real micro-batch boundaries, RocksDB provider engaged,
+  * exactly-once across a checkpoint restart through the file sink. */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb = "org.apache.spark.sql.execution.streaming." +
+    "state.RocksDBStateStoreProvider"
+
+  private def withRocksDb(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  private def fixtureEvents(): Array[FnEv] =
+    Tables(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .orderBy("ts", "event_id").collect()
+      .map(r => FnEv(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getString(3)))
+
+  /** Far-future events: the first pushes the watermark past the whole
+    * fixture; the second triggers one more batch so the event-time
+    * timers registered at watermark-advance time actually fire. */
+  private def flushEvents(): Seq[FnEv] = Seq(
+    FnEv(-1L, 0L, Timestamp.valueOf("2031-01-01 00:00:00"), "view"),
+    FnEv(-1L, 1L, Timestamp.valueOf("2031-01-02 00:00:00"), "noop"))
+
+  private def batchHits(): Set[(Long, Long, Long, Long, Long, Long)] =
+    Funnel.completions(Tables(spark, sf, "events"))
+      .selectExpr("user_id", "view_id", "click_id", "purchase_id",
+        "unix_micros(view_ts)", "unix_micros(purchase_ts)")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+  test("streaming funnel equals the batch query; RocksDB provider engaged") {
+    withRocksDb {
+      import scala.jdk.CollectionConverters._
+      val events = fixtureEvents()
+      val in = MemoryStream[FnEv](spark)
+      val q = Funnel.streaming(in.toDF())
+        .writeStream.format("memory").queryName("funnel_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        events.grouped(events.length / 5 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+        flushEvents().foreach { e =>
+          in.addData(e); q.processAllAvailable()
+        }
+        val rocksEngaged = q.lastProgress.stateOperators.exists(
+          _.customMetrics.keySet().asScala.exists(
+            _.toLowerCase.contains("rocksdb")))
+        assert(rocksEngaged, "RocksDB provider metrics absent")
+        val got = spark.table("funnel_sink")
+          .select("user_id", "view_id", "click_id", "purchase_id",
+            "view_ts_us", "purchase_ts_us")
+          .as[(Long, Long, Long, Long, Long, Long)].collect()
+        assert(got.length === got.toSet.size, "duplicate emissions")
+        val want = batchHits()
+        assert(got.toSet === want)
+        assert(want.nonEmpty, "fixture must contain completions")
+      } finally q.stop()
+    }
+  }
+
+  test("funnel checkpoint restart: file source + file sink, exactly once") {
+    withRocksDb {
+      val srcDir = Files.createTempDirectory("funnel-src").toString
+      val outDir = Files.createTempDirectory("funnel-out").toString
+      val ckpt = Files.createTempDirectory("funnel-ckpt").toString
+      val events = fixtureEvents()
+      val chunks = events.grouped(events.length / 4 + 1)
+        .map(_.toSeq).toSeq
+      def land(evs: Seq[FnEv]): Unit = {
+        evs.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+        Thread.sleep(1100) // distinct file mtimes → deterministic order
+      }
+      def run(): Unit = {
+        val src = spark.readStream
+          .schema(spark.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val q = Funnel.streaming(src)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // phase 1: half the log, some completions land, then a hard stop
+      chunks.take(2).foreach(land)
+      run()
+      // phase 2: the rest + flush, the SAME checkpoint resumes
+      chunks.drop(2).foreach(land)
+      land(flushEvents())
+      run()
+      val got = spark.read.parquet(outDir)
+        .select("user_id", "view_id", "click_id", "purchase_id",
+          "view_ts_us", "purchase_ts_us")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(got.length === got.toSet.size,
+        "restart must not re-emit completions")
+      assert(got.toSet === batchHits())
+    }
+  }
+}
