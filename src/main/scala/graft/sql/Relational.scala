@@ -1264,6 +1264,25 @@ object Relational {
            |GROUP BY c_custkey, c_name, c_acctbal, n_name
            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
+  private val aggListagg = Declared(
+    "agg_listagg",
+    // Spark 4's listagg (SQL:2016 string aggregation): DISTINCT +
+    // WITHIN GROUP ordering is the ONLY deterministic form — unordered
+    // listagg concatenates in arrival order and can never oracle-match
+    // (nor reproduce across partitionings). DuckDB spells the same
+    // aggregate string_agg(DISTINCT … ORDER BY …).
+    (s, d) => t(s, d)("orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("listagg(DISTINCT o_orderstatus, ',') " +
+          "WITHIN GROUP (ORDER BY o_orderstatus)").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  string_agg(DISTINCT o_orderstatus, ','
+           |             ORDER BY o_orderstatus) AS statuses,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val wValueFuncs = Declared(
     "w_value_funcs",
     // Value windows: first_value / last_value / nth_value over an
@@ -1309,7 +1328,7 @@ object Relational {
 
   val all: Seq[Declared] = Seq(
     aggGroupingSets, aggHistogram, jQ18TopOrders, jQ5Volume, aggQ12Shipmode,
-    wNtile, jQ4Priority, jQ10Returns, wValueFuncs,
+    wNtile, jQ4Priority, jQ10Returns, wValueFuncs, aggListagg,
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
