@@ -1793,8 +1793,25 @@ object MlQueries {
            |FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)
            |ORDER BY doc_id, pos""".stripMargin))
 
+  /** Train/val/test split oracle: the same md5 per-mille threshold and
+    * the same (source, split) audit aggregate. */
+  private val tvtSplit = Declared(
+    "ml_split",
+    (s, d) => TextAnalysis.trainValTestSplit(Tables(s, d, "documents")),
+    Some(s"""WITH h AS (
+            |  SELECT source, n_chars,
+            |    ${sqlHash60("'sp:' || doc_id")} % 1000 AS hh
+            |  FROM documents)
+            |SELECT source,
+            |  CASE WHEN hh < ${TextAnalysis.SplitTrain} THEN 'train'
+            |       WHEN hh < ${TextAnalysis.SplitVal} THEN 'val'
+            |       ELSE 'test' END AS split,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+            |FROM h GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
+
   val all: Seq[Declared] = Seq(
-    dqSuite, lmBigram, postingsIdx, triangles, udtfNgrams,
+    dqSuite, lmBigram, postingsIdx, triangles, udtfNgrams, tvtSplit,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,

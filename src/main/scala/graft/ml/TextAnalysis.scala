@@ -713,6 +713,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- Train/val/test split -------------------------------------------
+
+  /** Per-mille split thresholds: < 800 train, < 900 val, else test. */
+  val SplitTrain = 800L
+  val SplitVal = 900L
+
+  /** Deterministic train/val/test assignment — the holdout split every
+    * training run needs, as a pure function of doc_id (md5 per-mille
+    * threshold, the L29 stratified-sampling hash family under a fresh
+    * seed): reproducible across runs/engines, stable under corpus
+    * reshuffles, and disjoint by construction. Emits the per
+    * (source, split) audit — doc counts and char mass — the mixture
+    * report a curation pipeline reviews before training. One scan, one
+    * map-side-combined aggregate over ≤ 3·|sources| groups; assignment
+    * itself is a per-row projection usable as a writer partition key. */
+  def trainValTestSplit(docs: DataFrame): DataFrame = {
+    val h = pmod(hash60Seeded(lit("sp"), col("doc_id").cast("string")),
+      lit(1000L))
+    docs
+      .withColumn("split",
+        when(h < SplitTrain, "train").when(h < SplitVal, "val")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("source", "split")
+  }
+
   // ---- Inverted-index build -------------------------------------------
 
   /** Postings-block size: doc ids per block row. */

@@ -1264,6 +1264,53 @@ object Relational {
            |GROUP BY c_custkey, c_name, c_acctbal, n_name
            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
+  private val aggCorr = Declared(
+    "agg_corr",
+    // Exact Pearson correlation per group. The built-in corr() is a
+    // floating Welford fold — order-dependent, so it can never
+    // oracle-match nor reproduce across partitionings. Instead the five
+    // moments are EXACT sums (centi-quantized values, decimal
+    // accumulators — order-free at any parallelism; DuckDB's hugeint
+    // sums are the same exact integers) and the single
+    // divide-and-sqrt at the end is IEEE on exact integers —
+    // bit-identical in both engines.
+    (s, d) => {
+      val x = expr("CAST(floor(l_quantity * 100 + 0.5) AS DECIMAL(38,0))")
+      val y = expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0))")
+      t(s, d)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          col("sx").cast("double").as("sx"),
+          col("sy").cast("double").as("sy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH q AS (
+           |  SELECT l_returnflag,
+           |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+           |  FROM lineitem),
+           |m AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    sum(x) AS sx, sum(y) AS sy,
+           |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           |  FROM q GROUP BY 1)
+           |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+           |  CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+           |         CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price
+           |FROM m ORDER BY l_returnflag""".stripMargin))
+
   private val aggListagg = Declared(
     "agg_listagg",
     // Spark 4's listagg (SQL:2016 string aggregation): DISTINCT +
@@ -1328,7 +1375,7 @@ object Relational {
 
   val all: Seq[Declared] = Seq(
     aggGroupingSets, aggHistogram, jQ18TopOrders, jQ5Volume, aggQ12Shipmode,
-    wNtile, jQ4Priority, jQ10Returns, wValueFuncs, aggListagg,
+    wNtile, jQ4Priority, jQ10Returns, wValueFuncs, aggListagg, aggCorr,
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,

@@ -823,9 +823,14 @@ class CdcSpec extends AnyFunSuite {
         def countWithRetry(left: Int): Long =
           try Replicate.readReplica(spark, dir).count()
           catch {
-            case e: org.apache.spark.SparkException
-                if left > 0 && Option(e.getMessage)
-                  .exists(_.contains("FAILED_READ_FILE")) =>
+            // the race surfaces two ways: a task opening a renamed-away
+            // file (FAILED_READ_FILE) or plan-time path resolution of a
+            // just-pruned delta dir (PATH_NOT_FOUND) — same documented
+            // window, one retry policy
+            case e: Exception
+                if left > 0 && Option(e.getMessage).exists(m =>
+                  m.contains("FAILED_READ_FILE") ||
+                    m.contains("PATH_NOT_FOUND")) =>
               // back off briefly: an immediate retry can re-list inside
               // the SAME swap window when the fold runs long under load
               Thread.sleep(100)

@@ -755,7 +755,8 @@ class ManifestSpec extends AnyFunSuite {
           } catch {
             case e: Exception if left > 0 && Option(e.getMessage).exists(
                 m => m.contains("not retained") ||
-                  m.contains("FAILED_READ_FILE")) =>
+                  m.contains("FAILED_READ_FILE") ||
+                  m.contains("PATH_NOT_FOUND")) =>
               Thread.sleep(100)
               probeWindow(left - 1)
           }
