@@ -1810,8 +1810,57 @@ object MlQueries {
             |  CAST(sum(n_chars) AS BIGINT) AS n_chars
             |FROM h GROUP BY 1, 2 ORDER BY source, split""".stripMargin))
 
+  /** Hard-negative oracle: the same cross-label pair space, rank-1 by
+    * (cos desc, neg_id). */
+  private val hardNeg = Declared(
+    "ml_hard_negatives",
+    (s, d) => Similarity.hardNegatives(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |lab AS (SELECT vec_id, label FROM embeddings),
+            |dots AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS neg_id,
+            |         sum(a.q * b.q) AS d
+            |  FROM qe a JOIN qe b
+            |    ON a.i = b.i AND a.vec_id <> b.vec_id
+            |       AND a.label <> b.label
+            |  WHERE a.vec_id % $QueryStride = 0
+            |  GROUP BY 1, 2),
+            |scored AS (
+            |  SELECT d.query_id, la.label AS query_label, d.neg_id,
+            |         lb.label AS neg_label,
+            |         ${cosSql("d.d", "na.n2", "nb.n2")} AS cos
+            |  FROM dots d
+            |  JOIN nrm na ON na.vec_id = d.query_id
+            |  JOIN nrm nb ON nb.vec_id = d.neg_id
+            |  JOIN lab la ON la.vec_id = d.query_id
+            |  JOIN lab lb ON lb.vec_id = d.neg_id)
+            |SELECT query_id, query_label, neg_id, neg_label, cos FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos DESC, neg_id) AS rn
+            |  FROM scored)
+            |WHERE rn = 1 ORDER BY query_id""".stripMargin))
+
+  /** Norm-outlier oracle: hugeint moments, the same integer
+    * cross-multiplied z² test. */
+  private val embOutliers = Declared(
+    "ml_embed_outliers",
+    (s, d) => Similarity.normOutliers(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |m AS (SELECT count(*) AS n, sum(n2) AS s,
+            |             sum(n2 * n2) AS qq
+            |      FROM nrm)
+            |SELECT vec_id, CAST(n2 AS BIGINT) AS n2,
+            |  CAST((m.n * n2 - m.s) * (m.n * n2 - m.s) AS DOUBLE) /
+            |    CAST(m.n * m.qq - m.s * m.s AS DOUBLE) AS zsq,
+            |  CAST((m.n * n2 - m.s) * (m.n * n2 - m.s) >
+            |       4 * (m.n * m.qq - m.s * m.s) AS INT) AS is_outlier
+            |FROM nrm, m ORDER BY vec_id""".stripMargin))
+
   val all: Seq[Declared] = Seq(
     dqSuite, lmBigram, postingsIdx, triangles, udtfNgrams, tvtSplit,
+    hardNeg, embOutliers,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,

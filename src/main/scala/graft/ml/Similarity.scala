@@ -712,4 +712,64 @@ object Similarity {
       .join(broadcast(drops), Seq("vec_id"), "left_anti")
       .orderBy("vec_id")
   }
+
+  /** Hard-negative mining — the contrastive-training data op (the
+    * "hard negatives" every embedding/reranker training loop mines,
+    * e.g. DPR, Karpukhin et al. EMNLP'20): for each query vector, the
+    * single nearest corpus vector with a DIFFERENT label. Emits
+    * (query_id, query_label, neg_id, neg_label, cos).
+    *
+    * Scale: the [[cosineTopK]] plan — query block broadcast against
+    * one corpus scan, label-mismatch filtered BEFORE ranking (the
+    * filter is per-row, so the window sees only cross-label pairs),
+    * rank-1 via the WindowGroupLimit path: each task forwards one row
+    * per query to the final sort. */
+  def hardNegatives(emb: DataFrame): DataFrame = {
+    val qs = quantized(emb).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"),
+        col("label").as("query_label"), col("q").as("qq"),
+        col("n2").as("qn2"))
+    val scored = quantized(emb).crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        pairCos(col("qq"), col("q"), col("qn2"), col("n2")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1).drop("rank")
+      .orderBy("query_id")
+  }
+
+  /** Embedding-norm outlier flags — the embedding sanity check a
+    * pipeline runs after (re-)embedding a corpus: vectors whose norm²
+    * sits more than 2σ from the corpus mean (degenerate all-zero /
+    * clipped / runaway vectors corrupt both training and ANN recall).
+    * Exactness: norm² is the exact integer quantized dot; the flag is
+    * the integer cross-multiplied z² test (N·n2 − S)² > 4·(N·Q − S²)
+    * in decimal arithmetic — no float mean/variance fold anywhere —
+    * and the reported z² is one IEEE division of exact decimals.
+    * Emits (vec_id, n2, zsq, is_outlier).
+    *
+    * Scale: one corpus scan for norms, one 3-number moment aggregate
+    * (bounded model state, broadcast back), one scan to flag — no
+    * shuffle of the corpus at all. */
+  def normOutliers(emb: DataFrame): DataFrame = {
+    val nrm = quantized(emb).select(col("vec_id"), col("n2"))
+    val m = nrm.agg(count(lit(1)).as("n"), sum(col("n2")).as("s"),
+      sum(col("n2").cast("decimal(38,0)") * col("n2")).as("qq"))
+    nrm.crossJoin(broadcast(m))
+      .withColumn("dev", (col("n") * col("n2") - col("s"))
+        .cast("decimal(38,0)"))
+      .withColumn("var_num",
+        col("n").cast("decimal(38,0)") * col("qq") -
+          col("s").cast("decimal(38,0)") * col("s"))
+      .select(col("vec_id"), col("n2"),
+        ((col("dev") * col("dev")).cast("double") /
+          col("var_num").cast("double")).as("zsq"),
+        ((col("dev") * col("dev")) > col("var_num") * 4).cast("int")
+          .as("is_outlier"))
+      .orderBy("vec_id")
+  }
 }

@@ -89,6 +89,47 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel batch semantics equal a naive greedy replay, 12 seeded schedules") {
+    val types = Seq("view", "click", "purchase", "error")
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val gapUs = 600L * 1000000 // 10 min — tight enough to sever chains
+      val base = Timestamp.valueOf("2026-03-01 00:00:00").getTime
+      // second-granularity over 2 h → deliberate timestamp collisions
+      val evs = (0 until 400).map { i =>
+        FnEv(rnd.nextInt(6).toLong, i.toLong,
+          new Timestamp(base + rnd.nextInt(7200) * 1000L),
+          types(rnd.nextInt(types.size)))
+      }
+      val got = Funnel.completions(evs.toDF(), gapUs)
+        .selectExpr("user_id", "view_id", "click_id", "purchase_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        var st = 0; var vt = 0L; var vid = 0L; var ct = 0L; var cid = 0L
+        var hit: Option[(Long, Long, Long, Long)] = None
+        for (e <- sorted if hit.isEmpty) {
+          val tus = e.ts.getTime * 1000L
+          st match {
+            case 0 if e.event_type == "view" =>
+              st = 1; vt = tus; vid = e.event_id
+            case 1 if e.event_type == "click" &&
+                (tus > vt || (tus == vt && e.event_id > vid)) &&
+                tus - vt <= gapUs =>
+              st = 2; ct = tus; cid = e.event_id
+            case 2 if e.event_type == "purchase" &&
+                (tus > ct || (tus == ct && e.event_id > cid)) &&
+                tus - ct <= gapUs =>
+              hit = Some((u, vid, cid, e.event_id))
+            case _ => // greedy: anchors never re-bind
+          }
+        }
+        hit
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("funnel checkpoint restart: file source + file sink, exactly once") {
     withRocksDb {
       val srcDir = Files.createTempDirectory("funnel-src").toString
