@@ -1264,6 +1264,44 @@ object Relational {
            |GROUP BY c_custkey, c_name, c_acctbal, n_name
            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
+  private val jQ14Promo = Declared(
+    "j_q14_promo",
+    // TPC-H Q14 shape (promotion effect): the share of one month's
+    // revenue carried by promo parts. lineitem's month filter pushes
+    // into the scan, part broadcasts, the CASE folds map-side inside
+    // the partial aggregate (the shuffle carries two decimals), and
+    // the share is ONE IEEE division of two exact decimal sums —
+    // deterministic at any parallelism.
+    (s, d) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d)("lineitem")
+        .filter(
+          col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-02-01 00:00:00")))
+        .join(broadcast(t(s, d)("part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6)
+            .as("promo_revenue"),
+          dsum(rev, 6).as("total_revenue"))
+        .withColumn("promo_share",
+          col("promo_revenue") / col("total_revenue"))
+    },
+    Some("""SELECT
+           |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+           |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+           |      AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           |      AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+           |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+           |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+           |      AS DECIMAL(30,6))) AS DOUBLE) /
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           |      AS DECIMAL(30,6))) AS DOUBLE) AS promo_share
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'""".stripMargin))
+
   private val aggCorr = Declared(
     "agg_corr",
     // Exact Pearson correlation per group. The built-in corr() is a
@@ -1376,6 +1414,7 @@ object Relational {
   val all: Seq[Declared] = Seq(
     aggGroupingSets, aggHistogram, jQ18TopOrders, jQ5Volume, aggQ12Shipmode,
     wNtile, jQ4Priority, jQ10Returns, wValueFuncs, aggListagg, aggCorr,
+    jQ14Promo,
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
