@@ -56,13 +56,13 @@ object Funnel {
   /** Max micros between consecutive funnel steps (24 h). */
   val GapUs: Long = 24L * 3600 * 1000000
 
-  private def afterAnchor(ts: Column, id: Column, at: Column,
+  private[streaming] def afterAnchor(ts: Column, id: Column, at: Column,
       aid: Column): Column =
     ts > at || (ts === at && id > aid)
 
   /** Per-user (at, aid) = two-stage min: earliest ts, then lowest id at
     * that ts — deterministic without comparing (ts, id) structs. */
-  private def firstPerUser(cand: DataFrame): DataFrame = {
+  private[streaming] def firstPerUser(cand: DataFrame): DataFrame = {
     val t1 = cand.groupBy("user_id").agg(min(col("ts")).as("mt"))
     cand.join(broadcast(t1), "user_id").filter(col("ts") === col("mt"))
       .groupBy("user_id", "mt").agg(min(col("event_id")).as("mid"))
@@ -70,7 +70,7 @@ object Funnel {
   }
 
   /** First event of `tpe` strictly after the anchor within the gap. */
-  private def step(events: DataFrame, tpe: String, anchor: DataFrame,
+  private[streaming] def step(events: DataFrame, tpe: String, anchor: DataFrame,
       gapUs: Long): DataFrame =
     firstPerUser(events.filter(col("event_type") === tpe)
       .join(broadcast(anchor), "user_id")

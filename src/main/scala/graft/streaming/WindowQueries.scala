@@ -142,6 +142,60 @@ object WindowQueries {
             |JOIN p2 ON p2.user_id = v2.user_id
             |ORDER BY v2.user_id""".stripMargin))
 
+  /** Generic 4-step CEP chain ([[Cep.chain]] — the [[Funnel]] machine
+    * for any step list; identical semantics run streaming via
+    * `transformWithState`, spec-pinned). Oracle: the same greedy
+    * two-stage-min fold, one (sN, sNb) CTE pair per step. */
+  private val cepChain4 = Declared(
+    "j_cep_chain4",
+    (s, d) => Cep.chain(Tables(s, d, "events"),
+      Seq("signup", "view", "click", "purchase")),
+    Some {
+      val H = Funnel.GapUs
+      val types = Seq("signup", "view", "click", "purchase")
+      val steps = types.zipWithIndex.map { case (tpe, k) =>
+        if (k == 0)
+          s"""s0 AS (SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = '$tpe' GROUP BY 1),
+             |s0b AS (
+             |  SELECT e.user_id, s0.t, min(e.event_id) AS i
+             |  FROM events e JOIN s0
+             |    ON e.user_id = s0.user_id AND e.ts = s0.t
+             |  WHERE e.event_type = '$tpe' GROUP BY 1, 2)""".stripMargin
+        else {
+          val p = k - 1
+          s"""s$k AS (
+             |  SELECT e.user_id, min(e.ts) AS t
+             |  FROM events e JOIN s${p}b a ON e.user_id = a.user_id
+             |  WHERE e.event_type = '$tpe'
+             |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))
+             |    AND epoch_us(e.ts) - epoch_us(a.t) <= $H
+             |  GROUP BY 1),
+             |s${k}b AS (
+             |  SELECT e.user_id, s$k.t, min(e.event_id) AS i
+             |  FROM events e
+             |  JOIN s$k ON e.user_id = s$k.user_id AND e.ts = s$k.t
+             |  JOIN s${p}b a ON a.user_id = e.user_id
+             |  WHERE e.event_type = '$tpe'
+             |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))
+             |  GROUP BY 1, 2)""".stripMargin
+        }
+      }.mkString(",\n")
+      val idsExpr = types.indices
+        .map(k => s"CAST(s${k}b.i AS VARCHAR)").mkString(" || ',' || ")
+      val joins = types.indices.tail
+        .map(k => s"JOIN s${k}b ON s${k}b.user_id = s0b.user_id")
+        .mkString("\n")
+      val last = types.size - 1
+      s"""WITH $steps
+         |SELECT s0b.user_id, $idsExpr AS step_ids,
+         |  s0b.t AS start_ts, s${last}b.t AS end_ts,
+         |  epoch_us(s${last}b.t) - epoch_us(s0b.t) AS span_us
+         |FROM s0b
+         |$joins
+         |ORDER BY s0b.user_id""".stripMargin
+    })
+
   val all: Seq[Declared] = Seq(tumbling, sessions, attribution, enrichment,
-    funnel)
+    funnel, cepChain4)
 }

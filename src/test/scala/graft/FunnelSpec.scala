@@ -130,6 +130,82 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("generic chain over the funnel's steps equals the funnel") {
+    import graft.streaming.Cep
+    val ev = Tables(spark, sf, "events")
+    val viaChain = Cep.chain(ev, Seq("view", "click", "purchase"))
+      .select("user_id", "step_ids").as[(Long, String)].collect().toMap
+    val viaFunnel = Funnel.completions(ev)
+      .selectExpr("user_id",
+        "concat_ws(',', view_id, click_id, purchase_id)")
+      .as[(Long, String)].collect().toMap
+    assert(viaChain === viaFunnel)
+    assert(viaChain.nonEmpty)
+  }
+
+  test("streaming 4-step chain equals the batch chain") {
+    import graft.streaming.Cep
+    val types = Seq("signup", "view", "click", "purchase")
+    withRocksDb {
+      val events = fixtureEvents()
+      val in = MemoryStream[FnEv](spark)
+      val q = Cep.streaming(in.toDF(), types)
+        .writeStream.format("memory").queryName("chain_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        events.grouped(events.length / 5 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+        flushEvents().foreach { e => in.addData(e); q.processAllAvailable() }
+        val got = spark.table("chain_sink")
+          .selectExpr("user_id", "concat_ws(',', step_ids)")
+          .as[(Long, String)].collect()
+        assert(got.length === got.toSet.size, "duplicate emissions")
+        val want = Cep.chain(Tables(spark, sf, "events"), types)
+          .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+        assert(got.toSet === want)
+        assert(want.nonEmpty, "fixture must contain 4-step completions")
+      } finally q.stop()
+    }
+  }
+
+  test("4-step chain equals a naive greedy replay, 12 seeded schedules") {
+    import graft.streaming.Cep
+    val types = Seq("view", "click", "error", "purchase")
+    val all = types :+ "noop"
+    for (seed <- 101 to 112) {
+      val rnd = new scala.util.Random(seed)
+      val gapUs = 900L * 1000000
+      val base = Timestamp.valueOf("2026-04-01 00:00:00").getTime
+      val evs = (0 until 500).map { i =>
+        FnEv(rnd.nextInt(5).toLong, i.toLong,
+          new Timestamp(base + rnd.nextInt(7200) * 1000L),
+          all(rnd.nextInt(all.size)))
+      }
+      val got = Cep.chain(evs.toDF(), types, gapUs)
+        .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        var st = 0; var at = 0L; var aid = 0L
+        val ids = Seq.newBuilder[Long]
+        var done = false
+        for (e <- sorted if !done) {
+          val tus = e.ts.getTime * 1000L
+          if (st < types.size && e.event_type == types(st) &&
+              (st == 0 ||
+                ((tus > at || (tus == at && e.event_id > aid)) &&
+                  tus - at <= gapUs))) {
+            st += 1; at = tus; aid = e.event_id; ids += e.event_id
+            if (st == types.size) done = true
+          }
+        }
+        if (done) Some((u, ids.result().mkString(","))) else None
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("funnel checkpoint restart: file source + file sink, exactly once") {
     withRocksDb {
       val srcDir = Files.createTempDirectory("funnel-src").toString
