@@ -53,6 +53,26 @@ object WindowQueries {
            |FROM g GROUP BY user_id, grp
            |ORDER BY user_id, w_start""".stripMargin))
 
+  /** 15-minute windows sliding every 5 — each event lands in exactly
+    * width/slide = 3 overlapping windows. Oracle: explicit 3-way unnest
+    * over the slide-aligned starts (Spark's window() epoch-origin
+    * alignment spelled out). */
+  private val sliding = Declared(
+    "events_window_sliding",
+    (s, d) => Windows.sliding(Tables(s, d, "events"),
+        width = "15 minutes", slide = "5 minutes")
+      .orderBy("w_start", "event_type"),
+    Some("""SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - k * 300)
+           |         AS TIMESTAMP) AS w_start,
+           |       CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - k * 300
+           |                         + 900) AS TIMESTAMP) AS w_end,
+           |       event_type, count(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+           |         AS sum_value
+           |FROM events, unnest(range(0, 3)) AS t(k)
+           |GROUP BY 1, 2, 3
+           |ORDER BY w_start, event_type""".stripMargin))
+
   /** Interval attribution join, batch mode: each purchase matched to the
     * same user's views in the preceding 2 hours ([[StreamJoins]] — the
     * identical builder runs stream-stream with watermarked state). */
@@ -196,6 +216,6 @@ object WindowQueries {
          |ORDER BY s0b.user_id""".stripMargin
     })
 
-  val all: Seq[Declared] = Seq(tumbling, sessions, attribution, enrichment,
-    funnel, cepChain4)
+  val all: Seq[Declared] = Seq(tumbling, sliding, sessions, attribution,
+    enrichment, funnel, cepChain4)
 }

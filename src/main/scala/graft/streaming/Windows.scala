@@ -34,6 +34,24 @@ object Windows {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Sliding (hopping) event-time windows: width `width`, advancing
+    * every `slide` — each event lands in width/slide overlapping
+    * windows (the smoothing/trend form between tumbling and session).
+    * Same shuffle-once-on-(window, key) plan; streaming state is open
+    * windows × overlap factor, still watermark-bounded. */
+  def sliding(events: DataFrame, width: String = "15 minutes",
+      slide: String = "5 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,4)")).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Session windows per user: events closer than `gap` merge into one
     * session (window end = last event + gap). */
   def sessions(events: DataFrame, gap: String = "10 minutes",

@@ -60,6 +60,25 @@ class StreamingWindowSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in width/slide windows, watermark finalizes") {
+    val in = MemoryStream[Ev](spark)
+    val q = startQuery(
+      Windows.sliding(in.toDF(), width = "10 minutes",
+        slide = "5 minutes", watermark = Some("10 minutes")),
+      "sliding_sink")
+    try {
+      // the 00:07 event belongs to [00:00,00:10) AND [00:05,00:15);
+      // 00:40 advances the watermark to 00:30 → both finalize, while
+      // the 00:40 event's own windows stay open
+      in.addData(Ev(ts(7), "a", 1.0, 1L), Ev(ts(40), "b", 5.0, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("sliding_sink")
+        .select("w_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows === Set((ts(0), "a", 1L), (ts(5), "a", 1L)))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and close on watermark") {
     val in = MemoryStream[Ev](spark)
     val q = startQuery(
