@@ -48,7 +48,7 @@ object Cep {
     val named = anchors.zipWithIndex.map { case (df, k) =>
       df.select(col("user_id"), col("at").as(s"t$k"), col("aid").as(s"i$k"))
     }
-    val joined = named.reduce((a, b) => a.join(b, "user_id"))
+    val joined = named.reduce((a, b) => a.join(broadcast(b), "user_id"))
     val n = types.size
     joined.select(col("user_id"),
         concat_ws(",",

@@ -94,7 +94,7 @@ object Funnel {
         c.select(col("user_id"), col("ct").as("at"), col("cid").as("aid")),
         gapUs)
       .select(col("user_id"), col("at").as("pt"), col("aid").as("pid"))
-    v.join(c, "user_id").join(p, "user_id")
+    v.join(broadcast(c), "user_id").join(broadcast(p), "user_id")
       .select(col("user_id"), col("vid").as("view_id"),
         col("cid").as("click_id"), col("pid").as("purchase_id"),
         col("vt").as("view_ts"), col("pt").as("purchase_ts"),

@@ -112,6 +112,15 @@ class PlanSpec extends AnyFunSuite {
       "R-flag filter must reach the lineitem scan")
   }
 
+  test("funnel/cep chains: anchors broadcast — no sort-merge, no event self-join") {
+    for (n <- Seq("j_funnel_vcp", "j_cep_chain4")) {
+      val s = planString(run(n))
+      assert(s.contains("BroadcastHashJoin"), s"$n anchors must broadcast")
+      assert(!s.contains("SortMergeJoin"),
+        s"$n must never sort-merge — anchors are |users|-bounded")
+    }
+  }
+
   test("dq suite: a single-scan aggregate — no join anywhere in the plan") {
     val s = planString(run("ml_dq_suite"))
     assert(!s.contains("Join"),
