@@ -805,14 +805,15 @@ object TextAnalysis {
     * Emits (doc_id, n_big, sum_bits, n_backoff, mean_bits, keep) —
     * `n_backoff` makes the model-coverage rate auditable per document.
     *
-    * Scale: the model is vocabulary-bounded, not corpus-bounded — the
-    * unigram table broadcasts (the [[lmSurprisal]] pattern) and the
-    * bigram table broadcasts while it fits (at a real 100 TB vocabulary
-    * it becomes an equi join on the bigram key — same plan shape, one
-    * exchange of per-doc bigram COUNTS, never raw text). Scoring
-    * pre-aggregates to (doc_id, bigram, tf) so each distinct transition
-    * is scored once per document, and every verdict is an integer
-    * cross-multiply — exact at any parallelism. */
+    * Scale: the model is vocabulary-bounded, not corpus-bounded — and
+    * so is the SCORING table: the distinct observed bigrams are scored
+    * once against the model (three small-side broadcast joins over the
+    * distinct-bigram table only), then the corpus-sized (doc, bigram,
+    * tf) table takes exactly ONE broadcast join against those scores.
+    * Per-doc counts pre-aggregate before that join (each distinct
+    * transition scored once per document), raw text never shuffles,
+    * and every verdict is an integer cross-multiply — exact at any
+    * parallelism. */
   def lmBigram(docs: DataFrame): DataFrame = {
     def bigrams(c: Column): Column = {
       val toks = tokens(c)
@@ -828,18 +829,21 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val scoredBg = tf.select("bg").distinct()
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-    tf.join(broadcast(c12), Seq("bg"), "left")
+      .join(broadcast(c12), Seq("bg"), "left")
       .join(broadcast(c1.toDF("w1", "c1")), Seq("w1"), "left")
       .join(broadcast(c1.toDF("w2", "c2")), Seq("w2"), "left")
       .crossJoin(broadcast(nn))
-      .withColumn("bits", when(col("c12").isNotNull,
+      .select(col("bg"),
+        when(col("c12").isNotNull,
           length(bin(expr("c1 div c12"))) - 1)
-        .otherwise(
-          length(bin(expr("(4 * n) div greatest(coalesce(c2, 1), 1)"))) - 1)
-        .cast("long"))
-      .withColumn("bo", col("c12").isNull.cast("long"))
+          .otherwise(length(bin(
+            expr("(4 * n) div greatest(coalesce(c2, 1), 1)"))) - 1)
+          .cast("long").as("bits"),
+        col("c12").isNull.cast("long").as("bo"))
+    tf.join(broadcast(scoredBg), Seq("bg"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_big"),
         sum(col("tf") * col("bits")).as("sum_bits"),
