@@ -1858,9 +1858,39 @@ object MlQueries {
             |       4 * (m.n * m.qq - m.s * m.s) AS INT) AS is_outlier
             |FROM nrm, m ORDER BY vec_id""".stripMargin))
 
+  /** Canonical-form dedup oracle: plant whitespace variants of every
+    * 7th document, then dedup on md5 of the SAME normalization — the
+    * variants collapse onto their originals (raw-byte hashing would
+    * see them as distinct). */
+  private val dedupNormalized = Declared(
+    "ml_dedup_normalized",
+    (s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "  "),
+            lit(" \t")).as("text"))
+      TextAnalysis.dedupNormalized(docs.unionByName(variants))
+    },
+    Some("""WITH planted AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |    '  ' || replace(text, ' ', '  ') || ' ' || chr(9)
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |norm AS (
+           |  SELECT doc_id,
+           |    md5(trim(regexp_replace(regexp_replace(text,
+           |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
+           |      '[ \t\n\r\f]+', ' ', 'g'))) AS content_hash
+           |  FROM planted)
+           |SELECT content_hash, min(doc_id) AS keeper_id,
+           |  CAST(count(*) AS BIGINT) AS dup_cnt
+           |FROM norm GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Declared] = Seq(
     dqSuite, lmBigram, postingsIdx, triangles, udtfNgrams, tvtSplit,
-    hardNeg, embOutliers,
+    hardNeg, embOutliers, dedupNormalized,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,

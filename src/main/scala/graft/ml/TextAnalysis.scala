@@ -37,16 +37,34 @@ object TextAnalysis {
     * classes evaluate identically under Java regex and RE2, so the
     * DuckDB oracle is bit-exact. `chars_removed` makes the cleanup
     * auditable per document. */
-  def normalizeText(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(col("text"),
-        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""),
+  /** The L51 normalization as a column expression (shared by
+    * [[normalizeText]] and [[dedupNormalized]]). */
+  private def normExpr(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""),
       "[ \\t\\n\\r\\f]+", " "))
+
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val norm = normExpr(col("text"))
     docs.select(col("doc_id"), norm.as("norm_text"),
         (length(col("text")) - length(norm)).cast("long")
           .as("chars_removed"))
       .orderBy("doc_id")
   }
+
+  /** Canonical-form exact dedup (L1 ∘ L51): hash the NORMALIZED text,
+    * so whitespace/control-character variants of one document — the
+    * most common crawl-duplicate class raw-byte hashing misses —
+    * collapse to one group. Same plan as exact dedup: one per-row
+    * normalize+md5 projection, one map-side-combined hash aggregate;
+    * the normalization never materializes, only its 16-byte hash
+    * shuffles. */
+  def dedupNormalized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normExpr(col("text"))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("dup_cnt"))
+      .orderBy("content_hash")
 
   /** Quality statistics per document. `quality` is a bounded rational
     * score: type-token ratio × non-stopword mass × length saturation. */
