@@ -420,20 +420,19 @@ object Bench {
     } + "\""
     // Tail-window model (r6 artifact, BENCH_r06.json): the driver keeps
     // the last 2000 RAW chars of combined stdout+stderr and json-parses
-    // within that tail. Round 7 closes the two sbt decorations that
-    // defeated the parse even once the line fit: build.sbt now sets
-    // StdoutOutput (no "[info] " prefix — the line starts with '{') and
-    // showSuccess := false (no "[success] Total time…" epilogue — the
-    // line is LAST). The line itself stays in the r6 parallel-array
-    // shape — "qk" (comma-joined key csv) + "qv" (integer deciseconds)
-    // — which keeps ~100 keys inside the window with >100 chars margin.
-    // metric/value/unit/sf/cdc keep their contract names and units.
-    // Full-precision map + CDC batch detail: /tmp/graft_bench.json and
-    // BENCHFULL_r07.json in the repo.
+    // within that tail. Round 7 closed the sbt decorations (StdoutOutput,
+    // showSuccess := false). Round 9 closes the final failure mode: at
+    // 138+ benched entries even the parallel-array "qk" csv structurally
+    // exceeded the window (r8 artifact: parsed null, head cut mid-name),
+    // so the printed line now carries ONLY bounded aggregates — total,
+    // load, the graded CDC cell, query count, slowest-5 (name:ds pairs,
+    // bounded), and the failed-key list. Per-query detail is exclusively
+    // the backstop's job: /tmp/graft_bench.json and BENCHFULL_r0N.json
+    // in the repo. Every field here is O(1) in the query count, so the
+    // line can never outgrow the window again as the surface widens.
     def ds(v: Double): String = math.max(0L, math.round(v * 10)).toString
-    val qKeys = results.keys.toSeq.sorted
-    val qkCsv = qKeys.mkString(",")
-    val qvArr = qKeys.map(k => ds(results(k))).mkString("[", ",", "]")
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${k}:${ds(v)}" }.mkString(",")
     val qsFull = results.map { case (k, v) => jstr(k) + ":" + num(v, 3) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
@@ -455,14 +454,14 @@ object Bench {
     val ldJson = loadStart.map(num(_, 2)).mkString("[", ",", "]")
     val loadEnd = loadAvg()
     val line =
-      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","sf":"$sfName","ld":$ldJson$errField,"cdc":${cdcJson._1},"qunit":"ds","qk":"$qkCsv","qv":$qvArr}"""
+      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","sf":"$sfName","ld":$ldJson$errField,"cdc":${cdcJson._1},"n_queries":${results.size},"slowest_ds":"$slowest"}"""
     val fullLine =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","load_start":$ldJson,"load_end":${loadEnd.map(num(_, 2)).mkString("[", ",", "]")},"queries":$qsFull,"cdc":${cdcJson._2},"errors":$errJson}"""
     // full-fidelity copies FIRST (3-decimal timings, per-batch CDC
     // detail): /tmp for the dev loop, in-repo so the judge reads it
     // without leaving the repo (driver commits round-end work)
     Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), fullLine)
-    try Files.writeString(java.nio.file.Paths.get("BENCHFULL_r08.json"), fullLine)
+    try Files.writeString(java.nio.file.Paths.get("BENCHFULL_r09.json"), fullLine)
     catch { case e: Throwable => System.err.println(s"[bench] repo backstop write failed: $e") }
     // accounting + failure report BEFORE the JSON line: every char of
     // stderr printed after it would eat the driver's tail window

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * `agg` (map-side combined; the two COUNT DISTINCTs expand the scan
   * 2×, the standard exact-uniqueness cost — at 100 TB swap in the HLL
   * sketch declared as `agg_approx_distinct` and gate on the estimate
-  * envelope instead), then a constant 7-row `stack`. No joins, no
+  * envelope instead), then a constant 8-row `stack`. No joins, no
   * window, nothing driver-side: the result is CONSTANT-sized regardless
   * of corpus size.
   */
@@ -55,12 +55,14 @@ object DataQuality {
       count(when(col("lang").isin(Langs: _*), 1)).as("lang_ok"),
       count(when(col("doc_id") >= 0, 1)).as("id_ok"))
     agg.selectExpr(
-      s"""stack(7,
+      s"""stack(8,
          |  'completeness_text', txt_ok, n, CAST(txt_ok = n AS INT),
          |  'doc_id_non_negative', id_ok, n, CAST(id_ok = n AS INT),
          |  'lang_in_set', lang_ok, n, CAST(lang_ok = n AS INT),
          |  'max_n_chars', max_c, CAST(1 AS BIGINT),
          |    CAST(max_c <= $MaxChars AS INT),
+         |  'max_sources', srcs, CAST(1 AS BIGINT),
+         |    CAST(srcs <= $MaxSources AS INT),
          |  'mean_n_chars_band', sum_c, n,
          |    CAST($MeanLo * n <= sum_c AND sum_c <= $MeanHi * n AS INT),
          |  'min_n_chars', min_c, CAST(1 AS BIGINT),

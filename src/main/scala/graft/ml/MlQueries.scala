@@ -1647,6 +1647,8 @@ object MlQueries {
          |UNION ALL ${row("lang_in_set", "lang_ok", "n", "lang_ok = n")}
          |UNION ALL ${row("max_n_chars", "max_c", "1",
            s"max_c <= ${DataQuality.MaxChars}")}
+         |UNION ALL ${row("max_sources", "srcs", "1",
+           s"srcs <= ${DataQuality.MaxSources}")}
          |UNION ALL ${row("mean_n_chars_band", "sum_c", "n",
            s"${DataQuality.MeanLo} * n <= sum_c AND " +
              s"sum_c <= ${DataQuality.MeanHi} * n")}

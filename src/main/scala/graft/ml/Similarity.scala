@@ -760,8 +760,12 @@ object Similarity {
     val m = nrm.agg(count(lit(1)).as("n"), sum(col("n2")).as("s"),
       sum(col("n2").cast("decimal(38,0)") * col("n2")).as("qq"))
     nrm.crossJoin(broadcast(m))
-      .withColumn("dev", (col("n") * col("n2") - col("s"))
-        .cast("decimal(38,0)"))
+      // cast BEFORE the multiply (as var_num already does): n*n2 in
+      // Long wraps silently once n·n2 exceeds 2^63, diverging from the
+      // hugeint oracle — decimal(38,0) keeps the moment exact at scale
+      .withColumn("dev",
+        col("n").cast("decimal(38,0)") * col("n2") -
+          col("s").cast("decimal(38,0)"))
       .withColumn("var_num",
         col("n").cast("decimal(38,0)") * col("qq") -
           col("s").cast("decimal(38,0)") * col("s"))

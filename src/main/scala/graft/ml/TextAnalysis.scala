@@ -835,8 +835,13 @@ object TextAnalysis {
   def lmBigram(docs: DataFrame): DataFrame = {
     def bigrams(c: Column): Column = {
       val toks = tokens(c)
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+      // short-doc guard (same as MlFunctions.shinglesOf): a 0/1-token
+      // document would make sequence(1, size-1) count DOWN to [1, 0]
+      // and element_at(toks, 0) throw — guard to an empty array
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
     }
     val model = docs.filter(col("doc_id") % 2 === 0)
     val mtok = model.select(explode(tokens(col("text"))).as("term"))

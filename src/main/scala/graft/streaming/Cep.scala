@@ -24,7 +24,8 @@ private[streaming] case class ChainHit(user_id: Long, step_ids: Seq[Long],
   *
   * Batch [[chain]] is a fold of the [[Funnel]] step primitive: per
   * step, one filtered corpus pass + one per-user two-stage-min
-  * aggregate + a broadcast anchor join (anchors bounded by |users|) —
+  * aggregate + a size-conditionally-broadcast anchor join (anchors
+  * bounded by |users|; see [[Funnel.anchorsBroadcastable]]) —
   * N steps = N pruned passes, never an event-to-event self-join.
   * Streaming [[streaming]] runs the same machine on Spark 4
   * `transformWithState` ([[ChainProcessor]]): per-user ListState
@@ -40,15 +41,16 @@ object Cep {
       gapUs: Long = Funnel.GapUs): DataFrame = {
     require(types.nonEmpty, "chain needs at least one step")
     val ev = events.select("user_id", "event_id", "ts", "event_type")
+    val small = Funnel.anchorsBroadcastable(ev)
     val first = Funnel.firstPerUser(
       ev.filter(col("event_type") === types.head)
-        .select("user_id", "event_id", "ts"))
+        .select("user_id", "event_id", "ts"), small)
     val anchors = types.tail.scanLeft(first)(
-      (anchor, tpe) => Funnel.step(ev, tpe, anchor, gapUs))
+      (anchor, tpe) => Funnel.step(ev, tpe, anchor, gapUs, small))
     val named = anchors.zipWithIndex.map { case (df, k) =>
       df.select(col("user_id"), col("at").as(s"t$k"), col("aid").as(s"i$k"))
     }
-    val joined = named.reduce((a, b) => a.join(broadcast(b), "user_id"))
+    val joined = named.reduce((a, b) => a.join(Funnel.hintIf(b, small), "user_id"))
     val n = types.size
     joined.select(col("user_id"),
         concat_ws(",",

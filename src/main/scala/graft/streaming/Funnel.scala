@@ -38,8 +38,8 @@ private[streaming] case class FunnelStage(stage: Int, at: Long, aid: Long,
   * Two forms, one semantics, spec-pinned equal:
   *  - [[completions]]: batch — three (filter → per-user two-stage min)
   *    steps, each one map-side-combined aggregate over the events scan
-  *    plus a broadcast join of the per-user anchor table (bounded by
-  *    |users|, not events). At 100 TB: three passes over a pruned
+  *    plus a size-conditionally-broadcast join of the per-user anchor
+  *    table (bounded by |users|, not events — [[anchorsBroadcastable]]). At 100 TB: three passes over a pruned
   *    per-type scan, no event-to-event self-join anywhere (contrast the
   *    theta-join attribution — this is why funnels don't explode).
   *  - [[streaming]]: Spark 4 `transformWithState` (the arbitrary-state
@@ -60,41 +60,69 @@ object Funnel {
       aid: Column): Column =
     ts > at || (ts === at && id > aid)
 
+  /** Size-conditional broadcast decision for the per-user anchor
+    * tables (r8 verdict #3): the anchors are |users|-bounded, which at
+    * fixture scale is a few KB — but at 100 TB a 10⁸-10⁹-user anchor
+    * is NOT broadcastable, and an unconditional hint becomes a
+    * driver/executor OOM where the un-hinted equi-join degrades
+    * gracefully to shuffle. Catalyst's own estimate of the anchor
+    * SUBPLANS is useless here — size-only stats multiply through the
+    * chained step joins (measured: the third anchor estimates 664 GB
+    * over a 28 KB fixture) — so the decision uses the honest upper
+    * bound instead: every anchor holds at most one narrow row per user
+    * PRESENT IN THE EVENTS SOURCE, so the source scan's estimate
+    * (footer-accurate for parquet) bounds every anchor. Hints fire only
+    * when that bound fits the session's autoBroadcastJoinThreshold;
+    * over it (or with broadcasting disabled, threshold ≤ 0) every
+    * anchor join falls through to a shuffled sort-merge join, and AQE
+    * may still convert back at runtime if the actual built size turns
+    * out small. */
+  private[streaming] def anchorsBroadcastable(events: DataFrame): Boolean = {
+    val thr = events.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 &&
+      events.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+  }
+
+  private[streaming] def hintIf(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
   /** Per-user (at, aid) = two-stage min: earliest ts, then lowest id at
     * that ts — deterministic without comparing (ts, id) structs. */
-  private[streaming] def firstPerUser(cand: DataFrame): DataFrame = {
+  private[streaming] def firstPerUser(cand: DataFrame,
+      small: Boolean = true): DataFrame = {
     val t1 = cand.groupBy("user_id").agg(min(col("ts")).as("mt"))
-    cand.join(broadcast(t1), "user_id").filter(col("ts") === col("mt"))
+    cand.join(hintIf(t1, small), "user_id").filter(col("ts") === col("mt"))
       .groupBy("user_id", "mt").agg(min(col("event_id")).as("mid"))
       .select(col("user_id"), col("mt").as("at"), col("mid").as("aid"))
   }
 
   /** First event of `tpe` strictly after the anchor within the gap. */
   private[streaming] def step(events: DataFrame, tpe: String, anchor: DataFrame,
-      gapUs: Long): DataFrame =
+      gapUs: Long, small: Boolean = true): DataFrame =
     firstPerUser(events.filter(col("event_type") === tpe)
-      .join(broadcast(anchor), "user_id")
+      .join(hintIf(anchor, small), "user_id")
       .filter(afterAnchor(col("ts"), col("event_id"), col("at"),
           col("aid")) &&
         unix_micros(col("ts")) - unix_micros(col("at")) <= gapUs)
-      .select("user_id", "event_id", "ts"))
+      .select("user_id", "event_id", "ts"), small)
 
   /** Batch funnel over the events table. Emits (user_id, view_id,
     * click_id, purchase_id, view_ts, purchase_ts, funnel_us). */
   def completions(events: DataFrame, gapUs: Long = GapUs): DataFrame = {
     val ev = events.select("user_id", "event_id", "ts", "event_type")
+    val small = anchorsBroadcastable(ev)
     val v = firstPerUser(ev.filter(col("event_type") === "view")
-      .select("user_id", "event_id", "ts"))
+      .select("user_id", "event_id", "ts"), small)
       .select(col("user_id"), col("at").as("vt"), col("aid").as("vid"))
     val c = step(ev, "click",
         v.select(col("user_id"), col("vt").as("at"), col("vid").as("aid")),
-        gapUs)
+        gapUs, small)
       .select(col("user_id"), col("at").as("ct"), col("aid").as("cid"))
     val p = step(ev, "purchase",
         c.select(col("user_id"), col("ct").as("at"), col("cid").as("aid")),
-        gapUs)
+        gapUs, small)
       .select(col("user_id"), col("at").as("pt"), col("aid").as("pid"))
-    v.join(broadcast(c), "user_id").join(broadcast(p), "user_id")
+    v.join(hintIf(c, small), "user_id").join(hintIf(p, small), "user_id")
       .select(col("user_id"), col("vid").as("view_id"),
         col("cid").as("click_id"), col("pid").as("purchase_id"),
         col("vt").as("view_ts"), col("pt").as("purchase_ts"),

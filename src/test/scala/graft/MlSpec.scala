@@ -1028,8 +1028,8 @@ class MlSpec extends AnyFunSuite {
 
   test("dq suite: one row per constraint, both verdict polarities, exact rationals") {
     val rows = DataQuality.suite(docs).collect()
-    assert(rows.length === 7)
-    assert(rows.map(_.getString(0)).distinct.length === 7)
+    assert(rows.length === 8)
+    assert(rows.map(_.getString(0)).distinct.length === 8)
     assert(rows.map(_.getInt(4)).toSet === Set(0, 1),
       "the fixture suite must exercise both pass and fail verdicts")
     rows.foreach { r =>
@@ -1038,6 +1038,7 @@ class MlSpec extends AnyFunSuite {
     }
     // the deliberately-tight bound is the one that trips
     assert(rows.find(_.getString(0) == "max_n_chars").get.getInt(4) === 0)
+    assert(rows.find(_.getString(0) == "max_sources").get.getInt(4) === 1)
     assert(rows.find(_.getString(0) == "uniqueness_doc_id").get.getInt(4) === 1)
   }
 

@@ -121,6 +121,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel/cep anchors degrade to shuffled joins over the broadcast threshold") {
+    // r8 verdict #3: the anchor hints are size-conditional — with
+    // broadcasting disabled (the stand-in for a 10⁹-user anchor that
+    // exceeds the threshold) the SAME builder must plan shuffled
+    // equi-joins instead of forcing a broadcast OOM, and the results
+    // must be identical to the broadcast-planned run
+    val under = run("j_funnel_vcp").collect()
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thrKey)
+    try {
+      spark.conf.set(thrKey, "-1")
+      val s = planString(run("j_funnel_vcp"))
+      assert(!s.contains("BroadcastHashJoin"),
+        "over the threshold no anchor may broadcast")
+      assert(s.contains("SortMergeJoin"),
+        "over the threshold anchors must shuffle (graceful degradation)")
+      val over = run("j_funnel_vcp").collect()
+      assert(over.toSeq === under.toSeq,
+        "broadcast and shuffled plans must return identical funnels")
+    } finally spark.conf.set(thrKey, saved)
+  }
+
   test("dq suite: a single-scan aggregate — no join anywhere in the plan") {
     val s = planString(run("ml_dq_suite"))
     assert(!s.contains("Join"),
