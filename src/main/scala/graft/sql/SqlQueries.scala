@@ -128,7 +128,21 @@ object SqlQueries {
     * Scale: each recursion level is one keyed join on the successor
     * edge (Catalyst plans `UnionLoop` as iterated micro-plans, the
     * same shape as the CC label-propagation loop in L27); depth is the
-    * longest chain (24 at sf0.1), not table size. */
+    * longest chain, not table size.
+    *
+    * Measured depth/cost at sf0.1 (r8 verdict #8): max depth 24
+    * (150k orders, one customer's longest order chain), total 8.65 s
+    * in the clean r8 record ⇒ ~0.36 s per recursion level — each
+    * level pays a fixed micro-plan launch plus a keyed join whose
+    * probe side SHRINKS as chains terminate, so cost is
+    * O(depth · level-launch + Σ live-chain rows); at 100× the data
+    * depth grows ~log-slowly with per-customer order counts while the
+    * per-level join stays one keyed exchange. The `c.hop < 100` guard
+    * is the runaway bound: a pathological/cyclic successor edge
+    * truncates at 100 levels IDENTICALLY in both engines (the guard
+    * is in the dialect-neutral text, not an engine conf), instead of
+    * looping to the engine's recursion ceiling; at 4× the measured
+    * depth it is unreachable on real data. */
   private val recursiveChainSql =
     """WITH RECURSIVE nxt AS (
       |  SELECT o_custkey, o_orderkey,
@@ -142,7 +156,8 @@ object SqlQueries {
       |  FROM nxt WHERE seq = 1
       |  UNION ALL
       |  SELECT n.o_custkey, n.o_orderkey, n.next_key, n.seq, c.hop + 1
-      |  FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key)
+      |  FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key
+      |  WHERE c.hop < 100)
       |SELECT o_custkey, o_orderkey, hop, seq
       |FROM chain ORDER BY o_custkey, hop""".stripMargin
 

@@ -15,6 +15,11 @@ private[streaming] case class ChainState(stage: Int, at: Long, aid: Long,
 private[streaming] case class ChainHit(user_id: Long, step_ids: Seq[Long],
     step_ts_us: Seq[Long])
 
+/** One pattern step: an event type to match (`negated = false`) or an
+  * event type whose ABSENCE is required (`negated = true`) — interior
+  * between two positives, or trailing within the gap window. */
+final case class CepStep(tpe: String, negated: Boolean = false)
+
 /** Generic ordered-pattern (CEP) chain detection — [[Funnel]]'s
   * semantics for ANY step sequence: per user, the greedy
   * skip-till-next-match first completion of `types.head → types(1) →
@@ -60,6 +65,112 @@ object Cep {
         (unix_micros(col(s"t${n - 1}")) - unix_micros(col("t0")))
           .as("span_us"))
       .orderBy("user_id")
+  }
+
+  /** Ordered-pattern chain with NEGATION steps (r8 verdict #7 — the
+    * MATCH_RECOGNIZE / Flink-CEP `notFollowedBy` family): positive
+    * steps match exactly like [[chain]] (greedy, anchored, within-gap,
+    * ties on event_id); a negated step constrains ABSENCE:
+    *
+    *  - interior NOT (between positives Pₖ and Pₖ₊₁): the user's match
+    *    FAILS outright if any event of the negated type lies strictly
+    *    between Pₖ's anchor and Pₖ₊₁'s matched event in (ts, event_id)
+    *    order — anchors never re-bind, so a violated interval kills
+    *    the match (the greedy contract extended to absence);
+    *  - trailing NOT (after the last positive): the match survives iff
+    *    NO event of the negated type lands strictly after the final
+    *    anchor within `gapUs` — the churn shape ("view then no
+    *    purchase within 24 h").
+    *
+    * Output is [[chain]]'s shape over the positive steps. Batch cost:
+    * the positive fold (one pruned pass per step) plus ONE filtered
+    * pass + distinct per negation, anti-joined — still never an
+    * event-to-event self-join; violator sets are |users|-bounded.
+    * The streaming twin is [[streamingNot]] ([[ChainNotProcessor]]),
+    * spec-pinned equal: a trailing-NOT completion emits only once the
+    * watermark proves the absence window closed. */
+  def chainNot(events: DataFrame, steps: Seq[CepStep],
+      gapUs: Long = Funnel.GapUs): DataFrame = {
+    require(steps.nonEmpty && !steps.head.negated,
+      "chainNot must start with a positive step")
+    val positives = steps.filter(!_.negated).map(_.tpe)
+    val ev = events.select("user_id", "event_id", "ts", "event_type")
+    val small = Funnel.anchorsBroadcastable(ev)
+    val first = Funnel.firstPerUser(
+      ev.filter(col("event_type") === positives.head)
+        .select("user_id", "event_id", "ts"), small)
+    val anchors = positives.tail.scanLeft(first)(
+      (anchor, tpe) => Funnel.step(ev, tpe, anchor, gapUs, small))
+    // (negated type, index of the positive anchor it follows,
+    //  Some(index of the positive that closes its interval) | None =
+    //  trailing)
+    val negs = {
+      var p = 0
+      steps.flatMap { s =>
+        if (!s.negated) { p += 1; None }
+        else Some((s.tpe, p - 1,
+          if (p < positives.size) Some(p) else None))
+      }
+    }
+    val violators = negs.map { case (tpe, prev, next) =>
+      val cand = ev.filter(col("event_type") === tpe)
+      next match {
+        case Some(n) =>
+          val interval = anchors(prev)
+            .select(col("user_id"), col("at"), col("aid"))
+            .join(anchors(n).select(col("user_id"), col("at").as("nt"),
+              col("aid").as("nid")), "user_id")
+          cand.join(Funnel.hintIf(interval, small), "user_id")
+            .filter(Funnel.afterAnchor(col("ts"), col("event_id"),
+                col("at"), col("aid")) &&
+              Funnel.afterAnchor(col("nt"), col("nid"),
+                col("ts"), col("event_id")))
+            .select("user_id").distinct()
+        case None =>
+          cand.join(Funnel.hintIf(anchors(prev), small), "user_id")
+            .filter(Funnel.afterAnchor(col("ts"), col("event_id"),
+                col("at"), col("aid")) &&
+              unix_micros(col("ts")) - unix_micros(col("at")) <= gapUs)
+            .select("user_id").distinct()
+      }
+    }
+    val named = anchors.zipWithIndex.map { case (df, k) =>
+      df.select(col("user_id"), col("at").as(s"t$k"), col("aid").as(s"i$k"))
+    }
+    val joined = named.reduce((a, b) =>
+      a.join(Funnel.hintIf(b, small), "user_id"))
+    val surviving = violators.foldLeft(joined)(
+      (df, v) => df.join(v, Seq("user_id"), "left_anti"))
+    val n = positives.size
+    surviving.select(col("user_id"),
+        concat_ws(",",
+          (0 until n).map(k => col(s"i$k").cast("string")): _*)
+          .as("step_ids"),
+        col("t0").as("start_ts"), col(s"t${n - 1}").as("end_ts"),
+        (unix_micros(col(s"t${n - 1}")) - unix_micros(col("t0")))
+          .as("span_us"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming twin of [[chainNot]] ([[ChainNotProcessor]] under
+    * `transformWithState`). A completion whose last step is a trailing
+    * NOT emits only once the watermark passes anchor+gap — absence is
+    * proven, never assumed. */
+  def streamingNot(events: DataFrame, steps: Seq[CepStep],
+      gapUs: Long = Funnel.GapUs,
+      watermark: String = "30 minutes"): Dataset[ChainHit] = {
+    require(steps.nonEmpty && !steps.head.negated,
+      "chainNot must start with a positive step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ChainNotProcessor(steps, gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming chain: watermarked events → [[ChainProcessor]] under
@@ -147,5 +258,130 @@ private[streaming] class ChainProcessor(types: Seq[String], gapUs: Long)
     val pending = buf.get().toSeq
     if (pending.nonEmpty)
       getHandle.registerTimer(pending.map(_.ts_us).min / 1000L + 1L)
+  }
+}
+
+/** The TWS processor behind [[Cep.streamingNot]] — the [[ChainProcessor]]
+  * machine extended with negation. Stage encoding over POSITIVE steps:
+  * 0..P-1 = awaiting positive `stage`; P = all positives matched,
+  * awaiting trailing-absence confirmation (only reachable when a
+  * trailing NOT exists); P+1 = emitted (terminal); -1 = a negation
+  * violated (terminal, never emits). Because buffered events drain in
+  * strict (ts, event_id) order once the watermark passes them, an
+  * interior violation is detectable the moment the forbidden event is
+  * processed while its interval is still open, and a trailing
+  * completion is provable the moment an event (or the watermark)
+  * passes anchor+gap with no forbidden event seen — both decisions are
+  * therefore deterministic regardless of micro-batch boundaries. */
+private[streaming] class ChainNotProcessor(steps: Seq[CepStep], gapUs: Long)
+    extends StatefulProcessor[Long, FunnelEvent, ChainHit] {
+  private val positives: IndexedSeq[String] =
+    steps.filter(!_.negated).map(_.tpe).toIndexedSeq
+  /** forbidden(k): types that must be absent while awaiting positive k
+    * (i.e. negations written between positive k-1 and positive k). */
+  private val forbidden: IndexedSeq[Set[String]] = {
+    val m = Array.fill(positives.size)(Set.empty[String])
+    var p = 0
+    steps.foreach { s =>
+      if (!s.negated) p += 1
+      else if (p < positives.size) m(p) = m(p) + s.tpe
+    }
+    m.toIndexedSeq
+  }
+  /** Types that must be absent within gap after the final positive. */
+  private val trailing: Set[String] = {
+    var p = 0
+    val b = Set.newBuilder[String]
+    steps.foreach { s =>
+      if (!s.negated) p += 1
+      else if (p == positives.size) b += s.tpe
+    }
+    b.result()
+  }
+
+  @transient private var buf: ListState[FunnelEvent] = _
+  @transient private var stage: ValueState[ChainState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[FunnelEvent]("buf",
+      Encoders.product[FunnelEvent], TTLConfig.NONE)
+    stage = getHandle.getValueState[ChainState]("stage",
+      Encoders.product[ChainState], TTLConfig.NONE)
+  }
+
+  private def current(): ChainState =
+    if (stage.exists()) stage.get()
+    else ChainState(0, 0L, 0L, Seq.empty, Seq.empty)
+
+  private def terminal(st: ChainState): Boolean =
+    st.stage < 0 || st.stage > positives.size ||
+      (st.stage == positives.size && trailing.isEmpty)
+
+  private def after(e: FunnelEvent, st: ChainState): Boolean =
+    e.ts_us > st.at || (e.ts_us == st.at && e.event_id > st.aid)
+
+  private def drain(key: Long, wmUs: Long): Iterator[ChainHit] = {
+    val all = buf.get().toSeq
+    var st = current()
+    val hits = Seq.newBuilder[ChainHit]
+    val (ripe, rest) = all.partition(_.ts_us <= wmUs)
+    ripe.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      if (!terminal(st)) {
+        if (st.stage < positives.size) {
+          if (st.stage >= 1 && forbidden(st.stage).contains(e.event_type) &&
+              after(e, st)) {
+            // forbidden event inside the open interval: any future
+            // match of the awaited positive would contain it — fail
+            st = st.copy(stage = -1)
+          } else if (e.event_type == positives(st.stage) &&
+              (st.stage == 0 ||
+                (after(e, st) && e.ts_us - st.at <= gapUs))) {
+            st = ChainState(st.stage + 1, e.ts_us, e.event_id,
+              st.ids :+ e.event_id, st.tss :+ e.ts_us)
+            if (st.stage == positives.size && trailing.isEmpty)
+              hits += ChainHit(key, st.ids, st.tss) // emit, terminal
+          }
+        } else { // st.stage == positives.size, trailing nonEmpty
+          if (e.ts_us - st.at > gapUs) {
+            // in-order processing passed the absence window clean
+            hits += ChainHit(key, st.ids, st.tss)
+            st = st.copy(stage = positives.size + 1)
+          } else if (trailing.contains(e.event_type) && after(e, st)) {
+            st = st.copy(stage = -1)
+          }
+        }
+      }
+    }
+    // watermark alone can prove the trailing absence: every event
+    // ≤ anchor+gap ≤ wm has already drained in order
+    if (st.stage == positives.size && trailing.nonEmpty &&
+        wmUs > st.at + gapUs) {
+      hits += ChainHit(key, st.ids, st.tss)
+      st = st.copy(stage = positives.size + 1)
+    }
+    stage.update(st)
+    if (terminal(st) || rest.isEmpty) buf.clear()
+    else buf.put(rest.toArray)
+    if (!terminal(st)) {
+      val pending = buf.get().toSeq
+      if (pending.nonEmpty)
+        getHandle.registerTimer(pending.map(_.ts_us).min / 1000L + 1L)
+      if (st.stage == positives.size)
+        getHandle.registerTimer((st.at + gapUs) / 1000L + 1L)
+    }
+    hits.result().iterator
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+      timers: TimerValues): Iterator[ChainHit] = {
+    if (terminal(current())) return Iterator.empty
+    rows.foreach(buf.appendValue)
+    drain(key, timers.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[ChainHit] = {
+    if (terminal(current())) return Iterator.empty
+    drain(key, timers.getCurrentWatermarkInMs() * 1000L)
   }
 }

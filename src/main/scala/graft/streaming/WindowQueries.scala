@@ -216,6 +216,56 @@ object WindowQueries {
          |ORDER BY s0b.user_id""".stripMargin
     })
 
+  /** CEP negation — the churn query ([[Cep.chainNot]]): users whose
+    * greedy first view→click completed but who then did NOT purchase
+    * within the gap window (trailing-NOT absence). Oracle: the same
+    * two-stage-min positive chain, minus users with a qualifying
+    * purchase after the click anchor. The identical semantics run
+    * streaming via [[Cep.streamingNot]] (emission withheld until the
+    * watermark proves the absence window closed), spec-pinned equal. */
+  private val cepChurn = Declared(
+    "j_cep_churn",
+    (s, d) => Cep.chainNot(Tables(s, d, "events"),
+      Seq(CepStep("view"), CepStep("click"),
+        CepStep("purchase", negated = true))),
+    Some(s"""WITH s0 AS (
+            |  SELECT user_id, min(ts) AS t FROM events
+            |  WHERE event_type = 'view' GROUP BY 1),
+            |s0b AS (
+            |  SELECT e.user_id, s0.t, min(e.event_id) AS i
+            |  FROM events e JOIN s0
+            |    ON e.user_id = s0.user_id AND e.ts = s0.t
+            |  WHERE e.event_type = 'view' GROUP BY 1, 2),
+            |s1 AS (
+            |  SELECT e.user_id, min(e.ts) AS t
+            |  FROM events e JOIN s0b a ON e.user_id = a.user_id
+            |  WHERE e.event_type = 'click'
+            |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))
+            |    AND epoch_us(e.ts) - epoch_us(a.t) <= ${Funnel.GapUs}
+            |  GROUP BY 1),
+            |s1b AS (
+            |  SELECT e.user_id, s1.t, min(e.event_id) AS i
+            |  FROM events e
+            |  JOIN s1 ON e.user_id = s1.user_id AND e.ts = s1.t
+            |  JOIN s0b a ON a.user_id = e.user_id
+            |  WHERE e.event_type = 'click'
+            |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))
+            |  GROUP BY 1, 2),
+            |viol AS (
+            |  SELECT DISTINCT e.user_id
+            |  FROM events e JOIN s1b a ON e.user_id = a.user_id
+            |  WHERE e.event_type = 'purchase'
+            |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))
+            |    AND epoch_us(e.ts) - epoch_us(a.t) <= ${Funnel.GapUs})
+            |SELECT s0b.user_id,
+            |  CAST(s0b.i AS VARCHAR) || ',' || CAST(s1b.i AS VARCHAR)
+            |    AS step_ids,
+            |  s0b.t AS start_ts, s1b.t AS end_ts,
+            |  epoch_us(s1b.t) - epoch_us(s0b.t) AS span_us
+            |FROM s0b JOIN s1b ON s1b.user_id = s0b.user_id
+            |WHERE s0b.user_id NOT IN (SELECT user_id FROM viol)
+            |ORDER BY s0b.user_id""".stripMargin))
+
   val all: Seq[Declared] = Seq(tumbling, sliding, sessions, attribution,
-    enrichment, funnel, cepChain4)
+    enrichment, funnel, cepChain4, cepChurn)
 }

@@ -245,4 +245,184 @@ class FunnelSpec extends AnyFunSuite {
       assert(got.toSet === batchHits())
     }
   }
+
+  test("chainNot with no negations equals chain") {
+    import graft.streaming.{Cep, CepStep}
+    val types = Seq("view", "click", "purchase")
+    val ev = Tables(spark, sf, "events")
+    val viaNot = Cep.chainNot(ev, types.map(t => CepStep(t)))
+      .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+    val viaChain = Cep.chain(ev, types)
+      .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+    assert(viaNot === viaChain)
+    assert(viaNot.nonEmpty)
+  }
+
+  test("churn (trailing NOT) partitions the positive chain by purchase absence") {
+    import graft.streaming.{Cep, CepStep}
+    val ev = Tables(spark, sf, "events")
+    val positive = Cep.chain(ev, Seq("view", "click"))
+      .select("user_id").as[Long].collect().toSet
+    val churned = Cep.chainNot(ev, Seq(CepStep("view"), CepStep("click"),
+        CepStep("purchase", negated = true)))
+      .select("user_id").as[Long].collect().toSet
+    assert(churned.subsetOf(positive),
+      "churn rows must be positive-chain completions")
+    assert(churned.nonEmpty && churned != positive,
+      "fixture must exercise both churned and converted users")
+  }
+
+  test("streaming chainNot (churn) equals batch; emission awaits the closed window") {
+    import graft.streaming.{Cep, CepStep}
+    val steps = Seq(CepStep("view"), CepStep("click"),
+      CepStep("purchase", negated = true))
+    withRocksDb {
+      val events = fixtureEvents()
+      val in = MemoryStream[FnEv](spark)
+      val q = Cep.streamingNot(in.toDF(), steps)
+        .writeStream.format("memory").queryName("churn_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        events.grouped(events.length / 5 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+        flushEvents().foreach { e => in.addData(e); q.processAllAvailable() }
+        val got = spark.table("churn_sink")
+          .select("user_id", "step_ids")
+          .selectExpr("user_id", "concat_ws(',', step_ids)")
+          .as[(Long, String)].collect()
+        assert(got.length === got.toSet.size, "duplicate emissions")
+        val want = Cep.chainNot(Tables(spark, sf, "events"), steps)
+          .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+        assert(got.toSet === want)
+        assert(want.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
+  test("trailing-NOT emission is withheld until the watermark closes the window") {
+    import graft.streaming.{Cep, CepStep}
+    val steps = Seq(CepStep("view"), CepStep("click"),
+      CepStep("purchase", negated = true))
+    val gapUs = 600L * 1000000 // 10 min absence window
+    val t0 = Timestamp.valueOf("2026-07-01 00:00:00").getTime
+    def ev(u: Long, id: Long, offSec: Long, tpe: String) =
+      FnEv(u, id, new Timestamp(t0 + offSec * 1000L), tpe)
+    withRocksDb {
+      val in = MemoryStream[FnEv](spark)
+      val q = Cep.streamingNot(in.toDF(), steps, gapUs,
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("withhold_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // user 1 completes view→click (window closes at +11 min); user 2
+        // purchases inside the window (never emits). Watermark after
+        // this batch sits 30 min behind +5 min — both windows OPEN.
+        in.addData(ev(1, 1, 0, "view"), ev(1, 2, 60, "click"),
+          ev(2, 3, 0, "view"), ev(2, 4, 60, "click"),
+          ev(2, 5, 300, "purchase"), ev(9, 6, 300, "noop"))
+        q.processAllAvailable()
+        assert(spark.table("withhold_sink").count() === 0,
+          "absence must be proven by the watermark, never assumed")
+        // push the watermark past user 1's anchor+gap (+11 min):
+        // +45 min event ⇒ watermark +15 min
+        in.addData(ev(9, 7, 2700, "noop"))
+        q.processAllAvailable()
+        val got = spark.table("withhold_sink")
+          .select("user_id").as[Long].collect().toSeq
+        assert(got === Seq(1L),
+          "only the purchase-free user emits, exactly once")
+      } finally q.stop()
+    }
+  }
+
+  test("chainNot equals a naive interval replay, 12 seeded schedules") {
+    import graft.streaming.{Cep, CepStep}
+    // view → NOT error → click → NOT purchase (interior + trailing)
+    val steps = Seq(CepStep("view"), CepStep("error", negated = true),
+      CepStep("click"), CepStep("purchase", negated = true))
+    val all = Seq("view", "click", "error", "purchase", "noop")
+    for (seed <- 201 to 212) {
+      val rnd = new scala.util.Random(seed)
+      val gapUs = 900L * 1000000
+      val base = Timestamp.valueOf("2026-05-01 00:00:00").getTime
+      // second-granularity over 2 h → deliberate timestamp collisions
+      val evs = (0 until 500).map { i =>
+        FnEv(rnd.nextInt(6).toLong, i.toLong,
+          new Timestamp(base + rnd.nextInt(7200) * 1000L),
+          all(rnd.nextInt(all.size)))
+      }
+      val got = Cep.chainNot(evs.toDF(), steps, gapUs)
+        .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+      // independent interval-style replay: greedily match the positive
+      // chain, then check each negation's interval for intruders
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        def tus(e: FnEv) = e.ts.getTime * 1000L
+        // positive chain: first view, then first click after it in gap
+        val view = sorted.find(_.event_type == "view")
+        val click = view.flatMap { v =>
+          sorted.find(e => e.event_type == "click" &&
+            (tus(e) > tus(v) ||
+              (tus(e) == tus(v) && e.event_id > v.event_id)) &&
+            tus(e) - tus(v) <= gapUs)
+        }
+        (view, click) match {
+          case (Some(v), Some(c)) =>
+            val errBetween = sorted.exists(e => e.event_type == "error" &&
+              (tus(e) > tus(v) ||
+                (tus(e) == tus(v) && e.event_id > v.event_id)) &&
+              (tus(e) < tus(c) ||
+                (tus(e) == tus(c) && e.event_id < c.event_id)))
+            val purchaseAfter = sorted.exists(e =>
+              e.event_type == "purchase" &&
+              (tus(e) > tus(c) ||
+                (tus(e) == tus(c) && e.event_id > c.event_id)) &&
+              tus(e) - tus(c) <= gapUs)
+            if (!errBetween && !purchaseAfter)
+              Some((u, s"${v.event_id},${c.event_id}"))
+            else None
+          case _ => None
+        }
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("streaming chainNot equals batch on random schedules with negations") {
+    import graft.streaming.{Cep, CepStep}
+    val steps = Seq(CepStep("view"), CepStep("error", negated = true),
+      CepStep("click"), CepStep("purchase", negated = true))
+    val all = Seq("view", "click", "error", "purchase", "noop")
+    val rnd = new scala.util.Random(777)
+    val gapUs = 900L * 1000000
+    val base = Timestamp.valueOf("2026-06-01 00:00:00").getTime
+    val evs = (0 until 400).map { i =>
+      FnEv(rnd.nextInt(6).toLong, i.toLong,
+        new Timestamp(base + rnd.nextInt(7200) * 1000L),
+        all(rnd.nextInt(all.size)))
+    }
+    withRocksDb {
+      val in = MemoryStream[FnEv](spark)
+      val q = Cep.streamingNot(in.toDF(), steps, gapUs)
+        .writeStream.format("memory").queryName("chainnot_rand_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        evs.sortBy(e => (e.ts.getTime, e.event_id))
+          .grouped(evs.length / 4 + 1).foreach { chunk =>
+            in.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        flushEvents().foreach { e => in.addData(e); q.processAllAvailable() }
+        val got = spark.table("chainnot_rand_sink")
+          .selectExpr("user_id", "concat_ws(',', step_ids)")
+          .as[(Long, String)].collect()
+        assert(got.length === got.toSet.size, "duplicate emissions")
+        val want = Cep.chainNot(evs.toDF(), steps, gapUs)
+          .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+        assert(got.toSet === want)
+      } finally q.stop()
+    }
+  }
 }
