@@ -1268,61 +1268,91 @@ object MlQueries {
            |       AS BIGINT) AS decoded_height
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Drives the typed mapPartitions decode pipeline end-to-end (batched
-    * stub decoder, [[Multimodal.decodeAll]]) and oracle-checks its
-    * deterministic outputs — the decode STUB is fake, the plumbing
-    * (binary columns through a typed Dataset, per-partition batching) is
-    * the real thing under test. */
+  /** Shared oracle CTE: the BMP generation geometry + per-pixel channel
+    * formulas ([[Multimodal.toBmp]]) evaluated in pure SQL — the oracle
+    * never parses bytes; it recomputes what the engine's parser must
+    * EXTRACT from them, so any decode slip breaks the match. */
+  private val bmpGeomCte =
+    """g AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 16 AS INT) AS w,
+      |    CAST(8 + octet_length(encode(text)) % 8 AS INT) AS h,
+      |    octet_length(encode(text)) AS tlen
+      |  FROM documents)""".stripMargin
+
+  /** Drives the typed mapPartitions decode pipeline end-to-end — REAL
+    * since r9 (r8 verdict #4): [[Multimodal.decodeBmp]] parses actual
+    * BMP bytes (little-endian header, bottom-up rows, BGR, padding)
+    * and the oracle re-derives dims + exact integer pixel stats from
+    * the generation formulas, including the position-weighted checksum
+    * that catches row-order/channel-order mistakes plain sums miss. */
   private val mediaDecode = Declared(
     "ml_media_decode",
     (s, d) => Multimodal
-      .decodeAll(s, Multimodal.asMedia(Tables(s, d, "documents")))
+      .decodeAll(s, Multimodal.asBmpMedia(Tables(s, d, "documents")))
       .toDF()
       .select(col("doc_id"), col("format"), col("n_bytes"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
-        element_at(col("feature"), 1).cast("double").as("f0"))
+        col("sum_r"), col("sum_g"), col("sum_b"), col("pos_sum"))
       .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg'
-           |       WHEN 1 THEN 'png' ELSE 'wav' END AS format,
-           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           |  CAST((ascii(substr(text, 1, 1)) * 5) % 1024 + 16 AS BIGINT)
-           |    AS width,
-           |  CAST((ascii(substr(text, 2, 1)) * 3) % 1024 + 16 AS BIGINT)
-           |    AS height,
-           |  CAST(CAST(octet_length(encode(text)) % 257 AS FLOAT)
-           |       / CAST(257 AS FLOAT) AS DOUBLE) AS f0
-           |FROM documents ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH $bmpGeomCte,
+            |px AS (
+            |  SELECT g.doc_id, g.w, g.h,
+            |    (x.x * 7 + y.y * 13 + g.doc_id) % 256 AS r,
+            |    (x.x * 3 + y.y * 5 + g.tlen) % 256 AS gr,
+            |    (x.x + y.y + 1) % 256 AS b,
+            |    y.y * g.w + x.x AS pos
+            |  FROM g, unnest(range(0, g.w)) AS x(x),
+            |       unnest(range(0, g.h)) AS y(y))
+            |SELECT doc_id, 'bmp' AS format,
+            |  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+            |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            |  CAST(sum(r) AS BIGINT) AS sum_r,
+            |  CAST(sum(gr) AS BIGINT) AS sum_g,
+            |  CAST(sum(b) AS BIGINT) AS sum_b,
+            |  CAST(sum(pos * (r + 2 * gr + 3 * b)) AS BIGINT) AS pos_sum
+            |FROM px GROUP BY doc_id, w, h
+            |ORDER BY doc_id""".stripMargin))
 
-  /** Chains the second typed stage (batched resize) onto the decode —
-    * scale factors are single IEEE double divisions of oracle-checked
-    * integer dims, so the values are engine-exact. */
+  /** Chains the second typed stage — a REAL nearest-neighbor resample
+    * over the decoded raster — onto the parse: the oracle evaluates the
+    * same ⌊i·w/out⌋ source mapping against the generation formulas and
+    * sums the resampled channels exactly; scale factors stay single
+    * IEEE divisions of oracle-checked integer dims. */
   private val mediaResize = Declared(
     "ml_media_resize",
     (s, d) => Multimodal
-      .resizeAll(Multimodal.decodeAll(s,
-        Multimodal.asMedia(Tables(s, d, "documents"))))
+      .resizeAll(Multimodal.asBmpMedia(Tables(s, d, "documents")))
       .toDF()
       .select(col("doc_id"), col("format"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("out_w").cast("long").as("out_w"),
         col("out_h").cast("long").as("out_h"),
-        col("scale_x"), col("scale_y"))
+        col("scale_x"), col("scale_y"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
       .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg'
-           |       WHEN 1 THEN 'png' ELSE 'wav' END AS format,
-           |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-           |  CAST(224 AS BIGINT) AS out_w, CAST(224 AS BIGINT) AS out_h,
-           |  CAST(224 AS DOUBLE) / w AS scale_x,
-           |  CAST(224 AS DOUBLE) / h AS scale_y
-           |FROM (SELECT doc_id,
-           |        (ascii(substr(text, 1, 1)) * 5) % 1024 + 16 AS w,
-           |        (ascii(substr(text, 2, 1)) * 3) % 1024 + 16 AS h
-           |      FROM documents)
-           |ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH $bmpGeomCte,
+            |rp AS (
+            |  SELECT g.doc_id, g.w, g.h,
+            |    (i.i * g.w) // ${Multimodal.ResizeW} AS sx,
+            |    (j.j * g.h) // ${Multimodal.ResizeH} AS sy,
+            |    g.tlen
+            |  FROM g, unnest(range(0, ${Multimodal.ResizeW})) AS i(i),
+            |       unnest(range(0, ${Multimodal.ResizeH})) AS j(j))
+            |SELECT doc_id, 'bmp' AS format,
+            |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            |  CAST(${Multimodal.ResizeW} AS BIGINT) AS out_w,
+            |  CAST(${Multimodal.ResizeH} AS BIGINT) AS out_h,
+            |  CAST(${Multimodal.ResizeW} AS DOUBLE) / w AS scale_x,
+            |  CAST(${Multimodal.ResizeH} AS DOUBLE) / h AS scale_y,
+            |  CAST(sum((sx * 7 + sy * 13 + doc_id) % 256) AS BIGINT)
+            |    AS sum_r,
+            |  CAST(sum((sx * 3 + sy * 5 + tlen) % 256) AS BIGINT) AS sum_g,
+            |  CAST(sum((sx + sy + 1) % 256) AS BIGINT) AS sum_b
+            |FROM rp GROUP BY doc_id, w, h
+            |ORDER BY doc_id""".stripMargin))
 
   /** Frame sampling as pure column ops: payload → ≤ 8 evenly-strided
     * 100-byte frames, each sliced from the binary column and md5'd. */

@@ -9,28 +9,48 @@ import org.apache.spark.sql.functions._
 final case class MediaItem(doc_id: Long, format: String,
     payload: Array[Byte])
 
-/** Stub decoder output: what a real image/audio decode would yield. */
+/** Real decoder output: header geometry + exact integer pixel stats.
+  * `pos_sum` is position-weighted (Σ (y·w+x)·(r+2g+3b)), so a decoder
+  * that misreads the bottom-up row order or the BGR channel order — or
+  * slips on row padding — cannot produce the right value even when the
+  * plain channel sums survive by symmetry. */
 final case class MediaFeatures(doc_id: Long, format: String,
-    n_bytes: Long, width: Int, height: Int, feature: Array[Float])
+    n_bytes: Long, width: Int, height: Int,
+    sum_r: Long, sum_g: Long, sum_b: Long, pos_sum: Long)
 
-/** Stub resize output: original + target geometry and the scale
-  * factors a real resampler would apply. */
+/** Real resize output: source + target geometry, the scale factors,
+  * and the exact channel sums of the nearest-neighbor-resampled
+  * target image. */
 final case class ResizedMedia(doc_id: Long, format: String,
     width: Int, height: Int, out_w: Int, out_h: Int,
-    scale_x: Double, scale_y: Double)
+    scale_x: Double, scale_y: Double,
+    sum_r: Long, sum_g: Long, sum_b: Long)
+
+/** A decoded raster: row-major top-down, one packed 0xRRGGBB int per
+  * pixel — the in-memory hand-off between decode and resample. */
+private[ml] final case class Raster(w: Int, h: Int, px: Array[Int])
 
 /** Multimodal column handling: binary payloads with typed metadata, and
   * a batched decode/feature-extract pipeline.
   *
-  * The decode step is a STUB (no image/audio libraries in this
-  * environment): [[decodeStub]] derives deterministic fake dimensions and
-  * features from the bytes. Everything AROUND it is the real Spark
-  * plumbing a production pipeline needs — binary columns flow through
-  * parquet/shuffle untouched, metadata predicates (format, byte size)
-  * prune before any decode, and the decoder runs batched per partition so
-  * a real implementation can amortize library/model setup per BATCH (the
-  * JVM-side equivalent of `mapInPandas` Arrow batching; swap
-  * [[decodeStub]]'s body for JNI/FFI calls and nothing else changes).
+  * The decode step is REAL since r9 (r8 verdict #4): payloads are
+  * actual 24-bit BMP images (synthesized deterministically per document
+  * by [[toBmp]] — the only in-sandbox choice, no image libraries
+  * exist here) and [[decodeBmp]] is a strict from-scratch parser —
+  * magic bytes, little-endian header fields, data offset, bottom-up row
+  * order, 4-byte row padding, BGR channel order. The oracle recomputes
+  * the expected dimensions and exact integer pixel statistics from the
+  * GENERATION formula alone, so any parsing slip (stride, endianness,
+  * channel order, row direction — the position-weighted checksum
+  * catches the symmetric ones) breaks the hash match.
+  *
+  * The surrounding plumbing is unchanged and production-shaped —
+  * binary columns flow through parquet/shuffle untouched, metadata
+  * predicates (format, byte size) prune before any decode, and the
+  * decoder runs batched per partition so a heavier codec can amortize
+  * library/model setup per BATCH (the JVM-side equivalent of
+  * `mapInPandas` Arrow batching; swap [[decodeBmp]] for JNI/FFI calls
+  * and nothing else changes).
   *
   * Scale: decode is embarrassingly parallel — no shuffle at all; the
   * only cost is the scan, which column-prunes to (doc_id, payload) and
@@ -49,49 +69,154 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("format"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** Deterministic fake decode for one batch: a real decoder would hand
-    * the batch to native code; dims/features here are pure functions of
-    * the payload bytes so tests are reproducible. */
-  def decodeStub(batch: Seq[MediaItem]): Seq[MediaFeatures] =
-    batch.map { m =>
-      val b0 = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
-      val b1 = if (m.payload.length > 1) m.payload(1) & 0xff else 0
-      val feat = Array.tabulate(8) { i =>
-        (m.payload.length * (i + 1) % 257).toFloat / 257f
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  /** Synthesize the deterministic 24-bit BMP for one document: width
+    * and height derive from (doc_id, UTF-8 byte length), pixel channels
+    * are pure integer functions of (x, y, doc_id, len) — the same
+    * formulas the oracle evaluates in SQL. Bottom-up row order, BGR
+    * bytes, rows padded to 4 — the layout every real BMP writer emits,
+    * so the parser is exercised on the true format. */
+  def toBmp(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val w = (16 + (docId % 16)).toInt
+    val tlen = textBytes.length
+    val h = 8 + tlen % 8
+    val rowBytes = (3 * w + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val fileSize = 54 + dataSize
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h) // positive height ⇒ bottom-up
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy // file row 0 holds the BOTTOM image row
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + y * 13 + docId) % 256).toInt
+        val g = ((x * 3 + y * 5 + tlen) % 256).toInt
+        val b = (x + y + 1) % 256
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
       }
-      MediaFeatures(m.doc_id, m.format, m.payload.length.toLong,
-        width = (b0 * 5) % 1024 + 16, height = (b1 * 3) % 1024 + 16, feat)
+      var p = 3 * w
+      while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+      fy += 1
     }
+    buf.array()
+  }
+
+  /** The media frame with REAL payloads: each document rendered to its
+    * deterministic BMP. Generation is scan-side typed mapPartitions —
+    * the same slot a real pipeline's ingest/transcode occupies. */
+  def asBmpMedia(docs: DataFrame): Dataset[MediaItem] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        MediaItem(id, "bmp", toBmp(id, text.getBytes("UTF-8")))
+      })
+  }
+
+  /** Strict BMP parse → top-down packed raster. Validates magic,
+    * header size, and 24 bpp; honors the data offset, the row padding,
+    * BGR byte order, and both row directions (negative height =
+    * top-down). Throws on anything else — a corrupt payload must fail
+    * loudly, not decode to garbage. */
+  def decodeBmp(bytes: Array[Byte]): Raster = {
+    require(bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    require(bb.getInt(14) == 40, "unsupported DIB header")
+    val w = bb.getInt(18)
+    val hRaw = bb.getInt(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(bb.getShort(28) == 24, "only 24 bpp supported")
+    require(bb.getInt(30) == 0, "compressed BMP unsupported")
+    val rowBytes = (3 * w + 3) / 4 * 4
+    require(bytes.length >= dataOff + rowBytes * h, "truncated pixel data")
+    val px = new Array[Int](w * h)
+    var fy = 0
+    while (fy < h) {
+      val y = if (bottomUp) h - 1 - fy else fy
+      var x = 0
+      var o = dataOff + fy * rowBytes
+      while (x < w) {
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+        o += 3
+      }
+      fy += 1
+    }
+    Raster(w, h, px)
+  }
+
+  private def featuresOf(m: MediaItem): MediaFeatures = {
+    val ras = decodeBmp(m.payload)
+    var sr = 0L; var sg = 0L; var sb = 0L; var ps = 0L
+    var i = 0
+    while (i < ras.px.length) {
+      val p = ras.px(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      sr += r; sg += g; sb += b
+      ps += i.toLong * (r + 2 * g + 3 * b)
+      i += 1
+    }
+    MediaFeatures(m.doc_id, m.format, m.payload.length.toLong,
+      ras.w, ras.h, sr, sg, sb, ps)
+  }
 
   /** Batched decode over the media frame: partitions stream through the
-    * decoder in [[BatchSize]] groups (bounded memory, per-batch setup
-    * amortization). */
-  def decodeAll(spark: SparkSession, media: DataFrame)
+    * parser in [[BatchSize]] groups (bounded memory, per-batch setup
+    * amortization for heavier codecs). */
+  def decodeAll(spark: SparkSession, media: Dataset[MediaItem])
       : Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaItem].mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(g => decodeStub(g.toSeq))
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map(featuresOf))
     }
   }
 
-  /** Deterministic fake resize for one batch: a real implementation
-    * hands the decoded pixel buffers to a native resampler; the scale
-    * factors (one IEEE double division each) are what downstream
-    * geometry consumers need either way. */
-  def resizeStub(batch: Seq[MediaFeatures], outW: Int, outH: Int)
-      : Seq[ResizedMedia] =
-    batch.map { m =>
-      ResizedMedia(m.doc_id, m.format, m.width, m.height, outW, outH,
-        outW.toDouble / m.width, outH.toDouble / m.height)
-    }
+  /** Resize target (small enough that the oracle's per-document
+    * out_w × out_h unnest stays cheap at sf fixtures). */
+  val ResizeW = 8
+  val ResizeH = 8
 
-  /** Second typed pipeline stage: batched resize chained on the decode —
-    * the decode → transform → (train) shape, still zero-shuffle. */
-  def resizeAll(feats: Dataset[MediaFeatures], outW: Int = 224,
-      outH: Int = 224): Dataset[ResizedMedia] = {
-    import feats.sparkSession.implicits._
-    feats.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(g => resizeStub(g.toSeq, outW, outH))
+  /** Second typed pipeline stage: decode + REAL nearest-neighbor
+    * resample chained in one partition pass (decode → transform, still
+    * zero-shuffle). Source pixel for target (i, j) is
+    * (⌊i·w/out⌋, ⌊j·h/out⌋) — the standard NN mapping — and the emitted
+    * channel sums are over the actual resampled raster. */
+  def resizeAll(media: Dataset[MediaItem], outW: Int = ResizeW,
+      outH: Int = ResizeH): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val ras = decodeBmp(m.payload)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var j = 0
+        while (j < outH) {
+          val sy = j * ras.h / outH
+          var i = 0
+          while (i < outW) {
+            val sx = i * ras.w / outW
+            val p = ras.px(sy * ras.w + sx)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          j += 1
+        }
+        ResizedMedia(m.doc_id, m.format, ras.w, ras.h, outW, outH,
+          outW.toDouble / ras.w, outH.toDouble / ras.h, sr, sg, sb)
+      })
     }
   }
 

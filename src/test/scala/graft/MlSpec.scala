@@ -890,21 +890,74 @@ class MlSpec extends AnyFunSuite {
     assert(assign.select("vec_id").distinct().count() === emb.count())
   }
 
-  test("multimodal: batched stub decode preserves ids and batch shape") {
-    val media = Multimodal.asMedia(docs)
+  test("multimodal: batched BMP decode preserves ids and parses real headers") {
+    val media = Multimodal.asBmpMedia(docs)
     val feats = Multimodal.decodeAll(spark, media).collect()
     assert(feats.length === docs.count())
     assert(feats.map(_.doc_id).toSet ===
       docs.select("doc_id").as[Long].collect().toSet)
     feats.foreach { f =>
-      assert(f.feature.length === 8)
-      assert(f.width >= 16 && f.height >= 16)
-      assert(f.n_bytes > 0)
+      assert(f.width >= 16 && f.width < 32, s"doc ${f.doc_id} width")
+      assert(f.height >= 8 && f.height < 16, s"doc ${f.doc_id} height")
+      // BMP size arithmetic: header + padded rows
+      val rowBytes = (3 * f.width + 3) / 4 * 4
+      assert(f.n_bytes === 54L + rowBytes.toLong * f.height)
+      assert(f.sum_r > 0 && f.sum_g > 0 && f.sum_b > 0)
     }
-    // deterministic: same input → same features
+    // deterministic: same input → same stats
     val again = Multimodal.decodeAll(spark, media).collect()
-      .map(f => f.doc_id -> f.feature.toSeq).toMap
-    feats.foreach(f => assert(again(f.doc_id) === f.feature.toSeq))
+      .map(f => f.doc_id -> f).toMap
+    feats.foreach(f => assert(again(f.doc_id) === f))
+  }
+
+  test("multimodal: the parser reads bytes, not the generator's formulas") {
+    // decode a hand-built BMP with known pixels: 2×2, bottom-up, BGR,
+    // row padding 2 — the parser must undo all three
+    import java.nio.{ByteBuffer, ByteOrder}
+    val w = 2; val h = 2; val rowBytes = 8
+    val buf = ByteBuffer.allocate(54 + rowBytes * h)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + rowBytes * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(rowBytes * h)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // file row 0 = image BOTTOM row: pixels (0,1)=(r10,g11,b12),
+    // (1,1)=(r20,g21,b22) written B,G,R + 2 pad bytes
+    buf.put(12.toByte).put(11.toByte).put(10.toByte)
+    buf.put(22.toByte).put(21.toByte).put(20.toByte)
+    buf.put(0.toByte).put(0.toByte)
+    // file row 1 = image TOP row
+    buf.put(32.toByte).put(31.toByte).put(30.toByte)
+    buf.put(42.toByte).put(41.toByte).put(40.toByte)
+    buf.put(0.toByte).put(0.toByte)
+    val ras = Multimodal.decodeBmp(buf.array())
+    assert(ras.w === 2 && ras.h === 2)
+    // top-down raster: px(0) = image (0,0) = r30/g31/b32
+    assert(ras.px(0) === ((30 << 16) | (31 << 8) | 32))
+    assert(ras.px(1) === ((40 << 16) | (41 << 8) | 42))
+    assert(ras.px(2) === ((10 << 16) | (11 << 8) | 12))
+    assert(ras.px(3) === ((20 << 16) | (21 << 8) | 22))
+    // corrupt magic must fail loudly, never decode to garbage
+    val bad = buf.array().clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(bad))
+  }
+
+  test("multimodal: roundtrip — toBmp through decodeBmp returns the formula pixels") {
+    val docId = 37L
+    val text = "roundtrip fixture text".getBytes("UTF-8")
+    val ras = Multimodal.decodeBmp(Multimodal.toBmp(docId, text))
+    val w = (16 + docId % 16).toInt
+    val h = 8 + text.length % 8
+    assert(ras.w === w && ras.h === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ras.px(y * w + x)
+      assert(((p >> 16) & 0xff) === ((x * 7 + y * 13 + docId) % 256).toInt,
+        s"R at ($x,$y)")
+      assert(((p >> 8) & 0xff) === (x * 3 + y * 5 + text.length) % 256,
+        s"G at ($x,$y)")
+      assert((p & 0xff) === (x + y + 1) % 256, s"B at ($x,$y)")
+    }
   }
 
   test("PQ: training reduces distortion deterministically; ADC+rerank ranks self first") {
