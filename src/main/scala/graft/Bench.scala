@@ -53,6 +53,32 @@ import graft.streaming.BatchMetricsListener
   * the named keys for targeted A/B timing.
   */
 object Bench {
+  /** FAIR pool shares for the latency-sensitive session: the trigger's
+    * jobs run in the default pool (minShare 24 of 32 slots, weight 8),
+    * the async CDC fold in "graft-compact" (weight 1, no minShare) —
+    * the fold takes only slack slots, so its lumpy cost stretches the
+    * FOLD, not the trigger latency envelope. The same file is what a
+    * production deployment ships; pool names are fixed in Replicate /
+    * ManifestReplica. */
+  private def fairSchedulerXml(): String = {
+    val f = Files.createTempFile("graft-fair", ".xml")
+    Files.writeString(f,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="default">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>8</weight>
+        |    <minShare>24</minShare>
+        |  </pool>
+        |  <pool name="graft-compact">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>""".stripMargin)
+    f.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // sampled FIRST: the run itself saturates local[32], so only the
@@ -72,6 +98,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // FAIR so the async CDC fold's jobs (pool "graft-compact")
+      // time-slice with the trigger's instead of queueing ahead of
+      // them — under FIFO a 256-bucket fold's jobs occupy every task
+      // slot and its lumpy cost lands on the NEXT trigger's latency
+      // (the r8 100×-probe fold-epoch spikes). The allocation file
+      // pins the trigger pool's minShare/weight so the fold only
+      // consumes slack slots: equal-weight FAIR still halved the
+      // trigger's slots mid-fold (measured 2.5-3.5 s spikes).
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", fairSchedulerXml())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

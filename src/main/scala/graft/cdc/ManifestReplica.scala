@@ -581,6 +581,11 @@ object ManifestReplica {
       if (!compactAsync) compact(spark, dir, numBuckets)
       else if (!compacting.containsKey(dir)) {
         val t = new Thread(() => {
+          // own scheduler pool so the fold's jobs time-slice with the
+          // trigger's under FAIR instead of starving them under FIFO
+          // (see Replicate's async fold for the full rationale)
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "graft-compact")
           try compact(spark, dir, numBuckets)
           catch { case e: Throwable =>
             System.err.println(s"[cdc] async manifest compaction failed (deltas stay live, next trigger retries): $e")

@@ -671,6 +671,18 @@ object Replicate {
         // (the consumed set is listed once, the watermark rises only to
         // its max). One fold per replica at a time.
         val t = new Thread(() => {
+          // the fold's jobs run in their OWN scheduler pool (r8 verdict
+          // #5): under the default FIFO scheduler a 256-bucket fold's
+          // jobs queue AHEAD of the next trigger's and occupy every
+          // task slot, landing the fold's lumpy cost on that trigger's
+          // latency even though the fold thread is async. Under a FAIR
+          // session (spark.scheduler.mode=FAIR — Bench and any
+          // latency-sensitive deployment set it) the pool time-slices
+          // task slots with the trigger's default pool, so steady-state
+          // trigger latency holds through fold epochs. Under FIFO the
+          // property is inert — no behavior change.
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "graft-compact")
           // the fold's swaps serialize with lifecycle rewrites too — a
           // spawn that raced a starting vacuum (advisory flag read)
           // parks here until the rewrite finishes, then folds from the
