@@ -143,6 +143,57 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(thrKey, saved)
   }
 
+  test("q6_forecast: every range predicate reaches the parquet scan, no join") {
+    val s = planString(run("q6_forecast"))
+    assert(!s.contains("Join"), "Q6 is the no-join query")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(s.contains(s"IsNotNull($c)") || s.contains(s"($c"),
+        s"$c predicate must push into the scan")
+    val pushed = s.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"),
+      s"all three ranges must be in PushedFilters: $pushed")
+  }
+
+  test("q19_disjunct: OR-of-conjunctions still plans a broadcast hash join") {
+    // the equi-half (l_partkey = p_partkey) must be extracted as the
+    // join key with the disjunction as a residual — a planner that
+    // fails this falls back to a nested loop over the fact
+    val s = planString(run("j_q19_disjunct"))
+    assert(s.contains("BroadcastHashJoin"),
+      "part must broadcast-hash-join on the equi-half")
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"),
+      "the disjunction must not degrade the join to a nested loop")
+  }
+
+  test("q7/q8: dims broadcast, exactly one fact-fact exchange pair on orderkey") {
+    for (n <- Seq("j_q7_nations", "j_q8_share")) {
+      val s = planString(run(n))
+      assert(s.contains("BroadcastHashJoin"), s"$n dims must broadcast")
+      val exchanges = s.linesIterator
+        .count(_.trim.startsWith("+- Exchange hashpartitioning"))
+      // lineitem⋈orders (+customer/supplier sides) shuffle; the point
+      // is boundedness — no per-dim exchange explosion
+      assert(exchanges <= 8, s"$n has $exchanges hash exchanges")
+    }
+  }
+
+  test("q21_waiting: the per-order aggregate reuses the orderkey exchange") {
+    // the EXISTS/NOT-EXISTS pair is rewritten as os ⋈ perOrder on the
+    // SAME key os was aggregated by — Catalyst must not insert a fresh
+    // exchange between the aggregate and the join (ReuseExchange /
+    // partitioning-aware planning); a lost reuse doubles the lineitem
+    // shuffle volume at 100 TB
+    val s = planString(run("j_q21_waiting"))
+    assert(!s.contains("CartesianProduct"))
+    val exchanges = s.linesIterator
+      .count(_.trim.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 6,
+      s"per-order rewrite must bound exchanges, got $exchanges:\n${s.take(800)}")
+  }
+
   test("dq suite: a single-scan aggregate — no join anywhere in the plan") {
     val s = planString(run("ml_dq_suite"))
     assert(!s.contains("Join"),
