@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -19,6 +20,25 @@ private[streaming] case class ChainHit(user_id: Long, step_ids: Seq[Long],
   * event type whose ABSENCE is required (`negated = true`) — interior
   * between two positives, or trailing within the gap window. */
 final case class CepStep(tpe: String, negated: Boolean = false)
+
+/** One quantified pattern step: `plus = true` matches ONE OR MORE
+  * consecutive events of the type (the MATCH_RECOGNIZE `B+` / Kleene
+  * quantifier), greedily absorbed while each lands within the gap of
+  * the previously absorbed one. */
+final case class CepQStep(tpe: String, plus: Boolean = false)
+
+/** A completed quantified chain: one id/ts per step (the LAST absorbed
+  * event for a plus step) plus the per-step absorption counts. */
+private[streaming] case class ChainPlusHit(user_id: Long,
+    step_ids: Seq[Long], step_ts_us: Seq[Long], counts: Seq[Long])
+
+/** [[ChainPlusProcessor]] position: `stage` = index of the step being
+  * matched (== steps.size ⇒ emitted, terminal); while `absorbing` a
+  * plus step, (at, aid) track the last absorbed event and `curN` the
+  * run length; completed steps accumulate in ids/tss/ns. */
+private[streaming] case class ChainPlusState(stage: Int, at: Long,
+    aid: Long, absorbing: Boolean, curN: Long,
+    ids: Seq[Long], tss: Seq[Long], ns: Seq[Long])
 
 /** Generic ordered-pattern (CEP) chain detection — [[Funnel]]'s
   * semantics for ANY step sequence: per user, the greedy
@@ -150,6 +170,160 @@ object Cep {
         (unix_micros(col(s"t${n - 1}")) - unix_micros(col("t0")))
           .as("span_us"))
       .orderBy("user_id")
+  }
+
+  /** Quantified ordered-pattern chain (the MATCH_RECOGNIZE `A B+ C`
+    * family): a `plus` step greedily absorbs ONE OR MORE consecutive
+    * events of its type — the first one exactly like a normal step
+    * (first of the type after the anchor within gap), each subsequent
+    * one while it lands within `gapUs` of the previously absorbed one —
+    * and the successor step matches the first event of its type that
+    * follows the initial absorption START and lands within gap of the
+    * LAST absorbed event before it (events are processed in strict
+    * (ts, event_id) order, so absorption stops exactly where the
+    * successor fires; absorbed events after the successor don't count).
+    * A trailing plus absorbs its whole run. Restrictions: the first
+    * step is non-plus (it anchors), and two consecutive plus steps are
+    * rejected (collapse `B+ B+` to `B+`).
+    *
+    * Batch plan, per plus step: the absorption run is the FIRST
+    * GAPS-AND-ISLANDS island of the type's per-user sequence after the
+    * initial match (one lag + running-sum window over the type-filtered
+    * slice — never over raw events), and the successor resolution is
+    * one merged window (last-absorbed-before via `last(..., ignoreNulls)`)
+    * plus the standard two-stage min — each plus step adds two bounded
+    * per-user window passes, still no event-to-event self-join.
+    * Emits (user_id, step_ids, counts — comma-joined per step, the
+    * plus step reporting its LAST absorbed id and run length —
+    * start_ts, end_ts, span_us). Streaming twin: [[streamingPlus]]. */
+  def chainPlus(events: DataFrame, steps: Seq[CepQStep],
+      gapUs: Long = Funnel.GapUs): DataFrame = {
+    require(steps.nonEmpty && !steps.head.plus,
+      "chainPlus must start with a non-plus step")
+    steps.sliding(2).foreach {
+      case Seq(a, b) => require(!(a.plus && b.plus),
+        "consecutive plus steps are ambiguous — collapse B+ B+ to B+")
+      case _ =>
+    }
+    val ev = events.select("user_id", "event_id", "ts", "event_type")
+    val small = Funnel.anchorsBroadcastable(ev)
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var anchor: DataFrame = Funnel.firstPerUser(
+      ev.filter(col("event_type") === steps.head.tpe)
+        .select("user_id", "event_id", "ts"), small)
+    parts += anchor.select(col("user_id"), col("at").as("t0"),
+      col("aid").as("i0"), lit(1L).as("n0"))
+    var k = 1
+    while (k < steps.size) {
+      val st = steps(k)
+      if (!st.plus) {
+        anchor = Funnel.step(ev, st.tpe, anchor, gapUs, small)
+        parts += anchor.select(col("user_id"), col("at").as(s"t$k"),
+          col("aid").as(s"i$k"), lit(1L).as(s"n$k"))
+        k += 1
+      } else {
+        val b0 = Funnel.step(ev, st.tpe, anchor, gapUs, small)
+          .select(col("user_id"), col("at").as("b0t"), col("aid").as("b0i"))
+        // the absorption run: island 0 of the type's per-user sequence
+        // from the initial match (inclusive)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val reach = ev.filter(col("event_type") === st.tpe)
+          .join(Funnel.hintIf(b0, small), "user_id")
+          .filter(col("ts") > col("b0t") ||
+            (col("ts") === col("b0t") && col("event_id") >= col("b0i")))
+          .withColumn("pts", lag(col("ts"), 1).over(w))
+          .withColumn("brk", when(col("pts").isNull, 0)
+            .otherwise((unix_micros(col("ts")) - unix_micros(col("pts")) >
+              gapUs).cast("int")))
+          .withColumn("isl", sum(col("brk")).over(wRun))
+          .filter(col("isl") === 0)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        if (k == steps.size - 1) {
+          // trailing plus: the whole island absorbs
+          val closed = reach.groupBy("user_id")
+            .agg(max(struct(col("ts"), col("event_id"))).as("m"),
+              count(lit(1)).as("n"))
+          parts += closed.select(col("user_id"), col("m.ts").as(s"t$k"),
+            col("m.event_id").as(s"i$k"), col("n").as(s"n$k"))
+          anchor = closed.select(col("user_id"), col("m.ts").as("at"),
+            col("m.event_id").as("aid"))
+          k += 1
+        } else {
+          val nxt = steps(k + 1)
+          val cs = ev.filter(col("event_type") === nxt.tpe)
+            .join(Funnel.hintIf(b0, small), "user_id")
+            .filter(Funnel.afterAnchor(col("ts"), col("event_id"),
+              col("b0t"), col("b0i")))
+            .select(col("user_id"), col("event_id"), col("ts"))
+          val merged = reach.withColumn("isb", lit(1))
+            .unionByName(cs.withColumn("isb", lit(0)))
+            .withColumn("lbt",
+              last(when(col("isb") === 1, col("ts")), ignoreNulls = true)
+                .over(wRun))
+            .withColumn("lbi",
+              last(when(col("isb") === 1, col("event_id")),
+                ignoreNulls = true).over(wRun))
+            .withColumn("nb", sum(col("isb")).over(wRun))
+          val qual = merged.filter(col("isb") === 0 &&
+            col("lbt").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("lbt")) <= gapUs)
+          val q1 = qual.groupBy(col("user_id").as("qu"))
+            .agg(min(col("ts")).as("mt"))
+          val q2 = qual.join(Funnel.hintIf(q1, small),
+              col("user_id") === col("qu") && col("ts") === col("mt"))
+            .groupBy(col("user_id"), col("mt"))
+            .agg(min(col("event_id")).as("mid"))
+            .select(col("user_id").as("cu"), col("mt"), col("mid"))
+          val chosen = qual.join(Funnel.hintIf(q2, small),
+              col("user_id") === col("cu") && col("ts") === col("mt") &&
+                col("event_id") === col("mid"))
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("lbt"), col("lbi"), col("nb"))
+          parts += chosen.select(col("user_id"), col("lbt").as(s"t$k"),
+            col("lbi").as(s"i$k"), col("nb").as(s"n$k"))
+          parts += chosen.select(col("user_id"), col("ts").as(s"t${k + 1}"),
+            col("event_id").as(s"i${k + 1}"), lit(1L).as(s"n${k + 1}"))
+          anchor = chosen.select(col("user_id"), col("ts").as("at"),
+            col("event_id").as("aid"))
+          k += 2
+        }
+      }
+    }
+    val joined = parts.reduce((a, b) =>
+      a.join(Funnel.hintIf(b, small), "user_id"))
+    val n = steps.size
+    joined.select(col("user_id"),
+        concat_ws(",",
+          (0 until n).map(j => col(s"i$j").cast("string")): _*)
+          .as("step_ids"),
+        concat_ws(",",
+          (0 until n).map(j => col(s"n$j").cast("string")): _*)
+          .as("counts"),
+        col("t0").as("start_ts"), col(s"t${n - 1}").as("end_ts"),
+        (unix_micros(col(s"t${n - 1}")) - unix_micros(col("t0")))
+          .as("span_us"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming twin of [[chainPlus]] ([[ChainPlusProcessor]] under
+    * `transformWithState`). A trailing plus emits only once the
+    * watermark (or a later event) proves the absorption run closed. */
+  def streamingPlus(events: DataFrame, steps: Seq[CepQStep],
+      gapUs: Long = Funnel.GapUs,
+      watermark: String = "30 minutes"): Dataset[ChainPlusHit] = {
+    require(steps.nonEmpty && !steps.head.plus,
+      "chainPlus must start with a non-plus step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ChainPlusProcessor(steps, gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming twin of [[chainNot]] ([[ChainNotProcessor]] under
@@ -381,6 +555,122 @@ private[streaming] class ChainNotProcessor(steps: Seq[CepStep], gapUs: Long)
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
       info: ExpiredTimerInfo): Iterator[ChainHit] = {
+    if (terminal(current())) return Iterator.empty
+    drain(key, timers.getCurrentWatermarkInMs() * 1000L)
+  }
+}
+
+/** The TWS processor behind [[Cep.streamingPlus]] — the chain machine
+  * with greedy plus-absorption. Events drain in strict (ts, event_id)
+  * order once the watermark passes them, so absorption stops exactly
+  * where the successor fires (batch == streaming by construction). A
+  * trailing plus closes when a drained event (any type) lands beyond
+  * the gap of the last absorbed event, or when the watermark passes
+  * anchor+gap — the run is proven closed, never assumed. */
+private[streaming] class ChainPlusProcessor(steps: Seq[CepQStep],
+    gapUs: Long) extends StatefulProcessor[Long, FunnelEvent, ChainPlusHit] {
+  private val size = steps.size
+
+  @transient private var buf: ListState[FunnelEvent] = _
+  @transient private var stage: ValueState[ChainPlusState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[FunnelEvent]("buf",
+      Encoders.product[FunnelEvent], TTLConfig.NONE)
+    stage = getHandle.getValueState[ChainPlusState]("stage",
+      Encoders.product[ChainPlusState], TTLConfig.NONE)
+  }
+
+  private def current(): ChainPlusState =
+    if (stage.exists()) stage.get()
+    else ChainPlusState(0, 0L, 0L, absorbing = false, 0L,
+      Seq.empty, Seq.empty, Seq.empty)
+
+  private def terminal(st: ChainPlusState): Boolean = st.stage >= size
+
+  private def after(e: FunnelEvent, st: ChainPlusState): Boolean =
+    e.ts_us > st.at || (e.ts_us == st.at && e.event_id > st.aid)
+
+  private def drain(key: Long, wmUs: Long): Iterator[ChainPlusHit] = {
+    val all = buf.get().toSeq
+    var st = current()
+    val hits = Seq.newBuilder[ChainPlusHit]
+    def emit(closed: ChainPlusState): Unit =
+      hits += ChainPlusHit(key, closed.ids, closed.tss, closed.ns)
+    def closeTrailing(): Unit = {
+      st = st.copy(stage = size, absorbing = false,
+        ids = st.ids :+ st.aid, tss = st.tss :+ st.at, ns = st.ns :+ st.curN)
+      emit(st)
+    }
+    val (ripe, rest) = all.partition(_.ts_us <= wmUs)
+    ripe.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      if (!terminal(st)) {
+        val cur = steps(st.stage)
+        if (!cur.plus) {
+          if (e.event_type == cur.tpe &&
+              (st.stage == 0 ||
+                (after(e, st) && e.ts_us - st.at <= gapUs))) {
+            st = st.copy(stage = st.stage + 1, at = e.ts_us,
+              aid = e.event_id, ids = st.ids :+ e.event_id,
+              tss = st.tss :+ e.ts_us, ns = st.ns :+ 1L)
+            if (st.stage < size && steps(st.stage).plus)
+              st = st.copy(absorbing = false)
+            if (st.stage == size) emit(st)
+          }
+        } else if (!st.absorbing) {
+          if (e.event_type == cur.tpe && after(e, st) &&
+              e.ts_us - st.at <= gapUs) {
+            st = st.copy(absorbing = true, curN = 1L, at = e.ts_us,
+              aid = e.event_id)
+          }
+        } else { // absorbing a plus run
+          if (e.event_type == cur.tpe && after(e, st) &&
+              e.ts_us - st.at <= gapUs) {
+            st = st.copy(curN = st.curN + 1, at = e.ts_us,
+              aid = e.event_id)
+          } else if (st.stage < size - 1 &&
+              e.event_type == steps(st.stage + 1).tpe && after(e, st) &&
+              e.ts_us - st.at <= gapUs) {
+            // successor fires: close the run, consume the successor
+            st = st.copy(stage = st.stage + 2, absorbing = false,
+              at = e.ts_us, aid = e.event_id,
+              ids = st.ids :+ st.aid :+ e.event_id,
+              tss = st.tss :+ st.at :+ e.ts_us,
+              ns = st.ns :+ st.curN :+ 1L)
+            if (st.stage == size) emit(st)
+          } else if (st.stage == size - 1 && e.ts_us - st.at > gapUs) {
+            // trailing plus: an in-order event beyond the gap proves
+            // the run closed
+            closeTrailing()
+          }
+        }
+      }
+    }
+    if (!terminal(st) && st.stage == size - 1 && steps(st.stage).plus &&
+        st.absorbing && wmUs > st.at + gapUs)
+      closeTrailing()
+    stage.update(st)
+    if (terminal(st) || rest.isEmpty) buf.clear()
+    else buf.put(rest.toArray)
+    if (!terminal(st)) {
+      val pending = buf.get().toSeq
+      if (pending.nonEmpty)
+        getHandle.registerTimer(pending.map(_.ts_us).min / 1000L + 1L)
+      if (st.stage == size - 1 && steps(st.stage).plus && st.absorbing)
+        getHandle.registerTimer((st.at + gapUs) / 1000L + 1L)
+    }
+    hits.result().iterator
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+      timers: TimerValues): Iterator[ChainPlusHit] = {
+    if (terminal(current())) return Iterator.empty
+    rows.foreach(buf.appendValue)
+    drain(key, timers.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[ChainPlusHit] = {
     if (terminal(current())) return Iterator.empty
     drain(key, timers.getCurrentWatermarkInMs() * 1000L)
   }

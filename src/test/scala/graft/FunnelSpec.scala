@@ -390,6 +390,134 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("chainPlus with no plus steps equals chain") {
+    import graft.streaming.{Cep, CepQStep}
+    val types = Seq("view", "click", "purchase")
+    val ev = Tables(spark, sf, "events")
+    val viaPlus = Cep.chainPlus(ev, types.map(t => CepQStep(t)))
+      .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+    val viaChain = Cep.chain(ev, types)
+      .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+    assert(viaPlus === viaChain)
+    assert(viaPlus.nonEmpty)
+  }
+
+  test("chainPlus equals a naive single-pass replay, 12 seeded schedules") {
+    import graft.streaming.{Cep, CepQStep}
+    // view → click+ → purchase: the island fold vs an independent
+    // event-at-a-time greedy absorption machine
+    val steps = Seq(CepQStep("view"), CepQStep("click", plus = true),
+      CepQStep("purchase"))
+    val all = Seq("view", "click", "purchase", "noop")
+    for (seed <- 301 to 312) {
+      val rnd = new scala.util.Random(seed)
+      val gapUs = 900L * 1000000
+      val base = Timestamp.valueOf("2026-08-01 00:00:00").getTime
+      val evs = (0 until 500).map { i =>
+        FnEv(rnd.nextInt(6).toLong, i.toLong,
+          new Timestamp(base + rnd.nextInt(7200) * 1000L),
+          all(rnd.nextInt(all.size)))
+      }
+      val got = Cep.chainPlus(evs.toDF(), steps, gapUs)
+        .select("user_id", "step_ids", "counts")
+        .as[(Long, String, String)].collect().toSet
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        def tus(e: FnEv) = e.ts.getTime * 1000L
+        // single-pass machine: await view → await first click →
+        // absorb clicks → first purchase within gap of last absorbed
+        var st = 0; var at = 0L; var aid = 0L
+        var vid = 0L; var lastCid = 0L; var n = 0L
+        var hit: Option[(Long, String, String)] = None
+        for (e <- sorted if hit.isEmpty) {
+          val t = tus(e)
+          def after = t > at || (t == at && e.event_id > aid)
+          st match {
+            case 0 if e.event_type == "view" =>
+              st = 1; at = t; aid = e.event_id; vid = e.event_id
+            case 1 if e.event_type == "click" && after && t - at <= gapUs =>
+              st = 2; at = t; aid = e.event_id; lastCid = e.event_id; n = 1
+            case 2 if e.event_type == "click" && after && t - at <= gapUs =>
+              at = t; aid = e.event_id; lastCid = e.event_id; n += 1
+            case 2 if e.event_type == "purchase" && after &&
+                t - at <= gapUs =>
+              hit = Some((u, s"$vid,$lastCid,${e.event_id}", s"1,$n,1"))
+            case _ => // greedy: everything else is ignored
+          }
+        }
+        hit
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("streaming chainPlus equals batch (fixture and random schedule)") {
+    import graft.streaming.{Cep, CepQStep}
+    val steps = Seq(CepQStep("view"), CepQStep("click", plus = true),
+      CepQStep("purchase"))
+    withRocksDb {
+      val events = fixtureEvents()
+      val in = MemoryStream[FnEv](spark)
+      val q = Cep.streamingPlus(in.toDF(), steps)
+        .writeStream.format("memory").queryName("kleene_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        events.grouped(events.length / 5 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+        flushEvents().foreach { e => in.addData(e); q.processAllAvailable() }
+        val got = spark.table("kleene_sink")
+          .selectExpr("user_id", "concat_ws(',', step_ids)",
+            "concat_ws(',', counts)")
+          .as[(Long, String, String)].collect()
+        assert(got.length === got.toSet.size, "duplicate emissions")
+        val want = Cep.chainPlus(Tables(spark, sf, "events"), steps)
+          .select("user_id", "step_ids", "counts")
+          .as[(Long, String, String)].collect().toSet
+        assert(got.toSet === want)
+        assert(want.nonEmpty, "fixture must contain kleene completions")
+      } finally q.stop()
+    }
+  }
+
+  test("trailing plus absorbs the whole run and emits once the window closes") {
+    import graft.streaming.{Cep, CepQStep}
+    // view → click+ (trailing): the run closes by watermark, batch
+    // equals streaming, counts report the full absorption
+    val steps = Seq(CepQStep("view"), CepQStep("click", plus = true))
+    val gapUs = 600L * 1000000
+    val t0 = Timestamp.valueOf("2026-09-01 00:00:00").getTime
+    def ev(u: Long, id: Long, offSec: Long, tpe: String) =
+      FnEv(u, id, new Timestamp(t0 + offSec * 1000L), tpe)
+    // user 1: view, then clicks at +1, +5, +8 min (one run of 3), a
+    // click at +30 min is beyond the gap and must NOT absorb
+    val evs = Seq(ev(1, 1, 0, "view"), ev(1, 2, 60, "click"),
+      ev(1, 3, 300, "click"), ev(1, 4, 480, "click"),
+      ev(1, 5, 1800, "click"))
+    val batch = Cep.chainPlus(evs.toDF(), steps, gapUs)
+      .select("user_id", "step_ids", "counts")
+      .as[(Long, String, String)].collect().toSeq
+    assert(batch === Seq((1L, "1,4", "1,3")),
+      "trailing run must stop at the gap break")
+    withRocksDb {
+      val in = MemoryStream[FnEv](spark)
+      val q = Cep.streamingPlus(in.toDF(), steps, gapUs)
+        .writeStream.format("memory").queryName("kleene_trail_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(evs: _*)
+        q.processAllAvailable()
+        flushEvents().foreach { e => in.addData(e); q.processAllAvailable() }
+        val got = spark.table("kleene_trail_sink")
+          .selectExpr("user_id", "concat_ws(',', step_ids)",
+            "concat_ws(',', counts)")
+          .as[(Long, String, String)].collect().toSeq
+        assert(got === batch)
+      } finally q.stop()
+    }
+  }
+
   test("streaming chainNot equals batch on random schedules with negations") {
     import graft.streaming.{Cep, CepStep}
     val steps = Seq(CepStep("view"), CepStep("error", negated = true),
