@@ -149,6 +149,11 @@ object Bench {
         trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1),
         compactEvery = 1)
       try wq.awaitTermination() finally wq.stop()
+      // join the warm stream's leftover async fold BEFORE any timed
+      // phase: under the weight-1 fold pool a straggler fold crawls
+      // and convoys into the next measurement (r9 finding — the r8
+      // FIFO scheduler finished these instantly, hiding the gap)
+      Replicate.awaitCompactions()
       // throughput mode: 60k ops in ONE batch — bulk apply rate, the
       // complementary axis to per-trigger latency (run right after the
       // warm stream so both measured modes see the same warm session)
@@ -169,6 +174,8 @@ object Bench {
           trigger = Trigger.AvailableNow())
         try bq.awaitTermination() finally bq.stop()
       } finally spark.streams.removeListener(bulkListener)
+      // same straggler-fold join after the bulk phase (see above)
+      Replicate.awaitCompactions()
 
       // Timed per-trigger stream, best-of-N (r7 verdict #1): host
       // contention is ONE-SIDED noise — a contended batch can only be
