@@ -1956,7 +1956,50 @@ object MlQueries {
            |  CAST(count(*) AS BIGINT) AS dup_cnt
            |FROM norm GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Dataset card — the per-(lang, source) mixture summary every corpus
+    * release publishes (counts, char volume, exact mean via one IEEE
+    * division of exact sums, exact interpolated median, range, and the
+    * corpus share as an exact rational + IEEE quotient). One grouped
+    * aggregate over one scan plus a 1-row broadcast total; the result
+    * is |langs × sources|-bounded regardless of corpus size — the same
+    * shape at 100 TB. */
+  private val datasetCard = Declared(
+    "ml_dataset_card",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val tot = docs.agg(count(lit(1)).as("corpus_docs"))
+      docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          expr("percentile(n_chars, 0.5)").as("p50_chars"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("total_chars"),
+          (col("total_chars").cast("double") / col("n_docs"))
+            .as("mean_chars"),
+          col("p50_chars"), col("min_chars"), col("max_chars"),
+          col("corpus_docs"),
+          (col("n_docs").cast("double") / col("corpus_docs"))
+            .as("doc_share"))
+        .orderBy("lang", "source")
+    },
+    Some("""SELECT lang, source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+           |  quantile_cont(n_chars, 0.5) AS p50_chars,
+           |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+           |    AS corpus_docs,
+           |  CAST(count(*) AS DOUBLE) /
+           |    (SELECT count(*) FROM documents) AS doc_share
+           |FROM documents GROUP BY lang, source
+           |ORDER BY lang, source""".stripMargin))
+
   val all: Seq[Declared] = Seq(
+    datasetCard,
     dqSuite, lmBigram, postingsIdx, triangles, udtfNgrams, tvtSplit,
     hardNeg, embOutliers, dedupNormalized,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,

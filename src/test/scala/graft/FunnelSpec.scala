@@ -518,6 +518,58 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("chainPlus checkpoint restart: mid-absorption state survives, exactly once") {
+    import graft.streaming.{Cep, CepQStep}
+    // trailing plus — the timer-driven emission path — with the HARD
+    // STOP landing mid-absorption: the resumed query must keep the
+    // absorbed run (ListState + ChainPlusState through RocksDB) and
+    // emit exactly once when the watermark finally closes the window
+    val steps = Seq(CepQStep("view"), CepQStep("click", plus = true))
+    val gapUs = 600L * 1000000
+    val t0 = Timestamp.valueOf("2026-10-01 00:00:00").getTime
+    def ev(u: Long, id: Long, offSec: Long, tpe: String) =
+      FnEv(u, id, new Timestamp(t0 + offSec * 1000L), tpe)
+    withRocksDb {
+      val srcDir = Files.createTempDirectory("kleene-src").toString
+      val outDir = Files.createTempDirectory("kleene-out").toString
+      val ckpt = Files.createTempDirectory("kleene-ckpt").toString
+      def land(evs: Seq[FnEv]): Unit = {
+        evs.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+        Thread.sleep(1100)
+      }
+      def run(): Unit = {
+        val src = spark.readStream
+          .schema(spark.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val q = Cep.streamingPlus(src, steps, gapUs)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // phase 1: view + two clicks, plus a wm-pusher that ripens them
+      // (wm = +40 min − 30 min = +10 min ⇒ both clicks drain and
+      // absorb, window still open) — then a hard stop mid-absorption
+      land(Seq(ev(1, 1, 0, "view"), ev(1, 2, 60, "click"),
+        ev(1, 3, 300, "click"), ev(9, 4, 2400, "noop")))
+      run()
+      assert(spark.read.parquet(outDir).count() === 0,
+        "the absorption window is still open at the stop")
+      // phase 2: a third click inside the gap of the second (+12 min),
+      // then the flush closes the window — the SAME checkpoint resumes
+      land(Seq(ev(1, 5, 720, "click")))
+      land(flushEvents())
+      run()
+      val got = spark.read.parquet(outDir)
+        .selectExpr("user_id", "concat_ws(',', step_ids)",
+          "concat_ws(',', counts)")
+        .as[(Long, String, String)].collect().toSeq
+      assert(got === Seq((1L, "1,5", "1,3")),
+        "the resumed run must extend the pre-restart absorption and emit once")
+    }
+  }
+
   test("streaming chainNot equals batch on random schedules with negations") {
     import graft.streaming.{Cep, CepStep}
     val steps = Seq(CepStep("view"), CepStep("error", negated = true),
