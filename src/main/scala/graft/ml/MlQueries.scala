@@ -1961,8 +1961,11 @@ object MlQueries {
     * division of exact sums, exact interpolated median, range, and the
     * corpus share as an exact rational + IEEE quotient). One grouped
     * aggregate over one scan plus a 1-row broadcast total; the result
-    * is |langs × sources|-bounded regardless of corpus size — the same
-    * shape at 100 TB. */
+    * is |langs × sources|-bounded regardless of corpus size. The exact
+    * median shuffles whole groups (the cross-engine-verifiable form);
+    * at 100 TB swap in the GK sketch exactly as `agg_approx_quantiles`
+    * does for `agg_quantiles` — the counts/sums/extrema columns are
+    * map-side-combined either way. */
   private val datasetCard = Declared(
     "ml_dataset_card",
     (s, d) => {
