@@ -362,6 +362,64 @@ object WindowQueries {
          |ORDER BY s0b.user_id""".stripMargin
     })
 
+  /** Identity stream-dedup e2e ([[StreamDedup.exactlyOnce]] —
+    * `dropDuplicatesWithinWatermark`): every third fixture event is
+    * REDELIVERED (the at-least-once broker edge), the doubled stream
+    * arrives over real micro-batch waves in event-time order, and the
+    * deduped output lands as hash-bucketed parquet appends (the
+    * distributed-sink doctrine — no driver-side collect). Exactly-once
+    * means the result is precisely the original fixture — which is the
+    * oracle: any duplicate that leaks doubles a row and breaks the
+    * row-count/hash match. The watermark-EVICTION half of the operator
+    * (state bounded by the horizon) is pinned in StreamDedupSpec; here
+    * the delay is sized past the fixture span so determinism is
+    * total. (The orderBy+collect below is the HARNESS feeding the
+    * MemoryStream in event-time waves — the ChangeGen-wave pattern of
+    * the cdc_* cells — not the operator's data path; the dedup and its
+    * sink are fully distributed.) */
+  private val streamDedupE2e = Declared(
+    "events_stream_dedup",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables(s, d, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val rows = ev.orderBy("ts", "event_id").collect()
+      // deterministic redelivery: every third event arrives twice,
+      // the copy immediately after the original (same wave or the
+      // next — both inside the watermark)
+      val withDups = rows.flatMap { r =>
+        if (r.getLong(0) % 3 == 0) Seq(r, r) else Seq(r)
+      }
+      val in = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)](s)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-sdedup-out").toString
+      val q = StreamDedup.exactlyOnce(
+          in.toDF().toDF("event_id", "user_id", "ts", "event_type", "value"),
+          "event_id", watermark = "3650 days")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-sdedup-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            batch
+              .withColumn("bucket", pmod(col("event_id"), lit(16)))
+              .repartition(col("bucket"))
+              .write.mode("append").partitionBy("bucket").parquet(outDir)
+        }
+        .start()
+      try withDups.grouped(withDups.length / 4 + 1).foreach { wave =>
+        in.addData(wave.map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getString(3), r.getDouble(4))))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ts, event_type, value
+           |FROM events ORDER BY event_id""".stripMargin))
+
   val all: Seq[Declared] = Seq(tumbling, sliding, sessions, attribution,
-    enrichment, funnel, cepChain4, cepChurn, cepKleene)
+    enrichment, funnel, cepChain4, cepChurn, cepKleene, streamDedupE2e)
 }
