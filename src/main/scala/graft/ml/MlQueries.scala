@@ -2001,7 +2001,78 @@ object MlQueries {
            |FROM documents GROUP BY lang, source
            |ORDER BY lang, source""".stripMargin))
 
+  /** Char-surprisal oracle: the same bit-length floor-log2 per
+    * (doc, char) count, re-derived from a correlated position unnest. */
+  private val charSurprisal = Declared(
+    "ml_char_surprisal",
+    (s, d) => TextAnalysis.charSurprisal(Tables(s, d, "documents")),
+    Some("""WITH base AS (
+           |  SELECT doc_id, text, length(text) AS len
+           |  FROM documents WHERE length(text) > 0),
+           |cnts AS (
+           |  SELECT doc_id, len, substr(text, CAST(i AS INT), 1) AS c,
+           |         count(*) AS cnt
+           |  FROM base, unnest(range(1, len + 1)) AS t(i)
+           |  GROUP BY 1, 2, 3),
+           |agg AS (
+           |  SELECT doc_id, CAST(len AS BIGINT) AS len,
+           |         CAST(count(*) AS BIGINT) AS distinct_chars,
+           |         sum(cnt * (length(bin(len // cnt)) - 1)) AS bitsum
+           |  FROM cnts GROUP BY 1, 2)
+           |SELECT doc_id, len, distinct_chars, sur14,
+           |  CAST(sur14 >= 32768 AS INT) AS keep
+           |FROM (SELECT doc_id, len, distinct_chars,
+           |        CAST(bitsum * 16384 // len AS BIGINT) AS sur14
+           |      FROM agg)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Per-language quantile-cut oracle: quantile_cont is DuckDB's exact
+    * interpolated percentile (the dataset-card pairing). */
+  private val quantileCut = Declared(
+    "ml_quality_quantile_cut",
+    (s, d) => TextAnalysis.qualityQuantileCut(Tables(s, d, "documents")),
+    Some(s"""WITH th AS (
+            |  SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs,
+            |         quantile_cont(n_chars, ${TextAnalysis.QuantileCutP})
+            |           AS cut
+            |  FROM documents GROUP BY lang)
+            |SELECT t.lang, t.lang_docs, t.cut,
+            |  CAST(sum(CAST(CAST(d.n_chars AS DOUBLE) >= t.cut AS INT))
+            |       AS BIGINT) AS n_kept,
+            |  CAST(count(*) -
+            |       sum(CAST(CAST(d.n_chars AS DOUBLE) >= t.cut AS INT))
+            |       AS BIGINT) AS n_dropped
+            |FROM documents d JOIN th t USING (lang)
+            |GROUP BY t.lang, t.lang_docs, t.cut
+            |ORDER BY t.lang""".stripMargin))
+
+  /** Doc-pool oracle: element-wise integer sums per (vec_id div 4)
+    * group re-derived from the positional quantize CTE; the md5 rides
+    * the dimension-ordered comma join (string_agg ORDER BY i == the
+    * Spark transform's array order). */
+  private val docEmbedPool = Declared(
+    "ml_doc_embed_pool",
+    (s, d) => Similarity.docPool(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |pool AS (
+            |  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, i,
+            |         CAST(sum(q) AS BIGINT) AS pq
+            |  FROM qe GROUP BY 1, 2),
+            |ch AS (
+            |  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id,
+            |         CAST(count(*) AS BIGINT) AS n_chunks
+            |  FROM embeddings GROUP BY 1)
+            |SELECT p.doc_id, c.n_chunks,
+            |  CAST(sum(pq) AS BIGINT) AS pool_sum,
+            |  CAST(sum(pq * pq) AS BIGINT) AS pool_norm2,
+            |  md5(string_agg(CAST(pq AS VARCHAR), ',' ORDER BY i))
+            |    AS pool_md5
+            |FROM pool p JOIN ch c USING (doc_id)
+            |GROUP BY p.doc_id, c.n_chunks
+            |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Declared] = Seq(
+    charSurprisal, quantileCut, docEmbedPool,
     datasetCard,
     dqSuite, lmBigram, postingsIdx, triangles, udtfNgrams, tvtSplit,
     hardNeg, embOutliers, dedupNormalized,

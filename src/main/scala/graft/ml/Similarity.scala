@@ -315,7 +315,7 @@ object Similarity {
       // coalesce: an empty input's sum is null, which must read as a
       // 0-movement (immediately converged) round, not an NPE
       val moved = step.agg(coalesce(sum(col("moved")), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       moves += moved
       assign = step.select(col("vec_id"),
         col("new_label").as("label"), col("embedding"))
@@ -788,5 +788,44 @@ object Similarity {
         ((col("dev") * col("dev")) > col("var_num") * 4).cast("int")
           .as("is_outlier"))
       .orderBy("vec_id")
+  }
+
+  /** Chunks per pooled document in [[docPool]]: vec_id div 4 is the
+    * synthetic chunk→doc linkage (the fixture has no doc_id column on
+    * embeddings; a production table carries one). */
+  val PoolChunks = 4L
+
+  /** Chunk→document embedding pooling — the aggregation every
+    * long-document retrieval stack runs after chunk-level embedding
+    * (a doc's vector = the element-wise mean of its chunks' vectors;
+    * mean and sum rank identically under cosine, so the exact integer
+    * SUM is the stored form and no float division ever happens).
+    * Chunks link to docs by `vec_id div 4`. Emits per doc: chunk
+    * count, the pooled vector's component sum and exact norm², and an
+    * md5 over the comma-joined components (the array-free fingerprint
+    * form — result columns avoid arrays by repo convention).
+    *
+    * Scale: ONE keyed exchange of the original quantized rows (~512 B
+    * each — never the 64× positional explosion of [[centroids]],
+    * which pays that amplification only because its groups are
+    * unbounded cells); groups here are ≤ [[PoolChunks]] rows, folded
+    * with an order-free integer `zip_with` sum, so the `collect_list`
+    * is bounded by construction. Component sums ≤ 4·2^20, norm² ≤
+    * 2^50 — Long-safe with headroom. */
+  def docPool(emb: DataFrame): DataFrame = {
+    val zero = array_repeat(lit(0L), 64)
+    quantized(emb)
+      .select(expr("vec_id div 4").as("doc_id"), col("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        aggregate(collect_list(col("q")), zero,
+          (acc, x) => zip_with(acc, x, _ + _)).as("pool"))
+      .select(col("doc_id"), col("n_chunks"),
+        aggregate(col("pool"), lit(0L), _ + _).as("pool_sum"),
+        aggregate(col("pool"), lit(0L),
+          (acc, v) => acc + v * v).as("pool_norm2"),
+        md5(concat_ws(",",
+          transform(col("pool"), _.cast("string")))).as("pool_md5"))
+      .orderBy("doc_id")
   }
 }

@@ -877,4 +877,96 @@ object TextAnalysis {
         (col("sum_bits") * 8 <= col("n_big") * BigramKeepNum).cast("int"))
       .orderBy("doc_id")
   }
+
+  // ---- Char-level surprisal (gibberish / repetition detector) ---------
+
+  /** [[charSurprisal]] keep threshold: mean within-doc char surprisal
+    * ≥ 2 bits (2 · 2^14 in the fixed-point form). Natural text sits
+    * near 4 bits/char; a doc dominated by one repeated character or a
+    * tiny alphabet falls under 2. */
+  val CharSurprisalKeep14 = 32768L
+
+  /** Within-document character-level surprisal — the gibberish and
+    * keyboard-mash detector that runs BEFORE any corpus-level LM filter
+    * (the model here is the document's own character distribution, so
+    * no training pass exists at all). For a character with count c in
+    * a doc of length N, bits = floor(log2(N/c)) = length(bin(N div c))
+    * − 1 — the same integer bit-length floor-log2 as [[lmSurprisal]]
+    * (a double log2 floors the wrong way at powers of two). The
+    * per-doc mean rides a 2^14 fixed point (`sur14` = ⌊Σ c·bits ·
+    * 2^14 / N⌋) so the keep verdict is pure integer arithmetic.
+    * Emits (doc_id, len, distinct_chars, sur14, keep); dropped docs
+    * are the low-entropy tail — repeated-char runs, single-token spam —
+    * that char-frequency heuristics exist to catch.
+    *
+    * Scale: the per-char stream is generated scan-side (explode of a
+    * position sequence) and immediately map-side combined on
+    * (doc_id, char) — what crosses the one keyed exchange is ≤
+    * |alphabet| count rows per doc, never the char stream itself; the
+    * second aggregate reuses the same doc_id keying. Everything stays
+    * in whole-stage codegen; no model table, no join. */
+  def charSurprisal(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") > 0)
+    val cnts = base
+      // split-on-empty yields the char array in one O(L) pass (a
+      // positional substring loop is O(L²) on var-width UTF-8); the
+      // regex engine emits a trailing "" match that is not a char
+      .select(col("doc_id"), col("len"),
+        explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy("doc_id", "len", "c").agg(count(lit(1)).as("cnt"))
+    cnts
+      .withColumn("bits",
+        (length(bin(expr("len div cnt"))) - 1).cast("long"))
+      .groupBy("doc_id", "len")
+      .agg(count(lit(1)).as("distinct_chars"),
+        sum(col("cnt") * col("bits")).as("bitsum"))
+      .select(col("doc_id"), col("len").cast("long").as("len"),
+        col("distinct_chars"),
+        expr("(bitsum * 16384) div len").as("sur14"))
+      .withColumn("keep",
+        (col("sur14") >= CharSurprisalKeep14).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Per-language quantile quality cut ------------------------------
+
+  /** [[qualityQuantileCut]] quantile: drop each language's bottom
+    * quartile. */
+  val QuantileCutP = 0.25
+
+  /** Per-language quantile threshold filter — the FineWeb-style
+    * curation move of cutting each language's bottom quartile on a
+    * quality metric instead of one global absolute threshold (absolute
+    * cuts systematically starve low-resource languages whose score
+    * distributions sit lower). Pass 1 computes the exact interpolated
+    * per-language p25 of `n_chars` (the `percentile` ↔ `quantile_cont`
+    * cross-engine pair the dataset card established); pass 2 re-scans
+    * with the |langs|-row threshold table broadcast and counts
+    * kept/dropped per language. Emits (lang, lang_docs, cut, n_kept,
+    * n_dropped) — the audit row a curation dashboard shows per stream.
+    *
+    * Scale: the exact grouped percentile shuffles whole groups — the
+    * cross-engine-verifiable form; at 100 TB swap pass 1 to the GK
+    * sketch (`approx_percentile`, the `agg_approx_quantiles` doctrine)
+    * and nothing downstream changes shape. Pass 2 is one scan + a
+    * broadcast hash join + a map-side-combined aggregate; the corpus
+    * text never shuffles in either pass. */
+  def qualityQuantileCut(docs: DataFrame): DataFrame = {
+    val thresh = docs.groupBy("lang")
+      .agg(count(lit(1)).as("lang_docs"),
+        expr(s"percentile(n_chars, $QuantileCutP)").as("cut"))
+    docs.select("lang", "n_chars")
+      .join(broadcast(thresh), Seq("lang"))
+      .withColumn("keep",
+        (col("n_chars").cast("double") >= col("cut")).cast("long"))
+      .groupBy("lang")
+      .agg(first(col("lang_docs")).as("lang_docs"),
+        first(col("cut")).as("cut"),
+        sum(col("keep")).as("n_kept"),
+        (count(lit(1)) - sum(col("keep"))).as("n_dropped"))
+      .orderBy("lang")
+  }
 }

@@ -1182,4 +1182,71 @@ class MlSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum % 3 === 0)
     assert(rows.map(_.getLong(2)).sum > 0, "fixture graph has no triangles")
   }
+
+  test("charSurprisal: naive replay + degenerate-doc bounds") {
+    // planted extremes ride fake doc_ids above the fixture range
+    val planted = Seq(
+      (9000001L, "aaaaaaaaaaaaaaaa", "en", "t", 16L), // 1 char: 0 bits
+      (9000002L, "abcdefgh", "en", "t", 8L), // 8 distinct: exactly 3 bits
+      (9000003L, "ab", "en", "t", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.charSurprisal(docs.unionByName(planted))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(rows(9000001L) === ((16L, 1L, 0L, 0)), "repeated char: 0 bits")
+    assert(rows(9000002L) === ((8L, 8L, 3L * 16384L, 1)),
+      "uniform 8-char alphabet: exactly 3 bits")
+    assert(rows(9000003L) === ((2L, 2L, 16384L, 0)),
+      "2 distinct chars: 1 bit, below keep")
+    // naive single-threaded replay over 5 fixture docs
+    docs.filter(col("doc_id") < 5).select("doc_id", "text").collect()
+      .foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val n = text.length.toLong
+        val cnts = text.groupBy(identity).map(_._2.length.toLong)
+        val bitsum = cnts.map(c =>
+          c * (63 - java.lang.Long.numberOfLeadingZeros(n / c))).sum
+        assert(rows(id) === ((n, cnts.size.toLong, bitsum * 16384 / n,
+          if (bitsum * 16384 / n >= 32768) 1 else 0)), s"doc $id")
+      }
+    // fixture natural text keeps: the filter exists to drop outliers
+    val fixture = rows.filter(_._1 < 9000000L)
+    assert(fixture.values.count(_._4 == 1) > fixture.size * 9 / 10)
+  }
+
+  test("quantileCut: partition identity and p25 coverage band per lang") {
+    val rows = TextAnalysis.qualityQuantileCut(docs).collect()
+    assert(rows.length === docs.select("lang").distinct().count())
+    rows.foreach { r =>
+      val (ld, kept, dropped) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(kept + dropped === ld, s"partition identity for ${r.getString(0)}")
+      // an interpolated p25 cut keeps ~75%: dropped ≤ ceil((n-1)/4),
+      // so allow the one-rank interpolation slack
+      assert(kept * 4 + 4 >= ld * 3,
+        s"p25 must keep >= 75% of ${r.getString(0)}")
+      assert(dropped > 0, s"fixture lang ${r.getString(0)} is non-constant")
+    }
+  }
+
+  test("docPool: naive replay of the element-wise integer pooling") {
+    val rows = Similarity.docPool(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val naive = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v =>
+          math.floor(v.toDouble * 1048576L + 0.5).toLong)))
+      .groupBy(_._1 / 4)
+    assert(rows.keySet === naive.keySet)
+    naive.foreach { case (docId, chunks) =>
+      val pool = chunks.toVector.map(_._2.toVector).transpose.map(_.sum)
+      val r = rows(docId)
+      assert(r.getLong(1) === chunks.size.toLong, s"n_chunks $docId")
+      assert(r.getLong(2) === pool.sum, s"pool_sum $docId")
+      assert(r.getLong(3) === pool.map(v => v * v).sum, s"pool_norm2 $docId")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(pool.mkString(",").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(r.getString(4) === md, s"pool_md5 $docId")
+    }
+  }
 }

@@ -406,6 +406,37 @@ class PlanSpec extends AnyFunSuite {
       s"gram stats must stay inside the scan:\n${s.take(600)}")
   }
 
+  test("char surprisal: no join, no model table — the doc is its own model") {
+    // the per-char stream partial-aggregates scan-side; what shuffles
+    // is (doc_id, char) counts, and there is no second table at all
+    val s = planString(run("ml_char_surprisal"))
+    assert(!s.contains("Join"), "char surprisal must not join")
+    assert(s.contains("HashAggregate"),
+      "char counts must partial-aggregate (map-side combine)")
+  }
+
+  test("quantile cut: threshold table broadcasts, corpus never sort-merges") {
+    // pass 2 joins the |langs|-row threshold table back — broadcast
+    // or bust; a sort-merge here shuffles the corpus for a 5-row dim
+    val s = planString(run("ml_quality_quantile_cut"))
+    assert(s.contains("BroadcastHashJoin"), "threshold table must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus-side sort-merge is the scale killer:\n${s.take(800)}")
+  }
+
+  test("doc pool: one hash exchange, no positional explode") {
+    // the bounded-group fold keys once on doc_id and folds arrays with
+    // zip_with — a Generate node would mean the 64× positional
+    // explosion crept back (the `centroids` shape, wrong here)
+    val df = Similarity.docPool(Tables(spark, sf, "embeddings"))
+    val s = planString(df)
+    assert(!s.contains("Generate"), "doc pool must not explode positions")
+    val exchanges = s.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"doc pool must shuffle once (got $exchanges):\n${s.take(800)}")
+  }
+
   test("JDBC multi-table summaries: one exchange serves repartition, window, and aggregate") {
     // typedSummaries keys everything on `key`: the explicit
     // repartition, the last-delete window, and the per-key aggregate
