@@ -163,7 +163,12 @@ object JdbcReplica {
     } finally c.close()
   }
 
-  /** Create the person target + epoch-marker tables if absent. */
+  /** Create the person target + epoch-marker tables if absent. The id
+    * is `GENERATED BY DEFAULT AS IDENTITY` — the Derby spelling of the
+    * reference target's SERIAL id (its `person_id_seq`): replicated
+    * rows carry explicit ids straight through, while rows inserted
+    * directly AT the target draw from the identity generator (the
+    * failover-write scenario the sequence restart below exists for). */
   def ensureTables(url: String, table: String): Unit = {
     val c = connect(url)
     try {
@@ -171,12 +176,43 @@ object JdbcReplica {
         val st = c.createStatement()
         try st.executeUpdate(
           s"""CREATE TABLE $table (
-             |  id INT PRIMARY KEY, name VARCHAR(200), uid VARCHAR(36),
+             |  id INT GENERATED BY DEFAULT AS IDENTITY PRIMARY KEY,
+             |  name VARCHAR(200), uid VARCHAR(36),
              |  score INT, created_at TIMESTAMP)""".stripMargin)
         finally st.close()
       }
     } finally c.close()
     ensureEpochTable(url)
+  }
+
+  /** Re-seat the target's id generator above the replicated key space —
+    * the reference's post-snapshot `ALTER SEQUENCE person_id_seq
+    * RESTART WITH max+1` (replicator/main.go:143-150) in its Derby
+    * form (`ALTER TABLE … ALTER COLUMN id RESTART WITH n`; identity
+    * state lives on the column, not a named sequence). Without it, the
+    * first direct insert at the target draws id 1 and collides with a
+    * replicated row. Best-effort like the reference (a warning, never
+    * fatal: replication itself never draws from the generator).
+    * Returns the restart value, 0 if nothing was done. */
+  def restartIdentity(url: String, table: String): Long = {
+    val c = connect(url)
+    try {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT COALESCE(MAX(id), 0) FROM $table")
+        val maxId = try { rs.next(); rs.getLong(1) } finally rs.close()
+        if (maxId > 0) {
+          st.executeUpdate(
+            s"ALTER TABLE $table ALTER COLUMN id RESTART WITH ${maxId + 1}")
+          maxId + 1
+        } else 0L
+      } finally st.close()
+    } catch {
+      case e: java.sql.SQLException =>
+        System.err.println(s"[jdbc] could not restart identity: $e")
+        0L
+    } finally c.close()
   }
 
   /** Exactly-once markers: (target, epoch, partition) rows committing
@@ -385,11 +421,15 @@ object JdbcReplica {
       })
 
   /** Bulk-load rows into the JDBC target (snapshot phase of the
-    * replicator): distributed append through Spark's JDBC writer. */
+    * replicator): distributed append through Spark's JDBC writer, then
+    * the identity restart the reference runs right after its bulk copy
+    * so direct target-side inserts can never collide with the
+    * replicated key space. */
   def load(rows: Dataset[PersonRow], url: String, table: String): Unit = {
     ensureTables(url, table)
     rows.toDF().write.mode("append")
       .jdbc(url, table, new java.util.Properties)
+    restartIdentity(url, table)
   }
 
   /** The continuous pipeline against a JDBC target: change log →

@@ -933,6 +933,29 @@ object Relational {
            |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
            |FROM events ORDER BY event_id""".stripMargin))
 
+  private val xVariantJson = Declared(
+    "x_variant_json",
+    // The Spark 4 VARIANT path for the same change-payload decode:
+    // parse once into the binary-encoded variant (the shredded
+    // semi-structured representation — at 100 TB the parse cost is
+    // paid once at ingest and typed extraction happens on the binary
+    // form, not by re-tokenizing JSON text per access the way
+    // get_json_object does), then typed `variant_get` extraction with
+    // an absent-path probe exercising the NULL contract. The oracle
+    // re-derives the same values from the JSON text — VARIANT is a
+    // representation change, never a semantics change.
+    (s, d) => t(s, d)("events")
+      .select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"),
+        variant_get(parse_json(col("props")), "$.missing", "int")
+          .as("k_missing"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
+           |    AS k,
+           |  CAST(NULL AS INTEGER) AS k_missing
+           |FROM events ORDER BY event_id""".stripMargin))
+
   private val xArrayOps = Declared(
     "x_array_ops",
     // X13 array handling over the embeddings list column: size,
@@ -1948,7 +1971,7 @@ object Relational {
     setUnion, setIntersect, setExcept,
     xScalarFuncs, xStringFuncs, aggSaltedSkew, aggPivot, aggQuantiles,
     aggApproxQuantiles, xLateralExplode, xDateFuncs, xEpochDiff,
-    xJsonExtract, xArrayOps,
+    xJsonExtract, xVariantJson, xArrayOps,
     subScalarAvg, subInSegment,
     eventsWindowHour)
 }

@@ -83,6 +83,47 @@ class JdbcSpec extends AnyFunSuite {
     assert(tgt === want.size.toLong)
   }
 
+  test("identity restart: post-snapshot target inserts draw above the replicated key space") {
+    // the reference's post-bulk-copy `ALTER SEQUENCE person_id_seq
+    // RESTART WITH max+1` (replicator/main.go:143-150), Derby form
+    val url = freshDb("jdbc-seq")
+    val snapState = ChangeGen.replay(ChangeGen.ops(seed = 91L, n = 300))
+      .values.toSeq
+    val maxId = snapState.map(_.id).max
+    JdbcReplica.load(snapState.toDS(), url, "person") // restarts identity
+    val c = JdbcReplica.connect(url)
+    try {
+      val st = c.createStatement()
+      try {
+        st.executeUpdate("INSERT INTO person (name, uid, score, " +
+          "created_at) VALUES ('direct', 'u-d', 1, CURRENT_TIMESTAMP)")
+        val rs = st.executeQuery("SELECT MAX(id) FROM person")
+        rs.next()
+        assert(rs.getInt(1) === maxId + 1,
+          "generator must restart above the replicated key space")
+        rs.close()
+      } finally st.close()
+    } finally c.close()
+    // negative control: without the restart a fresh table's generator
+    // starts at 1 — exactly the collision the reference's restart
+    // exists to prevent
+    JdbcReplica.ensureTables(url, "person_raw")
+    val c2 = JdbcReplica.connect(url)
+    try {
+      val st = c2.createStatement()
+      try {
+        st.executeUpdate("INSERT INTO person_raw VALUES (1, " +
+          "'replicated', 'u-1', 1, CURRENT_TIMESTAMP)")
+        val ex = intercept[java.sql.SQLException] {
+          st.executeUpdate("INSERT INTO person_raw (name, uid, score, " +
+            "created_at) VALUES ('direct', 'u-d', 1, CURRENT_TIMESTAMP)")
+        }
+        assert(ex.getSQLState === "23505",
+          "the un-restarted generator collides with the replicated row")
+      } finally st.close()
+    } finally c2.close()
+  }
+
   test("jdbc apply: a NEW epoch with regressing content still applies (markers key on epoch)") {
     val url = freshDb("jdbc-epochs")
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
