@@ -403,7 +403,19 @@ object Bench {
     // ---- relational / ML queries: time the declared plan end-to-end ----
     val onlyQueries = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val qmap = SparkEntry.queries.filterNot(_._1.startsWith("cdc_"))
+    // cdc_* rows and the stream-e2e harness rows are correctness
+    // fixtures whose run time is the HARNESS (driver-side MemoryStream
+    // feed, per-wave checkpoint commits), not engine throughput — the
+    // streaming envelope is measured by the dedicated CDC cells above.
+    // Benching events_stream_dedup also poisons the rest of the run:
+    // its two executions (warm + timed) leave ~150k keys in the
+    // state-store provider cache plus thousands of tiny bucketed
+    // appends, and the r9 record that included it showed a uniform
+    // 1.4× drag on every later query (GC/heap debt), vanishing when
+    // excluded.
+    val harnessE2e = Set("events_stream_dedup")
+    val qmap = SparkEntry.queries.filterNot(q =>
+        q._1.startsWith("cdc_") || harnessE2e(q._1))
       .filter { case (n, _) => onlyQueries.forall(_.contains(n)) }
     val results: Map[String, Double] =
       if (only.exists(_ != "queries")) Map.empty
