@@ -2055,12 +2055,12 @@ object MlQueries {
     (s, d) => Similarity.docPool(Tables(s, d, "embeddings")),
     Some(s"""WITH $qeCte,
             |pool AS (
-            |  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, i,
-            |         CAST(sum(q) AS BIGINT) AS pq
+            |  SELECT CAST(vec_id // ${Similarity.PoolChunks} AS BIGINT)
+            |    AS doc_id, i, CAST(sum(q) AS BIGINT) AS pq
             |  FROM qe GROUP BY 1, 2),
             |ch AS (
-            |  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id,
-            |         CAST(count(*) AS BIGINT) AS n_chunks
+            |  SELECT CAST(vec_id // ${Similarity.PoolChunks} AS BIGINT)
+            |    AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks
             |  FROM embeddings GROUP BY 1)
             |SELECT p.doc_id, c.n_chunks,
             |  CAST(sum(pq) AS BIGINT) AS pool_sum,

@@ -800,7 +800,7 @@ object Similarity {
     * (a doc's vector = the element-wise mean of its chunks' vectors;
     * mean and sum rank identically under cosine, so the exact integer
     * SUM is the stored form and no float division ever happens).
-    * Chunks link to docs by `vec_id div 4`. Emits per doc: chunk
+    * Chunks link to docs by `vec_id div` [[PoolChunks]]. Emits per doc: chunk
     * count, the pooled vector's component sum and exact norm², and an
     * md5 over the comma-joined components (the array-free fingerprint
     * form — result columns avoid arrays by repo convention).
@@ -815,7 +815,7 @@ object Similarity {
   def docPool(emb: DataFrame): DataFrame = {
     val zero = array_repeat(lit(0L), 64)
     quantized(emb)
-      .select(expr("vec_id div 4").as("doc_id"), col("q"))
+      .select(expr(s"vec_id div $PoolChunks").as("doc_id"), col("q"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         aggregate(collect_list(col("q")), zero,

@@ -196,15 +196,31 @@ object Cep {
     * Emits (user_id, step_ids, counts — comma-joined per step, the
     * plus step reporting its LAST absorbed id and run length —
     * start_ts, end_ts, span_us). Streaming twin: [[streamingPlus]]. */
-  def chainPlus(events: DataFrame, steps: Seq[CepQStep],
-      gapUs: Long = Funnel.GapUs): DataFrame = {
+  /** Pattern validation shared by [[chainPlus]] and [[streamingPlus]]
+    * so a pattern either runs with one well-defined semantics in BOTH
+    * engines or is rejected loudly in both — never accepted by one and
+    * silently divergent in the other. Rejected as ambiguous: (a)
+    * consecutive plus steps (B+ B+ ≡ B+), and (b) a plus step whose
+    * successor shares its type (A B+ B — greedy absorption can never
+    * see the successor, while the batch fold double-counts the same
+    * events into the run and its closer, so no answer is canonical). */
+  private def validatePlusSteps(steps: Seq[CepQStep]): Unit = {
     require(steps.nonEmpty && !steps.head.plus,
       "chainPlus must start with a non-plus step")
     steps.sliding(2).foreach {
-      case Seq(a, b) => require(!(a.plus && b.plus),
-        "consecutive plus steps are ambiguous — collapse B+ B+ to B+")
+      case Seq(a, b) =>
+        require(!(a.plus && b.plus),
+          "consecutive plus steps are ambiguous — collapse B+ B+ to B+")
+        require(!(a.plus && a.tpe == b.tpe),
+          s"a plus step's successor must differ in type: '${a.tpe}+ " +
+            s"${b.tpe}' is ambiguous (greedy absorption vs closing)")
       case _ =>
     }
+  }
+
+  def chainPlus(events: DataFrame, steps: Seq[CepQStep],
+      gapUs: Long = Funnel.GapUs): DataFrame = {
+    validatePlusSteps(steps)
     val ev = events.select("user_id", "event_id", "ts", "event_type")
     val small = Funnel.anchorsBroadcastable(ev)
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -312,8 +328,7 @@ object Cep {
   def streamingPlus(events: DataFrame, steps: Seq[CepQStep],
       gapUs: Long = Funnel.GapUs,
       watermark: String = "30 minutes"): Dataset[ChainPlusHit] = {
-    require(steps.nonEmpty && !steps.head.plus,
-      "chainPlus must start with a non-plus step")
+    validatePlusSteps(steps)
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -502,18 +517,25 @@ private[streaming] class ChainNotProcessor(steps: Seq[CepStep], gapUs: Long)
     ripe.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       if (!terminal(st)) {
         if (st.stage < positives.size) {
-          if (st.stage >= 1 && forbidden(st.stage).contains(e.event_type) &&
-              after(e, st)) {
-            // forbidden event inside the open interval: any future
-            // match of the awaited positive would contain it — fail
-            st = st.copy(stage = -1)
-          } else if (e.event_type == positives(st.stage) &&
+          // positive-match test FIRST: when a negated type equals the
+          // awaited positive (pattern "A !B B"), batch semantics count
+          // violators strictly BETWEEN the anchor and the matched
+          // positive — the matching event itself is the match, never a
+          // violation. Testing forbidden first killed exactly that
+          // event and silently diverged from chainNot.
+          if (e.event_type == positives(st.stage) &&
               (st.stage == 0 ||
                 (after(e, st) && e.ts_us - st.at <= gapUs))) {
             st = ChainState(st.stage + 1, e.ts_us, e.event_id,
               st.ids :+ e.event_id, st.tss :+ e.ts_us)
             if (st.stage == positives.size && trailing.isEmpty)
               hits += ChainHit(key, st.ids, st.tss) // emit, terminal
+          } else if (st.stage >= 1 &&
+              forbidden(st.stage).contains(e.event_type) &&
+              after(e, st)) {
+            // forbidden event inside the open interval: any future
+            // match of the awaited positive would contain it — fail
+            st = st.copy(stage = -1)
           }
         } else { // st.stage == positives.size, trailing nonEmpty
           if (e.ts_us - st.at > gapUs) {

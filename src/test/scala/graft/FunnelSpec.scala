@@ -337,6 +337,61 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("interior NOT sharing the awaited positive's type: the match is not a violation") {
+    // pattern "view, NOT click, click" — the matching click IS the
+    // awaited positive; batch counts violators strictly BETWEEN anchor
+    // and match, so it must emit, and streaming must agree (it once
+    // tested forbidden before positive and silently emitted nothing)
+    import graft.streaming.{Cep, CepStep}
+    val steps = Seq(CepStep("view"), CepStep("click", negated = true),
+      CepStep("click"))
+    val gapUs = 600L * 1000000
+    val t0 = Timestamp.valueOf("2026-07-02 00:00:00").getTime
+    def ev(u: Long, id: Long, offSec: Long, tpe: String) =
+      FnEv(u, id, new Timestamp(t0 + offSec * 1000L), tpe)
+    val evs = Seq(
+      ev(1, 1, 0, "view"), ev(1, 2, 60, "click"), // plain hit
+      ev(2, 3, 0, "view"), ev(2, 4, 60, "click"),
+      ev(2, 5, 120, "click"), // second click after the match: harmless
+      ev(3, 6, 0, "view")) // no click: no hit
+    val want = Set((1L, "1,2"), (2L, "3,4"))
+    val batch = Cep.chainNot(evs.toDF(), steps, gapUs)
+      .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+    assert(batch === want, "batch: the match itself never violates")
+    withRocksDb {
+      val in = MemoryStream[FnEv](spark)
+      val q = Cep.streamingNot(in.toDF(), steps, gapUs)
+        .writeStream.format("memory").queryName("sharednot_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(evs: _*)
+        q.processAllAvailable()
+        // close every window far past anchor+gap
+        in.addData(ev(9, 99, 7200, "noop"))
+        q.processAllAvailable()
+        val got = spark.table("sharednot_sink")
+          .selectExpr("user_id", "concat_ws(',', step_ids)")
+          .as[(Long, String)].collect().toSet
+        assert(got === want, "streaming must equal batch on shared types")
+      } finally q.stop()
+    }
+  }
+
+  test("ambiguous plus patterns are rejected by BOTH the batch and streaming APIs") {
+    import graft.streaming.{Cep, CepQStep}
+    val ev = Tables(spark, sf, "events")
+    // A B+ B: greedy absorption can never see the successor
+    val shared = Seq(CepQStep("view"), CepQStep("click", plus = true),
+      CepQStep("click"))
+    intercept[IllegalArgumentException](Cep.chainPlus(ev, shared))
+    intercept[IllegalArgumentException](Cep.streamingPlus(ev, shared))
+    // B+ C+: consecutive plus — streaming once accepted this silently
+    val consec = Seq(CepQStep("view"), CepQStep("click", plus = true),
+      CepQStep("purchase", plus = true))
+    intercept[IllegalArgumentException](Cep.chainPlus(ev, consec))
+    intercept[IllegalArgumentException](Cep.streamingPlus(ev, consec))
+  }
+
   test("chainNot equals a naive interval replay, 12 seeded schedules") {
     import graft.streaming.{Cep, CepStep}
     // view → NOT error → click → NOT purchase (interior + trailing)

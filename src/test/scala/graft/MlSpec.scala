@@ -1235,7 +1235,7 @@ class MlSpec extends AnyFunSuite {
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).map(v =>
           math.floor(v.toDouble * 1048576L + 0.5).toLong)))
-      .groupBy(_._1 / 4)
+      .groupBy(_._1 / Similarity.PoolChunks)
     assert(rows.keySet === naive.keySet)
     naive.foreach { case (docId, chunks) =>
       val pool = chunks.toVector.map(_._2.toVector).transpose.map(_.sum)

@@ -17,7 +17,7 @@ class StreamDedupSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val t0 = Timestamp.valueOf("2026-11-01 00:00:00").getTime
-  private def ev(id: Long, offSec: Long, v: Double) =
+  private def ev(id: Long, offSec: Long) =
     FnEv(id, id, new Timestamp(t0 + offSec * 1000L), "view")
 
   test("cross-batch redeliveries emit exactly once; state evicts past the watermark") {
@@ -29,10 +29,10 @@ class StreamDedupSpec extends AnyFunSuite {
       .outputMode(OutputMode.Append()).start()
     try {
       // batch 1: three events, one in-batch duplicate
-      in.addData(ev(1, 0, 1), ev(2, 30, 1), ev(2, 30, 1), ev(3, 60, 1))
+      in.addData(ev(1, 0), ev(2, 30), ev(2, 30), ev(3, 60))
       q.processAllAvailable()
       // batch 2: redeliveries of 1 and 3 (within the watermark) + a new key
-      in.addData(ev(1, 0, 1), ev(3, 60, 1), ev(4, 90, 1))
+      in.addData(ev(1, 0), ev(3, 60), ev(4, 90))
       q.processAllAvailable()
       val emitted = spark.table("sdedup_sink").select("key")
         .as[Long].collect().toSeq
@@ -42,9 +42,9 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(stateFull >= 4, s"all live keys hold state, got $stateFull")
       // push the watermark far past every key's event time + delay:
       // their dedup state must evict (the unbounded-state contrast)
-      in.addData(ev(99, 7200, 1))
+      in.addData(ev(99, 7200))
       q.processAllAvailable()
-      in.addData(ev(98, 7260, 1))
+      in.addData(ev(98, 7260))
       q.processAllAvailable()
       val stateAfter = q.lastProgress.stateOperators.head.numRowsTotal
       assert(stateAfter < stateFull,
