@@ -916,26 +916,78 @@ object MlQueries {
            |    AS redacted_md5
            |FROM seeded ORDER BY doc_id""".stripMargin))
 
-  /** Quality-gate oracle: the same stats body, thresholds as INT flags. */
+  /** Quality-gate oracle: the same stats body, thresholds as INT flags.
+    * Shared by the batch row and its streaming twin — one SQL string
+    * guarantees the two declared results are held to the SAME oracle. */
+  private val qualityGateSql =
+    s"""WITH ts AS (
+       |$textStatsSql)
+       |SELECT doc_id, lang, source, n_tokens, stop_ratio, quality,
+       |  len_ok, stop_ok, quality_ok,
+       |  CAST(len_ok = 1 AND stop_ok = 1 AND quality_ok = 1 AS INT)
+       |    AS keep
+       |FROM (
+       |  SELECT *,
+       |    CAST(n_tokens >= ${TextAnalysis.GateMinTokens} AS INT)
+       |      AS len_ok,
+       |    CAST(stop_ratio <= ${TextAnalysis.GateMaxStop} AS INT)
+       |      AS stop_ok,
+       |    CAST(quality >= ${TextAnalysis.GateMinQuality} AS INT)
+       |      AS quality_ok
+       |  FROM ts)
+       |ORDER BY doc_id""".stripMargin
+
   private val qualityGate = Declared(
     "ml_quality_gate",
     (s, d) => TextAnalysis.qualityGate(Tables(s, d, "documents")),
-    Some(s"""WITH ts AS (
-            |$textStatsSql)
-            |SELECT doc_id, lang, source, n_tokens, stop_ratio, quality,
-            |  len_ok, stop_ok, quality_ok,
-            |  CAST(len_ok = 1 AND stop_ok = 1 AND quality_ok = 1 AS INT)
-            |    AS keep
-            |FROM (
-            |  SELECT *,
-            |    CAST(n_tokens >= ${TextAnalysis.GateMinTokens} AS INT)
-            |      AS len_ok,
-            |    CAST(stop_ratio <= ${TextAnalysis.GateMaxStop} AS INT)
-            |      AS stop_ok,
-            |    CAST(quality >= ${TextAnalysis.GateMinQuality} AS INT)
-            |      AS quality_ok
-            |  FROM ts)
-            |ORDER BY doc_id""".stripMargin))
+    Some(qualityGateSql))
+
+  /** Streaming twin of the quality gate — the continuous-ingest shape a
+    * production corpus pipeline runs (new crawl documents arrive as a
+    * stream; each micro-batch is gated by the SAME operator code as the
+    * batch path). Per-doc curation ops are batch-boundary-invariant by
+    * construction (the gate consults nothing outside the row), so the
+    * streamed result must equal the batch result exactly — which is the
+    * oracle: [[qualityGateSql]] verbatim. The fixture streams in over
+    * real micro-batch waves; gated output lands as hash-bucketed
+    * parquet appends (the distributed-sink doctrine — no driver-side
+    * collect in the data path; the orderBy+collect below is the HARNESS
+    * feeding the MemoryStream, the events_stream_dedup pattern). */
+  private val qualityGateStream = Declared(
+    "ml_quality_gate_stream",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = Tables(s, d, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val rows = docs.orderBy("doc_id").collect()
+      val in = MemoryStream[(Long, String, String, String, Long)](s)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-qgate-out").toString
+      val q = in.toDF()
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-qgate-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            TextAnalysis.qualityGate(batch)
+              .withColumn("bucket", pmod(col("doc_id"), lit(16)))
+              .repartition(col("bucket"))
+              .write.mode("append").partitionBy("bucket").parquet(outDir)
+        }
+        .start()
+      try rows.grouped(rows.length / 4 + 1).foreach { wave =>
+        in.addData(wave.map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4))))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select("doc_id", "lang", "source", "n_tokens", "stop_ratio",
+          "quality", "len_ok", "stop_ok", "quality_ok", "keep")
+        .orderBy("doc_id")
+    },
+    Some(qualityGateSql))
 
   private val langId = Declared(
     "ml_lang_id",
@@ -2083,7 +2135,8 @@ object MlQueries {
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
     randProj, kmeansStep,
     embedNearDup, semDedup,
-    textStats, textNormalize, qualityGate, qualityClassifier, lmSurprisal,
+    textStats, textNormalize, qualityGate, qualityGateStream,
+    qualityClassifier, lmSurprisal,
     langId, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, contam, piiRedact,
     shardAssign, mixRebalance, chunking,
