@@ -377,6 +377,48 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming chainNot equals batch on the shared-type pattern, 4 seeded schedules") {
+    // "view, NOT click, click" on collision-rich random schedules: the
+    // shared-type branch order is exactly where the streaming twin once
+    // diverged, so pin equality where timestamp ties make it hardest
+    import graft.streaming.{Cep, CepStep}
+    val steps = Seq(CepStep("view"), CepStep("click", negated = true),
+      CepStep("click"))
+    val all = Seq("view", "click", "error", "noop")
+    val gapUs = 900L * 1000000
+    val base = Timestamp.valueOf("2026-05-02 00:00:00").getTime
+    withRocksDb {
+      for (seed <- 301 to 304) {
+        val rnd = new scala.util.Random(seed)
+        val evs = (0 until 400).map { i =>
+          FnEv(rnd.nextInt(6).toLong, i.toLong,
+            new Timestamp(base + rnd.nextInt(7200) * 1000L),
+            all(rnd.nextInt(all.size)))
+        }
+        val want = Cep.chainNot(evs.toDF(), steps, gapUs)
+          .select("user_id", "step_ids").as[(Long, String)]
+          .collect().toSet
+        val in = MemoryStream[FnEv](spark)
+        val q = Cep.streamingNot(in.toDF(), steps, gapUs)
+          .writeStream.format("memory").queryName(s"sharednot_p$seed")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          // one wave: event-time order inside the batch is the
+          // processor's own sort, no late-drop ambiguity
+          in.addData(evs: _*)
+          q.processAllAvailable()
+          flushEvents().foreach { e =>
+            in.addData(e); q.processAllAvailable()
+          }
+          val got = spark.table(s"sharednot_p$seed")
+            .selectExpr("user_id", "concat_ws(',', step_ids)")
+            .as[(Long, String)].collect().toSet
+          assert(got === want, s"seed $seed")
+        } finally q.stop()
+      }
+    }
+  }
+
   test("ambiguous plus patterns are rejected by BOTH the batch and streaming APIs") {
     import graft.streaming.{Cep, CepQStep}
     val ev = Tables(spark, sf, "events")
