@@ -141,6 +141,60 @@ object CdcQueries {
     },
     Some(e2eOracleSql(manSnapshotPq, manStreamPq)))
 
+  private val ttSnapshotPq = s"$FixtureDir/cdc_tt_snapshot.parquet"
+  private val ttStreamPq = s"$FixtureDir/cdc_tt_stream.parquet"
+
+  /** Snapshot-isolated time travel over the manifest replica — the
+    * Delta/Iceberg `VERSION AS OF` read, graduated from spec-only
+    * (ManifestSpec) to a full oracle row. The engine replays snapshot +
+    * FIVE epochs (one manifest commit each, no compaction interleaved so
+    * version ↔ epoch is 1:1), then reads the replica AS OF the version
+    * three epochs in — while the oracle's ground-truth dump contains
+    * ONLY the three-epoch prefix of the stream. The oracle knows nothing
+    * of the later epochs, so any leakage of post-version state into the
+    * time-travel read (the bug class retention/trim/gc can introduce)
+    * breaks the hash. The target version sits inside the
+    * [[ManifestReplica.ManifestHistory]] retention window (last 4 of 6
+    * commits) — reading it exercises the trim boundary, not just the
+    * head. Scale: the read is the normal manifest-pinned bucket scan;
+    * time travel costs nothing beyond retaining manifests (the
+    * Delta/Iceberg VACUUM trade, documented on ManifestHistory). */
+  private val timeTravel = Declared(
+    "cdc_time_travel",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 48L, n = 2000)
+      val (snapOps, streamOps) = ops.splitAt(800)
+      val changeDir = Files.createTempDirectory("graft-tt-log").toString
+      val replica = Files.createTempDirectory("graft-tt-replica").toString
+      val ckpt = Files.createTempDirectory("graft-tt-ckpt").toString
+      import s.implicits._
+      val snapState = ChangeGen.replay(snapOps).values
+        .filter(_.score % 2 == 0).toSeq
+      ManifestReplica.snapshot(s, snapState.toDS(), replica)
+      snapState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(ttSnapshotPq)
+      val batches = 5
+      ChangeGen.writeBatches(changeDir, streamOps, batches = batches)
+      // ChangeGen.writeChunks groups by per = ceil(n/batches), so the
+      // first 3 epochs are exactly this prefix — the ONLY stream state
+      // the oracle ever sees
+      val per = math.max(1,
+        math.ceil(streamOps.size.toDouble / batches).toInt)
+      dumpChanges(s, streamOps.take(3 * per), ttStreamPq)
+      val q = ManifestReplica.startFrom(s,
+        ChangeSource.readStream(s, changeDir, maxFilesPerTrigger = Some(1)),
+        replica, ckpt, rowFilter = Some(Replicate.parityPred),
+        trigger = Trigger.AvailableNow(),
+        compactEvery = 1000) // no mid-stream compaction commits
+      try q.awaitTermination() finally q.stop()
+      // versions ascending: …, vmax-2 = snapshot + 3 epochs (the last
+      // five commits are the five epoch applies)
+      val vs = ManifestReplica.versions(s, replica)
+      ManifestReplica.readReplicaAt(s, replica, vs.max - 2)
+        .orderBy("id").toDF()
+    },
+    Some(e2eOracleSql(ttSnapshotPq, ttStreamPq)))
+
   /** Batch parse of a generated wal2json v2 log: the S2→X11→X13→F2 slice
     * (slot scan, JSON decode, column pivot, table routing) without the
     * sink. The oracle reads the typed dump of the same seeded ops — the
@@ -752,8 +806,8 @@ object CdcQueries {
            |FROM replica GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[Declared] =
-    Seq(replicateE2e, manifestE2e, parseChangelog, scd2History, scd2AsOf,
-      snapshotDiff, quarantine, ivmView,
+    Seq(replicateE2e, manifestE2e, timeTravel, parseChangelog,
+      scd2History, scd2AsOf, snapshotDiff, quarantine, ivmView,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
       mtStatefulE2e)
 }
