@@ -195,6 +195,88 @@ object CdcQueries {
     },
     Some(e2eOracleSql(ttSnapshotPq, ttStreamPq)))
 
+  private val cfStreamPq = s"$FixtureDir/cdc_cf_stream.parquet"
+
+  /** The manifest replica as a change-data-feed SOURCE — the Delta CDF
+    * `table_changes(since)` analog ([[ManifestReplica.changesSince]]),
+    * graduated from spec-only: downstream consumers (a second replica,
+    * an index refresher, an IVM view) read exactly the per-key delta
+    * summaries committed AFTER a version they have already seen, never
+    * a full snapshot diff. The engine replays snapshot + five epoch
+    * commits and asks for changes since the version two epochs back;
+    * the oracle re-derives the per-(batch, key) LWW summaries —
+    * [[Replicate.summarize]]'s exact fold: last delete lsn, arg_max
+    * image after it, arg_min insert after it — from a ground-truth dump
+    * that contains ONLY the final two epochs' raw ops (batch-stamped by
+    * the same ceil(n/batches) grouping `ChangeGen.writeChunks` uses).
+    * Struct columns flatten to scalars (array/struct-free result
+    * convention). Scale: the feed is a partition-discovered scan of
+    * exactly the delta dirs the retained manifests name — cost
+    * proportional to the requested window, never to replica size. */
+  private val changesSinceFeed = Declared(
+    "cdc_changes_since",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 49L, n = 2000)
+      val (snapOps, streamOps) = ops.splitAt(800)
+      val changeDir = Files.createTempDirectory("graft-cf-log").toString
+      val replica = Files.createTempDirectory("graft-cf-replica").toString
+      val ckpt = Files.createTempDirectory("graft-cf-ckpt").toString
+      import s.implicits._
+      val snapState = ChangeGen.replay(snapOps).values.toSeq
+      ManifestReplica.snapshot(s, snapState.toDS(), replica)
+      val batches = 5
+      val per = math.max(1,
+        math.ceil(streamOps.size.toDouble / batches).toInt)
+      // ground truth: ONLY the last two epochs' ops, batch-stamped
+      ChangeGen.toChanges(streamOps).zipWithIndex
+        .map { case (c, i) => ((i / per).toLong, c) }
+        .filter(_._1 >= (batches - 2).toLong).toDS()
+        .select(col("_1").as("batch_id"), col("_2.*"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(cfStreamPq)
+      ChangeGen.writeBatches(changeDir, streamOps, batches = batches)
+      val q = ManifestReplica.startFrom(s,
+        ChangeSource.readStream(s, changeDir, maxFilesPerTrigger = Some(1)),
+        replica, ckpt, trigger = Trigger.AvailableNow(),
+        compactEvery = 1000)
+      try q.awaitTermination() finally q.stop()
+      val vs = ManifestReplica.versions(s, replica)
+      ManifestReplica.changesSince(s, replica, vs.max - 2)
+        .select(col("batch_id"), col("id"),
+          col("last_img.lsn").as("img_lsn"),
+          col("last_img.name").as("name"),
+          col("last_img.uid").as("uid"),
+          col("last_img.score").as("score"),
+          col("first_ins.lsn").as("ins_lsn"),
+          col("first_ins.created_at").as("ins_created_at"),
+          col("last_d_lsn"))
+        .orderBy("batch_id", "id")
+    },
+    Some(s"""WITH stream AS (
+            |  SELECT * FROM read_parquet('$cfStreamPq/*.parquet')
+            |), last_d AS (
+            |  SELECT batch_id, id, max(lsn) AS dlsn
+            |  FROM stream WHERE action = 'D' GROUP BY 1, 2
+            |), j AS (
+            |  SELECT s.*, d.dlsn FROM stream s
+            |  LEFT JOIN last_d d
+            |    ON s.batch_id = d.batch_id AND s.id = d.id
+            |)
+            |SELECT batch_id, id,
+            |  arg_max(lsn, lsn) FILTER (WHERE action <> 'D'
+            |    AND lsn > coalesce(dlsn, -1)) AS img_lsn,
+            |  arg_max(name, lsn) FILTER (WHERE action <> 'D'
+            |    AND lsn > coalesce(dlsn, -1)) AS name,
+            |  arg_max(uid, lsn) FILTER (WHERE action <> 'D'
+            |    AND lsn > coalesce(dlsn, -1)) AS uid,
+            |  arg_max(score, lsn) FILTER (WHERE action <> 'D'
+            |    AND lsn > coalesce(dlsn, -1)) AS score,
+            |  arg_min(lsn, lsn) FILTER (WHERE action = 'I'
+            |    AND lsn > coalesce(dlsn, -1)) AS ins_lsn,
+            |  arg_min(created_at, lsn) FILTER (WHERE action = 'I'
+            |    AND lsn > coalesce(dlsn, -1)) AS ins_created_at,
+            |  max(dlsn) AS last_d_lsn
+            |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** Batch parse of a generated wal2json v2 log: the S2→X11→X13→F2 slice
     * (slot scan, JSON decode, column pivot, table routing) without the
     * sink. The oracle reads the typed dump of the same seeded ops — the
@@ -806,7 +888,8 @@ object CdcQueries {
            |FROM replica GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[Declared] =
-    Seq(replicateE2e, manifestE2e, timeTravel, parseChangelog,
+    Seq(replicateE2e, manifestE2e, timeTravel, changesSinceFeed,
+      parseChangelog,
       scd2History, scd2AsOf, snapshotDiff, quarantine, ivmView,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
       mtStatefulE2e)
