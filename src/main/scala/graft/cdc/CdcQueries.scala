@@ -175,11 +175,9 @@ object CdcQueries {
         .write.mode(SaveMode.Overwrite).parquet(ttSnapshotPq)
       val batches = 5
       ChangeGen.writeBatches(changeDir, streamOps, batches = batches)
-      // ChangeGen.writeChunks groups by per = ceil(n/batches), so the
-      // first 3 epochs are exactly this prefix — the ONLY stream state
-      // the oracle ever sees
-      val per = math.max(1,
-        math.ceil(streamOps.size.toDouble / batches).toInt)
+      // the first 3 epochs are exactly this prefix — the ONLY stream
+      // state the oracle ever sees (chunkSize IS writeBatches' rule)
+      val per = ChangeGen.chunkSize(streamOps.size, batches)
       dumpChanges(s, streamOps.take(3 * per), ttStreamPq)
       val q = ManifestReplica.startFrom(s,
         ChangeSource.readStream(s, changeDir, maxFilesPerTrigger = Some(1)),
@@ -225,8 +223,7 @@ object CdcQueries {
       val snapState = ChangeGen.replay(snapOps).values.toSeq
       ManifestReplica.snapshot(s, snapState.toDS(), replica)
       val batches = 5
-      val per = math.max(1,
-        math.ceil(streamOps.size.toDouble / batches).toInt)
+      val per = ChangeGen.chunkSize(streamOps.size, batches)
       // ground truth: ONLY the last two epochs' ops, batch-stamped
       ChangeGen.toChanges(streamOps).zipWithIndex
         .map { case (c, i) => ((i / per).toLong, c) }
@@ -701,7 +698,7 @@ object CdcQueries {
       // bootstrap folds exactly like the oracle's lsn=-1 snapshot rows
       val bootstrap = snapState.map(p => PersonChange(0L, "I", p.id,
         Some(p.name), Some(p.uid), Some(p.score), Some(p.created_at)))
-      val per = math.max(1, math.ceil(streamOps.size / 5.0).toInt)
+      val per = ChangeGen.chunkSize(streamOps.size, 5)
       val waves = bootstrap +:
         ChangeGen.toChanges(streamOps).grouped(per).toSeq
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -149,6 +149,14 @@ object ChangeGen {
       startIndex: Int = 0): Unit =
     writeChunks(dir, lines, batches, startIndex)((group, _) => group)
 
+  /** [[writeChunks]]' split rule, exposed because prefix-dump oracles
+    * (cdc_time_travel, cdc_changes_since, the stateful-replica waves)
+    * must slice ops on EXACTLY the epoch boundaries the log files get —
+    * deriving it independently at a call site is the silent-desync bug
+    * this helper exists to prevent. */
+  def chunkSize(n: Int, batches: Int): Int =
+    math.max(1, math.ceil(n.toDouble / batches).toInt)
+
   /** The one place the file layout lives: ceil-split into `batches`
     * chunks, `batch_%05d.json` names offset by `startIndex` (later
     * waves land as NEW files — the file source tracks processed files
@@ -156,7 +164,7 @@ object ChangeGen {
   private def writeChunks[A](dir: String, items: Seq[A], batches: Int,
       startIndex: Int)(render: (Seq[A], Int) => Seq[String]): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val per = math.max(1, math.ceil(items.size.toDouble / batches).toInt)
+    val per = chunkSize(items.size, batches)
     items.grouped(per).zipWithIndex.foreach { case (group, i0) =>
       val i = i0 + startIndex
       val f = Paths.get(dir, f"batch_$i%05d.json")

@@ -172,30 +172,6 @@ object Cep {
       .orderBy("user_id")
   }
 
-  /** Quantified ordered-pattern chain (the MATCH_RECOGNIZE `A B+ C`
-    * family): a `plus` step greedily absorbs ONE OR MORE consecutive
-    * events of its type — the first one exactly like a normal step
-    * (first of the type after the anchor within gap), each subsequent
-    * one while it lands within `gapUs` of the previously absorbed one —
-    * and the successor step matches the first event of its type that
-    * follows the initial absorption START and lands within gap of the
-    * LAST absorbed event before it (events are processed in strict
-    * (ts, event_id) order, so absorption stops exactly where the
-    * successor fires; absorbed events after the successor don't count).
-    * A trailing plus absorbs its whole run. Restrictions: the first
-    * step is non-plus (it anchors), and two consecutive plus steps are
-    * rejected (collapse `B+ B+` to `B+`).
-    *
-    * Batch plan, per plus step: the absorption run is the FIRST
-    * GAPS-AND-ISLANDS island of the type's per-user sequence after the
-    * initial match (one lag + running-sum window over the type-filtered
-    * slice — never over raw events), and the successor resolution is
-    * one merged window (last-absorbed-before via `last(..., ignoreNulls)`)
-    * plus the standard two-stage min — each plus step adds two bounded
-    * per-user window passes, still no event-to-event self-join.
-    * Emits (user_id, step_ids, counts — comma-joined per step, the
-    * plus step reporting its LAST absorbed id and run length —
-    * start_ts, end_ts, span_us). Streaming twin: [[streamingPlus]]. */
   /** Pattern validation shared by [[chainPlus]] and [[streamingPlus]]
     * so a pattern either runs with one well-defined semantics in BOTH
     * engines or is rejected loudly in both — never accepted by one and
@@ -218,6 +194,32 @@ object Cep {
     }
   }
 
+  /** Quantified ordered-pattern chain (the MATCH_RECOGNIZE `A B+ C`
+    * family): a `plus` step greedily absorbs ONE OR MORE consecutive
+    * events of its type — the first one exactly like a normal step
+    * (first of the type after the anchor within gap), each subsequent
+    * one while it lands within `gapUs` of the previously absorbed one —
+    * and the successor step matches the first event of its type that
+    * follows the initial absorption START and lands within gap of the
+    * LAST absorbed event before it (events are processed in strict
+    * (ts, event_id) order, so absorption stops exactly where the
+    * successor fires; absorbed events after the successor don't count).
+    * A trailing plus absorbs its whole run. Restrictions
+    * ([[validatePlusSteps]]): the first step is non-plus (it anchors),
+    * consecutive plus steps are rejected (collapse `B+ B+` to `B+`),
+    * and a plus step's successor must differ in type (`A B+ B` is
+    * ambiguous).
+    *
+    * Batch plan, per plus step: the absorption run is the FIRST
+    * GAPS-AND-ISLANDS island of the type's per-user sequence after the
+    * initial match (one lag + running-sum window over the type-filtered
+    * slice — never over raw events), and the successor resolution is
+    * one merged window (last-absorbed-before via `last(..., ignoreNulls)`)
+    * plus the standard two-stage min — each plus step adds two bounded
+    * per-user window passes, still no event-to-event self-join.
+    * Emits (user_id, step_ids, counts — comma-joined per step, the
+    * plus step reporting its LAST absorbed id and run length —
+    * start_ts, end_ts, span_us). Streaming twin: [[streamingPlus]]. */
   def chainPlus(events: DataFrame, steps: Seq[CepQStep],
       gapUs: Long = Funnel.GapUs): DataFrame = {
     validatePlusSteps(steps)
