@@ -627,10 +627,20 @@ object TextAnalysis {
     * each already shaped for 100 TB (df/query broadcast, corpus never
     * shuffles). */
   def hybridRetrieve(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val wLex = Window.orderBy(col("score_fp").desc, col("doc_id"))
+    // Rank the bounded ≤Bm25K-row lexical list without a global window:
+    // collect_list → sort_array → posexplode assigns ranks in one k-row
+    // aggregate. A Window.orderBy here would be correct but fires
+    // WindowExec's "No Partition Defined" degradation warning on every
+    // (re)plan — dozens of repeats drowning the bench log tail — and
+    // Spark 4's EliminateWindowPartitions strips any constant partition
+    // key one could use to scope it. struct(-score_fp, doc_id) ascending
+    // == (score_fp desc, doc_id asc), the same total order.
     val lex = bm25TopK(docs)
-      .select(col("doc_id"),
-        row_number().over(wLex).cast("long").as("lex_rank"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score_fp")).as("neg_fp"), col("doc_id")))).as("ranked"))
+      .select(posexplode(col("ranked")).as(Seq("pos", "entry")))
+      .select(col("entry.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("lex_rank"))
     val sem = Similarity.cosineTopK(emb, RrfDepth)
       .filter(col("query_id") === 0)
       .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
