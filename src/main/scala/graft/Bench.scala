@@ -384,6 +384,69 @@ object Bench {
         ""
       }
 
+      // 1000× scale probe (OPT-IN: SPARK_GRAFT_CDC_1000X=1 — ~6-10 min
+      // of wall-clock and ~5 GB of driver-side generated ops, far too
+      // heavy for the per-round driver bench): 15M stream rows into a
+      // 1024-bucket replica — the THIRD decade on the scaling curve.
+      // 40 triggers of 375k rows probe the volume axis at 25× the 100×
+      // probe's per-trigger volume; what it measures that 100× can't:
+      // (a) fold cost growth at 10× the bucket count (a superlinear
+      // term in the manifest/compaction path shows here), (b) read
+      // amplification across 1024 partition dirs, (c) state behavior
+      // when the replica (~6M live keys) is 40× the graded run's.
+      // Fields ride BENCHFULL only; the record is committed once as
+      // BENCH_CDC1000X.json, not re-run per round.
+      val probe1000x = if (!sys.env.get("SPARK_GRAFT_CDC_1000X").contains("1")) ""
+      else try {
+        val ops1k = ChangeGen.ops(seed = 46L, n = 18000000)
+        val (snap1k, stream1k) = ops1k.splitAt(3000000)
+        val log1k = Files.createTempDirectory("bench-cdc-1000x-log").toString
+        val dir1k = Files.createTempDirectory("bench-cdc-1000x").toString
+        val ck1k = Files.createTempDirectory("bench-cdc-1000x-ckpt").toString
+        val tGen = System.nanoTime()
+        Replicate.snapshot(spark,
+          ChangeGen.replay(snap1k).values.toSeq.toDS(), dir1k,
+          numBuckets = 1024)
+        val snapSec = (System.nanoTime() - tGen) / 1e9
+        ChangeGen.writeBatches(log1k, stream1k, batches = 40)
+        // warm the 1024-bucket plan shape (same policy as 64/256)
+        val w1k = Files.createTempDirectory("bench-cdc-1000x-warm").toString
+        Replicate.snapshot(spark,
+          ChangeGen.replay(snap1k.take(2000)).values.toSeq.toDS(), w1k,
+          numBuckets = 1024)
+        Replicate.applyBatch(spark,
+          ChangeGen.toChanges(stream1k.take(2000)).toDS(), w1k,
+          numBuckets = 1024, batchId = 0L, compactEvery = 1)
+        val l1k = new BatchMetricsListener(Some("graft-replicate"))
+        spark.streams.addListener(l1k)
+        try {
+          val q1k = Replicate.start(spark, log1k, dir1k, ck1k,
+            trigger = Trigger.AvailableNow(), numBuckets = 1024,
+            maxFilesPerTrigger = Some(1), compactEvery = 4)
+          try q1k.awaitTermination() finally q1k.stop()
+          Replicate.awaitCompactions()
+        } finally spark.streams.removeListener(l1k)
+        def timeRead1k(): Double = {
+          val t0 = System.nanoTime()
+          Replicate.readReplica(spark, dir1k).write.format("noop")
+            .mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val readPre = timeRead1k()
+        val t1 = System.nanoTime()
+        Replicate.compactNow(spark, dir1k, numBuckets = 1024)
+        val foldSec = (System.nanoTime() - t1) / 1e9
+        val readPost = timeRead1k()
+        val bs1k = l1k.batches.filter(_.inputRows > 0)
+          .map(b => num(b.triggerExecSec, 2)).mkString("[", ",", "]")
+        s""","cdc1000x":{"rows":15000000,"buckets":1024,"batches":40,"snapshot_sec":${num(snapSec, 3)},"rows_per_sec":${num(l1k.rowsPerSec, 1)},"worst_batch_sec":${num(l1k.worstBatchSec, 3)},"batch_secs":$bs1k,"read_premerge_sec":${num(readPre, 3)},"final_fold_sec":${num(foldSec, 3)},"read_compacted_sec":${num(readPost, 3)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] 1000x CDC probe FAILED: $e")
+        errors("cdc1000x") = Option(e.getMessage)
+          .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+        ""
+      }
+
       // (compact, full): the printed line carries the graded rename-path
       // numbers (best-of-N); man_* and per-run/batch detail live in the
       // backstop only (r5 verdict ask #1 — every printed char competes
@@ -392,7 +455,7 @@ object Bench {
         s""","man_rows_per_sec":${num(m.rowsPerSec, 1)},"man_worst_batch_sec":${
           num(m.worst, 3)},"man_runs":$manRunsJson""").getOrElse("")
       (s"""{"rows_per_sec":${num(bestRun.rowsPerSec, 0)},"worst_batch_sec":${num(bestRun.worst, 2)},"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 0)},"runs":$cdcRuns}""",
-        s"""{"rows_per_sec":${num(bestRun.rowsPerSec, 1)},"worst_batch_sec":${num(bestRun.worst, 3)},"batches":${bestRun.batches},"rows":${bestRun.rows},"batch_secs":${bestRun.batchSecs},"runs":$renameRunsJson,"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 1)}$manFields$probe10x$probe100x}""")
+        s"""{"rows_per_sec":${num(bestRun.rowsPerSec, 1)},"worst_batch_sec":${num(bestRun.worst, 3)},"batches":${bestRun.batches},"rows":${bestRun.rows},"batch_secs":${bestRun.batchSecs},"runs":$renameRunsJson,"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 1)}$manFields$probe10x$probe100x$probe1000x}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] CDC FAILED: $e")
       errors("cdc_pipeline") = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -516,7 +579,11 @@ object Bench {
     // detail): /tmp for the dev loop, in-repo so the judge reads it
     // without leaving the repo (driver commits round-end work)
     Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), fullLine)
-    try Files.writeString(java.nio.file.Paths.get("BENCHFULL_r09.json"), fullLine)
+    // Neutral filename: the previous hardcoded "BENCHFULL_r09.json"
+    // clobbered the committed r9 record on every later-round run (the r10
+    // ADVICE #1). A run now never touches a round-named record; promoting
+    // _latest to BENCHFULL_r{N}.json is an explicit copy at commit time.
+    try Files.writeString(java.nio.file.Paths.get("BENCHFULL_latest.json"), fullLine)
     catch { case e: Throwable => System.err.println(s"[bench] repo backstop write failed: $e") }
     // accounting + failure report BEFORE the JSON line: every char of
     // stderr printed after it would eat the driver's tail window

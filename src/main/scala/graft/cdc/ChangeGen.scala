@@ -58,8 +58,18 @@ object ChangeGen {
           r.nextInt(100) + 1,
           created(id)) // U events carry the unchanged created_at new image
       } else {
+        // O(1) swap-remove: ArrayBuffer.remove(idx) shifts the tail —
+        // O(live) per delete made generation QUADRATIC in n (at the
+        // 1000×-probe's n=18M, ~2.7M deletes over a ~2M-key live set is
+        // terabytes of memmove — 20+ min of driver CPU before a single
+        // row streams). Selection stays uniform; only the buffer's
+        // internal order (and hence the per-seed sequence) differs,
+        // which every consumer co-derives at runtime (naive replay,
+        // builder-authored oracles), so nothing downstream pins it.
         val idx = r.nextInt(live.size)
-        val id = live.remove(idx)
+        val id = live(idx)
+        live(idx) = live(live.size - 1)
+        live.remove(live.size - 1)
         Op(lsn.toLong, "D", id, "", "", 0, created(id))
       }
     }

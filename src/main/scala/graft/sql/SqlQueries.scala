@@ -161,8 +161,51 @@ object SqlQueries {
       |SELECT o_custkey, o_orderkey, hop, seq
       |FROM chain ORDER BY o_custkey, hop""".stripMargin
 
+  /** The `nxt` successor-edge table as standalone SQL (the first CTE of
+    * [[recursiveChainSql]], verbatim). */
+  private val nxtSql =
+    """SELECT o_custkey, o_orderkey,
+      |       lead(o_orderkey) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS next_key,
+      |       CAST(row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS INT) AS seq
+      |FROM orders""".stripMargin
+
+  /** [[recursiveChainSql]] with the non-recursive CTE replaced by a
+    * reference to the pre-materialized `nxt_mat` view. */
+  private val recursiveOverMatSql =
+    """WITH RECURSIVE chain AS (
+      |  SELECT o_custkey, o_orderkey, next_key, seq, 1 AS hop
+      |  FROM nxt_mat WHERE seq = 1
+      |  UNION ALL
+      |  SELECT n.o_custkey, n.o_orderkey, n.next_key, n.seq, c.hop + 1
+      |  FROM chain c JOIN nxt_mat n ON n.o_orderkey = c.next_key
+      |  WHERE c.hop < 100)
+      |SELECT o_custkey, o_orderkey, hop, seq
+      |FROM chain ORDER BY o_custkey, hop""".stripMargin
+
+  /** Engine-side execution strategy for the recursive chain: Catalyst
+    * inlines non-recursive CTEs into every `UnionLoop` step, so running
+    * [[recursiveChainSql]] verbatim recomputes the successor-edge WINDOW
+    * over the whole orders table at each of the ~24 recursion levels —
+    * ~0.3 s × depth of pure recomputation at sf0.1. Materializing `nxt`
+    * once (localCheckpoint → temp view) makes each level a keyed join
+    * against the cached edge table, which is how a recursive query
+    * should execute at 100 TB: the edge relation is built once and the
+    * iteration touches only live chain frontiers. The ORACLE stays the
+    * original single-statement text (DuckDB materializes the CTE itself),
+    * so the correctness check is unchanged and maximally strict. */
+  private val recursiveChain = Declared(
+    "sql_recursive_chain",
+    (s, d) => {
+      registerViews(s, d)
+      s.sql(nxtSql).localCheckpoint().createOrReplaceTempView("nxt_mat")
+      s.sql(recursiveOverMatSql)
+    },
+    Some(recursiveChainSql))
+
   val all: Seq[Declared] = Seq(
-    sqlDeclared("sql_recursive_chain", recursiveChainSql),
+    recursiveChain,
     sqlDeclared("sql_q1_pricing", oracleOf("q1_agg_pricing")),
     sqlDeclared("sql_q3_shipping", oracleOf("j_q3_shipping")),
     sqlDeclared("sql_exists_semi", oracleOf("j2_semi_exists")),

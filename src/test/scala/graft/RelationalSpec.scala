@@ -138,6 +138,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("sql_recursive_chain: materialized-nxt execution == verbatim CTE text") {
+    // The engine pre-materializes the successor-edge CTE (Catalyst
+    // inlines non-recursive CTEs into every UnionLoop step — the window
+    // over orders would recompute per level); this pins that the
+    // execution strategy is pure optimization: running the ORACLE's
+    // verbatim single-statement text through Spark itself yields the
+    // exact same rows.
+    val decl = SqlQueries.all.find(_.name == "sql_recursive_chain").get
+    val viaMat = decl.run(spark, sf)
+    SqlQueries.registerViews(spark, sf)
+    val viaText = spark.sql(decl.oracle.get)
+    assert(viaMat.exceptAll(viaText).isEmpty && viaText.exceptAll(viaMat).isEmpty,
+      "materialized recursive chain diverges from the verbatim CTE text")
+  }
+
   test("j_q2_mincost: every row achieves the region-wide min for its part") {
     val rows = SqlQueries.all.find(_.name == "j_q2_mincost").get
       .run(spark, sf).collect()
