@@ -504,28 +504,62 @@ object Similarity {
   def pqTrain(emb: DataFrame): Seq[Seq[Seq[Long]]] =
     pqTrainOn(quantized(emb))
 
+  /** Codebook training-sample bound — the faiss convention: PQ/k-means
+    * codebooks train on a bounded in-memory sample of the corpus (a few
+    * hundred vectors per centroid suffices; faiss itself subsamples past
+    * `max_points_per_centroid`), never on all of it. 64k vectors is
+    * 4096 per centroid at [[PqK]]=16 — far past diminishing returns. */
+  val PqTrainSample = 65536
+
+  /** Lloyd entirely driver-side over ONE bounded ordered collect: the
+    * training set is ≤ [[PqTrainSample]] vectors BY DESIGN (see above),
+    * so iterating Spark jobs over it paid 4+ scheduler round-trips to
+    * aggregate what fits in a few MB of driver memory — at bench scale
+    * that overhead WAS the cost of `ml_pq_ann`/`ml_ivfadc`. Semantics
+    * are bit-identical to the former distributed fold: same lowest-ids
+    * init, same (d2·K + code) packed argmin tie-break as [[pqCode]],
+    * same floorDiv integer means, empty cells keep their previous
+    * centroid. At 100 TB the one collect stays ≤ sample-bound; the
+    * corpus-sized work (encode, ADC, rerank) remains distributed. */
   private def pqTrainOn(qdf: DataFrame): Seq[Seq[Seq[Long]]] = {
-    val sub = subvectorsOf(qdf).localCheckpoint()
-    var cb = pqInitOn(qdf)
+    val sample: Array[Array[Long]] = qdf.select(col("vec_id"), col("q"))
+      .orderBy("vec_id").limit(PqTrainSample).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(sample.length >= PqK, s"corpus smaller than $PqK vectors")
+    var cb: Array[Array[Array[Long]]] =
+      Array.tabulate(PqM, PqK, PqDims)((m, c, d) => sample(c)(m * PqDims + d))
     for (_ <- 1 to PqIters) {
-      val stats = sub.withColumn("code", pqCode(typedLit(cb), col("sv"), col("m")))
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("d", "v")))
-        .groupBy("m", "code", "d")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-          (r.getLong(3), r.getLong(4)))).toMap
-      cb = (0 until PqM).map { m =>
-        (0 until PqK).map { c =>
-          (0 until PqDims).map { d =>
-            stats.get((m, c, d))
-              .map { case (s, n) => Math.floorDiv(s, n) }
-              .getOrElse(cb(m)(c)(d))
+      val sums = Array.ofDim[Long](PqM, PqK, PqDims)
+      val counts = Array.ofDim[Long](PqM, PqK)
+      for (v <- sample; m <- 0 until PqM) {
+        var best = 0
+        var bestKey = Long.MaxValue
+        var c = 0
+        while (c < PqK) {
+          var d2 = 0L
+          var d = 0
+          while (d < PqDims) {
+            val diff = v(m * PqDims + d) - cb(m)(c)(d)
+            d2 += diff * diff
+            d += 1
           }
+          val key = d2 * PqK + c
+          if (key < bestKey) { bestKey = key; best = c }
+          c += 1
+        }
+        counts(m)(best) += 1
+        var d = 0
+        while (d < PqDims) {
+          sums(m)(best)(d) += v(m * PqDims + d)
+          d += 1
         }
       }
+      cb = Array.tabulate(PqM, PqK, PqDims) { (m, c, d) =>
+        if (counts(m)(c) > 0) Math.floorDiv(sums(m)(c)(d), counts(m)(c))
+        else cb(m)(c)(d)
+      }
     }
-    cb
+    cb.map(_.map(_.toSeq: Seq[Long]).toSeq: Seq[Seq[Long]]).toSeq
   }
 
   /** PQ-compressed ANN with asymmetric distance computation (ADC) +
