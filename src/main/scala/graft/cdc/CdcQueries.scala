@@ -516,7 +516,17 @@ object CdcQueries {
             col("created_at"))
         p.unionAll(a).orderBy("tbl", "id")
       },
-      Some(s"""WITH pev AS (
+      Some(mtFoldOracleSql(snapPq, pStrPq, aStrPq)))
+  }
+
+  /** Both tables' plain reference folds (no row filter), unioned into
+    * the common (tbl, id, label, amount, created_at) shape — person
+    * bootstrapped from a snapshot fixture, account purely from its
+    * stream fixture. Shared by every multi-table e2e cell and by the
+    * multi-table time-travel row (same fold, prefix-only fixtures). */
+  private def mtFoldOracleSql(snapPq: String, pStrPq: String,
+      aStrPq: String): String =
+    s"""WITH pev AS (
            |  SELECT id, name AS label, score AS amount, created_at,
            |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
            |  FROM read_parquet('$snapPq/*.parquet')
@@ -555,8 +565,7 @@ object CdcQueries {
            |  HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
            |)
            |SELECT * FROM pfold UNION ALL SELECT * FROM afold
-           |ORDER BY tbl, id""".stripMargin))
-  }
+           |ORDER BY tbl, id""".stripMargin
 
   private val multitableE2e = mtE2e("cdc_multitable_e2e", "cdc_mt", 61L,
     (s, snap, changeDir) => {
@@ -884,10 +893,169 @@ object CdcQueries {
            |  CAST(sum(score) AS BIGINT) AS sum_score
            |FROM replica GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val mttSnapPq = s"$FixtureDir/cdc_mtt_person_snap.parquet"
+  private val mttPStrPq = s"$FixtureDir/cdc_mtt_person_stream.parquet"
+  private val mttAStrPq = s"$FixtureDir/cdc_mtt_account_stream.parquet"
+
+  /** Per-table manifest time travel — [[timeTravel]]'s prefix-dump
+    * contract graduated to the MULTI-TABLE manifest protocol
+    * ([[ManifestMultiTable.readTableAt]], previously spec-only — r10
+    * verdict #8). Snapshot + five interleaved epochs commit per-table
+    * manifest versions; each table is then read AS OF the version that
+    * covers exactly the first THREE epochs, while the oracle's
+    * ground-truth dumps contain ONLY each table's rows from those
+    * epochs — post-version leakage on either table breaks the hash.
+    * Version arithmetic is derived, not assumed: absent tables burn no
+    * manifest version ([[ManifestMultiTable.applyBatch]] skips them),
+    * so each table's AS-OF target is `max - (its present epochs after
+    * the prefix)`, computed from the same merge-sort + ceil-chunk rule
+    * `writeMtBatches` uses. The account lsns are shifted (evenly, so
+    * lsn parity still encodes the table) into the person stream's
+    * range so both tables genuinely interleave across epochs. Scale:
+    * per-table manifest roots make retention per-table by
+    * construction; the AS-OF read is the normal manifest-pinned
+    * bucket scan of that table alone. */
+  private val mtTimeTravel = Declared(
+    "cdc_mt_time_travel",
+    (s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      import s.implicits._
+      val (pOps, aRaw) = ChangeGen.mtOps(66L, nPerson = 900,
+        nAccount = 600)
+      val (pSnap, pStream) = pOps.splitAt(400)
+      val shift =
+        ((pStream.map(_.lsn).min - aRaw.map(_.lsn).min) / 2) * 2
+      val aOps = aRaw.map(o => o.copy(lsn = o.lsn + shift))
+      val changeDir = Files.createTempDirectory("graft-mtt-log").toString
+      val root = Files.createTempDirectory("graft-mtt-replica").toString
+      val ckpt = Files.createTempDirectory("graft-mtt-ckpt").toString
+      val snapState = ChangeGen.replay(pSnap).values.toSeq
+      ManifestMultiTable.snapshot(s, snapState.toDS().toDF(), root,
+        personSpecMt)
+      val batches = 5
+      ChangeGen.writeMtBatches(changeDir, pStream, aOps,
+        batches = batches)
+      // epoch membership re-derived with writeMtBatches' exact rules:
+      // merge-sort by lsn (unique across tables — parity-disjoint),
+      // then ceil-split; lsn → epoch index is therefore exact
+      val mergedLsns = (pStream.map(_.lsn) ++ aOps.map(_.lsn)).sorted
+      val per = ChangeGen.chunkSize(mergedLsns.size, batches)
+      val epochOf: Map[Long, Int] = mergedLsns.grouped(per).zipWithIndex
+        .flatMap { case (ls, i) => ls.map(_ -> i) }.toMap
+      val pPrefix = pStream.filter(o => epochOf(o.lsn) < 3)
+      val aPrefix = aOps.filter(o => epochOf(o.lsn) < 3)
+      snapState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(mttSnapPq)
+      dumpChanges(s, pPrefix, mttPStrPq)
+      ChangeGen.toChanges(aPrefix).toDS().toDF()
+        .withColumnRenamed("name", "owner")
+        .withColumnRenamed("score", "balance").drop("uid")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(mttAStrPq)
+      val q = ManifestMultiTable.start(s, changeDir, root, ckpt, mtSpecs,
+        maxFilesPerTrigger = Some(1), trigger = Trigger.AvailableNow(),
+        compactEvery = 1000) // no compaction commits: version ↔ epoch
+      try q.awaitTermination() finally q.stop()
+      // commits after each table's target = its distinct present
+      // epochs beyond the prefix (never > 2, so the target version is
+      // always inside the ManifestHistory retention window)
+      def laterEpochs(lsns: Seq[Long]): Long =
+        lsns.map(epochOf).distinct.count(_ >= 3).toLong
+      val pAt = ManifestMultiTable.versions(s, root, personSpecMt).max -
+        laterEpochs(pStream.map(_.lsn))
+      val aAt = ManifestMultiTable.versions(s, root, accountSpecMt).max -
+        laterEpochs(aOps.map(_.lsn))
+      val p = ManifestMultiTable.readTableAt(s, root, personSpecMt, pAt)
+        .select(lit("person").as("tbl"), col("id"),
+          col("name").as("label"), col("score").as("amount"),
+          col("created_at"))
+      val a = ManifestMultiTable.readTableAt(s, root, accountSpecMt, aAt)
+        .select(lit("account").as("tbl"), col("id"),
+          col("owner").as("label"), col("balance").as("amount"),
+          col("created_at"))
+      p.unionAll(a).orderBy("tbl", "id")
+    },
+    Some(mtFoldOracleSql(mttSnapPq, mttPStrPq, mttAStrPq)))
+
+  private val svSnapPq = s"$FixtureDir/cdc_sv_snapshot.parquet"
+  private val svStreamPq = s"$FixtureDir/cdc_sv_stream.parquet"
+  private val svSourcePq = s"$FixtureDir/cdc_sv_source.parquet"
+
+  /** The monitor's in-sync verdict as a declared oracle row (r10
+    * verdict #9) — the reference's own correctness oracle
+    * (pubsub/main.go:184-198: source count, target count,
+    * source-rows-passing-filter count, ✓/⟳ verdict), previously
+    * test-only ([[Monitor]]). One parity-filtered replication runs
+    * end-to-end; [[Monitor.status]] then compares the replica against
+    * the full source state twice — once under the publication filter
+    * (in sync: target == σ_filter(source)) and once without (syncing:
+    * target < source) — so BOTH verdict branches are hash-checked. The
+    * oracle re-derives the replica from the raw snapshot/stream
+    * fixtures via the reference fold and recomputes all three counts
+    * and both verdicts itself. Scale: each probe is three count
+    * aggregates — metadata-only scans unless a filter applies. */
+  private val syncVerdict = Declared(
+    "cdc_sync_verdict",
+    (s: SparkSession, _: String) => {
+      val ops = ChangeGen.ops(seed = 71L, n = 1200)
+      val (snapOps, streamOps) = ops.splitAt(500)
+      val changeDir = Files.createTempDirectory("graft-sv-log").toString
+      val replica = Files.createTempDirectory("graft-sv-replica").toString
+      val ckpt = Files.createTempDirectory("graft-sv-ckpt").toString
+      import s.implicits._
+      val snapState = ChangeGen.replay(snapOps).values
+        .filter(_.score % 2 == 0).toSeq
+      Replicate.snapshot(s, snapState.toDS(), replica)
+      snapState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(svSnapPq)
+      dumpChanges(s, streamOps, svStreamPq)
+      // the monitor's SOURCE: the full unfiltered table state
+      val sourceState = ChangeGen.replay(ops).values.toSeq
+      sourceState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(svSourcePq)
+      ChangeGen.writeBatches(changeDir, streamOps, batches = 3)
+      val q = Replicate.start(s, changeDir, replica, ckpt,
+        rowFilter = Some(Replicate.parityPred),
+        trigger = Trigger.AvailableNow())
+      try q.awaitTermination() finally q.stop()
+      val source = sourceState.toDS()
+      val target = Replicate.readReplica(s, replica)
+      val withF = Monitor.status(source, target,
+        Some(Replicate.parityPred))
+      val noF = Monitor.status(source, target, None)
+      Seq(
+        ("no_filter", noF.sourceCount, noF.targetCount,
+          noF.sourceFilteredCount, noF.verdict),
+        ("parity_filter", withF.sourceCount, withF.targetCount,
+          withF.sourceFilteredCount, withF.verdict))
+        .toDF("probe", "source_count", "target_count",
+          "source_filtered_count", "verdict")
+        .orderBy("probe")
+    },
+    Some(s"""WITH replica AS (
+           |  SELECT id FROM (${e2eOracleSql(svSnapPq, svStreamPq)})
+           |), src AS (
+           |  SELECT * FROM read_parquet('$svSourcePq/*.parquet')
+           |), counts AS (
+           |  SELECT (SELECT count(*) FROM src) AS sc,
+           |         (SELECT count(*) FROM replica) AS tc,
+           |         (SELECT count(*) FROM src WHERE score % 2 = 0) AS fc
+           |)
+           |SELECT * FROM (
+           |  SELECT 'no_filter' AS probe, sc AS source_count,
+           |    tc AS target_count, sc AS source_filtered_count,
+           |    CASE WHEN tc = sc THEN '✓ In sync' ELSE '⟳ Syncing' END
+           |      AS verdict
+           |  FROM counts
+           |  UNION ALL
+           |  SELECT 'parity_filter', sc, tc, fc,
+           |    CASE WHEN tc = fc THEN '✓ In sync' ELSE '⟳ Syncing' END
+           |  FROM counts)
+           |ORDER BY probe""".stripMargin))
+
   val all: Seq[Declared] =
     Seq(replicateE2e, manifestE2e, timeTravel, changesSinceFeed,
       parseChangelog,
       scd2History, scd2AsOf, snapshotDiff, quarantine, ivmView,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
-      mtStatefulE2e)
+      mtStatefulE2e, mtTimeTravel, syncVerdict)
 }
