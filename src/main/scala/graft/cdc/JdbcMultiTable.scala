@@ -74,8 +74,9 @@ object JdbcMultiTable {
     * rows read SQL NULL, the same semantics as the parquet replicas'
     * read-side widening; r7 verdict #5). DDL-first like the reference:
     * the declared spec IS the contract, and only widening is handled —
-    * a narrowed or retyped column throws at apply time rather than
-    * silently dropping data. */
+    * a dropped or retyped column is rejected HERE, before any row is
+    * written under the new spec (r10 verdict #5), never silently
+    * mis-applied. */
   def ensureTable(url: String, spec: TableSpec): Unit = {
     JdbcReplica.ensureEpochTable(url)
     val c = connect(url)
@@ -90,7 +91,29 @@ object JdbcMultiTable {
         try st.executeUpdate(s"CREATE TABLE ${spec.table} ($cols)")
         finally st.close()
       } else {
-        val existing = JdbcReplica.tableColumns(c, spec.table)
+        val existing = JdbcReplica.tableColumnTypes(c, spec.table)
+        val declared = spec.rowSchema.fieldNames
+          .map(_.toLowerCase).toSet
+        // the schema-evolution contract against the PHYSICAL table
+        // (r10 verdict #5, the JDBC half of
+        // [[MultiTable.validateWidening]]): a live column the spec no
+        // longer declares, or whose declared type maps to a different
+        // SQL type, is rejected loudly — the sink would otherwise
+        // leave dropped columns silently stale on every upsert, and a
+        // retype would bind mismatched parameters at apply time.
+        val dropped = existing.keySet -- declared
+        require(dropped.isEmpty,
+          s"schema evolution on '${spec.table}' drops live column(s) " +
+            s"${dropped.toSeq.sorted.mkString(", ")} — only widening " +
+            "is supported; dropping requires an explicit migration")
+        val retyped = spec.rowSchema.fields.filter { f =>
+          existing.get(f.name.toLowerCase)
+            .exists(_ != jdbcType(f.dataType))
+        }
+        require(retyped.isEmpty,
+          s"schema evolution on '${spec.table}' changes the SQL type " +
+            s"of ${retyped.map(_.name).mkString(", ")} — type changes " +
+            "are not supported; migrate via an explicit table rewrite")
         spec.rowSchema.fields
           .filterNot(f => existing.contains(f.name.toLowerCase))
           .foreach { f =>

@@ -131,13 +131,21 @@ object JdbcReplica {
     * declared-vs-actual diff that drives schema widening
     * ([[JdbcMultiTable.ensureTable]]'s ALTER TABLE ADD). */
   private[cdc] def tableColumns(c: Connection, name: String)
-      : Set[String] = {
+      : Set[String] = tableColumnTypes(c, name).keySet
+
+  /** The live table's columns with their JDBC type codes
+    * (`java.sql.Types`) — the physical side of the schema-evolution
+    * contract check ([[JdbcMultiTable.ensureTable]]). */
+  private[cdc] def tableColumnTypes(c: Connection, name: String)
+      : Map[String, Int] = {
     val (folded, escape, schema) = metaProbe(c, name)
-    def probe(n: String): Set[String] = {
+    def probe(n: String): Map[String, Int] = {
       val rs = c.getMetaData.getColumns(null, schema, escape(n), null)
       try {
-        val b = Set.newBuilder[String]
-        while (rs.next()) b += rs.getString("COLUMN_NAME").toLowerCase
+        val b = Map.newBuilder[String, Int]
+        while (rs.next())
+          b += rs.getString("COLUMN_NAME").toLowerCase ->
+            rs.getInt("DATA_TYPE")
         b.result()
       } finally rs.close()
     }

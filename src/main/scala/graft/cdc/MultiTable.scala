@@ -431,6 +431,8 @@ object MultiTable {
     schemaVersions(spark, root, spec.table).lastOption match {
       case Some((v, s)) if s == spec.rowSchema => v
       case last =>
+        last.foreach { case (_, prev) =>
+          validateWidening(prev, spec.rowSchema, spec.table) }
         val v = last.map(_._1 + 1).getOrElse(1)
         val tmp = new Path(dir, s".tmp-v$v.json")
         val out = fs.create(tmp, true)
@@ -441,6 +443,39 @@ object MultiTable {
           s"schema log publish failed: ${spec.table} v$v")
         v
     }
+  }
+
+  /** The declared schema-evolution CONTRACT (r10 verdict #5): the only
+    * supported transition is WIDENING — every previously-declared
+    * column must survive with an identical type; only new columns may
+    * appear (they read null on pre-evolution rows). A dropped column
+    * or a type change (int→long included) is rejected LOUDLY here, at
+    * version-record time, before any row is written under the new
+    * spec — never silently mis-applied. Rationale: a drop orphans
+    * committed data the older layout versions still name, and a
+    * retype would make `element_at(img, col).cast(...)` silently
+    * null-out unparseable history; both need an explicit migration
+    * (rewrite under a new table), not an append to the version log.
+    * The JDBC path enforces the same contract against the PHYSICAL
+    * table ([[JdbcMultiTable.ensureTable]]). */
+  def validateWidening(prev: StructType, next: StructType,
+      table: String): Unit = {
+    val nextByName = next.fields.map(f => f.name -> f.dataType).toMap
+    val dropped = prev.fields.filterNot(f => nextByName.contains(f.name))
+    require(dropped.isEmpty,
+      s"schema evolution on '$table' drops column(s) " +
+        s"${dropped.map(_.name).mkString(", ")} — only widening " +
+        "(adding columns) is supported; dropping requires an explicit " +
+        "table rewrite")
+    val retyped = prev.fields.filter(f =>
+      nextByName.get(f.name).exists(_ != f.dataType))
+    require(retyped.isEmpty,
+      s"schema evolution on '$table' changes type(s) of " +
+        retyped.map(f =>
+          s"${f.name}: ${f.dataType.simpleString} → " +
+            s"${nextByName(f.name).simpleString}").mkString(", ") +
+        " — type changes are not supported; migrate via an explicit " +
+        "table rewrite")
   }
 
   /** All recorded declared-schema versions of a table, oldest first. */

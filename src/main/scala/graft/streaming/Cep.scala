@@ -61,22 +61,43 @@ private[streaming] case class ChainPlusState(stage: Int, at: Long,
 object Cep {
   /** Batch chain detection. Emits (user_id, step_ids — comma-joined in
     * step order, start_ts, end_ts, span_us), one row per user whose
-    * chain completes. */
+    * chain completes. Implemented as [[chainAlt]] with singleton
+    * alternation sets — one machine, two surfaces. */
   def chain(events: DataFrame, types: Seq[String],
       gapUs: Long = Funnel.GapUs): DataFrame = {
     require(types.nonEmpty, "chain needs at least one step")
+    chainAlt(events, types.map(Seq(_)), gapUs)
+  }
+
+  /** Ordered-pattern chain with ALTERNATION steps (the MATCH_RECOGNIZE
+    * `A (B|C) D` family, r10 verdict #6): each step matches an event
+    * whose type is ANY member of its set — greedy, anchored,
+    * within-gap, ties on event_id, exactly [[chain]]'s contract with
+    * per-step type sets. A singleton set degenerates to the plain
+    * step, so [[chain]] delegates here (Catalyst folds one-element IN
+    * to equality — no plan change for existing chains). Sets may
+    * overlap across steps ("A (A|B) C" is well-defined: the machine
+    * never re-binds an anchor, each event is tested only against the
+    * CURRENT step's set). Batch cost is [[chain]]'s: one pruned
+    * corpus pass per step (the filter is an IN over the union), never
+    * an event-to-event self-join. Streaming twin: [[streamingAlt]]
+    * ([[ChainProcessor]] runs natively on sets), spec-pinned equal. */
+  def chainAlt(events: DataFrame, steps: Seq[Seq[String]],
+      gapUs: Long = Funnel.GapUs): DataFrame = {
+    require(steps.nonEmpty && steps.forall(_.nonEmpty),
+      "chainAlt needs at least one step, each with at least one type")
     val ev = events.select("user_id", "event_id", "ts", "event_type")
     val small = Funnel.anchorsBroadcastable(ev)
     val first = Funnel.firstPerUser(
-      ev.filter(col("event_type") === types.head)
+      ev.filter(col("event_type").isin(steps.head: _*))
         .select("user_id", "event_id", "ts"), small)
-    val anchors = types.tail.scanLeft(first)(
-      (anchor, tpe) => Funnel.step(ev, tpe, anchor, gapUs, small))
+    val anchors = steps.tail.scanLeft(first)(
+      (anchor, tpes) => Funnel.stepIn(ev, tpes, anchor, gapUs, small))
     val named = anchors.zipWithIndex.map { case (df, k) =>
       df.select(col("user_id"), col("at").as(s"t$k"), col("aid").as(s"i$k"))
     }
     val joined = named.reduce((a, b) => a.join(Funnel.hintIf(b, small), "user_id"))
-    val n = types.size
+    val n = steps.size
     joined.select(col("user_id"),
         concat_ws(",",
           (0 until n).map(k => col(s"i$k").cast("string")): _*)
@@ -370,7 +391,17 @@ object Cep {
     * the final step. */
   def streaming(events: DataFrame, types: Seq[String],
       gapUs: Long = Funnel.GapUs,
+      watermark: String = "30 minutes"): Dataset[ChainHit] =
+    streamingAlt(events, types.map(Seq(_)), gapUs, watermark)
+
+  /** Streaming twin of [[chainAlt]] — [[ChainProcessor]] runs natively
+    * on per-step type sets, so alternation costs nothing extra: the
+    * match test is set membership instead of equality. */
+  def streamingAlt(events: DataFrame, steps: Seq[Seq[String]],
+      gapUs: Long = Funnel.GapUs,
       watermark: String = "30 minutes"): Dataset[ChainHit] = {
+    require(steps.nonEmpty && steps.forall(_.nonEmpty),
+      "streamingAlt needs at least one step, each with at least one type")
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -379,18 +410,22 @@ object Cep {
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new ChainProcessor(types, gapUs),
+      .transformWithState(new ChainProcessor(steps, gapUs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }
 
-/** The TWS processor behind [[Cep.streaming]] — the [[FunnelProcessor]]
-  * machine generalized to any step list. Buffered events fold in strict
-  * (ts_us, event_id) order once the watermark passes them; per-key
-  * state is O(events inside the watermark horizon), and a completed key
-  * is terminal with a cleared buffer. */
-private[streaming] class ChainProcessor(types: Seq[String], gapUs: Long)
-    extends StatefulProcessor[Long, FunnelEvent, ChainHit] {
+/** The TWS processor behind [[Cep.streaming]]/[[Cep.streamingAlt]] —
+  * the [[FunnelProcessor]] machine generalized to any step list, each
+  * step an alternation SET of types (singletons for the plain chain).
+  * Buffered events fold in strict (ts_us, event_id) order once the
+  * watermark passes them; per-key state is O(events inside the
+  * watermark horizon), and a completed key is terminal with a cleared
+  * buffer. */
+private[streaming] class ChainProcessor(steps: Seq[Seq[String]],
+    gapUs: Long) extends StatefulProcessor[Long, FunnelEvent, ChainHit] {
+  private val stepSets: IndexedSeq[Set[String]] =
+    steps.map(_.toSet).toIndexedSeq
   @transient private var buf: ListState[FunnelEvent] = _
   @transient private var stage: ValueState[ChainState] = _
 
@@ -413,25 +448,26 @@ private[streaming] class ChainProcessor(types: Seq[String], gapUs: Long)
     var st = current()
     val hits = Seq.newBuilder[ChainHit]
     ripe.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      if (st.stage < types.size && e.event_type == types(st.stage) &&
+      if (st.stage < stepSets.size &&
+          stepSets(st.stage).contains(e.event_type) &&
           (st.stage == 0 ||
             ((e.ts_us > st.at || (e.ts_us == st.at && e.event_id > st.aid))
               && e.ts_us - st.at <= gapUs))) {
         st = ChainState(st.stage + 1, e.ts_us, e.event_id,
           st.ids :+ e.event_id, st.tss :+ e.ts_us)
-        if (st.stage == types.size) // completed: emit once, go terminal
+        if (st.stage == stepSets.size) // completed: emit once, terminal
           hits += ChainHit(key, st.ids, st.tss)
       }
     }
     stage.update(st)
-    if (st.stage == types.size || rest.isEmpty) buf.clear()
+    if (st.stage == stepSets.size || rest.isEmpty) buf.clear()
     else buf.put(rest.toArray)
     hits.result().iterator
   }
 
   override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
       timers: TimerValues): Iterator[ChainHit] = {
-    if (current().stage == types.size) return Iterator.empty // terminal
+    if (current().stage == stepSets.size) return Iterator.empty // terminal
     rows.foreach(buf.appendValue)
     val out = drain(key, timers.getCurrentWatermarkInMs() * 1000L)
     rearm()

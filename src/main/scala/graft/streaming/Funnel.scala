@@ -99,7 +99,16 @@ object Funnel {
   /** First event of `tpe` strictly after the anchor within the gap. */
   private[streaming] def step(events: DataFrame, tpe: String, anchor: DataFrame,
       gapUs: Long, small: Boolean = true): DataFrame =
-    firstPerUser(events.filter(col("event_type") === tpe)
+    stepIn(events, Seq(tpe), anchor, gapUs, small)
+
+  /** [[step]] over an ALTERNATION of types — the matched event's type
+    * may be any member of `tpes` ([[Cep.chainAlt]]'s per-step set).
+    * A singleton set is exactly [[step]] (Catalyst folds the one-element
+    * IN back to an equality), so the single-type machine delegates
+    * here with no plan change. */
+  private[streaming] def stepIn(events: DataFrame, tpes: Seq[String],
+      anchor: DataFrame, gapUs: Long, small: Boolean = true): DataFrame =
+    firstPerUser(events.filter(col("event_type").isin(tpes: _*))
       .join(hintIf(anchor, small), "user_id")
       .filter(afterAnchor(col("ts"), col("event_id"), col("at"),
           col("aid")) &&

@@ -216,6 +216,69 @@ object WindowQueries {
          |ORDER BY s0b.user_id""".stripMargin
     })
 
+  /** CEP alternation — `signup (view|click) purchase`
+    * ([[Cep.chainAlt]], r10 verdict #6): the MATCH_RECOGNIZE
+    * alternation quantifier. The middle step matches the first event
+    * of EITHER type after the signup anchor within gap; the machine is
+    * [[Cep.chain]]'s with per-step type sets (singleton sets ARE the
+    * plain chain — [[Cep.chain]] delegates). Oracle: the chain4
+    * two-stage-min generator with `IN` lists in place of equalities.
+    * Identical semantics run streaming via [[Cep.streamingAlt]]
+    * (set-membership match in [[ChainProcessor]]), spec-pinned equal
+    * including an overlapping-sets edge pattern. */
+  private val cepAlt = Declared(
+    "j_cep_alt",
+    (s, d) => Cep.chainAlt(Tables(s, d, "events"),
+      Seq(Seq("signup"), Seq("view", "click"), Seq("purchase"))),
+    Some {
+      val H = Funnel.GapUs
+      val steps = Seq(Seq("signup"), Seq("view", "click"),
+        Seq("purchase"))
+      def inList(ts: Seq[String]): String =
+        ts.map(t => s"'$t'").mkString(", ")
+      val ctes = steps.zipWithIndex.map { case (ts, k) =>
+        if (k == 0)
+          s"""s0 AS (SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type IN (${inList(ts)}) GROUP BY 1),
+             |s0b AS (
+             |  SELECT e.user_id, s0.t, min(e.event_id) AS i
+             |  FROM events e JOIN s0
+             |    ON e.user_id = s0.user_id AND e.ts = s0.t
+             |  WHERE e.event_type IN (${inList(ts)}) GROUP BY 1, 2)""".stripMargin
+        else {
+          val p = k - 1
+          s"""s$k AS (
+             |  SELECT e.user_id, min(e.ts) AS t
+             |  FROM events e JOIN s${p}b a ON e.user_id = a.user_id
+             |  WHERE e.event_type IN (${inList(ts)})
+             |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))
+             |    AND epoch_us(e.ts) - epoch_us(a.t) <= $H
+             |  GROUP BY 1),
+             |s${k}b AS (
+             |  SELECT e.user_id, s$k.t, min(e.event_id) AS i
+             |  FROM events e
+             |  JOIN s$k ON e.user_id = s$k.user_id AND e.ts = s$k.t
+             |  JOIN s${p}b a ON a.user_id = e.user_id
+             |  WHERE e.event_type IN (${inList(ts)})
+             |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))
+             |  GROUP BY 1, 2)""".stripMargin
+        }
+      }.mkString(",\n")
+      val idsExpr = steps.indices
+        .map(k => s"CAST(s${k}b.i AS VARCHAR)").mkString(" || ',' || ")
+      val joins = steps.indices.tail
+        .map(k => s"JOIN s${k}b ON s${k}b.user_id = s0b.user_id")
+        .mkString("\n")
+      val last = steps.size - 1
+      s"""WITH $ctes
+         |SELECT s0b.user_id, $idsExpr AS step_ids,
+         |  s0b.t AS start_ts, s${last}b.t AS end_ts,
+         |  epoch_us(s${last}b.t) - epoch_us(s0b.t) AS span_us
+         |FROM s0b
+         |$joins
+         |ORDER BY s0b.user_id""".stripMargin
+    })
+
   /** CEP negation — the churn query ([[Cep.chainNot]]): users whose
     * greedy first view→click completed but who then did NOT purchase
     * within the gap window (trailing-NOT absence). Oracle: the same
@@ -421,5 +484,6 @@ object WindowQueries {
            |FROM events ORDER BY event_id""".stripMargin))
 
   val all: Seq[Declared] = Seq(tumbling, sliding, sessions, attribution,
-    enrichment, funnel, cepChain4, cepChurn, cepKleene, streamDedupE2e)
+    enrichment, funnel, cepChain4, cepAlt, cepChurn, cepKleene,
+    streamDedupE2e)
 }

@@ -702,4 +702,107 @@ class FunnelSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("chainAlt equals a naive greedy replay, 12 seeded schedules") {
+    import graft.streaming.Cep
+    val steps = Seq(Seq("view"), Seq("click", "error"), Seq("purchase"))
+    val all = Seq("view", "click", "error", "purchase", "noop")
+    for (seed <- 401 to 412) {
+      val rnd = new scala.util.Random(seed)
+      val gapUs = 900L * 1000000
+      val base = Timestamp.valueOf("2026-05-01 00:00:00").getTime
+      val evs = (0 until 500).map { i =>
+        FnEv(rnd.nextInt(5).toLong, i.toLong,
+          new Timestamp(base + rnd.nextInt(7200) * 1000L),
+          all(rnd.nextInt(all.size)))
+      }
+      val got = Cep.chainAlt(evs.toDF(), steps, gapUs)
+        .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        var st = 0; var at = 0L; var aid = 0L
+        val ids = Seq.newBuilder[Long]
+        var done = false
+        for (e <- sorted if !done) {
+          val tus = e.ts.getTime * 1000L
+          if (st < steps.size && steps(st).contains(e.event_type) &&
+              (st == 0 ||
+                ((tus > at || (tus == at && e.event_id > aid)) &&
+                  tus - at <= gapUs))) {
+            st += 1; at = tus; aid = e.event_id; ids += e.event_id
+            if (st == steps.size) done = true
+          }
+        }
+        if (done) Some((u, ids.result().mkString(","))) else None
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("streaming chainAlt equals the batch chainAlt on the fixture") {
+    import graft.streaming.Cep
+    val steps = Seq(Seq("signup"), Seq("view", "click"), Seq("purchase"))
+    withRocksDb {
+      val events = fixtureEvents()
+      val in = MemoryStream[FnEv](spark)
+      val q = Cep.streamingAlt(in.toDF(), steps)
+        .writeStream.format("memory").queryName("chainalt_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        events.grouped(events.length / 5 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+        flushEvents().foreach { e => in.addData(e); q.processAllAvailable() }
+        val got = spark.table("chainalt_sink")
+          .selectExpr("user_id", "concat_ws(',', step_ids)")
+          .as[(Long, String)].collect()
+        assert(got.length === got.toSet.size, "duplicate emissions")
+        val want = Cep.chainAlt(Tables(spark, sf, "events"), steps)
+          .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+        assert(got.toSet === want)
+        assert(want.nonEmpty, "fixture must contain alternation completions")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming chainAlt equals batch on OVERLAPPING sets, 4 seeded schedules") {
+    // "view (view|click) purchase": the alternation set shares a type
+    // with the previous step — the anchor must not re-bind, and the
+    // second step may legally match another view
+    import graft.streaming.Cep
+    val steps = Seq(Seq("view"), Seq("view", "click"), Seq("purchase"))
+    val all = Seq("view", "click", "purchase", "noop")
+    val gapUs = 900L * 1000000
+    withRocksDb {
+      for (seed <- 501 to 504) {
+        val rnd = new scala.util.Random(seed)
+        val base = Timestamp.valueOf("2026-07-01 00:00:00").getTime
+        val evs = (0 until 400).map { i =>
+          FnEv(rnd.nextInt(6).toLong, i.toLong,
+            new Timestamp(base + rnd.nextInt(7200) * 1000L),
+            all(rnd.nextInt(all.size)))
+        }
+        val in = MemoryStream[FnEv](spark)
+        val q = Cep.streamingAlt(in.toDF(), steps, gapUs)
+          .writeStream.format("memory").queryName(s"chainalt_ov$seed")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          evs.sortBy(e => (e.ts.getTime, e.event_id))
+            .grouped(evs.length / 4 + 1).foreach { chunk =>
+              in.addData(chunk.toSeq: _*)
+              q.processAllAvailable()
+            }
+          flushEvents().foreach { e => in.addData(e); q.processAllAvailable() }
+          val got = spark.table(s"chainalt_ov$seed")
+            .selectExpr("user_id", "concat_ws(',', step_ids)")
+            .as[(Long, String)].collect()
+          assert(got.length === got.toSet.size, "duplicate emissions")
+          val want = Cep.chainAlt(evs.toDF(), steps, gapUs)
+            .select("user_id", "step_ids").as[(Long, String)].collect().toSet
+          assert(got.toSet === want, s"seed $seed")
+        } finally q.stop()
+      }
+    }
+  }
 }

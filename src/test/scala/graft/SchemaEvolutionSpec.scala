@@ -172,4 +172,70 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       wantTier.values.exists(_.isDefined),
       "fixture must exercise both the NULL and the valued tier cases")
   }
+
+  test("rename path: type changes and column drops are rejected loudly at version-record time") {
+    // the contract beyond ADD COLUMN (r10 verdict #5): int→long and
+    // drops never silently mis-apply — recordSchema throws BEFORE the
+    // new spec writes anything, naming the offending column
+    val root = Files.createTempDirectory("evolve-reject").toString
+    assert(MultiTable.recordSchema(spark, root, v1) === 1)
+    val retyped = v1.copy(rowSchema = StructType(v1.rowSchema.fields.map {
+      case f if f.name == "balance" => f.copy(dataType = LongType)
+      case f => f
+    }))
+    val e1 = intercept[IllegalArgumentException](
+      MultiTable.recordSchema(spark, root, retyped))
+    assert(e1.getMessage.contains("balance") &&
+      e1.getMessage.contains("type"))
+    val droppedSpec = v1.copy(rowSchema = StructType(
+      v1.rowSchema.fields.filterNot(_.name == "balance")))
+    val e2 = intercept[IllegalArgumentException](
+      MultiTable.recordSchema(spark, root, droppedSpec))
+    assert(e2.getMessage.contains("balance") &&
+      e2.getMessage.contains("drop"))
+    // the version log is untouched by rejected transitions; a legal
+    // widening still appends
+    assert(MultiTable.schemaVersions(spark, root, v1.table).map(_._1)
+      === Seq(1))
+    assert(MultiTable.recordSchema(spark, root, v2) === 2)
+  }
+
+  test("jdbc path: type changes and column drops are rejected loudly by ensureTable") {
+    val url =
+      s"jdbc:derby:${Files.createTempDirectory("evolve-jdbc-rej")}/db;create=true"
+    JdbcMultiTable.ensureTable(url, v1)
+    val retyped = v1.copy(rowSchema = StructType(v1.rowSchema.fields.map {
+      case f if f.name == "balance" => f.copy(dataType = LongType)
+      case f => f
+    }))
+    val e1 = intercept[IllegalArgumentException](
+      JdbcMultiTable.ensureTable(url, retyped))
+    assert(e1.getMessage.contains("balance") &&
+      e1.getMessage.contains("type"))
+    val droppedSpec = v1.copy(rowSchema = StructType(
+      v1.rowSchema.fields.filterNot(_.name == "balance")))
+    val e2 = intercept[IllegalArgumentException](
+      JdbcMultiTable.ensureTable(url, droppedSpec))
+    assert(e2.getMessage.contains("balance") &&
+      e2.getMessage.contains("drop"))
+    // the physical table is untouched by rejected transitions; a legal
+    // widening still issues ALTER TABLE ADD
+    val c = JdbcReplica.connect(url)
+    try {
+      def liveCols(): Set[String] = {
+        val rs = c.getMetaData.getColumns(null, null,
+          v1.table.toUpperCase, null)
+        try {
+          val b = Set.newBuilder[String]
+          while (rs.next()) b += rs.getString("COLUMN_NAME").toLowerCase
+          b.result()
+        } finally rs.close()
+      }
+      assert(liveCols() ===
+        v1.rowSchema.fieldNames.map(_.toLowerCase).toSet)
+      JdbcMultiTable.ensureTable(url, v2)
+      assert(liveCols() ===
+        v2.rowSchema.fieldNames.map(_.toLowerCase).toSet)
+    } finally c.close()
+  }
 }
