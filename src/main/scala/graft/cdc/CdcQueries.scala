@@ -2,7 +2,7 @@ package graft.cdc
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{col, lead, when}
 import org.apache.spark.sql.streaming.Trigger
@@ -893,6 +893,86 @@ object CdcQueries {
            |  CAST(sum(score) AS BIGINT) AS sum_score
            |FROM replica GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val ivmjPStrPq = s"$FixtureDir/cdc_ivmj_person_stream.parquet"
+  private val ivmjAStrPq = s"$FixtureDir/cdc_ivmj_account_stream.parquet"
+
+  /** Incrementally-maintained JOIN view as a declared oracle row (r10
+    * verdict #2): one interleaved two-table change log →
+    * [[Ivm.mtDeltas]] per-table full-image retraction deltas →
+    * [[Ivm.applyJoinBatch]]'s delta-join maintenance
+    * (dP ⋈ A_post ∪ P_pre ⋈ dA — the exact bilinear identity, so
+    * per-trigger work is change-volume-sized and the view never
+    * re-reads either relation) → the maintained view is the additive
+    * fold of the view delta log alone ([[Ivm.joinView]]). The oracle
+    * FULLY RECOMPUTES the join from both tables' raw dumped ops: each
+    * side's reference fold, equijoined on id. Epoch-prefix equality
+    * and replay idempotence (dynamic epoch-partition overwrite) are
+    * spec-pinned (IvmJoinSpec). */
+  private val ivmJoin = Declared(
+    "cdc_ivm_join",
+    (s: SparkSession, _: String) => {
+      import s.implicits._
+      val (pOps, aOps) = ChangeGen.mtOps(77L, nPerson = 900,
+        nAccount = 600)
+      val changeDir = Files.createTempDirectory("graft-ivmj-log").toString
+      val stateDir =
+        Files.createTempDirectory("graft-ivmj-state").toString + "/log"
+      val viewDir =
+        Files.createTempDirectory("graft-ivmj-view").toString + "/log"
+      val ckpt = Files.createTempDirectory("graft-ivmj-ckpt").toString
+      dumpChanges(s, pOps, ivmjPStrPq)
+      ChangeGen.toChanges(aOps).toDS().toDF()
+        .withColumnRenamed("name", "owner")
+        .withColumnRenamed("score", "balance").drop("uid")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(ivmjAStrPq)
+      ChangeGen.writeMtBatches(changeDir, pOps, aOps, batches = 5)
+      val q = Ivm.mtDeltas(MultiTable.parseAll(
+          ChangeSource.rawLines(s, changeDir, Some(1)), mtSpecs))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+          Ivm.applyJoinBatch(s, batch, bid, stateDir, viewDir,
+            personSpecMt, accountSpecMt)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      Ivm.joinView(s, viewDir, personSpecMt, accountSpecMt).orderBy("id")
+    },
+    Some(s"""WITH pev AS (
+           |  SELECT id, name, uid, score, lsn, action
+           |  FROM read_parquet('$ivmjPStrPq/*.parquet')
+           |), plastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM pev WHERE action = 'D'
+           |  GROUP BY id
+           |), pfold AS (
+           |  SELECT e.id,
+           |    arg_max(e.name, e.lsn) AS name,
+           |    arg_max(e.uid, e.lsn) AS uid,
+           |    arg_max(e.score, e.lsn) AS score
+           |  FROM pev e LEFT JOIN plastd d ON e.id = d.id
+           |  WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |  GROUP BY e.id
+           |  HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |), aev AS (
+           |  SELECT id, owner, balance, lsn, action
+           |  FROM read_parquet('$ivmjAStrPq/*.parquet')
+           |), alastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM aev WHERE action = 'D'
+           |  GROUP BY id
+           |), afold AS (
+           |  SELECT e.id,
+           |    arg_max(e.owner, e.lsn) AS owner,
+           |    arg_max(e.balance, e.lsn) AS balance
+           |  FROM aev e LEFT JOIN alastd d ON e.id = d.id
+           |  WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |  GROUP BY e.id
+           |  HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |)
+           |SELECT p.id, p.name, p.uid, p.score, a.owner, a.balance
+           |FROM pfold p JOIN afold a ON p.id = a.id
+           |ORDER BY p.id""".stripMargin))
+
   private val mttSnapPq = s"$FixtureDir/cdc_mtt_person_snap.parquet"
   private val mttPStrPq = s"$FixtureDir/cdc_mtt_person_stream.parquet"
   private val mttAStrPq = s"$FixtureDir/cdc_mtt_account_stream.parquet"
@@ -1057,5 +1137,5 @@ object CdcQueries {
       parseChangelog,
       scd2History, scd2AsOf, snapshotDiff, quarantine, ivmView,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
-      mtStatefulE2e, mtTimeTravel, syncVerdict)
+      mtStatefulE2e, mtTimeTravel, syncVerdict, ivmJoin)
 }

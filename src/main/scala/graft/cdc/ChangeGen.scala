@@ -75,6 +75,61 @@ object ChangeGen {
     }
   }
 
+  /** [[ops]] with a HOT-KEY skewed schedule (r10 verdict #4): the
+    * first `hotKeys` ops insert the hot keys; afterwards each op
+    * targets a hot key with probability `hotFrac` (always an UPDATE —
+    * hot keys stay live so the skew persists for the whole run), else
+    * follows the normal cold-key lifecycle. With the defaults, ≥50%
+    * of all changes hit ≤10 keys — `pmod(id, buckets)` maps each hot
+    * key to ONE bucket, so this is the worst placement the fold's
+    * shuffle can see. Deterministic in `seed`; [[replay]] remains the
+    * exact oracle. */
+  def skewedOps(seed: Long, n: Int, hotKeys: Int = 10,
+      hotFrac: Double = 0.5): Seq[Op] = {
+    require(n > hotKeys, s"need more than $hotKeys ops")
+    val r = new Random(seed)
+    var nextId = hotKeys + 1
+    val live = scala.collection.mutable.ArrayBuffer[Int]()
+    val created = scala.collection.mutable.Map[Int, LocalDateTime]()
+    (1 to n).map { lsn =>
+      val ts = base.plusSeconds(lsn.toLong)
+      if (lsn <= hotKeys) {
+        created(lsn) = ts
+        Op(lsn.toLong, "I", lsn, names(r.nextInt(names.size)) + "_" + lsn,
+          new UUID(r.nextLong(), r.nextLong()).toString,
+          r.nextInt(100) + 1, ts)
+      } else if (r.nextDouble() < hotFrac) {
+        val id = r.nextInt(hotKeys) + 1
+        Op(lsn.toLong, "U", id,
+          names(r.nextInt(names.size)) + "_" + id + "u",
+          new UUID(r.nextLong(), r.nextLong()).toString,
+          r.nextInt(100) + 1, created(id))
+      } else {
+        val roll = r.nextDouble()
+        if (live.isEmpty || roll < 0.60) {
+          val id = nextId; nextId += 1
+          live += id
+          created(id) = ts
+          Op(lsn.toLong, "I", id, names(r.nextInt(names.size)) + "_" + id,
+            new UUID(r.nextLong(), r.nextLong()).toString,
+            r.nextInt(100) + 1, ts)
+        } else if (roll < 0.85) {
+          val id = live(r.nextInt(live.size))
+          Op(lsn.toLong, "U", id,
+            names(r.nextInt(names.size)) + "_" + id + "u",
+            new UUID(r.nextLong(), r.nextLong()).toString,
+            r.nextInt(100) + 1, created(id))
+        } else {
+          val idx = r.nextInt(live.size)
+          val id = live(idx)
+          live(idx) = live(live.size - 1)
+          live.remove(live.size - 1)
+          Op(lsn.toLong, "D", id, "", "", 0, created(id))
+        }
+      }
+    }
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
