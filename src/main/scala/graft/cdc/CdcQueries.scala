@@ -973,6 +973,91 @@ object CdcQueries {
            |FROM pfold p JOIN afold a ON p.id = a.id
            |ORDER BY p.id""".stripMargin))
 
+  private val ivmjaPStrPq = s"$FixtureDir/cdc_ivmja_person_stream.parquet"
+  private val ivmjaAStrPq = s"$FixtureDir/cdc_ivmja_account_stream.parquet"
+
+  /** Distributive aggregate OVER the maintained join — IVM composes:
+    * the view delta log [[cdc_ivm_join]] maintains is itself a
+    * retraction stream, so any downstream additive aggregate (here
+    * score-parity → (row count, sum of balances)) is maintained by
+    * pure addition over the SIGNED view deltas — `sum(sign)` and
+    * `sum(sign * balance)` — never by re-joining or re-reading either
+    * relation. The oracle fully recomputes both replicas, joins, and
+    * aggregates. Scale: the aggregate's input is the change-volume-
+    * sized view delta stream; this is the two-level materialized-view
+    * cascade (table deltas → join deltas → aggregate) every IVM
+    * engine builds, closed under composition. */
+  private val ivmJoinAgg = Declared(
+    "cdc_ivm_join_agg",
+    (s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum}
+      import s.implicits._
+      val (pOps, aOps) = ChangeGen.mtOps(83L, nPerson = 700,
+        nAccount = 500)
+      val changeDir = Files.createTempDirectory("graft-ivmja-log").toString
+      val stateDir =
+        Files.createTempDirectory("graft-ivmja-state").toString + "/log"
+      val viewDir =
+        Files.createTempDirectory("graft-ivmja-view").toString + "/log"
+      val ckpt = Files.createTempDirectory("graft-ivmja-ckpt").toString
+      dumpChanges(s, pOps, ivmjaPStrPq)
+      ChangeGen.toChanges(aOps).toDS().toDF()
+        .withColumnRenamed("name", "owner")
+        .withColumnRenamed("score", "balance").drop("uid")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(ivmjaAStrPq)
+      ChangeGen.writeMtBatches(changeDir, pOps, aOps, batches = 4)
+      val q = Ivm.mtDeltas(MultiTable.parseAll(
+          ChangeSource.rawLines(s, changeDir, Some(1)), mtSpecs))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+          Ivm.applyJoinBatch(s, batch, bid, stateDir, viewDir,
+            personSpecMt, accountSpecMt)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // the maintained aggregate: an additive fold of the SIGNED view
+      // deltas alone; parity classes folding to zero have fully
+      // retracted and drop out
+      s.read.parquet(viewDir)
+        .groupBy(pmod(col("score"), lit(2)).cast("long").as("parity"))
+        .agg(sum(col("sign")).as("cnt"),
+          sum(col("sign") * col("balance")).as("sum_balance"))
+        .filter(col("cnt") =!= 0)
+        .orderBy("parity")
+    },
+    Some(s"""WITH pev AS (
+           |  SELECT id, score, lsn, action
+           |  FROM read_parquet('$ivmjaPStrPq/*.parquet')
+           |), plastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM pev WHERE action = 'D'
+           |  GROUP BY id
+           |), pfold AS (
+           |  SELECT e.id, arg_max(e.score, e.lsn) AS score
+           |  FROM pev e LEFT JOIN plastd d ON e.id = d.id
+           |  WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |  GROUP BY e.id
+           |  HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |), aev AS (
+           |  SELECT id, balance, lsn, action
+           |  FROM read_parquet('$ivmjaAStrPq/*.parquet')
+           |), alastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM aev WHERE action = 'D'
+           |  GROUP BY id
+           |), afold AS (
+           |  SELECT e.id, arg_max(e.balance, e.lsn) AS balance
+           |  FROM aev e LEFT JOIN alastd d ON e.id = d.id
+           |  WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |  GROUP BY e.id
+           |  HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |)
+           |SELECT CAST(p.score % 2 AS BIGINT) AS parity,
+           |  CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(sum(a.balance) AS BIGINT) AS sum_balance
+           |FROM pfold p JOIN afold a ON p.id = a.id
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val mttSnapPq = s"$FixtureDir/cdc_mtt_person_snap.parquet"
   private val mttPStrPq = s"$FixtureDir/cdc_mtt_person_stream.parquet"
   private val mttAStrPq = s"$FixtureDir/cdc_mtt_account_stream.parquet"
@@ -1137,5 +1222,5 @@ object CdcQueries {
       parseChangelog,
       scd2History, scd2AsOf, snapshotDiff, quarantine, ivmView,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
-      mtStatefulE2e, mtTimeTravel, syncVerdict, ivmJoin)
+      mtStatefulE2e, mtTimeTravel, syncVerdict, ivmJoin, ivmJoinAgg)
 }

@@ -27,6 +27,23 @@ final case class CepStep(tpe: String, negated: Boolean = false)
   * the previously absorbed one. */
 final case class CepQStep(tpe: String, plus: Boolean = false)
 
+/** One BOUNDED-repetition pattern step — the MATCH_RECOGNIZE `B{n,m}`
+  * quantifier family: the step greedily absorbs between `minN` and
+  * `maxN` consecutive events of the type. `{1,1}` is a plain step,
+  * `{1, Int.MaxValue}` is the Kleene plus ([[CepQStep]] delegates).
+  * Greedy semantics: each event of the type absorbs while the run is
+  * below `maxN` and it lands within gap of the previously absorbed
+  * one (beyond-max events of the type are ignored — the gap anchor
+  * stays at the last ABSORBED event); the successor closes the run
+  * only once at least `minN` events absorbed (an earlier successor
+  * event is ignored, not a failure); a trailing step's run must reach
+  * `minN` when it closes, else the match fails. */
+final case class CepRepStep(tpe: String, minN: Int = 1, maxN: Int = 1) {
+  require(1 <= minN && minN <= maxN,
+    s"need 1 <= minN <= maxN, got {$minN,$maxN}")
+  def quantified: Boolean = minN != 1 || maxN != 1
+}
+
 /** A completed quantified chain: one id/ts per step (the LAST absorbed
   * event for a plus step) plus the per-step absorption counts. */
 private[streaming] case class ChainPlusHit(user_id: Long,
@@ -243,7 +260,49 @@ object Cep {
     * start_ts, end_ts, span_us). Streaming twin: [[streamingPlus]]. */
   def chainPlus(events: DataFrame, steps: Seq[CepQStep],
       gapUs: Long = Funnel.GapUs): DataFrame = {
-    validatePlusSteps(steps)
+    validatePlusSteps(steps) // keep the plus-surface error contract
+    chainRep(events, steps.map(s =>
+      if (s.plus) CepRepStep(s.tpe, 1, Int.MaxValue)
+      else CepRepStep(s.tpe)), gapUs)
+  }
+
+  /** Shared validation for the bounded-repetition machine — the same
+    * ambiguity rules as [[validatePlusSteps]] over the generalized
+    * quantifier (`{1,1}` plain, `{1,∞}` plus, `{n,m}` bounded). */
+  private def validateRepSteps(steps: Seq[CepRepStep]): Unit = {
+    require(steps.nonEmpty && !steps.head.quantified,
+      "chainRep must start with a plain {1,1} step")
+    steps.sliding(2).foreach {
+      case Seq(a, b) =>
+        require(!(a.quantified && b.quantified),
+          "consecutive quantified steps are ambiguous")
+        require(!(a.quantified && a.tpe == b.tpe),
+          s"a quantified step's successor must differ in type: " +
+            s"'${a.tpe}{${a.minN},${a.maxN}} ${b.tpe}' is ambiguous")
+      case _ =>
+    }
+  }
+
+  /** Bounded-repetition ordered-pattern chain — the full
+    * MATCH_RECOGNIZE quantifier family `A B{n,m} C` (beyond the r10
+    * ask, which chose alternation OR bounded repetition): a
+    * quantified step greedily absorbs its type's events while the run
+    * is below `maxN` and each lands within gap of the previous
+    * absorbed one; events of the type beyond `maxN` are ignored (the
+    * gap anchor stays at the last ABSORBED event); the successor
+    * closes the run only once ≥ `minN` absorbed — an earlier
+    * successor event is ignored, not a failure; a trailing quantified
+    * step must reach `minN` or the match fails. [[chainPlus]] IS this
+    * machine at `{1,∞}` (delegation, like [[chain]] → [[chainAlt]]),
+    * so the kleene oracle row and its seeded-replay specs pin the
+    * generalization. Batch plan: the plus machinery with a
+    * row_number cap on the absorption island and a `nb ≥ minN`
+    * qualification on the successor — still no event-to-event
+    * self-join. Streaming twin: [[streamingRep]]
+    * ([[ChainRepProcessor]]), spec-pinned equal. */
+  def chainRep(events: DataFrame, steps: Seq[CepRepStep],
+      gapUs: Long = Funnel.GapUs): DataFrame = {
+    validateRepSteps(steps)
     val ev = events.select("user_id", "event_id", "ts", "event_type")
     val small = Funnel.anchorsBroadcastable(ev)
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -255,7 +314,7 @@ object Cep {
     var k = 1
     while (k < steps.size) {
       val st = steps(k)
-      if (!st.plus) {
+      if (!st.quantified) {
         anchor = Funnel.step(ev, st.tpe, anchor, gapUs, small)
         parts += anchor.select(col("user_id"), col("at").as(s"t$k"),
           col("aid").as(s"i$k"), lit(1L).as(s"n$k"))
@@ -278,11 +337,20 @@ object Cep {
           .withColumn("isl", sum(col("brk")).over(wRun))
           .filter(col("isl") === 0)
           .select(col("user_id"), col("event_id"), col("ts"))
+        // bounded repetition: only the first maxN island events absorb
+        // (beyond-max events of the type are ignored; the successor's
+        // gap anchor stays at the last ABSORBED event)
+        val absorbed =
+          if (st.maxN == Int.MaxValue) reach
+          else reach.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= st.maxN).drop("rn")
         if (k == steps.size - 1) {
-          // trailing plus: the whole island absorbs
-          val closed = reach.groupBy("user_id")
+          // trailing quantifier: the capped island absorbs; the run
+          // must reach minN or the match fails (no row)
+          val closed = absorbed.groupBy("user_id")
             .agg(max(struct(col("ts"), col("event_id"))).as("m"),
               count(lit(1)).as("n"))
+            .filter(col("n") >= st.minN)
           parts += closed.select(col("user_id"), col("m.ts").as(s"t$k"),
             col("m.event_id").as(s"i$k"), col("n").as(s"n$k"))
           anchor = closed.select(col("user_id"), col("m.ts").as("at"),
@@ -295,7 +363,7 @@ object Cep {
             .filter(Funnel.afterAnchor(col("ts"), col("event_id"),
               col("b0t"), col("b0i")))
             .select(col("user_id"), col("event_id"), col("ts"))
-          val merged = reach.withColumn("isb", lit(1))
+          val merged = absorbed.withColumn("isb", lit(1))
             .unionByName(cs.withColumn("isb", lit(0)))
             .withColumn("lbt",
               last(when(col("isb") === 1, col("ts")), ignoreNulls = true)
@@ -304,8 +372,10 @@ object Cep {
               last(when(col("isb") === 1, col("event_id")),
                 ignoreNulls = true).over(wRun))
             .withColumn("nb", sum(col("isb")).over(wRun))
+          // a successor seen before minN absorbed is IGNORED (the
+          // pattern keeps absorbing), not a failure
           val qual = merged.filter(col("isb") === 0 &&
-            col("lbt").isNotNull &&
+            col("lbt").isNotNull && col("nb") >= st.minN &&
             unix_micros(col("ts")) - unix_micros(col("lbt")) <= gapUs)
           val q1 = qual.groupBy(col("user_id").as("qu"))
             .agg(min(col("ts")).as("mt"))
@@ -351,7 +421,20 @@ object Cep {
   def streamingPlus(events: DataFrame, steps: Seq[CepQStep],
       gapUs: Long = Funnel.GapUs,
       watermark: String = "30 minutes"): Dataset[ChainPlusHit] = {
-    validatePlusSteps(steps)
+    validatePlusSteps(steps) // keep the plus-surface error contract
+    streamingRep(events, steps.map(s =>
+      if (s.plus) CepRepStep(s.tpe, 1, Int.MaxValue)
+      else CepRepStep(s.tpe)), gapUs, watermark)
+  }
+
+  /** Streaming twin of [[chainRep]] ([[ChainRepProcessor]] under
+    * `transformWithState`). A trailing quantifier emits only once a
+    * drained event or the watermark proves the run closed — and fails
+    * terminally there if the run never reached `minN`. */
+  def streamingRep(events: DataFrame, steps: Seq[CepRepStep],
+      gapUs: Long = Funnel.GapUs,
+      watermark: String = "30 minutes"): Dataset[ChainPlusHit] = {
+    validateRepSteps(steps)
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -360,7 +443,7 @@ object Cep {
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new ChainPlusProcessor(steps, gapUs),
+      .transformWithState(new ChainRepProcessor(steps, gapUs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
@@ -620,14 +703,16 @@ private[streaming] class ChainNotProcessor(steps: Seq[CepStep], gapUs: Long)
   }
 }
 
-/** The TWS processor behind [[Cep.streamingPlus]] — the chain machine
-  * with greedy plus-absorption. Events drain in strict (ts, event_id)
-  * order once the watermark passes them, so absorption stops exactly
-  * where the successor fires (batch == streaming by construction). A
-  * trailing plus closes when a drained event (any type) lands beyond
-  * the gap of the last absorbed event, or when the watermark passes
-  * anchor+gap — the run is proven closed, never assumed. */
-private[streaming] class ChainPlusProcessor(steps: Seq[CepQStep],
+/** The TWS processor behind [[Cep.streamingPlus]]/[[Cep.streamingRep]]
+  * — the chain machine with greedy bounded-repetition absorption
+  * (`{1,∞}` IS the plus). Events drain in strict (ts, event_id) order
+  * once the watermark passes them, so absorption stops exactly where
+  * the successor fires (batch == streaming by construction). A
+  * trailing quantifier closes when a drained event (any type) lands
+  * beyond the gap of the last absorbed event, or when the watermark
+  * passes anchor+gap — the run is proven closed, never assumed — and
+  * fails terminally there if it never reached `minN`. */
+private[streaming] class ChainRepProcessor(steps: Seq[CepRepStep],
     gapUs: Long) extends StatefulProcessor[Long, FunnelEvent, ChainPlusHit] {
   private val size = steps.size
 
@@ -657,23 +742,27 @@ private[streaming] class ChainPlusProcessor(steps: Seq[CepQStep],
     val hits = Seq.newBuilder[ChainPlusHit]
     def emit(closed: ChainPlusState): Unit =
       hits += ChainPlusHit(key, closed.ids, closed.tss, closed.ns)
-    def closeTrailing(): Unit = {
-      st = st.copy(stage = size, absorbing = false,
-        ids = st.ids :+ st.aid, tss = st.tss :+ st.at, ns = st.ns :+ st.curN)
-      emit(st)
-    }
+    def closeTrailing(): Unit =
+      // the run is proven closed: emit if it reached minN, else the
+      // match FAILS terminally (greedy first-match — no re-bind)
+      if (st.curN >= steps(st.stage).minN) {
+        st = st.copy(stage = size, absorbing = false,
+          ids = st.ids :+ st.aid, tss = st.tss :+ st.at,
+          ns = st.ns :+ st.curN)
+        emit(st)
+      } else st = st.copy(stage = size, absorbing = false)
     val (ripe, rest) = all.partition(_.ts_us <= wmUs)
     ripe.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       if (!terminal(st)) {
         val cur = steps(st.stage)
-        if (!cur.plus) {
+        if (!cur.quantified) {
           if (e.event_type == cur.tpe &&
               (st.stage == 0 ||
                 (after(e, st) && e.ts_us - st.at <= gapUs))) {
             st = st.copy(stage = st.stage + 1, at = e.ts_us,
               aid = e.event_id, ids = st.ids :+ e.event_id,
               tss = st.tss :+ e.ts_us, ns = st.ns :+ 1L)
-            if (st.stage < size && steps(st.stage).plus)
+            if (st.stage < size && steps(st.stage).quantified)
               st = st.copy(absorbing = false)
             if (st.stage == size) emit(st)
           }
@@ -683,15 +772,18 @@ private[streaming] class ChainPlusProcessor(steps: Seq[CepQStep],
             st = st.copy(absorbing = true, curN = 1L, at = e.ts_us,
               aid = e.event_id)
           }
-        } else { // absorbing a plus run
+        } else { // absorbing a quantified run
           if (e.event_type == cur.tpe && after(e, st) &&
-              e.ts_us - st.at <= gapUs) {
+              e.ts_us - st.at <= gapUs && st.curN < cur.maxN) {
+            // beyond-maxN events of the type fall through and are
+            // ignored — the gap anchor stays at the last ABSORBED one
             st = st.copy(curN = st.curN + 1, at = e.ts_us,
               aid = e.event_id)
           } else if (st.stage < size - 1 &&
               e.event_type == steps(st.stage + 1).tpe && after(e, st) &&
-              e.ts_us - st.at <= gapUs) {
-            // successor fires: close the run, consume the successor
+              e.ts_us - st.at <= gapUs && st.curN >= cur.minN) {
+            // successor fires (only once >= minN absorbed — an earlier
+            // successor event is ignored): close, consume the successor
             st = st.copy(stage = st.stage + 2, absorbing = false,
               at = e.ts_us, aid = e.event_id,
               ids = st.ids :+ st.aid :+ e.event_id,
@@ -699,15 +791,15 @@ private[streaming] class ChainPlusProcessor(steps: Seq[CepQStep],
               ns = st.ns :+ st.curN :+ 1L)
             if (st.stage == size) emit(st)
           } else if (st.stage == size - 1 && e.ts_us - st.at > gapUs) {
-            // trailing plus: an in-order event beyond the gap proves
-            // the run closed
+            // trailing quantifier: an in-order event beyond the gap
+            // proves the run closed
             closeTrailing()
           }
         }
       }
     }
-    if (!terminal(st) && st.stage == size - 1 && steps(st.stage).plus &&
-        st.absorbing && wmUs > st.at + gapUs)
+    if (!terminal(st) && st.stage == size - 1 &&
+        steps(st.stage).quantified && st.absorbing && wmUs > st.at + gapUs)
       closeTrailing()
     stage.update(st)
     if (terminal(st) || rest.isEmpty) buf.clear()
@@ -716,7 +808,8 @@ private[streaming] class ChainPlusProcessor(steps: Seq[CepQStep],
       val pending = buf.get().toSeq
       if (pending.nonEmpty)
         getHandle.registerTimer(pending.map(_.ts_us).min / 1000L + 1L)
-      if (st.stage == size - 1 && steps(st.stage).plus && st.absorbing)
+      if (st.stage == size - 1 && steps(st.stage).quantified &&
+          st.absorbing)
         getHandle.registerTimer((st.at + gapUs) / 1000L + 1L)
     }
     hits.result().iterator

@@ -703,6 +703,147 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("chainRep equals a naive bounded-repetition replay, 12 seeded schedules") {
+    import graft.streaming.{Cep, CepRepStep}
+    val steps = Seq(CepRepStep("view"), CepRepStep("click", 2, 3),
+      CepRepStep("purchase"))
+    val all = Seq("view", "click", "purchase", "noop")
+    val gapUs = 900L * 1000000
+    for (seed <- 601 to 612) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2026-08-01 00:00:00").getTime
+      val evs = (0 until 500).map { i =>
+        FnEv(rnd.nextInt(5).toLong, i.toLong,
+          new Timestamp(base + rnd.nextInt(7200) * 1000L),
+          all(rnd.nextInt(all.size)))
+      }
+      val got = Cep.chainRep(evs.toDF(), steps, gapUs)
+        .selectExpr("user_id", "step_ids", "counts")
+        .as[(Long, String, String)].collect().toSet
+      // naive single-pass replay of the bounded-repetition machine
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        var stage = 0; var at = 0L; var aid = 0L
+        var absorbing = false; var curN = 0L
+        val ids = Seq.newBuilder[Long]; val ns = Seq.newBuilder[Long]
+        var done = false; var failed = false
+        for (e <- sorted if !done && !failed) {
+          val tus = e.ts.getTime * 1000L
+          val cur = steps(stage)
+          val after = tus > at || (tus == at && e.event_id > aid)
+          if (!cur.quantified) {
+            if (e.event_type == cur.tpe &&
+                (stage == 0 || (after && tus - at <= gapUs))) {
+              stage += 1; at = tus; aid = e.event_id
+              ids += e.event_id; ns += 1L
+              if (stage < steps.size && steps(stage).quantified)
+                absorbing = false
+              if (stage == steps.size) done = true
+            }
+          } else if (!absorbing) {
+            if (e.event_type == cur.tpe && after && tus - at <= gapUs) {
+              absorbing = true; curN = 1; at = tus; aid = e.event_id
+            }
+          } else {
+            if (e.event_type == cur.tpe && after && tus - at <= gapUs &&
+                curN < cur.maxN) {
+              curN += 1; at = tus; aid = e.event_id
+            } else if (stage < steps.size - 1 &&
+                e.event_type == steps(stage + 1).tpe && after &&
+                tus - at <= gapUs && curN >= cur.minN) {
+              ids += aid; ns += curN // close the run at the last absorbed
+              at = tus; aid = e.event_id
+              ids += e.event_id; ns += 1L
+              stage += 2; absorbing = false
+              if (stage == steps.size) done = true
+            } else if (stage == steps.size - 1 && tus - at > gapUs) {
+              if (curN >= cur.minN) {
+                ids += aid; ns += curN; done = true
+              } else failed = true
+            }
+          }
+        }
+        if (!done && !failed && absorbing &&
+            stage == steps.size - 1 && curN >= steps(stage).minN) {
+          ids += aid; ns += curN; done = true
+        }
+        if (done)
+          Some((u, ids.result().mkString(","), ns.result().mkString(",")))
+        else None
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("streaming chainRep equals batch, fixture and random trailing schedules") {
+    import graft.streaming.{Cep, CepRepStep}
+    val fixtureSteps = Seq(CepRepStep("view"),
+      CepRepStep("click", 1, 3), CepRepStep("purchase"))
+    withRocksDb {
+      val events = fixtureEvents()
+      val in = MemoryStream[FnEv](spark)
+      val q = Cep.streamingRep(in.toDF(), fixtureSteps)
+        .writeStream.format("memory").queryName("chainrep_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        events.grouped(events.length / 5 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+        flushEvents().foreach { e => in.addData(e); q.processAllAvailable() }
+        val got = spark.table("chainrep_sink")
+          .selectExpr("user_id", "concat_ws(',', step_ids)",
+            "concat_ws(',', counts)")
+          .as[(Long, String, String)].collect()
+        assert(got.length === got.toSet.size, "duplicate emissions")
+        val want = Cep.chainRep(Tables(spark, sf, "events"), fixtureSteps)
+          .selectExpr("user_id", "step_ids", "counts")
+          .as[(Long, String, String)].collect().toSet
+        assert(got.toSet === want)
+        assert(want.nonEmpty, "fixture must contain {1,3} completions")
+      } finally q.stop()
+      // TRAILING quantifier on random schedules: exercises both the
+      // emit path (run reached minN) and the terminal-fail path (gap
+      // expired below minN — no emission, matching batch's no-row)
+      val trailSteps = Seq(CepRepStep("view"), CepRepStep("click", 2, 4))
+      val gapUs = 900L * 1000000
+      var anyEmitted = false
+      for (seed <- 701 to 704) {
+        val rnd = new scala.util.Random(seed)
+        val base = Timestamp.valueOf("2026-09-01 00:00:00").getTime
+        val evs = (0 until 300).map { i =>
+          FnEv(rnd.nextInt(6).toLong, i.toLong,
+            new Timestamp(base + rnd.nextInt(7200) * 1000L),
+            Seq("view", "click", "noop")(rnd.nextInt(3)))
+        }
+        val in2 = MemoryStream[FnEv](spark)
+        val q2 = Cep.streamingRep(in2.toDF(), trailSteps, gapUs)
+          .writeStream.format("memory").queryName(s"chainrep_tr$seed")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          evs.sortBy(e => (e.ts.getTime, e.event_id))
+            .grouped(evs.length / 4 + 1).foreach { chunk =>
+              in2.addData(chunk.toSeq: _*)
+              q2.processAllAvailable()
+            }
+          flushEvents().foreach { e =>
+            in2.addData(e); q2.processAllAvailable() }
+          val got2 = spark.table(s"chainrep_tr$seed")
+            .selectExpr("user_id", "concat_ws(',', step_ids)",
+              "concat_ws(',', counts)")
+            .as[(Long, String, String)].collect()
+          assert(got2.length === got2.toSet.size, "duplicate emissions")
+          val want2 = Cep.chainRep(evs.toDF(), trailSteps, gapUs)
+            .selectExpr("user_id", "step_ids", "counts")
+            .as[(Long, String, String)].collect().toSet
+          assert(got2.toSet === want2, s"seed $seed")
+          anyEmitted ||= want2.nonEmpty
+        } finally q2.stop()
+      }
+      assert(anyEmitted, "trailing schedules must produce completions")
+    }
+  }
+
   test("chainAlt equals a naive greedy replay, 12 seeded schedules") {
     import graft.streaming.Cep
     val steps = Seq(Seq("view"), Seq("click", "error"), Seq("purchase"))
