@@ -1433,6 +1433,128 @@ object MlQueries {
             |       frame_idx, frame_sig
             |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
 
+  /** Shared audio-generation CTEs: the oracle re-derives frame count
+    * and every PCM sample from [[Multimodal.toWav]]'s generation
+    * formulas alone — `ag` is per-doc geometry, `sm` the full sample
+    * table ((f·7+doc_id) mod 3 = 1 frames silent, voiced samples
+    * (i·37 + doc_id·101 + tlen·13) mod 4001 − 2000). */
+  private val wavGeomCte =
+    """ag AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS tlen,
+      |    CAST(4 + (doc_id + octet_length(encode(text))) % 4 AS BIGINT)
+      |      AS nf
+      |  FROM documents)""".stripMargin
+  private val wavSampleCte =
+    """sm AS (
+      |  SELECT ag.doc_id, i.i AS i,
+      |    CASE WHEN ((i.i // 64) * 7 + ag.doc_id) % 3 = 1 THEN 0
+      |         ELSE (i.i * 37 + ag.doc_id * 101 + ag.tlen * 13) % 4001
+      |              - 2000
+      |    END AS s
+      |  FROM ag, unnest(range(0, ag.nf * 64)) AS i(i))""".stripMargin
+
+  /** Drives the typed RIFF/WAV decode pipeline end-to-end — REAL like
+    * the BMP path (r11): [[Multimodal.decodeWav]] walks actual RIFF
+    * chunks (fmt validation, a junk LIST chunk it must skip, LE PCM16
+    * samples) and the oracle re-derives the container size and exact
+    * integer signal stats (Σ s², peak, all-zero frames, sign changes)
+    * from the generation formulas — endianness, chunk-offset, or
+    * junk-as-samples slips all break the hash. */
+  private val audioDecode = Declared(
+    "ml_audio_decode",
+    (s, d) => Multimodal
+      .decodeAudio(s, Multimodal.asWavMedia(Tables(s, d, "documents")))
+      .toDF()
+      .orderBy("doc_id"),
+    Some(s"""WITH $wavGeomCte,
+            |$wavSampleCte,
+            |z AS (
+            |  SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS sq_sum,
+            |    CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+            |    CAST(coalesce(sum(CASE WHEN s * ps < 0 THEN 1 ELSE 0 END),
+            |                  0) AS BIGINT) AS n_zero_cross
+            |  FROM (SELECT doc_id, s,
+            |          lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+            |        FROM sm)
+            |  GROUP BY doc_id),
+            |sf AS (
+            |  SELECT ag.doc_id,
+            |    CAST(sum(CASE WHEN (f.f * 7 + ag.doc_id) % 3 = 1
+            |             THEN 1 ELSE 0 END) AS BIGINT) AS n_silent_frames
+            |  FROM ag, unnest(range(0, ag.nf)) AS f(f)
+            |  GROUP BY ag.doc_id)
+            |SELECT a.doc_id, 'wav' AS format,
+            |  CAST(64 + 128 * a.nf AS BIGINT) AS n_bytes,
+            |  CAST(${Multimodal.AudioRate} AS INT) AS sample_rate,
+            |  CAST(a.nf * 64 AS BIGINT) AS n_samples,
+            |  a.nf AS n_frames,
+            |  z.sq_sum, z.peak_abs, sf.n_silent_frames, z.n_zero_cross
+            |FROM ag a
+            |JOIN z ON a.doc_id = z.doc_id
+            |JOIN sf ON a.doc_id = sf.doc_id
+            |ORDER BY a.doc_id""".stripMargin))
+
+  /** Voice-activity segmentation: the codec emits per-frame energy
+    * rows ([[Multimodal.audioFrames]]), then maximal voiced runs are
+    * found by DECLARATIVE gaps-and-islands (frame_idx − row_number) —
+    * segmentation lives in Catalyst, not the codec. The oracle runs
+    * the identical island algebra over formula-derived frames. */
+  private val audioVad = Declared(
+    "ml_audio_vad",
+    (s, d) => Multimodal
+      .vadSegments(Multimodal
+        .audioFrames(s, Multimodal.asWavMedia(Tables(s, d, "documents")))
+        .toDF())
+      .orderBy("doc_id"),
+    Some(s"""WITH $wavGeomCte,
+            |fr AS (
+            |  SELECT ag.doc_id, f.f AS frame_idx,
+            |    CASE WHEN (f.f * 7 + ag.doc_id) % 3 = 1 THEN 1 ELSE 0 END
+            |      AS silent
+            |  FROM ag, unnest(range(0, ag.nf)) AS f(f)),
+            |v AS (
+            |  SELECT doc_id, frame_idx,
+            |    frame_idx - row_number()
+            |      OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+            |  FROM fr WHERE silent = 0),
+            |seg AS (
+            |  SELECT doc_id, grp, count(*) AS seg_len
+            |  FROM v GROUP BY doc_id, grp),
+            |b AS (
+            |  SELECT doc_id, CAST(min(frame_idx) AS BIGINT) AS first_voiced,
+            |    CAST(max(frame_idx) AS BIGINT) AS last_voiced
+            |  FROM fr WHERE silent = 0 GROUP BY doc_id)
+            |SELECT s.doc_id,
+            |  CAST(sum(s.seg_len) AS BIGINT) AS voiced_frames,
+            |  CAST(count(*) AS BIGINT) AS n_segments,
+            |  CAST(max(s.seg_len) AS BIGINT) AS longest_seg,
+            |  b.first_voiced, b.last_voiced
+            |FROM seg s JOIN b ON s.doc_id = b.doc_id
+            |GROUP BY s.doc_id, b.first_voiced, b.last_voiced
+            |ORDER BY s.doc_id""".stripMargin))
+
+  /** Chains decimation resample (8 kHz → 4 kHz, keep every 2nd sample)
+    * onto the parse — the audio analog of `ml_media_resize`: the
+    * oracle sums s² over even sample indices only, so the resample
+    * must pick the RIGHT samples, not just the right count. */
+  private val audioResample = Declared(
+    "ml_audio_resample",
+    (s, d) => Multimodal
+      .resampleAudio(Multimodal.asWavMedia(Tables(s, d, "documents")))
+      .toDF()
+      .orderBy("doc_id"),
+    Some(s"""WITH $wavGeomCte,
+            |$wavSampleCte
+            |SELECT a.doc_id, CAST(a.nf * 64 AS BIGINT) AS n_samples,
+            |  CAST(${Multimodal.AudioRate} AS INT) AS in_rate,
+            |  CAST(${Multimodal.AudioRate / 2} AS INT) AS out_rate,
+            |  CAST(a.nf * 32 AS BIGINT) AS out_samples,
+            |  CAST(sum(CASE WHEN sm.i % 2 = 0 THEN sm.s * sm.s ELSE 0 END)
+            |    AS BIGINT) AS sq_sum
+            |FROM ag a JOIN sm ON a.doc_id = sm.doc_id
+            |GROUP BY a.doc_id, a.nf
+            |ORDER BY a.doc_id""".stripMargin))
+
   /** Z-order layout key (L49): Morton interleave of the language rank
     * and the capped n_chars lane — exact shift/mask arithmetic, so the
     * oracle computes the identical curve position (the SQL is GENERATED
@@ -2141,5 +2263,6 @@ object MlQueries {
     repetition, dupSpans, seqPack, stratSample, contam, piiRedact,
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, bm25, fingerprint, zorder,
-    mediaMeta, mediaDecode, mediaResize, mediaFrames)
+    mediaMeta, mediaDecode, mediaResize, mediaFrames,
+    audioDecode, audioVad, audioResample)
 }

@@ -30,6 +30,26 @@ final case class ResizedMedia(doc_id: Long, format: String,
   * pixel — the in-memory hand-off between decode and resample. */
 private[ml] final case class Raster(w: Int, h: Int, px: Array[Int])
 
+/** Real WAV decoder output: container stats + exact integer signal
+  * stats. `sq_sum` (Σ s²) and `n_zero_cross` are order- and
+  * sign-sensitive, so a decoder that misreads endianness, lands on the
+  * wrong chunk offset, or reads the junk LIST chunk as samples cannot
+  * produce the right values. */
+final case class AudioFeatures(doc_id: Long, format: String,
+    n_bytes: Long, sample_rate: Int, n_samples: Long, n_frames: Long,
+    sq_sum: Long, peak_abs: Long, n_silent_frames: Long,
+    n_zero_cross: Long)
+
+/** One fixed-size PCM frame's energy row — the codec's bounded fan-out
+  * hand-off to declarative VAD segmentation. */
+final case class AudioFrameRow(doc_id: Long, frame_idx: Long,
+    sq_sum: Long, peak_abs: Long, is_silent: Boolean)
+
+/** Decimation-resample output: source/target rates, kept-sample count,
+  * and the exact Σ s² of the KEPT samples. */
+final case class ResampledAudio(doc_id: Long, n_samples: Long,
+    in_rate: Int, out_rate: Int, out_samples: Long, sq_sum: Long)
+
 /** Multimodal column handling: binary payloads with typed metadata, and
   * a batched decode/feature-extract pipeline.
   *
@@ -216,6 +236,220 @@ object Multimodal {
         }
         ResizedMedia(m.doc_id, m.format, ras.w, ras.h, outW, outH,
           outW.toDouble / ras.w, outH.toDouble / ras.h, sr, sg, sb)
+      })
+    }
+  }
+
+  // ---- Audio: real RIFF/WAV PCM decode + frame energy + VAD ---------
+
+  val AudioRate = 8000
+  val AudioFrame = 64
+
+  /** Synthesize the deterministic PCM16 mono WAV for one document —
+    * the audio analog of [[toBmp]] (no audio libraries exist in this
+    * sandbox, so payloads are synthesized from the SAME kind of pure
+    * integer formulas the oracle evaluates in SQL). Frame count
+    * derives from (doc_id, UTF-8 byte length); every frame whose index
+    * satisfies (f·7 + doc_id) mod 3 = 1 is digital silence (all-zero
+    * samples — what VAD must find), every other sample is
+    * ((i·37 + doc_id·101 + tlen·13) mod 4001) − 2000. The chunk walk
+    * is exercised for real: a junk LIST/INFO chunk sits between
+    * `fmt ` and `data`, so a parser that assumes the fixed 44-byte
+    * layout reads garbage samples and fails the hash. */
+  def toWav(docId: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val tlen = textBytes.length
+    val nFrames = (4 + (docId + tlen) % 4).toInt
+    val nSamples = nFrames * AudioFrame
+    // RIFF size: "WAVE" + fmt(8+16) + LIST(8+12) + data(8 + 2·n)
+    val riffSize = 4 + 24 + 20 + 8 + 2 * nSamples
+    val buf = ByteBuffer.allocate(8 + riffSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(1) // mono
+    buf.putInt(AudioRate)
+    buf.putInt(AudioRate * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    // junk chunk a correct parser must SKIP (content is irrelevant)
+    buf.put("LIST".getBytes("US-ASCII")).putInt(12)
+    buf.put("INFO".getBytes("US-ASCII"))
+    buf.putInt((docId % 997).toInt).putInt(tlen)
+    buf.put("data".getBytes("US-ASCII")).putInt(2 * nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val f = i / AudioFrame
+      val s =
+        if ((f * 7 + docId) % 3 == 1) 0
+        else ((i * 37 + docId * 101 + tlen * 13) % 4001 - 2000).toInt
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** The media frame with REAL audio payloads — each document rendered
+    * to its deterministic WAV, same scan-side typed mapPartitions slot
+    * as [[asBmpMedia]]. */
+  def asWavMedia(docs: DataFrame): Dataset[MediaItem] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        MediaItem(id, "wav", toWav(id, text.getBytes("UTF-8")))
+      })
+  }
+
+  /** Strict from-scratch RIFF/WAV parse → PCM16 samples. Validates the
+    * RIFF/WAVE magic and the declared RIFF size, then WALKS the chunk
+    * list (honoring the odd-size pad byte) — `fmt ` must declare
+    * uncompressed mono PCM16 and must precede `data`, every other
+    * chunk id is skipped, truncation throws. A corrupt payload must
+    * fail loudly, never decode to garbage. */
+  def decodeWav(bytes: Array[Byte]): Array[Short] = {
+    require(bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F', "not a RIFF payload")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 8 + bb.getInt(4), "truncated RIFF payload")
+    require(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
+      bytes(11) == 'E', "not a WAVE form")
+    var off = 12
+    var fmtSeen = false
+    while (off + 8 <= 8 + bb.getInt(4)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"chunk '$id' overruns the payload")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too short")
+          require(bb.getShort(off + 8) == 1, "only PCM supported")
+          require(bb.getShort(off + 10) == 1, "only mono supported")
+          require(bb.getShort(off + 22) == 16, "only 16-bit supported")
+          fmtSeen = true
+        case "data" =>
+          require(fmtSeen, "data chunk before fmt")
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort(off + 8 + 2 * i); i += 1 }
+          return out
+        case _ => // junk/LIST/etc — a real parser skips, never assumes
+      }
+      off += 8 + size + (size & 1) // RIFF pads odd chunks to even
+    }
+    throw new IllegalArgumentException("no data chunk found")
+  }
+
+  /** Per-document audio features off the decoded samples — all exact
+    * integers (Σ s², peak |s|, sign-change count, all-zero frames), so
+    * the DuckDB oracle re-derives every value from the generation
+    * formulas and any parse slip (endianness, chunk offset, a junk
+    * chunk read as samples) breaks the hash. Batched like the image
+    * path; zero shuffle. */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaItem])
+      : Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val s = decodeWav(m.payload)
+        var sq = 0L; var peak = 0L; var zc = 0L; var silent = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          sq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && v * s(i - 1) < 0) zc += 1
+          i += 1
+        }
+        var f = 0
+        while (f < s.length / AudioFrame) {
+          var j = f * AudioFrame; var allZero = true
+          while (allZero && j < (f + 1) * AudioFrame) {
+            if (s(j) != 0) allZero = false
+            j += 1
+          }
+          if (allZero) silent += 1
+          f += 1
+        }
+        AudioFeatures(m.doc_id, m.format, m.payload.length.toLong,
+          AudioRate, s.length.toLong, (s.length / AudioFrame).toLong,
+          sq, peak, silent, zc)
+      })
+    }
+  }
+
+  /** Per-FRAME energy rows — the codec does only the opaque step
+    * (bytes → samples → one row per [[AudioFrame]]-sample frame);
+    * everything downstream ([[vadSegments]]) is declarative Catalyst.
+    * Fan-out is bounded (≤ n_samples/64 rows per doc). */
+  def audioFrames(spark: SparkSession, media: Dataset[MediaItem])
+      : Dataset[AudioFrameRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.flatMap { m =>
+        val s = decodeWav(m.payload)
+        (0 until s.length / AudioFrame).map { f =>
+          var sq = 0L; var peak = 0L
+          var j = f * AudioFrame
+          while (j < (f + 1) * AudioFrame) {
+            val v = s(j).toLong
+            sq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            j += 1
+          }
+          AudioFrameRow(m.doc_id, f.toLong, sq, peak, sq == 0L)
+        }
+      })
+    }
+  }
+
+  /** Voice-activity segmentation over the frame rows — pure
+    * gaps-and-islands column algebra (frame_idx − row_number per doc
+    * groups consecutive voiced frames into one island), NOT codec
+    * logic: per doc the voiced-frame count, the number of maximal
+    * voiced segments, the longest segment, and the trim bounds
+    * (first/last voiced frame). Scale: one hash exchange on doc_id;
+    * island detection is a window over each doc's ≤ n_frames rows. */
+  def vadSegments(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val isl = frames.filter(!col("is_silent"))
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+    val segs = isl.groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("seg_len"))
+    segs.groupBy("doc_id")
+      .agg(sum(col("seg_len")).as("voiced_frames"),
+        count(lit(1)).as("n_segments"),
+        max(col("seg_len")).as("longest_seg"))
+      .join(
+        frames.filter(!col("is_silent")).groupBy("doc_id")
+          .agg(min(col("frame_idx")).as("first_voiced"),
+            max(col("frame_idx")).as("last_voiced")),
+        Seq("doc_id"))
+  }
+
+  /** Decode + REAL decimation resample chained in one partition pass —
+    * the audio analog of [[resizeAll]]: keep every stride-th sample
+    * (8 kHz → 4 kHz at stride 2), emit the resampled length and exact
+    * Σ s² so the oracle checks the resample picked the RIGHT samples,
+    * not just the right count. */
+  def resampleAudio(media: Dataset[MediaItem], stride: Int = 2)
+      : Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val s = decodeWav(m.payload)
+        var sq = 0L; var i = 0; var n = 0L
+        while (i < s.length) {
+          sq += s(i).toLong * s(i); n += 1
+          i += stride
+        }
+        ResampledAudio(m.doc_id, s.length.toLong, AudioRate,
+          AudioRate / stride, n, sq)
       })
     }
   }
