@@ -960,6 +960,76 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: the WAV parser walks chunks, not the fixed 44-byte layout") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-build a WAV whose data chunk sits after an ODD-sized junk
+    // chunk — a parser that skips without the RIFF pad byte, or that
+    // assumes data at offset 44, reads garbage
+    def wav(junkSize: Int, samples: Seq[Short]): Array[Byte] = {
+      val junkPadded = junkSize + (junkSize & 1)
+      val riffSize = 4 + 24 + (8 + junkPadded) + 8 + 2 * samples.length
+      val buf = ByteBuffer.allocate(8 + riffSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1).putShort(1).putInt(8000).putInt(16000)
+      buf.putShort(2).putShort(16)
+      buf.put("junk".getBytes("US-ASCII")).putInt(junkSize)
+      (0 until junkPadded).foreach(_ => buf.put(0x5a.toByte))
+      buf.put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    val samples = Seq[Short](100, -200, 0, 32767, -32768)
+    assert(Multimodal.decodeWav(wav(7, samples)).toSeq === samples)
+    assert(Multimodal.decodeWav(wav(8, samples)).toSeq === samples)
+    // corrupt magic must fail loudly, never decode to garbage
+    val bad = wav(8, samples); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    // truncation (declared RIFF size overruns the payload) must throw
+    val short = wav(8, samples).dropRight(3)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(short))
+    // a WAV with no data chunk must throw, not return empty samples
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(wav(8, samples).take(8 + 4 + 24 + 8 + 8)
+        .patch(4, ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(4 + 24 + 16).array(), 4)))
+  }
+
+  test("multimodal: roundtrip — toWav through decodeWav returns the formula samples") {
+    val docId = 37L
+    val text = "roundtrip fixture text".getBytes("UTF-8")
+    val s = Multimodal.decodeWav(Multimodal.toWav(docId, text))
+    val nFrames = (4 + (docId + text.length) % 4).toInt
+    assert(s.length === nFrames * Multimodal.AudioFrame)
+    for (i <- s.indices) {
+      val f = i / Multimodal.AudioFrame
+      val want =
+        if ((f * 7 + docId) % 3 == 1) 0
+        else (i * 37 + docId * 101 + text.length * 13) % 4001 - 2000
+      assert(s(i).toLong === want, s"sample $i (frame $f)")
+    }
+  }
+
+  test("multimodal: VAD gaps-and-islands finds maximal voiced runs") {
+    // frames for one doc: voiced 0-1, silent 2, voiced 3-5, silent 6,
+    // voiced 7 → 3 segments, longest 3, voiced 6, trim bounds [0, 7]
+    val silent = Set(2L, 6L)
+    val frames = spark.createDataFrame(
+      (0L to 7L).map(f =>
+        AudioFrameRow(1L, f, if (silent(f)) 0L else 9L,
+          if (silent(f)) 0L else 3L, silent(f))))
+    val out = Multimodal.vadSegments(frames).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("voiced_frames") === 6L)
+    assert(r.getAs[Long]("n_segments") === 3L)
+    assert(r.getAs[Long]("longest_seg") === 3L)
+    assert(r.getAs[Long]("first_voiced") === 0L)
+    assert(r.getAs[Long]("last_voiced") === 7L)
+  }
+
   test("PQ: training reduces distortion deterministically; ADC+rerank ranks self first") {
     val cb1 = Similarity.pqTrain(emb)
     // deterministic: init, assignment tie-breaks, and floorDiv means
