@@ -854,11 +854,14 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))
     }
     val model = docs.filter(col("doc_id") % 2 === 0)
-    val mtok = model.select(explode(tokens(col("text"))).as("term"))
-    val c1 = mtok.groupBy("term").agg(count(lit(1)).as("c"))
+    val c1 = model.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
     val c12 = model.select(explode(bigrams(col("text"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
-    val nn = mtok.agg(count(lit(1)).as("n"))
+    // the model's token count N derives from the vocabulary-bounded c1
+    // (Σ c) — a direct count over the token stream would re-scan and
+    // re-tokenize the whole model half for one number
+    val nn = c1.agg(sum(col("c")).as("n"))
     val tf = docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))

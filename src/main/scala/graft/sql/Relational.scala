@@ -1870,12 +1870,16 @@ object Relational {
     // (l_partkey, l_suppkey) pairs of lineitem (no partsupp table);
     // negative-balance suppliers play the complaints blacklist. The
     // blacklist is an anti-join BEFORE the distinct aggregate, so the
-    // exclusion never rescans the fact.
+    // exclusion never rescans the fact. No explicit DISTINCT on the
+    // pair stream: count(DISTINCT l_suppkey) dedupes inside the one
+    // grouped aggregate (map-side partial on (group, suppkey)), so a
+    // separate distinct would shuffle the fact table a second time
+    // for nothing.
     (s, d) => {
       val blacklist = t(s, d)("supplier")
         .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
       t(s, d)("lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(col("l_partkey"), col("l_suppkey"))
         .join(broadcast(blacklist),
           col("l_suppkey") === col("s_suppkey"), "left_anti")
         .join(broadcast(t(s, d)("part")
