@@ -7,8 +7,8 @@ import org.apache.spark.sql.graftbridge.RegistryBridge
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration for the native codegen kernels — the
-  * `SparkSessionExtensions` entry point that makes the six custom
-  * Catalyst expressions (five scalar kernels + the [[NgramWindows]]
+  * `SparkSessionExtensions` entry point that makes the seven custom
+  * Catalyst expressions (six scalar kernels + the [[NgramWindows]]
   * generator) first-class SQL functions:
   *
   * {{{
@@ -63,6 +63,10 @@ object GraftExtensions {
     },
     one("ngram_windows", "ngram_windows(array<string>, <int literal n>)") {
       case Seq(c, Literal(n: Int, IntegerType)) => NgramWindows(c, n)
+    },
+    one("hilbert2", "hilbert2(bigint, bigint, <int literal bits>)") {
+      case Seq(a, b, Literal(bits: Int, IntegerType)) =>
+        HilbertIndex2(a, b, bits)
     })
 
   /** Register every kernel into an already-running session's function

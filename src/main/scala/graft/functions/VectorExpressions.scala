@@ -371,6 +371,86 @@ case class NgramWindows(child: Expression, n: Int)
       : NgramWindows = copy(child = newChild)
 }
 
+/** Native 2-D Hilbert-curve index (Hilbert 1891; the iterative
+  * rotate-and-accumulate form popularized by the public-domain
+  * Wikipedia `xy2d` algorithm): maps two `bits`-wide non-negative
+  * lanes to the cell's position along the order-`bits` Hilbert curve.
+  *
+  * Why a second curve next to [[graft.ml.Layout.morton2]]: Morton
+  * interleaving takes jumps — adjacent curve positions can sit a whole
+  * quadrant apart — while every consecutive Hilbert step moves to a
+  * UNIT-adjacent cell (spec-pinned exhaustively), so range-partitioned
+  * files get envelopes that are tight rectangles rather than Z-shaped
+  * unions. Same contract as the Morton key otherwise: pure integer
+  * arithmetic, bit-identical on any engine, one codegen'd scalar per
+  * row, no shuffle.
+  *
+  * The per-level rotation makes the walk STATEFUL (x and y rewrite each
+  * level), which is why this is a native expression and not a
+  * `functions._` composition: a column-expression unroll would
+  * substitute the rewritten x/y into every downstream reference and
+  * grow exponentially under CollapseProject. The DuckDB oracle instead
+  * unrolls the identical loop as `bits` chained subqueries (one
+  * projection per level — linear, each level names its rewritten
+  * lanes), generated from the same constants
+  * ([[graft.ml.Layout.hilbert2Sql]]). */
+case class HilbertIndex2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val n = 1L << bits
+    var x = a.asInstanceOf[Long]
+    var y = b.asInstanceOf[Long]
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = n - 1L - x; y = n - 1L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = 1L << bits
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |long $x = $a; long $y = $b; long $d = 0L;
+         |for (long $s = ${n >> 1}L; $s > 0L; $s >>= 1) {
+         |  final long $rx = (($x & $s) > 0L) ? 1L : 0L;
+         |  final long $ry = (($y & $s) > 0L) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = ${n - 1L}L - $x; $y = ${n - 1L}L - $y; }
+         |    final long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   def cosineSimF(a: Column, b: Column): Column =
@@ -392,4 +472,8 @@ object VectorFunctions {
 
   def ngramWindows(a: Column, n: Int): Column =
     ColumnBridge.column(NgramWindows(ColumnBridge.expression(a), n))
+
+  def hilbert2(a: Column, b: Column, bits: Int): Column =
+    ColumnBridge.column(HilbertIndex2(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), bits))
 }

@@ -108,6 +108,74 @@ object Layout {
       .sortWithinPartitions("zval")
       .write.mode(SaveMode.Overwrite).parquet(outDir)
 
+  // ---- Hilbert-curve layout (the locality upgrade over Morton) -------
+
+  /** Hilbert position over the same (lang, n_chars) lanes as [[zOrder]]
+    * — the native [[graft.functions.HilbertIndex2]] kernel. Where the
+    * Morton curve JUMPS (adjacent z-positions can sit a quadrant
+    * apart, so a file's rows can spread over a Z-shaped union), every
+    * consecutive Hilbert step is unit-adjacent (spec-pinned
+    * exhaustively over the full 2^16-cell grid), so range-partitioned
+    * files cover tight rectangles — the reason lakehouse clustering
+    * moved from z-order to Hilbert. Identical scale contract: one
+    * codegen'd scalar per row, exact integer arithmetic, no shuffle. */
+  def hilbertVal(lang: Column, nChars: Column): Column =
+    graft.functions.VectorFunctions.hilbert2(
+      langLane(lang).cast("long"),
+      numLane(nChars, NCharsStepBits).cast("long"), LaneBits)
+
+  def hilbertOrder(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        hilbertVal(col("lang"), col("n_chars")).as("hval"))
+      .orderBy("hval", "doc_id")
+
+  /** [[zOrderWrite]]'s Hilbert twin: range-partition by curve position
+    * → each file owns one contiguous, disjoint h-range. */
+  def hilbertWrite(docs: DataFrame, outDir: String, numFiles: Int): Unit =
+    docs.withColumn("hval", hilbertVal(col("lang"), col("n_chars")))
+      .repartitionByRange(numFiles, col("hval"))
+      .sortWithinPartitions("hval")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  def hilbertWriteWithStats(docs: DataFrame, outDir: String,
+      numFiles: Int): Unit = {
+    hilbertWrite(docs, outDir, numFiles)
+    writeStats(docs.sparkSession, outDir)
+  }
+
+  /** The Hilbert walk as ANSI SQL — the oracle twin of
+    * [[graft.functions.HilbertIndex2]], generated from the SAME loop
+    * constants so the engines cannot drift. The per-level rotation
+    * rewrites both lanes, so a single-expression unroll would grow
+    * exponentially; instead each level is ONE chained subquery that
+    * re-projects (hx, hy, hd) — `bits` levels, linear text. The XOR in
+    * d's accumulator is arithmetic (3rx + ry − 2·rx·ry — equal on the
+    * {0,3}×{0,1} domain) so the statement never needs an engine's xor
+    * spelling. `keep` columns ride through every level untouched. */
+  def hilbert2Sql(xSql: String, ySql: String, keep: Seq[String],
+      from: String, bits: Int = LaneBits): String = {
+    val n = 1L << bits
+    val keepSel = keep.mkString(", ")
+    var q = s"SELECT $keepSel, CAST($xSql AS BIGINT) AS hx, " +
+      s"CAST($ySql AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $from"
+    var s = n >> 1
+    while (s > 0) {
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      q = s"""SELECT $keepSel,
+             |  CASE WHEN $ry = 1 THEN hx
+             |       ELSE CASE WHEN $rx = 1 THEN ${n - 1} - hy
+             |            ELSE hy END END AS hx,
+             |  CASE WHEN $ry = 1 THEN hy
+             |       ELSE CASE WHEN $rx = 1 THEN ${n - 1} - hx
+             |            ELSE hx END END AS hy,
+             |  hd + $s * $s * (3 * $rx + $ry - 2 * $rx * $ry) AS hd
+             |FROM ($q)""".stripMargin
+      s >>= 1
+    }
+    q
+  }
+
   /** Per-file (min, max) z-envelopes of a [[zOrderWrite]] output — the
     * skipping evidence: disjoint envelopes mean a reader's z-range
     * predicate prunes whole files. */
@@ -243,11 +311,15 @@ object Layout {
     val numFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(dataDir)
-    val packed =
-      if (df.columns.contains("zval"))
-        df.repartitionByRange(numFiles, col("zval"))
-          .sortWithinPartitions("zval")
-      else df.repartition(numFiles)
+    // a curve-clustered layout (Morton zval or Hilbert hval) is
+    // re-packed range-by-curve so compaction preserves disjoint
+    // per-file envelopes — OPTIMIZE must not undo clustering
+    val curveCol = Seq("zval", "hval").find(df.columns.contains)
+    val packed = curveCol match {
+      case Some(c) =>
+        df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
+      case None => df.repartition(numFiles)
+    }
     val tmp = new org.apache.hadoop.fs.Path(dataDir + ".compact-tmp")
     val old = new org.apache.hadoop.fs.Path(dataDir + ".compact-old")
     fs.delete(tmp, true); fs.delete(old, true)

@@ -1572,6 +1572,25 @@ object MlQueries {
             |FROM documents
             |ORDER BY zval, doc_id""".stripMargin))
 
+  /** Hilbert layout key (L80): the locality upgrade over [[zorder]] —
+    * same (lang, n_chars) lanes, but positions along the order-8
+    * Hilbert curve via the native [[graft.functions.HilbertIndex2]]
+    * kernel (the per-level rotation is stateful, so it's a codegen'd
+    * loop, not a column composition). The oracle unrolls the identical
+    * walk as 8 chained subqueries GENERATED from the same loop
+    * ([[Layout.hilbert2Sql]]), so the two engines cannot drift; the
+    * unit-step locality property and the file-layout side (disjoint
+    * per-file h-envelopes, sidecar pruning) are pinned in MlSpec. */
+  private val hilbert = Declared(
+    "ml_hilbert",
+    (s, d) => Layout.hilbertOrder(Tables(s, d, "documents")),
+    Some(s"""SELECT doc_id, lang, n_chars, hd AS hval
+            |FROM (${Layout.hilbert2Sql(
+                Layout.langLaneSql("lang"),
+                Layout.numLaneSql("n_chars", Layout.NCharsStepBits),
+                Seq("doc_id", "lang", "n_chars"), "documents")})
+            |ORDER BY hval, doc_id""".stripMargin))
+
   /** Hashed-linear quality classifier: oracle re-derives the md5 weight
     * vector inline (token → bucket → weight), same fold as the Spark
     * literal-array lookup. */
@@ -2262,7 +2281,7 @@ object MlQueries {
     langId, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, contam, piiRedact,
     shardAssign, mixRebalance, chunking,
-    tfidfTopTerms, bm25, fingerprint, zorder,
+    tfidfTopTerms, bm25, fingerprint, zorder, hilbert,
     mediaMeta, mediaDecode, mediaResize, mediaFrames,
     audioDecode, audioVad, audioResample)
 }

@@ -304,13 +304,16 @@ class MlSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       """SELECT cosine_sim_f(fa, fb) AS c, dot_product_long(la, la) AS d,
         |       sliding_min_long(la, 2) AS s, gram_stats(toks) AS g,
-        |       simhash_tokens(toks) AS h
+        |       simhash_tokens(toks) AS h,
+        |       hilbert2(la[0], la[1], 8) AS hv
         |FROM kern_in""".stripMargin).collect()(0)
     val viaCol = df.select(VF.cosineSimF(col("fa"), col("fb")).as("c"),
       VF.dotLong(col("la"), col("la")).as("d"),
       VF.slidingMin(col("la"), 2).as("s"),
       VF.gramStats(col("toks")).as("g"),
-      VF.simhashTokens(col("toks")).as("h")).collect()(0)
+      VF.simhashTokens(col("toks")).as("h"),
+      VF.hilbert2(col("la").getItem(0), col("la").getItem(1), 8).as("hv"))
+      .collect()(0)
     assert(viaSql.toSeq.map(String.valueOf) ===
       viaCol.toSeq.map(String.valueOf),
       "SQL registration must resolve to the identical expressions")
@@ -700,6 +703,98 @@ class MlSpec extends AnyFunSuite {
       s"round-robin control should scan most of the $n files, scanned $rFiles")
     assert(zFiles * 2 < rFiles,
       s"layout should at least halve the scan: z=$zFiles vs control=$rFiles")
+  }
+
+  test("hilbert: exhaustive bijection + unit-step locality; morton provably jumps") {
+    // evaluate the codegen'd kernel over the ENTIRE order-8 grid
+    // (2^16 cells) and invert: the curve must visit every cell exactly
+    // once (bijection) and every consecutive step must move to a
+    // unit-adjacent cell — THE property that distinguishes Hilbert
+    // from Morton, and the reason files get tight rectangles
+    import graft.functions.{VectorFunctions => VF}
+    val side = 256
+    val cells = spark.range(side.toLong * side)
+      .select((col("id") % side).as("x"), expr(s"id div $side").as("y"))
+      .select(col("x"), col("y"),
+        VF.hilbert2(col("x"), col("y"), 8).as("d"))
+      .as[(Long, Long, Long)].collect()
+    val pos = new Array[(Long, Long)](side * side)
+    cells.foreach { case (x, y, d) =>
+      assert(d >= 0 && d < side * side, s"d=$d out of range at ($x,$y)")
+      assert(pos(d.toInt) == null, s"duplicate curve position $d")
+      pos(d.toInt) = (x, y)
+    }
+    (1 until side * side).foreach { d =>
+      val (x1, y1) = pos(d - 1); val (x2, y2) = pos(d)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"non-unit step at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // the interpreted fallback agrees with codegen (spot sample)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    Seq((0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L), (37L, 101L))
+      .foreach { case (x, y) =>
+        val interp = graft.functions.HilbertIndex2(
+          Literal(x), Literal(y), 8).eval(null).asInstanceOf[Long]
+        assert(pos(interp.toInt) === ((x, y)),
+          s"interpreted eval disagrees at ($x,$y)")
+      }
+    // contrast: the Morton curve takes non-unit jumps (z=1 is (1,0),
+    // z=2 is (0,1) — manhattan 2), which is exactly what Hilbert fixes
+    def mz(a: Long, b: Long): Long = (0 until 8).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.sum
+    assert(mz(1, 0) === 1L && mz(0, 1) === 2L,
+      "morton's first jump should already be non-unit")
+  }
+
+  test("hilbert write: disjoint h-envelopes; sidecar pruning beats round-robin") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docsBig = Tables(spark, "/root/testdata/sf0.1", "documents")
+    val n = 16
+    val hdir = java.nio.file.Files.createTempDirectory("hskip-h").toString
+    val rdir = java.nio.file.Files.createTempDirectory("hskip-r").toString
+    Layout.hilbertWriteWithStats(docsBig, hdir, n)
+    docsBig.repartition(n).write.mode("overwrite").parquet(rdir)
+    Layout.writeStats(spark, rdir)
+    // range partitioning by hval must leave disjoint per-file h-ranges
+    val envs = spark.read.parquet(hdir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("hval").as("lo"), max("hval").as("hi"),
+        count(lit(1)).as("rows"))
+      .select("lo", "hi", "rows").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(envs.length > 1)
+    assert(envs.map(_._3).sum === docsBig.count())
+    envs.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 <= lo2, s"h-envelopes overlap: $hi1 > $lo2")
+      case _ => ()
+    }
+    val (lang, lo, hi) = ("en", 400L, 900L)
+    val hRead = Layout.prunedRead(spark, hdir, lang, lo, hi)
+    val rRead = Layout.prunedRead(spark, rdir, lang, lo, hi)
+    val expected = docsBig
+      .filter(col("lang") === lang && col("n_chars").between(lo, hi))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def idsOf(df: DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idsOf(hRead) === expected)
+    assert(idsOf(rRead) === expected)
+    def filesScanned(df: DataFrame): Long = {
+      df.collect()
+      val counts = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }
+      assert(counts.nonEmpty, "no FileSourceScanExec in the plan")
+      counts.sum
+    }
+    val hFiles = filesScanned(hRead)
+    val rFiles = filesScanned(rRead)
+    assert(hFiles < n / 2,
+      s"hilbert-clustered read should scan < ${n / 2} of $n files, scanned $hFiles")
+    assert(hFiles * 2 < rFiles,
+      s"layout should at least halve the scan: h=$hFiles vs control=$rFiles")
   }
 
   test("bloom sidecar: doc_id point lookup prunes files the envelopes cannot") {
