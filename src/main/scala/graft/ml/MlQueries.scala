@@ -2034,6 +2034,63 @@ object MlQueries {
             |FROM dg d LEFT JOIN pn p ON p.id = d.id
             |ORDER BY vec_id""".stripMargin))
 
+  /** k-core decomposition (L81) over the SAME similarity graph as
+    * [[triangles]]: the oracle re-derives the edge set and unrolls
+    * the identical [[GraphOps.KcoreRounds]] peel rounds as CTE chains
+    * (the pagerank/BPE unrolled-loop pattern); the spec pins that the
+    * fixture reaches the true fixpoint inside the round budget, so
+    * fixed-round semantics == the real k-core. The per-round CTEs are
+    * MATERIALIZED: DuckDB inlines plain CTEs, and each round references
+    * its predecessor three times, so an inlined chain re-expands the
+    * edge derivation 3^rounds times. */
+  private val kcoreQ = Declared(
+    "ml_kcore",
+    (s, d) => GraphOps.kcore(Tables(s, d, "embeddings")),
+    Some {
+      val k = GraphOps.KcoreK
+      val rounds = (1 to GraphOps.KcoreRounds).map { i =>
+        s"""kp$i AS MATERIALIZED (
+           |  SELECT id FROM (
+           |    SELECT id, count(*) AS deg FROM (
+           |      SELECT a AS id FROM alive${i - 1}
+           |      UNION ALL SELECT b FROM alive${i - 1}) GROUP BY 1)
+           |  WHERE deg >= $k),
+           |alive$i AS MATERIALIZED (
+           |  SELECT a, b FROM alive${i - 1}
+           |  WHERE a IN (SELECT id FROM kp$i)
+           |    AND b IN (SELECT id FROM kp$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $qeCte,
+         |$nrmCte,
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         sum(a.q * b.q) AS d
+         |  FROM qe a JOIN qe b
+         |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id),
+         |und AS MATERIALIZED (
+         |  SELECT t.vec_a AS a, t.vec_b AS b
+         |  FROM dots t
+         |  JOIN nrm na ON na.vec_id = t.vec_a
+         |  JOIN nrm nb ON nb.vec_id = t.vec_b
+         |  WHERE ${cosSql("t.d", "na.n2", "nb.n2")}
+         |        >= ${GraphOps.TriMinCos}),
+         |dg AS (SELECT id, count(*) AS deg FROM (
+         |         SELECT a AS id FROM und
+         |         UNION ALL SELECT b FROM und) GROUP BY 1),
+         |alive0 AS MATERIALIZED (SELECT a, b FROM und),
+         |$rounds,
+         |cd AS (SELECT id, count(*) AS core_deg FROM (
+         |         SELECT a AS id FROM alive${GraphOps.KcoreRounds}
+         |         UNION ALL SELECT b FROM alive${GraphOps.KcoreRounds})
+         |       GROUP BY 1)
+         |SELECT d.id AS vec_id, CAST(d.deg AS BIGINT) AS deg,
+         |  CAST(coalesce(c.core_deg, 0) AS BIGINT) AS core_deg,
+         |  CAST(coalesce(c.core_deg, 0) > 0 AS INT) AS in_core
+         |FROM dg d LEFT JOIN cd c ON c.id = d.id
+         |ORDER BY vec_id""".stripMargin
+    })
+
   /** Native-Generator UDTF query: 3-token sliding windows straight off
     * the tokenizer output via [[graft.functions.NgramWindows]] — the
     * UDTF surface next to the five scalar kernels; the oracle unnests
@@ -2267,7 +2324,7 @@ object MlQueries {
   val all: Seq[Declared] = Seq(
     charSurprisal, quantileCut, docEmbedPool,
     datasetCard,
-    dqSuite, lmBigram, postingsIdx, triangles, udtfNgrams, tvtSplit,
+    dqSuite, lmBigram, postingsIdx, triangles, kcoreQ, udtfNgrams, tvtSplit,
     hardNeg, embOutliers, dedupNormalized,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,

@@ -1348,6 +1348,50 @@ class MlSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum > 0, "fixture graph has no triangles")
   }
 
+  test("kcore: equals naive peeling to fixpoint; fixpoint reached within the round budget") {
+    val rows = GraphOps.kcore(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    val und = Similarity
+      .embeddingNearDups(emb, minCos = GraphOps.TriMinCos)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive single-threaded peel to the TRUE fixpoint (no round cap):
+    // the engine's fixed-round result must coincide, which also proves
+    // the fixture converges within GraphOps.KcoreRounds
+    var alive = und
+    var changed = true
+    var naiveRounds = 0
+    while (changed) {
+      val deg = alive.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= GraphOps.KcoreK).keySet
+      val next = alive.filter(e => keep(e._1) && keep(e._2))
+      changed = next != alive
+      if (changed) naiveRounds += 1
+      alive = next
+    }
+    assert(naiveRounds <= GraphOps.KcoreRounds,
+      s"fixture needs $naiveRounds peel rounds > budget ${GraphOps.KcoreRounds}")
+    val coreDeg = alive.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val degAll = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.keySet === degAll.keySet)
+    degAll.foreach { case (v, d) =>
+      val (deg, cd, in) = rows(v)
+      assert(deg === d, s"deg for $v")
+      assert(cd === coreDeg.getOrElse(v, 0L), s"core_deg for $v")
+      assert(in === (if (coreDeg.contains(v)) 1 else 0), s"in_core for $v")
+    }
+    // the verdict must be non-trivial in BOTH directions: some nodes
+    // peel away, some dense region survives with every degree ≥ k
+    assert(rows.values.exists(_._3 == 0), "nothing peeled — k too low")
+    assert(rows.values.exists(_._3 == 1), "core empty — k too high")
+    assert(coreDeg.values.forall(_ >= GraphOps.KcoreK),
+      "a surviving node has degree < k — not a k-core")
+  }
+
   test("charSurprisal: naive replay + degenerate-doc bounds") {
     // planted extremes ride fake doc_ids above the fixture range
     val planted = Seq(
