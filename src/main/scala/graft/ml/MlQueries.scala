@@ -1045,6 +1045,29 @@ object MlQueries {
                 s"WHEN lang = '$l' THEN $r" }.mkString(" ")} ELSE 0 END
             |ORDER BY doc_id""".stripMargin))
 
+  /** Weighted systematic sampling (L82): the oracle computes the SAME
+    * weight-space prefix with one plain per-lang window — equality
+    * against the engine's two-level (lang, blk) prefix sum proves the
+    * distributed decomposition exact, boundary arithmetic and all. */
+  private val weightedSampleQ = Declared(
+    "ml_weighted_sample",
+    (s, d) => TextAnalysis.weightedSample(Tables(s, d, "documents")),
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+            |    CAST(coalesce(sum(n_chars) OVER (
+            |      PARTITION BY lang ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      AS BIGINT) AS cum_before
+            |  FROM documents)
+            |SELECT doc_id, lang, w AS n_chars, cum_before,
+            |  CAST((cum_before + w) // ${TextAnalysis.WSampleStride} -
+            |       cum_before // ${TextAnalysis.WSampleStride}
+            |    AS BIGINT) AS n_picks,
+            |  CAST(((cum_before + w) // ${TextAnalysis.WSampleStride} -
+            |        cum_before // ${TextAnalysis.WSampleStride}) > 0
+            |    AS INT) AS selected
+            |FROM w ORDER BY lang, doc_id""".stripMargin))
+
   /** Shard-assignment oracle: same hash-mod shard key, same within-shard
     * row numbering. */
   private val shardAssign = Declared(
@@ -2336,7 +2359,8 @@ object MlQueries {
     textStats, textNormalize, qualityGate, qualityGateStream,
     qualityClassifier, lmSurprisal,
     langId, tokenCounts,
-    repetition, dupSpans, seqPack, stratSample, contam, piiRedact,
+    repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
+    contam, piiRedact,
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, bm25, fingerprint, zorder, hilbert,
     mediaMeta, mediaDecode, mediaResize, mediaFrames,

@@ -322,6 +322,56 @@ object TextAnalysis {
       .orderBy("lang", "doc_id")
   }
 
+  /** [[weightedSample]] stride: one pick per 2^13 = 8192 chars of
+    * stream weight (a power of two, so every division below is an
+    * exact integer floor both engines compute identically). */
+  val WSampleStride = 8192L
+
+  /** Weighted systematic sampling (Madow '49; the size-debiased
+    * subsample every mixture study needs): per language stream,
+    * documents are laid end-to-end by doc_id in WEIGHT space
+    * (n_chars) and a document is picked wherever its weight interval
+    * contains a [[WSampleStride]] boundary. Inclusion probability is
+    * proportional to n_chars — a CHAR-budget sample rather than
+    * [[stratifiedSample]]'s doc-count sample — the pick set is
+    * deterministic and reproducible at any parallelism, and each
+    * stream yields exactly ⌊Σw/S⌋ picks by construction. Emits every
+    * doc with its weight-space offset, its boundary count (`n_picks`
+    * > 1 when one long doc spans several boundaries), and the keep
+    * verdict.
+    *
+    * Scale: the same TWO-LEVEL prefix sum as [[sequencePack]] — a
+    * window keyed only by `lang` would sort each language's whole
+    * stream into one task; instead contiguous doc_id blocks aggregate
+    * in parallel, the tiny (lang, blk) subtotal table becomes
+    * cumulative offsets, and the document-scale window keys on the
+    * high-cardinality (lang, blk). */
+  def weightedSample(docs: DataFrame): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("w"))
+      .withColumn("blk", floor(col("doc_id") / PackBlockWidth).cast("long"))
+    val wOff = Window.partitionBy("lang").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = w.groupBy("lang", "blk")
+      .agg(sum(col("w")).as("blk_w"))
+      .withColumn("blk_offset",
+        coalesce(sum(col("blk_w")).over(wOff), lit(0L)))
+      .select("lang", "blk", "blk_offset")
+    val wLocal = Window.partitionBy("lang", "blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    w.join(broadcast(offsets), Seq("lang", "blk"))
+      .withColumn("cum_before", col("blk_offset") +
+        coalesce(sum(col("w")).over(wLocal), lit(0L)))
+      .withColumn("n_picks",
+        expr(s"(cum_before + w) div $WSampleStride") -
+          expr(s"cum_before div $WSampleStride"))
+      .select(col("doc_id"), col("lang"), col("w").as("n_chars"),
+        col("cum_before"), col("n_picks"),
+        (col("n_picks") > 0).cast("int").as("selected"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Per-stratum deterministic sampling rates (per mille) for
     * [[stratifiedSample]]: heavier on `en`, lighter elsewhere — the
     * standard data-mixture reweighting shape. */

@@ -1348,6 +1348,41 @@ class MlSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum > 0, "fixture graph has no triangles")
   }
 
+  test("weightedSample: equals a single-threaded weight-space walk; exact pick budget") {
+    val rows = TextAnalysis.weightedSample(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getInt(5))).toMap
+    val S = TextAnalysis.WSampleStride
+    val byLang = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+    byLang.foreach { case (lang, ds) =>
+      var cum = 0L
+      var picks = 0L
+      ds.sortBy(_._1).foreach { case (id, _, w) =>
+        val n = (cum + w) / S - cum / S
+        val (l, nc, cb, np, sel) = rows(id)
+        assert(l === lang && nc === w)
+        assert(cb === cum, s"cum_before for doc $id")
+        assert(np === n, s"n_picks for doc $id")
+        assert(sel === (if (n > 0) 1 else 0))
+        cum += w
+        picks += n
+      }
+      // systematic sampling's defining property: the stream yields
+      // EXACTLY floor(total weight / stride) picks — no variance
+      assert(picks === cum / S, s"pick budget for $lang")
+      assert(picks > 0, s"stride too coarse for $lang at fixture scale")
+    }
+    // inclusion is weight-proportional in aggregate: selected docs'
+    // mean weight must exceed the population's (size-debiased sample)
+    val selW = rows.values.filter(_._5 == 1).map(_._2)
+    val allW = rows.values.map(_._2)
+    assert(selW.sum * allW.size > allW.sum * selW.size,
+      "selected docs should skew heavier than the population")
+  }
+
   test("kcore: equals naive peeling to fixpoint; fixpoint reached within the round budget") {
     val rows = GraphOps.kcore(emb).collect()
       .map(r => r.getLong(0) ->
