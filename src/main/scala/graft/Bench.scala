@@ -684,14 +684,22 @@ object Bench {
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfDir","load_start":$ldJson,"load_end":${loadEnd.map(num(_, 2)).mkString("[", ",", "]")},"queries":$qsFull,"cdc":${cdcJson._2},"errors":$errJson}"""
     // full-fidelity copies FIRST (3-decimal timings, per-batch CDC
     // detail): /tmp for the dev loop, in-repo so the judge reads it
-    // without leaving the repo (driver commits round-end work)
-    Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), fullLine)
+    // without leaving the repo (driver commits round-end work).
+    // A SPARK_GRAFT_QUERIES-filtered dev run writes to a _dev sibling
+    // and never touches the full-surface record — a 2-query spot check
+    // silently clobbered the canonical r11 record the first time
+    // (the r8/r10 artifact-clobber failure class, one level down).
+    val devRun = sys.env.contains("SPARK_GRAFT_QUERIES")
+    val tmpName =
+      if (devRun) "/tmp/graft_bench_dev.json" else "/tmp/graft_bench.json"
+    Files.writeString(java.nio.file.Paths.get(tmpName), fullLine)
     // Neutral filename: the previous hardcoded "BENCHFULL_r09.json"
     // clobbered the committed r9 record on every later-round run (the r10
     // ADVICE #1). A run now never touches a round-named record; promoting
     // _latest to BENCHFULL_r{N}.json is an explicit copy at commit time.
-    try Files.writeString(java.nio.file.Paths.get("BENCHFULL_latest.json"), fullLine)
-    catch { case e: Throwable => System.err.println(s"[bench] repo backstop write failed: $e") }
+    if (!devRun)
+      try Files.writeString(java.nio.file.Paths.get("BENCHFULL_latest.json"), fullLine)
+      catch { case e: Throwable => System.err.println(s"[bench] repo backstop write failed: $e") }
     // accounting + failure report BEFORE the JSON line: every char of
     // stderr printed after it would eat the driver's tail window
     // window: the r7 artifact's tail ENDS with the line + "\n" (both
