@@ -1141,6 +1141,111 @@ object CdcQueries {
     },
     Some(mtFoldOracleSql(mttSnapPq, mttPStrPq, mttAStrPq)))
 
+  private val mtcSnapPq = s"$FixtureDir/cdc_mtc_person_snap.parquet"
+  private val mtcPStrPq = s"$FixtureDir/cdc_mtc_person_stream.parquet"
+  private val mtcAStrPq = s"$FixtureDir/cdc_mtc_account_stream.parquet"
+
+  /** Consistent CROSS-TABLE snapshot — the guarantee epoch-aligned
+    * per-table versions exist for, made consumer-visible: both tables
+    * are read AS OF the SAME epoch boundary (the three-epoch prefix)
+    * and JOINED, so every person row pairs with the account state that
+    * was true at that instant. This is the transactional-consistency
+    * property logical replication promises across tables (the
+    * reference's publication covers multiple tables under one slot, so
+    * a subscriber's cross-table read is consistent by construction);
+    * here each table's AS-OF version is DERIVED from its own commit
+    * count past the prefix, and the oracle folds ONLY the prefix of
+    * each raw stream — reading either table one version off (the
+    * mixed-epoch join every naive per-table reader risks) pairs rows
+    * across epochs and breaks the hash. Scale: two manifest-pinned
+    * bucket scans + one keyed join; the epoch alignment itself is
+    * O(versions) metadata. */
+  private val mtConsistentJoin = Declared(
+    "cdc_mt_consistent_join",
+    (s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val (pOps, aRaw) = ChangeGen.mtOps(67L, nPerson = 900,
+        nAccount = 600)
+      val (pSnap, pStream) = pOps.splitAt(400)
+      val shift =
+        ((pStream.map(_.lsn).min - aRaw.map(_.lsn).min) / 2) * 2
+      val aOps = aRaw.map(o => o.copy(lsn = o.lsn + shift))
+      val changeDir = Files.createTempDirectory("graft-mtc-log").toString
+      val root = Files.createTempDirectory("graft-mtc-replica").toString
+      val ckpt = Files.createTempDirectory("graft-mtc-ckpt").toString
+      val snapState = ChangeGen.replay(pSnap).values.toSeq
+      ManifestMultiTable.snapshot(s, snapState.toDS().toDF(), root,
+        personSpecMt)
+      val batches = 5
+      ChangeGen.writeMtBatches(changeDir, pStream, aOps,
+        batches = batches)
+      val mergedLsns = (pStream.map(_.lsn) ++ aOps.map(_.lsn)).sorted
+      val per = ChangeGen.chunkSize(mergedLsns.size, batches)
+      val epochOf: Map[Long, Int] = mergedLsns.grouped(per).zipWithIndex
+        .flatMap { case (ls, i) => ls.map(_ -> i) }.toMap
+      val pPrefix = pStream.filter(o => epochOf(o.lsn) < 3)
+      val aPrefix = aOps.filter(o => epochOf(o.lsn) < 3)
+      snapState.toDS().toDF().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(mtcSnapPq)
+      dumpChanges(s, pPrefix, mtcPStrPq)
+      ChangeGen.toChanges(aPrefix).toDS().toDF()
+        .withColumnRenamed("name", "owner")
+        .withColumnRenamed("score", "balance").drop("uid")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(mtcAStrPq)
+      val q = ManifestMultiTable.start(s, changeDir, root, ckpt, mtSpecs,
+        maxFilesPerTrigger = Some(1), trigger = Trigger.AvailableNow(),
+        compactEvery = 1000) // no compaction commits: version ↔ epoch
+      try q.awaitTermination() finally q.stop()
+      def laterEpochs(lsns: Seq[Long]): Long =
+        lsns.map(epochOf).distinct.count(_ >= 3).toLong
+      val pAt = ManifestMultiTable.versions(s, root, personSpecMt).max -
+        laterEpochs(pStream.map(_.lsn))
+      val aAt = ManifestMultiTable.versions(s, root, accountSpecMt).max -
+        laterEpochs(aOps.map(_.lsn))
+      ManifestMultiTable.readTableAt(s, root, personSpecMt, pAt)
+        .select(col("id"), col("name"), col("score"))
+        .join(
+          ManifestMultiTable.readTableAt(s, root, accountSpecMt, aAt)
+            .select(col("id"), col("owner"), col("balance")),
+          "id")
+        .orderBy("id")
+    },
+    Some(s"""WITH pev AS (
+           |  SELECT id, name, score,
+           |         CAST(-1 AS BIGINT) AS lsn, 'I' AS action
+           |  FROM read_parquet('$mtcSnapPq/*.parquet')
+           |  UNION ALL
+           |  SELECT id, name, score, lsn, action
+           |  FROM read_parquet('$mtcPStrPq/*.parquet')
+           |), plastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM pev WHERE action = 'D'
+           |  GROUP BY id
+           |), pfold AS (
+           |  SELECT e.id, arg_max(e.name, e.lsn) AS name,
+           |    arg_max(e.score, e.lsn) AS score
+           |  FROM pev e LEFT JOIN plastd d ON e.id = d.id
+           |  WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |  GROUP BY e.id
+           |  HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |), aev AS (
+           |  SELECT id, owner, balance, lsn, action
+           |  FROM read_parquet('$mtcAStrPq/*.parquet')
+           |), alastd AS (
+           |  SELECT id, max(lsn) AS dlsn FROM aev WHERE action = 'D'
+           |  GROUP BY id
+           |), afold AS (
+           |  SELECT e.id, arg_max(e.owner, e.lsn) AS owner,
+           |    arg_max(e.balance, e.lsn) AS balance
+           |  FROM aev e LEFT JOIN alastd d ON e.id = d.id
+           |  WHERE e.action <> 'D' AND e.lsn > coalesce(d.dlsn, -2)
+           |  GROUP BY e.id
+           |  HAVING count(CASE WHEN e.action = 'I' THEN 1 END) > 0
+           |)
+           |SELECT p.id, p.name, p.score, a.owner, a.balance
+           |FROM pfold p JOIN afold a ON p.id = a.id
+           |ORDER BY p.id""".stripMargin))
+
   private val svSnapPq = s"$FixtureDir/cdc_sv_snapshot.parquet"
   private val svStreamPq = s"$FixtureDir/cdc_sv_stream.parquet"
   private val svSourcePq = s"$FixtureDir/cdc_sv_source.parquet"
@@ -1222,5 +1327,6 @@ object CdcQueries {
       parseChangelog,
       scd2History, scd2AsOf, snapshotDiff, quarantine, ivmView,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
-      mtStatefulE2e, mtTimeTravel, syncVerdict, ivmJoin, ivmJoinAgg)
+      mtStatefulE2e, mtTimeTravel, mtConsistentJoin, syncVerdict,
+      ivmJoin, ivmJoinAgg)
 }
