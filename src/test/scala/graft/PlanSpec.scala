@@ -52,6 +52,33 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("LeftSemi"), "EXISTS must plan as left-semi")
   }
 
+  test("hilbert: one codegen'd scan-side projection — no join, no pre-sort exchange") {
+    val df = run("ml_hilbert")
+    df.collect() // finalize AQE so the plan shows its codegen stages
+    val s = planOf(df).toString.split("== Initial Plan ==").head
+    assert(!s.contains("Join"), "the curve key is a per-row scalar")
+    // "*(n) Project [... hilbert2(...)]" — the starred stage prefix is
+    // the whole-stage-codegen marker in the plan's toString form
+    assert(s.linesIterator.exists(l =>
+      l.contains(") Project") && l.contains("*(") && l.contains("hilbert2")),
+      s"the native kernel must project inside a codegen stage:\n$s")
+    // exactly ONE shuffle: the presentation sort's range partitioning
+    val exchanges = s.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1,
+      s"key computation must not shuffle (found $exchanges exchanges)")
+  }
+
+  test("weighted sample: no document-scale single-partition window") {
+    // the two-level prefix sum's only single-partition risk would be a
+    // global window; every exchange must be hash/range-keyed, never a
+    // SinglePartition gather of the document stream
+    val s = planString(run("ml_weighted_sample"))
+    assert(!s.contains("SinglePartition"),
+      s"document stream must never gather to one partition:\n${s.take(600)}")
+    assert(s.contains("Window"), "the prefix sum rides windows")
+  }
+
   test("cosine top-k: query block broadcast, corpus side never exchanges before scoring") {
     val plan = planString(
       Similarity.cosineTopKFast(Tables(spark, sf, "embeddings")))
