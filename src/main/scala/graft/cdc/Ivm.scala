@@ -225,10 +225,16 @@ object Ivm {
     val keyType = pSpec.rowSchema(pSpec.keyCol).dataType
     readLog(spark, viewDir) match {
       case None => // no epochs landed yet: empty view
+        // Value columns carry the specs' REAL types (the same rowSchema
+        // lookup as keyType), so consumers see one schema whether or
+        // not an epoch has landed (ADVICE r11).
+        def valType(n: String) =
+          (if (pSpec.rowSchema.fieldNames.contains(n)) pSpec.rowSchema
+           else aSpec.rowSchema)(n).dataType
         val schema = org.apache.spark.sql.types.StructType(
           org.apache.spark.sql.types.StructField(pSpec.keyCol, keyType) +:
-            vals.map(n => org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.StringType)))
+            vals.map(n =>
+              org.apache.spark.sql.types.StructField(n, valType(n))))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(log) =>

@@ -516,11 +516,14 @@ object Similarity {
     * so iterating Spark jobs over it paid 4+ scheduler round-trips to
     * aggregate what fits in a few MB of driver memory — at bench scale
     * that overhead WAS the cost of `ml_pq_ann`/`ml_ivfadc`. Semantics
-    * are bit-identical to the former distributed fold: same lowest-ids
-    * init, same (d2·K + code) packed argmin tie-break as [[pqCode]],
-    * same floorDiv integer means, empty cells keep their previous
-    * centroid. At 100 TB the one collect stays ≤ sample-bound; the
-    * corpus-sized work (encode, ADC, rerank) remains distributed. */
+    * are bit-identical to the former distributed fold at any corpus
+    * ≤ [[PqTrainSample]] vectors (same lowest-ids init, same
+    * (d2·K + code) packed argmin tie-break as [[pqCode]], same floorDiv
+    * integer means, empty cells keep their previous centroid); above
+    * that bound the faiss-style subsampling is the intended behavior
+    * and the codebooks differ from an all-corpus fold by design. At
+    * 100 TB the one collect stays ≤ sample-bound; the corpus-sized
+    * work (encode, ADC, rerank) remains distributed. */
   private def pqTrainOn(qdf: DataFrame): Seq[Seq[Seq[Long]]] = {
     val sample: Array[Array[Long]] = qdf.select(col("vec_id"), col("q"))
       .orderBy("vec_id").limit(PqTrainSample).collect()

@@ -39,6 +39,19 @@ class IvmJoinSpec extends AnyFunSuite {
       .select("id", "name", "uid", "score", "owner", "balance")
       .as[(Int, String, String, Int, String, Int)].collect().toSet
 
+  test("empty-log joinView carries the specs' real value types (one schema either way)") {
+    val emptyDir =
+      Files.createTempDirectory("ivmj-empty").toString + "/log"
+    val empty = Ivm.joinView(spark, emptyDir, pSpec, aSpec)
+    assert(empty.count() === 0L)
+    // schema must match what a landed epoch produces: int score/balance,
+    // not the r11 all-StringType default (ADVICE r11)
+    val types = empty.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("score") === org.apache.spark.sql.types.IntegerType)
+    assert(types("balance") === org.apache.spark.sql.types.IntegerType)
+    assert(types("id") === pSpec.rowSchema(pSpec.keyCol).dataType)
+  }
+
   test("maintained join view equals full recompute at every epoch prefix; double-apply is a no-op") {
     val (pOps, aOps) = ChangeGen.mtOps(811L, nPerson = 400, nAccount = 300)
     val stateDir =

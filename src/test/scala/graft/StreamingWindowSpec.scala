@@ -15,6 +15,9 @@ import graft.streaming.Windows
 private[graft] case class AtEv(user_id: Long, event_id: Long, ts: Timestamp)
 private[graft] case class EnEv(event_id: Long, user_id: Long, ts: Timestamp,
     event_type: String, value: Double)
+private[graft] case class SwEv(ts: Timestamp, event_type: String,
+    value: Double, user_id: Long)
+private[graft] case class SwDoc(doc_id: Long, text: String, ts: Timestamp)
 
 class StreamingWindowSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -23,16 +26,13 @@ class StreamingWindowSpec extends AnyFunSuite {
   private def ts(m: Int, s: Int = 0): Timestamp =
     Timestamp.valueOf(f"2026-01-01 00:$m%02d:$s%02d")
 
-  private case class Ev(ts: Timestamp, event_type: String, value: Double,
-      user_id: Long)
-
   private def startQuery(df: org.apache.spark.sql.DataFrame, name: String)
       : StreamingQuery =
     df.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
 
   test("tumbling windows finalize at the watermark; late events dropped") {
-    val in = MemoryStream[Ev](spark)
+    val in = MemoryStream[SwEv](spark)
     val q = startQuery(
       Windows.tumbling(in.toDF(), width = "10 minutes",
         watermark = Some("10 minutes")),
@@ -40,8 +40,8 @@ class StreamingWindowSpec extends AnyFunSuite {
     try {
       // batch 1: two events in [00:00,00:10), one in [00:20,00:30);
       // watermark advances to 00:25-10min = 00:15 → first window closes
-      in.addData(Ev(ts(5), "a", 1.0, 1L), Ev(ts(7), "a", 2.0, 1L),
-        Ev(ts(25), "b", 5.0, 1L))
+      in.addData(SwEv(ts(5), "a", 1.0, 1L), SwEv(ts(7), "a", 2.0, 1L),
+        SwEv(ts(25), "b", 5.0, 1L))
       q.processAllAvailable()
       val afterB1 = spark.table("tumbling_sink")
         .select("w_start", "event_type", "n", "sum_value")
@@ -50,7 +50,7 @@ class StreamingWindowSpec extends AnyFunSuite {
 
       // batch 2: an event at 00:03 is LATE (watermark 00:15) → dropped;
       // 00:45 advances the watermark to 00:35 → [00:20,00:30) closes
-      in.addData(Ev(ts(3), "a", 100.0, 1L), Ev(ts(45), "c", 7.0, 1L))
+      in.addData(SwEv(ts(3), "a", 100.0, 1L), SwEv(ts(45), "c", 7.0, 1L))
       q.processAllAvailable()
       val afterB2 = spark.table("tumbling_sink")
         .select("w_start", "event_type", "n", "sum_value")
@@ -61,7 +61,7 @@ class StreamingWindowSpec extends AnyFunSuite {
   }
 
   test("sliding windows: each event lands in width/slide windows, watermark finalizes") {
-    val in = MemoryStream[Ev](spark)
+    val in = MemoryStream[SwEv](spark)
     val q = startQuery(
       Windows.sliding(in.toDF(), width = "10 minutes",
         slide = "5 minutes", watermark = Some("10 minutes")),
@@ -70,7 +70,7 @@ class StreamingWindowSpec extends AnyFunSuite {
       // the 00:07 event belongs to [00:00,00:10) AND [00:05,00:15);
       // 00:40 advances the watermark to 00:30 → both finalize, while
       // the 00:40 event's own windows stay open
-      in.addData(Ev(ts(7), "a", 1.0, 1L), Ev(ts(40), "b", 5.0, 1L))
+      in.addData(SwEv(ts(7), "a", 1.0, 1L), SwEv(ts(40), "b", 5.0, 1L))
       q.processAllAvailable()
       val rows = spark.table("sliding_sink")
         .select("w_start", "event_type", "n")
@@ -80,7 +80,7 @@ class StreamingWindowSpec extends AnyFunSuite {
   }
 
   test("session windows merge events within the gap and close on watermark") {
-    val in = MemoryStream[Ev](spark)
+    val in = MemoryStream[SwEv](spark)
     val q = startQuery(
       Windows.sessions(in.toDF(), gap = "10 minutes",
         watermark = Some("5 minutes")),
@@ -88,11 +88,11 @@ class StreamingWindowSpec extends AnyFunSuite {
     try {
       // user 1: events at 00:00, 00:05, 00:12 chain into ONE session
       // (each gap < 10 min); user 2: single event at 00:02
-      in.addData(Ev(ts(0), "a", 1.0, 1L), Ev(ts(5), "a", 2.0, 1L),
-        Ev(ts(12), "a", 4.0, 1L), Ev(ts(2), "a", 8.0, 2L))
+      in.addData(SwEv(ts(0), "a", 1.0, 1L), SwEv(ts(5), "a", 2.0, 1L),
+        SwEv(ts(12), "a", 4.0, 1L), SwEv(ts(2), "a", 8.0, 2L))
       q.processAllAvailable()
       // advance watermark past every session end (00:22): 00:50-5min
-      in.addData(Ev(ts(50), "a", 0.5, 9L))
+      in.addData(SwEv(ts(50), "a", 0.5, 9L))
       q.processAllAvailable()
       val out = spark.table("session_sink")
         .select("user_id", "w_start", "w_end", "n", "sum_value")
@@ -232,31 +232,29 @@ class StreamingWindowSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  private case class Doc(doc_id: Long, text: String, ts: Timestamp)
-
   test("streaming dedup: first occurrence passes, dupes drop, state expires") {
-    val in = MemoryStream[Doc](spark)
+    val in = MemoryStream[SwDoc](spark)
     val q = graft.streaming.StreamingDedup
       .distinctDocs(in.toDF(), watermark = "10 minutes")
       .writeStream.format("memory").queryName("sdedup_sink")
       .outputMode(OutputMode.Append()).start()
     try {
       // batch 1: two distinct texts + an in-batch duplicate
-      in.addData(Doc(1, "alpha", ts(0)), Doc(2, "beta", ts(1)),
-        Doc(3, "alpha", ts(2)))
+      in.addData(SwDoc(1, "alpha", ts(0)), SwDoc(2, "beta", ts(1)),
+        SwDoc(3, "alpha", ts(2)))
       q.processAllAvailable()
       // batch 2: cross-batch duplicate within the watermark → dropped
-      in.addData(Doc(4, "alpha", ts(5)))
+      in.addData(SwDoc(4, "alpha", ts(5)))
       q.processAllAvailable()
       def ids = spark.table("sdedup_sink").select("doc_id")
         .as[Long].collect().toSet
       assert(ids === Set(1L, 2L), "only first occurrences may pass")
 
       // advance the watermark far past ts(2): alpha's state expires
-      in.addData(Doc(5, "gamma", ts(40)))
+      in.addData(SwDoc(5, "gamma", ts(40)))
       q.processAllAvailable()
       // a re-arrival AFTER expiry is re-admitted (bounded-state trade)
-      in.addData(Doc(6, "alpha", ts(41)))
+      in.addData(SwDoc(6, "alpha", ts(41)))
       q.processAllAvailable()
       assert(ids === Set(1L, 2L, 5L, 6L),
         "post-expiry duplicate must be re-admitted, proving state eviction")
