@@ -440,6 +440,35 @@ class MlSpec extends AnyFunSuite {
     assert(got.collect().toSeq === naive.collect().toSeq)
   }
 
+  test("prefix-sum block width: results are width-exact; block count bounded at any n_docs") {
+    // the decomposition is exact for ANY width — forcing extreme
+    // widths must reproduce the production result bit-for-bit
+    val ref = TextAnalysis.sequencePack(docs).collect().toSeq
+    for (w <- Seq(1L, 7L, 1000000L))
+      assert(TextAnalysis.sequencePackWith(docs, w).collect().toSeq === ref,
+        s"sequencePack diverged at forced width $w")
+    val refS = TextAnalysis.weightedSample(docs).collect().toSeq
+    for (w <- Seq(1L, 7L, 1000000L))
+      assert(TextAnalysis.weightedSampleWith(docs, w).collect().toSeq === refS,
+        s"weightedSample diverged at forced width $w")
+    // the corpus-scaled width bounds the offsets table: blk count =
+    // ceil(id_range / width) <= MaxPackBlocks regardless of n_docs
+    import spark.implicits._
+    def widthFor(maxId: Long): Long = {
+      val d = Seq((0L, "en", "x", 1L), (maxId, "en", "x", 1L))
+        .toDF("doc_id", "lang", "text", "n_chars")
+      TextAnalysis.packBlockWidth(d)
+    }
+    assert(widthFor(1000L) === TextAnalysis.PackBlockWidth,
+      "small corpora keep the test-scale width")
+    for (maxId <- Seq(1e7.toLong, 1e10.toLong, 1e11.toLong)) {
+      val w = widthFor(maxId)
+      val blocks = (maxId / w) + 1
+      assert(blocks <= TextAnalysis.MaxPackBlocks,
+        s"offsets table would be $blocks rows at maxId=$maxId (width $w)")
+    }
+  }
+
   test("quality gate: keep is the rule conjunction and splits the fixture") {
     val rows = TextAnalysis.qualityGate(docs).collect()
     assert(rows.length === docs.count())
