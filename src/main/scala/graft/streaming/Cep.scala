@@ -30,17 +30,21 @@ final case class CepQStep(tpe: String, plus: Boolean = false)
 /** One BOUNDED-repetition pattern step — the MATCH_RECOGNIZE `B{n,m}`
   * quantifier family: the step greedily absorbs between `minN` and
   * `maxN` consecutive events of the type. `{1,1}` is a plain step,
-  * `{1, Int.MaxValue}` is the Kleene plus ([[CepQStep]] delegates).
+  * `{1, Int.MaxValue}` is the Kleene plus ([[CepQStep]] delegates),
+  * `{0,1}` is the optional `B?` and `{0,m}` its bounded form.
   * Greedy semantics: each event of the type absorbs while the run is
   * below `maxN` and it lands within gap of the previously absorbed
   * one (beyond-max events of the type are ignored — the gap anchor
   * stays at the last ABSORBED event); the successor closes the run
   * only once at least `minN` events absorbed (an earlier successor
-  * event is ignored, not a failure); a trailing step's run must reach
-  * `minN` when it closes, else the match fails. */
+  * event is ignored, not a failure — except at `minN = 0`, where the
+  * run may close EMPTY: a successor within gap of the STEP's anchor
+  * consumes it with count 0 and sentinel step id −1); a trailing
+  * step's run must reach `minN` when it closes, else the match
+  * fails. */
 final case class CepRepStep(tpe: String, minN: Int = 1, maxN: Int = 1) {
-  require(1 <= minN && minN <= maxN,
-    s"need 1 <= minN <= maxN, got {$minN,$maxN}")
+  require(0 <= minN && minN <= maxN && maxN >= 1,
+    s"need 0 <= minN <= maxN with maxN >= 1, got {$minN,$maxN}")
   def quantified: Boolean = minN != 1 || maxN != 1
 }
 
@@ -272,6 +276,9 @@ object Cep {
   private def validateRepSteps(steps: Seq[CepRepStep]): Unit = {
     require(steps.nonEmpty && !steps.head.quantified,
       "chainRep must start with a plain {1,1} step")
+    require(!steps.last.quantified || steps.last.minN >= 1,
+      "a trailing zero-min step is redundant — the pattern already " +
+        "matched without it; drop the step")
     steps.sliding(2).foreach {
       case Seq(a, b) =>
         require(!(a.quantified && b.quantified),
@@ -358,8 +365,15 @@ object Cep {
           k += 1
         } else {
           val nxt = steps(k + 1)
+          // a zero-min step may close EMPTY, so its successor
+          // candidates anchor at the STEP's anchor (the previous
+          // step's event) — the first absorbed event may not exist
+          val csFrom =
+            if (st.minN == 0) anchor.select(col("user_id"),
+              col("at").as("b0t"), col("aid").as("b0i"))
+            else b0
           val cs = ev.filter(col("event_type") === nxt.tpe)
-            .join(Funnel.hintIf(b0, small), "user_id")
+            .join(Funnel.hintIf(csFrom, small), "user_id")
             .filter(Funnel.afterAnchor(col("ts"), col("event_id"),
               col("b0t"), col("b0i")))
             .select(col("user_id"), col("event_id"), col("ts"))
@@ -373,10 +387,22 @@ object Cep {
                 ignoreNulls = true).over(wRun))
             .withColumn("nb", sum(col("isb")).over(wRun))
           // a successor seen before minN absorbed is IGNORED (the
-          // pattern keeps absorbing), not a failure
-          val qual = merged.filter(col("isb") === 0 &&
-            col("lbt").isNotNull && col("nb") >= st.minN &&
-            unix_micros(col("ts")) - unix_micros(col("lbt")) <= gapUs)
+          // pattern keeps absorbing), not a failure; at minN = 0 the
+          // run may close EMPTY — gap then measures from the anchor
+          val qual =
+            if (st.minN == 0)
+              merged.filter(col("isb") === 0)
+                .join(Funnel.hintIf(anchor.select(col("user_id"),
+                  col("at").as("a_t"), col("aid").as("a_i")), small),
+                  "user_id")
+                .withColumn("lbt", coalesce(col("lbt"), col("a_t")))
+                .withColumn("lbi", coalesce(col("lbi"), col("a_i")))
+                .drop("a_t", "a_i")
+                .filter(unix_micros(col("ts")) -
+                  unix_micros(col("lbt")) <= gapUs)
+            else merged.filter(col("isb") === 0 &&
+              col("lbt").isNotNull && col("nb") >= st.minN &&
+              unix_micros(col("ts")) - unix_micros(col("lbt")) <= gapUs)
           val q1 = qual.groupBy(col("user_id").as("qu"))
             .agg(min(col("ts")).as("mt"))
           val q2 = qual.join(Funnel.hintIf(q1, small),
@@ -390,7 +416,10 @@ object Cep {
             .select(col("user_id"), col("ts"), col("event_id"),
               col("lbt"), col("lbi"), col("nb"))
           parts += chosen.select(col("user_id"), col("lbt").as(s"t$k"),
-            col("lbi").as(s"i$k"), col("nb").as(s"n$k"))
+            (if (st.minN == 0)
+              when(col("nb") === 0, lit(-1L)).otherwise(col("lbi"))
+            else col("lbi")).as(s"i$k"),
+            col("nb").as(s"n$k"))
           parts += chosen.select(col("user_id"), col("ts").as(s"t${k + 1}"),
             col("event_id").as(s"i${k + 1}"), lit(1L).as(s"n${k + 1}"))
           anchor = chosen.select(col("user_id"), col("ts").as("at"),
@@ -771,6 +800,19 @@ private[streaming] class ChainRepProcessor(steps: Seq[CepRepStep],
               e.ts_us - st.at <= gapUs) {
             st = st.copy(absorbing = true, curN = 1L, at = e.ts_us,
               aid = e.event_id)
+          } else if (cur.minN == 0 && st.stage < size - 1 &&
+              e.event_type == steps(st.stage + 1).tpe && after(e, st) &&
+              e.ts_us - st.at <= gapUs) {
+            // zero-min step closes EMPTY: the successor (within gap of
+            // the step's ANCHOR) consumes — sentinel id −1, the
+            // anchor's ts, count 0 (batch twin: the coalesced-anchor
+            // qual path in chainRep)
+            st = st.copy(stage = st.stage + 2, absorbing = false,
+              at = e.ts_us, aid = e.event_id,
+              ids = st.ids :+ -1L :+ e.event_id,
+              tss = st.tss :+ st.at :+ e.ts_us,
+              ns = st.ns :+ 0L :+ 1L)
+            if (st.stage == size) emit(st)
           }
         } else { // absorbing a quantified run
           if (e.event_type == cur.tpe && after(e, st) &&

@@ -528,6 +528,114 @@ object WindowQueries {
          |ORDER BY s0b.user_id""".stripMargin
     })
 
+  /** CEP optional step — `signup click{0,2} purchase`
+    * ([[Cep.chainRep]] at `minN = 0`, completing the MATCH_RECOGNIZE
+    * quantifier family: `B?` is `{0,1}`; r11 verdict #5): the click
+    * run may close EMPTY — a purchase within gap of the SIGNUP anchor
+    * consumes directly, emitting count 0 and sentinel step id −1;
+    * with clicks present the machine is the bounded-repetition fold
+    * (first two gap-chained clicks absorb, the purchase qualifies
+    * within gap of the last absorbed). Oracle: the rep fold with the
+    * successor candidates anchored at the signup (not the first
+    * click) and the gap anchor coalesced to it. Streaming twin:
+    * [[Cep.streamingRep]], spec-pinned equal incl. the EMPTY close. */
+  private val cepOpt = Declared(
+    "j_cep_opt",
+    (s, d) => Cep.chainRep(Tables(s, d, "events"),
+      Seq(CepRepStep("signup"), CepRepStep("click", minN = 0, maxN = 2),
+        CepRepStep("purchase"))),
+    Some {
+      val H = Funnel.GapUs
+      s"""WITH s0 AS (
+         |  SELECT user_id, min(ts) AS t FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |s0b AS (
+         |  SELECT e.user_id, s0.t, min(e.event_id) AS i
+         |  FROM events e JOIN s0
+         |    ON e.user_id = s0.user_id AND e.ts = s0.t
+         |  WHERE e.event_type = 'signup' GROUP BY 1, 2),
+         |c0 AS (
+         |  SELECT e.user_id, min(e.ts) AS t
+         |  FROM events e JOIN s0b a ON e.user_id = a.user_id
+         |  WHERE e.event_type = 'click'
+         |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))
+         |    AND epoch_us(e.ts) - epoch_us(a.t) <= $H
+         |  GROUP BY 1),
+         |c0b AS (
+         |  SELECT e.user_id, c0.t, min(e.event_id) AS i
+         |  FROM events e
+         |  JOIN c0 ON e.user_id = c0.user_id AND e.ts = c0.t
+         |  JOIN s0b a ON a.user_id = e.user_id
+         |  WHERE e.event_type = 'click'
+         |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))
+         |  GROUP BY 1, 2),
+         |bs AS (
+         |  SELECT e.user_id, e.event_id, e.ts,
+         |    lag(e.ts) OVER (PARTITION BY e.user_id
+         |                    ORDER BY e.ts, e.event_id) AS pts
+         |  FROM events e JOIN c0b ON e.user_id = c0b.user_id
+         |  WHERE e.event_type = 'click'
+         |    AND (e.ts > c0b.t OR (e.ts = c0b.t AND e.event_id >= c0b.i))),
+         |reach AS (
+         |  SELECT user_id, event_id, ts FROM (
+         |    SELECT *, sum(CASE WHEN pts IS NULL THEN 0
+         |        WHEN epoch_us(ts) - epoch_us(pts) > $H THEN 1
+         |        ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS isl
+         |    FROM bs) WHERE isl = 0),
+         |absorbed AS (
+         |  SELECT user_id, event_id, ts FROM (
+         |    SELECT *, row_number()
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |    FROM reach) WHERE rn <= 2),
+         |cs AS (
+         |  SELECT e.user_id, e.event_id, e.ts
+         |  FROM events e JOIN s0b a ON e.user_id = a.user_id
+         |  WHERE e.event_type = 'purchase'
+         |    AND (e.ts > a.t OR (e.ts = a.t AND e.event_id > a.i))),
+         |merged AS (
+         |  SELECT user_id, event_id, ts, 1 AS isb FROM absorbed
+         |  UNION ALL
+         |  SELECT user_id, event_id, ts, 0 FROM cs),
+         |scored AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN isb = 1 THEN ts END IGNORE NULLS)
+         |      OVER w AS lbt,
+         |    last_value(CASE WHEN isb = 1 THEN event_id END IGNORE NULLS)
+         |      OVER w AS lbi,
+         |    sum(isb) OVER w AS nb
+         |  FROM merged
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |qual AS (
+         |  SELECT s.user_id, s.event_id, s.ts,
+         |    coalesce(s.lbt, a.t) AS lbt,
+         |    CASE WHEN s.nb = 0 THEN -1 ELSE s.lbi END AS lbi,
+         |    s.nb
+         |  FROM scored s JOIN s0b a ON s.user_id = a.user_id
+         |  WHERE s.isb = 0
+         |    AND epoch_us(s.ts) - epoch_us(coalesce(s.lbt, a.t)) <= $H),
+         |q1 AS (SELECT user_id, min(ts) AS mt FROM qual GROUP BY 1),
+         |q2 AS (
+         |  SELECT q.user_id, q1.mt, min(q.event_id) AS mid
+         |  FROM qual q JOIN q1 ON q.user_id = q1.user_id AND q.ts = q1.mt
+         |  GROUP BY 1, 2),
+         |chosen AS (
+         |  SELECT q.user_id, q.ts, q.event_id, q.lbt, q.lbi, q.nb
+         |  FROM qual q JOIN q2 ON q.user_id = q2.user_id
+         |    AND q.ts = q2.mt AND q.event_id = q2.mid)
+         |SELECT s0b.user_id,
+         |  CAST(s0b.i AS VARCHAR) || ',' || CAST(c.lbi AS VARCHAR)
+         |    || ',' || CAST(c.event_id AS VARCHAR) AS step_ids,
+         |  '1,' || CAST(c.nb AS VARCHAR) || ',1' AS counts,
+         |  s0b.t AS start_ts, c.ts AS end_ts,
+         |  epoch_us(c.ts) - epoch_us(s0b.t) AS span_us
+         |FROM s0b JOIN chosen c ON c.user_id = s0b.user_id
+         |ORDER BY s0b.user_id""".stripMargin
+    })
+
   /** Identity stream-dedup e2e ([[StreamDedup.exactlyOnce]] —
     * `dropDuplicatesWithinWatermark`): every third fixture event is
     * REDELIVERED (the at-least-once broker edge), the doubled stream
@@ -588,5 +696,6 @@ object WindowQueries {
 
   val all: Seq[Declared] = Seq(tumbling, sliding, sessions, attribution,
     enrichment, funnel, cepChain4, cepAlt, cepChurn, cepKleene, cepRep,
+    cepOpt,
     streamDedupE2e)
 }

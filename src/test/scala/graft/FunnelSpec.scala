@@ -775,6 +775,150 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("chainRep optional step B{0,m} equals naive replay, 12 seeds; B{1,m} pins unchanged") {
+    import graft.streaming.{Cep, CepRepStep}
+    val all = Seq("view", "click", "purchase", "noop")
+    val gapUs = 900L * 1000000
+    // naive single-pass replay generalized with the zero-min close
+    def naive(evs: Seq[FnEv], steps: Seq[CepRepStep])
+        : Set[(Long, String, String)] =
+      evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        var stage = 0; var at = 0L; var aid = 0L
+        var absorbing = false; var curN = 0L
+        val ids = Seq.newBuilder[Long]; val ns = Seq.newBuilder[Long]
+        var done = false; var failed = false
+        for (e <- sorted if !done && !failed) {
+          val tus = e.ts.getTime * 1000L
+          val cur = steps(stage)
+          val after = tus > at || (tus == at && e.event_id > aid)
+          if (!cur.quantified) {
+            if (e.event_type == cur.tpe &&
+                (stage == 0 || (after && tus - at <= gapUs))) {
+              stage += 1; at = tus; aid = e.event_id
+              ids += e.event_id; ns += 1L
+              if (stage < steps.size && steps(stage).quantified)
+                absorbing = false
+              if (stage == steps.size) done = true
+            }
+          } else if (!absorbing) {
+            if (e.event_type == cur.tpe && after && tus - at <= gapUs) {
+              absorbing = true; curN = 1; at = tus; aid = e.event_id
+            } else if (cur.minN == 0 && stage < steps.size - 1 &&
+                e.event_type == steps(stage + 1).tpe && after &&
+                tus - at <= gapUs) {
+              ids += -1L; ns += 0L // empty run closes at the anchor
+              at = tus; aid = e.event_id
+              ids += e.event_id; ns += 1L
+              stage += 2
+              if (stage == steps.size) done = true
+            }
+          } else {
+            if (e.event_type == cur.tpe && after && tus - at <= gapUs &&
+                curN < cur.maxN) {
+              curN += 1; at = tus; aid = e.event_id
+            } else if (stage < steps.size - 1 &&
+                e.event_type == steps(stage + 1).tpe && after &&
+                tus - at <= gapUs && curN >= cur.minN) {
+              ids += aid; ns += curN
+              at = tus; aid = e.event_id
+              ids += e.event_id; ns += 1L
+              stage += 2; absorbing = false
+              if (stage == steps.size) done = true
+            } else if (stage == steps.size - 1 && tus - at > gapUs) {
+              if (curN >= cur.minN) { ids += aid; ns += curN; done = true }
+              else failed = true
+            }
+          }
+        }
+        if (!done && !failed && absorbing &&
+            stage == steps.size - 1 && curN >= steps(stage).minN) {
+          ids += aid; ns += curN; done = true
+        }
+        if (done)
+          Some((u, ids.result().mkString(","), ns.result().mkString(",")))
+        else None
+      }.toSet
+    val optSteps = Seq(CepRepStep("view"), CepRepStep("click", 0, 2),
+      CepRepStep("purchase"))
+    var sawEmpty = false; var sawAbsorbed = false
+    for (seed <- 901 to 912) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2026-10-01 00:00:00").getTime
+      val evs = (0 until 500).map { i =>
+        FnEv(rnd.nextInt(5).toLong, i.toLong,
+          new Timestamp(base + rnd.nextInt(7200) * 1000L),
+          all(rnd.nextInt(all.size)))
+      }
+      val got = Cep.chainRep(evs.toDF(), optSteps, gapUs)
+        .selectExpr("user_id", "step_ids", "counts")
+        .as[(Long, String, String)].collect().toSet
+      assert(got === naive(evs, optSteps), s"seed $seed")
+      sawEmpty ||= got.exists(_._3 == "1,0,1")
+      sawAbsorbed ||= got.exists(r => r._3 != "1,0,1")
+      // {1,m} must be byte-identical to the pre-optional machine: the
+      // zero-min code paths are gated on minN == 0 and the replay here
+      // IS the r11 replay when minN >= 1
+      val oneSteps = Seq(CepRepStep("view"), CepRepStep("click", 1, 2),
+        CepRepStep("purchase"))
+      val gotOne = Cep.chainRep(evs.toDF(), oneSteps, gapUs)
+        .selectExpr("user_id", "step_ids", "counts")
+        .as[(Long, String, String)].collect().toSet
+      assert(gotOne === naive(evs, oneSteps), s"seed $seed {1,2}")
+    }
+    assert(sawEmpty, "schedules must exercise the EMPTY (count-0) close")
+    assert(sawAbsorbed, "schedules must exercise absorbed closes too")
+    // trailing zero-min is redundant and rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Cep.chainRep(Tables(spark, sf, "events"),
+        Seq(CepRepStep("view"), CepRepStep("click", 0, 2)))
+    }
+    assert(err.getMessage.contains("redundant"))
+  }
+
+  test("streaming chainRep with optional step equals batch on random schedules") {
+    import graft.streaming.{Cep, CepRepStep}
+    val steps = Seq(CepRepStep("signup"), CepRepStep("click", 0, 2),
+      CepRepStep("purchase"))
+    val all = Seq("signup", "click", "purchase", "noop")
+    val gapUs = 900L * 1000000
+    withRocksDb {
+      var anyEmpty = false
+      for (seed <- 921 to 924) {
+        val rnd = new scala.util.Random(seed)
+        val base = Timestamp.valueOf("2026-10-02 00:00:00").getTime
+        val evs = (0 until 400).map { i =>
+          FnEv(rnd.nextInt(6).toLong, i.toLong,
+            new Timestamp(base + rnd.nextInt(7200) * 1000L),
+            all(rnd.nextInt(all.size)))
+        }
+        val in = MemoryStream[FnEv](spark)
+        val q = Cep.streamingRep(in.toDF(), steps, gapUs)
+          .writeStream.format("memory").queryName(s"chainopt_$seed")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          evs.sortBy(e => (e.ts.getTime, e.event_id))
+            .grouped(evs.length / 4 + 1).foreach { chunk =>
+              in.addData(chunk.toSeq: _*)
+              q.processAllAvailable()
+            }
+          flushEvents().foreach { e => in.addData(e); q.processAllAvailable() }
+          val got = spark.table(s"chainopt_$seed")
+            .selectExpr("user_id", "concat_ws(',', step_ids)",
+              "concat_ws(',', counts)")
+            .as[(Long, String, String)].collect()
+          assert(got.length === got.toSet.size, "duplicate emissions")
+          val want = Cep.chainRep(evs.toDF(), steps, gapUs)
+            .selectExpr("user_id", "step_ids", "counts")
+            .as[(Long, String, String)].collect().toSet
+          assert(got.toSet === want, s"seed $seed")
+          anyEmpty ||= want.exists(_._3 == "1,0,1")
+        } finally q.stop()
+      }
+      assert(anyEmpty, "streaming schedules must exercise the EMPTY close")
+    }
+  }
+
   test("streaming chainRep equals batch, fixture and random trailing schedules") {
     import graft.streaming.{Cep, CepRepStep}
     val fixtureSteps = Seq(CepRepStep("view"),
