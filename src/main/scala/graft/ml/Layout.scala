@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout for the curated corpus — Z-order
@@ -253,6 +254,61 @@ object Layout {
     SidecarFileIndex.read(spark, dataDir)
       .filter(col("lang") === lang &&
         col("n_chars").between(nCharsLo, nCharsHi))
+
+  /** [[binPackPlan]] slice budget (chars per planned file). At 100 TB
+    * this is the ~1 GB OPTIMIZE target; 16 KiB keeps tens of planned
+    * files at fixture scale so the plan structure is exercised. */
+  val BinPackTargetChars = 1L << 14
+
+  /** Bin-pack compaction PLAN — [[binPack]]'s deterministic file
+    * assignment as a declared, oracle-checkable row (L52, r11 verdict
+    * #6): documents lay end-to-end in (hval, doc_id) curve order and
+    * slice at [[BinPackTargetChars]] boundaries — a doc belongs to the
+    * file its first char lands in (`floor(cum_before / target)`), the
+    * same concat-and-slice rule as [[graft.ml.TextAnalysis.sequencePack]]
+    * but in CURVE order, which is exactly the discipline [[binPack]]
+    * preserves (`repartitionByRange(ceil(total/target), hval)`). Emits
+    * the per-file plan: doc count, char mass, and the [h_min, h_max]
+    * envelope — contiguous slicing of the curve order makes envelopes
+    * DISJOINT by construction, the OPTIMIZE-must-not-undo-clustering
+    * contract made visible per file.
+    *
+    * Scale: hval-range blocks (`hval div 256` — at most 2^(2·[[LaneBits]])
+    * /256 = 256 blocks at ANY corpus size, since hval is bounded by the
+    * curve geometry, not by n_docs) aggregate in parallel; the bounded block
+    * list prefix-sums INSIDE one row via sort_array + posexplode +
+    * aggregate() (no global window → no SinglePartition gather of the
+    * doc stream); the document-scale window keys on the
+    * high-cardinality blk. */
+  def binPackPlan(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        hilbertVal(col("lang"), col("n_chars")).as("hval"))
+      .withColumn("blk", (col("hval") / lit(256L)).cast("long"))
+    // bounded block subtotals → cumulative offsets, computed inside a
+    // single collected-list row (≤512 elements by curve geometry)
+    val offsets = h.groupBy("blk")
+      .agg(sum(col("n_chars")).as("blk_chars"))
+      .agg(sort_array(collect_list(struct(col("blk"), col("blk_chars"))))
+        .as("bs"))
+      .select(col("bs"), posexplode(col("bs")))
+      .select(col("col.blk").as("blk"),
+        expr("aggregate(slice(bs, 1, pos), CAST(0 AS BIGINT), " +
+          "(a, x) -> a + x.blk_chars)").as("blk_offset"))
+    val wLocal = Window.partitionBy("blk").orderBy("hval", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.join(broadcast(offsets), Seq("blk"))
+      .withColumn("cum_before", col("blk_offset") +
+        coalesce(sum(col("n_chars")).over(wLocal), lit(0L)))
+      .withColumn("file_id",
+        (col("cum_before") / BinPackTargetChars).cast("long"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("file_chars"),
+        min(col("hval")).as("h_min"),
+        max(col("hval")).as("h_max"))
+      .orderBy("file_id")
+  }
 
   /** Small-file compaction — the lakehouse `OPTIMIZE` bin-pack: rewrite
     * a directory whose file population has degraded (streaming appends,

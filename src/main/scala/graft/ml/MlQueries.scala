@@ -1614,6 +1614,40 @@ object MlQueries {
                 Seq("doc_id", "lang", "n_chars"), "documents")})
             |ORDER BY hval, doc_id""".stripMargin))
 
+  /** Bin-pack compaction plan (L52's declared row — r11 verdict #6):
+    * [[Layout.binPackPlan]]'s deterministic concat-and-slice file
+    * assignment in Hilbert-curve order. The oracle re-derives the
+    * curve via the generated [[Layout.hilbert2Sql]] walk, lays the
+    * docs end-to-end with a window prefix sum, and slices at the same
+    * power-of-two boundary — per-file doc counts, char mass, and
+    * [h_min, h_max] envelopes must all match. Disjoint envelopes are
+    * structural (contiguous slices of a total order); the filesystem
+    * rewrite half of [[Layout.binPack]] stays spec-pinned (swap
+    * atomicity, curve re-pack, sidecar recompute). */
+  private val binpack = Declared(
+    "ml_binpack",
+    (s, d) => Layout.binPackPlan(Tables(s, d, "documents")),
+    Some(s"""WITH h AS (
+            |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+            |    hd AS hval
+            |  FROM (${Layout.hilbert2Sql(
+                Layout.langLaneSql("lang"),
+                Layout.numLaneSql("n_chars", Layout.NCharsStepBits),
+                Seq("doc_id", "n_chars"), "documents")})),
+            |c AS (
+            |  SELECT doc_id, n_chars, hval,
+            |    coalesce(sum(n_chars) OVER (ORDER BY hval, doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      AS cb
+            |  FROM h)
+            |SELECT CAST(cb // ${Layout.BinPackTargetChars} AS BIGINT)
+            |    AS file_id,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS file_chars,
+            |  CAST(min(hval) AS BIGINT) AS h_min,
+            |  CAST(max(hval) AS BIGINT) AS h_max
+            |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Hashed-linear quality classifier: oracle re-derives the md5 weight
     * vector inline (token → bucket → weight), same fold as the Spark
     * literal-array lookup. */
@@ -2362,7 +2396,7 @@ object MlQueries {
     repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
     contam, piiRedact,
     shardAssign, mixRebalance, chunking,
-    tfidfTopTerms, bm25, fingerprint, zorder, hilbert,
+    tfidfTopTerms, bm25, fingerprint, zorder, hilbert, binpack,
     mediaMeta, mediaDecode, mediaResize, mediaFrames,
     audioDecode, audioVad, audioResample)
 }

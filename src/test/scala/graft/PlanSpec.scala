@@ -79,6 +79,25 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("Window"), "the prefix sum rides windows")
   }
 
+  test("bin-pack plan: doc-scale window keys on blk; offsets broadcast; no global doc window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = run("ml_binpack")
+    // every window over document-scale data keys on the bounded blk
+    // (the block offsets prefix-sum is NOT a window — it rides a
+    // posexplode over one collected ≤256-element list)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "the within-block running sum rides a window")
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+      assert(keys.contains("blk"),
+        s"window keyed $keys would gather the doc stream globally")
+    }
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), "offsets table must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "doc stream must not sort-merge against the bounded offsets table")
+  }
+
   test("cosine top-k: query block broadcast, corpus side never exchanges before scoring") {
     val plan = planString(
       Similarity.cosineTopKFast(Tables(spark, sf, "embeddings")))
