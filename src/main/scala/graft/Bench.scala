@@ -689,7 +689,8 @@ object Bench {
     // and never touches the full-surface record — a 2-query spot check
     // silently clobbered the canonical r11 record the first time
     // (the r8/r10 artifact-clobber failure class, one level down).
-    val devRun = sys.env.contains("SPARK_GRAFT_QUERIES")
+    val devRun = sys.env.contains("SPARK_GRAFT_QUERIES") ||
+      sys.env.contains("SPARK_GRAFT_ONLY")
     val tmpName =
       if (devRun) "/tmp/graft_bench_dev.json" else "/tmp/graft_bench.json"
     Files.writeString(java.nio.file.Paths.get(tmpName), fullLine)

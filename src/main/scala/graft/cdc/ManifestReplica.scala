@@ -586,7 +586,10 @@ object ManifestReplica {
           // (see Replicate's async fold for the full rationale)
           spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", "graft-compact")
-          try compact(spark, dir, numBuckets)
+          // bounded footprint: the background fold may hold at most
+          // [[AsyncFoldMaxTasks]] slots at any instant (see its doc)
+          try compact(spark, dir, numBuckets,
+            maxTasks = Some(AsyncFoldMaxTasks))
           catch { case e: Throwable =>
             System.err.println(s"[cdc] async manifest compaction failed (deltas stay live, next trigger retries): $e")
           } finally compacting.remove(dir)
@@ -742,8 +745,21 @@ object ManifestReplica {
     * touch, then commit. Untouched buckets keep their generation (and
     * their bytes). Consumed delta dirs and superseded generations are
     * deleted only after the commit lands. */
+  /** Concurrent-task cap for BACKGROUND folds (r11 verdict #2): FAIR
+    * pool weights share slots only as tasks FINISH — a 256-task merge
+    * launched into a trigger gap grabs every free slot and the next
+    * trigger's delta write convoys behind whole fold-task durations
+    * (the man100x 1.5→2.9 s worst-batch wander, instrumented to zero
+    * lock wait). Capping the fold's merge/write stage to this many
+    * partitions bounds its footprint STRUCTURALLY: the trigger pool's
+    * minShare (24 of 32) is then free at every instant, not just at
+    * task boundaries. Foreground folds (compactNow, vacuum, bench
+    * final folds) stay full-width — nothing contends with them. */
+  val AsyncFoldMaxTasks = 8
+
   def compact(spark: SparkSession, dir: String,
-      numBuckets: Int = Replicate.DefaultNumBuckets): Unit =
+      numBuckets: Int = Replicate.DefaultNumBuckets,
+      maxTasks: Option[Int] = None): Unit =
       foldLock(dir).synchronized {
     val (fs, root) = fsOf(spark, dir)
     val (_, m) = readManifest(fs, root)
@@ -769,7 +785,9 @@ object ManifestReplica {
         .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
         .select(DeltaSchema.fieldNames.map(col).toSeq: _*)
         .unionAll(deltas.select(DeltaSchema.fieldNames.map(col).toSeq: _*)),
-      Seq(BucketCol, "id"), width = Some(touched.size.max(1)))
+      Seq(BucketCol, "id"),
+      width = Some(maxTasks.fold(touched.size.max(1))(c =>
+        math.min(touched.size.max(1), c))))
     val stage = new Path(root, s".stage-g$gen")
     writingTo(stage) {
     fs.delete(stage, true)

@@ -688,8 +688,16 @@ object Replicate {
           // parks here until the rewrite finishes, then folds from the
           // post-rewrite state (compact re-reads base and deltas)
           try shared(replicaDir) {
+            // bounded footprint (r11 verdict #2, the manifest twin's
+            // fix): a background fold may hold at most
+            // [[ManifestReplica.AsyncFoldMaxTasks]] slots at any
+            // instant — FAIR weights share slots only at task
+            // boundaries, so a full-width merge launched into a
+            // trigger gap convoys the next trigger's write behind
+            // whole fold-task durations
             if (!lifecycleBusy(replicaDir))
-              traced("compact")(compact(spark, fs, replicaDir, numBuckets))
+              traced("compact")(compact(spark, fs, replicaDir, numBuckets,
+                maxTasks = Some(ManifestReplica.AsyncFoldMaxTasks)))
           }
           catch { case e: Throwable =>
             System.err.println(s"[cdc] async compaction failed (deltas stay live, next trigger retries): $e")
@@ -737,7 +745,8 @@ object Replicate {
     * which the max/min algebra absorbs idempotently. Dead keys persist
     * as tombstones ([[vacuum]] removes them). */
   private def compact(spark: SparkSession, fs: FileSystem,
-      replicaDir: String, numBuckets: Int): Unit = {
+      replicaDir: String, numBuckets: Int,
+      maxTasks: Option[Int] = None): Unit = {
     val base = new Path(replicaDir)
     val deltaDirs = listDeltas(fs, new Path(base, DeltaDirName))
     if (deltaDirs.isEmpty) return
@@ -750,7 +759,9 @@ object Replicate {
       .withColumn(BucketCol, pmod(col("id"), lit(numBuckets)).cast("int"))
       .select(DeltaSchema.fieldNames.map(col).toSeq: _*)
     val merged = combineSummaries(baseDf.unionAll(deltas),
-      Seq(BucketCol, "id"), width = Some(touched.size.max(1)))
+      Seq(BucketCol, "id"),
+      width = Some(maxTasks.fold(touched.size.max(1))(c =>
+        math.min(touched.size.max(1), c))))
     writeAndSwap(fs, base, replicaDir, merged, dropAbsent = false)
     // commit point: once the watermark lands, the consumed deltas are
     // invisible everywhere; until then the full set re-applies
