@@ -148,6 +148,67 @@ object GraphOps {
     * which is the whole point: triangle density is the cluster signal. */
   val TriMinCos = 0.2
 
+  /** Synchronous label-propagation rounds (unrolled verbatim in the
+    * oracle). LPA converges in ~graph-diameter rounds; the spec asserts
+    * the fixture reaches the true fixpoint within this budget, and
+    * rounds past the fixpoint are exact no-ops in both engines (the
+    * [[KcoreRounds]] discipline). */
+  val LpaRounds = 16
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al., Phys. Rev. E '07) over the same similarity graph as
+    * [[triangles]]/[[kcore]] — the cluster-assignment pass SemDeDup-style
+    * pruning and per-community sampling both consume. Where connected
+    * components (L27) glue everything reachable into one blob, LPA keeps
+    * densely-linked neighborhoods as separate communities.
+    *
+    * Determinism: every node votes with its neighbors' CURRENT labels
+    * plus its own (the self-vote both anchors isolated nodes and kills
+    * the classic bipartite 2-cycle oscillation); the new label is the
+    * majority label, ties to the SMALLEST label — integer counts and an
+    * integer tie-break, so rounds are bit-identical on any engine and
+    * at any parallelism. Emits (vec_id, community, community_size).
+    *
+    * Scale: each round is one keyed join of the edge list against the
+    * node-sized label table, one map-side-combined (node, label) count,
+    * and one argmax aggregate — two shuffles, `localCheckpoint` per
+    * round for O(1) lineage; the early exit is one node-sized join. */
+  def lpaCommunities(emb: DataFrame): DataFrame = {
+    val und = Similarity.embeddingNearDups(emb, minCos = TriMinCos)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint()
+    val nodes = emb.select(col("vec_id").as("id")).localCheckpoint()
+    // label flows b → a; symmetrized plus the self-vote loop
+    val votes = und
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .union(nodes.select(col("id").as("a"), col("id").as("b")))
+      .localCheckpoint()
+    var lbl = nodes.select(col("id"), col("id").as("lbl"))
+    var converged = false
+    for (_ <- 1 to LpaRounds if !converged) {
+      val next = votes
+        .join(lbl.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        // argmax by (count, then smallest label): struct max with the
+        // negated label makes the tie-break integer and engine-free
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint()
+      val moved = next
+        .join(lbl.withColumnRenamed("lbl", "ol"), "id")
+        .filter(col("lbl") =!= col("ol")).count()
+      lbl = next
+      converged = moved == 0L
+    }
+    val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    lbl.join(sizes, "lbl")
+      .select(col("id").as("vec_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("vec_id")
+  }
+
   /** Degree-ordered triangle counting (Suri & Vassilvitskii, "Counting
     * triangles and the curse of the last reducer", WWW'11) over the
     * same-cell cosine similarity graph ([[Similarity.embeddingNearDups]]

@@ -2148,6 +2148,82 @@ object MlQueries {
          |ORDER BY vec_id""".stripMargin
     })
 
+  /** Robust MAD length-outlier gate ([[TextAnalysis.outlierMad]]):
+    * per-language lower medians are integer-exact on both engines
+    * (DuckDB's `quantile_disc(0.5)` IS the lower median — element
+    * ⌊(n−1)/2⌋ of the sorted run — matching the engine's
+    * cumulative-count fold), so med/mad/dev/flag all hash-match. */
+  private val outlierMad = Declared(
+    "ml_outlier_mad",
+    (s, d) => TextAnalysis.outlierMad(Tables(s, d, "documents")),
+    Some(s"""WITH med AS (
+            |  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+            |  FROM documents GROUP BY 1),
+            |mad AS (
+            |  SELECT d.lang,
+            |    quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
+            |  FROM documents d JOIN med m USING (lang) GROUP BY 1)
+            |SELECT d.doc_id, d.lang,
+            |  CAST(d.n_chars AS BIGINT) AS n_chars,
+            |  CAST(m.med AS BIGINT) AS med,
+            |  CAST(a.mad AS BIGINT) AS mad,
+            |  CAST(abs(d.n_chars - m.med) AS BIGINT) AS dev,
+            |  CAST(abs(d.n_chars - m.med) >
+            |       ${TextAnalysis.OutlierMadK} * a.mad AS INT) AS outlier
+            |FROM documents d JOIN med m USING (lang)
+            |JOIN mad a USING (lang)
+            |ORDER BY d.doc_id""".stripMargin))
+
+  /** Label-propagation communities ([[GraphOps.lpaCommunities]]) —
+    * completes the iterative-graph family (CC / PageRank / triangles /
+    * k-core): majority-label rounds with a self-vote and
+    * smallest-label tie-break, all integer. The oracle re-derives the
+    * same similarity graph and re-runs the SAME [[GraphOps.LpaRounds]]
+    * rounds as unrolled MATERIALIZED CTEs (the kcore pattern); rounds
+    * past the fixture's fixpoint are exact no-ops in both engines. */
+  private val lpa = Declared(
+    "ml_lpa",
+    (s, d) => GraphOps.lpaCommunities(Tables(s, d, "embeddings")),
+    Some {
+      val rounds = (1 to GraphOps.LpaRounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT id, min(lbl) AS lbl FROM (
+           |    SELECT v.a AS id, l.lbl, count(*) AS cnt,
+           |      max(count(*)) OVER (PARTITION BY v.a) AS mx
+           |    FROM votes v JOIN l${i - 1} l ON v.b = l.id
+           |    GROUP BY v.a, l.lbl)
+           |  WHERE cnt = mx GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      val n = GraphOps.LpaRounds
+      s"""WITH $qeCte,
+         |$nrmCte,
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         sum(a.q * b.q) AS d
+         |  FROM qe a JOIN qe b
+         |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id),
+         |und AS MATERIALIZED (
+         |  SELECT t.vec_a AS a, t.vec_b AS b
+         |  FROM dots t
+         |  JOIN nrm na ON na.vec_id = t.vec_a
+         |  JOIN nrm nb ON nb.vec_id = t.vec_b
+         |  WHERE ${cosSql("t.d", "na.n2", "nb.n2")}
+         |        >= ${GraphOps.TriMinCos}),
+         |votes AS MATERIALIZED (
+         |  SELECT a, b FROM und
+         |  UNION ALL SELECT b, a FROM und
+         |  UNION ALL SELECT vec_id, vec_id FROM embeddings),
+         |l0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+         |$rounds,
+         |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l$n GROUP BY 1)
+         |SELECT l.id AS vec_id, l.lbl AS community, sz.community_size
+         |FROM l$n l JOIN sz ON sz.lbl = l.lbl
+         |ORDER BY vec_id""".stripMargin
+    })
+
   /** Native-Generator UDTF query: 3-token sliding windows straight off
     * the tokenizer output via [[graft.functions.NgramWindows]] — the
     * UDTF surface next to the five scalar kernels; the oracle unnests
@@ -2381,7 +2457,8 @@ object MlQueries {
   val all: Seq[Declared] = Seq(
     charSurprisal, quantileCut, docEmbedPool,
     datasetCard,
-    dqSuite, lmBigram, postingsIdx, triangles, kcoreQ, udtfNgrams, tvtSplit,
+    dqSuite, lmBigram, postingsIdx, triangles, kcoreQ, lpa, outlierMad,
+    udtfNgrams, tvtSplit,
     hardNeg, embOutliers, dedupNormalized,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,

@@ -835,6 +835,59 @@ object TextAnalysis {
     * report a curation pipeline reviews before training. One scan, one
     * map-side-combined aggregate over ≤ 3·|sources| groups; assignment
     * itself is a per-row projection usable as a writer partition key. */
+  /** [[outlierMad]] multiplier: |x − median| > K·MAD flags the tail.
+    * Sized so the fixture carries both classes (K = 3 flags nothing
+    * there); the classical Hampel K = 3 is one constant away. */
+  val OutlierMadK = 2L
+
+  /** Robust length-outlier gate (the Hampel / median-absolute-deviation
+    * rule): per language, the LOWER median of n_chars and the lower
+    * median of |n_chars − med| (the MAD), with docs flagged where the
+    * deviation exceeds [[OutlierMadK]]·MAD. Mean/stddev screens are
+    * dragged by exactly the tail they hunt; the median pair is
+    * breakdown-point-0.5 robust, and on integers it is ENGINE-EXACT
+    * (lower-median = smallest value whose cumulative count reaches
+    * ⌈n/2⌉ — no interpolated halves), so the flags are bit-identical
+    * to the DuckDB oracle's `quantile_disc`.
+    *
+    * Scale: one map-side-combined histogram aggregate bounded by
+    * langs × |value domain| (thousands of rows — the value DOMAIN, not
+    * the corpus); both medians fold driver-side over that bounded
+    * histogram (the centroids-collect pattern — the MAD histogram is
+    * derived from the same rows, no second corpus pass); the verdict
+    * is one scan against a ≤|langs|-entry CASE literal. No per-lang
+    * document-scale sort anywhere. */
+  def outlierMad(docs: DataFrame): DataFrame = {
+    def lowerMedian(pairs: Seq[(Long, Long)]): Long = {
+      val need = (pairs.map(_._2).sum + 1) / 2
+      var cum = 0L
+      pairs.sortBy(_._1).find { case (_, c) =>
+        cum += c; cum >= need }.map(_._1).getOrElse(0L)
+    }
+    val hist = docs
+      .groupBy(col("lang"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("c")).collect()
+    val model: Seq[(String, Long, Long)] = hist.toSeq
+      .groupBy(_.getString(0)).toSeq.map { case (l, rows) =>
+        val pairs = rows.map(r => (r.getLong(1), r.getLong(2)))
+        val med = lowerMedian(pairs)
+        val mad = lowerMedian(pairs
+          .groupBy(p => math.abs(p._1 - med))
+          .map { case (d, xs) => (d, xs.map(_._2).sum) }.toSeq)
+        (l, med, mad)
+      }.sortBy(_._1)
+    def caseOf(f: ((String, Long, Long)) => Long): Column =
+      model.foldRight(lit(0L)) { case (m, els) =>
+        when(col("lang") === m._1, lit(f(m))).otherwise(els) }
+    docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        caseOf(_._2).as("med"), caseOf(_._3).as("mad"))
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+      .withColumn("outlier",
+        (col("dev") > lit(OutlierMadK) * col("mad")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   def trainValTestSplit(docs: DataFrame): DataFrame = {
     val h = pmod(hash60Seeded(lit("sp"), col("doc_id").cast("string")),
       lit(1000L))

@@ -1456,6 +1456,88 @@ class MlSpec extends AnyFunSuite {
       "a surviving node has degree < k — not a k-core")
   }
 
+  test("lpa: equals naive synchronous propagation to fixpoint within the round budget") {
+    val got = GraphOps.lpaCommunities(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val und = Similarity
+      .embeddingNearDups(emb, minCos = GraphOps.TriMinCos)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val nbrs: Map[Long, Seq[Long]] = nodes.toSeq.map { v =>
+      v -> (und.collect { case (a, b) if a == v => b } ++
+        und.collect { case (a, b) if b == v => a } ++ Seq(v)).toSeq
+    }.toMap
+    // naive synchronous rounds to the TRUE fixpoint (no cap): majority
+    // of neighbor labels incl. the self-vote, ties to smallest label
+    var lbl: Map[Long, Long] = nodes.map(v => v -> v).toMap
+    var changed = true
+    var naiveRounds = 0
+    while (changed) {
+      val next = nodes.map { v =>
+        val counts = nbrs(v).map(lbl).groupBy(identity)
+          .map { case (l, xs) => l -> xs.size }
+        val mx = counts.values.max
+        v -> counts.collect { case (l, c) if c == mx => l }.min
+      }.toMap
+      changed = next != lbl
+      if (changed) naiveRounds += 1
+      lbl = next
+    }
+    assert(naiveRounds <= GraphOps.LpaRounds,
+      s"fixture needs $naiveRounds LPA rounds > budget ${GraphOps.LpaRounds}")
+    val sizes = lbl.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    assert(got.keySet === nodes)
+    nodes.foreach { v =>
+      assert(got(v)._1 === lbl(v), s"community for $v")
+      assert(got(v)._2 === sizes(lbl(v)), s"community_size for $v")
+    }
+    // non-trivial structure: at least one multi-node community AND more
+    // than one community overall (not the CC single-blob degenerate)
+    assert(sizes.values.exists(_ > 1L), "no community merged — graph too sparse")
+    assert(sizes.size > 1, "everything collapsed into one community")
+  }
+
+  test("outlierMad: equals a naive lower-median fold; planted extremes flag; zero-MAD lang") {
+    // planted rows: an extreme length that MUST flag, plus a whole fake
+    // language where >half the docs share one length (MAD = 0 ⇒ any
+    // deviation flags — the degenerate the interpolating median breaks)
+    val planted = Seq(
+      (9100001L, "x", "en", "t", 1000000L),
+      (9100002L, "x", "qq", "t", 50L), (9100003L, "x", "qq", "t", 50L),
+      (9100004L, "x", "qq", "t", 50L), (9100005L, "x", "qq", "t", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val input = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(planted)
+    val got = TextAnalysis.outlierMad(input).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6))).toMap
+    // naive single-threaded fold
+    val raw = input.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def lowerMed(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s((s.size - 1) / 2)
+    }
+    raw.groupBy(_._2).foreach { case (lang, rows) =>
+      val med = lowerMed(rows.map(_._3).toSeq)
+      val mad = lowerMed(rows.map(r => math.abs(r._3 - med)).toSeq)
+      rows.foreach { case (id, _, v) =>
+        val dev = math.abs(v - med)
+        assert(got(id) === ((v, med, mad, dev,
+          if (dev > TextAnalysis.OutlierMadK * mad) 1 else 0)),
+          s"doc $id lang $lang")
+      }
+    }
+    assert(got(9100001L)._5 === 1, "extreme length must flag")
+    assert(got(9100002L)._2 === 50L && got(9100002L)._3 === 0L,
+      "majority-shared length gives MAD 0")
+    assert(got(9100005L)._5 === 1, "any deviation flags at MAD 0")
+    assert(got(9100002L)._5 === 0, "zero deviation never flags")
+    val fixtureFlags = got.filterNot(_._1 >= 9100001L).values.count(_._5 == 1)
+    assert(fixtureFlags > 0, "fixture must carry real outliers at K")
+  }
+
   test("charSurprisal: naive replay + degenerate-doc bounds") {
     // planted extremes ride fake doc_ids above the fixture range
     val planted = Seq(
