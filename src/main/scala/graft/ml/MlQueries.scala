@@ -2148,6 +2148,60 @@ object MlQueries {
          |ORDER BY vec_id""".stripMargin
     })
 
+  /** MMR diversity selection ([[Similarity.mmrSelect]]): the oracle
+    * re-runs the SAME greedy loop — [[Similarity.MmrK]] rounds
+    * unrolled as MATERIALIZED CTEs (the BPE/kcore pattern), each round
+    * computing every candidate's max-dot against the selected set and
+    * taking the integer-argmax pick; selection order, dots, and scores
+    * must all match. */
+  private val mmr = Declared(
+    "ml_mmr",
+    (s, d) => Similarity.mmrSelect(Tables(s, d, "embeddings")),
+    Some {
+      val lam = Similarity.MmrLambdaNum
+      val rounds = (1 to Similarity.MmrK).map { i =>
+        val divSql =
+          if (i == 1) "CAST(0 AS BIGINT) AS div"
+          else
+            s"""coalesce((
+               |      SELECT max(dd.dot) FROM (
+               |        SELECT se.vec_id AS sid, sum(e2.q * se2.q) AS dot
+               |        FROM sel${i - 1} se
+               |        JOIN qe se2 ON se2.vec_id = se.vec_id
+               |        JOIN qe e2 ON e2.i = se2.i
+               |          AND e2.vec_id = r.vec_id
+               |        GROUP BY se.vec_id) dd), 0) AS div""".stripMargin
+        s"""pick$i AS MATERIALIZED (
+           |  SELECT vec_id, rel, div, $lam * rel - ${10 - lam} * div
+           |      AS score
+           |  FROM (SELECT r.vec_id, r.rel, $divSql FROM rel r
+           |        WHERE r.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}))
+           |  ORDER BY score DESC, vec_id LIMIT 1),
+           |sel$i AS MATERIALIZED (
+           |  SELECT * FROM sel${i - 1}
+           |  UNION ALL
+           |  SELECT CAST($i AS BIGINT), vec_id, rel, div, score
+           |  FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $qeCte,
+         |q0 AS (SELECT i, q FROM qe
+         |       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+         |rel AS MATERIALIZED (
+         |  SELECT e.vec_id, sum(e.q * q0.q) AS rel
+         |  FROM qe e JOIN q0 ON e.i = q0.i
+         |  WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+         |  GROUP BY 1),
+         |sel0(rank, vec_id, rel, div, score) AS (
+         |  SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |         CAST(NULL AS BIGINT) WHERE false),
+         |$rounds
+         |SELECT rank, vec_id, CAST(rel AS BIGINT) AS rel_dot,
+         |  CAST(div AS BIGINT) AS div_dot, CAST(score AS BIGINT) AS score
+         |FROM sel${Similarity.MmrK}
+         |ORDER BY rank""".stripMargin
+    })
+
   /** Robust MAD length-outlier gate ([[TextAnalysis.outlierMad]]):
     * per-language lower medians are integer-exact on both engines
     * (DuckDB's `quantile_disc(0.5)` IS the lower median — element
@@ -2465,6 +2519,7 @@ object MlQueries {
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
+    mmr,
     randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, qualityGateStream,

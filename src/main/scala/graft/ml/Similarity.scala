@@ -87,6 +87,67 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** [[mmrSelect]] size and trade-off: λ = 7/10 kept rational, so the
+    * marginal score is the INTEGER `7·rel − 3·div` over quantized dots
+    * — engine-exact, no float λ blend. */
+  val MmrK = 10
+  val MmrLambdaNum = 7L
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    * SIGIR '98) — the diversity-aware top-k every eval-set builder and
+    * dedup-aware sampler runs where plain top-k returns k near-copies
+    * of the same neighborhood: greedily pick the candidate maximizing
+    * `λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s)`. The query
+    * is the corpus's minimum-vec_id vector (a deterministic probe
+    * document, excluded from candidacy); similarity is the quantized
+    * inner product, so every round's argmax — `7·rel − 3·div`, ties to
+    * the smallest vec_id — is exact integer arithmetic on both
+    * engines. Emits (rank, vec_id, rel_dot, div_dot, score) for the
+    * [[MmrK]] picks in selection order; round 1 has div 0 by
+    * definition (nothing selected yet).
+    *
+    * Scale: each of the k bounded rounds is ONE corpus scan — the
+    * selected set rides along as ≤ k literal vectors (the
+    * [[reassign]] centroid-literal pattern) inside a codegen'd
+    * fused-dot projection, and the argmax is a top-1 reduce (no
+    * global sort, no shuffle beyond it). The selected rows themselves
+    * are k-bounded driver model state, like the PQ codebooks. */
+  def mmrSelect(emb: DataFrame, k: Int = MmrK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qd = quantized(emb).select(col("vec_id"), col("q"))
+      .localCheckpoint()
+    val q0row = qd.orderBy("vec_id").limit(1).collect()(0)
+    val q0id = q0row.getLong(0)
+    val q0: Seq[Long] = q0row.getSeq[Long](1)
+    var sel = Vector.empty[(Long, Long, Long, Long, Long)]
+    var selVecs = Vector.empty[Seq[Long]]
+    for (r <- 1 to k) {
+      val divCol = selVecs match {
+        case Vector() => lit(0L)
+        case Vector(one) => dotQ(col("q"), typedlit(one))
+        case vs => greatest(vs.map(v => dotQ(col("q"), typedlit(v))): _*)
+      }
+      val base = qd.filter(col("vec_id") =!= q0id)
+      val cands =
+        if (sel.isEmpty) base
+        else base.filter(!col("vec_id").isin(sel.map(_._2): _*))
+      val top = cands
+        .select(col("vec_id"), col("q"),
+          dotQ(col("q"), typedlit(q0)).as("rel"), divCol.as("div"))
+        .withColumn("score",
+          lit(MmrLambdaNum) * col("rel") -
+            lit(10L - MmrLambdaNum) * col("div"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      sel = sel :+ ((r.toLong, top.getLong(0), top.getLong(2),
+        top.getLong(3), top.getLong(4)))
+      selVecs = selVecs :+ top.getSeq[Long](1)
+    }
+    sel.toDF("rank", "vec_id", "rel_dot", "div_dot", "score")
+      .orderBy("rank")
+  }
+
   /** Integer centroid components per (label, position): Σ quantized —
     * exact, order-free; direction == mean direction. */
   def centroids(emb: DataFrame): DataFrame =

@@ -1498,6 +1498,42 @@ class MlSpec extends AnyFunSuite {
     assert(sizes.size > 1, "everything collapsed into one community")
   }
 
+  test("mmrSelect: equals a naive greedy replay; diversifies vs plain top-k") {
+    val got = Similarity.mmrSelect(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // naive replay over driver-side quantized vectors
+    val qs = emb.select(col("vec_id"),
+        MlFunctions.quantize(col("embedding")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    val (q0id, q0) = qs.head
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    var sel = Vector.empty[(Long, Long, Long, Long, Long)]
+    for (r <- 1 to Similarity.MmrK) {
+      val picked = sel.map(_._2).toSet
+      val best = qs.filter(v => v._1 != q0id && !picked(v._1))
+        .map { case (id, q) =>
+          val rel = dot(q0, q)
+          val dv = if (sel.isEmpty) 0L
+            else sel.map(s => dot(qs.find(_._1 == s._2).get._2, q)).max
+          (id, rel, dv, Similarity.MmrLambdaNum * rel -
+            (10L - Similarity.MmrLambdaNum) * dv)
+        }.minBy(c => (-c._4, c._1))
+      sel = sel :+ ((r.toLong, best._1, best._2, best._3, best._4))
+    }
+    assert(got.toSeq === sel)
+    // the diversity term must BITE: the MMR set differs from the k
+    // highest-rel picks (else λ is a no-op on this fixture)
+    val topRel = qs.filter(_._1 != q0id)
+      .map { case (id, q) => (id, dot(q0, q)) }
+      .sortBy(c => (-c._2, c._1)).take(Similarity.MmrK).map(_._1).toSet
+    assert(got.map(_._2).toSet != topRel,
+      "MMR must trade some relevance for diversity on the fixture")
+    assert(got.map(_._2).distinct.length === Similarity.MmrK,
+      "picks must be distinct")
+  }
+
   test("outlierMad: equals a naive lower-median fold; planted extremes flag; zero-MAD lang") {
     // planted rows: an extreme length that MUST flag, plus a whole fake
     // language where >half the docs share one length (MAD = 0 ⇒ any
