@@ -2148,6 +2148,48 @@ object MlQueries {
          |ORDER BY vec_id""".stripMargin
     })
 
+  /** Perceptual average-hash over the real BMP decode
+    * ([[Multimodal.aHashAll]]): the oracle re-derives each 8×8
+    * resampled cell's integer luma from the SAME generator formulas
+    * the payload was synthesized from, then re-applies the
+    * cross-multiplied mean threshold and the exact bit packing — a
+    * parser that misreads one pixel flips hash bits and fails the
+    * compare. */
+  private val mediaAhash = Declared(
+    "ml_media_ahash",
+    (s, d) => Multimodal
+      .aHashAll(Multimodal.asBmpMedia(Tables(s, d, "documents")))
+      .toDF()
+      .orderBy("doc_id"),
+    Some(s"""WITH $bmpGeomCte,
+            |rp AS (
+            |  SELECT g.doc_id, g.w, g.h,
+            |    CAST(j.j * 8 + i.i AS BIGINT) AS idx,
+            |    (i.i * g.w) // ${Multimodal.ResizeW} AS sx,
+            |    (j.j * g.h) // ${Multimodal.ResizeH} AS sy,
+            |    g.tlen
+            |  FROM g, unnest(range(0, ${Multimodal.ResizeW})) AS i(i),
+            |       unnest(range(0, ${Multimodal.ResizeH})) AS j(j)),
+            |lm AS (
+            |  SELECT doc_id, w, h, idx,
+            |    ((sx * 7 + sy * 13 + doc_id) % 256)
+            |      + 2 * ((sx * 3 + sy * 5 + tlen) % 256)
+            |      + ((sx + sy + 1) % 256) AS l
+            |  FROM rp),
+            |tot AS (SELECT doc_id, sum(l) AS total FROM lm GROUP BY 1)
+            |SELECT lm.doc_id, 'bmp' AS format,
+            |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+            |  CAST(t.total AS BIGINT) AS luma_sum,
+            |  CAST(sum(CASE WHEN lm.l * 64 >= t.total AND idx >= 32
+            |    THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INT)
+            |    ELSE 0 END) AS BIGINT) AS ahash_hi,
+            |  CAST(sum(CASE WHEN lm.l * 64 >= t.total AND idx < 32
+            |    THEN CAST(1 AS BIGINT) << CAST(idx AS INT)
+            |    ELSE 0 END) AS BIGINT) AS ahash_lo
+            |FROM lm JOIN tot t USING (doc_id)
+            |GROUP BY lm.doc_id, w, h, t.total
+            |ORDER BY doc_id""".stripMargin))
+
   /** MMR diversity selection ([[Similarity.mmrSelect]]): the oracle
     * re-runs the SAME greedy loop — [[Similarity.MmrK]] rounds
     * unrolled as MATERIALIZED CTEs (the BPE/kcore pattern), each round
@@ -2529,6 +2571,6 @@ object MlQueries {
     contam, piiRedact,
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, bm25, fingerprint, zorder, hilbert, binpack,
-    mediaMeta, mediaDecode, mediaResize, mediaFrames,
+    mediaMeta, mediaDecode, mediaResize, mediaFrames, mediaAhash,
     audioDecode, audioVad, audioResample)
 }

@@ -26,6 +26,10 @@ final case class ResizedMedia(doc_id: Long, format: String,
     scale_x: Double, scale_y: Double,
     sum_r: Long, sum_g: Long, sum_b: Long)
 
+final case class AHashMedia(doc_id: Long, format: String,
+    width: Int, height: Int, luma_sum: Long, ahash_hi: Long,
+    ahash_lo: Long)
+
 /** A decoded raster: row-major top-down, one packed 0xRRGGBB int per
   * pixel — the in-memory hand-off between decode and resample. */
 private[ml] final case class Raster(w: Int, h: Int, px: Array[Int])
@@ -236,6 +240,55 @@ object Multimodal {
         }
         ResizedMedia(m.doc_id, m.format, ras.w, ras.h, outW, outH,
           outW.toDouble / ras.w, outH.toDouble / ras.h, sr, sg, sb)
+      })
+    }
+  }
+
+  /** Perceptual average-hash (aHash — the classical 8×8 mean-threshold
+    * fingerprint; pHash's DCT refines the same recipe) over the decoded
+    * raster: NN-resample to [[ResizeW]]×[[ResizeH]], integer luma
+    * `r + 2g + b` per cell, bit (j·8+i) set iff `luma·64 ≥ Σluma`
+    * (cross-multiplied — no mean division, no float). The image-side
+    * near-dup primitive next to the text family's SimHash: visually
+    * near-identical images differ in a few bits of Hamming distance,
+    * and the existing banded-join machinery applies unchanged.
+    *
+    * Emits the hash as two 32-bit halves (`ahash_hi`/`ahash_lo`) so
+    * both engines stay inside signed-64 exactness (bit 63 would wrap).
+    * Scale: decode→resample→hash is one zero-shuffle partition pass,
+    * the same slot as [[resizeAll]]. */
+  def aHashAll(media: Dataset[MediaItem]): Dataset[AHashMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val ras = decodeBmp(m.payload)
+        val luma = new Array[Long](ResizeW * ResizeH)
+        var total = 0L
+        var j = 0
+        while (j < ResizeH) {
+          val sy = j * ras.h / ResizeH
+          var i = 0
+          while (i < ResizeW) {
+            val sx = i * ras.w / ResizeW
+            val p = ras.px(sy * ras.w + sx)
+            val l = ((p >> 16) & 0xff) + 2L * ((p >> 8) & 0xff) +
+              (p & 0xff)
+            luma(j * ResizeW + i) = l
+            total += l
+            i += 1
+            }
+          j += 1
+        }
+        var hi = 0L; var lo = 0L
+        var idx = 0
+        while (idx < ResizeW * ResizeH) {
+          if (luma(idx) * (ResizeW * ResizeH) >= total) {
+            if (idx < 32) lo |= 1L << idx
+            else hi |= 1L << (idx - 32)
+          }
+          idx += 1
+        }
+        AHashMedia(m.doc_id, m.format, ras.w, ras.h, total, hi, lo)
       })
     }
   }

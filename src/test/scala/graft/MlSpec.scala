@@ -1084,6 +1084,35 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: aHash is stable under identity and near under small pixel edits") {
+    import org.apache.spark.sql.Dataset
+    def hashOf(payload: Array[Byte]): (Long, Long) = {
+      val ds: Dataset[graft.ml.MediaItem] =
+        Seq(graft.ml.MediaItem(1L, "bmp", payload)).toDS()
+      val r = Multimodal.aHashAll(ds).collect()(0)
+      (r.ahash_hi, r.ahash_lo)
+    }
+    val base = Multimodal.toBmp(21L, "ahash fixture text".getBytes("UTF-8"))
+    assert(hashOf(base) === hashOf(base.clone()),
+      "identical payloads must hash identically")
+    // flip a handful of pixel bytes far apart: the mean barely moves,
+    // so only the touched cells' bits may flip — small Hamming distance
+    val perturbed = base.clone()
+    for (off <- Seq(60, 120, 180)) perturbed(off) =
+      (perturbed(off) ^ 0x7f).toByte
+    val (h0, l0) = hashOf(base)
+    val (h1, l1) = hashOf(perturbed)
+    val dist = java.lang.Long.bitCount(h0 ^ h1) +
+      java.lang.Long.bitCount(l0 ^ l1)
+    assert(dist <= 12, s"near-identical images must stay near: $dist bits")
+    // a DIFFERENT image is far: another doc's payload
+    val other = Multimodal.toBmp(22L, "another text entirely".getBytes("UTF-8"))
+    val (h2, l2) = hashOf(other)
+    val far = java.lang.Long.bitCount(h0 ^ h2) +
+      java.lang.Long.bitCount(l0 ^ l2)
+    assert(far > dist, s"distinct images should differ more ($far vs $dist)")
+  }
+
   test("multimodal: the WAV parser walks chunks, not the fixed 44-byte layout") {
     import java.nio.{ByteBuffer, ByteOrder}
     // hand-build a WAV whose data chunk sits after an ODD-sized junk
