@@ -2190,6 +2190,57 @@ object MlQueries {
             |GROUP BY lm.doc_id, w, h, t.total
             |ORDER BY doc_id""".stripMargin))
 
+  /** Banded image near-dup join ([[Multimodal.mediaNearDups]]): the
+    * oracle re-derives every aHash from the generator formulas, blocks
+    * on the same four 16-bit bands, and verifies the same exact
+    * Hamming bound — candidate blocking AND verification both pinned. */
+  private val mediaNearDup = Declared(
+    "ml_media_neardup",
+    (s, d) => Multimodal
+      .mediaNearDups(Multimodal.asBmpMedia(Tables(s, d, "documents"))),
+    Some(s"""WITH $bmpGeomCte,
+            |rp AS (
+            |  SELECT g.doc_id, g.w, g.h,
+            |    CAST(j.j * 8 + i.i AS BIGINT) AS idx,
+            |    (i.i * g.w) // ${Multimodal.ResizeW} AS sx,
+            |    (j.j * g.h) // ${Multimodal.ResizeH} AS sy,
+            |    g.tlen
+            |  FROM g, unnest(range(0, ${Multimodal.ResizeW})) AS i(i),
+            |       unnest(range(0, ${Multimodal.ResizeH})) AS j(j)),
+            |lm AS (
+            |  SELECT doc_id, idx,
+            |    ((sx * 7 + sy * 13 + doc_id) % 256)
+            |      + 2 * ((sx * 3 + sy * 5 + tlen) % 256)
+            |      + ((sx + sy + 1) % 256) AS l
+            |  FROM rp),
+            |tot AS (SELECT doc_id, sum(l) AS total FROM lm GROUP BY 1),
+            |hs AS MATERIALIZED (
+            |  SELECT lm.doc_id,
+            |    CAST(sum(CASE WHEN lm.l * 64 >= t.total AND idx >= 32
+            |      THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INT)
+            |      ELSE 0 END) AS BIGINT) AS hi,
+            |    CAST(sum(CASE WHEN lm.l * 64 >= t.total AND idx < 32
+            |      THEN CAST(1 AS BIGINT) << CAST(idx AS INT)
+            |      ELSE 0 END) AS BIGINT) AS lo
+            |  FROM lm JOIN tot t USING (doc_id) GROUP BY lm.doc_id),
+            |bands AS MATERIALIZED (
+            |  SELECT doc_id, b, CASE b
+            |    WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+            |    WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS v
+            |  FROM hs, unnest(range(0, 4)) AS t(b)),
+            |cand AS (
+            |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            |  FROM bands x JOIN bands y
+            |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+            |SELECT c.doc_a, c.doc_b,
+            |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            |       AS INT) AS hamming
+            |FROM cand c JOIN hs a ON a.doc_id = c.doc_a
+            |JOIN hs b ON b.doc_id = c.doc_b
+            |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            |      <= ${Multimodal.AHashMaxHamming}
+            |ORDER BY c.doc_a, c.doc_b""".stripMargin))
+
   /** MMR diversity selection ([[Similarity.mmrSelect]]): the oracle
     * re-runs the SAME greedy loop — [[Similarity.MmrK]] rounds
     * unrolled as MATERIALIZED CTEs (the BPE/kcore pattern), each round
@@ -2572,5 +2623,6 @@ object MlQueries {
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, bm25, fingerprint, zorder, hilbert, binpack,
     mediaMeta, mediaDecode, mediaResize, mediaFrames, mediaAhash,
+    mediaNearDup,
     audioDecode, audioVad, audioResample)
 }

@@ -293,6 +293,51 @@ object Multimodal {
     }
   }
 
+  /** [[mediaNearDups]] Hamming threshold — pigeonhole over four 16-bit
+    * bands of the 64-bit aHash: ≤ 3 differing bits leave at least one
+    * band intact, so band-equality blocking has EXACT recall at this
+    * threshold (the SimHash-block argument, Dedup.scala). */
+  val AHashMaxHamming = 3
+
+  /** Image near-duplicates by banded aHash ([[aHashAll]]): candidates
+    * share at least one of the four 16-bit hash bands (an equi join —
+    * never all-pairs), then verify exact Hamming ≤
+    * [[AHashMaxHamming]]. The image twin of the text family's SimHash
+    * near-dup: emits (doc_a, doc_b, hamming).
+    *
+    * Scale: the pair space is Σ|band bucket|², bounded by the 2^16
+    * band-value cardinality spreading the corpus; a degenerate hot
+    * bucket (e.g. a monochrome flood) would take the SimHash family's
+    * sub-blocking guard unchanged. Hashes are localCheckpointed so the
+    * decode runs once, not once per band side. */
+  def mediaNearDups(media: Dataset[MediaItem])
+      : org.apache.spark.sql.DataFrame = {
+    val h = aHashAll(media).toDF()
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+      .localCheckpoint()
+    val bands = (0 until 4).map { b =>
+      val half = if (b < 2) col("ahash_lo") else col("ahash_hi")
+      h.select(col("doc_id"), lit(b).as("band"),
+        shiftright(half, (b % 2) * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(h.select(col("doc_id").as("doc_a"),
+        col("ahash_hi").as("ha"), col("ahash_lo").as("la")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"),
+        col("ahash_hi").as("hb"), col("ahash_lo").as("lb")), "doc_b")
+      .withColumn("hamming",
+        (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)"))
+          .cast("int"))
+      .filter(col("hamming") <= AHashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- Audio: real RIFF/WAV PCM decode + frame energy + VAD ---------
 
   val AudioRate = 8000
