@@ -318,14 +318,11 @@ object Similarity {
     * collected (bounded model state) and baked as literal weight
     * arrays; the pass itself is one codegen'd fused-dot scan carrying
     * the embedding through, so the next round needs no join back. */
-  private def reassign(assign: DataFrame): DataFrame = {
-    val cent = centroids(assign).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    val byLabel = cent.groupBy(_._1).map { case (l, rows) =>
-      val w = new Array[Long](64)
-      rows.foreach { case (_, i, cs) => w(i) = cs }
-      l -> ((w, w.map(v => v * v).sum))
-    }
+  /** The literal-dot best-label expression shared by [[reassign]] and
+    * the sampled trainer's one-pass [[relabeledSampled]] scan: one
+    * struct per live label, argmax by (cosine, then smallest label). */
+  private def bestLabelScore(byLabel: Map[Int, (Array[Long], Long)])
+      : Column = {
     val scored = byLabel.keys.toSeq.sorted.map { l =>
       val (w, nc) = byLabel(l)
       struct(
@@ -334,12 +331,24 @@ object Similarity {
             sqrt(lit(nc).cast("double")))).as("c"),
         lit(-l).as("nl"))
     }
+    array_max(array(scored: _*))
+  }
+
+  private def reassign(assign: DataFrame): DataFrame = {
+    val cent = centroids(assign).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val byLabel: Map[Int, (Array[Long], Long)] =
+      cent.groupBy(_._1).map { case (l, rows) =>
+        val w = new Array[Long](64)
+        rows.foreach { case (_, i, cs) => w(i) = cs }
+        l -> ((w, w.map(v => v * v).sum))
+      }
     assign
       .select(col("vec_id"), col("label"), col("embedding"),
         quantize(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))
       .select(col("vec_id"), col("label"), col("embedding"),
-        array_max(array(scored: _*)).as("best"))
+        bestLabelScore(byLabel).as("best"))
       .select(col("vec_id"), col("label"), col("embedding"),
         (-col("best.nl")).as("new_label"))
       .withColumn("moved",
@@ -396,6 +405,103 @@ object Similarity {
     emb.drop("label").join(assign, "vec_id")
   }
 
+  /** Coarse-quantizer training-sample bound — the same faiss
+    * convention as [[PqTrainSample]]: k-means centroids train on a
+    * bounded sample, never the whole corpus. */
+  val KmTrainSample = 65536
+
+  /** Driver-side Lloyd over ONE bounded ordered collect — the coarse
+    * quantizer's twin of [[pqTrainOn]] (which cut ml_pq_ann/ml_ivfadc
+    * ~35% in r11): [[kmeansTrain]]'s 10-round distributed loop paid a
+    * localCheckpoint job + an agg job + a fresh Catalyst pass PER
+    * ROUND to train centroids over a corpus that is bounded model
+    * state by design. The in-memory loop replicates [[reassign]]'s
+    * math EXACTLY — same integer centroid sums, same
+    * double-cosine / smallest-label argmax, same fixpoint stop — and
+    * returns the centroids the FINAL-round assignment was computed
+    * FROM, so for ANY corpus ≤ [[KmTrainSample]] (converged or
+    * maxIter-stopped) the one-pass relabel reproduces [[kmeansTrain]]'s
+    * returned assignment bit-for-bit (spec-pinned); above the bound
+    * the faiss-style subsample is the intended behavior. Returns the
+    * live per-label (sum-vector, ‖sum‖²) map. */
+  private def kmeansCentroidsSampled(emb: DataFrame, maxIter: Int)
+      : Map[Int, (Array[Long], Long)] = {
+    val sample = quantized(emb).select(col("vec_id"), col("label"),
+        col("q"))
+      .orderBy("vec_id").limit(KmTrainSample).collect()
+      .map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
+    require(sample.nonEmpty, "empty corpus")
+    val n2 = sample.map { case (_, q) =>
+      q.map(v => v * v).sum }
+    var labels: Array[Int] = sample.map(_._1)
+    def centroidsOf(ls: Array[Int]): Map[Int, (Array[Long], Long)] =
+      ls.zip(sample).groupBy(_._1).map { case (l, members) =>
+        val w = new Array[Long](64)
+        members.foreach { case (_, (_, q)) =>
+          var d = 0
+          while (d < 64) { w(d) += q(d); d += 1 }
+        }
+        l -> ((w, w.map(v => v * v).sum))
+      }
+    var byLabel = centroidsOf(labels)
+    // the centroids the FINAL-round assignment was computed FROM: the
+    // one-pass relabel with these reproduces kmeansTrain's returned
+    // assignment exactly, converged or not (at maxIter-stop the final
+    // assignment derives from the PREVIOUS round's centroids — using
+    // the final assignment's own centroids would drift, found by the
+    // equality spec)
+    var lastUsed = byLabel
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      lastUsed = byLabel
+      val next = new Array[Int](labels.length)
+      var moved = false
+      var i = 0
+      while (i < sample.length) {
+        val q = sample(i)._2
+        var bestL = Int.MaxValue
+        var bestC = Double.NegativeInfinity
+        // ascending label order + strict > replicates the struct-max
+        // (cosine, then smallest label) tie-break exactly
+        byLabel.keys.toSeq.sorted.foreach { l =>
+          val (w, nc) = byLabel(l)
+          var dot = 0L
+          var d = 0
+          while (d < 64) { dot += q(d) * w(d); d += 1 }
+          val c = dot.toDouble /
+            (math.sqrt(n2(i).toDouble) * math.sqrt(nc.toDouble))
+          if (c > bestC) { bestC = c; bestL = l }
+        }
+        next(i) = bestL
+        if (bestL != labels(i)) moved = true
+        i += 1
+      }
+      labels = next
+      byLabel = centroidsOf(labels)
+      converged = !moved
+      it += 1
+    }
+    lastUsed
+  }
+
+  /** [[relabeled]]'s sampled-trainer twin: centroids from the bounded
+    * driver-side Lloyd, then ONE distributed literal-dot scan assigns
+    * every corpus vector — 2 jobs total where the distributed trainer
+    * paid ~3 per round. At a converged corpus ≤ [[KmTrainSample]] the
+    * assignment is bit-identical to [[relabeled]] (the trainer hands
+    * back the centroids the final assignment derives from;
+    * spec-pinned). */
+  def relabeledSampled(emb: DataFrame, maxIter: Int = 10): DataFrame = {
+    val byLabel = kmeansCentroidsSampled(emb, maxIter)
+    emb.drop("label")
+      .withColumn("q", quantize(col("embedding")))
+      .withColumn("n2", dotQ(col("q"), col("q")))
+      .withColumn("label", (-bestLabelScore(byLabel).getField("nl"))
+        .cast("int"))
+      .drop("q", "n2")
+  }
+
   /** IVF over a TRAINED coarse quantizer: [[kmeansTrain]] → relabel →
     * the standard probed-cell search, unchanged. Closes the loop from
     * the r7 verdict's kmeans ask: the IVF index is now trainable fully
@@ -409,7 +515,10 @@ object Similarity {
   def ivfTopKTrained(emb: DataFrame, k: Int = TopK,
       nprobe: Int = NProbe, maxIter: Int = 10,
       labelsPath: Option[String] = None): DataFrame = {
-    val rel = relabeled(emb, maxIter)
+    // r12: the sampled trainer (bit-identical at any corpus within
+    // the sample bound; the spec pins equality against the
+    // distributed relabeled())
+    val rel = relabeledSampled(emb, maxIter)
     labelsPath.foreach { p =>
       rel.select("vec_id", "label")
         .coalesce(1).write.mode("overwrite").parquet(p)

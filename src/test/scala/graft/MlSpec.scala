@@ -1237,6 +1237,21 @@ class MlSpec extends AnyFunSuite {
     assert(ivf === expected)
   }
 
+  test("sampled kmeans trainer: assignment bit-identical to the distributed relabeled()") {
+    // the faiss-convention driver-side Lloyd (r12 — the pqTrainOn
+    // precedent) must reproduce the distributed fold exactly at any
+    // converged corpus within the sample bound: same integer centroid
+    // sums, same double-cosine/smallest-label argmax, same fixpoint
+    val distributed = Similarity.relabeled(emb, maxIter = 5)
+      .select("vec_id", "label").as[(Long, Int)].collect().sortBy(_._1)
+    val sampled = Similarity.relabeledSampled(emb, maxIter = 5)
+      .select("vec_id", "label").as[(Long, Int)].collect().sortBy(_._1)
+    assert(sampled.toSeq === distributed.toSeq)
+    // schema parity: the relabel must not leak helper columns
+    assert(Similarity.relabeledSampled(emb).columns.sorted.toSeq ===
+      Similarity.relabeled(emb).columns.sorted.toSeq)
+  }
+
   test("bpe: engine merges equal an independent single-threaded reference") {
     import graft.ml.Bpe
     val docs = graft.core.Tables(spark, sf, "documents")
