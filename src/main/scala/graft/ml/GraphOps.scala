@@ -149,11 +149,17 @@ object GraphOps {
   val TriMinCos = 0.2
 
   /** Synchronous label-propagation rounds (unrolled verbatim in the
-    * oracle). LPA converges in ~graph-diameter rounds; the spec asserts
-    * the fixture reaches the true fixpoint within this budget, and
-    * rounds past the fixpoint are exact no-ops in both engines (the
-    * [[KcoreRounds]] discipline). */
-  val LpaRounds = 16
+    * oracle). The spec asserts the TEST fixture reaches its true
+    * fixpoint within this budget (sf0.01 needs 6), and rounds past a
+    * fixpoint are exact no-ops in both engines (the [[KcoreRounds]]
+    * discipline). The budget is also the SEMANTICS when the graph
+    * oscillates: synchronous LPA famously wanders in its tail (the
+    * sf0.1 bench fixture moves a handful of labels in cycles out past
+    * round 20 — measured, not guessed), and the standard practice
+    * (Raghavan '07 §3) is a stopping criterion rather than a fixpoint
+    * wait; 12 rounds land after the movement plateau (36 of ~2000
+    * labels still moving) while keeping the bench cost bounded. */
+  val LpaRounds = 12
 
   /** Community detection by synchronous label propagation (Raghavan et
     * al., Phys. Rev. E '07) over the same similarity graph as
