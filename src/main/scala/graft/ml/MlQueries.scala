@@ -2295,6 +2295,41 @@ object MlQueries {
          |ORDER BY rank""".stripMargin
     })
 
+  /** Farthest-point sampling ([[Similarity.fpsSelect]]): the Gonzalez
+    * k-center greedy as an oracle row — the same unrolled-CTE loop as
+    * [[mmr]] but with the argMIN-of-nearest-selected objective and a
+    * sentinel seed dot. Selection ORDER is pinned, not just the set. */
+  private val fps = Declared(
+    "ml_fps",
+    (s, d) => Similarity.fpsSelect(Tables(s, d, "embeddings")),
+    Some {
+      val rounds = (2 to Similarity.FpsK).map { i =>
+        s"""pick$i AS MATERIALIZED (
+           |  SELECT r.vec_id,
+           |    (SELECT max(dd.dot) FROM (
+           |       SELECT se.vec_id AS sid, sum(e2.q * se2.q) AS dot
+           |       FROM sel${i - 1} se
+           |       JOIN qe se2 ON se2.vec_id = se.vec_id
+           |       JOIN qe e2 ON e2.i = se2.i AND e2.vec_id = r.vec_id
+           |       GROUP BY se.vec_id) dd) AS near
+           |  FROM (SELECT DISTINCT vec_id FROM qe) r
+           |  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |  ORDER BY near ASC, vec_id LIMIT 1),
+           |sel$i AS MATERIALIZED (
+           |  SELECT * FROM sel${i - 1}
+           |  UNION ALL
+           |  SELECT CAST($i AS BIGINT), vec_id, near FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $qeCte,
+         |sel1(rank, vec_id, near) AS (
+         |  SELECT CAST(1 AS BIGINT), min(vec_id),
+         |         CAST(${Long.MinValue} AS BIGINT) FROM embeddings),
+         |$rounds
+         |SELECT rank, vec_id, CAST(near AS BIGINT) AS max_sel_dot
+         |FROM sel${Similarity.FpsK}
+         |ORDER BY rank""".stripMargin
+    })
+
   /** Robust MAD length-outlier gate ([[TextAnalysis.outlierMad]]):
     * per-language lower medians are integer-exact on both engines
     * (DuckDB's `quantile_disc(0.5)` IS the lower median — element
@@ -2612,7 +2647,7 @@ object MlQueries {
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
-    mmr,
+    mmr, fps,
     randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, qualityGateStream,

@@ -148,6 +148,47 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** [[fpsSelect]] size (shared with [[MmrK]]'s scale). */
+  val FpsK = 10
+
+  /** Farthest-point sampling (Gonzalez '85 — the 2-approximation for
+    * k-center, and the standard embedding-space COVERAGE sampler next
+    * to [[mmrSelect]]'s relevance-diversity blend): seed with the
+    * minimum-vec_id vector, then greedily pick the candidate whose
+    * NEAREST selected vector is least similar — `argmin over
+    * candidates of max_{s∈selected} dot(d, s)`, ties to the smallest
+    * vec_id. Quantized integer dots end to end, so selection order is
+    * engine-exact. Emits (rank, vec_id, max_sel_dot) — the seed at
+    * rank 1 with the sentinel dot Long.MinValue (nothing selected
+    * before it).
+    *
+    * Scale: identical shape to [[mmrSelect]] — k bounded rounds, each
+    * ONE corpus scan with ≤ k literal vectors in a codegen'd fused-dot
+    * projection plus a top-1 reduce; selected rows are k-bounded
+    * driver model state. */
+  def fpsSelect(emb: DataFrame, k: Int = FpsK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qd = quantized(emb).select(col("vec_id"), col("q"))
+      .localCheckpoint()
+    val seed = qd.orderBy("vec_id").limit(1).collect()(0)
+    var sel = Vector((1L, seed.getLong(0), Long.MinValue))
+    var selVecs = Vector(seed.getSeq[Long](1))
+    for (r <- 2 to k) {
+      val nearCol = selVecs match {
+        case Vector(one) => dotQ(col("q"), typedlit(one))
+        case vs => greatest(vs.map(v => dotQ(col("q"), typedlit(v))): _*)
+      }
+      val top = qd.filter(!col("vec_id").isin(sel.map(_._2): _*))
+        .select(col("vec_id"), col("q"), nearCol.as("near"))
+        .orderBy(col("near").asc, col("vec_id")).limit(1)
+        .collect()(0)
+      sel = sel :+ ((r.toLong, top.getLong(0), top.getLong(2)))
+      selVecs = selVecs :+ top.getSeq[Long](1)
+    }
+    sel.toDF("rank", "vec_id", "max_sel_dot").orderBy("rank")
+  }
+
   /** Integer centroid components per (label, position): Σ quantized —
     * exact, order-free; direction == mean direction. */
   def centroids(emb: DataFrame): DataFrame =

@@ -1578,6 +1578,39 @@ class MlSpec extends AnyFunSuite {
       "picks must be distinct")
   }
 
+  test("fpsSelect: equals a naive farthest-first replay; covers better than prefix picks") {
+    val got = Similarity.fpsSelect(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val qs = emb.select(col("vec_id"),
+        MlFunctions.quantize(col("embedding")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    var sel = Vector((1L, qs.head._1, Long.MinValue))
+    for (r <- 2 to Similarity.FpsK) {
+      val picked = sel.map(_._2).toSet
+      val best = qs.filterNot(v => picked(v._1))
+        .map { case (id, q) =>
+          (id, sel.map(s => dot(qs.find(_._1 == s._2).get._2, q)).max)
+        }.minBy(c => (c._2, c._1))
+      sel = sel :+ ((r.toLong, best._1, best._2))
+    }
+    assert(got.toSeq === sel)
+    // k-center property on the fixture: FPS's selected set leaves every
+    // point closer (more similar) to a pick than the naive first-k
+    // prefix does — compare the coverage radii (min over points of the
+    // max-dot-to-a-pick; FPS maximizes that minimum)
+    def radius(ids: Set[Long]): Long = {
+      val picks = qs.filter(v => ids(v._1)).map(_._2)
+      qs.filterNot(v => ids(v._1))
+        .map(v => picks.map(p => dot(p, v._2)).max).min
+    }
+    val fpsR = radius(got.map(_._2).toSet)
+    val prefixR = radius(qs.take(Similarity.FpsK).map(_._1).toSet)
+    assert(fpsR >= prefixR,
+      s"farthest-first must not cover worse than a prefix ($fpsR < $prefixR)")
+  }
+
   test("outlierMad: equals a naive lower-median fold; planted extremes flag; zero-MAD lang") {
     // planted rows: an extreme length that MUST flag, plus a whole fake
     // language where >half the docs share one length (MAD = 0 ⇒ any
