@@ -2295,6 +2295,79 @@ object MlQueries {
          |ORDER BY rank""".stripMargin
     })
 
+  /** ANN recall report ([[Similarity.annRecall]]): the oracle
+    * re-derives BOTH sides — the exact brute-force top-k and the
+    * probed-IVF top-k, each with the engines' shared fold — and
+    * re-counts the overlap, so the recall numbers are pinned
+    * end-to-end, not sampled. */
+  private val annRecallQ = Declared(
+    "ml_ann_recall",
+    (s, d) => Similarity.annRecall(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |$nrmCte,
+            |bdots AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |         sum(a.q * b.q) AS d
+            |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id <> b.vec_id
+            |  WHERE a.vec_id % $QueryStride = 0
+            |  GROUP BY a.vec_id, b.vec_id),
+            |btop AS (
+            |  SELECT query_id, neighbor_id FROM (
+            |    SELECT d.query_id, d.neighbor_id,
+            |      row_number() OVER (PARTITION BY d.query_id
+            |        ORDER BY ${cosSql("d.d", "na.n2", "nb.n2")} DESC,
+            |                 d.neighbor_id) AS rn
+            |    FROM bdots d
+            |    JOIN nrm na ON na.vec_id = d.query_id
+            |    JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+            |  WHERE rn <= ${Similarity.TopK}),
+            |cent AS (SELECT label, i, sum(q) AS cs FROM qe GROUP BY label, i),
+            |qv AS (SELECT vec_id AS query_id, i, q FROM qe
+            |       WHERE vec_id % $QueryStride = 0),
+            |cell AS (
+            |  SELECT qv.query_id, c.label,
+            |         ${cosSql("sum(qv.q * c.cs)", "sum(qv.q * qv.q)",
+                             "sum(c.cs * c.cs)")} AS cell_cos
+            |  FROM qv JOIN cent c ON qv.i = c.i
+            |  GROUP BY qv.query_id, c.label),
+            |probe AS (
+            |  SELECT query_id, label FROM (
+            |    SELECT query_id, label,
+            |           row_number() OVER (PARTITION BY query_id
+            |                              ORDER BY cell_cos DESC, label) AS r
+            |    FROM cell)
+            |  WHERE r <= $NProbe),
+            |idots AS (
+            |  SELECT p.query_id, e.vec_id AS neighbor_id,
+            |         sum(qv.q * e.q) AS d
+            |  FROM probe p
+            |  JOIN qe e ON e.label = p.label AND e.vec_id <> p.query_id
+            |  JOIN qv ON qv.query_id = p.query_id AND qv.i = e.i
+            |  GROUP BY p.query_id, e.vec_id),
+            |itop AS (
+            |  SELECT query_id, neighbor_id FROM (
+            |    SELECT d.query_id, d.neighbor_id,
+            |      row_number() OVER (PARTITION BY d.query_id
+            |        ORDER BY ${cosSql("d.d", "na.n2", "nb.n2")} DESC,
+            |                 d.neighbor_id) AS rn
+            |    FROM idots d
+            |    JOIN nrm na ON na.vec_id = d.query_id
+            |    JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+            |  WHERE rn <= ${Similarity.TopK}),
+            |hits AS (
+            |  SELECT i.query_id, count(*) AS n_hits
+            |  FROM itop i JOIN btop b
+            |    ON b.query_id = i.query_id
+            |   AND b.neighbor_id = i.neighbor_id
+            |  GROUP BY 1)
+            |SELECT q.query_id,
+            |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ${Similarity.TopK}
+            |    AS recall
+            |FROM (SELECT DISTINCT query_id FROM btop) q
+            |LEFT JOIN hits h USING (query_id)
+            |ORDER BY q.query_id""".stripMargin))
+
   /** Farthest-point sampling ([[Similarity.fpsSelect]]): the Gonzalez
     * k-center greedy as an oracle row — the same unrolled-CTE loop as
     * [[mmr]] but with the argMIN-of-nearest-selected objective and a
@@ -2647,7 +2720,7 @@ object MlQueries {
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
-    mmr, fps,
+    mmr, fps, annRecallQ,
     randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, qualityGateStream,

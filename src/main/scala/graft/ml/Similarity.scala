@@ -567,6 +567,37 @@ object Similarity {
     ivfTopK(rel, k, nprobe)
   }
 
+  /** ANN recall report — the index-quality evaluation every ANN
+    * deployment runs before trusting an approximate index: per query,
+    * how many of the EXACT cosine top-k ([[cosineTopK]]) the probed
+    * IVF search ([[ivfTopK]]) recovered. Emits (query_id, n_hits,
+    * recall) with recall = n_hits/k (an exact small-integer division —
+    * engine-identical doubles). Recall < 1 exactly when a true
+    * neighbor lives outside every probed cell, so this row doubles as
+    * the regression tripwire for nprobe/cell-layout changes.
+    *
+    * Scale: both sides reuse their own plans (broadcast query block,
+    * no corpus shuffle); the comparison itself joins two k·|queries|
+    * result sets — model-sized. */
+  def annRecall(emb: DataFrame, k: Int = TopK,
+      nprobe: Int = NProbe): DataFrame = {
+    val brute = cosineTopK(emb, k).select(col("query_id"),
+      col("neighbor_id"))
+    val ivf = ivfTopK(emb, k, nprobe).select(col("query_id").as("qi"),
+      col("neighbor_id").as("ni"))
+    val hits = ivf.join(brute,
+        col("qi") === col("query_id") && col("ni") === col("neighbor_id"),
+        "left_semi")
+      .groupBy(col("qi").as("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / k)
+      .orderBy("query_id")
+  }
+
   /** Cells larger than this sub-block their pair space (r5 VERDICT ask
     * #4): Σ|cell|² assumes balanced cells, and one degenerate cluster
     * re-introduces the n² corner — both in pair count and in compute,

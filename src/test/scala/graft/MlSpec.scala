@@ -1578,6 +1578,31 @@ class MlSpec extends AnyFunSuite {
       "picks must be distinct")
   }
 
+  test("annRecall: bounded, exact against set intersection; full probe recovers everything") {
+    val brute = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.annRecall(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (q, (hits, rec)) =>
+      val expect = (ivf.getOrElse(q, Set.empty) & brute(q)).size.toLong
+      assert(hits === expect, s"hits for query $q")
+      assert(rec === hits.toDouble / Similarity.TopK)
+    }
+    // the report must be informative on the fixture: neither all-0 nor
+    // all-1 at nprobe = 2
+    assert(got.values.exists(_._1 > 0) && got.values.exists(_._1 < 5))
+    // probing EVERY cell makes IVF exact: recall 1.0 across the board
+    val cells = emb.select("label").distinct().count().toInt
+    val full = Similarity.annRecall(emb, nprobe = cells).collect()
+    assert(full.forall(_.getDouble(2) === 1.0),
+      "full-probe IVF must recover the exact top-k")
+  }
+
   test("fpsSelect: equals a naive farthest-first replay; covers better than prefix picks") {
     val got = Similarity.fpsSelect(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
