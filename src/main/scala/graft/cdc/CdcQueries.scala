@@ -1141,6 +1141,122 @@ object CdcQueries {
     },
     Some(mtFoldOracleSql(mttSnapPq, mttPStrPq, mttAStrPq)))
 
+  private val mtcsPStrPq = s"$FixtureDir/cdc_mtcs_person_feed.parquet"
+  private val mtcsAStrPq = s"$FixtureDir/cdc_mtcs_account_feed.parquet"
+
+  /** Per-table change feed over the MULTI-TABLE manifest log —
+    * [[cdc_changes_since]]'s contract generalized: each table's
+    * downstream consumer reads exactly the per-key generic summaries
+    * committed after a version IT has already seen, independently of
+    * the other tables' commit cadence (idle-skip makes per-table
+    * versions sparse in global epochs — precisely what the
+    * gap-reconstruction logic handles). Both tables ask for "since my
+    * max version − 2", i.e. each one's own LAST TWO present epochs;
+    * the typed image fields are parsed out of the generic JSON image
+    * at the edge (the [[MultiTable.readTable]] discipline). The oracle
+    * re-derives each table's per-(epoch, key) LWW summaries from a
+    * ground-truth dump holding ONLY that table's ops in those epochs,
+    * epoch-stamped by the same merge-sort/ceil-split rules
+    * `writeMtBatches` uses. Scale: two partition-discovered scans of
+    * exactly the requested delta dirs — cost ∝ the window, never
+    * replica size. */
+  private val mtChangesSince = Declared(
+    "cdc_mt_changes_since",
+    (s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.{col, get_json_object, lit}
+      import s.implicits._
+      val (pOps, aRaw) = ChangeGen.mtOps(68L, nPerson = 900,
+        nAccount = 600)
+      val (pSnap, pStream) = pOps.splitAt(400)
+      val shift =
+        ((pStream.map(_.lsn).min - aRaw.map(_.lsn).min) / 2) * 2
+      val aOps = aRaw.map(o => o.copy(lsn = o.lsn + shift))
+      val changeDir = Files.createTempDirectory("graft-mtcs-log").toString
+      val root = Files.createTempDirectory("graft-mtcs-replica").toString
+      val ckpt = Files.createTempDirectory("graft-mtcs-ckpt").toString
+      ManifestMultiTable.snapshot(s,
+        ChangeGen.replay(pSnap).values.toSeq.toDS().toDF(), root,
+        personSpecMt)
+      val batches = 5
+      ChangeGen.writeMtBatches(changeDir, pStream, aOps,
+        batches = batches)
+      val mergedLsns = (pStream.map(_.lsn) ++ aOps.map(_.lsn)).sorted
+      val per = ChangeGen.chunkSize(mergedLsns.size, batches)
+      val epochOf: Map[Long, Int] = mergedLsns.grouped(per).zipWithIndex
+        .flatMap { case (ls, i) => ls.map(_ -> i) }.toMap
+      // ground truth: per table, ops in ITS last two present epochs,
+      // stamped with the global epoch id
+      def lastTwo(lsns: Seq[Long]): Set[Int] =
+        lsns.map(epochOf).distinct.sorted.takeRight(2).toSet
+      val pKeep = lastTwo(pStream.map(_.lsn))
+      val aKeep = lastTwo(aOps.map(_.lsn))
+      ChangeGen.toChanges(pStream).zip(pStream)
+        .filter { case (_, o) => pKeep(epochOf(o.lsn)) }
+        .map { case (c, o) => (epochOf(o.lsn).toLong, c) }.toDS()
+        .select(col("_1").as("batch_id"), col("_2.*"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(mtcsPStrPq)
+      ChangeGen.toChanges(aOps).zip(aOps)
+        .filter { case (_, o) => aKeep(epochOf(o.lsn)) }
+        .map { case (c, o) => (epochOf(o.lsn).toLong, c) }.toDS()
+        .select(col("_1").as("batch_id"), col("_2.*"))
+        .withColumnRenamed("name", "owner")
+        .withColumnRenamed("score", "balance").drop("uid")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(mtcsAStrPq)
+      val q = ManifestMultiTable.start(s, changeDir, root, ckpt, mtSpecs,
+        maxFilesPerTrigger = Some(1), trigger = Trigger.AvailableNow(),
+        compactEvery = 1000) // no folds: version ↔ present epoch
+      try q.awaitTermination() finally q.stop()
+      def feed(spec: TableSpec, fields: Seq[(String, String)])
+          : org.apache.spark.sql.DataFrame = {
+        val v = ManifestMultiTable.versions(s, root, spec).max - 2
+        val base = ManifestMultiTable.changesSince(s, root, spec, v)
+        val img = fields.map { case (jf, as) =>
+          (if (as == "amount")
+            get_json_object(col("last_img.img"), s"$$.$jf").cast("int")
+          else get_json_object(col("last_img.img"), s"$$.$jf")).as(as)
+        }
+        base.select(Seq(lit(spec.table).as("tbl"), col("batch_id"),
+          col("key").cast("int").as("id"),
+          col("last_img.lsn").as("img_lsn")) ++ img ++ Seq(
+          col("first_ins.lsn").as("ins_lsn"),
+          col("first_ins.created_at").as("ins_created_at"),
+          col("last_d_lsn")): _*)
+      }
+      feed(personSpecMt, Seq("name" -> "label", "score" -> "amount"))
+        .unionAll(
+          feed(accountSpecMt, Seq("owner" -> "label", "balance" -> "amount")))
+        .orderBy("tbl", "batch_id", "id")
+    },
+    Some {
+      def foldSql(tbl: String, pq: String, nameCol: String,
+          numCol: String): String =
+        s"""SELECT '$tbl' AS tbl, batch_id, id,
+           |  arg_max(lsn, lsn) FILTER (WHERE action <> 'D'
+           |    AND lsn > coalesce(dlsn, -1)) AS img_lsn,
+           |  arg_max($nameCol, lsn) FILTER (WHERE action <> 'D'
+           |    AND lsn > coalesce(dlsn, -1)) AS label,
+           |  arg_max($numCol, lsn) FILTER (WHERE action <> 'D'
+           |    AND lsn > coalesce(dlsn, -1)) AS amount,
+           |  arg_min(lsn, lsn) FILTER (WHERE action = 'I'
+           |    AND lsn > coalesce(dlsn, -1)) AS ins_lsn,
+           |  arg_min(created_at, lsn) FILTER (WHERE action = 'I'
+           |    AND lsn > coalesce(dlsn, -1)) AS ins_created_at,
+           |  max(dlsn) AS last_d_lsn
+           |FROM (
+           |  SELECT s.*, d.dlsn
+           |  FROM read_parquet('$pq/*.parquet') s
+           |  LEFT JOIN (
+           |    SELECT batch_id, id, max(lsn) AS dlsn
+           |    FROM read_parquet('$pq/*.parquet')
+           |    WHERE action = 'D' GROUP BY 1, 2) d
+           |    ON s.batch_id = d.batch_id AND s.id = d.id)
+           |GROUP BY 2, 3""".stripMargin
+      s"""${foldSql("person", mtcsPStrPq, "name", "score")}
+         |UNION ALL
+         |${foldSql("account", mtcsAStrPq, "owner", "balance")}
+         |ORDER BY tbl, batch_id, id""".stripMargin
+    })
+
   private val mtcSnapPq = s"$FixtureDir/cdc_mtc_person_snap.parquet"
   private val mtcPStrPq = s"$FixtureDir/cdc_mtc_person_stream.parquet"
   private val mtcAStrPq = s"$FixtureDir/cdc_mtc_account_stream.parquet"
@@ -1327,6 +1443,7 @@ object CdcQueries {
       parseChangelog,
       scd2History, scd2AsOf, snapshotDiff, quarantine, ivmView,
       multitableE2e, mtManifestE2e, mtJdbcE2e, jdbcE2e, statefulE2e,
-      mtStatefulE2e, mtTimeTravel, mtConsistentJoin, syncVerdict,
+      mtStatefulE2e, mtTimeTravel, mtChangesSince, mtConsistentJoin,
+      syncVerdict,
       ivmJoin, ivmJoinAgg)
 }
