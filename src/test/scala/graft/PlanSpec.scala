@@ -98,6 +98,16 @@ class PlanSpec extends AnyFunSuite {
       "doc stream must not sort-merge against the bounded offsets table")
   }
 
+  test("media near-dup: band blocking is an equi join — no cartesian, no nested-loop") {
+    val df = run("ml_media_neardup")
+    df.collect() // finalize AQE
+    val s = planOf(df).toString.split("== Initial Plan ==").head
+    assert(!s.contains("CartesianProduct"),
+      "banded candidates must never take the all-pairs path")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "the band key is an EQUI key — a nested loop means it got lost")
+  }
+
   test("cosine top-k: query block broadcast, corpus side never exchanges before scoring") {
     val plan = planString(
       Similarity.cosineTopKFast(Tables(spark, sf, "embeddings")))
