@@ -583,7 +583,8 @@ object Bench {
     // appends, and the r9 record that included it showed a uniform
     // 1.4× drag on every later query (GC/heap debt), vanishing when
     // excluded.
-    val harnessE2e = Set("events_stream_dedup", "ml_quality_gate_stream")
+    val harnessE2e = Set("events_stream_dedup", "ml_quality_gate_stream",
+      "ml_outlier_mad_stream")
     val qmap = SparkEntry.queries.filterNot(q =>
         q._1.startsWith("cdc_") || harnessE2e(q._1))
       .filter { case (n, _) => onlyQueries.forall(_.contains(n)) }

@@ -2403,31 +2403,81 @@ object MlQueries {
          |ORDER BY rank""".stripMargin
     })
 
-  /** Robust MAD length-outlier gate ([[TextAnalysis.outlierMad]]):
-    * per-language lower medians are integer-exact on both engines
-    * (DuckDB's `quantile_disc(0.5)` IS the lower median — element
-    * ⌊(n−1)/2⌋ of the sorted run — matching the engine's
-    * cumulative-count fold), so med/mad/dev/flag all hash-match. */
+  /** Shared oracle for the MAD gate and its streaming twin — one SQL
+    * string holds both declared results to the SAME fold (the
+    * [[qualityGateSql]] discipline). DuckDB's `quantile_disc(0.5)` IS
+    * the lower median (element ⌊(n−1)/2⌋ of the sorted run), matching
+    * the engine's cumulative-count fold, so med/mad/dev/flag all
+    * hash-match. */
+  private val outlierMadSql =
+    s"""WITH med AS (
+       |  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+       |  FROM documents GROUP BY 1),
+       |mad AS (
+       |  SELECT d.lang,
+       |    quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
+       |  FROM documents d JOIN med m USING (lang) GROUP BY 1)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(d.n_chars AS BIGINT) AS n_chars,
+       |  CAST(m.med AS BIGINT) AS med,
+       |  CAST(a.mad AS BIGINT) AS mad,
+       |  CAST(abs(d.n_chars - m.med) AS BIGINT) AS dev,
+       |  CAST(abs(d.n_chars - m.med) >
+       |       ${TextAnalysis.OutlierMadK} * a.mad AS INT) AS outlier
+       |FROM documents d JOIN med m USING (lang)
+       |JOIN mad a USING (lang)
+       |ORDER BY d.doc_id""".stripMargin
+
   private val outlierMad = Declared(
     "ml_outlier_mad",
     (s, d) => TextAnalysis.outlierMad(Tables(s, d, "documents")),
-    Some(s"""WITH med AS (
-            |  SELECT lang, quantile_disc(n_chars, 0.5) AS med
-            |  FROM documents GROUP BY 1),
-            |mad AS (
-            |  SELECT d.lang,
-            |    quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
-            |  FROM documents d JOIN med m USING (lang) GROUP BY 1)
-            |SELECT d.doc_id, d.lang,
-            |  CAST(d.n_chars AS BIGINT) AS n_chars,
-            |  CAST(m.med AS BIGINT) AS med,
-            |  CAST(a.mad AS BIGINT) AS mad,
-            |  CAST(abs(d.n_chars - m.med) AS BIGINT) AS dev,
-            |  CAST(abs(d.n_chars - m.med) >
-            |       ${TextAnalysis.OutlierMadK} * a.mad AS INT) AS outlier
-            |FROM documents d JOIN med m USING (lang)
-            |JOIN mad a USING (lang)
-            |ORDER BY d.doc_id""".stripMargin))
+    Some(outlierMadSql))
+
+  /** Streaming twin of the MAD gate — the TRAIN-THEN-APPLY split every
+    * GLOBAL-statistic gate needs on a continuous ingest (unlike the
+    * per-row quality gate, the medians consult the whole reference
+    * corpus): thresholds train batch-side ([[TextAnalysis.
+    * outlierMadModel]] — bounded model state), then each arriving
+    * micro-batch applies them as literals. Trained on exactly the
+    * streamed corpus, the result equals the batch gate — which is the
+    * oracle, verbatim. Same harness shape as
+    * [[qualityGateStream]] (MemoryStream waves are the feeder, the
+    * gated output lands as hash-bucketed parquet appends). */
+  private val outlierMadStream = Declared(
+    "ml_outlier_mad_stream",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = Tables(s, d, "documents")
+        .select("doc_id", "lang", "n_chars")
+      val model = TextAnalysis.outlierMadModel(docs)
+      val rows = docs.orderBy("doc_id").collect()
+      val in = MemoryStream[(Long, String, Long)](s)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-madgate-out").toString
+      val q = in.toDF().toDF("doc_id", "lang", "n_chars")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-madgate-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            TextAnalysis.outlierMadApply(batch, model)
+              .withColumn("bucket", pmod(col("doc_id"), lit(16)))
+              .repartition(col("bucket"))
+              .write.mode("append").partitionBy("bucket").parquet(outDir)
+        }
+        .start()
+      try rows.grouped(rows.length / 4 + 1).foreach { wave =>
+        in.addData(wave.map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2))))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select("doc_id", "lang", "n_chars", "med", "mad", "dev",
+          "outlier")
+        .orderBy("doc_id")
+    },
+    Some(outlierMadSql))
 
   /** Label-propagation communities ([[GraphOps.lpaCommunities]]) —
     * completes the iterative-graph family (CC / PageRank / triangles /
@@ -2713,7 +2763,7 @@ object MlQueries {
     charSurprisal, quantileCut, docEmbedPool,
     datasetCard,
     dqSuite, lmBigram, postingsIdx, triangles, kcoreQ, lpa, outlierMad,
-    udtfNgrams, tvtSplit,
+    outlierMadStream, udtfNgrams, tvtSplit,
     hardNeg, embOutliers, dedupNormalized,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,

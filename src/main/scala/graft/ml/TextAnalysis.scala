@@ -857,17 +857,22 @@ object TextAnalysis {
     * derived from the same rows, no second corpus pass); the verdict
     * is one scan against a ≤|langs|-entry CASE literal. No per-lang
     * document-scale sort anywhere. */
-  def outlierMad(docs: DataFrame): DataFrame = {
+  def outlierMad(docs: DataFrame): DataFrame =
+    outlierMadApply(docs, outlierMadModel(docs)).orderBy("doc_id")
+
+  /** The trained model half of [[outlierMad]]: per-language (lower
+    * median, MAD) from one value-domain-bounded histogram — bounded
+    * model state, reusable across the batch gate and the streaming
+    * twin's train-then-apply split. */
+  def outlierMadModel(docs: DataFrame): Seq[(String, Long, Long)] = {
     def lowerMedian(pairs: Seq[(Long, Long)]): Long = {
       val need = (pairs.map(_._2).sum + 1) / 2
       var cum = 0L
       pairs.sortBy(_._1).find { case (_, c) =>
         cum += c; cum >= need }.map(_._1).getOrElse(0L)
     }
-    val hist = docs
-      .groupBy(col("lang"), col("n_chars").cast("long").as("v"))
-      .agg(count(lit(1)).as("c")).collect()
-    val model: Seq[(String, Long, Long)] = hist.toSeq
+    docs.groupBy(col("lang"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("c")).collect().toSeq
       .groupBy(_.getString(0)).toSeq.map { case (l, rows) =>
         val pairs = rows.map(r => (r.getLong(1), r.getLong(2)))
         val med = lowerMedian(pairs)
@@ -876,6 +881,13 @@ object TextAnalysis {
           .map { case (d, xs) => (d, xs.map(_._2).sum) }.toSeq)
         (l, med, mad)
       }.sortBy(_._1)
+  }
+
+  /** The apply half: one scan against the ≤|langs|-entry CASE literal
+    * — per-row, batch-boundary-invariant, so it runs unchanged inside
+    * a streaming micro-batch. */
+  def outlierMadApply(docs: DataFrame,
+      model: Seq[(String, Long, Long)]): DataFrame = {
     def caseOf(f: ((String, Long, Long)) => Long): Column =
       model.foldRight(lit(0L)) { case (m, els) =>
         when(col("lang") === m._1, lit(f(m))).otherwise(els) }
@@ -885,7 +897,6 @@ object TextAnalysis {
       .withColumn("dev", abs(col("n_chars") - col("med")))
       .withColumn("outlier",
         (col("dev") > lit(OutlierMadK) * col("mad")).cast("int"))
-      .orderBy("doc_id")
   }
 
   def trainValTestSplit(docs: DataFrame): DataFrame = {
