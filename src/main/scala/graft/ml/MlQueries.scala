@@ -1014,6 +1014,39 @@ object MlQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Language-ID confusion matrix ([[TextAnalysis.langConfusion]]):
+    * the same generated case-chain prediction as [[langId]], folded to
+    * (labeled, predicted) cells with the per-row share. */
+  private val langConfusion = Declared(
+    "ml_lang_confusion",
+    (s, d) => TextAnalysis.langConfusion(Tables(s, d, "documents")),
+    Some {
+      val scores = TextAnalysis.LangMarkers.map { case (l, m) =>
+        s"${sqlMarkerCount(m)} AS s_$l"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH pred AS (
+         |  SELECT doc_id, lang,
+         |    CASE $caseChain
+         |    ELSE '${langs.last}' END AS pred_lang
+         |  FROM (SELECT doc_id, lang,
+         |    $scores
+         |  FROM documents)),
+         |cells AS (
+         |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM pred GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n_docs,
+         |  CAST(n_docs AS DOUBLE) /
+         |    sum(n_docs) OVER (PARTITION BY lang) AS row_share
+         |FROM cells
+         |ORDER BY lang, pred_lang""".stripMargin
+    })
+
   /** Sequence-packing oracle: same prefix sum per lang, same power-of-two
     * integer division. */
   private val seqPack = Declared(
@@ -2775,7 +2808,7 @@ object MlQueries {
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, qualityGateStream,
     qualityClassifier, lmSurprisal,
-    langId, tokenCounts,
+    langId, langConfusion, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
     contam, piiRedact,
     shardAssign, mixRebalance, chunking,

@@ -172,6 +172,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — the evaluation side of [[langId]]
+    * (the [[graft.ml.Similarity.annRecall]] pattern: every classifier a
+    * pipeline trusts ships with its error structure, not just an
+    * accuracy scalar): per (labeled, predicted) cell, the doc count
+    * plus that cell's share of its labeled row — which language eats
+    * which is what a marker-lexicon tune-up is steered by. All
+    * integer-ratio doubles.
+    *
+    * Scale: one scan (the codegen'd scoring projection) + one
+    * map-side-combined aggregate over ≤ |langs|² cells. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val cells = langId(docs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("agree")).cast("long").as("n_agree"))
+    val wRow = Window.partitionBy("lang")
+    cells
+      .withColumn("row_share", col("n_docs").cast("double") /
+        sum(col("n_docs")).over(wRow))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        col("row_share"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Token counting: whitespace tokens vs a BPE-ish word-piece regex vs
     * chars vs UTF-8 bytes. */
   def tokenCounts(docs: DataFrame): DataFrame =
