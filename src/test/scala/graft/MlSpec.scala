@@ -1603,6 +1603,36 @@ class MlSpec extends AnyFunSuite {
       "full-probe IVF must recover the exact top-k")
   }
 
+  test("langConfusion: cells partition the corpus; shares sum to 1 per labeled row") {
+    val rows = TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._3).sum === docs.count(),
+      "cells must partition the corpus")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-12,
+        s"row shares for $lang must sum to 1")
+    }
+    // agreement cells must match the per-doc agree flags exactly
+    val agree = TextAnalysis.langId(docs).collect()
+      .count(_.getAs[Int]("agree") == 1).toLong
+    assert(rows.filter(r => r._1 == r._2).map(_._3).sum === agree)
+  }
+
+  test("outlierMad train/apply split: a model applied to a DIFFERENT corpus keeps its thresholds") {
+    // the streaming twin's contract: thresholds come from the TRAINED
+    // reference corpus, not from whatever slice arrives in a batch
+    val model = TextAnalysis.outlierMadModel(docs)
+    val slice = docs.filter(col("doc_id") % 7 === 0)
+    val applied = TextAnalysis.outlierMadApply(slice, model).collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4))).toMap
+    val byLang = model.map(m => m._1 -> (m._2, m._3)).toMap
+    applied.foreach { case (lang, mm) =>
+      assert(mm === byLang(lang),
+        s"$lang thresholds must be the trained model's, not the slice's")
+    }
+  }
+
   test("fpsSelect: equals a naive farthest-first replay; covers better than prefix picks") {
     val got = Similarity.fpsSelect(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
