@@ -51,7 +51,7 @@ while IFS='|' read -r name re; do
 done <<'PATTERNS'
 internal-import|import\s+(com\.anthropi[c]|ant\.|anthropi[c])
 internal-url|https?://[a-z0-9.-]*\.(anthropi[c]\.com|corp\.[a-z]+\.interna[l])|go/[a-z-]+[^a-z]
-internal-pkg2|claude-cli-interna[l]|@anthropic-a[i]/
+internal-pkg2|claude-cli-inter[n]al|@anthropi[c]-ai/
 internal-bucket|s3://(anthropi[c]|ant[-]|claud[e])|gs://(anthropi[c]|ant[-]|claud[e])
 slack-link|slack\.com/archive[s]|#claude-cod[e]
 api-key|sk-an[t]-|AKIA[A-Z0-9]{16}|api[_-]key\s*[:=]\s*['"][A-Za-z0-9]{20}
