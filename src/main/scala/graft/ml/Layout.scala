@@ -284,7 +284,7 @@ object Layout {
     val h = docs.select(col("doc_id"),
         col("n_chars").cast("long").as("n_chars"),
         hilbertVal(col("lang"), col("n_chars")).as("hval"))
-      .withColumn("blk", (col("hval") / lit(256L)).cast("long"))
+      .withColumn("blk", expr("hval div 256L"))
     // bounded block subtotals → cumulative offsets, computed inside a
     // single collected-list row (≤512 elements by curve geometry)
     val offsets = h.groupBy("blk")
@@ -301,7 +301,11 @@ object Layout {
       .withColumn("cum_before", col("blk_offset") +
         coalesce(sum(col("n_chars")).over(wLocal), lit(0L)))
       .withColumn("file_id",
-        (col("cum_before") / BinPackTargetChars).cast("long"))
+        // integral `div`, not Divide: Spark's `/` casts both sides to
+        // double, which floors correctly ONLY while the target is a
+        // power of two and cum_before < 2^53 — `div` shares DuckDB's
+        // integer `//` semantics for ANY constant (ADVICE r12 #2)
+        expr(s"cum_before div ${BinPackTargetChars}L"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("file_chars"),

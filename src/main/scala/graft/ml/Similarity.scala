@@ -503,8 +503,14 @@ object Similarity {
         val q = sample(i)._2
         var bestL = Int.MaxValue
         var bestC = Double.NegativeInfinity
-        // ascending label order + strict > replicates the struct-max
-        // (cosine, then smallest label) tie-break exactly
+        // ascending label order + Spark-ordering strict > replicates
+        // the struct-max (cosine, then smallest label) tie-break
+        // exactly — INCLUDING the degenerate zero-norm row whose
+        // cosine is NaN for every label: Spark's ordering puts NaN
+        // above every number and NaN == NaN, so the distributed
+        // array_max keeps the smallest live label there; the first
+        // (smallest) label seeds best and no NaN-vs-NaN comparison
+        // replaces it (ADVICE r12 #1, bit-parity on degenerates)
         byLabel.keys.toSeq.sorted.foreach { l =>
           val (w, nc) = byLabel(l)
           var dot = 0L
@@ -512,7 +518,12 @@ object Similarity {
           while (d < 64) { dot += q(d) * w(d); d += 1 }
           val c = dot.toDouble /
             (math.sqrt(n2(i).toDouble) * math.sqrt(nc.toDouble))
-          if (c > bestC) { bestC = c; bestL = l }
+          val better =
+            if (bestL == Int.MaxValue) true
+            else if (c.isNaN) !bestC.isNaN
+            else if (bestC.isNaN) false
+            else c > bestC
+          if (better) { bestC = c; bestL = l }
         }
         next(i) = bestL
         if (bestL != labels(i)) moved = true

@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{array, col, explode, filter, struct}
 
 /** SQL-text entry point (SURVEY.md §2.1 S10): fixtures are declared via
   * Spark SQL DDL (`CREATE TEMPORARY VIEW ... USING parquet` — the
@@ -171,36 +172,71 @@ object SqlQueries {
       |           ORDER BY o_orderdate, o_orderkey) AS INT) AS seq
       |FROM orders""".stripMargin
 
-  /** [[recursiveChainSql]] with the non-recursive CTE replaced by a
-    * reference to the pre-materialized `nxt_mat` view. */
-  private val recursiveOverMatSql =
-    """WITH RECURSIVE chain AS (
-      |  SELECT o_custkey, o_orderkey, next_key, seq, 1 AS hop
-      |  FROM nxt_mat WHERE seq = 1
+  /** The 2-hop successor edge over the materialized `nxt_mat`: one row
+    * per order `o1`, carrying its successor `o2` (LEFT join — a chain
+    * tail keeps its unpaired last order) and `o2`'s own successor as
+    * the next frontier key. Built once; halves the recursion depth. */
+  private val nxt2Sql =
+    """SELECT a.o_custkey, a.o_orderkey AS o1, a.seq AS o1_seq,
+      |       b.o_orderkey AS o2, b.next_key AS o2_next, b.seq AS o2_seq
+      |FROM nxt_mat a LEFT JOIN nxt_mat b ON b.o_orderkey = a.next_key""".stripMargin
+
+  /** [[recursiveChainSql]] rewritten over the 2-hop edge: each level
+    * advances TWO hops (frontier-doubling), so the ~24 sequential
+    * dependent jobs become ~12. Hop arithmetic stays exact: a pair row
+    * at `hop1` (always odd) covers hops `hop1` and `hop1 + 1`;
+    * `hop1 < 99` reproduces the original `hop < 100` cap precisely
+    * (max emitted hop is 100 in both). The per-hop rows are exploded
+    * from the pairs OUTSIDE the loop — a single pass, no second
+    * reference to the recursive relation (which Catalyst would replay). */
+  private val recursivePairsSql =
+    """WITH RECURSIVE chain2 AS (
+      |  SELECT o_custkey, o1, o1_seq, o2, o2_next, o2_seq, 1 AS hop1
+      |  FROM nxt2_mat WHERE o1_seq = 1
       |  UNION ALL
-      |  SELECT n.o_custkey, n.o_orderkey, n.next_key, n.seq, c.hop + 1
-      |  FROM chain c JOIN nxt_mat n ON n.o_orderkey = c.next_key
-      |  WHERE c.hop < 100)
-      |SELECT o_custkey, o_orderkey, hop, seq
-      |FROM chain ORDER BY o_custkey, hop""".stripMargin
+      |  SELECT n.o_custkey, n.o1, n.o1_seq, n.o2, n.o2_next, n.o2_seq,
+      |         c.hop1 + 2
+      |  FROM chain2 c JOIN nxt2_mat n ON n.o1 = c.o2_next
+      |  WHERE c.hop1 < 99)
+      |SELECT o_custkey, o1, o1_seq, o2, o2_seq, hop1 FROM chain2""".stripMargin
 
   /** Engine-side execution strategy for the recursive chain: Catalyst
     * inlines non-recursive CTEs into every `UnionLoop` step, so running
     * [[recursiveChainSql]] verbatim recomputes the successor-edge WINDOW
-    * over the whole orders table at each of the ~24 recursion levels —
-    * ~0.3 s × depth of pure recomputation at sf0.1. Materializing `nxt`
-    * once (localCheckpoint → temp view) makes each level a keyed join
-    * against the cached edge table, which is how a recursive query
-    * should execute at 100 TB: the edge relation is built once and the
-    * iteration touches only live chain frontiers. The ORACLE stays the
-    * original single-statement text (DuckDB materializes the CTE itself),
-    * so the correctness check is unchanged and maximally strict. */
+    * over the whole orders table at each recursion level. Two fixes
+    * compose here: (1) `nxt` is materialized once (localCheckpoint →
+    * temp view), so a level touches only live chain frontiers; (2) the
+    * loop advances over the 2-hop edge [[nxt2Sql]] (frontier doubling),
+    * halving the ~24 sequential dependent jobs whose fixed scheduler
+    * latency — not data volume — dominates this query's cost (VERDICT
+    * r12 next #5: it was the slowest declared query and the most
+    * contention-amplifying). That is how a recursive query should run
+    * at 100 TB: edge relation built once, per-level work proportional
+    * to the frontier, and the level COUNT itself engineered down. The
+    * ORACLE stays the original single-statement text (DuckDB
+    * materializes the CTE itself), so the correctness check is
+    * unchanged and maximally strict; RelationalSpec additionally pins
+    * the doubled execution equal to the verbatim text through Spark. */
   private val recursiveChain = Declared(
     "sql_recursive_chain",
     (s, d) => {
       registerViews(s, d)
       s.sql(nxtSql).localCheckpoint().createOrReplaceTempView("nxt_mat")
-      s.sql(recursiveOverMatSql)
+      s.sql(nxt2Sql).localCheckpoint().createOrReplaceTempView("nxt2_mat")
+      val pairs = s.sql(recursivePairsSql)
+      // split each pair into its one or two per-hop rows: struct k/h/s
+      // = (orderkey, hop, seq); the filter drops the missing second
+      // half of an odd-length chain's last pair
+      pairs.select(col("o_custkey"),
+          explode(filter(array(
+            struct(col("o1").as("k"), col("hop1").as("h"),
+              col("o1_seq").as("s")),
+            struct(col("o2").as("k"), (col("hop1") + 1).as("h"),
+              col("o2_seq").as("s"))),
+            x => x.getField("k").isNotNull)).as("e"))
+        .select(col("o_custkey"), col("e.k").as("o_orderkey"),
+          col("e.h").as("hop"), col("e.s").as("seq"))
+        .orderBy("o_custkey", "hop")
     },
     Some(recursiveChainSql))
 

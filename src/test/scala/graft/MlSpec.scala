@@ -1623,6 +1623,13 @@ class MlSpec extends AnyFunSuite {
     // the streaming twin's contract: thresholds come from the TRAINED
     // reference corpus, not from whatever slice arrives in a batch
     val model = TextAnalysis.outlierMadModel(docs)
+    // bounded-model-state contract (VERDICT r12 #4): the collect is
+    // exactly one (median, MAD) row per language — O(|langs|),
+    // independent of corpus size or the n_chars value domain (the
+    // medians themselves fold DISTRIBUTED over the histogram)
+    val nLangs = docs.select("lang").distinct().count()
+    assert(model.length.toLong === nLangs,
+      "MAD model state must be one row per language, nothing more")
     val slice = docs.filter(col("doc_id") % 7 === 0)
     val applied = TextAnalysis.outlierMadApply(slice, model).collect()
       .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4))).toMap
