@@ -77,6 +77,9 @@ object MlQueries {
   private val pqCbPq = s"$FixtureDir/pq_codebook.parquet"
   private val ivfadcCentPq = s"$FixtureDir/ivfadc_centroids.parquet"
   private val ivfadcCbPq = s"$FixtureDir/ivfadc_codebook.parquet"
+  private val ivfadcIdxCentPq = s"$FixtureDir/ivfadc_idx_centroids.parquet"
+  private val ivfadcIdxCbPq = s"$FixtureDir/ivfadc_idx_codebook.parquet"
+  private val ivfadcIdxPq = s"$FixtureDir/ivfadc_index.parquet"
   private val ivfLabelsPq = s"$FixtureDir/ivf_trained_labels.parquet"
 
   private def cosSql(d: String, na: String, nb: String): String =
@@ -640,11 +643,17 @@ object MlQueries {
     "ml_ivfadc",
     (s, d) => Similarity.ivfAdcTopK(Tables(s, d, "embeddings"),
       ivfadcCentPq, ivfadcCbPq),
-    Some(s"""WITH $qeCte,
+    Some(ivfAdcOracleSql(ivfadcCentPq, ivfadcCbPq)))
+
+  /** The IVFADC oracle, parameterized by the model-dump paths so the
+    * in-memory and index-served rows each read back their OWN dumped
+    * state (identical algebra; the index is a pure layout change). */
+  private def ivfAdcOracleSql(centPath: String, cbPath: String): String =
+    s"""WITH $qeCte,
             |cent AS (SELECT label, centroid
-            |         FROM read_parquet('$ivfadcCentPq/*.parquet')),
+            |         FROM read_parquet('$centPath/*.parquet')),
             |cb AS (SELECT m, code, centroid
-            |       FROM read_parquet('$ivfadcCbPq/*.parquet')),
+            |       FROM read_parquet('$cbPath/*.parquet')),
             |re AS (
             |  SELECT qe.vec_id, qe.label, qe.i,
             |         qe.q - cent.centroid[qe.i] AS r
@@ -711,7 +720,21 @@ object MlQueries {
             |  CAST(row_number() OVER (PARTITION BY query_id
             |    ORDER BY exact_d2, vec_id) AS BIGINT) AS rank,
             |  vec_id, adc, exact_d2
-            |FROM ex ORDER BY query_id, rank""".stripMargin))
+            |FROM ex ORDER BY query_id, rank""".stripMargin
+
+  /** L91 — IVFADC served through the materialized cell-partitioned
+    * index: same model, same search algebra, but the encoded corpus is
+    * WRITTEN `partitionBy(cell)` and the probed search reads it back
+    * through partition pruning (files-read == probed cells, pinned in
+    * PlanSpec). The oracle is the full in-memory derivation over this
+    * row's own model dumps — result equality IS the proof the layout
+    * is a pure optimization; MlSpec additionally pins row-for-row
+    * equality with `ml_ivfadc`. */
+  private val ivfAdcIndexed = Declared(
+    "ml_ivfadc_indexed",
+    (s, d) => Similarity.ivfAdcTopKIndexed(Tables(s, d, "embeddings"),
+      ivfadcIdxCentPq, ivfadcIdxCbPq, ivfadcIdxPq),
+    Some(ivfAdcOracleSql(ivfadcIdxCentPq, ivfadcIdxCbPq)))
 
   private val randProj = Declared(
     "ml_rand_proj",
@@ -2803,6 +2826,7 @@ object MlQueries {
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
+    ivfAdcIndexed,
     mmr, fps, annRecallQ,
     randProj, kmeansStep,
     embedNearDup, semDedup,

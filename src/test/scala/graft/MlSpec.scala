@@ -1779,4 +1779,28 @@ class MlSpec extends AnyFunSuite {
       assert(r.getString(4) === md, s"pool_md5 $docId")
     }
   }
+
+  test("ivfadc indexed serving == in-memory search; one file per cell partition") {
+    // the cell-partitioned layout is a pure optimization: the search
+    // through the written index returns row-for-row what the in-memory
+    // path returns (same model training is deterministic, so the two
+    // runs' dumped state is identical)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc-idx").toString
+    val mem = Similarity.ivfAdcTopK(emb, s"$dir/c1", s"$dir/b1").collect()
+    val idx = Similarity.ivfAdcTopKIndexed(
+      emb, s"$dir/c2", s"$dir/b2", s"$dir/idx").collect()
+    assert(idx.map(_.toString).toSeq === mem.map(_.toString).toSeq,
+      "index-served IVFADC must equal the in-memory search")
+    // layout contract behind the PlanSpec pruning pin: the pre-write
+    // repartition(cell) leaves exactly ONE parquet file per cell dir,
+    // so files-read == cells-probed
+    val cellDirs = new java.io.File(s"$dir/idx").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length > Similarity.IvfAdcProbe,
+      "fixture must have more cells than one query's probe width")
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: one file per cell")
+    }
+  }
 }
