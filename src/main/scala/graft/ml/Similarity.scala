@@ -106,46 +106,65 @@ object Similarity {
     * [[MmrK]] picks in selection order; round 1 has div 0 by
     * definition (nothing selected yet).
     *
-    * Scale: each of the k bounded rounds is ONE corpus scan — the
-    * selected set rides along as ≤ k literal vectors (the
-    * [[reassign]] centroid-literal pattern) inside a codegen'd
-    * fused-dot projection, and the argmax is a top-1 reduce (no
-    * global sort, no shuffle beyond it). The selected rows themselves
-    * are k-bounded driver model state, like the PQ codebooks. */
-  def mmrSelect(emb: DataFrame, k: Int = MmrK): DataFrame = {
+    * Scale (r13, VERDICT r12 next #6 — the faiss-style search-then-
+    * rerank refinement): ONE corpus scan computes every candidate's
+    * relevance dot and keeps the top-[[SelPoolN]] pool (bounded,
+    * broadcast-sized model state — the codegen'd fused-dot projection
+    * plus a top-N reduce, no global sort); the greedy loop then runs
+    * over the pool with the SAME integer arithmetic and tie-breaks —
+    * k corpus scans become 1 + k bounded steps. MlSpec pins that a
+    * pool strictly smaller than the fixture corpus still reproduces
+    * the full-corpus selection (the pool ⊇ picks containment). */
+  def mmrSelect(emb: DataFrame, k: Int = MmrK,
+      poolN: Int = SelPoolN): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val qd = quantized(emb).select(col("vec_id"), col("q"))
-      .localCheckpoint()
     val q0row = qd.orderBy("vec_id").limit(1).collect()(0)
     val q0id = q0row.getLong(0)
-    val q0: Seq[Long] = q0row.getSeq[Long](1)
+    val q0 = q0row.getSeq[Long](1).toArray
+    val pool = qd.filter(col("vec_id") =!= q0id)
+      .select(col("vec_id"), col("q"),
+        dotQ(col("q"), typedlit(q0.toSeq)).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(poolN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
     var sel = Vector.empty[(Long, Long, Long, Long, Long)]
-    var selVecs = Vector.empty[Seq[Long]]
+    var selVecs = Vector.empty[Array[Long]]
+    var picked = Set.empty[Long]
     for (r <- 1 to k) {
-      val divCol = selVecs match {
-        case Vector() => lit(0L)
-        case Vector(one) => dotQ(col("q"), typedlit(one))
-        case vs => greatest(vs.map(v => dotQ(col("q"), typedlit(v))): _*)
+      // argmax by (score, then smallest vec_id) — the exact tie-break
+      // the full-corpus scan used; all-Long arithmetic, engine-exact
+      var best: (Long, Array[Long], Long, Long, Long) = null
+      pool.foreach { case (id, qv, rel) =>
+        if (!picked(id)) {
+          val div =
+            if (selVecs.isEmpty) 0L else selVecs.map(selDot(_, qv)).max
+          val score = MmrLambdaNum * rel - (10L - MmrLambdaNum) * div
+          if (best == null || score > best._5 ||
+            (score == best._5 && id < best._1))
+            best = (id, qv, rel, div, score)
+        }
       }
-      val base = qd.filter(col("vec_id") =!= q0id)
-      val cands =
-        if (sel.isEmpty) base
-        else base.filter(!col("vec_id").isin(sel.map(_._2): _*))
-      val top = cands
-        .select(col("vec_id"), col("q"),
-          dotQ(col("q"), typedlit(q0)).as("rel"), divCol.as("div"))
-        .withColumn("score",
-          lit(MmrLambdaNum) * col("rel") -
-            lit(10L - MmrLambdaNum) * col("div"))
-        .orderBy(col("score").desc, col("vec_id")).limit(1)
-        .collect()(0)
-      sel = sel :+ ((r.toLong, top.getLong(0), top.getLong(2),
-        top.getLong(3), top.getLong(4)))
-      selVecs = selVecs :+ top.getSeq[Long](1)
+      sel = sel :+ ((r.toLong, best._1, best._3, best._4, best._5))
+      selVecs = selVecs :+ best._2
+      picked += best._1
     }
     sel.toDF("rank", "vec_id", "rel_dot", "div_dot", "score")
       .orderBy("rank")
+  }
+
+  /** Candidate-pool width for [[mmrSelect]]/[[fpsSelect]]: one scan
+    * reduces the corpus to this many candidates (broadcast-sized), the
+    * greedy loop runs over the pool. Sized far above k so the picks'
+    * pool-containment holds with a wide margin at any tested scale. */
+  val SelPoolN = 10000
+
+  private def selDot(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /** [[fpsSelect]] size (shared with [[MmrK]]'s scale). */
@@ -162,29 +181,53 @@ object Similarity {
     * rank 1 with the sentinel dot Long.MinValue (nothing selected
     * before it).
     *
-    * Scale: identical shape to [[mmrSelect]] — k bounded rounds, each
-    * ONE corpus scan with ≤ k literal vectors in a codegen'd fused-dot
-    * projection plus a top-1 reduce; selected rows are k-bounded
-    * driver model state. */
-  def fpsSelect(emb: DataFrame, k: Int = FpsK): DataFrame = {
+    * Scale (r13, the [[mmrSelect]] pool refinement): ONE corpus scan
+    * ranks candidates by seed-similarity ASCENDING and keeps the
+    * top-[[SelPoolN]] pool; the greedy loop runs over the pool with
+    * the same integer argmin and tie-breaks — k corpus scans become
+    * 1 + k bounded steps. Honest bound: unlike MMR (whose picks
+    * concentrate in the relevance head), FPS picks SPREAD by design —
+    * on the fixture the pick-containing seed-distance prefix is ~60%
+    * of the corpus (MlSpec measures it and pins that pooled == full at
+    * exactly that width). So below [[SelPoolN]] the pooled run is
+    * exact; beyond it, it is farthest-first over a deterministic
+    * coreset — the standard practice for FPS at scale, where the
+    * k-center guarantee degrades only by the pool's covering radius
+    * (Gonzalez '85 composes with any candidate subset). */
+  def fpsSelect(emb: DataFrame, k: Int = FpsK,
+      poolN: Int = SelPoolN): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val qd = quantized(emb).select(col("vec_id"), col("q"))
-      .localCheckpoint()
     val seed = qd.orderBy("vec_id").limit(1).collect()(0)
-    var sel = Vector((1L, seed.getLong(0), Long.MinValue))
-    var selVecs = Vector(seed.getSeq[Long](1))
+    val seedId = seed.getLong(0)
+    val seedQ = seed.getSeq[Long](1).toArray
+    val pool = qd.filter(col("vec_id") =!= seedId)
+      .select(col("vec_id"), col("q"),
+        dotQ(col("q"), typedlit(seedQ.toSeq)).as("sd"))
+      .orderBy(col("sd").asc, col("vec_id")).limit(poolN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var sel = Vector((1L, seedId, Long.MinValue))
+    var selVecs = Vector(seedQ)
+    var picked = Set(seedId)
     for (r <- 2 to k) {
-      val nearCol = selVecs match {
-        case Vector(one) => dotQ(col("q"), typedlit(one))
-        case vs => greatest(vs.map(v => dotQ(col("q"), typedlit(v))): _*)
+      // argmin of (max selected dot), ties to the smallest vec_id —
+      // exactly the full-corpus scan's ordering
+      var bid = -1L
+      var bq: Array[Long] = null
+      var bnear = 0L
+      pool.foreach { case (id, qv) =>
+        if (!picked(id)) {
+          val near = selVecs.map(selDot(_, qv)).max
+          if (bid < 0 || near < bnear || (near == bnear && id < bid)) {
+            bid = id; bq = qv; bnear = near
+          }
+        }
       }
-      val top = qd.filter(!col("vec_id").isin(sel.map(_._2): _*))
-        .select(col("vec_id"), col("q"), nearCol.as("near"))
-        .orderBy(col("near").asc, col("vec_id")).limit(1)
-        .collect()(0)
-      sel = sel :+ ((r.toLong, top.getLong(0), top.getLong(2)))
-      selVecs = selVecs :+ top.getSeq[Long](1)
+      sel = sel :+ ((r.toLong, bid, bnear))
+      selVecs = selVecs :+ bq
+      picked += bid
     }
     sel.toDF("rank", "vec_id", "max_sel_dot").orderBy("rank")
   }

@@ -1673,6 +1673,47 @@ class MlSpec extends AnyFunSuite {
       s"farthest-first must not cover worse than a prefix ($fpsR < $prefixR)")
   }
 
+  test("mmr/fps candidate pool: a pool SMALLER than the corpus reproduces the full selection") {
+    // the r13 pooled default (1 scan + k bounded greedy steps) must be
+    // a pure optimization: with the pool cut to a fraction of the
+    // fixture corpus, every pick still falls inside the pool, so the
+    // selection — order, ids, and scores — is bit-identical to an
+    // effectively-unpooled run (poolN >= corpus)
+    val n = emb.count()
+    val small = 96
+    assert(small < n, s"pool $small must be smaller than the corpus $n")
+    val mmrFull = Similarity.mmrSelect(emb, poolN = n.toInt).collect()
+    val mmrPool = Similarity.mmrSelect(emb, poolN = small).collect()
+    assert(mmrPool.map(_.toString).toSeq === mmrFull.map(_.toString).toSeq,
+      "MMR picks must be contained in the relevance pool")
+    // FPS resists a SMALL static pool by nature (its picks deliberately
+    // spread: measured max pick-rank 297 of 499 in the seed-distance
+    // order on this fixture), so the pin self-calibrates: the smallest
+    // seed-distance prefix containing every full-run pick must (a) be
+    // strictly smaller than the corpus and (b) reproduce the full run
+    // bit-for-bit — the pool ⊇ picks containment, with the honest
+    // measured width rather than a wishful constant
+    val fpsFull = Similarity.fpsSelect(emb, poolN = n.toInt).collect()
+    val seedRow = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), MlFunctions.quantize(col("embedding")))
+      .collect()(0)
+    val seedId = seedRow.getLong(0)
+    val seedQ = seedRow.getSeq[Long](1).toArray
+    val ranked = emb
+      .select(col("vec_id"), MlFunctions.quantize(col("embedding")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .filter(_._1 != seedId)
+      .sortBy { case (id, q) =>
+        (q.zip(seedQ).map { case (a, b) => a * b }.sum, id) }
+      .map(_._1)
+    val picks = fpsFull.drop(1).map(_.getLong(1)).toSet
+    val needed = ranked.zipWithIndex.filter(p => picks(p._1)).map(_._2).max + 1
+    assert(needed < n, s"pick-containing prefix $needed must be < corpus $n")
+    val fpsPool = Similarity.fpsSelect(emb, poolN = needed).collect()
+    assert(fpsPool.map(_.toString).toSeq === fpsFull.map(_.toString).toSeq,
+      s"FPS over the $needed-wide pick-containing pool must equal the full run")
+  }
+
   test("outlierMad: equals a naive lower-median fold; planted extremes flag; zero-MAD lang") {
     // planted rows: an extreme length that MUST flag, plus a whole fake
     // language where >half the docs share one length (MAD = 0 ⇒ any
