@@ -80,6 +80,9 @@ object MlQueries {
   private val ivfadcIdxCentPq = s"$FixtureDir/ivfadc_idx_centroids.parquet"
   private val ivfadcIdxCbPq = s"$FixtureDir/ivfadc_idx_codebook.parquet"
   private val ivfadcIdxPq = s"$FixtureDir/ivfadc_index.parquet"
+  private val recallPqCbPq = s"$FixtureDir/recall_pq_codebook.parquet"
+  private val recallAdcCentPq = s"$FixtureDir/recall_adc_centroids.parquet"
+  private val recallAdcCbPq = s"$FixtureDir/recall_adc_codebook.parquet"
   private val ivfLabelsPq = s"$FixtureDir/ivf_trained_labels.parquet"
 
   private def cosSql(d: String, na: String, nb: String): String =
@@ -2424,6 +2427,257 @@ object MlQueries {
             |LEFT JOIN hits h USING (query_id)
             |ORDER BY q.query_id""".stripMargin))
 
+  /** L92 — the L89 recall tripwire extended across the WHOLE index
+    * family ([[Similarity.annRecallMulti]], VERDICT r12 next #7): one
+    * row reports recall@k per (index, query) for IVF, SRP-LSH, PQ-ADC,
+    * and IVFADC, each against its metric-exact baseline (cosine top-k
+    * for the cosine family, L2 top-k for the ADC family — self
+    * included there, as in the ADC candidate spaces). The oracle
+    * re-derives ALL FOUR searches and both exact baselines end-to-end
+    * — probing, bucketing, encoding, ADC LUTs — from the row's own
+    * model dumps, then re-counts every overlap; recall is
+    * rerank-invariant (the ADC rerank reorders, never changes, the
+    * returned set), so the ADC chains stop at the candidate set. `qe`
+    * is MATERIALIZED: DuckDB would otherwise inline the 64-wide unnest
+    * into each of its ~12 references. */
+  private val annRecallMultiQ = Declared(
+    "ml_ann_recall_multi",
+    (s, d) => Similarity.annRecallMulti(Tables(s, d, "embeddings"),
+      recallPqCbPq, recallAdcCentPq, recallAdcCbPq),
+    Some(s"""WITH ${qeCte.replace("qe AS (", "qe AS MATERIALIZED (")},
+            |${nrmCte.replace("nrm AS (", "nrm AS MATERIALIZED (")},
+            |bdots AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |         sum(a.q * b.q) AS d
+            |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id <> b.vec_id
+            |  WHERE a.vec_id % $QueryStride = 0
+            |  GROUP BY a.vec_id, b.vec_id),
+            |btop AS MATERIALIZED (
+            |  SELECT query_id, neighbor_id FROM (
+            |    SELECT d.query_id, d.neighbor_id,
+            |      row_number() OVER (PARTITION BY d.query_id
+            |        ORDER BY ${cosSql("d.d", "na.n2", "nb.n2")} DESC,
+            |                 d.neighbor_id) AS rn
+            |    FROM bdots d
+            |    JOIN nrm na ON na.vec_id = d.query_id
+            |    JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+            |  WHERE rn <= ${Similarity.TopK}),
+            |cent AS (SELECT label, i, sum(q) AS cs FROM qe GROUP BY label, i),
+            |qv AS (SELECT vec_id AS query_id, i, q FROM qe
+            |       WHERE vec_id % $QueryStride = 0),
+            |cell AS (
+            |  SELECT qv.query_id, c.label,
+            |         ${cosSql("sum(qv.q * c.cs)", "sum(qv.q * qv.q)",
+                             "sum(c.cs * c.cs)")} AS cell_cos
+            |  FROM qv JOIN cent c ON qv.i = c.i
+            |  GROUP BY qv.query_id, c.label),
+            |probe AS (
+            |  SELECT query_id, label FROM (
+            |    SELECT query_id, label,
+            |           row_number() OVER (PARTITION BY query_id
+            |                              ORDER BY cell_cos DESC, label) AS r
+            |    FROM cell)
+            |  WHERE r <= $NProbe),
+            |idots AS (
+            |  SELECT p.query_id, e.vec_id AS neighbor_id,
+            |         sum(qv.q * e.q) AS d
+            |  FROM probe p
+            |  JOIN qe e ON e.label = p.label AND e.vec_id <> p.query_id
+            |  JOIN qv ON qv.query_id = p.query_id AND qv.i = e.i
+            |  GROUP BY p.query_id, e.vec_id),
+            |itop AS (
+            |  SELECT query_id, neighbor_id FROM (
+            |    SELECT d.query_id, d.neighbor_id,
+            |      row_number() OVER (PARTITION BY d.query_id
+            |        ORDER BY ${cosSql("d.d", "na.n2", "nb.n2")} DESC,
+            |                 d.neighbor_id) AS rn
+            |    FROM idots d
+            |    JOIN nrm na ON na.vec_id = d.query_id
+            |    JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+            |  WHERE rn <= ${Similarity.TopK}),
+            |hp AS (
+            |  SELECT t.t, h.h, i.i,
+            |         ${sqlHash60(s"'srp:' || t.t || ':' || h.h || ':' || i.i")}
+            |           % 2001 - 1000 AS r
+            |  FROM range(0, ${Similarity.SrpTables}) t(t),
+            |       range(0, ${Similarity.SrpBits}) h(h),
+            |       range(1, 65) i(i)),
+            |bits AS (
+            |  SELECT e.vec_id, p.t, p.h,
+            |         CASE WHEN sum(e.q * p.r) >= 0 THEN 1 ELSE 0 END AS b
+            |  FROM qe e JOIN hp p ON e.i = p.i
+            |  GROUP BY e.vec_id, p.t, p.h),
+            |buck AS (
+            |  SELECT vec_id, t, CAST(sum(b * (1 << h)) AS BIGINT) AS bk
+            |  FROM bits GROUP BY vec_id, t),
+            |flips AS (
+            |  SELECT CAST(0 AS BIGINT) AS fl
+            |  UNION ALL
+            |  SELECT CAST(1 << h AS BIGINT) FROM range(0, ${Similarity.SrpBits}) h(h)),
+            |probes AS (
+            |  SELECT b.vec_id AS query_id, b.t, xor(b.bk, f.fl) AS bk
+            |  FROM buck b, flips f WHERE b.vec_id % $QueryStride = 0),
+            |lcand AS (
+            |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+            |  FROM probes p
+            |  JOIN buck c ON c.t = p.t AND c.bk = p.bk
+            |             AND c.vec_id <> p.query_id),
+            |ldots AS (
+            |  SELECT cd.query_id, cd.neighbor_id, sum(qv2.q * e.q) AS d
+            |  FROM lcand cd
+            |  JOIN qe e ON e.vec_id = cd.neighbor_id
+            |  JOIN qe qv2 ON qv2.vec_id = cd.query_id AND qv2.i = e.i
+            |  GROUP BY cd.query_id, cd.neighbor_id),
+            |ltop AS (
+            |  SELECT query_id, neighbor_id FROM (
+            |    SELECT d.query_id, d.neighbor_id,
+            |      row_number() OVER (PARTITION BY d.query_id
+            |        ORDER BY ${cosSql("d.d", "na.n2", "nb.n2")} DESC,
+            |                 d.neighbor_id) AS rn
+            |    FROM ldots d
+            |    JOIN nrm na ON na.vec_id = d.query_id
+            |    JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+            |  WHERE rn <= ${Similarity.TopK}),
+            |pcb AS (SELECT m, code, centroid
+            |        FROM read_parquet('$recallPqCbPq/*.parquet')),
+            |pdist AS MATERIALIZED (
+            |  SELECT qe.vec_id, pcb.m, pcb.code,
+            |    CAST(sum(
+            |      (qe.q - pcb.centroid[(qe.i - 1) % ${Similarity.PqDims} + 1])
+            |      * (qe.q - pcb.centroid[(qe.i - 1) % ${Similarity.PqDims} + 1]))
+            |      AS BIGINT) AS d2
+            |  FROM qe JOIN pcb ON (qe.i - 1) // ${Similarity.PqDims} = pcb.m
+            |  GROUP BY qe.vec_id, pcb.m, pcb.code),
+            |penc AS (SELECT vec_id, m,
+            |           CAST(min(d2 * ${Similarity.PqK} + code)
+            |                % ${Similarity.PqK} AS INT) AS code
+            |         FROM pdist GROUP BY vec_id, m),
+            |padc AS (
+            |  SELECT q.vec_id AS query_id, e.vec_id,
+            |         CAST(sum(q.d2) AS BIGINT) AS adc
+            |  FROM pdist q JOIN penc e ON q.m = e.m AND q.code = e.code
+            |  WHERE q.vec_id % $QueryStride = 0
+            |  GROUP BY 1, 2),
+            |ptop AS (
+            |  SELECT query_id, vec_id FROM (
+            |    SELECT query_id, vec_id, row_number() OVER (
+            |      PARTITION BY query_id ORDER BY adc, vec_id) AS crank
+            |    FROM padc)
+            |  WHERE crank <= ${Similarity.PqTopK}),
+            |acent AS (SELECT label, centroid
+            |          FROM read_parquet('$recallAdcCentPq/*.parquet')),
+            |acb AS (SELECT m, code, centroid
+            |        FROM read_parquet('$recallAdcCbPq/*.parquet')),
+            |are AS (
+            |  SELECT qe.vec_id, qe.label, qe.i,
+            |         qe.q - acent.centroid[qe.i] AS r
+            |  FROM qe JOIN acent ON qe.label = acent.label),
+            |adist AS MATERIALIZED (
+            |  SELECT are.vec_id, acb.m, acb.code,
+            |    CAST(sum(
+            |      (are.r - acb.centroid[(are.i - 1) % ${Similarity.PqDims} + 1])
+            |      * (are.r - acb.centroid[(are.i - 1) % ${Similarity.PqDims} + 1]))
+            |      AS BIGINT) AS d2
+            |  FROM are JOIN acb ON (are.i - 1) // ${Similarity.PqDims} = acb.m
+            |  GROUP BY 1, 2, 3),
+            |aenc AS (SELECT vec_id, m,
+            |           CAST(min(d2 * ${Similarity.PqK} + code)
+            |                % ${Similarity.PqK} AS INT) AS code
+            |         FROM adist GROUP BY 1, 2),
+            |acq AS (
+            |  SELECT qe.vec_id AS query_id, acent.label AS cell,
+            |    CAST(sum((qe.q - acent.centroid[qe.i])
+            |             * (qe.q - acent.centroid[qe.i])) AS BIGINT) AS cd2
+            |  FROM qe CROSS JOIN acent
+            |  WHERE qe.vec_id % $QueryStride = 0
+            |  GROUP BY 1, 2),
+            |aprobe AS (
+            |  SELECT query_id, cell FROM (
+            |    SELECT query_id, cell, row_number() OVER (
+            |      PARTITION BY query_id ORDER BY cd2, cell) AS pr
+            |    FROM acq)
+            |  WHERE pr <= ${Similarity.IvfAdcProbe}),
+            |aqlut AS (
+            |  SELECT p.query_id, p.cell, acb.m, acb.code,
+            |    CAST(sum(
+            |      ((qe.q - acent.centroid[qe.i])
+            |       - acb.centroid[(qe.i - 1) % ${Similarity.PqDims} + 1])
+            |      * ((qe.q - acent.centroid[qe.i])
+            |         - acb.centroid[(qe.i - 1) % ${Similarity.PqDims} + 1]))
+            |      AS BIGINT) AS d2
+            |  FROM aprobe p
+            |  JOIN qe ON qe.vec_id = p.query_id
+            |  JOIN acent ON acent.label = p.cell
+            |  JOIN acb ON (qe.i - 1) // ${Similarity.PqDims} = acb.m
+            |  GROUP BY 1, 2, 3, 4),
+            |alv AS (SELECT DISTINCT vec_id, label FROM qe),
+            |aadc AS (
+            |  SELECT q.query_id, alv.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc
+            |  FROM aqlut q
+            |  JOIN alv ON alv.label = q.cell
+            |  JOIN aenc e ON e.vec_id = alv.vec_id
+            |    AND e.m = q.m AND e.code = q.code
+            |  GROUP BY 1, 2),
+            |atop AS (
+            |  SELECT query_id, vec_id FROM (
+            |    SELECT query_id, vec_id, row_number() OVER (
+            |      PARTITION BY query_id ORDER BY adc, vec_id) AS crank
+            |    FROM aadc)
+            |  WHERE crank <= ${Similarity.PqTopK}),
+            |xl2 AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id,
+            |         CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+            |  FROM qe a JOIN qe b ON a.i = b.i
+            |  WHERE a.vec_id % $QueryStride = 0
+            |  GROUP BY 1, 2),
+            |xltop AS MATERIALIZED (
+            |  SELECT query_id, vec_id FROM (
+            |    SELECT query_id, vec_id, row_number() OVER (
+            |      PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+            |    FROM xl2)
+            |  WHERE rn <= ${Similarity.PqTopK}),
+            |h_ivf AS (
+            |  SELECT i.query_id, count(*) AS n_hits FROM itop i
+            |  JOIN btop b ON b.query_id = i.query_id
+            |             AND b.neighbor_id = i.neighbor_id
+            |  GROUP BY 1),
+            |h_lsh AS (
+            |  SELECT l.query_id, count(*) AS n_hits FROM ltop l
+            |  JOIN btop b ON b.query_id = l.query_id
+            |             AND b.neighbor_id = l.neighbor_id
+            |  GROUP BY 1),
+            |h_pq AS (
+            |  SELECT p.query_id, count(*) AS n_hits FROM ptop p
+            |  JOIN xltop x ON x.query_id = p.query_id AND x.vec_id = p.vec_id
+            |  GROUP BY 1),
+            |h_adc AS (
+            |  SELECT a.query_id, count(*) AS n_hits FROM atop a
+            |  JOIN xltop x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+            |  GROUP BY 1),
+            |qids AS (SELECT DISTINCT query_id FROM btop)
+            |SELECT idx, query_id, n_hits, recall FROM (
+            |  SELECT 'ivf' AS idx, q.query_id,
+            |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            |    CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ${Similarity.TopK}
+            |      AS recall
+            |  FROM qids q LEFT JOIN h_ivf h USING (query_id)
+            |  UNION ALL
+            |  SELECT 'lsh', q.query_id,
+            |    CAST(coalesce(h.n_hits, 0) AS BIGINT),
+            |    CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ${Similarity.TopK}
+            |  FROM qids q LEFT JOIN h_lsh h USING (query_id)
+            |  UNION ALL
+            |  SELECT 'pq', q.query_id,
+            |    CAST(coalesce(h.n_hits, 0) AS BIGINT),
+            |    CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ${Similarity.PqTopK}
+            |  FROM qids q LEFT JOIN h_pq h USING (query_id)
+            |  UNION ALL
+            |  SELECT 'ivfadc', q.query_id,
+            |    CAST(coalesce(h.n_hits, 0) AS BIGINT),
+            |    CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ${Similarity.PqTopK}
+            |  FROM qids q LEFT JOIN h_adc h USING (query_id))
+            |ORDER BY idx, query_id""".stripMargin))
+
   /** Farthest-point sampling ([[Similarity.fpsSelect]]): the Gonzalez
     * k-center greedy as an oracle row — the same unrolled-CTE loop as
     * [[mmr]] but with the argMIN-of-nearest-selected objective and a
@@ -2827,7 +3081,7 @@ object MlQueries {
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
     ivfAdcIndexed,
-    mmr, fps, annRecallQ,
+    mmr, fps, annRecallQ, annRecallMultiQ,
     randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, qualityGateStream,

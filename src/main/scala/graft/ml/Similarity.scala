@@ -652,6 +652,75 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Exact L2 top-k over the quantized ints — the brute-force baseline
+    * the PQ-family searches' recall is measured against. Self is
+    * INCLUDED, mirroring the ADC searches' candidate space (a query is
+    * its own d2=0 top-1 there too). Same broadcast-queries shape as
+    * [[cosineTopK]]: one corpus scan, no corpus exchange. */
+  private def l2TopK(emb: DataFrame, k: Int): DataFrame = {
+    val qs = quantized(emb).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    quantized(emb).select(col("vec_id"), col("q"))
+      .crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        pqD2(col("qq"), col("q")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id")
+  }
+
+  /** [[annRecall]] generalized across the whole index family (VERDICT
+    * r12 next #7 — the eval every multi-index deployment runs before
+    * choosing a serving path): per (index, query), how many of the
+    * metric-exact top-k the approximate search recovered. Cosine-family
+    * indexes (IVF, SRP-LSH) are scored against the exact cosine top-k;
+    * the L2-family ADC searches (PQ, IVFADC) against the exact L2
+    * top-k over the same quantized ints (self included, as in their
+    * candidate spaces). Recall counts SET membership — the ADC
+    * searches' exact rerank reorders but never changes the returned
+    * set, so the comparison is rerank-invariant.
+    *
+    * Scale: each search keeps its own audited plan; the comparison
+    * joins k·|queries| model-sized result sets; exact baselines
+    * localCheckpoint so each is computed once across the two indexes
+    * it serves. */
+  def annRecallMulti(emb: DataFrame, pqCbPath: String,
+      adcCentPath: String, adcCbPath: String): DataFrame = {
+    def recallOf(name: String, approx: DataFrame, exact: DataFrame,
+        k: Int): DataFrame = {
+      val a = approx.select(col("query_id").as("qi"),
+        col("vec_id").as("ni"))
+      val hits = a.join(exact,
+          col("qi") === col("query_id") && col("ni") === col("vec_id"),
+          "left_semi")
+        .groupBy(col("qi").as("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(name).as("idx"), col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / k)
+            .as("recall"))
+    }
+    val exactCos = cosineTopK(emb, TopK)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .localCheckpoint()
+    val exactL2 = l2TopK(emb, PqTopK).localCheckpoint()
+    val ivf = ivfTopK(emb, TopK, NProbe)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val lsh = srpTopK(emb, TopK)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val pq = pqTopK(emb, pqCbPath, PqTopK).select("query_id", "vec_id")
+    val adc = ivfAdcTopK(emb, adcCentPath, adcCbPath, PqTopK, IvfAdcProbe)
+      .select("query_id", "vec_id")
+    recallOf("ivf", ivf, exactCos, TopK)
+      .unionByName(recallOf("lsh", lsh, exactCos, TopK))
+      .unionByName(recallOf("pq", pq, exactL2, PqTopK))
+      .unionByName(recallOf("ivfadc", adc, exactL2, PqTopK))
+      .orderBy("idx", "query_id")
+  }
+
   /** Cells larger than this sub-block their pair space (r5 VERDICT ask
     * #4): Σ|cell|² assumes balanced cells, and one degenerate cluster
     * re-introduces the n² corner — both in pair count and in compute,
