@@ -2300,6 +2300,92 @@ object MlQueries {
             |      <= ${Multimodal.AHashMaxHamming}
             |ORDER BY c.doc_a, c.doc_b""".stripMargin))
 
+  /** L93 — temporal media near-dup ([[Multimodal.mediaTemporalDedup]]):
+    * the video-dedup shape. The oracle re-derives every FRAME (stream/
+    * position/salt geometry), every per-frame aHash (resample + luma
+    * bits), the banded candidate join, the Hamming verification, and
+    * the gaps-and-islands segmentation — end to end from the generator
+    * formulas, the `ml_media_ahash`/`ml_media_neardup` pattern
+    * composed with the `ml_audio_vad` island algebra. */
+  private val mediaTemporal = Declared(
+    "ml_media_temporal",
+    (s, d) => Multimodal.mediaTemporalDedup(
+      Multimodal.asBmpVideo(Tables(s, d, "documents"))),
+    Some(s"""WITH vg AS (
+            |  SELECT doc_id, octet_length(encode(text)) AS tlen,
+            |    doc_id % ${Multimodal.VideoStreams} AS stream,
+            |    doc_id % 3 AS off,
+            |    CAST(6 + (doc_id + octet_length(encode(text))) % 5
+            |         AS BIGINT) AS nf,
+            |    16 + (doc_id % ${Multimodal.VideoStreams}) % 16 AS w,
+            |    8 + (doc_id % ${Multimodal.VideoStreams}) % 8 AS h
+            |  FROM documents),
+            |fr AS (
+            |  SELECT doc_id, stream, w, h, CAST(f.f AS BIGINT) AS fi,
+            |    f.f + off AS pos,
+            |    CASE WHEN (f.f * 5 + doc_id) % 4 = 0
+            |         THEN doc_id * 1009 + f.f ELSE 0 END AS salt
+            |  FROM vg, unnest(range(0, nf)) AS f(f)),
+            |rp AS (
+            |  SELECT fr.doc_id, fr.fi, fr.stream, fr.pos, fr.salt,
+            |    CAST(j.j * 8 + i.i AS BIGINT) AS idx,
+            |    (i.i * w) // ${Multimodal.ResizeW} AS sx,
+            |    (j.j * h) // ${Multimodal.ResizeH} AS sy
+            |  FROM fr, unnest(range(0, ${Multimodal.ResizeW})) AS i(i),
+            |       unnest(range(0, ${Multimodal.ResizeH})) AS j(j)),
+            |lm AS (
+            |  SELECT doc_id, fi, idx,
+            |    ((sx * 73 + sy * 151 + stream * 31 + pos * 97 + salt)
+            |     % 256)
+            |    + 2 * ((sx * 59 + sy * 37 + stream * 11 + pos * 53 + salt)
+            |           % 256)
+            |    + ((sx * 29 + sy * 17 + pos * 41 + salt) % 256) AS l
+            |  FROM rp),
+            |tot AS (SELECT doc_id, fi, sum(l) AS total
+            |        FROM lm GROUP BY 1, 2),
+            |hs AS MATERIALIZED (
+            |  SELECT lm.doc_id, lm.fi,
+            |    CAST(sum(CASE WHEN lm.l * 64 >= t.total AND idx >= 32
+            |      THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INT)
+            |      ELSE 0 END) AS BIGINT) AS hi,
+            |    CAST(sum(CASE WHEN lm.l * 64 >= t.total AND idx < 32
+            |      THEN CAST(1 AS BIGINT) << CAST(idx AS INT)
+            |      ELSE 0 END) AS BIGINT) AS lo
+            |  FROM lm JOIN tot t USING (doc_id, fi)
+            |  GROUP BY 1, 2),
+            |bands AS (
+            |  SELECT doc_id, fi, b.b AS band,
+            |    CASE b.b WHEN 0 THEN lo & 65535
+            |             WHEN 1 THEN (lo >> 16) & 65535
+            |             WHEN 2 THEN hi & 65535
+            |             ELSE (hi >> 16) & 65535 END AS v
+            |  FROM hs, unnest(range(0, 4)) AS b(b)),
+            |cand AS (
+            |  SELECT x.doc_id AS doc_a, x.fi AS fa,
+            |         y.doc_id AS doc_b, y.fi AS fb
+            |  FROM bands x JOIN bands y
+            |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+            |  GROUP BY 1, 2, 3, 4),
+            |mt AS (
+            |  SELECT c.doc_a, c.doc_b, c.fa, c.fb - c.fa AS delta
+            |  FROM cand c
+            |  JOIN hs a ON a.doc_id = c.doc_a AND a.fi = c.fa
+            |  JOIN hs b ON b.doc_id = c.doc_b AND b.fi = c.fb
+            |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            |        <= ${Multimodal.AHashMaxHamming}),
+            |isl AS (
+            |  SELECT doc_a, doc_b, delta, fa,
+            |    fa - row_number() OVER (PARTITION BY doc_a, doc_b, delta
+            |                            ORDER BY fa) AS grp
+            |  FROM mt)
+            |SELECT doc_a, doc_b, delta,
+            |  min(fa) AS a_start, max(fa) AS a_end,
+            |  min(fa) + delta AS b_start,
+            |  CAST(count(*) AS BIGINT) AS n_frames
+            |FROM isl GROUP BY doc_a, doc_b, delta, grp
+            |HAVING count(*) >= ${Multimodal.MinSegFrames}
+            |ORDER BY doc_a, doc_b, delta, a_start""".stripMargin))
+
   /** MMR diversity selection ([[Similarity.mmrSelect]]): the oracle
     * re-runs the SAME greedy loop — [[Similarity.MmrK]] rounds
     * unrolled as MATERIALIZED CTEs (the BPE/kcore pattern), each round
@@ -3092,6 +3178,6 @@ object MlQueries {
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, bm25, fingerprint, zorder, hilbert, binpack,
     mediaMeta, mediaDecode, mediaResize, mediaFrames, mediaAhash,
-    mediaNearDup,
+    mediaNearDup, mediaTemporal,
     audioDecode, audioVad, audioResample)
 }

@@ -30,6 +30,11 @@ final case class AHashMedia(doc_id: Long, format: String,
     width: Int, height: Int, luma_sum: Long, ahash_hi: Long,
     ahash_lo: Long)
 
+/** One synthesized video frame: the per-frame payload hand-off between
+  * the generator and the frame-wise decode/hash pass. */
+final case class VideoFrameItem(doc_id: Long, frame_idx: Long,
+    payload: Array[Byte])
+
 /** A decoded raster: row-major top-down, one packed 0xRRGGBB int per
   * pixel — the in-memory hand-off between decode and resample. */
 private[ml] final case class Raster(w: Int, h: Int, px: Array[Int])
@@ -336,6 +341,184 @@ object Multimodal {
       .filter(col("hamming") <= AHashMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- Video: per-frame aHash → banded join → matching segments -----
+
+  /** Distinct content streams for the synthetic video fixture: frames
+    * of docs in the same stream (doc_id mod this) share content at
+    * equal stream POSITIONS — the "same clip at different offsets"
+    * shape temporal dedup exists for. Sized so content classes stay
+    * small at bench scale (the banded join's bucket-size knob). */
+  val VideoStreams = 101L
+
+  /** A matching run shorter than this is noise, not a segment. */
+  val MinSegFrames = 2L
+
+  private[ml] def videoGeom(docId: Long, tlen: Int): (Long, Int, Int) = {
+    val stream = docId % VideoStreams
+    val nf = 6 + (docId + tlen) % 5
+    (nf, (16 + stream % 16).toInt, (8 + stream % 8).toInt)
+  }
+
+  /** Synthesize one deterministic 24-bit BMP VIDEO FRAME. Content is a
+    * pure function of (stream, position) — stream = doc_id mod
+    * [[VideoStreams]], position = frame_idx + doc_id mod 3 — so docs
+    * in one stream replay the same clip at small offsets and their
+    * overlapping positions carry IDENTICAL frames; every fourth-ish
+    * frame ((idx·5 + doc_id) mod 4 = 0) is salted with per-(doc,frame)
+    * content, fragmenting the matches into the multiple segments the
+    * gaps-and-islands pass must find. Same real BMP layout as
+    * [[toBmp]] (bottom-up, BGR, padded rows). */
+  def toBmpVideoFrame(docId: Long, frameIdx: Long,
+      textBytes: Array[Byte]): Array[Byte] = {
+    val (_, w, h) = videoGeom(docId, textBytes.length)
+    val stream = docId % VideoStreams
+    val pos = frameIdx + docId % 3
+    val salt =
+      if ((frameIdx * 5 + docId) % 4 == 0) docId * 1009 + frameIdx
+      else 0L
+    val rowBytes = (3 * w + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val fileSize = 54 + dataSize
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+    buf.putInt(0).putInt(0)
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy // file row 0 holds the BOTTOM image row
+      var x = 0
+      while (x < w) {
+        // large prime multipliers wrap mod 256 many times per cell, so
+        // the resampled luma field is pseudo-random rather than a
+        // smooth gradient — a gradient collapses the aHash band values
+        // into a handful of hot buckets (measured: ~90M candidate
+        // pairs at sf0.1) and the banded join degenerates
+        val r = ((x * 73 + y * 151 + stream * 31 + pos * 97 + salt) % 256).toInt
+        val g = ((x * 59 + y * 37 + stream * 11 + pos * 53 + salt) % 256).toInt
+        val b = ((x * 29 + y * 17 + pos * 41 + salt) % 256).toInt
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = 3 * w
+      while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+      fy += 1
+    }
+    buf.array()
+  }
+
+  /** The video frame table with REAL payloads: each document rendered
+    * to its 6–10 generated BMP frames. */
+  def asBmpVideo(docs: DataFrame): Dataset[VideoFrameItem] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, tb) =>
+        val (nf, _, _) = videoGeom(id, tb.length)
+        (0L until nf).map(f => VideoFrameItem(id, f,
+          toBmpVideoFrame(id, f, tb)))
+      }
+  }
+
+  /** Per-frame aHash over the REAL decode — [[aHashAll]]'s arithmetic
+    * applied frame-wise; one zero-shuffle partition pass. */
+  def videoFrameHashes(frames: Dataset[VideoFrameItem])
+      : org.apache.spark.sql.DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val ras = decodeBmp(m.payload)
+        val luma = new Array[Long](ResizeW * ResizeH)
+        var total = 0L
+        var j = 0
+        while (j < ResizeH) {
+          val sy = j * ras.h / ResizeH
+          var i = 0
+          while (i < ResizeW) {
+            val sx = i * ras.w / ResizeW
+            val p = ras.px(sy * ras.w + sx)
+            luma(j * ResizeW + i) = ((p >> 16) & 0xff) +
+              2L * ((p >> 8) & 0xff) + (p & 0xff)
+            total += luma(j * ResizeW + i)
+            i += 1
+          }
+          j += 1
+        }
+        var hi = 0L; var lo = 0L
+        var idx = 0
+        while (idx < ResizeW * ResizeH) {
+          if (luma(idx) * (ResizeW * ResizeH) >= total) {
+            if (idx < 32) lo |= 1L << idx
+            else hi |= 1L << (idx - 32)
+          }
+          idx += 1
+        }
+        (m.doc_id, m.frame_idx, hi, lo)
+      })
+    }.toDF("doc_id", "frame_idx", "ahash_hi", "ahash_lo")
+  }
+
+  /** Temporal media near-dup (VERDICT r12 next #8 — the video-dedup
+    * shape): L33's frame decomposition × L86's perceptual hash × L78's
+    * gaps-and-islands. Per-frame aHashes pair across docs through the
+    * same four-16-bit-band equi join as [[mediaNearDups]] (pigeonhole-
+    * exact at Hamming ≤ [[AHashMaxHamming]], never all-pairs), then
+    * matches at a CONSTANT frame offset (delta = frame_b − frame_a)
+    * collapse into maximal consecutive runs via gaps-and-islands
+    * (frame_a − row_number over (pair, delta)), emitting the matching
+    * SEGMENTS — (doc_a, doc_b, delta, seg start/end on each side,
+    * n_frames ≥ [[MinSegFrames]]).
+    *
+    * Scale: frame fan-out is bounded (≤ 10/doc); the pair space is
+    * Σ|band bucket|² like the image join (a hot bucket would take the
+    * SimHash sub-blocking guard unchanged); the island pass is one
+    * hash exchange on (doc_a, doc_b, delta) with a window over ≤
+    * min(nf_a, nf_b) rows per key. Hashes localCheckpoint so the
+    * decode runs once across the four band sides. */
+  def mediaTemporalDedup(frames: Dataset[VideoFrameItem])
+      : org.apache.spark.sql.DataFrame = {
+    val h = videoFrameHashes(frames).localCheckpoint()
+    val bands = (0 until 4).map { b =>
+      val half = if (b < 2) col("ahash_lo") else col("ahash_hi")
+      h.select(col("doc_id"), col("frame_idx"), lit(b).as("band"),
+        shiftright(half, (b % 2) * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.frame_idx").as("fa"),
+        col("y.doc_id").as("doc_b"), col("y.frame_idx").as("fb"))
+      .distinct()
+    val matched = cand
+      .join(h.select(col("doc_id").as("doc_a"),
+        col("frame_idx").as("fa"), col("ahash_hi").as("ha"),
+        col("ahash_lo").as("la")), Seq("doc_a", "fa"))
+      .join(h.select(col("doc_id").as("doc_b"),
+        col("frame_idx").as("fb"), col("ahash_hi").as("hb"),
+        col("ahash_lo").as("lb")), Seq("doc_b", "fb"))
+      .filter(expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)")
+        <= AHashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("fa"),
+        (col("fb") - col("fa")).as("delta"))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "delta").orderBy("fa")
+    matched
+      .withColumn("grp",
+        col("fa") - org.apache.spark.sql.functions.row_number().over(wIsl))
+      .groupBy("doc_a", "doc_b", "delta", "grp")
+      .agg(min(col("fa")).as("a_start"), max(col("fa")).as("a_end"),
+        count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= MinSegFrames)
+      .select(col("doc_a"), col("doc_b"), col("delta"),
+        col("a_start"), col("a_end"),
+        (col("a_start") + col("delta")).as("b_start"),
+        col("n_frames"))
+      .orderBy("doc_a", "doc_b", "delta", "a_start")
   }
 
   // ---- Audio: real RIFF/WAV PCM decode + frame energy + VAD ---------

@@ -1821,6 +1821,50 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("media temporal dedup: naive replay of band-match + islands; same-stream docs share segments") {
+    val frames = Multimodal.asBmpVideo(docs)
+    val got = Multimodal.mediaTemporalDedup(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // naive replay over the ENGINE's own frame hashes: full quadratic
+    // Hamming match (no banding — pigeonhole must make banding exact
+    // at <= 3), then single-threaded islands per (pair, delta)
+    val hs = Multimodal.videoFrameHashes(frames).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val byDoc = hs.groupBy(_._1._1)
+    val docsIds = byDoc.keys.toSeq.sorted
+    val naive = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    for {
+      a <- docsIds; b <- docsIds if a < b
+    } {
+      val matches = for {
+        ((_, fa), (ha, la)) <- byDoc(a)
+        ((_, fb), (hb, lb)) <- byDoc(b)
+        if java.lang.Long.bitCount(ha ^ hb) +
+          java.lang.Long.bitCount(la ^ lb) <= Multimodal.AHashMaxHamming
+      } yield (fb - fa, fa)
+      matches.groupBy(_._1).foreach { case (delta, ms) =>
+        val fas = ms.map(_._2).sorted
+        // islands: consecutive fa runs
+        val runs = fas.foldLeft(Vector.empty[Vector[Long]]) { (acc, f) =>
+          if (acc.nonEmpty && acc.last.last == f - 1)
+            acc.init :+ (acc.last :+ f)
+          else acc :+ Vector(f)
+        }
+        runs.filter(_.size >= Multimodal.MinSegFrames).foreach { run =>
+          naive += ((a, b, delta, run.head, run.last,
+            run.head + delta, run.size.toLong))
+        }
+      }
+    }
+    assert(got.toSet === naive.toSet,
+      "engine segments must equal the quadratic-replay segments")
+    assert(got.nonEmpty, "fixture must produce matching segments")
+    // the planted structure: some pair must share a multi-frame run
+    assert(got.exists(_._7 >= 3), "expected at least one >=3-frame segment")
+  }
+
   test("ivfadc indexed serving == in-memory search; one file per cell partition") {
     // the cell-partitioned layout is a pure optimization: the search
     // through the written index returns row-for-row what the in-memory
