@@ -183,7 +183,9 @@ object GraphOps {
     * PREVIOUS label rides through the same two aggregates that produce
     * the new one (`max(when(has_self, lbl))` — exactly one group per
     * node holds the tag), and the moved count is a filter-count over
-    * the just-checkpointed node table, not a second node⋈node join. */
+    * the just-checkpointed node table, not a second node⋈node join —
+    * taken every THIRD round (kcore budget discipline), which also
+    * bounds lineage without a per-round materialization. */
   def lpaCommunities(emb: DataFrame): DataFrame = {
     val und = Similarity.embeddingNearDups(emb, minCos = TriMinCos)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
@@ -198,8 +200,8 @@ object GraphOps {
       .localCheckpoint()
     var lbl = nodes.select(col("id"), col("id").as("lbl"))
     var converged = false
-    for (_ <- 1 to LpaRounds if !converged) {
-      val next = votes
+    for (r <- 1 to LpaRounds if !converged) {
+      val step = votes
         .join(lbl.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id"), col("lbl"))
         .agg(count(lit(1)).as("cnt"),
@@ -212,10 +214,19 @@ object GraphOps {
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"),
           max(when(col("has_self") === 1, col("lbl"))).as("prev"))
         .select(col("id"), (-col("m.nl")).as("lbl"), col("prev"))
-        .localCheckpoint()
-      val moved = next.filter(col("lbl") =!= col("prev")).count()
-      lbl = next.select("id", "lbl")
-      converged = moved == 0L
+      // kcore-style budget discipline (VERDICT r12 #3): materialize and
+      // test convergence every THIRD round, not every round — lineage
+      // stays ≤ 3 rounds deep, per-round fixed job overhead drops to a
+      // third, and rounds past a fixpoint are exact no-ops in both
+      // engines, so a late exit changes nothing but is 3× cheaper
+      val checkpointed =
+        if (r % 3 == 0 || r == LpaRounds) {
+          val next = step.localCheckpoint()
+          converged =
+            next.filter(col("lbl") =!= col("prev")).count() == 0L
+          next
+        } else step
+      lbl = checkpointed.select("id", "lbl")
     }
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
     lbl.join(sizes, "lbl")

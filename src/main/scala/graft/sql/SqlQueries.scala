@@ -172,33 +172,43 @@ object SqlQueries {
       |           ORDER BY o_orderdate, o_orderkey) AS INT) AS seq
       |FROM orders""".stripMargin
 
-  /** The 2-hop successor edge over the materialized `nxt_mat`: one row
-    * per order `o1`, carrying its successor `o2` (LEFT join — a chain
-    * tail keeps its unpaired last order) and `o2`'s own successor as
-    * the next frontier key. Built once; halves the recursion depth. */
-  private val nxt2Sql =
-    """SELECT a.o_custkey, a.o_orderkey AS o1, a.seq AS o1_seq,
-      |       b.o_orderkey AS o2, b.next_key AS o2_next, b.seq AS o2_seq
-      |FROM nxt_mat a LEFT JOIN nxt_mat b ON b.o_orderkey = a.next_key""".stripMargin
+  /** The 4-hop successor edge over the materialized `nxt_mat`: one row
+    * per order `o1`, carrying its next three successors (LEFT joins —
+    * a chain tail keeps its unpaired last orders as NULLs) and the
+    * fourth order's own successor as the next frontier key. Built once
+    * with three keyed self-joins; quarters the recursion depth. */
+  private val nxt4Sql =
+    """SELECT a.o_custkey,
+      |       a.o_orderkey AS o1, a.seq AS o1_seq,
+      |       b.o_orderkey AS o2, b.seq AS o2_seq,
+      |       c.o_orderkey AS o3, c.seq AS o3_seq,
+      |       d.o_orderkey AS o4, d.seq AS o4_seq, d.next_key AS o4_next
+      |FROM nxt_mat a
+      |LEFT JOIN nxt_mat b ON b.o_orderkey = a.next_key
+      |LEFT JOIN nxt_mat c ON c.o_orderkey = b.next_key
+      |LEFT JOIN nxt_mat d ON d.o_orderkey = c.next_key""".stripMargin
 
-  /** [[recursiveChainSql]] rewritten over the 2-hop edge: each level
-    * advances TWO hops (frontier-doubling), so the ~24 sequential
-    * dependent jobs become ~12. Hop arithmetic stays exact: a pair row
-    * at `hop1` (always odd) covers hops `hop1` and `hop1 + 1`;
-    * `hop1 < 99` reproduces the original `hop < 100` cap precisely
-    * (max emitted hop is 100 in both). The per-hop rows are exploded
-    * from the pairs OUTSIDE the loop — a single pass, no second
-    * reference to the recursive relation (which Catalyst would replay). */
-  private val recursivePairsSql =
-    """WITH RECURSIVE chain2 AS (
-      |  SELECT o_custkey, o1, o1_seq, o2, o2_next, o2_seq, 1 AS hop1
-      |  FROM nxt2_mat WHERE o1_seq = 1
+  /** [[recursiveChainSql]] rewritten over the 4-hop edge: each level
+    * advances FOUR hops (frontier doubling, doubled), so the ~24
+    * sequential dependent jobs become ~6. Hop arithmetic stays exact:
+    * a quad row at `hop1` (always ≡ 1 mod 4) covers hops `hop1` …
+    * `hop1 + 3`; `hop1 < 97` reproduces the original `hop < 100` cap
+    * precisely (max emitted hop is 100 in both). The per-hop rows are
+    * exploded from the quads OUTSIDE the loop — a single pass, no
+    * second reference to the recursive relation (which Catalyst would
+    * replay). */
+  private val recursiveQuadsSql =
+    """WITH RECURSIVE chain4 AS (
+      |  SELECT o_custkey, o1, o1_seq, o2, o2_seq, o3, o3_seq,
+      |         o4, o4_seq, o4_next, 1 AS hop1
+      |  FROM nxt4_mat WHERE o1_seq = 1
       |  UNION ALL
-      |  SELECT n.o_custkey, n.o1, n.o1_seq, n.o2, n.o2_next, n.o2_seq,
-      |         c.hop1 + 2
-      |  FROM chain2 c JOIN nxt2_mat n ON n.o1 = c.o2_next
-      |  WHERE c.hop1 < 99)
-      |SELECT o_custkey, o1, o1_seq, o2, o2_seq, hop1 FROM chain2""".stripMargin
+      |  SELECT n.o_custkey, n.o1, n.o1_seq, n.o2, n.o2_seq, n.o3,
+      |         n.o3_seq, n.o4, n.o4_seq, n.o4_next, c.hop1 + 4
+      |  FROM chain4 c JOIN nxt4_mat n ON n.o1 = c.o4_next
+      |  WHERE c.hop1 < 97)
+      |SELECT o_custkey, o1, o1_seq, o2, o2_seq, o3, o3_seq,
+      |       o4, o4_seq, hop1 FROM chain4""".stripMargin
 
   /** Engine-side execution strategy for the recursive chain: Catalyst
     * inlines non-recursive CTEs into every `UnionLoop` step, so running
@@ -206,33 +216,38 @@ object SqlQueries {
     * over the whole orders table at each recursion level. Two fixes
     * compose here: (1) `nxt` is materialized once (localCheckpoint →
     * temp view), so a level touches only live chain frontiers; (2) the
-    * loop advances over the 2-hop edge [[nxt2Sql]] (frontier doubling),
-    * halving the ~24 sequential dependent jobs whose fixed scheduler
-    * latency — not data volume — dominates this query's cost (VERDICT
-    * r12 next #5: it was the slowest declared query and the most
-    * contention-amplifying). That is how a recursive query should run
-    * at 100 TB: edge relation built once, per-level work proportional
-    * to the frontier, and the level COUNT itself engineered down. The
-    * ORACLE stays the original single-statement text (DuckDB
-    * materializes the CTE itself), so the correctness check is
-    * unchanged and maximally strict; RelationalSpec additionally pins
-    * the doubled execution equal to the verbatim text through Spark. */
+    * loop advances over the 4-hop edge [[nxt4Sql]] (frontier
+    * quadrupling), cutting the ~24 sequential dependent jobs whose
+    * fixed scheduler latency — not data volume — dominates this
+    * query's cost to ~6 (VERDICT r12 next #5: it was the slowest
+    * declared query and the most contention-amplifying). That is how a
+    * recursive query should run at 100 TB: edge relation built once,
+    * per-level work proportional to the frontier, and the level COUNT
+    * itself engineered down. The ORACLE stays the original
+    * single-statement text (DuckDB materializes the CTE itself), so
+    * the correctness check is unchanged and maximally strict;
+    * RelationalSpec additionally pins the strided execution equal to
+    * the verbatim text through Spark. */
   private val recursiveChain = Declared(
     "sql_recursive_chain",
     (s, d) => {
       registerViews(s, d)
       s.sql(nxtSql).localCheckpoint().createOrReplaceTempView("nxt_mat")
-      s.sql(nxt2Sql).localCheckpoint().createOrReplaceTempView("nxt2_mat")
-      val pairs = s.sql(recursivePairsSql)
-      // split each pair into its one or two per-hop rows: struct k/h/s
-      // = (orderkey, hop, seq); the filter drops the missing second
-      // half of an odd-length chain's last pair
-      pairs.select(col("o_custkey"),
+      s.sql(nxt4Sql).localCheckpoint().createOrReplaceTempView("nxt4_mat")
+      val quads = s.sql(recursiveQuadsSql)
+      // split each quad into its one-to-four per-hop rows: struct
+      // k/h/s = (orderkey, hop, seq); the filter drops the missing
+      // tail of a chain that ends mid-quad
+      quads.select(col("o_custkey"),
           explode(filter(array(
             struct(col("o1").as("k"), col("hop1").as("h"),
               col("o1_seq").as("s")),
             struct(col("o2").as("k"), (col("hop1") + 1).as("h"),
-              col("o2_seq").as("s"))),
+              col("o2_seq").as("s")),
+            struct(col("o3").as("k"), (col("hop1") + 2).as("h"),
+              col("o3_seq").as("s")),
+            struct(col("o4").as("k"), (col("hop1") + 3).as("h"),
+              col("o4_seq").as("s"))),
             x => x.getField("k").isNotNull)).as("e"))
         .select(col("o_custkey"), col("e.k").as("o_orderkey"),
           col("e.h").as("hop"), col("e.s").as("seq"))
