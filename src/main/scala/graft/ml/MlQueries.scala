@@ -225,6 +225,62 @@ object MlQueries {
             |  FROM est WHERE est_jaccard >= 0.5)
             |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  /** The banding S-curve eval ([[Dedup.bandingSCurve]]): graded
+    * prefix-truncation variants planted over every 10th doc sweep the
+    * exact-Jaccard deciles, and the report measures — per decile — the
+    * share of pairs the 16×4 band join recovers. The oracle re-derives
+    * the planting, the shingle inverted index, the integer decile
+    * binning, the full minhash/banding chain, and the left-join count. */
+  private val dedupSCurve = Declared(
+    "ml_dedup_scurve",
+    (s, d) => Dedup.bandingSCurve(Tables(s, d, "documents")),
+    Some(s"""WITH qt AS (
+            |  SELECT doc_id, string_split(text, ' ') AS tk
+            |  FROM documents WHERE doc_id % ${Dedup.SCurveSampleMod} = 0),
+            |vars AS (
+            |  SELECT ${Dedup.SCurveVariantBase} * l + doc_id AS doc_id,
+            |         array_to_string(tk[1:CAST((len(tk) * l) // 10 AS INT)],
+            |                         ' ') AS text
+            |  FROM qt, unnest(range(1, 10)) AS t(l)
+            |  WHERE (len(tk) * l) // 10 >= 3),
+            |planted AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT doc_id, text FROM vars),
+            |toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+            |         FROM planted),
+            |shg AS (
+            |  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+            |  FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)),
+            |$sigCte,
+            |bands AS (
+            |  SELECT doc_id, h // $RowsPerBand AS band,
+            |         ${sqlHash60("string_agg(m::VARCHAR, ',' ORDER BY h)")} AS bk
+            |  FROM sig GROUP BY doc_id, h // $RowsPerBand),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.bk = b.bk AND b.doc_id <> a.doc_id
+            |  WHERE a.doc_id >= ${Dedup.SCurveVariantBase}),
+            |sets AS (SELECT DISTINCT doc_id, sh FROM shg),
+            |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+            |intr AS (
+            |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ix
+            |  FROM sets sa JOIN sets sb
+            |    ON sb.sh = sa.sh AND sb.doc_id <> sa.doc_id
+            |  WHERE sa.doc_id >= ${Dedup.SCurveVariantBase}
+            |  GROUP BY 1, 2),
+            |binned AS (
+            |  SELECT i.doc_a, i.doc_b,
+            |         least(9, (i.ix * 10) // (za.sz + zb.sz - i.ix)) AS bin
+            |  FROM intr i
+            |  JOIN sz za ON za.doc_id = i.doc_a
+            |  JOIN sz zb ON zb.doc_id = i.doc_b)
+            |SELECT bin, count(*) AS n_pairs, count(c.doc_a) AS n_cand,
+            |       CAST(count(c.doc_a) AS DOUBLE) / count(*) AS cand_share
+            |FROM binned b
+            |LEFT JOIN cand c ON c.doc_a = b.doc_a AND c.doc_b = b.doc_b
+            |GROUP BY bin ORDER BY bin""".stripMargin))
+
   /** One banding+estimate screen stage as CTEs: increment relation
     * `inc` vs signature-store relation `store` (both long-form sigs),
     * ending in `out(doc_id, matched_id, est_jaccard)` — each doc's best
@@ -3163,6 +3219,7 @@ object MlQueries {
     hardNeg, embOutliers, dedupNormalized,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
+    dedupSCurve,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,

@@ -1821,6 +1821,31 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("banding S-curve: planted deciles sweep every bin; knee at the designed threshold") {
+    val rows = Dedup.bandingSCurve(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // the graded prefix variants must populate the whole decile sweep —
+    // an empty mid-bin means the planting formula regressed
+    assert((0L to 9L).forall(b => rows.get(b).exists(_._1 > 0L)),
+      s"missing bins: ${(0L to 9L).filterNot(rows.contains)}")
+    rows.foreach { case (b, (n, c, share)) =>
+      assert(c >= 0L && c <= n, s"bin $b: n_cand $c outside [0, $n]")
+      assert(share == c.toDouble / n, s"bin $b: share inconsistent")
+    }
+    // the S-curve shape for b=16 bands × r=4 rows: threshold ≈ (1/b)^(1/r)
+    // ≈ 0.5 — noise bins recover ~nothing, near-dup bins everything,
+    // and the knee bin sits strictly in between (deterministic hashes on
+    // a fixed fixture, so these are exact regression pins, not flakes;
+    // measured 0 / 0 / .04 / .18 / .51 / .84 / .98 / 1 / 1 / 1)
+    assert(rows(0L)._3 <= 0.05 && rows(1L)._3 <= 0.05,
+      "banding must not flood sub-0.2-jaccard pairs into verification")
+    assert(Seq(7L, 8L, 9L).forall(b => rows(b)._3 == 1.0),
+      "banding must recover every >= 0.7-jaccard pair on the fixture")
+    assert(rows(4L)._3 > 0.2 && rows(4L)._3 < 0.8,
+      "the knee must sit at the designed s ≈ 0.5 threshold bin")
+  }
+
   test("media temporal dedup: naive replay of band-match + islands; same-stream docs share segments") {
     val frames = Multimodal.asBmpVideo(docs)
     val got = Multimodal.mediaTemporalDedup(frames).collect()
