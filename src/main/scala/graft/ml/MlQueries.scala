@@ -1296,6 +1296,61 @@ object MlQueries {
             |ORDER BY score_fp DESC, doc_id
             |LIMIT ${TextAnalysis.Bm25K}""".stripMargin))
 
+  /** Known-item retrieval eval ([[TextAnalysis.knownItemEval]]): the
+    * oracle re-derives the query snippets, the full integer BM25
+    * scoring over every (query term, posting) pair, the per-query
+    * ranking, and the source-rank / rank-1 extraction. */
+  private val bm25KnownItem = Declared(
+    "ml_bm25_known_item",
+    (s, d) => TextAnalysis.knownItemEval(Tables(s, d, "documents")),
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            |tf AS (SELECT doc_id, t.term, count(*) AS tf
+            |       FROM toks, unnest(tk) AS t(term) GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+            |       FROM tf GROUP BY 1),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            |st AS (SELECT count(*) AS n, CAST(sum(dlen) AS BIGINT) AS t
+            |       FROM dl),
+            |q0 AS (
+            |  SELECT doc_id AS q_id, tk, len(tk) // 2 AS p FROM toks
+            |  WHERE doc_id % ${TextAnalysis.KiQueryMod} = 0
+            |    AND len(tk) >= ${2 * TextAnalysis.KiQueryTerms}),
+            |qterms AS (
+            |  SELECT DISTINCT q_id, t.term
+            |  FROM q0, unnest(tk[CAST(p AS INT):
+            |    CAST(p + ${TextAnalysis.KiQueryTerms - 1} AS INT)])
+            |    AS t(term)),
+            |scored AS (
+            |  SELECT qt.q_id, f.doc_id,
+            |    CAST(sum(((2 * (st.n - df.df) + 1) *
+            |      ((44 * f.tf * st.t * ${TextAnalysis.Bm25Scale}) //
+            |       (20 * f.tf * st.t + 6 * st.t + 18 * dl.dlen * st.n)))
+            |      // (2 * df.df + 1)) AS BIGINT) AS score_fp
+            |  FROM qterms qt
+            |  JOIN tf f ON f.term = qt.term
+            |  JOIN dl ON dl.doc_id = f.doc_id
+            |  JOIN df ON df.term = qt.term, st
+            |  GROUP BY 1, 2),
+            |ranked AS (
+            |  SELECT q_id, doc_id,
+            |         row_number() OVER (PARTITION BY q_id
+            |           ORDER BY score_fp DESC, doc_id) AS rn
+            |  FROM scored),
+            |topk AS (SELECT * FROM ranked
+            |         WHERE rn <= ${TextAnalysis.Bm25K}),
+            |pq AS (
+            |  SELECT q_id,
+            |    max(CASE WHEN rn = 1 THEN doc_id END) AS top1_id,
+            |    max(CASE WHEN doc_id = q_id THEN rn END) AS src_rn
+            |  FROM topk GROUP BY 1)
+            |SELECT q0.q_id, coalesce(pq.src_rn, 0) AS rank,
+            |  CASE WHEN pq.src_rn IS NOT NULL THEN 1.0 / pq.src_rn
+            |       ELSE 0.0 END AS rr,
+            |  pq.top1_id
+            |FROM q0 LEFT JOIN pq ON pq.q_id = q0.q_id
+            |ORDER BY q0.q_id""".stripMargin))
+
   /** Duplicate-span-removal oracle: identical window hashing, coverage
     * masking, and reassembly in DuckDB list lambdas. `coalesce(.., '')`
     * on the reassembled text: string_agg of an empty list is NULL in
@@ -3233,7 +3288,8 @@ object MlQueries {
     repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
     contam, piiRedact,
     shardAssign, mixRebalance, chunking,
-    tfidfTopTerms, bm25, fingerprint, zorder, hilbert, binpack,
+    tfidfTopTerms, bm25, bm25KnownItem, fingerprint, zorder, hilbert,
+    binpack,
     mediaMeta, mediaDecode, mediaResize, mediaFrames, mediaAhash,
     mediaNearDup, mediaTemporal,
     audioDecode, audioVad, audioResample)

@@ -523,6 +523,81 @@ object TextAnalysis {
       .limit(Bm25K)
   }
 
+  /** Every 10th doc seeds the known-item query set; a query is the
+    * doc's [[KiQueryTerms]] mid-document tokens (1-based positions
+    * n/2 … n/2+3 — deterministic, reproducible in both engines). */
+  val KiQueryMod = 10
+  val KiQueryTerms = 4
+
+  /** Known-item retrieval eval — the ranking-quality report for the
+    * lexical retrieval stack (the L89/L92/L94 eval pattern applied to
+    * BM25): for each sampled doc, build the query IR teams build when
+    * no relevance judgments exist ([[KiQueryTerms]] mid-document
+    * tokens) and ask at which rank the scorer retrieves the document
+    * the snippet came from. Emits one row per query — src rank within
+    * the top-[[Bm25K]] (0 = missed), the reciprocal rank (the exact
+    * per-row division 1/rank, so MRR is the mean of a hash-pinned
+    * column), and the rank-1 doc (what outscored the source) — the
+    * regression tripwire for scoring changes: a k1/b slip or a broken
+    * idf moves ranks, not just scores.
+    *
+    * Scale: the tf/dl/df statistics are ONE corpus explode+shuffle
+    * (shared shape with [[bm25TopK]]); df and the (N, T) scalar
+    * broadcast; the score join touches only (query term, posting)
+    * pairs — Σ_q Σ_t df(t), bounded by the SAMPLE, the eval's cost
+    * knob (a production scorer at 100 TB adds impact-ordered pruning
+    * à la WAND; the eval's semantics don't change). Per-query top-k is
+    * a rank ≤ k filter (WindowGroupLimit — per-partition heads, no
+    * global sort). Every tie breaks on doc_id; the source doc always
+    * matches its own query terms, so each query scores ≥ 1 doc and
+    * the rank-1 row exists. */
+  def knownItemEval(docs: DataFrame): DataFrame = {
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val tf = toksDf
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dlen"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dlen")).as("t"))
+    val q0 = toksDf
+      .filter(col("doc_id") % KiQueryMod === 0 &&
+        size(col("tk")) >= 2 * KiQueryTerms)
+      .select(col("doc_id").as("q_id"), col("tk"),
+        expr("size(tk) div 2").as("p"))
+    val qterms = q0
+      .select(col("q_id"),
+        explode(slice(col("tk"), col("p"), lit(KiQueryTerms))).as("term"))
+      .distinct()
+    val scored = qterms
+      .join(tf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("q_id", "doc_id",
+        s"(44 * tf * t * $Bm25Scale) div " +
+          "(20 * tf * t + 6 * t + 18 * dlen * n) as tr_fp",
+        "2 * (n - df) + 1 as idf_num", "2 * df + 1 as idf_den")
+      .selectExpr("q_id", "doc_id",
+        "(idf_num * tr_fp) div idf_den as contrib_fp")
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("contrib_fp")).as("score_fp"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("score_fp").desc, col("doc_id"))))
+      .filter(col("rn") <= Bm25K)
+    val perQuery = ranked.groupBy("q_id").agg(
+      max(when(col("rn") === 1, col("doc_id"))).as("top1_id"),
+      max(when(col("doc_id") === col("q_id"), col("rn"))).as("src_rn"))
+    q0.select("q_id").join(perQuery, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("src_rn").cast("long"), lit(0L)).as("rank"),
+        when(col("src_rn").isNotNull, lit(1.0) / col("src_rn"))
+          .otherwise(lit(0.0)).as("rr"),
+        col("top1_id"))
+      .orderBy("q_id")
+  }
+
   /** [[dupSpans]] window length (tokens). */
   val SpanGram = 8
 

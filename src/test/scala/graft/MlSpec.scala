@@ -1846,6 +1846,35 @@ class MlSpec extends AnyFunSuite {
       "the knee must sit at the designed s ≈ 0.5 threshold bin")
   }
 
+  test("known-item eval: unique-vocab docs rank 1; rank/rr/top1 coherent on the fixture") {
+    // a corpus whose docs share NO vocabulary: every query term is
+    // unique to its source doc, so known-item retrieval must be perfect
+    // — the semantic pin that the eval measures what it claims
+    val distinct = (0L until 30L).map { i =>
+      (i, (0 until 10).map(j => s"w${i}x$j").mkString(" "),
+        "en", "t", 60L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val perfect = TextAnalysis.knownItemEval(distinct).collect()
+    assert(perfect.length === 3) // doc_ids 0, 10, 20
+    perfect.foreach { r =>
+      assert(r.getLong(1) === 1L, s"unique-vocab doc not at rank 1: $r")
+      assert(r.getDouble(2) === 1.0)
+      assert(r.getLong(3) === r.getLong(0), "top1 must be the source")
+    }
+    // fixture run: structural invariants the oracle's value-compare
+    // doesn't state — rank bounded by k, rr exactly 1/rank, and the
+    // rank-1 row coherent with the reported rank
+    val rows = TextAnalysis.knownItemEval(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rank, rr, top1) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(rank >= 0L && rank <= TextAnalysis.Bm25K)
+      assert(rr === (if (rank == 0L) 0.0 else 1.0 / rank))
+      assert((rank == 1L) === (top1 == r.getLong(0)),
+        s"rank-1 iff the source tops its own query: $r")
+    }
+  }
+
   test("media temporal dedup: naive replay of band-match + islands; same-stream docs share segments") {
     val frames = Multimodal.asBmpVideo(docs)
     val got = Multimodal.mediaTemporalDedup(frames).collect()
