@@ -1244,26 +1244,76 @@ object MlQueries {
             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
 
   /** Contamination oracle: same 8-gram windows, same benchmark slice. */
+  /** Shared oracle for the contamination screen and its streaming twin
+    * (the [[outlierMadSql]] discipline — one SQL string holds both
+    * declared results to the same screen). */
+  private val contamSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_aggregate(tk[i:i+${TextAnalysis.ContamGram - 1}],
+       |      'string_agg', ' ') AS sh
+       |  FROM toks,
+       |       unnest(range(1, len(tk) - ${TextAnalysis.ContamGram - 2}))
+       |         AS t(i)
+       |  WHERE len(tk) >= ${TextAnalysis.ContamGram}),
+       |bg AS (SELECT DISTINCT doc_id AS bench_id, sh FROM g
+       |       WHERE doc_id % 23 = 0)
+       |SELECT g.doc_id, count(*) AS shared_grams,
+       |       count(DISTINCT bg.bench_id) AS bench_docs
+       |FROM g JOIN bg ON g.sh = bg.sh
+       |WHERE g.doc_id % 23 <> 0
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   private val contam = Declared(
     "ml_contamination",
     (s, d) => TextAnalysis.contamination(Tables(s, d, "documents")),
-    Some(s"""WITH toks AS (
-            |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-            |g AS (
-            |  SELECT DISTINCT doc_id,
-            |    list_aggregate(tk[i:i+${TextAnalysis.ContamGram - 1}],
-            |      'string_agg', ' ') AS sh
-            |  FROM toks,
-            |       unnest(range(1, len(tk) - ${TextAnalysis.ContamGram - 2}))
-            |         AS t(i)
-            |  WHERE len(tk) >= ${TextAnalysis.ContamGram}),
-            |bg AS (SELECT DISTINCT doc_id AS bench_id, sh FROM g
-            |       WHERE doc_id % 23 = 0)
-            |SELECT g.doc_id, count(*) AS shared_grams,
-            |       count(DISTINCT bg.bench_id) AS bench_docs
-            |FROM g JOIN bg ON g.sh = bg.sh
-            |WHERE g.doc_id % 23 <> 0
-            |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))
+    Some(contamSql))
+
+  /** Streaming twin of the contamination screen — decontamination as
+    * it runs on a CONTINUOUS ingest: the benchmark gram set
+    * materializes once as bounded model state (eval suites are KBs–MBs
+    * against the corpus), then every arriving micro-batch of training
+    * docs probes it via a per-batch broadcast join — the corpus side
+    * never shuffles for the screen, matches land as hash-bucketed
+    * parquet appends. A doc's grams arrive within one micro-batch, so
+    * per-batch aggregation is complete per doc and append-safe;
+    * screened on exactly the streamed corpus the result equals the
+    * batch screen — which is the oracle, verbatim. */
+  private val contamStream = Declared(
+    "ml_contamination_stream",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val bench = TextAnalysis.benchGramSet(docs).localCheckpoint(true)
+      val rows = docs.filter(col("doc_id") % 23 =!= 0).orderBy("doc_id")
+        .as[(Long, String)].collect()
+      val in = MemoryStream[(Long, String)](s)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-contam-out").toString
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-contam-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            TextAnalysis.contaminationApply(batch, bench)
+              .withColumn("bucket", pmod(col("doc_id"), lit(16)))
+              .repartition(col("bucket"))
+              .write.mode("append").partitionBy("bucket").parquet(outDir)
+        }
+        .start()
+      try rows.grouped(rows.length / 4 + 1).foreach { wave =>
+        in.addData(wave.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select("doc_id", "shared_grams", "bench_docs")
+        .orderBy("doc_id")
+    },
+    Some(contamSql))
 
   /** BM25 oracle: identical rational-k1/b integer arithmetic; DuckDB's
     * `//` is floor division like Spark's `div` (all operands positive
@@ -3286,7 +3336,7 @@ object MlQueries {
     qualityClassifier, lmSurprisal,
     langId, langConfusion, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
-    contam, piiRedact,
+    contam, contamStream, piiRedact,
     shardAssign, mixRebalance, chunking,
     tfidfTopTerms, bm25, bm25KnownItem, fingerprint, zorder, hilbert,
     binpack,

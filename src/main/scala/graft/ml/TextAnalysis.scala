@@ -669,22 +669,33 @@ object TextAnalysis {
     * a 100 TB corpus) — built once, broadcast into the corpus gram
     * stream, so the corpus never shuffles for the screen; only the
     * (small) contaminated matches aggregate. */
-  def contamination(docs: DataFrame): DataFrame = {
-    val bench = docs.filter(col("doc_id") % 23 === 0)
-    val benchGrams = shingleRows(bench, ContamGram)
+  def contamination(docs: DataFrame): DataFrame =
+    contaminationApply(docs.filter(col("doc_id") % 23 =!= 0),
+      benchGramSet(docs))
+      .orderBy("doc_id")
+
+  /** The benchmark gram set — [[contamination]]'s model state: tiny
+    * (eval suites are KBs–MBs against a 100 TB corpus), so a streaming
+    * deployment materializes it once and broadcasts it into every
+    * arriving micro-batch. */
+  def benchGramSet(docs: DataFrame): DataFrame =
+    shingleRows(docs.filter(col("doc_id") % 23 === 0), ContamGram)
       .select(col("doc_id").as("bench_id"), col("sh")).distinct()
-    // dedup AFTER the broadcast join: the corpus gram stream flows
-    // straight into the broadcast probe with NO exchange (a distinct
-    // before the join would shuffle the whole corpus); only the tiny
-    // match set pays the (doc, gram, bench) dedup + aggregate shuffle
-    shingleRows(docs.filter(col("doc_id") % 23 =!= 0), ContamGram)
+
+  /** The screen itself, over any training slice (the whole corpus
+    * batch-side, one micro-batch streaming-side). Dedup happens AFTER
+    * the broadcast join: the corpus gram stream flows straight into the
+    * broadcast probe with NO exchange (a distinct before the join would
+    * shuffle the whole corpus); only the (small) contaminated matches
+    * pay the (doc, gram, bench) dedup + aggregate shuffle. */
+  def contaminationApply(train: DataFrame, benchGrams: DataFrame)
+      : DataFrame =
+    shingleRows(train, ContamGram)
       .join(broadcast(benchGrams), Seq("sh"))
       .select("doc_id", "sh", "bench_id").distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("shared_grams"),
         countDistinct(col("bench_id")).as("bench_docs"))
-      .orderBy("doc_id")
-  }
 
   /** Number of output shards for [[shardAssign]]. */
   val NumShards = 8

@@ -1875,6 +1875,40 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination apply: planted leaks found batch==apply; clean docs stay silent") {
+    // bench doc 0 (id % 23 == 0) leaks an 8-gram into training docs 3
+    // and 7; doc 5 shares only a 7-gram prefix (one token short — must
+    // NOT flag); doc 9 is clean
+    val leak = (1 to 8).map(i => s"leak$i").mkString(" ")
+    val near = (1 to 7).map(i => s"leak$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"bench header $leak bench trailer"),
+      (3L, s"train doc three copies $leak verbatim"),
+      (7L, s"$leak right at the start"),
+      (5L, s"almost but not quite $near stop"),
+      (9L, "entirely clean training doc with its own words"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.contamination(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got === Seq((3L, 1L, 1L), (7L, 1L, 1L)),
+      s"exactly docs 3 and 7, one shared gram from one bench doc: " +
+        got.mkString(", "))
+    // the apply stage sees one micro-batch at a time: screening each
+    // training doc ALONE must reproduce its batch verdict (per-doc
+    // completeness — what makes the streaming appends correct)
+    val bench = TextAnalysis.benchGramSet(corpus)
+    Seq(3L, 5L, 7L, 9L).foreach { id =>
+      val alone = TextAnalysis.contaminationApply(
+        corpus.filter(col("doc_id") === id), bench).collect()
+      val expected = got.filter(_._1 == id)
+        .map(t => (t._1, t._2, t._3))
+      assert(alone.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSeq === expected.toSeq, s"doc $id alone")
+    }
+  }
+
   test("media temporal dedup: naive replay of band-match + islands; same-stream docs share segments") {
     val frames = Multimodal.asBmpVideo(docs)
     val got = Multimodal.mediaTemporalDedup(frames).collect()
