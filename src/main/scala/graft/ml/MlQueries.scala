@@ -3171,6 +3171,41 @@ object MlQueries {
             |       4 * (m.n * m.qq - m.s * m.s) AS INT) AS is_outlier
             |FROM nrm, m ORDER BY vec_id""".stripMargin))
 
+  /** Per-dimension drift report between the two snapshot eras
+    * ([[Similarity.embedDrift]]): the oracle re-derives the integer
+    * moments per (era, dim), the cross-multiplied Welch z², and the
+    * 2σ flag in HUGEINT. */
+  private val embDrift = Declared(
+    "ml_embed_drift",
+    (s, d) => Similarity.embedDrift(Tables(s, d, "embeddings")),
+    Some(s"""WITH $qeCte,
+            |agg AS (
+            |  SELECT i,
+            |    count(*) FILTER (WHERE vec_id % 2 = 0) AS n_a,
+            |    count(*) FILTER (WHERE vec_id % 2 = 1) AS n_b,
+            |    sum(CASE WHEN vec_id % 2 = 0 THEN q ELSE 0 END) AS s_a,
+            |    sum(CASE WHEN vec_id % 2 = 1 THEN q ELSE 0 END) AS s_b,
+            |    sum(CASE WHEN vec_id % 2 = 0 THEN q * q ELSE 0 END) AS qq_a,
+            |    sum(CASE WHEN vec_id % 2 = 1 THEN q * q ELSE 0 END) AS qq_b
+            |  FROM qe GROUP BY i),
+            |x AS (
+            |  SELECT i, n_a, n_b,
+            |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+            |      CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS ms,
+            |    CAST(n_a * qq_a - s_a * s_a AS DOUBLE) AS va,
+            |    CAST(n_b * qq_b - s_b * s_b AS DOUBLE) AS vb,
+            |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+            |  FROM agg),
+            |y AS (
+            |  SELECT i, n_a, n_b, ms,
+            |    va / (nad * nad * nad) + vb / (nbd * nbd * nbd) AS se2
+            |  FROM x)
+            |SELECT i, n_a, n_b, ms AS mean_shift,
+            |  CASE WHEN se2 > 0 THEN ms * ms / se2 ELSE 0.0 END AS zsq,
+            |  CASE WHEN se2 > 0 THEN CAST(ms * ms / se2 > 4.0 AS INT)
+            |       ELSE CAST(ms <> 0.0 AS INT) END AS drift
+            |FROM y ORDER BY i""".stripMargin))
+
   /** Canonical-form dedup oracle: plant whitespace variants of every
     * 7th document, then dedup on md5 of the SAME normalization — the
     * variants collapse onto their originals (raw-byte hashing would
@@ -3321,7 +3356,7 @@ object MlQueries {
     datasetCard,
     dqSuite, lmBigram, postingsIdx, triangles, kcoreQ, lpa, outlierMad,
     outlierMadStream, udtfNgrams, tvtSplit,
-    hardNeg, embOutliers, dedupNormalized,
+    hardNeg, embOutliers, embDrift, dedupNormalized,
     bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupSCurve,

@@ -1262,6 +1262,78 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension embedding drift report — the population monitor an
+    * embedding pipeline runs BETWEEN corpus snapshots (a silent encoder
+    * upgrade, a preprocessing slip, or a domain-mix change shifts
+    * component distributions long before ANN recall visibly degrades;
+    * the fix-forward is re-encoding, so you want the tripwire EARLY).
+    * Eras here are the vec_id parity split (the two-snapshot proxy on
+    * one fixture table); per dimension the row reports both eras'
+    * counts, the mean shift, and Welch's z² — all from exact integer
+    * moments (sums and squared sums of the quantized components in
+    * decimal(38,0) — the [[normOutliers]] doctrine): per era,
+    * mean = s/n and n³·var = n·qq − s², combined into Welch's
+    * z² = (mean_a − mean_b)² / (Aa/na³ + Ab/nb³) by a FIXED sequence
+    * of IEEE steps both engines mirror operation for operation. Every
+    * integer cast to double stays below 2⁶³ by construction (A ≤
+    * n·qq), where BOTH engines' casts are single-rounded — the
+    * fully-cross-multiplied form pushes the denominator past int128's
+    * exact-cast range and DuckDB's wide-value cast double-rounds
+    * (measured: 1 ulp on one fixture dim). The single-rounding
+    * guarantee needs n·qq < 2⁶³ — with Q-scale 2²⁰ components that is
+    * ~10⁶ rows per era worst-case (~10⁸ for unit-ish vectors); beyond
+    * that the moments themselves move to doubles (the bm25 disclosure
+    * pattern). Flag at z² > 4 (2σ),
+    * the norm-outlier envelope, compared in double on bit-identical
+    * values.
+    *
+    * Scale: ONE corpus scan — the positional explode feeds a map-side
+    * combined aggregate over exactly 64 groups; the report is 64 rows
+    * of model-sized state. No join, no second pass. */
+  def embedDrift(emb: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val el = emb.select(col("vec_id"),
+        posexplode(quantize(col("embedding"))))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("q"))
+    val era0 = col("vec_id") % 2 === 0
+    el.groupBy("i")
+      .agg(
+        count(when(era0, lit(1))).as("n_a"),
+        count(when(!era0, lit(1))).as("n_b"),
+        sum(when(era0, col("q")).otherwise(lit(0L))).as("s_a"),
+        sum(when(!era0, col("q")).otherwise(lit(0L))).as("s_b"),
+        sum(when(era0, col("q").cast(dec) * col("q"))
+          .otherwise(lit(0L).cast(dec))).as("qq_a"),
+        sum(when(!era0, col("q").cast(dec) * col("q"))
+          .otherwise(lit(0L).cast(dec))).as("qq_b"))
+      .select(col("i"), col("n_a"), col("n_b"),
+        (col("s_a").cast("double") / col("n_a").cast("double") -
+          col("s_b").cast("double") / col("n_b").cast("double"))
+          .as("ms"),
+        (col("n_a").cast(dec) * col("qq_a") -
+          col("s_a").cast(dec) * col("s_a")).cast("double").as("va"),
+        (col("n_b").cast(dec) * col("qq_b") -
+          col("s_b").cast(dec) * col("s_b")).cast("double").as("vb"),
+        col("n_a").cast("double").as("nad"),
+        col("n_b").cast("double").as("nbd"))
+      .select(col("i"), col("n_a"), col("n_b"), col("ms"),
+        (col("va") / (col("nad") * col("nad") * col("nad")) +
+          col("vb") / (col("nbd") * col("nbd") * col("nbd"))).as("se2"))
+      .select(col("i"), col("n_a"), col("n_b"),
+        col("ms").as("mean_shift"),
+        when(col("se2") > 0, col("ms") * col("ms") / col("se2"))
+          .otherwise(lit(0.0)).as("zsq"),
+        when(col("se2") > 0,
+          (col("ms") * col("ms") / col("se2") > 4.0).cast("int"))
+          // se2 = 0 with differing means is the infinite-z degenerate —
+          // a dead dim whose VALUE changed between snapshots (the
+          // encoder-swap signature); zsq stays a finite sentinel 0.0
+          // but the drift verdict must still fire
+          .otherwise((col("ms") =!= 0.0).cast("int")).as("drift"))
+      .orderBy("i")
+  }
+
   /** Chunks per pooled document in [[docPool]]: vec_id div 4 is the
     * synthetic chunk→doc linkage (the fixture has no doc_id column on
     * embeddings; a production table carries one). */

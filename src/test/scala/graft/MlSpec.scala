@@ -1909,6 +1909,56 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("embedDrift: planted era shift flags its dim; constant dim guarded; naive Welch replay") {
+    // 64-dim vectors: dim 1 shifts +/-0.5 by era (must flag), dim 2 is
+    // constant (zero variance both eras — the se2 = 0 guard), the rest
+    // are era-independent pseudo-noise from vec_id (no systematic shift)
+    def vec(id: Long): Array[Float] = Array.tabulate(64) {
+      case 0 => if (id % 2 == 0) 0.5f else -0.5f
+      case 1 => 0.25f
+      case j => (((id * 7 + j) % 11) - 5) / 20.0f
+    }
+    val emb = (0L until 200L).map(id => (id, s"l${id % 3}", vec(id)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = Similarity.embedDrift(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
+    assert(rows.size === 64)
+    val (na, nb, shift, zsqShifted, drift) = rows(1L)
+    assert(na === 100L && nb === 100L)
+    // the planted dim is CONSTANT within each era — the infinite-z
+    // degenerate (a dead dim whose value changed between snapshots):
+    // zsq stays the finite sentinel 0.0, the verdict still fires
+    assert(drift === 1 && zsqShifted === 0.0 &&
+      shift === MlFunctions.QScale.toDouble, // ±0.5 in quantized units
+      s"dead-dim swap must flag: $shift / $zsqShifted")
+    assert(rows(2L) === ((100L, 100L, 0.0, 0.0, 0)),
+      "constant dim: zero shift, guarded zsq, no flag")
+    // noise dims have within-era variance: their zsq is the real Welch
+    // statistic — finite, computed, and (by construction, the same
+    // vec_id-derived distribution in both eras) far below the planted
+    // shift's significance in aggregate
+    assert((3L to 64L).forall(i => rows(i)._4 >= 0.0))
+    // naive Welch replay of a NOISE dim (within-era variance nonzero,
+    // so the full statistic path runs) over the engine's own
+    // quantization rule
+    val qs = (0L until 200L).map { id =>
+      (id % 2, math.floor(vec(id)(2).toDouble * MlFunctions.QScale + 0.5)
+        .toLong)
+    }
+    def mom(era: Long) = {
+      val v = qs.filter(_._1 == era).map(_._2)
+      (v.size.toLong, v.sum, v.map(x => BigInt(x) * x).sum)
+    }
+    val (n0, s0, q0) = mom(0L); val (n1, s1, q1) = mom(1L)
+    val ms = s0.toDouble / n0 - s1.toDouble / n1
+    val se2 =
+      (BigInt(n0) * q0 - BigInt(s0) * s0).toDouble / (n0.toDouble * n0 * n0) +
+        (BigInt(n1) * q1 - BigInt(s1) * s1).toDouble / (n1.toDouble * n1 * n1)
+    assert(rows(3L)._3 === ms && rows(3L)._4 === ms * ms / se2,
+      "engine must equal the naive Welch fold bit for bit")
+  }
+
   test("media temporal dedup: naive replay of band-match + islands; same-stream docs share segments") {
     val frames = Multimodal.asBmpVideo(docs)
     val got = Multimodal.mediaTemporalDedup(frames).collect()
