@@ -3171,6 +3171,45 @@ object MlQueries {
             |       4 * (m.n * m.qq - m.s * m.s) AS INT) AS is_outlier
             |FROM nrm, m ORDER BY vec_id""".stripMargin))
 
+  /** Matryoshka truncation eval ([[Similarity.matryoshkaRecall]]): the
+    * oracle re-derives every prefix-width search — integer prefix
+    * dots/norms, the cosine ranking, and the top-k overlap against the
+    * full width. */
+  private val matryoshka = Declared(
+    "ml_matryoshka_recall",
+    (s, d) => Similarity.matryoshkaRecall(Tables(s, d, "embeddings")),
+    Some {
+      val widths = (Similarity.MatryoshkaDims :+ 64)
+        .map(w => s"(CAST($w AS BIGINT))").mkString(", ")
+      s"""WITH $qeCte,
+         |dots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, w.dims,
+         |    sum(a.q * b.q) AS dot,
+         |    sum(a.q * a.q) AS na, sum(b.q * b.q) AS nb
+         |  FROM (VALUES $widths) AS w(dims)
+         |  JOIN qe a ON a.i <= w.dims
+         |  JOIN qe b ON b.i = a.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % ${Similarity.QueryStride} = 0
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dims,
+         |    row_number() OVER (PARTITION BY query_id, dims
+         |      ORDER BY ${cosSql("dot", "na", "nb")} DESC, neighbor_id)
+         |      AS rn
+         |  FROM dots),
+         |topk AS (
+         |  SELECT query_id, neighbor_id, dims FROM ranked
+         |  WHERE rn <= ${Similarity.TopK})
+         |SELECT t.query_id, t.dims, count(f.neighbor_id) AS n_hits,
+         |  CAST(count(f.neighbor_id) AS DOUBLE) / ${Similarity.TopK}
+         |    AS recall
+         |FROM topk t LEFT JOIN topk f
+         |  ON f.dims = 64 AND f.query_id = t.query_id
+         |  AND f.neighbor_id = t.neighbor_id
+         |WHERE t.dims <> 64
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
+
   /** Per-dimension drift report between the two snapshot eras
     * ([[Similarity.embedDrift]]): the oracle re-derives the integer
     * moments per (era, dim), the cross-multiplied Welch z², and the
@@ -3364,7 +3403,7 @@ object MlQueries {
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
     ivfAdcIndexed,
-    mmr, fps, annRecallQ, annRecallMultiQ,
+    mmr, fps, annRecallQ, annRecallMultiQ, matryoshka,
     randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, qualityGateStream,

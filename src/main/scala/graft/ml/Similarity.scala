@@ -1262,6 +1262,59 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Prefix lengths evaluated by [[matryoshkaRecall]]. */
+  val MatryoshkaDims: Seq[Int] = Seq(16, 32)
+
+  /** Dimension-truncation recall eval — the storage-saving question
+    * every matryoshka-style deployment asks BEFORE truncating stored
+    * vectors (Kusupati et al., NeurIPS'22: nested prefixes of a
+    * well-trained embedding carry most of the signal; a 4× dim cut is
+    * a 4× index-size cut): per query, how many of the full-dimension
+    * exact cosine top-k the PREFIX-truncated exact search recovers at
+    * each [[MatryoshkaDims]] width. Random fixture vectors have no
+    * matryoshka structure, so the fixture recalls are the honest
+    * pessimistic baseline (structure raises them) — the row's job is
+    * the measurement machinery, pinned end to end.
+    *
+    * Shape: ONE corpus scan explodes each vector into its evaluated
+    * prefixes (integer dot/norm per width — cosine over a prefix is
+    * exact in the same quantized algebra), the bounded query block
+    * broadcasts, ranking reuses the [[cosineTopK]] window, and the
+    * truncated top-k left-joins the full-width top-k — counts + one
+    * IEEE division. Same block-nested cost envelope as the exact
+    * baseline it generalizes, ×(1 + |widths|). */
+  def matryoshkaRecall(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val widths = MatryoshkaDims :+ 64
+    val tr = quantized(emb).select(col("vec_id"),
+        explode(array(widths.map(d =>
+          struct(lit(d.toLong).as("dims"),
+            slice(col("q"), 1, d).as("qd"))): _*)).as("t"))
+      .select(col("vec_id"), col("t.dims").as("dims"),
+        col("t.qd").as("qd"))
+      .withColumn("nd", dotQ(col("qd"), col("qd")))
+    val qs = tr.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("dims"),
+        col("qd").as("qv"), col("nd").as("qn"))
+    val scored = tr.join(broadcast(qs), Seq("dims"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("dims"),
+        col("vec_id").as("neighbor_id"),
+        pairCos(col("qv"), col("qd"), col("qn"), col("nd")).as("cos"))
+    val w = Window.partitionBy("query_id", "dims")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "dims", "neighbor_id")
+    val full = top.filter(col("dims") === 64)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    top.filter(col("dims") =!= 64)
+      .join(full, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id", "dims")
+      .agg(count(col("hit")).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(k))
+      .orderBy("query_id", "dims")
+  }
+
   /** Per-dimension embedding drift report — the population monitor an
     * embedding pipeline runs BETWEEN corpus snapshots (a silent encoder
     * upgrade, a preprocessing slip, or a domain-mix change shifts

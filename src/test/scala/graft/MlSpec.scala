@@ -1959,6 +1959,35 @@ class MlSpec extends AnyFunSuite {
       "engine must equal the naive Welch fold bit for bit")
   }
 
+  test("matryoshkaRecall: planted prefix structure recovers everything; bounds hold on the fixture") {
+    // vectors whose ENTIRE signal lives in the first 16 dims (the
+    // matryoshka property, idealized): every prefix width must then
+    // reproduce the full-dim ranking exactly — recall 1.0 across the row
+    def vec(id: Long): Array[Float] = Array.tabulate(64) { j =>
+      if (j < 16) (((id * 13 + j * 7) % 19) - 9) / 10.0f else 0.0f
+    }
+    val structured = (0L until 200L).map(id => (id, "l", vec(id)))
+      .toDF("vec_id", "label", "embedding")
+    val perfect = Similarity.matryoshkaRecall(structured).collect()
+    assert(perfect.nonEmpty)
+    perfect.foreach(r => assert(r.getDouble(3) === 1.0,
+      s"prefix-structured vectors must lose nothing: $r"))
+    // fixture vectors are random (no matryoshka structure) — the
+    // pessimistic baseline: bounds + n_hits/recall consistency, and
+    // wider prefixes must not do worse in aggregate
+    val rows = Similarity.matryoshkaRecall(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, dims, hits, rec) =>
+      assert(Similarity.MatryoshkaDims.map(_.toLong).contains(dims))
+      assert(hits >= 0L && hits <= Similarity.TopK)
+      assert(rec === hits.toDouble / Similarity.TopK)
+    }
+    def total(d: Long) = rows.filter(_._2 == d).map(_._3).sum
+    assert(total(32L) >= total(16L),
+      "a wider prefix must recover at least as much in aggregate")
+  }
+
   test("media temporal dedup: naive replay of band-match + islands; same-stream docs share segments") {
     val frames = Multimodal.asBmpVideo(docs)
     val got = Multimodal.mediaTemporalDedup(frames).collect()
