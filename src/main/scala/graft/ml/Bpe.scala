@@ -117,4 +117,36 @@ object Bpe {
         col("char_tokens").cast("double") / col("bpe_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Per-language tokenizer fertility report — the disparity metric a
+    * multilingual tokenizer review runs before committing a merge
+    * table: merges train on the WHOLE corpus, so majority-language
+    * byte pairs win the frequency contest and minority languages pay
+    * more tokens per word (fertility) and fewer chars per token —
+    * the compute-tax / context-budget skew (cf. the fertility analyses
+    * of mBERT/XLM-R tokenizers). Per lang: word/char/BPE-token totals,
+    * fertility = bpe_tokens/n_words, chars_per_token — counts exact,
+    * two IEEE divisions.
+    *
+    * Scale: same single corpus explode as [[encode]] with the merge
+    * chain applied scan-side; the aggregate is map-side combined onto
+    * ≤ |langs| groups — model-sized output, no join. */
+  def fertility(docs: DataFrame, k: Int = Merges): DataFrame = {
+    val chain = train(docs, k).foldLeft(WrapSql) { (e, m) =>
+      s"replace($e, ',${m.lhs},,${m.rhs},', ',${m.lhs}${m.rhs},')"
+    }
+    docs.select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .selectExpr("lang", "length(w) AS wlen",
+        s"size(split(trim(BOTH ',' FROM $chain), ',,')) AS wtoks")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("wlen").cast("long").as("n_chars"),
+        sum("wtoks").cast("long").as("bpe_tokens"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("n_words"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("bpe_tokens"))
+      .orderBy("lang")
+  }
 }

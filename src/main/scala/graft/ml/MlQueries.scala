@@ -1988,6 +1988,39 @@ object MlQueries {
          |FROM enc ORDER BY doc_id""".stripMargin
     })
 
+  /** Tokenizer fertility report ([[Bpe.fertility]]): the per-language
+    * disparity aggregate over the same re-derived merge chain as the
+    * encode oracle. */
+  private val bpeFertility = Declared(
+    "ml_bpe_fertility",
+    (s, d) => Bpe.fertility(Tables(s, d, "documents")),
+    Some {
+      val k = Bpe.Merges
+      val enc = (1 to k).foldLeft("',' || array_to_string(" +
+        "regexp_extract_all(w, '[a-z0-9]'), ',,') || ','") { (e, i) =>
+        s"replace($e, ',' || q$i.lhs || ',,' || q$i.rhs || ',', " +
+          s"',' || q$i.lhs || q$i.rhs || ',')"
+      }
+      val crosses = (1 to k).map(i => s"CROSS JOIN m$i AS q$i").mkString(" ")
+      s"""WITH ${bpeCtes(k)},
+         |enc AS (
+         |  SELECT lang, count(*) AS n_words,
+         |         sum(length(w)) AS n_chars,
+         |         sum(len(string_split(trim($enc, ','), ',,')))
+         |           AS bpe_tokens
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  $crosses
+         |  WHERE w <> ''
+         |  GROUP BY lang)
+         |SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+         |  CAST(bpe_tokens AS DOUBLE) / n_words AS fertility,
+         |  CAST(n_chars AS DOUBLE) / bpe_tokens AS chars_per_token
+         |FROM enc ORDER BY lang""".stripMargin
+    })
+
   /** PageRank oracle: the SAME fixed-point power iterations, unrolled
     * (edges re-derived from the cosine top-k CTEs; every division a
     * positive-integer floor → bit-exact). */
@@ -3396,7 +3429,8 @@ object MlQueries {
     dqSuite, lmBigram, postingsIdx, triangles, kcoreQ, lpa, outlierMad,
     outlierMadStream, udtfNgrams, tvtSplit,
     hardNeg, embOutliers, embDrift, dedupNormalized,
-    bpeMerges, bpeEncode, pageRank, hybridRetrieve, ivfTrained,
+    bpeMerges, bpeEncode, bpeFertility, pageRank, hybridRetrieve,
+    ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupSCurve,
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,

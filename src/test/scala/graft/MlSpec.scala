@@ -1988,6 +1988,30 @@ class MlSpec extends AnyFunSuite {
       "a wider prefix must recover at least as much in aggregate")
   }
 
+  test("fertility: equals the per-doc encode regrouped by lang; token bounds hold") {
+    val fert = Bpe.fertility(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(fert.nonEmpty)
+    // cross-operator consistency: the per-doc encode, joined back to
+    // each doc's lang and re-aggregated, must reproduce the fertility
+    // totals exactly (same merge table, same chain, two plans)
+    val regrouped = Bpe.encode(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(sum("n_words").as("w"),
+        sum("char_tokens").as("c"), sum("bpe_tokens").as("b"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(fert.keySet === regrouped.keySet)
+    fert.foreach { case (lang, (w, c, b, f, cpt)) =>
+      assert(regrouped(lang) === ((w, c, b)), s"$lang totals")
+      // every word is >= 1 token, merges only shrink: w <= b <= c
+      assert(w <= b && b <= c, s"$lang bounds: $w / $b / $c")
+      assert(f === b.toDouble / w && cpt === c.toDouble / b)
+    }
+  }
+
   test("media temporal dedup: naive replay of band-match + islands; same-stream docs share segments") {
     val frames = Multimodal.asBmpVideo(docs)
     val got = Multimodal.mediaTemporalDedup(frames).collect()
