@@ -1888,6 +1888,43 @@ object MlQueries {
             |  CAST(sum(w) >= 0 AS INT) AS keep
             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Calibration-report oracle ([[TextAnalysis.clfCalibration]]):
+    * re-derives the classifier score, the rule gate, the fixed-width
+    * value binning, and the per-bin keep rates. */
+  private val clfCalibration = Declared(
+    "ml_clf_calibration",
+    (s, d) => TextAnalysis.clfCalibration(Tables(s, d, "documents")),
+    Some(s"""WITH ts AS (
+            |$textStatsSql),
+            |gate AS (
+            |  SELECT doc_id,
+            |    CAST(n_tokens >= ${TextAnalysis.GateMinTokens}
+            |      AND stop_ratio <= ${TextAnalysis.GateMaxStop}
+            |      AND quality >= ${TextAnalysis.GateMinQuality} AS INT)
+            |      AS keep
+            |  FROM ts),
+            |tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |w AS (
+            |  SELECT doc_id,
+            |    (${sqlHash60(s"'qw:' || (${sqlHash60("'qb:' || term")}" +
+              s" % ${TextAnalysis.ClfBuckets})")} % 16) - 8 AS w
+            |  FROM tok),
+            |clf AS (
+            |  SELECT doc_id, CAST(sum(w) AS DOUBLE) / count(*) AS mean_w
+            |  FROM w GROUP BY doc_id),
+            |b AS (
+            |  SELECT c.doc_id, c.mean_w, g.keep,
+            |    least(9, CAST(floor((c.mean_w + 8.0) * 10.0 / 15.0)
+            |      AS BIGINT)) AS bin
+            |  FROM clf c JOIN gate g USING (doc_id))
+            |SELECT bin, count(*) AS n_docs,
+            |  CAST(sum(keep) AS BIGINT) AS n_keep,
+            |  min(mean_w) AS score_lo, max(mean_w) AS score_hi,
+            |  CAST(sum(keep) AS DOUBLE) / count(*) AS keep_rate
+            |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
+
   /** Unigram-surprisal oracle: integer floor-log2 via binary-string
     * length (`format('{:b}', …)`), the same bit-length arithmetic the
     * Spark side uses (`length(bin(…)) - 1`). */
@@ -3441,7 +3478,7 @@ object MlQueries {
     randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, qualityGateStream,
-    qualityClassifier, lmSurprisal,
+    qualityClassifier, clfCalibration, lmSurprisal,
     langId, langConfusion, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
     contam, contamStream, piiRedact,

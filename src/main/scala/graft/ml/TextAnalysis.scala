@@ -697,6 +697,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared_grams"),
         countDistinct(col("bench_id")).as("bench_docs"))
 
+  /** Classifier calibration report — the reliability diagram a
+    * model-based quality sieve is audited with before its verdicts
+    * replace the rule gate's (a mis-calibrated sieve silently shifts
+    * the corpus mix): the classifier's per-doc mean weight is cut into
+    * ten fixed-width bins over the weight domain [−8, 7] (fixed-width
+    * VALUE bins, not rank deciles — no global sort, no single-partition
+    * window; the shape survives 100 TB as a pure projection + 10-group
+    * map-side-combined aggregate), and each bin reports how often the
+    * reference rule gate keeps its docs. Monotone keep-rate across
+    * bins = a usable ranking signal; the bin populations expose where
+    * the score mass sits. Counts exact; keep_rate one IEEE division;
+    * score_lo/score_hi are min/max of bit-identical doubles (order-free
+    * — never a float SUM). The classifier/gate join keys two per-row
+    * projections of the same scan by doc_id; a fused single-projection
+    * form drops the join at the cost of single-sourcing both operators'
+    * definitions — the eval keeps them as shipped. */
+  def clfCalibration(docs: DataFrame): DataFrame = {
+    val clf = qualityClassifier(docs).select(col("doc_id"), col("mean_w"))
+    val gate = qualityGate(docs).select(col("doc_id"), col("keep"))
+    clf.join(gate, Seq("doc_id"))
+      .withColumn("bin", least(lit(9L),
+        floor((col("mean_w") + lit(8.0)) * lit(10.0) / lit(15.0))
+          .cast("long")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        min(col("mean_w")).as("score_lo"),
+        max(col("mean_w")).as("score_hi"))
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n_docs"))
+      .orderBy("bin")
+  }
+
   /** Number of output shards for [[shardAssign]]. */
   val NumShards = 8
 

@@ -2012,6 +2012,27 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("clfCalibration: bins partition the corpus; envelopes sit inside their bins") {
+    val rows = TextAnalysis.clfCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum === docs.count(),
+      "every doc lands in exactly one bin")
+    rows.foreach { case (bin, n, keep, lo, hi, rate) =>
+      assert(bin >= 0L && bin <= 9L)
+      assert(keep >= 0L && keep <= n)
+      assert(rate === keep.toDouble / n)
+      assert(lo <= hi)
+      // the bin's score envelope must re-bin to the bin itself (the
+      // clamp only matters at mean_w == 7.0 exactly)
+      def binOf(x: Double) =
+        math.min(9L, math.floor((x + 8.0) * 10.0 / 15.0).toLong)
+      assert(binOf(lo) === bin && binOf(hi) === bin,
+        s"envelope [$lo, $hi] escapes bin $bin")
+    }
+  }
+
   test("media temporal dedup: naive replay of band-match + islands; same-stream docs share segments") {
     val frames = Multimodal.asBmpVideo(docs)
     val got = Multimodal.mediaTemporalDedup(frames).collect()
