@@ -523,10 +523,13 @@ object TextAnalysis {
       .limit(Bm25K)
   }
 
-  /** Every 10th doc seeds the known-item query set; a query is the
-    * doc's [[KiQueryTerms]] mid-document tokens (1-based positions
-    * n/2 … n/2+3 — deterministic, reproducible in both engines). */
-  val KiQueryMod = 10
+  /** Every 50th doc seeds the known-item query set (the ANN rows'
+    * QueryStride granularity — the query SAMPLE is the eval's cost
+    * knob: common mid-document terms carry large postings, so probe
+    * volume is Σ_q Σ_t df(t)); a query is the doc's [[KiQueryTerms]]
+    * mid-document tokens (1-based positions n/2 … n/2+3 —
+    * deterministic, reproducible in both engines). */
+  val KiQueryMod = 50
   val KiQueryTerms = 4
 
   /** Known-item retrieval eval — the ranking-quality report for the
@@ -541,24 +544,31 @@ object TextAnalysis {
     * regression tripwire for scoring changes: a k1/b slip or a broken
     * idf moves ranks, not just scores.
     *
-    * Scale: the tf/dl/df statistics are ONE corpus explode+shuffle
-    * (shared shape with [[bm25TopK]]); df and the (N, T) scalar
-    * broadcast; the score join touches only (query term, posting)
-    * pairs — Σ_q Σ_t df(t), bounded by the SAMPLE, the eval's cost
-    * knob (a production scorer at 100 TB adds impact-ordered pruning
-    * à la WAND; the eval's semantics don't change). Per-query top-k is
-    * a rank ≤ k filter (WindowGroupLimit — per-partition heads, no
-    * global sort). Every tie breaks on doc_id; the source doc always
-    * matches its own query terms, so each query scores ≥ 1 doc and
-    * the rank-1 row exists. */
+    * Scale: the corpus pays exactly TWO keyed exchanges — the
+    * (doc, term) tf aggregate and one doc_id repartition whose window
+    * attaches dlen to every posting — plus one projection-agg scan for
+    * the (N, T) scalar; the BOUNDED query-term set then broadcasts
+    * INTO the posting stream (never a corpus shuffle by term), and
+    * df(t) for the query terms falls out of the probed rows themselves
+    * (they contain every posting of every query term), so no
+    * corpus-wide df aggregate exists either. Everything after the
+    * probe is sample-bounded — Σ_q Σ_t df(t) rows (a production scorer
+    * at 100 TB adds impact-ordered pruning à la WAND; the eval's
+    * semantics don't change). Per-query top-k is a rank ≤ k filter
+    * (WindowGroupLimit — per-partition heads, no global sort). Every
+    * tie breaks on doc_id; the source doc always matches its own query
+    * terms, so each query scores ≥ 1 doc and the rank-1 row exists. */
   def knownItemEval(docs: DataFrame): DataFrame = {
     val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
     val tf = toksDf
       .select(col("doc_id"), explode(col("tk")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dlen"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dlen")).as("t"))
+    val tfd = tf.withColumn("dlen",
+      sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val stats = toksDf
+      .select(size(col("tk")).cast("long").as("nt"))
+      .agg(count(lit(1)).as("n"), sum(col("nt")).as("t"))
     val q0 = toksDf
       .filter(col("doc_id") % KiQueryMod === 0 &&
         size(col("tk")) >= 2 * KiQueryTerms)
@@ -568,10 +578,15 @@ object TextAnalysis {
       .select(col("q_id"),
         explode(slice(col("tk"), col("p"), lit(KiQueryTerms))).as("term"))
       .distinct()
-    val scored = qterms
-      .join(tf, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .join(broadcast(df), Seq("term"))
+    // probed feeds BOTH the df derivation and the scoring — checkpoint
+    // so the corpus tf/window pipeline runs once (probe volume is the
+    // sample-bounded Σ df, the documented cost knob)
+    val probed = tfd.join(broadcast(qterms), Seq("term"))
+      .localCheckpoint(true)
+    val dfq = probed.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = probed
+      .join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))
       .selectExpr("q_id", "doc_id",
         s"(44 * tf * t * $Bm25Scale) div " +

@@ -1850,12 +1850,12 @@ class MlSpec extends AnyFunSuite {
     // a corpus whose docs share NO vocabulary: every query term is
     // unique to its source doc, so known-item retrieval must be perfect
     // — the semantic pin that the eval measures what it claims
-    val distinct = (0L until 30L).map { i =>
+    val distinct = (0L until 150L).map { i =>
       (i, (0 until 10).map(j => s"w${i}x$j").mkString(" "),
         "en", "t", 60L)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     val perfect = TextAnalysis.knownItemEval(distinct).collect()
-    assert(perfect.length === 3) // doc_ids 0, 10, 20
+    assert(perfect.length === 3) // doc_ids 0, 50, 100
     perfect.foreach { r =>
       assert(r.getLong(1) === 1L, s"unique-vocab doc not at rank 1: $r")
       assert(r.getDouble(2) === 1.0)
