@@ -509,6 +509,39 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-side sort-merge is the scale killer:\n${s.take(800)}")
   }
 
+  test("embed drift: one scan, no join, no window — 64 groups absorb the corpus") {
+    // the moments partial-aggregate scan-side onto 64 (dim) groups;
+    // there is no second table and no per-row window anywhere
+    val s = planString(run("ml_embed_drift"))
+    assert(!s.contains("Join"), "drift report must not join")
+    assert(!s.contains("Window"), "drift report must not window")
+    assert(s.contains("HashAggregate"),
+      "moments must partial-aggregate (map-side combine)")
+  }
+
+  test("fertility: merge chain is scan-side literal — no join, lang groups absorb the corpus") {
+    val s = planString(run("ml_bpe_fertility"))
+    assert(!s.contains("Join"),
+      "the trained merge chain is baked as literals — no model join")
+    assert(s.contains("HashAggregate"),
+      "per-lang totals must partial-aggregate")
+  }
+
+  test("calibration: fixed-width value bins — no window, no global sort before the agg") {
+    // rank-decile binning would need a corpus-wide window; the
+    // value-bin form is a projection + 10-group aggregate
+    val s = planString(run("ml_clf_calibration"))
+    assert(!s.contains("Window"),
+      "calibration bins must come from values, not a rank window")
+  }
+
+  test("matryoshka: query block broadcasts, no cartesian product") {
+    val s = planString(run("ml_matryoshka_recall"))
+    assert(s.contains("BroadcastHashJoin"), "query block must broadcast")
+    assert(!s.contains("CartesianProduct"),
+      "the prefix eval joins on dims — never all-pairs")
+  }
+
   test("doc pool: one hash exchange, no positional explode") {
     // the bounded-group fold keys once on doc_id and folds arrays with
     // zip_with — a Generate node would mean the 64× positional
