@@ -2744,6 +2744,119 @@ object MlQueries {
             |LEFT JOIN hits h USING (query_id)
             |ORDER BY q.query_id""".stripMargin))
 
+  /** Filtered-ANN eval ([[Similarity.filteredAnnEval]]): the oracle
+    * re-derives the same-category exact baseline, the probed
+    * pre-filter search, the unfiltered probed search with its
+    * post-filter, and every overlap. */
+  private val annFiltered = Declared(
+    "ml_ann_filtered",
+    (s, d) => Similarity.filteredAnnEval(Tables(s, d, "embeddings")),
+    Some {
+      val M = Similarity.FilterMod
+      s"""WITH $qeCte,
+         |$nrmCte,
+         |fdots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         sum(a.q * b.q) AS d
+         |  FROM qe a JOIN qe b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |   AND b.vec_id % $M = a.vec_id % $M
+         |  WHERE a.vec_id % $QueryStride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |ftop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT d.query_id, d.neighbor_id,
+         |      row_number() OVER (PARTITION BY d.query_id
+         |        ORDER BY ${cosSql("d.d", "na.n2", "nb.n2")} DESC,
+         |                 d.neighbor_id) AS rn
+         |    FROM fdots d
+         |    JOIN nrm na ON na.vec_id = d.query_id
+         |    JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+         |  WHERE rn <= ${Similarity.TopK}),
+         |cent AS (SELECT label, i, sum(q) AS cs FROM qe GROUP BY label, i),
+         |qv AS (SELECT vec_id AS query_id, i, q FROM qe
+         |       WHERE vec_id % $QueryStride = 0),
+         |cell AS (
+         |  SELECT qv.query_id, c.label,
+         |         ${cosSql("sum(qv.q * c.cs)", "sum(qv.q * qv.q)",
+                          "sum(c.cs * c.cs)")} AS cell_cos
+         |  FROM qv JOIN cent c ON qv.i = c.i
+         |  GROUP BY qv.query_id, c.label),
+         |probe AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT query_id, label,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cell_cos DESC, label) AS r
+         |    FROM cell)
+         |  WHERE r <= $NProbe),
+         |predots AS (
+         |  SELECT p.query_id, e.vec_id AS neighbor_id,
+         |         sum(qv.q * e.q) AS d
+         |  FROM probe p
+         |  JOIN qe e ON e.label = p.label AND e.vec_id <> p.query_id
+         |   AND e.vec_id % $M = p.query_id % $M
+         |  JOIN qv ON qv.query_id = p.query_id AND qv.i = e.i
+         |  GROUP BY p.query_id, e.vec_id),
+         |pretop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT d.query_id, d.neighbor_id,
+         |      row_number() OVER (PARTITION BY d.query_id
+         |        ORDER BY ${cosSql("d.d", "na.n2", "nb.n2")} DESC,
+         |                 d.neighbor_id) AS rn
+         |    FROM predots d
+         |    JOIN nrm na ON na.vec_id = d.query_id
+         |    JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+         |  WHERE rn <= ${Similarity.TopK}),
+         |idots AS (
+         |  SELECT p.query_id, e.vec_id AS neighbor_id,
+         |         sum(qv.q * e.q) AS d
+         |  FROM probe p
+         |  JOIN qe e ON e.label = p.label AND e.vec_id <> p.query_id
+         |  JOIN qv ON qv.query_id = p.query_id AND qv.i = e.i
+         |  GROUP BY p.query_id, e.vec_id),
+         |itop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT d.query_id, d.neighbor_id,
+         |      row_number() OVER (PARTITION BY d.query_id
+         |        ORDER BY ${cosSql("d.d", "na.n2", "nb.n2")} DESC,
+         |                 d.neighbor_id) AS rn
+         |    FROM idots d
+         |    JOIN nrm na ON na.vec_id = d.query_id
+         |    JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+         |  WHERE rn <= ${Similarity.TopK}),
+         |post AS (
+         |  SELECT query_id, neighbor_id FROM itop
+         |  WHERE neighbor_id % $M = query_id % $M),
+         |nex AS (SELECT query_id, count(*) AS n_exact FROM ftop
+         |        GROUP BY 1),
+         |npost AS (SELECT query_id, count(*) AS n_post FROM post
+         |          GROUP BY 1),
+         |hpre AS (
+         |  SELECT p.query_id, count(*) AS hits_pre
+         |  FROM pretop p JOIN ftop f
+         |    ON f.query_id = p.query_id
+         |   AND f.neighbor_id = p.neighbor_id
+         |  GROUP BY 1),
+         |hpost AS (
+         |  SELECT p.query_id, count(*) AS hits_post
+         |  FROM post p JOIN ftop f
+         |    ON f.query_id = p.query_id
+         |   AND f.neighbor_id = p.neighbor_id
+         |  GROUP BY 1)
+         |SELECT n.query_id, CAST(n.n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(np.n_post, 0) AS BIGINT) AS n_post,
+         |  CAST(coalesce(hp.hits_pre, 0) AS BIGINT) AS hits_pre,
+         |  CAST(coalesce(ho.hits_post, 0) AS BIGINT) AS hits_post,
+         |  CAST(coalesce(hp.hits_pre, 0) AS DOUBLE) / n.n_exact
+         |    AS recall_pre,
+         |  CAST(coalesce(ho.hits_post, 0) AS DOUBLE) / n.n_exact
+         |    AS recall_post
+         |FROM nex n
+         |LEFT JOIN npost np USING (query_id)
+         |LEFT JOIN hpre hp USING (query_id)
+         |LEFT JOIN hpost ho USING (query_id)
+         |ORDER BY n.query_id""".stripMargin
+    })
+
   /** L92 — the L89 recall tripwire extended across the WHOLE index
     * family ([[Similarity.annRecallMulti]], VERDICT r12 next #7): one
     * row reports recall@k per (index, query) for IVF, SRP-LSH, PQ-ADC,
@@ -3474,7 +3587,7 @@ object MlQueries {
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
     ivfAdcIndexed,
-    mmr, fps, annRecallQ, annRecallMultiQ, matryoshka,
+    mmr, fps, annRecallQ, annRecallMultiQ, matryoshka, annFiltered,
     randProj, kmeansStep,
     embedNearDup, semDedup,
     textStats, textNormalize, qualityGate, qualityGateStream,

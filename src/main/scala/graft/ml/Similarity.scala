@@ -1262,6 +1262,72 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Synthetic metadata category for [[filteredAnnEval]]: vec_id mod 3
+    * (a production table carries a real tenant/category column). */
+  val FilterMod = 3L
+
+  /** Filtered-ANN eval — the pre-filter vs post-filter recall wedge
+    * every metadata-constrained vector-search deployment measures
+    * (faiss IDSelector / the filtered-search literature): when a query
+    * must return only SAME-CATEGORY neighbors, post-filtering (search
+    * unfiltered, then drop wrong-category hits) wastes top-k slots on
+    * vectors the filter discards and silently under-returns, while
+    * pre-filtering (the predicate applied INSIDE the probed scan)
+    * keeps all k slots for eligible vectors at the same probe cost.
+    * Per query: the exact same-category baseline size, the post-filter
+    * survivor count, both searches' overlap with the baseline, and the
+    * two recalls — the measured gap is the case for pushing filters
+    * into the index scan.
+    *
+    * Shape: three searches share the [[cosineTopK]]/[[ivfTopK]] plans
+    * (query block broadcast, probed cells broadcast, the category test
+    * a per-row predicate pushed into each scan); overlaps are
+    * model-sized semi joins. Counts exact; recalls one IEEE division
+    * each, denominated by the exact baseline size (≤ k by
+    * construction). */
+  def filteredAnnEval(emb: DataFrame, k: Int = TopK,
+      nprobe: Int = NProbe): DataFrame = {
+    val sameCat =
+      col("vec_id") % FilterMod === col("query_id") % FilterMod
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    def rank(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id")
+    val exactF = rank(quantized(emb).crossJoin(broadcast(queries(emb)))
+      .filter(col("vec_id") =!= col("query_id") && sameCat)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pairCos(col("qq"), col("q"), col("qn2"), col("n2")).as("cos")))
+    val pre = rank(quantized(emb)
+      .join(broadcast(probedCells(emb, nprobe)), Seq("label"))
+      .join(broadcast(queries(emb)), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id") && sameCat)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pairCos(col("qq"), col("q"), col("qn2"), col("n2")).as("cos")))
+    val post = ivfTopK(emb, k, nprobe)
+      .filter(col("neighbor_id") % FilterMod ===
+        col("query_id") % FilterMod)
+      .select("query_id", "neighbor_id")
+    def perQuery(cand: DataFrame, name: String): DataFrame = cand
+      .join(exactF, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as(name))
+    val nEx = exactF.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val nPost = post.groupBy("query_id").agg(count(lit(1)).as("n_post"))
+    nEx
+      .join(nPost, Seq("query_id"), "left")
+      .join(perQuery(pre, "hits_pre"), Seq("query_id"), "left")
+      .join(perQuery(post, "hits_post"), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("hits_pre"), lit(0L)).as("hits_pre"),
+        coalesce(col("hits_post"), lit(0L)).as("hits_post"))
+      .withColumn("recall_pre",
+        col("hits_pre").cast("double") / col("n_exact"))
+      .withColumn("recall_post",
+        col("hits_post").cast("double") / col("n_exact"))
+      .orderBy("query_id")
+  }
+
   /** Prefix lengths evaluated by [[matryoshkaRecall]]. */
   val MatryoshkaDims: Seq[Int] = Seq(16, 32)
 

@@ -2033,6 +2033,35 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("filteredAnn: post-filter never beats pre-filter; vacuous filter collapses the wedge") {
+    val rows = Similarity.filteredAnnEval(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, nEx, nPost, hPre, hPost, rPre, rPost) =>
+      assert(nEx > 0L && nEx <= Similarity.TopK)
+      assert(nPost <= Similarity.TopK)
+      // a post-filter survivor ranks <= k among ALL probed vectors, so
+      // among eligible ones too — it is always in the pre-filter top-k
+      // (post ⊆ pre, a theorem, not a fixture accident)
+      assert(hPost <= hPre && rPost <= rPre, s"post beat pre at $q")
+      assert(rPre === hPre.toDouble / nEx && rPost === hPost.toDouble / nEx)
+    }
+    // every vector in one category: the filter is vacuous, so the
+    // pre/post wedge must collapse — identical hits, full survivor set
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(64)(j => (((id * 11 + j * 5) % 17) - 8) / 10.0f)
+    val oneCat = (0L until 450L by 3L)
+      .map(id => (id, s"c${id % 4}", vec(id)))
+      .toDF("vec_id", "label", "embedding")
+    Similarity.filteredAnnEval(oneCat).collect().foreach { r =>
+      assert(r.getLong(2) === Similarity.TopK.toLong,
+        s"vacuous filter must keep all k survivors: $r")
+      assert(r.getLong(3) === r.getLong(4),
+        s"vacuous filter must equalize pre and post: $r")
+    }
+  }
+
   test("media temporal dedup: naive replay of band-match + islands; same-stream docs share segments") {
     val frames = Multimodal.asBmpVideo(docs)
     val got = Multimodal.mediaTemporalDedup(frames).collect()
