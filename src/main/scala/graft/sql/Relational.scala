@@ -245,6 +245,15 @@ object Relational {
            |  CAST(1 AS INT) AS supps_within_envelope
            |FROM lineitem""".stripMargin))
 
+  /** Shared oracle for the CMS heavy hitters and the streaming twin
+    * (one SQL string holds both rows to the same exact counts and the
+    * same always-true envelope expectation). */
+  private val heavyHittersSql =
+    """SELECT l_partkey, count(*) AS cnt,
+      |  CAST(1 AS INT) AS within_envelope
+      |FROM lineitem GROUP BY 1
+      |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin
+
   private val aggHeavyHitters = Declared(
     "agg_heavy_hitters",
     // Count-min-sketch heavy hitters (Cormode & Muthukrishnan '05):
@@ -272,10 +281,63 @@ object Relational {
         (k, c, if (est >= c && est <= c + slack) 1 else 0)
       }.toDF("l_partkey", "cnt", "within_envelope")
     },
-    Some("""SELECT l_partkey, count(*) AS cnt,
-           |  CAST(1 AS INT) AS within_envelope
-           |FROM lineitem GROUP BY 1
-           |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin))
+    Some(heavyHittersSql))
+
+  /** Streaming twin of the CMS heavy hitters — MERGEABLE-SKETCH state
+    * across micro-batches, the streaming-state pattern the family was
+    * missing next to fold state (LWW replicas), dedup state
+    * (watermarked identity), and threshold models (the MAD gate):
+    * each arriving batch builds its own seeded count-min sketch (a
+    * bounded w×d counter grid) and merges it into the accumulated
+    * sketch — counter grids ADD, so the merged sketch is bit-identical
+    * to one built over the whole stream, which is exactly how 100 TB
+    * deployments sketch per executor/partition and fold upward without
+    * ever shuffling values. Rows land as hash-bucketed parquet appends
+    * alongside the sketch; the verdict probes the exact top-10 of the
+    * landed stream against the merged sketch — equal to the batch row,
+    * which is the oracle, verbatim. */
+  private val aggHeavyHittersStream = Declared(
+    "agg_heavy_hitters_stream",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val eps = 1e-4
+      val keys = t(s, d)("lineitem").select(col("l_partkey"))
+        .as[Long].collect()
+      val in = MemoryStream[Long](s)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-hh-out").toString
+      // the accumulated sketch — bounded model state (w*d counters),
+      // mutated only on the driver inside foreachBatch
+      var merged: org.apache.spark.util.sketch.CountMinSketch = null
+      val q = in.toDF().toDF("l_partkey")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-hh-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val sk = batch.stat.countMinSketch("l_partkey", eps, 0.99, 42)
+            if (merged == null) merged = sk else merged.mergeInPlace(sk)
+            batch.withColumn("bucket", pmod(col("l_partkey"), lit(16)))
+              .repartition(col("bucket"))
+              .write.mode("append").partitionBy("bucket").parquet(outDir)
+        }
+        .start()
+      try keys.grouped(keys.length / 4 + 1).foreach { wave =>
+        in.addData(wave.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val exact = s.read.parquet(outDir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+        .as[(Long, Long)].collect()
+      val slack = (eps * merged.totalCount()).toLong
+      exact.toSeq.map { case (k, c) =>
+        val est = merged.estimateCount(Long.box(k))
+        (k, c, if (est >= c && est <= c + slack) 1 else 0)
+      }.toDF("l_partkey", "cnt", "within_envelope")
+    },
+    Some(heavyHittersSql))
 
   private val aggRollup = Declared(
     "agg_rollup",
@@ -1967,7 +2029,7 @@ object Relational {
     s1ScanProjectSort, o2Topk,
     f1EqFilter, f3ParityCount, f4CaseDispatch,
     a1Count, a3CountFiltered, a4CoalesceMax, a6LwwWindow, a6LwwMaxBy,
-    q1AggPricing, aggDistinct, aggApproxDistinct, aggHeavyHitters, aggRollup, aggCube,
+    q1AggPricing, aggDistinct, aggApproxDistinct, aggHeavyHitters, aggHeavyHittersStream, aggRollup, aggCube,
     aggStats,
     jInnerBroadcast, j2SemiExists, j3AntiJoin, jLeftOuterCount, jFullOuter,
     jThetaPairs, jQ3Shipping, jAsofEvents, jRangePairs,

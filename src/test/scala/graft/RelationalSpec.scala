@@ -153,6 +153,29 @@ class RelationalSpec extends AnyFunSuite {
       "materialized recursive chain diverges from the verbatim CTE text")
   }
 
+  test("CMS merge: batch-wise sketches fold to the whole-stream sketch, estimate for estimate") {
+    // the streaming heavy-hitters row rests on this: count-min counter
+    // grids ADD, so per-batch sketches merged in arrival order are
+    // bit-equivalent to one sketch over the whole stream (same seed =>
+    // same hash functions). Probe EVERY distinct key, not just the hot
+    // ten.
+    import graft.core.Tables
+    val keys = Tables(spark, sf, "lineitem").select("l_partkey")
+    val whole = keys.stat.countMinSketch("l_partkey", 1e-4, 0.99, 42)
+    val parts = (0 until 4).map(i =>
+      keys.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.lit(4)) === i)
+        .stat.countMinSketch("l_partkey", 1e-4, 0.99, 42))
+    val merged = parts.reduce { (a, b) => a.mergeInPlace(b); a }
+    assert(merged.totalCount() === whole.totalCount())
+    val distinct = keys.distinct().collect().map(_.getLong(0))
+    distinct.foreach { k =>
+      assert(merged.estimateCount(Long.box(k)) ===
+        whole.estimateCount(Long.box(k)), s"estimate diverges at $k")
+    }
+  }
+
   test("j_q2_mincost: every row achieves the region-wide min for its part") {
     val rows = SqlQueries.all.find(_.name == "j_q2_mincost").get
       .run(spark, sf).collect()
