@@ -229,7 +229,8 @@ object MlQueries {
     * prefix-truncation variants planted over every 10th doc sweep the
     * exact-Jaccard deciles, and the report measures — per decile — the
     * share of pairs the 16×4 band join recovers. The oracle re-derives
-    * the planting, the shingle inverted index, the integer decile
+    * the planting (negative variant ids), the df ≤ [[Dedup.SCurveDfCap]]
+    * shingle universe, the inverted index over it, the integer decile
     * binning, the full minhash/banding chain, and the left-join count. */
   private val dedupSCurve = Declared(
     "ml_dedup_scurve",
@@ -238,7 +239,7 @@ object MlQueries {
             |  SELECT doc_id, string_split(text, ' ') AS tk
             |  FROM documents WHERE doc_id % ${Dedup.SCurveSampleMod} = 0),
             |vars AS (
-            |  SELECT ${Dedup.SCurveVariantBase} * l + doc_id AS doc_id,
+            |  SELECT -(${Dedup.SCurveVariantBase} * l + doc_id) AS doc_id,
             |         array_to_string(tk[1:CAST((len(tk) * l) // 10 AS INT)],
             |                         ' ') AS text
             |  FROM qt, unnest(range(1, 10)) AS t(l)
@@ -260,14 +261,18 @@ object MlQueries {
             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             |  FROM bands a JOIN bands b
             |    ON a.band = b.band AND a.bk = b.bk AND b.doc_id <> a.doc_id
-            |  WHERE a.doc_id >= ${Dedup.SCurveVariantBase}),
+            |  WHERE a.doc_id < 0),
             |sets AS (SELECT DISTINCT doc_id, sh FROM shg),
-            |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+            |keep AS (SELECT sh FROM sets GROUP BY sh
+            |         HAVING count(*) <= ${Dedup.SCurveDfCap}),
+            |setsk AS (SELECT s.doc_id, s.sh
+            |          FROM sets s JOIN keep k ON k.sh = s.sh),
+            |sz AS (SELECT doc_id, count(*) AS sz FROM setsk GROUP BY doc_id),
             |intr AS (
             |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ix
-            |  FROM sets sa JOIN sets sb
+            |  FROM setsk sa JOIN setsk sb
             |    ON sb.sh = sa.sh AND sb.doc_id <> sa.doc_id
-            |  WHERE sa.doc_id >= ${Dedup.SCurveVariantBase}
+            |  WHERE sa.doc_id < 0
             |  GROUP BY 1, 2),
             |binned AS (
             |  SELECT i.doc_a, i.doc_b,

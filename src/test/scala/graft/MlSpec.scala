@@ -1846,6 +1846,43 @@ class MlSpec extends AnyFunSuite {
       "the knee must sit at the designed s ≈ 0.5 threshold bin")
   }
 
+  test("banding S-curve: probe-side df cap bounds boilerplate shingles") {
+    // 600 docs, each with unique filler vocabulary; every 2nd doc opens
+    // with the SAME 6-token boilerplate header (license blurb / page
+    // header — exactly the dedup-corpus pathology VERDICT r13 #1 named).
+    // The boilerplate shingles land in ~300 base docs plus the planted
+    // variants of every sampled even doc — df ≫ SCurveDfCap — so the
+    // ground-truth probe must exclude them: without the cap the probe
+    // joins every even variant to every even doc (~quadratic); with it,
+    // pairs exist only through the unique per-doc shingles.
+    val boiler = "standard license header all rights reserved"
+    val boilerDocs = (0L until 600L).map { i =>
+      val filler = (0 until 12).map(j => s"d${i}t$j").mkString(" ")
+      val text = if (i % 2 == 0) s"$boiler $filler" else filler
+      (i, text, "en", "t", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.bandingSCurve(boilerDocs).collect()
+    val totalPairs = rows.map(_.getLong(1)).sum
+    // unique-vocab ground truth: each of the 60 sampled docs yields ≤ 9
+    // variants, each pairing ONLY with its own base doc (plus variant-
+    // variant pairs of the same base, ≤ 9·8/2 each) — never the ~300
+    // even docs the boilerplate would flood in (≥ 60/2·9·300 = 81k)
+    assert(totalPairs > 0L, "planted variants must produce pairs")
+    assert(totalPairs < 60L * (9L + 36L) * 2L,
+      s"df cap failed to bound boilerplate pairs: $totalPairs")
+    // and the planted-decile knee on the REAL fixture is unchanged by
+    // the cap (max fixture df 54 < 128) — pinned by the sibling test
+  }
+
+  test("banding S-curve: negative doc_ids are rejected (variant namespace)") {
+    val bad = Seq((-1L, "a b c d e f", "en", "t", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bandingSCurve(bad).collect()
+    }
+    assert(e.getMessage.contains("negative doc_ids"))
+  }
+
   test("known-item eval: unique-vocab docs rank 1; rank/rr/top1 coherent on the fixture") {
     // a corpus whose docs share NO vocabulary: every query term is
     // unique to its source doc, so known-item retrieval must be perfect
