@@ -1,0 +1,320 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+
+import graft.cdc.{ChangeGen, ChangeSource, Ivm, MtDelta, MultiTable, TableSpec}
+
+/** CDC-MAINTAINED IVFADC serving index (VERDICT r13 next #1 — the
+  * maintained-vector-index shape a 100 TB pipeline actually runs):
+  * embedding rows arrive/update/delete through the SAME replica stream
+  * machinery every CDC table uses ([[graft.cdc.ChangeSource]] slot scan
+  * → [[graft.cdc.MultiTable.parseAll]] envelope decode →
+  * [[graft.cdc.Ivm.mtDeltas]] full-image retraction deltas), changed
+  * keys re-encode against the FROZEN model (coarse centroids + residual
+  * PQ codebooks — never retrained per epoch; re-training is a separate,
+  * rare, full-rebuild event), and each epoch rewrites ONLY the cell
+  * partitions its changes touch — the [[graft.cdc.Ivm.applyJoinBatch]]
+  * identity applied to the serving index, so per-epoch work is
+  * change-volume-sized + touched-cells-sized, independent of index
+  * size.
+  *
+  * Cell assignment here is the QUANTIZER's (nearest frozen coarse
+  * centroid by integer L2, ties to the lowest cell — Jégou et al.,
+  * IVFADC, TPAMI'11 §III), not the fixture label: arriving vectors
+  * have no label, and a self-consistent assignment rule is what makes
+  * "incremental == full rebuild" a theorem rather than a coincidence.
+  *
+  * Epoch apply is REPLAY-IDEMPOTENT by construction: a rewritten cell's
+  * next content is (current content minus the batch's keys) ∪ (the
+  * batch's +new encodings) — keyed set algebra, so re-applying a batch
+  * after a checkpoint-restart recomputes the identical partitions
+  * (spec-pinned, the restart contract every foreachBatch sink needs).
+  *
+  * Scale: the delta side is change-volume-sized; the state side reads
+  * are PARTITION-PRUNED to the touched cells (the -old/+new retraction
+  * images carry both the departing and the arriving cell, so no index
+  * lookup is needed to find a moved key's old partition); the write is
+  * a dynamic partition overwrite of exactly the touched cells. The
+  * probed search then reads the maintained artifact through the same
+  * pruning [[Similarity.ivfAdcIndexScan]] pins.
+  */
+object AnnIndex {
+  import Similarity.{IvfAdcProbe, PqM, PqTopK, QueryStride}
+
+  /** The embedding table's change-stream contract: key `vec_id`; image
+    * column `emb` carries the comma-joined QUANTIZED components — exact
+    * integer round-trip, floats never cross the wire (the same
+    * fixed-point doctrine as [[MlFunctions.quantize]]). */
+  val EmbSpec: TableSpec = TableSpec("embedding", "vec_id", None,
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("emb", StringType))))
+
+  /** Fresh-key namespace for the synthetic epoch script's inserts. */
+  val InsertIdBase = 1000000L
+
+  // ---- frozen-model encode / assign ------------------------------------
+
+  /** Nearest frozen coarse cell by integer L2, ties to the LOWEST cell —
+    * the packed `d2·C + c` argmin ([[Similarity.pqCode]]'s tie-break),
+    * one codegen'd per-row expression against literal centroids. */
+  def cellOf(q: Column, cents: Seq[Seq[Long]]): Column = {
+    val n = cents.length
+    val keys = transform(sequence(lit(0), lit(n - 1)),
+      c => Similarity.pqD2(q, element_at(typedLit(cents), c + 1))
+        * n + c)
+    (array_min(keys) % n).cast("int")
+  }
+
+  /** Residual PQ codes against the frozen codebooks for rows that
+    * already carry their assigned `cell`. */
+  private def codesFor(cb: Seq[Seq[Seq[Long]]], cents: Seq[Seq[Long]])
+      : Column = {
+    val r = Similarity.residual(col("q"), col("cell"), cents)
+    transform(sequence(lit(0), lit(PqM - 1)),
+      m => Similarity.pqCode(typedLit(cb), Similarity.subCol(r, m), m))
+  }
+
+  /** Encode (vec_id, q) rows against the FROZEN model: assigned cell +
+    * residual codes — one codegen'd projection, no shuffle. */
+  def encode(rows: DataFrame, cents: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]]): DataFrame =
+    rows.withColumn("cell", cellOf(col("q"), cents))
+      .select(col("vec_id"), col("cell"), codesFor(cb, cents).as("codes"))
+
+  // ---- build / append / apply-epoch ------------------------------------
+
+  /** Full build: encode every row, one file per cell. The rebuild this
+    * module's incremental path is proven equal to. */
+  def buildIndex(rows: DataFrame, indexPath: String,
+      cents: Seq[Seq[Long]], cb: Seq[Seq[Seq[Long]]]): Unit =
+    encode(rows, cents, cb).repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(indexPath)
+
+  /** Insert-only fast path (VERDICT r13 next #4): encode NEW rows
+    * against the frozen model and APPEND to their cell partitions —
+    * files land only under the appended cells' dirs, every other
+    * partition is untouched (spec-pinned), and no existing file is
+    * rewritten. Returns the touched cells. */
+  def appendToIndex(rows: DataFrame, indexPath: String,
+      cents: Seq[Seq[Long]], cb: Seq[Seq[Seq[Long]]]): Seq[Int] = {
+    val enc = encode(rows, cents, cb).localCheckpoint(true)
+    val cells = enc.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    enc.repartition(col("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(indexPath)
+    cells
+  }
+
+  /** Apply ONE micro-batch of full-image retraction deltas
+    * ([[graft.cdc.Ivm.mtDeltas]]' rows for [[EmbSpec]]) to the
+    * maintained index. Affected cells = departing (−old) ∪ arriving
+    * (+new) cells — both derivable from the delta images alone, no
+    * index lookup; the rewrite reads ONLY those cells (partition
+    * pruning), drops the batch's keys, adds the +new encodings, and
+    * dynamic-partition-overwrites exactly those cells. A cell the
+    * batch empties entirely is cleared explicitly (dynamic overwrite
+    * writes no partition for it). Returns the affected cells —
+    * |returned| == |rewritten partitions| is the spec pin. */
+  def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
+      indexPath: String, cents: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]]): Seq[Int] = {
+    val df = batch.toDF()
+    val qCol = transform(
+      split(element_at(from_json(col("img"),
+        MapType(StringType, StringType)), "emb"), ","),
+      x => x.cast("long"))
+    // change-volume-sized: materialize once, both signs carry their
+    // cell so moved keys' OLD partitions are known without an index probe
+    val rows = df.filter(col("tbl") === EmbSpec.table)
+      .select(col("key").cast("long").as("vec_id"), col("sign"),
+        qCol.as("q"))
+      .withColumn("cell", cellOf(col("q"), cents))
+      .localCheckpoint(true)
+    val affected = rows.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) affected
+    else {
+      val newEnc = rows.filter(col("sign") === 1)
+        .select(col("vec_id"), col("cell"), codesFor(cb, cents).as("codes"))
+      val hasIndex = new java.io.File(indexPath).exists()
+      val current =
+        if (hasIndex) Similarity.ivfAdcIndexScan(spark, indexPath, affected)
+        else newEnc.limit(0)
+      // keyed set algebra — idempotent under replay; the changed-key
+      // list is change-volume-sized, hence the broadcast anti-join
+      val next = current
+        .join(broadcast(rows.select("vec_id").distinct()),
+          Seq("vec_id"), "left_anti")
+        .unionByName(newEnc)
+        // materialize BEFORE the write: the overwrite must not scan the
+        // very partitions it is replacing
+        .localCheckpoint(true)
+      next.repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(indexPath)
+      val nonEmpty = next.select("cell").distinct().collect()
+        .map(_.getInt(0)).toSet
+      affected.filterNot(nonEmpty).foreach { c =>
+        val dir = new java.io.File(s"$indexPath/cell=$c")
+        if (dir.exists()) {
+          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+          dir.delete()
+        }
+      }
+      affected
+    }
+  }
+
+  /** Probed serve over a maintained/built index: partition-pruned read
+    * of the probed cells, ADC, exact rerank against `corpusQ` (at
+    * 100 TB: the replica table the stream maintains next to the
+    * index). */
+  def searchIndex(spark: SparkSession, indexPath: String,
+      corpusQ: DataFrame, qs: DataFrame, cents: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]], k: Int = PqTopK,
+      nprobe: Int = IvfAdcProbe): DataFrame = {
+    val probed = Similarity.ivfAdcProbesOn(qs, cents, nprobe)
+      .localCheckpoint()
+    val cells = probed.select("pcell").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    Similarity.ivfAdcRankOn(corpusQ, qs,
+      Similarity.ivfAdcIndexScan(spark, indexPath, cells), probed, cb, k)
+  }
+
+  // ---- the declared end-to-end row --------------------------------------
+
+  /** One synthetic change op (harness-side, the [[graft.cdc.ChangeGen]]
+    * doctrine — the ENGINE consumes these only as a parsed stream). */
+  final case class VecOp(epoch: Int, lsn: Long, action: String,
+      vecId: Long, emb: Option[String])
+
+  /** Deterministic N-epoch change script over the snapshot: epoch 0 is
+    * the initial load (the reference's snapshot-then-stream shape,
+    * replicator/main.go:95-140); each later epoch e UPDATES
+    * vec_id ≡ e (mod 10) to the NEGATED vector (guaranteed cell
+    * movement for most rows — the moved-key case), DELETES
+    * vec_id ≡ e (mod 17), and INSERTS a fresh key [[InsertIdBase]]+id
+    * with the REVERSED vector for vec_id ≡ e (mod 13). lsns increase
+    * globally; a key hit by U and D in one epoch folds by lsn (U then
+    * D → dead), and a U on a key an earlier epoch deleted is a no-op —
+    * both engines' folds agree by construction. */
+  def epochScript(snap: Seq[(Long, Array[Long])], epochs: Int)
+      : Seq[VecOp] = {
+    val s = snap.sortBy(_._1)
+    var lsn = 0L
+    def next(): Long = { lsn += 1; lsn }
+    val load = s.map { case (id, q) =>
+      VecOp(0, next(), "I", id, Some(q.mkString(","))) }
+    val incr = (1 to epochs).flatMap { e =>
+      val ups = s.collect { case (id, q) if id % 10 == e =>
+        VecOp(e, next(), "U", id, Some(q.map(-_).mkString(","))) }
+      val dels = s.collect { case (id, _) if id % 17 == e =>
+        VecOp(e, next(), "D", id, None) }
+      val ins = s.collect { case (id, q) if id % 13 == e =>
+        VecOp(e, next(), "I", InsertIdBase + id,
+          Some(q.reverse.mkString(","))) }
+      ups ++ dels ++ ins
+    }
+    load ++ incr
+  }
+
+  /** Render a [[VecOp]] as the wal2json-v2 envelope line the embedding
+    * slot emits (the emb payload is digits/commas/minus — no JSON
+    * escaping needed). */
+  def toLine(op: VecOp): String = {
+    val head = s""""lsn":${op.lsn},"action":"${op.action}","timestamp":"2026-01-01 00:00:00.000000+00","schema":"public","table":"${EmbSpec.table}""""
+    op.action match {
+      case "D" =>
+        s"""{$head,"identity":[{"name":"vec_id","type":"bigint","value":${op.vecId}}]}"""
+      case _ =>
+        s"""{$head,"columns":[{"name":"vec_id","type":"bigint","value":${op.vecId}},{"name":"emb","type":"text","value":"${op.emb.get}"}]}"""
+    }
+  }
+
+  /** Exact replica fold of the raw ops dump to the final live
+    * (vec_id, q) state — liveness gated on an I after the last D, the
+    * latest image wins; the oracle runs the same fold in SQL. One
+    * keyed aggregation over the change log. */
+  def foldOps(ops: DataFrame): DataFrame = {
+    val lastD = ops.filter(col("action") === "D")
+      .groupBy("vec_id").agg(max("lsn").as("dlsn"))
+    ops.filter(col("action") =!= "D")
+      .join(lastD, Seq("vec_id"), "left")
+      .filter(col("lsn") > coalesce(col("dlsn"), lit(-2L)))
+      .groupBy("vec_id")
+      .agg(max_by(col("emb"), col("lsn")).as("emb"),
+        max(when(col("action") === "I", 1).otherwise(0)).as("has_i"))
+      .filter(col("has_i") === 1)
+      .select(col("vec_id"),
+        transform(split(col("emb"), ","), x => x.cast("long")).as("q"))
+  }
+
+  /** The declared row's full composition: freeze the model on the
+    * snapshot (dumped for the oracle), script N epochs of changes (raw
+    * ops dumped for the oracle), run them through the real streaming
+    * path (slot scan → envelope parse → retraction deltas →
+    * [[applyEpoch]] per trigger, checkpointed), then serve the stride
+    * query workload (drawn from the FINAL live state) off the
+    * maintained index. The oracle re-derives the identical search from
+    * a FULL REBUILD of the replica fold — equality after N epochs is
+    * the maintained-index correctness theorem. Temp dirs are removed
+    * after the result materializes (no per-run leaks). */
+  def cdcMaintainAndSearch(spark: SparkSession, emb: DataFrame,
+      centroidPath: String, codebookPath: String, opsDumpPath: String,
+      epochs: Int = 3, k: Int = PqTopK, nprobe: Int = IvfAdcProbe)
+      : DataFrame = {
+    import spark.implicits._
+    val (cents, cb) = Similarity.ivfAdcModel(emb, centroidPath,
+      codebookPath)
+    // harness-side script rendering (bounded: the fixture snapshot);
+    // the engine sees only the change-log files
+    val snap: Seq[(Long, Array[Long])] =
+      Similarity.quantized(emb).select("vec_id", "q").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val ops = epochScript(snap, epochs)
+    ops.map(o => (o.lsn, o.action, o.vecId, o.emb.orNull))
+      .toDF("lsn", "action", "vec_id", "emb")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
+    val changeDir = Files.createTempDirectory("graft-anncdc-log").toString
+    val ckptDir = Files.createTempDirectory("graft-anncdc-ckpt").toString
+    val idxRoot = Files.createTempDirectory("graft-anncdc-idx").toString
+    val indexPath = s"$idxRoot/index"
+    try {
+      ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+        ChangeGen.writeLineBatches(changeDir,
+          group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
+      }
+      val q = Ivm.mtDeltas(MultiTable.parseAll(
+          ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(EmbSpec)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
+          applyEpoch(spark, batch, indexPath, cents, cb); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val live = foldOps(spark.read.parquet(opsDumpPath))
+      val qs = live.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      searchIndex(spark, indexPath, live, qs, cents, cb, k, nprobe)
+        .localCheckpoint(true)
+        .orderBy("query_id", "rank")
+    } finally Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+  }
+
+  private def deleteRec(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
+}

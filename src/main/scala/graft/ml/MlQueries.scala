@@ -84,6 +84,9 @@ object MlQueries {
   private val recallAdcCentPq = s"$FixtureDir/recall_adc_centroids.parquet"
   private val recallAdcCbPq = s"$FixtureDir/recall_adc_codebook.parquet"
   private val ivfLabelsPq = s"$FixtureDir/ivf_trained_labels.parquet"
+  private val annCdcCentPq = s"$FixtureDir/anncdc_centroids.parquet"
+  private val annCdcCbPq = s"$FixtureDir/anncdc_codebook.parquet"
+  private val annCdcOpsPq = s"$FixtureDir/anncdc_ops.parquet"
 
   private def cosSql(d: String, na: String, nb: String): String =
     s"CAST($d AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
@@ -711,8 +714,12 @@ object MlQueries {
 
   /** The IVFADC oracle, parameterized by the model-dump paths so the
     * in-memory and index-served rows each read back their OWN dumped
-    * state (identical algebra; the index is a pure layout change). */
-  private def ivfAdcOracleSql(centPath: String, cbPath: String): String =
+    * state (identical algebra; the index is a pure layout change), and
+    * by optional corpus/query category predicates (the pre-filtered
+    * serving row restricts both sides; TRUE = the unfiltered rows'
+    * exact former text modulo the added conjuncts). */
+  private def ivfAdcOracleSql(centPath: String, cbPath: String,
+      corpusPred: String = "TRUE", queryPred: String = "TRUE"): String =
     s"""WITH $qeCte,
             |cent AS (SELECT label, centroid
             |         FROM read_parquet('$centPath/*.parquet')),
@@ -740,6 +747,7 @@ object MlQueries {
             |             * (qe.q - cent.centroid[qe.i])) AS BIGINT) AS cd2
             |  FROM qe CROSS JOIN cent
             |  WHERE qe.vec_id % ${Similarity.QueryStride} = 0
+            |    AND ($queryPred)
             |  GROUP BY 1, 2),
             |probe AS (
             |  SELECT query_id, cell FROM (
@@ -767,6 +775,7 @@ object MlQueries {
             |  JOIN lv ON lv.label = q.cell
             |  JOIN enc e ON e.vec_id = lv.vec_id
             |    AND e.m = q.m AND e.code = q.code
+            |  WHERE ($corpusPred)
             |  GROUP BY 1, 2),
             |cand AS (SELECT query_id, vec_id, adc,
             |           row_number() OVER (PARTITION BY query_id
@@ -799,6 +808,132 @@ object MlQueries {
     (s, d) => Similarity.ivfAdcTopKIndexed(Tables(s, d, "embeddings"),
       ivfadcIdxCentPq, ivfadcIdxCbPq, ivfadcIdxPq),
     Some(ivfAdcOracleSql(ivfadcIdxCentPq, ivfadcIdxCbPq)))
+
+  /** L103 — pre-filtered serving over the WRITTEN index (VERDICT r13
+    * next #7 = the L101 wedge composed onto the L91 layout): the
+    * category predicate rides INSIDE the partition-pruned cell scan
+    * (the index stores `cat` next to the codes; PlanSpec pins that
+    * `PushedFilters` carries the category test while files-read still
+    * == probed cells). The oracle is the full IVFADC derivation with
+    * the same category restriction on both the query and candidate
+    * sides; it shares the L91 row's model dumps and index path — the
+    * build is memoized per session, the serve paths differ. */
+  private val ivfAdcIndexedFiltered = Declared(
+    "ml_ann_filtered_indexed",
+    (s, d) => Similarity.ivfAdcTopKIndexedFiltered(
+      Tables(s, d, "embeddings"), ivfadcIdxCentPq, ivfadcIdxCbPq,
+      ivfadcIdxPq),
+    Some(ivfAdcOracleSql(ivfadcIdxCentPq, ivfadcIdxCbPq,
+      corpusPred = s"lv.vec_id % ${Similarity.FilterMod} = 0",
+      queryPred = s"qe.vec_id % ${Similarity.FilterMod} = 0")))
+
+  /** L104 — the CDC-MAINTAINED serving index ([[AnnIndex]], VERDICT
+    * r13 next #1): a snapshot epoch plus N incremental epochs of
+    * embedding inserts/updates/deletes flow through the real streaming
+    * path (slot scan → wal2json parse → per-key retraction deltas);
+    * each epoch re-encodes only the changed keys against the FROZEN
+    * model and rewrites only the touched cell partitions; the stride
+    * query workload (drawn from the final live state) is served off
+    * the maintained artifact. The oracle FULLY REBUILDS: it folds the
+    * dumped raw ops to the final replica state, re-derives quantizer
+    * cell assignment, residual encoding, probing, the ADC LUT, and the
+    * exact rerank from the dumped frozen model — maintained == rebuilt
+    * is the row's theorem. Epoch/partition-touch accounting and replay
+    * idempotence are spec-pinned (AnnIndexSpec). */
+  private val annCdcIndex = Declared(
+    "ml_ann_cdc_index",
+    (s, d) => AnnIndex.cdcMaintainAndSearch(s,
+      Tables(s, d, "embeddings"), annCdcCentPq, annCdcCbPq, annCdcOpsPq),
+    Some {
+      val (pd, pk, np, k) = (Similarity.PqDims, Similarity.PqK,
+        Similarity.IvfAdcProbe, Similarity.PqTopK)
+      s"""WITH ops AS (SELECT lsn, action, vec_id, emb
+         |            FROM read_parquet('$annCdcOpsPq/*.parquet')),
+         |lastd AS (SELECT vec_id, max(lsn) AS dlsn FROM ops
+         |          WHERE action = 'D' GROUP BY vec_id),
+         |fold AS MATERIALIZED (
+         |  SELECT o.vec_id, arg_max(o.emb, o.lsn) AS emb
+         |  FROM ops o LEFT JOIN lastd d ON o.vec_id = d.vec_id
+         |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
+         |  GROUP BY o.vec_id
+         |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
+         |fe AS MATERIALIZED (
+         |  SELECT vec_id, i.i, CAST(parts[i.i] AS BIGINT) AS q
+         |  FROM (SELECT vec_id, string_split(emb, ',') AS parts
+         |        FROM fold), range(1, 65) i(i)),
+         |cent AS (SELECT label, centroid
+         |         FROM read_parquet('$annCdcCentPq/*.parquet')),
+         |cb AS (SELECT m, code, centroid
+         |       FROM read_parquet('$annCdcCbPq/*.parquet')),
+         |cd AS MATERIALIZED (
+         |  SELECT fe.vec_id, cent.label AS cell,
+         |    CAST(sum((fe.q - cent.centroid[fe.i])
+         |             * (fe.q - cent.centroid[fe.i])) AS BIGINT) AS d2
+         |  FROM fe CROSS JOIN cent
+         |  GROUP BY 1, 2),
+         |asgn AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM cd)
+         |  WHERE rn = 1),
+         |re AS (
+         |  SELECT fe.vec_id, fe.i, fe.q - cent.centroid[fe.i] AS r
+         |  FROM fe JOIN asgn a ON a.vec_id = fe.vec_id
+         |  JOIN cent ON cent.label = a.cell),
+         |dist AS (
+         |  SELECT re.vec_id, cb.m, cb.code,
+         |    CAST(sum((re.r - cb.centroid[(re.i - 1) % $pd + 1])
+         |      * (re.r - cb.centroid[(re.i - 1) % $pd + 1]))
+         |      AS BIGINT) AS d2
+         |  FROM re JOIN cb ON (re.i - 1) // $pd = cb.m
+         |  GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, m,
+         |          CAST(min(d2 * $pk + code) % $pk AS INT) AS code
+         |        FROM dist GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS pr
+         |    FROM cd WHERE vec_id % ${Similarity.QueryStride} = 0)
+         |  WHERE pr <= $np),
+         |qlut AS (
+         |  SELECT p.query_id, p.cell, cb.m, cb.code,
+         |    CAST(sum(((fe.q - cent.centroid[fe.i])
+         |               - cb.centroid[(fe.i - 1) % $pd + 1])
+         |            * ((fe.q - cent.centroid[fe.i])
+         |               - cb.centroid[(fe.i - 1) % $pd + 1]))
+         |      AS BIGINT) AS d2
+         |  FROM probe p
+         |  JOIN fe ON fe.vec_id = p.query_id
+         |  JOIN cent ON cent.label = p.cell
+         |  JOIN cb ON (fe.i - 1) // $pd = cb.m
+         |  GROUP BY 1, 2, 3, 4),
+         |adc AS (
+         |  SELECT q.query_id, a.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc
+         |  FROM qlut q
+         |  JOIN asgn a ON a.cell = q.cell
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |    AND e.m = q.m AND e.code = q.code
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT query_id, vec_id, adc,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc, vec_id) AS crank
+         |         FROM adc),
+         |ex AS (
+         |  SELECT c.query_id, c.vec_id, c.adc,
+         |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS exact_d2
+         |  FROM cand c
+         |  JOIN fe a ON a.vec_id = c.query_id
+         |  JOIN fe b ON b.vec_id = c.vec_id AND b.i = a.i
+         |  WHERE c.crank <= $k
+         |  GROUP BY 1, 2, 3)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY exact_d2, vec_id) AS BIGINT) AS rank,
+         |  vec_id, adc, exact_d2
+         |FROM ex ORDER BY query_id, rank""".stripMargin
+    })
 
   private val randProj = Declared(
     "ml_rand_proj",
@@ -3591,7 +3726,7 @@ object MlQueries {
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
-    ivfAdcIndexed,
+    ivfAdcIndexed, ivfAdcIndexedFiltered, annCdcIndex,
     mmr, fps, annRecallQ, annRecallMultiQ, matryoshka, annFiltered,
     randProj, kmeansStep,
     embedNearDup, semDedup,

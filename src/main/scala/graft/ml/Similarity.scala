@@ -34,9 +34,54 @@ object Similarity {
   /** Every 50th vector doubles as a query (10 queries at sf0.01). */
   val QueryStride = 50
 
+  // ---- shared model memo (VERDICT r13 next #3) -------------------------
+  // One bench/verify pass trains the SAME bounded models repeatedly:
+  // coarse centroids and PQ codebooks are re-derived by ml_pq_ann,
+  // ml_ivfadc, ml_ivfadc_indexed, ml_ann_recall_multi, and the CDC-
+  // maintained index row — identical deterministic training over
+  // identical inputs. Keyed by (session, CANONICALIZED analyzed plan of
+  // the training frame) — the Dedup signature-pass doctrine — so
+  // different fixtures/sessions never collide; values are bounded model
+  // state (KB of longs), eviction LRU. Each declared row still DUMPS
+  // the model to its own fixture path (the oracle contract); only the
+  // training computation is shared.
+  private val MaxModelMemo = 32
+  private val modelMemo =
+    new java.util.LinkedHashMap[AnyRef, AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, AnyRef]): Boolean =
+        size > MaxModelMemo
+    }
+  private def memoModel[T <: AnyRef](key: AnyRef)(build: => T): T = {
+    val hit = modelMemo.synchronized(modelMemo.get(key))
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      // build outside the monitor (it runs Spark jobs); a cold-key race
+      // means duplicate work, never a wrong result — training is
+      // deterministic, first put wins
+      val built = build
+      modelMemo.synchronized {
+        val winner = modelMemo.get(key)
+        if (winner != null) winner.asInstanceOf[T]
+        else { modelMemo.put(key, built); built }
+      }
+    }
+  }
+  /** Drop memoized models and index-build markers (test/bench
+    * isolation). */
+  def clearModelCache(): Unit = {
+    modelMemo.synchronized(modelMemo.clear())
+    indexMemo.clear()
+  }
+  /** Memoized-model count (observability + spec assertions). */
+  def modelCacheSize: Int = modelMemo.synchronized(modelMemo.size())
+
+  private def planKey(df: DataFrame): AnyRef =
+    (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+
   /** Quantized vectors with their integer norm² precomputed once —
     * pair scoring then costs ONE dot product, not three. */
-  private def quantized(emb: DataFrame): DataFrame =
+  private[ml] def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))
@@ -800,7 +845,7 @@ object Similarity {
   val PqTopK = 10
 
   /** Integer squared L2 between two quantized arrays. */
-  private def pqD2(a: Column, b: Column): Column =
+  private[ml] def pqD2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
@@ -809,13 +854,13 @@ object Similarity {
     * into one integer key d2·K + code so argmin is a plain `array_min`
     * — the same packing the oracle's `min(d2*K + code)` uses, so
     * tie-breaks are bit-identical across engines. */
-  private def pqCode(cb: Column, sv: Column, m: Column): Column = {
+  private[ml] def pqCode(cb: Column, sv: Column, m: Column): Column = {
     val keys = transform(sequence(lit(0), lit(PqK - 1)),
       c => pqD2(sv, element_at(element_at(cb, m + 1), c + 1)) * PqK + c)
     (array_min(keys) % PqK).cast("int")
   }
 
-  private def subCol(q: Column, m: Column): Column =
+  private[ml] def subCol(q: Column, m: Column): Column =
     slice(q, m * lit(PqDims) + 1, lit(PqDims))
 
   /** (vec_id, m, sv) exploded quantized subvectors — the training-side
@@ -889,7 +934,8 @@ object Similarity {
     * and the codebooks differ from an all-corpus fold by design. At
     * 100 TB the one collect stays ≤ sample-bound; the corpus-sized
     * work (encode, ADC, rerank) remains distributed. */
-  private def pqTrainOn(qdf: DataFrame): Seq[Seq[Seq[Long]]] = {
+  private def pqTrainOn(qdf: DataFrame): Seq[Seq[Seq[Long]]] =
+      memoModel(("pqcb", planKey(qdf))) {
     val sample: Array[Array[Long]] = qdf.select(col("vec_id"), col("q"))
       .orderBy("vec_id").limit(PqTrainSample).collect()
       .map(_.getSeq[Long](1).toArray)
@@ -1015,7 +1061,8 @@ object Similarity {
     * the quantized members. Bounded model state (cells × 64 longs).
     * Labels must be contiguous 0-based (the fixture contract) so the
     * literal lookup is a plain index — fail fast otherwise. */
-  def coarseCentroids(emb: DataFrame): Seq[Seq[Long]] = {
+  def coarseCentroids(emb: DataFrame): Seq[Seq[Long]] =
+      memoModel(("coarse", planKey(emb))) {
     val rows = quantized(emb)
       .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
       .groupBy("label", "d")
@@ -1029,7 +1076,7 @@ object Similarity {
     labels.toSeq.map(l => (0 until PqM * PqDims).map(d => byKey((l, d))))
   }
 
-  private def residual(q: Column, label: Column,
+  private[ml] def residual(q: Column, label: Column,
       cents: Seq[Seq[Long]]): Column =
     zip_with(q, element_at(typedLit(cents), label + 1), (a, b) => a - b)
 
@@ -1074,15 +1121,79 @@ object Similarity {
       codebookPath: String, indexPath: String, k: Int = PqTopK,
       nprobe: Int = IvfAdcProbe): DataFrame = {
     val spark = emb.sparkSession
-    val (cents, cb) = ivfAdcModel(emb, centroidPath, codebookPath)
-    ivfAdcEncoded(emb, cents, cb)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    val (cents, cb) = ivfAdcEnsureIndex(emb, centroidPath, codebookPath,
+      indexPath)
     val probed = ivfAdcProbes(emb, cents, nprobe).localCheckpoint()
     val cellsHit = probed.select("pcell").distinct().collect()
       .map(_.getInt(0)).toSeq.sorted
     ivfAdcRank(emb, ivfAdcIndexScan(spark, indexPath, cellsHit), probed,
       cb, k)
+  }
+
+  /** BUILD entry point of the r13 fused row, split out (VERDICT r13
+    * next #4) and memoized per (session, corpus, paths): the expensive
+    * index write happens once; every serving query — the plain search,
+    * the pre-filtered search, a fresh query batch — reads the written
+    * artifact back through partition pruning. The index rows carry the
+    * filterable metadata column `cat` ([[FilterMod]] category) next to
+    * the 8-byte codes: a metadata-constrained deployment stores its
+    * filter columns IN the index so the predicate pushes into the
+    * pruned scan (the faiss-IDSelector idea as a storage layout);
+    * unfiltered reads never pay for it — column pruning drops `cat` at
+    * the scan. Incremental maintenance of the same layout lives in
+    * [[AnnIndex]] (frozen-model re-encode, cell-partition rewrite). */
+  def ivfAdcEnsureIndex(emb: DataFrame, centroidPath: String,
+      codebookPath: String, indexPath: String)
+      : (Seq[Seq[Long]], Seq[Seq[Seq[Long]]]) = {
+    // keyed BY THE PATH with the corpus identity in the value: a
+    // different corpus writing the same path must rebuild (and replace
+    // the entry), or the first corpus's memo would point at the second
+    // corpus's files — the plan-keyed memoModel can't express that
+    // overwrite, hence the dedicated map
+    val pk = (planKey(emb), centroidPath, codebookPath)
+    val hit = indexMemo.get(indexPath)
+    if (hit != null && hit._1 == pk) hit._2
+    else {
+      val (cents, cb) = ivfAdcModel(emb, centroidPath, codebookPath)
+      ivfAdcEncoded(emb, cents, cb)
+        .withColumn("cat", pmod(col("vec_id"), lit(FilterMod)))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+      indexMemo.put(indexPath, (pk, (cents, cb)))
+      (cents, cb)
+    }
+  }
+
+  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (AnyRef, (Seq[Seq[Long]], Seq[Seq[Seq[Long]]]))]()
+
+  /** Pre-filtered SERVE over the written index (VERDICT r13 next #7 —
+    * L101's wedge composed onto L91's layout): only category-`cat`
+    * rows are eligible, the queries are the stride sample restricted
+    * to the same category, and the category test rides INSIDE the
+    * partition-pruned scan — the physical plan carries partition
+    * filters on `cell` AND `PushedFilters: EqualTo(cat, ...)`
+    * simultaneously (PlanSpec pins both), so at 100 TB the scan reads
+    * nprobe/cells of the files AND skips non-matching row groups by
+    * parquet column statistics. This is the pre-filter side of the
+    * [[filteredAnnEval]] wedge as a serving path: all k ADC candidate
+    * slots go to eligible vectors at unchanged probe cost. */
+  def ivfAdcTopKIndexedFiltered(emb: DataFrame, centroidPath: String,
+      codebookPath: String, indexPath: String, k: Int = PqTopK,
+      nprobe: Int = IvfAdcProbe, cat: Long = 0L): DataFrame = {
+    val spark = emb.sparkSession
+    val (cents, cb) = ivfAdcEnsureIndex(emb, centroidPath, codebookPath,
+      indexPath)
+    val qs = ivfAdcQueries(emb)
+      .filter(col("query_id") % FilterMod === cat)
+    val probed = ivfAdcProbesOn(qs, cents, nprobe).localCheckpoint()
+    val cellsHit = probed.select("pcell").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    val enc = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cellsHit: _*) && col("cat") === cat)
+      .select(col("vec_id"), col("codes"), col("cell"))
+    ivfAdcRankOn(quantized(emb).select(col("vec_id"), col("q")), qs,
+      enc, probed, cb, k)
   }
 
   /** The serving-path scan over a written IVFADC index: partition
@@ -1098,7 +1209,7 @@ object Similarity {
     * codebooks trained on residuals, both dumped to fixture parquet so
     * the oracle re-derives encoding, probing, and ADC from the same
     * model state. */
-  private def ivfAdcModel(emb: DataFrame, centroidPath: String,
+  private[ml] def ivfAdcModel(emb: DataFrame, centroidPath: String,
       codebookPath: String): (Seq[Seq[Long]], Seq[Seq[Seq[Long]]]) = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1127,7 +1238,7 @@ object Similarity {
           m => pqCode(cbl, subCol(col("r"), m), m)).as("codes"))
   }
 
-  private def ivfAdcQueries(emb: DataFrame): DataFrame =
+  private[ml] def ivfAdcQueries(emb: DataFrame): DataFrame =
     quantized(emb).filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
 
@@ -1136,10 +1247,17 @@ object Similarity {
     * (query_id, pcell, qr). The query set is tiny, so the query × cells
     * explode is too. */
   private def ivfAdcProbes(emb: DataFrame, cents: Seq[Seq[Long]],
+      nprobe: Int): DataFrame =
+    ivfAdcProbesOn(ivfAdcQueries(emb), cents, nprobe)
+
+  /** [[ivfAdcProbes]] over an EXPLICIT query frame (query_id, qq) —
+    * the serve-path entry a maintained index uses, where the query
+    * workload is an input rather than the fixture stride. */
+  private[ml] def ivfAdcProbesOn(qs: DataFrame, cents: Seq[Seq[Long]],
       nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cd2"), col("pcell"))
-    ivfAdcQueries(emb)
+    qs
       .select(col("query_id"), col("qq"),
         explode(sequence(lit(0), lit(cents.length - 1))).as("pcell"))
       .withColumn("cd2",
@@ -1153,9 +1271,17 @@ object Similarity {
   /** ADC scoring + exact rerank over an encoded corpus — in-memory or
     * the pruned index read; the plan past the scan is identical. */
   private def ivfAdcRank(emb: DataFrame, enc: DataFrame,
-      probed: DataFrame, cb: Seq[Seq[Seq[Long]]], k: Int): DataFrame = {
+      probed: DataFrame, cb: Seq[Seq[Seq[Long]]], k: Int): DataFrame =
+    ivfAdcRankOn(quantized(emb).select(col("vec_id"), col("q")),
+      ivfAdcQueries(emb), enc, probed, cb, k)
+
+  /** [[ivfAdcRank]] over EXPLICIT corpus/query frames — corpusQ
+    * (vec_id, q) supplies the exact-rerank vectors (at 100 TB: the
+    * replica table), qs (query_id, qq) the workload. */
+  private[ml] def ivfAdcRankOn(corpusQ: DataFrame, qs: DataFrame,
+      enc: DataFrame, probed: DataFrame, cb: Seq[Seq[Seq[Long]]],
+      k: Int): DataFrame = {
     val cbl = typedLit(cb)
-    val qs = ivfAdcQueries(emb)
     val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
       (acc, m) => acc + pqD2(subCol(col("qr"), m),
         element_at(element_at(cbl, m + 1),
@@ -1170,7 +1296,7 @@ object Similarity {
     val wEx = Window.partitionBy("query_id")
       .orderBy(col("exact_d2"), col("vec_id"))
     cand
-      .join(quantized(emb).select(col("vec_id"), col("q")), Seq("vec_id"))
+      .join(corpusQ.select(col("vec_id"), col("q")), Seq("vec_id"))
       .join(broadcast(qs), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("adc"),
         pqD2(col("qq"), col("q")).as("exact_d2"))

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.MtDelta
+import graft.core.Tables
+import graft.ml.{AnnIndex, MlFunctions, Similarity}
+
+/** The CDC-maintained IVFADC index ([[graft.ml.AnnIndex]]): the oracle
+  * row proves maintained == full-rebuild end to end through the real
+  * stream; these tests pin what the value-compare can't state — the
+  * partition-touch accounting (an epoch touching c cells rewrites
+  * exactly c partitions), replay idempotence (the checkpoint-restart
+  * contract), emptied-cell cleanup, and the append fast path. */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = Tables(spark, sf, "embeddings")
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Frozen model for the fixture corpus (public trainers; the index
+    * semantics don't care whether the codebooks were residual-trained). */
+  private lazy val cents: Seq[Seq[Long]] = Similarity.coarseCentroids(emb)
+  private lazy val cb: Seq[Seq[Seq[Long]]] = Similarity.pqTrain(emb)
+
+  private def qRows = emb
+    .select(col("vec_id"), MlFunctions.quantize(col("embedding")).as("q"))
+
+  private def mkDelta(key: Long, sign: Int, q: Seq[Long]): MtDelta =
+    MtDelta("embedding", key.toString, sign,
+      s"""{"vec_id":"$key","emb":"${q.mkString(",")}"}""", None)
+
+  /** Per-cell file fingerprints (name → (length, mtime)) — the
+    * touched-partition accounting primitive. */
+  private def fingerprint(indexPath: String): Map[String, Map[String, (Long, Long)]] = {
+    val root = new java.io.File(indexPath)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map { d =>
+        d.getName -> d.listFiles().filterNot(_.getName.startsWith("."))
+          .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+      }.toMap
+  }
+
+  private def indexContent(indexPath: String): Set[(Long, Int, Seq[Int])] =
+    spark.read.parquet(indexPath)
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+
+  test("maintained index == full rebuild after N epochs (naive delta replay)") {
+    val snap = qRows.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val ops = AnnIndex.epochScript(snap, epochs = 3)
+    // drive applyEpoch with deltas from a seeded naive fold — the same
+    // -old/+new retraction shape Ivm.mtDeltas emits per micro-batch
+    val idx = tmp("ann-maint") + "/index"
+    var state = Map.empty[Long, Seq[Long]]
+    ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (_, group) =>
+      val start = state
+      group.sortBy(_.lsn).foreach { op =>
+        op.action match {
+          case "I" | "U"
+              if op.action == "I" || state.contains(op.vecId) =>
+            state = state.updated(op.vecId,
+              op.emb.get.split(",").toSeq.map(_.toLong))
+          case "D" => state = state - op.vecId
+          case _ => ()
+        }
+      }
+      val touched = (start.keySet ++ state.keySet)
+        .filter(k => start.get(k) != state.get(k)).toSeq.sorted
+      val deltas = touched.flatMap { k =>
+        start.get(k).map(q => mkDelta(k, -1, q)).toSeq ++
+          state.get(k).map(q => mkDelta(k, +1, q)).toSeq
+      }
+      AnnIndex.applyEpoch(spark, deltas.toDS(), idx, cents, cb)
+    }
+    // rebuild from the final state with the same frozen model
+    val idx2 = tmp("ann-rebuild") + "/index"
+    val finalRows = state.toSeq.map { case (k, q) => (k, q) }
+      .toDF("vec_id", "q")
+    AnnIndex.buildIndex(finalRows, idx2, cents, cb)
+    assert(indexContent(idx) === indexContent(idx2),
+      "incremental maintenance must equal the full rebuild")
+    // sanity: the script really exercised all three verbs
+    assert(ops.exists(_.action == "U") && ops.exists(_.action == "D") &&
+      ops.exists(o => o.action == "I" && o.epoch > 0))
+  }
+
+  test("an epoch touching c cells rewrites exactly c partitions") {
+    val idx = tmp("ann-touch") + "/index"
+    AnnIndex.buildIndex(qRows, idx, cents, cb)
+    val before = fingerprint(idx)
+    assert(before.size >= 3, s"fixture needs >= 3 cells, got ${before.size}")
+    // two keys from two DIFFERENT cells, deleted in one epoch: affected
+    // must be exactly those two cells, every other partition untouched
+    val byCell = spark.read.parquet(idx)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getInt(1), r.getLong(0))).groupBy(_._1)
+    val picks = byCell.toSeq.sortBy(_._1).take(2)
+      .map { case (c, ks) => (c, ks.map(_._2).min) }
+    val qOf = qRows.filter(col("vec_id")
+        .isin(picks.map(_._2): _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val deltas = picks.map { case (_, k) => mkDelta(k, -1, qOf(k)) }
+    val affected = AnnIndex.applyEpoch(spark, deltas.toDS(), idx, cents, cb)
+    assert(affected.toSet === picks.map(_._1).toSet,
+      "affected cells must be exactly the deleted keys' cells")
+    val after = fingerprint(idx)
+    val untouched = before.keySet -- picks.map(p => s"cell=${p._1}")
+    untouched.foreach { c =>
+      assert(after(c) === before(c), s"partition $c must be untouched")
+    }
+    picks.foreach { case (c, k) =>
+      assert(after(s"cell=$c") !== before(s"cell=$c"),
+        s"touched partition cell=$c must be rewritten")
+      assert(spark.read.parquet(idx).filter(col("vec_id") === k).isEmpty,
+        s"deleted key $k must be gone")
+    }
+  }
+
+  test("replay idempotence: re-applying an epoch is a no-op (restart contract)") {
+    val idx = tmp("ann-replay") + "/index"
+    AnnIndex.buildIndex(qRows.filter(col("vec_id") < 30), idx, cents, cb)
+    val k = 5L
+    val q = qRows.filter(col("vec_id") === k).collect()(0).getSeq[Long](1)
+    val deltas = Seq(
+      mkDelta(k, -1, q), mkDelta(k, +1, q.map(v => -v)),
+      mkDelta(31L, +1, q.map(_ + 1L)))
+    val a1 = AnnIndex.applyEpoch(spark, deltas.toDS(), idx, cents, cb)
+    val c1 = indexContent(idx)
+    val a2 = AnnIndex.applyEpoch(spark, deltas.toDS(), idx, cents, cb)
+    assert(a1 === a2, "replay must touch the same cells")
+    assert(indexContent(idx) === c1, "replay must not change the index")
+  }
+
+  test("a batch that empties a cell clears its partition") {
+    // synthetic 2-cell model: orthogonal centroids, any valid codebook
+    val c0 = 1000L +: Seq.fill(63)(0L)
+    val c1 = 0L +: 1000L +: Seq.fill(62)(0L)
+    val myCents = Seq(c0, c1)
+    val myCb: Seq[Seq[Seq[Long]]] =
+      Seq.tabulate(8, 16, 8)((_, c, _) => c.toLong)
+    val qA = 2000L +: Seq.fill(63)(0L) // cell 0
+    val qB = 0L +: 2000L +: Seq.fill(62)(0L) // cell 1
+    val idx = tmp("ann-empty") + "/index"
+    val load = Seq(mkDelta(1L, +1, qA), mkDelta(2L, +1, qA),
+      mkDelta(3L, +1, qB))
+    assert(AnnIndex.applyEpoch(spark, load.toDS(), idx, myCents, myCb)
+      === Seq(0, 1))
+    // delete every cell-0 member: the partition dir must disappear and
+    // the scan must return only the survivor
+    val wipe = Seq(mkDelta(1L, -1, qA), mkDelta(2L, -1, qA))
+    assert(AnnIndex.applyEpoch(spark, wipe.toDS(), idx, myCents, myCb)
+      === Seq(0))
+    assert(!new java.io.File(s"$idx/cell=0").exists(),
+      "emptied cell partition must be cleared")
+    assert(indexContent(idx).map(_._1) === Set(3L))
+  }
+
+  test("append fast path: only appended cells gain files; append == rebuild") {
+    val a = qRows.filter(col("vec_id") % 2 === 0)
+    val b = qRows.filter(col("vec_id") % 2 === 1)
+    val idx = tmp("ann-append") + "/index"
+    AnnIndex.buildIndex(a, idx, cents, cb)
+    val before = fingerprint(idx)
+    val cells = AnnIndex.appendToIndex(b, idx, cents, cb)
+    val after = fingerprint(idx)
+    // untouched partitions keep their exact files; appended cells only
+    // GAIN files (no rewrite of existing ones)
+    (before.keySet -- cells.map(c => s"cell=$c")).foreach { c =>
+      assert(after(c) === before(c), s"partition $c must be untouched")
+    }
+    cells.foreach { c =>
+      val (bf, af) = (before.getOrElse(s"cell=$c", Map.empty),
+        after(s"cell=$c"))
+      bf.foreach { case (n, sig) =>
+        assert(af.get(n).contains(sig), s"existing file $n rewritten") }
+      assert(af.size > bf.size, s"cell=$c must gain files")
+    }
+    val idx2 = tmp("ann-append-rb") + "/index"
+    AnnIndex.buildIndex(qRows, idx2, cents, cb)
+    assert(indexContent(idx) === indexContent(idx2),
+      "append must equal the one-shot build")
+  }
+}

@@ -164,6 +164,39 @@ class PlanSpec extends AnyFunSuite {
       s"pruned scan must read ${probe.size} of $allCells cell files, read $filesRead")
   }
 
+  test("filtered index serve: partition pruning AND the pushed category filter coexist") {
+    // VERDICT r13 next #7: the pre-filtered serving path must keep BOTH
+    // scan optimizations at once — the probed-cell partition pruning
+    // (files-read == probed cells) and the category predicate pushed
+    // into the parquet scan (row-group skipping by column stats)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc-filt").toString
+    val emb = Tables(spark, sf, "embeddings")
+    Similarity.ivfAdcEnsureIndex(emb, s"$dir/cent", s"$dir/cb", s"$dir/idx")
+    val probe = Seq(0, 1)
+    val scan = spark.read.parquet(s"$dir/idx")
+      .filter(org.apache.spark.sql.functions.col("cell").isin(probe: _*) &&
+        org.apache.spark.sql.functions.col("cat") === 0L)
+      .select("vec_id", "codes", "cell")
+    val s = planString(scan)
+    val scanLine = s.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("idx"))
+      .getOrElse(fail(s"no FileScan of the index in:\n$s"))
+    assert(scanLine.contains("PartitionFilters") &&
+      scanLine.replaceAll(".*PartitionFilters", "").contains("cell"),
+      s"cell IN (...) must prune partitions: $scanLine")
+    val pushed = scanLine.replaceAll(".*PushedFilters: \\[", "")
+    assert(pushed.contains("EqualTo(cat,0)"),
+      s"category test must push into the scan: $scanLine")
+    val filesRead = scan.select(input_file_name()).distinct().count()
+    assert(filesRead === probe.size.toLong,
+      s"pruning must survive the pushed filter: read $filesRead files")
+    // and the declared row's own plan carries both properties
+    val rowPlan = planString(run("ml_ann_filtered_indexed"))
+    assert(rowPlan.contains("PartitionFilters") &&
+      rowPlan.contains("EqualTo(cat,0)"),
+      "the declared row must keep pruning + pushdown")
+  }
+
   test("no query plans a non-broadcast cartesian product") {
     // eager side-effecting builders (staged pipeline writes, CTAS DDL,
     // sketch + collect) run real jobs just to produce their final
