@@ -1179,18 +1179,20 @@ object MlQueries {
     "ml_quality_gate_stream",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val docs = Tables(s, d, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
       val rows = docs.orderBy("doc_id").collect()
-      val in = MemoryStream[(Long, String, String, String, Long)](s)
+      // harness feeder through the one audited shim (ADVICE r13 #4)
+      val in = org.apache.spark.sql.graftbridge.StreamBridge
+        .memoryStream[(Long, String, String, String, Long)](s)
       val outDir = java.nio.file.Files
         .createTempDirectory("graft-qgate-out").toString
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-qgate-ckpt").toString
       val q = in.toDF()
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .writeStream.outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft-qgate-ckpt").toString)
+        .option("checkpointLocation", ckptDir)
         .foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             TextAnalysis.qualityGate(batch)
@@ -1204,10 +1206,18 @@ object MlQueries {
           r.getString(2), r.getString(3), r.getLong(4))))
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(outDir)
-        .select("doc_id", "lang", "source", "n_tokens", "stop_ratio",
-          "quality", "len_ok", "stop_ok", "quality_ok", "keep")
-        .orderBy("doc_id")
+      val gateCols = Seq("doc_id", "lang", "source", "n_tokens",
+        "stop_ratio", "quality", "len_ok", "stop_ok", "quality_ok",
+        "keep")
+      // empty-stream guard + per-run dir cleanup (ADVICE r13 #4)
+      val res =
+        if (rows.isEmpty)
+          TextAnalysis.qualityGate(docs.limit(0))
+            .select(gateCols.map(col): _*).limit(0).localCheckpoint(true)
+        else s.read.parquet(outDir)
+          .select(gateCols.map(col): _*).localCheckpoint(true)
+      Seq(outDir, ckptDir).foreach(removeDir)
+      res.orderBy("doc_id")
     },
     Some(qualityGateSql))
 
@@ -1425,18 +1435,20 @@ object MlQueries {
     "ml_contamination_stream",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val docs = Tables(s, d, "documents").select("doc_id", "text")
       val bench = TextAnalysis.benchGramSet(docs).localCheckpoint(true)
       val rows = docs.filter(col("doc_id") % 23 =!= 0).orderBy("doc_id")
         .as[(Long, String)].collect()
-      val in = MemoryStream[(Long, String)](s)
+      // harness feeder through the one audited shim (ADVICE r13 #4)
+      val in = org.apache.spark.sql.graftbridge.StreamBridge
+        .memoryStream[(Long, String)](s)
       val outDir = java.nio.file.Files
         .createTempDirectory("graft-contam-out").toString
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-contam-ckpt").toString
       val q = in.toDF().toDF("doc_id", "text")
         .writeStream.outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft-contam-ckpt").toString)
+        .option("checkpointLocation", ckptDir)
         .foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             TextAnalysis.contaminationApply(batch, bench)
@@ -1449,11 +1461,33 @@ object MlQueries {
         in.addData(wave.toSeq)
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(outDir)
-        .select("doc_id", "shared_grams", "bench_docs")
-        .orderBy("doc_id")
+      // empty-stream guard + per-run dir cleanup (ADVICE r13 #4): an
+      // empty corpus leaves no parquet to infer a schema from — the
+      // screen over nothing is the empty report, with the same schema
+      // the batch screen carries; the materialized checkpoint frees
+      // the temp dirs before the frame is consumed
+      val res =
+        if (rows.isEmpty)
+          TextAnalysis.contaminationApply(docs.limit(0), bench)
+            .select("doc_id", "shared_grams", "bench_docs").limit(0)
+            .localCheckpoint(true)
+        else s.read.parquet(outDir)
+          .select("doc_id", "shared_grams", "bench_docs")
+          .localCheckpoint(true)
+      Seq(outDir, ckptDir).foreach(removeDir)
+      res.orderBy("doc_id")
     },
     Some(contamSql))
+
+  /** Best-effort recursive temp-dir removal for the stream harness rows
+    * (ADVICE r13 #4 — per-run dirs must not accumulate). */
+  private def removeDir(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
 
   /** BM25 oracle: identical rational-k1/b integer arithmetic; DuckDB's
     * `//` is floor division like Spark's `div` (all operands positive

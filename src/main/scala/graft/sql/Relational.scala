@@ -300,20 +300,23 @@ object Relational {
     "agg_heavy_hitters_stream",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val eps = 1e-4
       val keys = t(s, d)("lineitem").select(col("l_partkey"))
         .as[Long].collect()
-      val in = MemoryStream[Long](s)
+      // harness feeder through the one audited shim (ADVICE r13 #4:
+      // the MemoryStream package is version-brittle — StreamBridge)
+      val in = org.apache.spark.sql.graftbridge.StreamBridge
+        .memoryStream[Long](s)
       val outDir = java.nio.file.Files
         .createTempDirectory("graft-hh-out").toString
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-hh-ckpt").toString
       // the accumulated sketch — bounded model state (w*d counters),
       // mutated only on the driver inside foreachBatch
       var merged: org.apache.spark.util.sketch.CountMinSketch = null
       val q = in.toDF().toDF("l_partkey")
         .writeStream.outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft-hh-ckpt").toString)
+        .option("checkpointLocation", ckptDir)
         .foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val sk = batch.stat.countMinSketch("l_partkey", eps, 0.99, 42)
@@ -327,17 +330,38 @@ object Relational {
         in.addData(wave.toSeq)
         q.processAllAvailable()
       } finally q.stop()
-      val exact = s.read.parquet(outDir)
-        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
-        .as[(Long, Long)].collect()
-      val slack = (eps * merged.totalCount()).toLong
-      exact.toSeq.map { case (k, c) =>
-        val est = merged.estimateCount(Long.box(k))
-        (k, c, if (est >= c && est <= c + slack) 1 else 0)
-      }.toDF("l_partkey", "cnt", "within_envelope")
+      // empty-stream guard (ADVICE r13 #4): no batch ever arrived —
+      // merged stays null and the parquet dir has no schema to infer;
+      // the verdict over nothing is the empty report
+      val rows =
+        if (merged == null) Seq.empty[(Long, Long, Int)]
+        else {
+          val exact = s.read.parquet(outDir)
+            .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+            .as[(Long, Long)].collect()
+          val slack = (eps * merged.totalCount()).toLong
+          exact.toSeq.map { case (k, c) =>
+            val est = merged.estimateCount(Long.box(k))
+            (k, c, if (est >= c && est <= c + slack) 1 else 0)
+          }
+        }
+      // the report is a driver-local relation now — the per-run dirs
+      // can go (ADVICE r13 #4: no leaked temp dirs)
+      Seq(outDir, ckptDir).foreach(removeDir)
+      rows.toDF("l_partkey", "cnt", "within_envelope")
     },
     Some(heavyHittersSql))
+
+  /** Best-effort recursive temp-dir removal for the stream harness rows
+    * (ADVICE r13 #4 — per-run dirs must not accumulate). */
+  private def removeDir(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
 
   private val aggRollup = Declared(
     "agg_rollup",

@@ -655,7 +655,6 @@ object WindowQueries {
     "events_stream_dedup",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val ev = Tables(s, d, "events")
         .select("event_id", "user_id", "ts", "event_type", "value")
       val rows = ev.orderBy("ts", "event_id").collect()
@@ -665,15 +664,18 @@ object WindowQueries {
       val withDups = rows.flatMap { r =>
         if (r.getLong(0) % 3 == 0) Seq(r, r) else Seq(r)
       }
-      val in = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)](s)
+      // harness feeder through the one audited shim (ADVICE r13 #4)
+      val in = org.apache.spark.sql.graftbridge.StreamBridge
+        .memoryStream[(Long, Long, java.sql.Timestamp, String, Double)](s)
       val outDir = java.nio.file.Files
         .createTempDirectory("graft-sdedup-out").toString
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-sdedup-ckpt").toString
       val q = StreamDedup.exactlyOnce(
           in.toDF().toDF("event_id", "user_id", "ts", "event_type", "value"),
           "event_id", watermark = "3650 days")
         .writeStream.outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft-sdedup-ckpt").toString)
+        .option("checkpointLocation", ckptDir)
         .foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             batch
@@ -687,9 +689,20 @@ object WindowQueries {
           r.getTimestamp(2), r.getString(3), r.getDouble(4))))
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(outDir)
-        .select("event_id", "user_id", "ts", "event_type", "value")
-        .orderBy("event_id")
+      // empty-stream guard + per-run dir cleanup (ADVICE r13 #4)
+      val res =
+        if (withDups.isEmpty) ev.limit(0).localCheckpoint(true)
+        else s.read.parquet(outDir)
+          .select("event_id", "user_id", "ts", "event_type", "value")
+          .localCheckpoint(true)
+      Seq(outDir, ckptDir).foreach { p =>
+        def go(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+          f.delete(); ()
+        }
+        go(new java.io.File(p))
+      }
+      res.orderBy("event_id")
     },
     Some("""SELECT event_id, user_id, ts, event_type, value
            |FROM events ORDER BY event_id""".stripMargin))

