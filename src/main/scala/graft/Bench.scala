@@ -491,6 +491,48 @@ object Bench {
         ""
       }
 
+      // Hot-key skew through the MANIFEST protocol (r13 verdict #9):
+      // the identical 10-hot-key/55%-mass schedule as cdcskew, but
+      // through the CAS-commit object-store path WITH async folds — so
+      // the manifest cell's skew story is measured, not inferred from
+      // the rename path. What differs under skew here: the async fold
+      // pool is compacting buckets whose delta files are themselves
+      // skewed (half the rows in ≤10 of 64 buckets), so a fold racing
+      // a hot bucket's next commit is the contention this cell can see
+      // and cdcskew can't.
+      val probeManSkew = try {
+        val opsMS = ChangeGen.skewedOps(seed = 53L, n = 180000,
+          hotKeys = 10, hotFrac = 0.55)
+        val (snapMS, streamMS) = opsMS.splitAt(30000)
+        val logMS = Files.createTempDirectory("bench-manskew-log").toString
+        val dirMS = Files.createTempDirectory("bench-manskew").toString
+        val ckMS = Files.createTempDirectory("bench-manskew-ckpt").toString
+        ManifestReplica.snapshot(spark,
+          ChangeGen.replay(snapMS).values.toSeq.toDS(), dirMS,
+          numBuckets = 64)
+        ChangeGen.writeBatches(logMS, streamMS, batches = 10)
+        val lMS = new BatchMetricsListener(Some("graft-replicate-manifest"))
+        spark.streams.addListener(lMS)
+        try {
+          val qMS = ManifestReplica.startFrom(spark,
+            ChangeSource.readStream(spark, logMS,
+              maxFilesPerTrigger = Some(1)),
+            dirMS, ckMS, trigger = Trigger.AvailableNow(),
+            numBuckets = 64, compactEvery = 4, compactAsync = true)
+          try qMS.awaitTermination() finally qMS.stop()
+          ManifestReplica.awaitCompactions()
+        } finally spark.streams.removeListener(lMS)
+        val hotShareMS = streamMS.count(_.id <= 10).toDouble / streamMS.size
+        val bsMS = lMS.batches.filter(_.inputRows > 0)
+          .map(b => num(b.triggerExecSec, 2)).mkString("[", ",", "]")
+        s""","manskew":{"rows":150000,"buckets":64,"hot_keys":10,"hot_share":${num(hotShareMS, 3)},"rows_per_sec":${num(lMS.rowsPerSec, 1)},"worst_batch_sec":${num(lMS.worstBatchSec, 3)},"batch_secs":$bsMS}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] manifest skew probe FAILED: $e")
+        errors("manskew") = Option(e.getMessage)
+          .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+        ""
+      }
+
       // 1000× scale probe (OPT-IN: SPARK_GRAFT_CDC_1000X=1 — ~6-10 min
       // of wall-clock and ~5 GB of driver-side generated ops, far too
       // heavy for the per-round driver bench): 15M stream rows into a
@@ -562,7 +604,7 @@ object Bench {
         s""","man_rows_per_sec":${num(m.rowsPerSec, 1)},"man_worst_batch_sec":${
           num(m.worst, 3)},"man_runs":$manRunsJson""").getOrElse("")
       (s"""{"rows_per_sec":${num(bestRun.rowsPerSec, 0)},"worst_batch_sec":${num(bestRun.worst, 2)},"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 0)},"runs":$cdcRuns}""",
-        s"""{"rows_per_sec":${num(bestRun.rowsPerSec, 1)},"worst_batch_sec":${num(bestRun.worst, 3)},"batches":${bestRun.batches},"rows":${bestRun.rows},"batch_secs":${bestRun.batchSecs},"runs":$renameRunsJson,"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 1)}$manFields$probe10x$probe100x$probeMan100x$probeSkew$probe1000x}""")
+        s"""{"rows_per_sec":${num(bestRun.rowsPerSec, 1)},"worst_batch_sec":${num(bestRun.worst, 3)},"batches":${bestRun.batches},"rows":${bestRun.rows},"batch_secs":${bestRun.batchSecs},"runs":$renameRunsJson,"bulk_rows_per_sec":${num(bulkListener.rowsPerSec, 1)}$manFields$probe10x$probe100x$probeMan100x$probeSkew$probeManSkew$probe1000x}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] CDC FAILED: $e")
       errors("cdc_pipeline") = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -625,8 +667,37 @@ object Bench {
             }
             Map("lsh_shared_pass" -> (System.nanoTime() - lshT0) / 1e9)
           }
+        // the same discipline for the ANN model family (r13 verdict
+        // #3): the warm pass populated the model memo (coarse
+        // centroids, raw + residual PQ codebooks shared by ml_pq_ann /
+        // ml_ivfadc / ml_ivfadc_indexed / ml_ann_recall_multi /
+        // ml_ann_filtered_indexed / ml_ann_cdc_index); drop it and pay
+        // ONE timed shared-model line so each row reports marginal
+        // cost. The index WRITE stays on whichever indexed row runs
+        // first (the write is that row's point; the other serves from
+        // the artifact — exactly the operational build/serve split).
+        graft.ml.Similarity.clearModelCache()
+        val annConsumers = Set("ml_pq_ann", "ml_ivfadc",
+          "ml_ivfadc_indexed", "ml_ann_recall_multi",
+          "ml_ann_filtered_indexed", "ml_ann_cdc_index")
+        val annLine: Map[String, Double] =
+          if (!qmap.keys.exists(annConsumers)) Map.empty
+          else {
+            val annT0 = System.nanoTime()
+            try {
+              val emb = graft.core.Tables(spark, sfDir, "embeddings")
+              graft.ml.Similarity.pqTrain(emb)
+              graft.ml.Similarity.ivfAdcTrain(emb)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] ann_model_shared_pass FAILED: $e")
+              errors("ann_model_shared_pass") = Option(e.getMessage)
+                .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+            }
+            Map("ann_model_shared_pass" ->
+              (System.nanoTime() - annT0) / 1e9)
+          }
         // pass 2 (timed, reported)
-        lshLine ++
+        lshLine ++ annLine ++
           qmap.map { case (name, fn) =>
             val t0 = System.nanoTime()
             try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1382,16 +1382,25 @@ object Similarity {
     * codebooks trained on residuals, both dumped to fixture parquet so
     * the oracle re-derives encoding, probing, and ADC from the same
     * model state. */
+  /** Train-only entry: the frozen (coarse centroids, residual
+    * codebooks) pair with no dumps — both halves memoized, so the
+    * bench's shared model pass (the `lsh_shared_pass` precedent) and
+    * every IVFADC row pay the training exactly once per corpus. */
+  def ivfAdcTrain(emb: DataFrame)
+      : (Seq[Seq[Long]], Seq[Seq[Seq[Long]]]) = {
+    val cents = coarseCentroids(emb)
+    (cents, pqTrainOn(quantized(emb).select(col("vec_id"),
+      residual(col("q"), col("label"), cents).as("q"))))
+  }
+
   private[ml] def ivfAdcModel(emb: DataFrame, centroidPath: String,
       codebookPath: String): (Seq[Seq[Long]], Seq[Seq[Seq[Long]]]) = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = coarseCentroids(emb)
+    val (cents, cb) = ivfAdcTrain(emb)
     cents.zipWithIndex.map { case (c, l) => (l, c) }
       .toDF("label", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(centroidPath)
-    val cb = pqTrainOn(quantized(emb).select(col("vec_id"),
-      residual(col("q"), col("label"), cents).as("q")))
     (for { m <- 0 until PqM; c <- 0 until PqK } yield (m, c, cb(m)(c)))
       .toDF("m", "code", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(codebookPath)
