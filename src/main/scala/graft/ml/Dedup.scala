@@ -631,14 +631,13 @@ object Dedup {
     // side, corpus side, sizes) — cache once, release after the ≤10-row
     // report materializes (the nearDupPairs pattern)
     val sets = shingleSets(planted).persist()
-    // the capped universe: shingles whose planted df ≤ cap. Computed
-    // once and semi-joined (kept is shuffled, not broadcast — its row
-    // count is the distinct-shingle count, corpus-scale); cached
-    // because sizes and both intr sides read it
-    val setsK = sets.join(
-      sets.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= SCurveDfCap).select("sh"),
-      Seq("sh"), "left_semi").persist()
+    // the capped universe: shingles whose planted df ≤ cap — ONE
+    // exchange (hash by sh) + a whole-partition window count, instead
+    // of the agg + semi-join pair (two exchanges of corpus-scale
+    // sides); cached because sizes and both intr sides read it
+    val setsK = sets
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= SCurveDfCap).drop("df").persist()
     val report = try {
       val sizes = setsK.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val intr = setsK.filter(col("doc_id") < 0)

@@ -161,6 +161,23 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(indexContent(idx).map(_._1) === Set(3L))
   }
 
+  test("maintained-index serve: the probed read prunes to exactly the probed cells' files") {
+    // the L91 files-read pin, re-proven on the MAINTAINED artifact: a
+    // search probing nprobe cells of the incrementally-built index must
+    // read exactly those cells' files
+    import org.apache.spark.sql.functions.input_file_name
+    val idx = tmp("ann-prune") + "/index"
+    AnnIndex.buildIndex(qRows, idx, cents, cb)
+    val nCells = new java.io.File(idx).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val probe = Seq(0, 1)
+    assert(nCells > probe.size, "fixture needs more cells than nprobe")
+    val scan = Similarity.ivfAdcIndexScan(spark, idx, probe)
+    assert(scan.select(input_file_name()).distinct().count()
+      === probe.size.toLong,
+      "maintained-index scan must read exactly the probed cells' files")
+  }
+
   test("append fast path: only appended cells gain files; append == rebuild") {
     val a = qRows.filter(col("vec_id") % 2 === 0)
     val b = qRows.filter(col("vec_id") % 2 === 1)
