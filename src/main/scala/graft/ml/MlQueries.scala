@@ -87,6 +87,7 @@ object MlQueries {
   private val annCdcCentPq = s"$FixtureDir/anncdc_centroids.parquet"
   private val annCdcCbPq = s"$FixtureDir/anncdc_codebook.parquet"
   private val annCdcOpsPq = s"$FixtureDir/anncdc_ops.parquet"
+  private val txtCdcOpsPq = s"$FixtureDir/txtcdc_ops.parquet"
 
   private def cosSql(d: String, na: String, nb: String): String =
     s"CAST($d AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
@@ -1574,6 +1575,61 @@ object MlQueries {
             |  pq.top1_id
             |FROM q0 LEFT JOIN pq ON pq.q_id = q0.q_id
             |ORDER BY q0.q_id""".stripMargin))
+
+  /** L105 — the CDC-MAINTAINED inverted text index ([[TextIndex]],
+    * the L104 shape applied to lexical retrieval): a snapshot epoch
+    * plus N incremental epochs of document inserts/updates/deletes
+    * flow through the real streaming path (slot scan → wal2json parse
+    * → per-key retraction deltas); each epoch re-tokenizes only the
+    * changed docs and rewrites only the touched term-bucket
+    * partitions, with the corpus (N, T) scalars maintained as an
+    * epoch-keyed signed-delta log; the standing BM25 query is then
+    * served entirely off the maintained artifact (postings read pruned
+    * to the query terms' buckets, df from the probed rows, dlen
+    * denormalized on the posting). The oracle FULLY REBUILDS: it folds
+    * the dumped raw ops to the final corpus and re-derives the same
+    * integer BM25 top-k — maintained == rebuilt is the row's theorem.
+    * Bucket-touch accounting, replay idempotence, emptied-bucket
+    * cleanup, the stats-log fold, and serve-side partition pruning are
+    * spec-pinned (TextIndexSpec). */
+  private val bm25CdcIndex = Declared(
+    "ml_bm25_cdc_index",
+    (s, d) => TextIndex.cdcMaintainAndSearch(s,
+      Tables(s, d, "documents"), txtCdcOpsPq),
+    Some(s"""WITH ops AS (SELECT lsn, action, doc_id, text
+            |            FROM read_parquet('$txtCdcOpsPq/*.parquet')),
+            |lastd AS (SELECT doc_id, max(lsn) AS dlsn FROM ops
+            |          WHERE action = 'D' GROUP BY doc_id),
+            |fold AS MATERIALIZED (
+            |  SELECT o.doc_id, arg_max(o.text, o.lsn) AS text
+            |  FROM ops o LEFT JOIN lastd d ON o.doc_id = d.doc_id
+            |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
+            |  GROUP BY o.doc_id
+            |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
+            |tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM fold),
+            |tf AS (SELECT doc_id, term, count(*) AS tf
+            |       FROM tok GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+            |       FROM tf GROUP BY 1),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            |st AS (SELECT count(*) AS n, CAST(sum(dlen) AS BIGINT) AS t
+            |       FROM dl),
+            |c AS (
+            |  SELECT tf.doc_id,
+            |    ((2 * (st.n - df.df) + 1) *
+            |     ((44 * tf.tf * st.t * ${TextAnalysis.Bm25Scale}) //
+            |      (20 * tf.tf * st.t + 6 * st.t + 18 * dl.dlen * st.n)))
+            |      // (2 * df.df + 1) AS contrib
+            |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
+            |  WHERE tf.term IN (${TextAnalysis.Bm25Query
+               .map(t => s"'$t'").mkString(", ")}))
+            |SELECT doc_id, count(*) AS matched,
+            |  CAST(sum(contrib) AS BIGINT) AS score_fp
+            |FROM c GROUP BY doc_id
+            |ORDER BY score_fp DESC, doc_id
+            |LIMIT ${TextAnalysis.Bm25K}""".stripMargin))
 
   /** Duplicate-span-removal oracle: identical window hashing, coverage
     * masking, and reassembly in DuckDB list lambdas. `coalesce(.., '')`
@@ -3770,7 +3826,8 @@ object MlQueries {
     repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
     contam, contamStream, piiRedact,
     shardAssign, mixRebalance, chunking,
-    tfidfTopTerms, bm25, bm25KnownItem, fingerprint, zorder, hilbert,
+    tfidfTopTerms, bm25, bm25KnownItem, bm25CdcIndex, fingerprint,
+    zorder, hilbert,
     binpack,
     mediaMeta, mediaDecode, mediaResize, mediaFrames, mediaAhash,
     mediaNearDup, mediaTemporal,

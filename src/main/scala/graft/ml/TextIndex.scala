@@ -1,0 +1,362 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+
+import graft.cdc.{ChangeGen, ChangeSource, Ivm, MtDelta, MultiTable, TableSpec}
+
+/** CDC-MAINTAINED inverted text index — the lexical-retrieval twin of
+  * [[AnnIndex]] (the L104 shape applied to BM25 serving): document
+  * inserts/updates/deletes flow through the SAME replica stream
+  * machinery every CDC table uses ([[graft.cdc.ChangeSource]] slot
+  * scan → [[graft.cdc.MultiTable.parseAll]] envelope decode →
+  * [[graft.cdc.Ivm.mtDeltas]] full-image retraction deltas), changed
+  * docs re-tokenize, and each epoch rewrites ONLY the term-hash bucket
+  * partitions its changes touch. Because the -old/+new retraction
+  * images carry the full text on BOTH sides, a changed doc's departing
+  * postings are derivable from the delta alone — no index lookup finds
+  * where its old terms lived, the same no-probe property that makes
+  * [[AnnIndex.applyEpoch]] change-volume-sized.
+  *
+  * Layout: postings live `partitionBy(bucket)` where
+  * `bucket = pmod(hash(term), NumBuckets)` — a term's ENTIRE posting
+  * list lives in exactly one partition, so (a) serving a bounded query
+  * prunes the read to ≤ |query terms| partitions and (b) df(term) is
+  * exact from the probed rows alone, no corpus-wide aggregate at serve
+  * time. `dlen` is denormalized onto every posting row: it only
+  * changes when its doc changes, and a changed doc rewrites all its
+  * postings anyway, so the denormalization can never go stale.
+  *
+  * Corpus-level BM25 scalars (N docs, T total tokens) are maintained
+  * as a per-epoch SIGNED DELTA log partitioned by epoch — each batch
+  * dynamic-partition-overwrites its own epoch partition, so replay
+  * after a checkpoint restart rewrites exactly its own files (the same
+  * idempotence-by-keyed-write contract as the postings), and serving
+  * folds the tiny log (one row per epoch) by addition. A mutable
+  * single-row stats file would double-count under replay; the
+  * epoch-keyed log cannot.
+  *
+  * Epoch apply is REPLAY-IDEMPOTENT by construction: a touched
+  * bucket's next content is (current content minus the changed docs'
+  * postings) ∪ (the +new images' postings) — keyed set algebra over
+  * (doc_id within bucket), so re-applying a batch recomputes identical
+  * partitions (spec-pinned, TextIndexSpec).
+  *
+  * Scale: the delta side is change-volume-sized (a changed doc's
+  * postings ≈ its distinct terms); the state side reads are
+  * PARTITION-PRUNED to the touched buckets; the write is a dynamic
+  * partition overwrite of exactly those buckets; serving reads
+  * ≤ |query terms| partitions + the epoch-row stats log — search cost
+  * is independent of how much of the corpus is cold. At 100 TB the
+  * bucket count scales with vocabulary mass (hot-term buckets split
+  * like any hash layout); the maintenance algebra is unchanged.
+  */
+object TextIndex {
+  import TextAnalysis.{Bm25K, Bm25Query, Bm25Scale}
+
+  /** The document table's change-stream contract: key `doc_id`, image
+    * column `text` (space-separated tokens — [[MlFunctions.tokens]]'
+    * contract, and the fixture's). */
+  val DocSpec: TableSpec = TableSpec("document", "doc_id", None,
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType))))
+
+  /** Term-hash partition count. Fixture-sized here; at scale this is
+    * the layout's fan-out knob (more buckets = finer pruning, smaller
+    * rewrite units). */
+  val NumBuckets = 64
+
+  /** Fresh-key namespace for the synthetic epoch script's inserts. */
+  val InsertIdBase = 2000000L
+
+  /** A term's one-and-only partition. */
+  def bucketOf(term: Column): Column =
+    pmod(hash(term), lit(NumBuckets))
+
+  // ---- tokenize / encode ------------------------------------------------
+
+  /** Postings for (doc_id, text) rows: (doc_id, term, tf, dlen,
+    * bucket). Computed PER ROW (distinct-terms × scan over the token
+    * array) — zero shuffle, the whole encode is one codegen'd
+    * projection + explode; for very long documents the alternative
+    * explode + groupBy form trades one keyed exchange for linear
+    * per-row work (the cutover a production build would make
+    * per-partition, not per-job). Extra columns named in `keep` are
+    * carried through (the signed-delta path keeps `sign`). */
+  def postingsFor(rows: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val tk = MlFunctions.tokens(col("text"))
+    val termTf = transform(array_distinct(col("tk")),
+      t => struct(t.as("term"),
+        size(filter(col("tk"), x => x === t)).cast("long").as("tf")))
+    rows
+      .select(col("doc_id") +: tk.as("tk") +: keep.map(col): _*)
+      .select(col("doc_id") +: size(col("tk")).cast("long").as("dlen") +:
+        explode(termTf).as("p") +: keep.map(col): _*)
+      .select(col("doc_id") +: col("p.term").as("term") +:
+        col("p.tf").as("tf") +: col("dlen") +:
+        bucketOf(col("p.term")).as("bucket") +: keep.map(col): _*)
+  }
+
+  /** Full build: tokenize every doc, one partition per term bucket.
+    * The rebuild the incremental path is proven equal to. */
+  def buildIndex(docs: DataFrame, indexPath: String): Unit =
+    postingsFor(docs.select("doc_id", "text"))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(indexPath)
+
+  /** Corpus scalars for a static corpus — (epoch 0, N, T) as the stats
+    * log's first row. */
+  def buildStats(docs: DataFrame, statsPath: String): Unit =
+    docs.select(size(MlFunctions.tokens(col("text"))).cast("long")
+        .as("nt"))
+      .agg(count(lit(1)).as("dn"), sum(col("nt")).as("dt"))
+      .withColumn("epoch", lit(0L))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).partitionBy("epoch")
+      .parquet(statsPath)
+
+  /** Partition-pruned postings read of the given buckets. */
+  def indexScan(spark: SparkSession, indexPath: String,
+      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+
+  // ---- incremental maintenance -------------------------------------------
+
+  /** Apply ONE micro-batch of full-image retraction deltas
+    * ([[graft.cdc.Ivm.mtDeltas]]' rows for [[DocSpec]]) to the
+    * maintained postings + stats log. Touched buckets = buckets of the
+    * -old images' terms ∪ the +new images' terms — both derivable from
+    * the deltas alone; the rewrite reads ONLY those buckets, drops the
+    * changed docs' postings, adds the +new postings, and
+    * dynamic-partition-overwrites exactly those buckets (a bucket the
+    * batch empties is cleared explicitly). The batch's (ΔN, ΔT) lands
+    * as the stats log's `epoch=batchId` partition — replay overwrites
+    * it in place. Returns the touched buckets; |returned| ==
+    * |rewritten partitions| is the spec pin. */
+  def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
+      indexPath: String, statsPath: String, batchId: Long): Seq[Int] = {
+    val df = batch.toDF()
+    val textCol = element_at(
+      from_json(col("img"), MapType(StringType, StringType)), "text")
+    // change-volume-sized: one row per (doc, sign), full text image
+    val rows = df.filter(col("tbl") === DocSpec.table)
+      .select(col("key").cast("long").as("doc_id"), col("sign"),
+        textCol.as("text"))
+      .localCheckpoint(true)
+    // per-epoch signed stats delta — epoch-keyed so replay is a no-op
+    rows.select(col("sign").cast("long").as("s"),
+        (col("sign") * size(MlFunctions.tokens(col("text")))).cast("long")
+          .as("st"))
+      .agg(coalesce(sum(col("s")), lit(0L)).as("dn"),
+        coalesce(sum(col("st")), lit(0L)).as("dt"))
+      .withColumn("epoch", lit(batchId))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(statsPath)
+    val posts = postingsFor(rows, keep = Seq("sign")).localCheckpoint(true)
+    val touched = posts.select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) touched
+    else {
+      val newPosts = posts.filter(col("sign") === 1).drop("sign")
+      val hasIndex = new java.io.File(indexPath).exists()
+      val current =
+        if (hasIndex) indexScan(spark, indexPath, touched)
+        else newPosts.limit(0)
+      // keyed set algebra — idempotent under replay; the changed-doc
+      // list is change-volume-sized, hence the broadcast anti-join
+      val next = current
+        .join(broadcast(rows.select("doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+        .unionByName(newPosts)
+        // materialize BEFORE the write: the overwrite must not scan
+        // the very partitions it is replacing
+        .localCheckpoint(true)
+      next.repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(indexPath)
+      val nonEmpty = next.select("bucket").distinct().collect()
+        .map(_.getInt(0)).toSet
+      touched.filterNot(nonEmpty).foreach { b =>
+        val dir = new java.io.File(s"$indexPath/bucket=$b")
+        if (dir.exists()) {
+          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+          dir.delete()
+        }
+      }
+      touched
+    }
+  }
+
+  // ---- serving ------------------------------------------------------------
+
+  /** BM25 top-k off the maintained artifact — [[TextAnalysis.bm25TopK]]'s
+    * exact integer algebra (k1=1.2, b=0.75 as rationals, 2^14 fixed
+    * point), but every input is index-resident: the postings read is
+    * partition-pruned to the query terms' buckets, df(term) counts the
+    * probed rows themselves (a term's whole posting list lives in its
+    * bucket), dlen rides on the posting row, and (N, T) folds the
+    * epoch-row stats log by addition. No corpus access of any kind. */
+  def searchIndex(spark: SparkSession, indexPath: String,
+      statsPath: String, queryTerms: Seq[String] = Bm25Query,
+      k: Int = Bm25K): DataFrame = {
+    import spark.implicits._
+    val qBuckets = queryTerms.toDF("term")
+      .select(bucketOf(col("term"))).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val st = spark.read.parquet(statsPath)
+      .agg(sum(col("dn")).as("n"), sum(col("dt")).as("t"))
+      .collect()(0)
+    val (n, t) = (st.getLong(0), st.getLong(1))
+    val probed = indexScan(spark, indexPath, qBuckets)
+      .filter(col("term").isin(queryTerms: _*))
+      .localCheckpoint(true)
+    val dfq = probed.groupBy("term").agg(count(lit(1)).as("df"))
+    probed
+      .join(broadcast(dfq), Seq("term"))
+      .selectExpr("doc_id",
+        s"(44 * tf * ${t}L * $Bm25Scale) div " +
+          s"(20 * tf * ${t}L + 6 * ${t}L + 18 * dlen * ${n}L) as tr_fp",
+        s"2 * (${n}L - df) + 1 as idf_num", "2 * df + 1 as idf_den")
+      .selectExpr("doc_id", "(idf_num * tr_fp) div idf_den as contrib_fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("matched"),
+        sum(col("contrib_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // ---- the declared end-to-end row ----------------------------------------
+
+  /** One synthetic change op (harness-side — the ENGINE consumes these
+    * only as a parsed stream). */
+  final case class DocOp(epoch: Int, lsn: Long, action: String,
+      docId: Long, text: Option[String])
+
+  /** Deterministic N-epoch change script over the snapshot: epoch 0 is
+    * the initial load; each later epoch e UPDATES doc_id ≡ e (mod 10)
+    * to its first-half tokens + " spark merge" (dlen, tf, AND the
+    * query-term hits all move — the search must feel the change),
+    * DELETES doc_id ≡ e (mod 17), and INSERTS a fresh key
+    * [[InsertIdBase]]+id with the last-half tokens + " join window"
+    * for doc_id ≡ e (mod 13). lsns increase globally; a U on a key an
+    * earlier epoch deleted is a no-op in BOTH engines' folds
+    * ([[graft.cdc.Ivm.mtDeltas]] keeps a dead key dead until an I). */
+  def epochScript(snap: Seq[(Long, String)], epochs: Int): Seq[DocOp] = {
+    val s = snap.sortBy(_._1)
+    var lsn = 0L
+    def next(): Long = { lsn += 1; lsn }
+    val load = s.map { case (id, tx) => DocOp(0, next(), "I", id, Some(tx)) }
+    val incr = (1 to epochs).flatMap { e =>
+      val ups = s.collect { case (id, tx) if id % 10 == e =>
+        val tk = tx.split(" ").toSeq
+        DocOp(e, next(), "U", id,
+          Some((tk.take((tk.size + 1) / 2) ++ Seq("spark", "merge"))
+            .mkString(" ")))
+      }
+      val dels = s.collect { case (id, _) if id % 17 == e =>
+        DocOp(e, next(), "D", id, None) }
+      val ins = s.collect { case (id, tx) if id % 13 == e =>
+        val tk = tx.split(" ").toSeq
+        DocOp(e, next(), "I", InsertIdBase + id,
+          Some((tk.drop(tk.size / 2) ++ Seq("join", "window"))
+            .mkString(" ")))
+      }
+      ups ++ dels ++ ins
+    }
+    load ++ incr
+  }
+
+  /** Render a [[DocOp]] as the wal2json-v2 envelope line the document
+    * slot emits. The fixture's text is space-separated word tokens —
+    * no JSON metacharacters — asserted, not assumed. */
+  def toLine(op: DocOp): String = {
+    op.text.foreach { t =>
+      require(!t.exists(c => c == '"' || c == '\\' || c < ' '),
+        s"doc ${op.docId}: text needs JSON escaping; fixture contract broken")
+    }
+    val head = s""""lsn":${op.lsn},"action":"${op.action}","timestamp":"2026-01-01 00:00:00.000000+00","schema":"public","table":"${DocSpec.table}""""
+    op.action match {
+      case "D" =>
+        s"""{$head,"identity":[{"name":"doc_id","type":"bigint","value":${op.docId}}]}"""
+      case _ =>
+        s"""{$head,"columns":[{"name":"doc_id","type":"bigint","value":${op.docId}},{"name":"text","type":"text","value":"${op.text.get}"}]}"""
+    }
+  }
+
+  /** Exact replica fold of the raw ops dump to the final live
+    * (doc_id, text) state — liveness gated on an I after the last D,
+    * the latest image wins; the oracle runs the same fold in SQL. */
+  def foldOps(ops: DataFrame): DataFrame = {
+    val lastD = ops.filter(col("action") === "D")
+      .groupBy("doc_id").agg(max("lsn").as("dlsn"))
+    ops.filter(col("action") =!= "D")
+      .join(lastD, Seq("doc_id"), "left")
+      .filter(col("lsn") > coalesce(col("dlsn"), lit(-2L)))
+      .groupBy("doc_id")
+      .agg(max_by(col("text"), col("lsn")).as("text"),
+        max(when(col("action") === "I", 1).otherwise(0)).as("has_i"))
+      .filter(col("has_i") === 1)
+      .select("doc_id", "text")
+  }
+
+  /** The declared row's full composition: script N epochs of document
+    * changes (raw ops dumped for the oracle), run them through the
+    * real streaming path (slot scan → envelope parse → retraction
+    * deltas → [[applyEpoch]] per trigger, checkpointed), then serve
+    * the standing BM25 query off the maintained postings + stats log.
+    * The oracle re-derives the identical top-k from a FULL REBUILD of
+    * the replica fold — maintained == rebuilt after N epochs is the
+    * row's theorem. Temp dirs are removed after the result
+    * materializes. */
+  def cdcMaintainAndSearch(spark: SparkSession, docs: DataFrame,
+      opsDumpPath: String, epochs: Int = 3, k: Int = Bm25K): DataFrame = {
+    import spark.implicits._
+    val snap: Seq[(Long, String)] =
+      docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = epochScript(snap, epochs)
+    ops.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
+      .toDF("lsn", "action", "doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
+    val changeDir = Files.createTempDirectory("graft-txtcdc-log").toString
+    val ckptDir = Files.createTempDirectory("graft-txtcdc-ckpt").toString
+    val idxRoot = Files.createTempDirectory("graft-txtcdc-idx").toString
+    val indexPath = s"$idxRoot/index"
+    val statsPath = s"$idxRoot/stats"
+    try {
+      ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+        ChangeGen.writeLineBatches(changeDir,
+          group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
+      }
+      val q = Ivm.mtDeltas(MultiTable.parseAll(
+          ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+          applyEpoch(spark, batch, indexPath, statsPath, bid); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      searchIndex(spark, indexPath, statsPath, k = k)
+        .localCheckpoint(true)
+    } finally Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+  }
+
+  private def deleteRec(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
+}
