@@ -679,7 +679,8 @@ object Bench {
         graft.ml.Similarity.clearModelCache()
         val annConsumers = Set("ml_pq_ann", "ml_ivfadc",
           "ml_ivfadc_indexed", "ml_ann_recall_multi",
-          "ml_ann_filtered_indexed", "ml_ann_cdc_index")
+          "ml_ann_filtered_indexed", "ml_ann_cdc_index",
+          "ml_ann_cell_split")
         val annLine: Map[String, Double] =
           if (!qmap.keys.exists(annConsumers)) Map.empty
           else {

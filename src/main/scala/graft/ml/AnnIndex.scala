@@ -188,6 +188,158 @@ object AnnIndex {
       Similarity.ivfAdcIndexScan(spark, indexPath, cells), probed, cb, k)
   }
 
+  // ---- adaptive cell split (re-balance maintenance) ---------------------
+
+  /** Deterministic distributed 2-means over ONE cell's members —
+    * farthest-point init (Gonzalez '85: seed A = the lowest-vec_id
+    * member, seed B = the member farthest from A, ties to the lowest
+    * vec_id) + `iters` Lloyd steps in the integer algebra
+    * (floorDiv means, ties to side A). Every pass is one aggregate
+    * over the cell's members; the collected state is 2 × 64 longs —
+    * bounded model state, never corpus-sized. */
+  def trainSplit(members: DataFrame, iters: Int = 3)
+      : (Seq[Long], Seq[Long]) = {
+    val dims = PqM * Similarity.PqDims
+    val a0 = members.orderBy("vec_id").limit(1)
+      .collect()(0).getSeq[Long](1).toSeq
+    val b0 = members
+      .select(col("vec_id"), col("q"),
+        Similarity.pqD2(col("q"), typedLit(a0)).as("d2"))
+      .orderBy(col("d2").desc, col("vec_id")).limit(1)
+      .collect()(0).getSeq[Long](1).toSeq
+    var (ca, cbV) = (a0, b0)
+    for (_ <- 0 until iters) {
+      val da = Similarity.pqD2(col("q"), typedLit(ca))
+      val db = Similarity.pqD2(col("q"), typedLit(cbV))
+      val sums = members
+        .select(when(da <= db, 0).otherwise(1).as("side"),
+          posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy("side", "d")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      def mean(side: Int, fallback: Seq[Long]): Seq[Long] =
+        if (!sums.contains((side, 0))) fallback
+        else (0 until dims).map { d =>
+          val (s, n) = sums((side, d)); Math.floorDiv(s, n)
+        }
+      ca = mean(0, ca); cbV = mean(1, cbV)
+    }
+    (ca, cbV)
+  }
+
+  /** Split one cell of a maintained index into two children — the
+    * re-balance maintenance every serving index eventually needs
+    * between the cheap append path and the rare full re-train (a hot
+    * cell degrades probe cost: every query probing it scans all its
+    * members). Assignment is STICKY (the FAISS/DiskANN convention):
+    * ONLY the split cell's members reassign, each to the nearer child
+    * (ties → the lower label); every other vector keeps its cell, so
+    * exactly TWO partitions are touched — the split cell's (child A
+    * reuses its position in the centroid list) and the appended child
+    * B's (position |cents|). A global re-assignment would touch every
+    * partition for marginal recall — that IS the full rebuild, a
+    * different (rare) event. Members re-encode against their child's
+    * centroid with the FROZEN codebooks. Returns the extended centroid
+    * list; the caller serves with it ([[searchIndex]] probes over all
+    * |cents|+1 cells). */
+  def splitCell(spark: SparkSession, indexPath: String,
+      corpusQ: DataFrame, cell: Int, cents: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]], iters: Int = 3): Seq[Seq[Long]] = {
+    val members = Similarity.ivfAdcIndexScan(spark, indexPath, Seq(cell))
+      .select("vec_id")
+      .join(corpusQ.select(col("vec_id"), col("q")), Seq("vec_id"))
+      .localCheckpoint(true)
+    val (a, b) = trainSplit(members, iters)
+    val newIdx = cents.length
+    val newCents = cents.updated(cell, a) :+ b
+    val da = Similarity.pqD2(col("q"), typedLit(a))
+    val db = Similarity.pqD2(col("q"), typedLit(b))
+    val enc = members
+      .withColumn("cell", when(da <= db, lit(cell)).otherwise(lit(newIdx)))
+      .select(col("vec_id"), col("cell"), codesFor(cb, newCents).as("codes"))
+      .localCheckpoint(true)
+    enc.repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(indexPath)
+    // a child left empty (degenerate split) keeps no partition dir
+    val nonEmpty = enc.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    Seq(cell, newIdx).filterNot(nonEmpty).foreach { c =>
+      val dir = new java.io.File(s"$indexPath/cell=$c")
+      if (dir.exists()) {
+        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+        dir.delete()
+      }
+    }
+    newCents
+  }
+
+  /** Compact fragmented cells: [[appendToIndex]] lands one file per
+    * append wave, so an append-heavy cell accumulates small files and
+    * the probed read amplifies. Rewrites ONLY cells holding more than
+    * `maxFiles` files, each back to its one-file form; every other
+    * partition stays byte-identical, and the index CONTENT is
+    * untouched by construction (a pure layout rewrite — spec-pinned).
+    * Returns the compacted cells. */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      maxFiles: Int = 4): Seq[Int] = {
+    val root = new java.io.File(indexPath)
+    val frag = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .filter(_.listFiles().count(f =>
+        !f.getName.startsWith(".") && !f.getName.startsWith("_")) > maxFiles)
+      .map(_.getName.stripPrefix("cell=").toInt).toSeq.sorted
+    if (frag.nonEmpty) {
+      val rows = Similarity.ivfAdcIndexScan(spark, indexPath, frag)
+        .localCheckpoint(true)
+      rows.repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(indexPath)
+    }
+    frag
+  }
+
+  /** The declared re-balance row: freeze the model on the corpus
+    * (pre-split centroids + codebooks dumped), build the index, split
+    * the LARGEST cell (ties → lowest label — re-derivable in SQL, so
+    * the oracle picks the same one), dump the post-split centroid
+    * list, and serve the stride workload off the re-balanced index.
+    * The oracle re-derives pre-split assignment from the pre-split
+    * centroid dump, applies the same sticky two-child override, and
+    * rebuilds encoding, probing, ADC, and the exact rerank — the
+    * split's whole downstream algebra is verified; only the 2-means
+    * training itself is model state (the same status every ANN row
+    * gives its centroids). */
+  def splitAndServe(spark: SparkSession, emb: DataFrame,
+      cent0Path: String, cent1Path: String, cbPath: String,
+      k: Int = PqTopK, nprobe: Int = IvfAdcProbe): DataFrame = {
+    import spark.implicits._
+    val (cents, cb) = Similarity.ivfAdcModel(emb, cent0Path, cbPath)
+    val idxRoot = Files.createTempDirectory("graft-split-idx").toString
+    val indexPath = s"$idxRoot/index"
+    try {
+      val corpusQ = Similarity.quantized(emb).select("vec_id", "q")
+      buildIndex(corpusQ, indexPath, cents, cb)
+      val big = spark.read.parquet(indexPath)
+        .groupBy("cell").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy { case (c, n) => (-n, c) }.head._1
+      val newCents = splitCell(spark, indexPath, corpusQ, big, cents, cb)
+      newCents.zipWithIndex.map { case (c, l) => (l, c) }
+        .toDF("label", "centroid").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(cent1Path)
+      val qs = corpusQ.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      searchIndex(spark, indexPath, corpusQ, qs, newCents, cb, k, nprobe)
+        .localCheckpoint(true)
+        .orderBy("query_id", "rank")
+    } finally deleteRec(idxRoot)
+  }
+
   // ---- the declared end-to-end row --------------------------------------
 
   /** One synthetic change op (harness-side, the [[graft.cdc.ChangeGen]]

@@ -88,6 +88,9 @@ object MlQueries {
   private val annCdcCbPq = s"$FixtureDir/anncdc_codebook.parquet"
   private val annCdcOpsPq = s"$FixtureDir/anncdc_ops.parquet"
   private val txtCdcOpsPq = s"$FixtureDir/txtcdc_ops.parquet"
+  private val splitCent0Pq = s"$FixtureDir/split_centroids_pre.parquet"
+  private val splitCent1Pq = s"$FixtureDir/split_centroids_post.parquet"
+  private val splitCbPq = s"$FixtureDir/split_codebook.parquet"
 
   private def cosSql(d: String, na: String, nb: String): String =
     s"CAST($d AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
@@ -927,6 +930,132 @@ object MlQueries {
          |  FROM cand c
          |  JOIN fe a ON a.vec_id = c.query_id
          |  JOIN fe b ON b.vec_id = c.vec_id AND b.i = a.i
+         |  WHERE c.crank <= $k
+         |  GROUP BY 1, 2, 3)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY exact_d2, vec_id) AS BIGINT) AS rank,
+         |  vec_id, adc, exact_d2
+         |FROM ex ORDER BY query_id, rank""".stripMargin
+    })
+
+  /** L106 — adaptive cell split ([[AnnIndex.splitCell]]): the
+    * re-balance maintenance between the cheap append path and the rare
+    * full re-train. The engine builds the cell-partitioned index,
+    * splits the LARGEST cell into two children by a deterministic
+    * local 2-means (sticky assignment — only the split cell's members
+    * move, exactly two partitions rewrite), and serves the stride
+    * workload off the re-balanced artifact. The oracle re-derives
+    * pre-split assignment from the pre-split centroid dump, picks the
+    * same largest cell (count-desc, ties to the lowest label — pure
+    * SQL), applies the same sticky two-child override from the
+    * post-split dump, and rebuilds encoding, probing, ADC, and the
+    * exact rerank. Partition-touch accounting and the sticky-rebuild
+    * identity are spec-pinned (AnnIndexSpec). */
+  private val annCellSplit = Declared(
+    "ml_ann_cell_split",
+    (s, d) => AnnIndex.splitAndServe(s, Tables(s, d, "embeddings"),
+      splitCent0Pq, splitCent1Pq, splitCbPq),
+    Some {
+      val (pd, pk, np, k) = (Similarity.PqDims, Similarity.PqK,
+        Similarity.IvfAdcProbe, Similarity.PqTopK)
+      s"""WITH $qeCte,
+         |cent0 AS (SELECT label, centroid
+         |          FROM read_parquet('$splitCent0Pq/*.parquet')),
+         |cent1 AS (SELECT label, centroid
+         |          FROM read_parquet('$splitCent1Pq/*.parquet')),
+         |cb AS (SELECT m, code, centroid
+         |       FROM read_parquet('$splitCbPq/*.parquet')),
+         |cd0 AS MATERIALIZED (
+         |  SELECT qe.vec_id, cent0.label AS cell,
+         |    CAST(sum((qe.q - cent0.centroid[qe.i])
+         |             * (qe.q - cent0.centroid[qe.i])) AS BIGINT) AS d2
+         |  FROM qe CROSS JOIN cent0
+         |  GROUP BY 1, 2),
+         |asgn0 AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM cd0)
+         |  WHERE rn = 1),
+         |big AS (SELECT cell FROM asgn0
+         |        GROUP BY cell ORDER BY count(*) DESC, cell LIMIT 1),
+         |nc AS (SELECT count(*) AS c FROM cent0),
+         |cd1 AS (
+         |  SELECT a.vec_id, c1.label AS cell,
+         |    CAST(sum((qe.q - c1.centroid[qe.i])
+         |             * (qe.q - c1.centroid[qe.i])) AS BIGINT) AS d2
+         |  FROM asgn0 a
+         |  JOIN qe ON qe.vec_id = a.vec_id
+         |  JOIN cent1 c1 ON c1.label = (SELECT cell FROM big)
+         |               OR c1.label = (SELECT c FROM nc)
+         |  WHERE a.cell = (SELECT cell FROM big)
+         |  GROUP BY 1, 2),
+         |asgn AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM cd1)
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT vec_id, cell FROM asgn0
+         |  WHERE cell <> (SELECT cell FROM big)),
+         |re AS (
+         |  SELECT qe.vec_id, qe.i, qe.q - c1.centroid[qe.i] AS r
+         |  FROM qe JOIN asgn a ON a.vec_id = qe.vec_id
+         |  JOIN cent1 c1 ON c1.label = a.cell),
+         |dist AS (
+         |  SELECT re.vec_id, cb.m, cb.code,
+         |    CAST(sum((re.r - cb.centroid[(re.i - 1) % $pd + 1])
+         |      * (re.r - cb.centroid[(re.i - 1) % $pd + 1]))
+         |      AS BIGINT) AS d2
+         |  FROM re JOIN cb ON (re.i - 1) // $pd = cb.m
+         |  GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, m,
+         |          CAST(min(d2 * $pk + code) % $pk AS INT) AS code
+         |        FROM dist GROUP BY 1, 2),
+         |cdq AS MATERIALIZED (
+         |  SELECT qe.vec_id, c1.label AS cell,
+         |    CAST(sum((qe.q - c1.centroid[qe.i])
+         |             * (qe.q - c1.centroid[qe.i])) AS BIGINT) AS d2
+         |  FROM qe CROSS JOIN cent1 c1
+         |  WHERE qe.vec_id % ${Similarity.QueryStride} = 0
+         |  GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS pr
+         |    FROM cdq)
+         |  WHERE pr <= $np),
+         |qlut AS (
+         |  SELECT p.query_id, p.cell, cb.m, cb.code,
+         |    CAST(sum(((qe.q - c1.centroid[qe.i])
+         |               - cb.centroid[(qe.i - 1) % $pd + 1])
+         |            * ((qe.q - c1.centroid[qe.i])
+         |               - cb.centroid[(qe.i - 1) % $pd + 1]))
+         |      AS BIGINT) AS d2
+         |  FROM probe p
+         |  JOIN qe ON qe.vec_id = p.query_id
+         |  JOIN cent1 c1 ON c1.label = p.cell
+         |  JOIN cb ON (qe.i - 1) // $pd = cb.m
+         |  GROUP BY 1, 2, 3, 4),
+         |adc AS (
+         |  SELECT q.query_id, a.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc
+         |  FROM qlut q
+         |  JOIN asgn a ON a.cell = q.cell
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |    AND e.m = q.m AND e.code = q.code
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT query_id, vec_id, adc,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc, vec_id) AS crank
+         |         FROM adc),
+         |ex AS (
+         |  SELECT c.query_id, c.vec_id, c.adc,
+         |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS exact_d2
+         |  FROM cand c
+         |  JOIN qe a ON a.vec_id = c.query_id
+         |  JOIN qe b ON b.vec_id = c.vec_id AND b.i = a.i
          |  WHERE c.crank <= $k
          |  GROUP BY 1, 2, 3)
          |SELECT query_id,
@@ -3816,7 +3945,7 @@ object MlQueries {
     dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
-    ivfAdcIndexed, ivfAdcIndexedFiltered, annCdcIndex,
+    ivfAdcIndexed, ivfAdcIndexedFiltered, annCdcIndex, annCellSplit,
     mmr, fps, annRecallQ, annRecallMultiQ, matryoshka, annFiltered,
     randProj, kmeansStep,
     embedNearDup, semDedup,

@@ -178,6 +178,80 @@ class AnnIndexSpec extends AnyFunSuite {
       "maintained-index scan must read exactly the probed cells' files")
   }
 
+  test("cell split: exactly two partitions touched; sticky rebuild identity; balance improves") {
+    // forced-hot-cell fixture: a 2-cell model where cell 0 holds two
+    // separated clumps (the split should cut between them) and cell 1
+    // a few far-away members
+    val c0 = 1000L +: Seq.fill(63)(0L)
+    val c1 = Seq.fill(63)(0L) :+ 100000L
+    val myCents = Seq(c0, c1)
+    val myCb: Seq[Seq[Seq[Long]]] =
+      Seq.tabulate(8, 16, 8)((_, c, _) => c.toLong)
+    def vec(head: Long, jitter: Long): Seq[Long] =
+      (head + jitter) +: Seq.fill(62)(jitter) :+ 0L
+    val rows =
+      (1L to 6L).map(k => (k, vec(500L, k))) ++ // clump A (near 500)
+        (7L to 12L).map(k => (k, vec(3000L, k))) ++ // clump B (near 3000)
+        (13L to 14L).map(k =>
+          (k, Seq.fill(63)(0L) :+ (100000L + k))) // cell 1
+    val idx = tmp("ann-split") + "/index"
+    AnnIndex.buildIndex(rows.toDF("vec_id", "q"), idx, myCents, myCb)
+    val counts0 = spark.read.parquet(idx).groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(counts0(0) === 12L && counts0(1) === 2L)
+    val before = fingerprint(idx)
+    val newCents =
+      AnnIndex.splitCell(spark, idx, rows.toDF("vec_id", "q"), 0,
+        myCents, myCb)
+    assert(newCents.length === 3, "split must extend the centroid list")
+    assert(newCents(1) === myCents(1), "untouched cells keep centroids")
+    val after = fingerprint(idx)
+    assert(after("cell=1") === before("cell=1"),
+      "the un-split cell's partition must be byte-identical")
+    assert(after.keySet === Set("cell=0", "cell=1", "cell=2"))
+    // balance: the hot cell really split into two non-empty children
+    val counts1 = spark.read.parquet(idx).groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(counts1(0) === 6L && counts1(2) === 6L,
+      s"split must cut between the clumps, got $counts1")
+    // sticky rebuild identity: on this fixture the global re-encode
+    // against the post-split list coincides with sticky assignment
+    // (non-split members are far from both children, split members'
+    // only contest is between the two children), so a full rebuild
+    // with the extended centroid list must reproduce the split result
+    val idx2 = tmp("ann-split-rb") + "/index"
+    AnnIndex.buildIndex(rows.toDF("vec_id", "q"), idx2, newCents, myCb)
+    assert(indexContent(idx) === indexContent(idx2),
+      "split result must equal the sticky re-encode")
+  }
+
+  test("compactIndex: only fragmented cells rewrite; content invariant") {
+    val idx = tmp("ann-compact") + "/index"
+    // five append waves fragment the touched cells
+    val waves = (0 until 5).map(w =>
+      qRows.filter(col("vec_id") % 5 === w))
+    AnnIndex.buildIndex(waves(0), idx, cents, cb)
+    waves.drop(1).foreach(w => AnnIndex.appendToIndex(w, idx, cents, cb))
+    val before = fingerprint(idx)
+    val content = indexContent(idx)
+    val fragged = before.filter(_._2.size > 4).keySet
+    assert(fragged.nonEmpty, "appends must have fragmented some cell")
+    val compacted = AnnIndex.compactIndex(spark, idx, maxFiles = 4)
+    assert(compacted.map(c => s"cell=$c").toSet === fragged,
+      "exactly the fragmented cells must compact")
+    val after = fingerprint(idx)
+    (before.keySet -- fragged).foreach { c =>
+      assert(after(c) === before(c), s"partition $c must be untouched")
+    }
+    fragged.foreach { c =>
+      assert(after(c).size === 1, s"$c must compact to one file")
+    }
+    assert(indexContent(idx) === content,
+      "compaction must not change the index content")
+    assert(AnnIndex.compactIndex(spark, idx, maxFiles = 4).isEmpty,
+      "a compacted index has nothing to compact")
+  }
+
   test("append fast path: only appended cells gain files; append == rebuild") {
     val a = qRows.filter(col("vec_id") % 2 === 0)
     val b = qRows.filter(col("vec_id") % 2 === 1)
