@@ -57,6 +57,11 @@ object AnnIndex {
   /** Fresh-key namespace for the synthetic epoch script's inserts. */
   val InsertIdBase = 1000000L
 
+  /** Shuffle width for change-volume-sized maintenance work (see
+    * [[TextIndex.MicroShuffle]] — same rationale): a micro-batch's
+    * exchanges must not inherit the corpus-sized session width. */
+  val MicroShuffle: Int = TextIndex.MicroShuffle
+
   // ---- frozen-model encode / assign ------------------------------------
 
   /** Nearest frozen coarse cell by integer L2, ties to the LOWEST cell —
@@ -129,14 +134,18 @@ object AnnIndex {
       split(element_at(from_json(col("img"),
         MapType(StringType, StringType)), "emb"), ","),
       x => x.cast("long"))
-    // change-volume-sized: materialize once, both signs carry their
-    // cell so moved keys' OLD partitions are known without an index probe
+    // change-volume-sized: both signs carry their cell so moved keys'
+    // OLD partitions are known without an index probe. Checkpointed
+    // ONCE: inside foreachBatch every action re-executes the trigger's
+    // stateful plan (state-store reads included), so the batch must be
+    // materialized before the multi-action apply.
     val rows = df.filter(col("tbl") === EmbSpec.table)
       .select(col("key").cast("long").as("vec_id"), col("sign"),
         qCol.as("q"))
       .withColumn("cell", cellOf(col("q"), cents))
       .localCheckpoint(true)
-    val affected = rows.select("cell").distinct().collect()
+    val affected = rows.select("cell")
+      .repartition(MicroShuffle, col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq.sorted
     if (affected.isEmpty) affected
     else {
@@ -155,11 +164,12 @@ object AnnIndex {
         // materialize BEFORE the write: the overwrite must not scan the
         // very partitions it is replacing
         .localCheckpoint(true)
-      next.repartition(col("cell"))
+      next.repartition(MicroShuffle, col("cell"))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(indexPath)
-      val nonEmpty = next.select("cell").distinct().collect()
+      val nonEmpty = next.select("cell")
+        .repartition(MicroShuffle, col("cell")).distinct().collect()
         .map(_.getInt(0)).toSet
       affected.filterNot(nonEmpty).foreach { c =>
         val dir = new java.io.File(s"$indexPath/cell=$c")
@@ -443,15 +453,22 @@ object AnnIndex {
         ChangeGen.writeLineBatches(changeDir,
           group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
       }
-      val q = Ivm.mtDeltas(MultiTable.parseAll(
-          ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(EmbSpec)))
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckptDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
-          applyEpoch(spark, batch, indexPath, cents, cb); ()
-        }
-        .start()
+      // pin the change stream's state-store width to MicroShuffle
+      // (captured into the cloned session at start; the outer session
+      // width is restored immediately — see TextIndex for rationale)
+      val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
+      val q =
+        try Ivm.mtDeltas(MultiTable.parseAll(
+            ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(EmbSpec)))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
+            applyEpoch(spark, batch, indexPath, cents, cb); ()
+          }
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
       try q.awaitTermination() finally q.stop()
       val live = foldOps(spark.read.parquet(opsDumpPath))
       val qs = live.filter(col("vec_id") % QueryStride === 0)

@@ -67,8 +67,18 @@ object TextIndex {
 
   /** Term-hash partition count. Fixture-sized here; at scale this is
     * the layout's fan-out knob (more buckets = finer pruning, smaller
-    * rewrite units). */
-  val NumBuckets = 64
+    * rewrite units — and per-epoch commit cost grows with the touched
+    * dir count, so the knob trades serve-side pruning against
+    * maintenance overhead). */
+  val NumBuckets = 16
+
+  /** Shuffle width for change-volume-sized maintenance work: a
+    * micro-batch's postings are change-sized, not corpus-sized, so its
+    * exchanges must not inherit the corpus-sized session width — 32
+    * near-empty reducers per tiny distinct/repartition is pure task
+    * overhead (measured ~0.3 s per job at harness scale). Every
+    * maintenance exchange below is pinned to this width explicitly. */
+  val MicroShuffle = 8
 
   /** Fresh-key namespace for the synthetic epoch script's inserts. */
   val InsertIdBase = 2000000L
@@ -144,7 +154,10 @@ object TextIndex {
     val df = batch.toDF()
     val textCol = element_at(
       from_json(col("img"), MapType(StringType, StringType)), "text")
-    // change-volume-sized: one row per (doc, sign), full text image
+    // change-volume-sized: one row per (doc, sign), full text image.
+    // Checkpointed ONCE: inside foreachBatch every action re-executes
+    // the trigger's stateful plan (state-store reads included), so the
+    // batch must be materialized before the multi-action apply.
     val rows = df.filter(col("tbl") === DocSpec.table)
       .select(col("key").cast("long").as("doc_id"), col("sign"),
         textCol.as("text"))
@@ -160,8 +173,12 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(statsPath)
-    val posts = postingsFor(rows, keep = Seq("sign")).localCheckpoint(true)
-    val touched = posts.select("bucket").distinct().collect()
+    // repartition-by-key before distinct: the optimizer reuses the
+    // hash partitioning, so the distinct adds no second exchange and
+    // the one exchange is MicroShuffle-wide
+    val posts = postingsFor(rows, keep = Seq("sign"))
+    val touched = posts.select("bucket")
+      .repartition(MicroShuffle, col("bucket")).distinct().collect()
       .map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) touched
     else {
@@ -179,11 +196,12 @@ object TextIndex {
         // materialize BEFORE the write: the overwrite must not scan
         // the very partitions it is replacing
         .localCheckpoint(true)
-      next.repartition(col("bucket"))
+      next.repartition(MicroShuffle, col("bucket"))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(indexPath)
-      val nonEmpty = next.select("bucket").distinct().collect()
+      val nonEmpty = next.select("bucket")
+        .repartition(MicroShuffle, col("bucket")).distinct().collect()
         .map(_.getInt(0)).toSet
       touched.filterNot(nonEmpty).foreach { b =>
         val dir = new java.io.File(s"$indexPath/bucket=$b")
@@ -216,9 +234,11 @@ object TextIndex {
       .agg(sum(col("dn")).as("n"), sum(col("dt")).as("t"))
       .collect()(0)
     val (n, t) = (st.getLong(0), st.getLong(1))
+    // no checkpoint: the probed read is already pruned to ≤ |terms|
+    // partitions; scanning it twice (df pass + scoring pass) is
+    // cheaper than materializing it
     val probed = indexScan(spark, indexPath, qBuckets)
       .filter(col("term").isin(queryTerms: _*))
-      .localCheckpoint(true)
     val dfq = probed.groupBy("term").agg(count(lit(1)).as("df"))
     probed
       .join(broadcast(dfq), Seq("term"))
@@ -337,15 +357,25 @@ object TextIndex {
         ChangeGen.writeLineBatches(changeDir,
           group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
       }
-      val q = Ivm.mtDeltas(MultiTable.parseAll(
-          ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckptDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
-          applyEpoch(spark, batch, indexPath, statsPath, bid); ()
-        }
-        .start()
+      // the change stream's state is change-volume-sized: pin its
+      // state-store width (fixed at stream start from the session's
+      // shuffle conf) to MicroShuffle instead of the corpus-sized
+      // session width — 4× fewer state files per commit; restored
+      // immediately after start (the width is burned into the
+      // checkpoint at that point)
+      val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
+      val q =
+        try Ivm.mtDeltas(MultiTable.parseAll(
+            ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+            applyEpoch(spark, batch, indexPath, statsPath, bid); ()
+          }
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
       try q.awaitTermination() finally q.stop()
       searchIndex(spark, indexPath, statsPath, k = k)
         .localCheckpoint(true)
