@@ -1477,6 +1477,37 @@ object MlQueries {
             |      FROM documents)
             |ORDER BY shard, pos""".stripMargin))
 
+  /** Export-manifest oracle: same shard key as ml_shard_assign, same
+    * modular content checksum (residues are < 2^20, so DuckDB's
+    * HUGEINT sum cast to BIGINT is exact, like Spark's). */
+  private val exportManifest = Declared(
+    "ml_export_manifest",
+    (s, d) => TextAnalysis.exportManifest(Tables(s, d, "documents")),
+    Some(s"""SELECT ${sqlHash60("'shard:' || doc_id")}
+            |         % ${TextAnalysis.NumShards} AS shard,
+            |  count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+            |  min(doc_id) AS id_lo, max(doc_id) AS id_hi,
+            |  CAST(sum(${sqlHash60("text")} % ${TextAnalysis.ChkMod})
+            |    AS BIGINT) AS checksum
+            |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin))
+
+  /** Curriculum-order oracle: the naive global row_number over
+    * (rank, lang) — the single-sort form the engine's derived-position
+    * arithmetic must equal exactly. */
+  private val curriculumOrder = Declared(
+    "ml_curriculum_order",
+    (s, d) => TextAnalysis.curriculumOrder(Tables(s, d, "documents")),
+    Some("""WITH ranked AS (
+           |  SELECT doc_id, lang,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY n_chars, doc_id) AS BIGINT) AS lang_rank
+           |  FROM documents)
+           |SELECT doc_id, lang, lang_rank,
+           |  CAST(row_number() OVER (ORDER BY lang_rank, lang)
+           |    AS BIGINT) AS global_pos
+           |FROM ranked ORDER BY global_pos""".stripMargin))
+
   /** Mixture-rebalance oracle: identical integer budget/rate/threshold
     * arithmetic (sums cast to BIGINT — DuckDB widens sum to HUGEINT). */
   private val mixRebalance = Declared(
@@ -3954,7 +3985,7 @@ object MlQueries {
     langId, langConfusion, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
     contam, contamStream, piiRedact,
-    shardAssign, mixRebalance, chunking,
+    shardAssign, mixRebalance, chunking, exportManifest, curriculumOrder,
     tfidfTopTerms, bm25, bm25KnownItem, bm25CdcIndex, fingerprint,
     zorder, hilbert,
     binpack,

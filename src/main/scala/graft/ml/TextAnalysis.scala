@@ -766,6 +766,71 @@ object TextAnalysis {
       .orderBy("shard", "pos")
   }
 
+  /** [[exportManifest]] checksum modulus: per-row content hashes are
+    * reduced mod 2^20 before the sum so the per-shard BIGINT sum is
+    * exact (not wrapping) up to ~2^43 rows per shard — far beyond any
+    * real shard — and both engines sum the identical small residues. */
+  val ChkMod = 1048576L
+
+  /** Dataset-export integrity manifest — the artifact a 100 TB publish
+    * step ships next to the shards so a consumer can verify what it
+    * downloaded: per shard ([[shardAssign]]'s hash key, so the manifest
+    * describes exactly the export layout), the doc count, total chars,
+    * the id range, and an order-independent modular content checksum
+    * (Σ hash(text) mod [[ChkMod]] — commutative, so any write
+    * parallelism produces the same value).
+    *
+    * Scale: one projection + one hash aggregate to |shards| rows; the
+    * checksum is additive, so shard manifests merge and an incremental
+    * re-export re-derives only rewritten shards' rows. */
+  def exportManifest(docs: DataFrame): DataFrame =
+    docs.select(
+        (hash60Seeded(lit("shard"), col("doc_id")) % NumShards).as("shard"),
+        col("doc_id"), col("n_chars"),
+        (hash60(col("text")) % ChkMod).as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("id_lo"),
+        max(col("doc_id")).as("id_hi"),
+        sum(col("h")).as("checksum"))
+      .orderBy("shard")
+
+  /** Curriculum interleave order — the data-ORDERING op a staged
+    * training run needs (easy-first curricula, Bengio et al. ICML'09):
+    * rank documents within each language by difficulty (length as the
+    * standard baseline proxy, ties to doc_id), then emit the GLOBAL
+    * training order that round-robins the languages rank by rank (all
+    * rank-1 docs across languages, then all rank-2, ...).
+    *
+    * Scale: the naive global position is `row_number() OVER (ORDER BY
+    * rank, lang)` — a single-partition global sort, the classic
+    * bottleneck. Instead the position is DERIVED per row from the
+    * per-language counts (a ≤|langs|-row broadcast):
+    * pos(l, r) = Σ_l' min(r−1, n_l') + |{l' < l : n_l' ≥ r}| + 1 —
+    * items before (l, r) are exactly those with smaller rank plus
+    * same-rank items of earlier languages. One per-language window and
+    * per-row arithmetic; no global exchange before the presentation
+    * sort. */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val wL = Window.partitionBy("lang")
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("lang_rank", row_number().over(wL).cast("long"))
+    val langN = ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val before = langN.foldLeft(lit(0L)) { case (acc, (l, n)) =>
+      acc + least(col("lang_rank") - 1, lit(n)) +
+        when(lit(l) < col("lang") && lit(n) >= col("lang_rank"), lit(1L))
+          .otherwise(lit(0L))
+    }
+    ranked
+      .select(col("doc_id"), col("lang"), col("lang_rank"),
+        (before + 1).as("global_pos"))
+      .orderBy("global_pos")
+  }
+
   /** Uniform-mixture rebalancing across sources (the Pile/LLaMA-style
     * mixture step): give every source an equal character budget
     * `B = total_chars div n_sources`, convert it to a per-mille

@@ -568,6 +568,28 @@ class PlanSpec extends AnyFunSuite {
       "calibration bins must come from values, not a rank window")
   }
 
+  test("curriculum order: per-lang window only — no global single-partition window") {
+    // the naive form is row_number() OVER (ORDER BY rank, lang): one
+    // Window with an EMPTY partition spec = every row through one
+    // task. The shipped plan derives the global position from the
+    // per-language counts arithmetically; the only Window partitions
+    // by lang.
+    val s = planString(run("ml_curriculum_order"))
+    val windows = "Window ".r.findAllIn(s).size
+    assert(windows === 1, s"exactly the per-lang rank window, got $windows")
+    assert(s.contains("partitionBy") || s.contains("PartitionBy") ||
+      s.contains("windowspecdefinition(lang"),
+      "the one window must partition by lang")
+  }
+
+  test("export manifest: one hash aggregate to |shards| rows — no window, no join") {
+    val s = planString(run("ml_export_manifest"))
+    assert(!s.contains("Join"), "manifest must not join")
+    assert(!s.contains("Window"), "manifest must not window")
+    assert(s.contains("HashAggregate"),
+      "shard rollup must partial-aggregate (additive checksum)")
+  }
+
   test("matryoshka: query block broadcasts, no cartesian product") {
     val s = planString(run("ml_matryoshka_recall"))
     assert(s.contains("BroadcastHashJoin"), "query block must broadcast")
