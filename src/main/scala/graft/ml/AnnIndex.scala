@@ -125,10 +125,19 @@ object AnnIndex {
     * dynamic-partition-overwrites exactly those cells. A cell the
     * batch empties entirely is cleared explicitly (dynamic overwrite
     * writes no partition for it). Returns the affected cells —
-    * |returned| == |rewritten partitions| is the spec pin. */
+    * |returned| == |rewritten partitions| is the spec pin.
+    *
+    * After a [[splitCell]], pass the genealogy (`root` = the pre-split
+    * centroid list, `splits` = the split nodes in order): assignment
+    * then descends the split tree ([[treeCellOf]]) for BOTH signs, so
+    * a changed key's −old image derives the key's ACTUAL sticky
+    * partition — a global argmin over the extended list would miss
+    * moved members' homes and leave stale rows (spec-pinned). */
   def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
       indexPath: String, cents: Seq[Seq[Long]],
-      cb: Seq[Seq[Seq[Long]]]): Seq[Int] = {
+      cb: Seq[Seq[Seq[Long]]], root: Seq[Seq[Long]] = null,
+      splits: Seq[Split] = Nil): Seq[Int] = {
+    val rootCents = Option(root).getOrElse(cents)
     val df = batch.toDF()
     val qCol = transform(
       split(element_at(from_json(col("img"),
@@ -142,7 +151,7 @@ object AnnIndex {
     val rows = df.filter(col("tbl") === EmbSpec.table)
       .select(col("key").cast("long").as("vec_id"), col("sign"),
         qCol.as("q"))
-      .withColumn("cell", cellOf(col("q"), cents))
+      .withColumn("cell", treeCellOf(col("q"), rootCents, splits))
       .localCheckpoint(true)
     val affected = rows.select("cell")
       .repartition(MicroShuffle, col("cell")).distinct().collect()
@@ -239,6 +248,42 @@ object AnnIndex {
     (ca, cbV)
   }
 
+  /** One node of the split GENEALOGY: `parent` was split into child A
+    * (which keeps the parent's position in the centroid list) and
+    * child B (appended at a new position), with the child centroid
+    * values AS OF the split frozen here. The genealogy is the
+    * quantizer after maintenance splits: a vector's sticky home is
+    * found by descending it ([[treeCellOf]]), NOT by a global argmin
+    * over the extended list — the two differ, and the difference is
+    * exactly the stale-retraction bug the composition spec pins. */
+  final case class Split(parent: Int, childB: Int,
+      centA: Seq[Long], centB: Seq[Long])
+
+  /** Sticky assignment through the split tree: argmin over the ROOT
+    * centroid list, then each [[Split]] (in split order) re-routes a
+    * vector currently at `parent` to the nearer of its two children
+    * (ties → child A, the lower label). A chain of when() columns —
+    * pure codegen, |splits| is bounded model state. With no splits
+    * this IS [[cellOf]] over the root. */
+  def treeCellOf(q: Column, root: Seq[Seq[Long]],
+      splits: Seq[Split]): Column =
+    splits.foldLeft(cellOf(q, root)) { (cur, s) =>
+      when(cur === s.parent,
+        when(Similarity.pqD2(q, typedLit(s.centA))
+            <= Similarity.pqD2(q, typedLit(s.centB)),
+          lit(s.parent)).otherwise(lit(s.childB)))
+        .otherwise(cur)
+    }
+
+  /** Maintenance encode through the split tree: sticky cell via
+    * [[treeCellOf]], residual against that cell's CURRENT centroid
+    * (the extended list), frozen codebooks. */
+  def encodeTree(rows: DataFrame, root: Seq[Seq[Long]],
+      cents: Seq[Seq[Long]], splits: Seq[Split],
+      cb: Seq[Seq[Seq[Long]]]): DataFrame =
+    rows.withColumn("cell", treeCellOf(col("q"), root, splits))
+      .select(col("vec_id"), col("cell"), codesFor(cb, cents).as("codes"))
+
   /** Split one cell of a maintained index into two children — the
     * re-balance maintenance every serving index eventually needs
     * between the cheap append path and the rare full re-train (a hot
@@ -252,11 +297,15 @@ object AnnIndex {
     * partition for marginal recall — that IS the full rebuild, a
     * different (rare) event. Members re-encode against their child's
     * centroid with the FROZEN codebooks. Returns the extended centroid
-    * list; the caller serves with it ([[searchIndex]] probes over all
-    * |cents|+1 cells). */
+    * list AND the genealogy node: LATER EPOCHS MUST ASSIGN THROUGH THE
+    * TREE ([[applyEpoch]]'s `splits` parameter) — a global argmin over
+    * the extended list would mis-derive changed keys' old partitions
+    * and leave stale rows (spec-pinned). [[searchIndex]] probes over
+    * all |cents|+1 cells unchanged. */
   def splitCell(spark: SparkSession, indexPath: String,
       corpusQ: DataFrame, cell: Int, cents: Seq[Seq[Long]],
-      cb: Seq[Seq[Seq[Long]]], iters: Int = 3): Seq[Seq[Long]] = {
+      cb: Seq[Seq[Seq[Long]]], iters: Int = 3)
+      : (Seq[Seq[Long]], Split) = {
     val members = Similarity.ivfAdcIndexScan(spark, indexPath, Seq(cell))
       .select("vec_id")
       .join(corpusQ.select(col("vec_id"), col("q")), Seq("vec_id"))
@@ -284,7 +333,7 @@ object AnnIndex {
         dir.delete()
       }
     }
-    newCents
+    (newCents, Split(cell, newIdx, a, b))
   }
 
   /** Compact fragmented cells: [[appendToIndex]] lands one file per
@@ -338,7 +387,8 @@ object AnnIndex {
         .groupBy("cell").count().collect()
         .map(r => (r.getInt(0), r.getLong(1)))
         .sortBy { case (c, n) => (-n, c) }.head._1
-      val newCents = splitCell(spark, indexPath, corpusQ, big, cents, cb)
+      val (newCents, _) = splitCell(spark, indexPath, corpusQ, big,
+        cents, cb)
       newCents.zipWithIndex.map { case (c, l) => (l, c) }
         .toDF("label", "centroid").coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(cent1Path)

@@ -200,7 +200,7 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(counts0(0) === 12L && counts0(1) === 2L)
     val before = fingerprint(idx)
-    val newCents =
+    val (newCents, _) =
       AnnIndex.splitCell(spark, idx, rows.toDF("vec_id", "q"), 0,
         myCents, myCb)
     assert(newCents.length === 3, "split must extend the centroid list")
@@ -223,6 +223,55 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.buildIndex(rows.toDF("vec_id", "q"), idx2, newCents, myCb)
     assert(indexContent(idx) === indexContent(idx2),
       "split result must equal the sticky re-encode")
+  }
+
+  test("split composes with maintenance: post-split epochs assign through the split tree") {
+    // the stale-retraction trap this pins: a changed key's -old image
+    // must derive the key's ACTUAL sticky partition, which after a
+    // split only the genealogy descent gives — a global argmin over
+    // the extended list mis-routes moved members and leaves stale
+    // rows (the first version of this test failed exactly that way)
+    val idx = tmp("ann-split-epoch") + "/index"
+    AnnIndex.buildIndex(qRows, idx, cents, cb)
+    val big = spark.read.parquet(idx).groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    val (newCents, split) = AnnIndex.splitCell(spark, idx,
+      qRows.toDF("vec_id", "q"), big, cents, cb)
+    val preSplit = indexContent(idx)
+    // one post-split epoch: move key kU (update to negated vector),
+    // delete kD, insert a fresh key
+    val sample = qRows.limit(2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    val (kU, qU) = sample(0)
+    val (kD, qD) = sample(1)
+    val qNew = qU.map(_ + 7L)
+    val deltas = Seq(
+      mkDelta(kU, -1, qU), mkDelta(kU, +1, qU.map(-_)),
+      mkDelta(kD, -1, qD),
+      mkDelta(5555L, +1, qNew))
+    AnnIndex.applyEpoch(spark, deltas.toDS(), idx, newCents, cb,
+      root = cents, splits = Seq(split))
+    val after = indexContent(idx)
+    // expectation: unchanged keys exactly as post-split; changed keys
+    // re-encoded via the engine's own tree rule
+    val changedEnc = AnnIndex.encodeTree(
+      Seq((kU, qU.map(-_)), (5555L, qNew)).toDF("vec_id", "q"),
+      cents, newCents, Seq(split), cb)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    val expected = preSplit.filterNot(t => t._1 == kU || t._1 == kD) ++
+      changedEnc
+    assert(after === expected,
+      "post-split epoch must route both signs through the split tree")
+    // and the tree assignment reproduces every live key's sticky home
+    val liveTree = AnnIndex.encodeTree(
+      qRows.filter(col("vec_id") =!= kU && col("vec_id") =!= kD)
+        .toDF("vec_id", "q"), cents, newCents, Seq(split), cb)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(preSplit.filterNot(t => t._1 == kU || t._1 == kD) === liveTree,
+      "treeCellOf must reproduce the post-split sticky homes exactly")
   }
 
   test("compactIndex: only fragmented cells rewrite; content invariant") {

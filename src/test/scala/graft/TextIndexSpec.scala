@@ -164,6 +164,64 @@ class TextIndexSpec extends AnyFunSuite {
     assert(statsSum(st) === ((1L, 1L)))
   }
 
+  test("checkpoint restart mid-history: resumed stream converges to the one-shot state") {
+    // the T2 contract on the maintained index: run the real stream over
+    // the first half of the epoch files, stop, then restart from the
+    // SAME checkpoint with the rest present — state (replica liveness)
+    // and artifact (postings + stats) must end identical to a one-shot
+    // run over all files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.cdc.{ChangeGen, ChangeSource, Ivm, MultiTable}
+    import graft.cdc.MtDelta
+    import org.apache.spark.sql.Dataset
+    val snap = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = TextIndex.epochScript(snap, epochs = 3)
+    def writeEpochs(dir: String, upTo: Int): Unit =
+      ops.filter(_.epoch <= upTo).groupBy(_.epoch).toSeq.sortBy(_._1)
+        .foreach { case (e, group) =>
+          ChangeGen.writeLineBatches(dir,
+            group.sortBy(_.lsn).map(TextIndex.toLine),
+            batches = 1, startIndex = e)
+        }
+    def drive(changeDir: String, ckpt: String, idx: String,
+        st: String): Unit = {
+      val q = Ivm.mtDeltas(MultiTable.parseAll(
+          ChangeSource.rawLines(spark, changeDir, Some(1)),
+          Seq(TextIndex.DocSpec)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+          TextIndex.applyEpoch(spark, batch, idx, st, bid); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // run A: two sessions — epochs 0..1, stop, then 2..3 resume
+    val dirA = tmp("txt-restart-log")
+    val rootA = tmp("txt-restart")
+    val (idxA, stA, ckptA) = (s"$rootA/index", s"$rootA/stats", s"$rootA/ckpt")
+    writeEpochs(dirA, 1)
+    drive(dirA, ckptA, idxA, stA)
+    writeEpochs(dirA, 3)
+    drive(dirA, ckptA, idxA, stA)
+    // run B: one shot over all epochs
+    val dirB = tmp("txt-oneshot-log")
+    val rootB = tmp("txt-oneshot")
+    val (idxB, stB, ckptB) = (s"$rootB/index", s"$rootB/stats", s"$rootB/ckpt")
+    writeEpochs(dirB, 3)
+    drive(dirB, ckptB, idxB, stB)
+    assert(indexContent(idxA) === indexContent(idxB),
+      "restarted stream must converge to the one-shot artifact")
+    assert(statsSum(stA) === statsSum(stB),
+      "restarted stats log must fold to the one-shot scalars")
+    // and both serve the same top-k
+    val a = TextIndex.searchIndex(spark, idxA, stA).collect().toSeq
+    val b = TextIndex.searchIndex(spark, idxB, stB).collect().toSeq
+    assert(a === b)
+  }
+
   test("serve: the query read prunes to exactly the query terms' buckets") {
     val root = tmp("txt-prune")
     val (idx, st) = (s"$root/index", s"$root/stats")
