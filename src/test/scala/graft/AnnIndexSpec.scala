@@ -274,6 +274,48 @@ class AnnIndexSpec extends AnyFunSuite {
       "treeCellOf must reproduce the post-split sticky homes exactly")
   }
 
+  test("double split: genealogy composes — second split descends through the first") {
+    // split the largest cell, then split the largest of the result
+    // (which may be a child); the two-node tree must still reproduce
+    // every key's sticky home and route a post-split epoch correctly
+    val idx = tmp("ann-split2") + "/index"
+    AnnIndex.buildIndex(qRows, idx, cents, cb)
+    def largest(): Int = spark.read.parquet(idx).groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    val corpus = qRows.toDF("vec_id", "q")
+    val (c1, s1) = AnnIndex.splitCell(spark, idx, corpus, largest(),
+      cents, cb)
+    val before2 = fingerprint(idx)
+    val target2 = largest()
+    val (c2, s2) = AnnIndex.splitCell(spark, idx, corpus, target2,
+      c1, cb)
+    val after2 = fingerprint(idx)
+    // second split also touches exactly its two children
+    val touched2 = Set(s"cell=${s2.parent}", s"cell=${s2.childB}")
+    (before2.keySet -- touched2).foreach { c =>
+      assert(after2(c) === before2(c), s"partition $c must be untouched")
+    }
+    // the two-node genealogy reproduces every live key's sticky home
+    val content = indexContent(idx)
+    val viaTree = AnnIndex.encodeTree(corpus, cents, c2,
+      Seq(s1, s2), cb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(content === viaTree,
+      "two-split genealogy must reproduce all sticky homes")
+    // and one post-split epoch through the two-node tree stays exact
+    val (kU, qU) = qRows.limit(1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).head
+    val deltas = Seq(mkDelta(kU, -1, qU), mkDelta(kU, +1, qU.map(-_)))
+    AnnIndex.applyEpoch(spark, deltas.toDS(), idx, c2, cb,
+      root = cents, splits = Seq(s1, s2))
+    val expected = content.filterNot(_._1 == kU) ++
+      AnnIndex.encodeTree(Seq((kU, qU.map(-_))).toDF("vec_id", "q"),
+        cents, c2, Seq(s1, s2), cb).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq))
+    assert(indexContent(idx) === expected)
+  }
+
   test("compactIndex: only fragmented cells rewrite; content invariant") {
     val idx = tmp("ann-compact") + "/index"
     // five append waves fragment the touched cells
