@@ -1640,6 +1640,106 @@ object MlQueries {
     },
     Some(contamSql))
 
+  /** [[quantileStream]] histogram grid: 64 bins of width 16 chars —
+    * covers the fixture's n_chars range (44..577) with headroom; at
+    * scale the grid IS the accuracy knob (quantiles resolve to bin
+    * width), the standard mergeable-histogram trade. */
+  private val QsBinW = 16L
+  private val QsBins = 64
+
+  /** L109 — streaming quantiles via MERGEABLE HISTOGRAMS (the L102
+    * mergeable-sketch pattern, quantile-flavored): each micro-batch
+    * aggregates its rows into a per-(lang, bin) fixed-grid histogram
+    * (a bounded |langs|×64 counter grid), the driver merges grids by
+    * ADDITION — so the merged histogram is bit-identical to one built
+    * over the whole stream, which is exactly how 100 TB deployments
+    * histogram per partition and fold upward without shuffling values
+    * — and grid quantiles (p50/p90/p99 cuts at integer-ceil ranks) come
+    * off the merged grid. Unlike the CMS row's within-envelope verdict,
+    * histogram-grid quantiles are EXACT under merge, so the oracle is
+    * strict equality against the same derivation over the full table. */
+  private val quantileStream = Declared(
+    "ml_quantile_stream",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+        .as[(Long, String, Long)].collect()
+      val in = org.apache.spark.sql.graftbridge.StreamBridge
+        .memoryStream[(Long, String, Long)](s)
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-qs-ckpt").toString
+      // the accumulated grid — bounded model state (|langs| × QsBins),
+      // mutated only on the driver inside foreachBatch
+      val grid = scala.collection.mutable.Map
+        .empty[(String, Long), Long].withDefaultValue(0L)
+      val q = in.toDF().toDF("doc_id", "lang", "n_chars")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            batch
+              .groupBy(col("lang"),
+                least(col("n_chars") / QsBinW, lit(QsBins - 1L))
+                  .cast("long").as("bin"))
+              .agg(count(lit(1)).as("c"))
+              .collect()
+              .foreach { r =>
+                grid((r.getString(0), r.getLong(1))) += r.getLong(2)
+              }
+            ()
+        }
+        .start()
+      try rows.grouped(rows.length / 4 + 1).foreach { wave =>
+        in.addData(wave.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      removeDir(ckptDir)
+      // grid quantiles — integer-exact: rank_p = ceil(p·n/100) without
+      // floats, cut = the upper bound of the first bin whose cumulative
+      // count reaches the rank
+      val out = grid.keys.map(_._1).toSeq.distinct.sorted.flatMap { l =>
+        val bins = (0L until QsBins).map(b => grid((l, b)))
+        val n = bins.sum
+        Seq(50L, 90L, 99L).map { p =>
+          val rank = (p * n + 99L) / 100L
+          var cum = 0L
+          var cut = QsBins * QsBinW
+          var b = 0
+          var found = false
+          while (b < QsBins && !found) {
+            cum += bins(b)
+            if (cum >= rank) { cut = (b + 1) * QsBinW; found = true }
+            b += 1
+          }
+          (l, p, n, cut)
+        }
+      }
+      out.toDF("lang", "pct", "n_docs", "cut").orderBy("lang", "pct")
+    },
+    Some(s"""WITH b AS (
+            |  SELECT lang,
+            |    least(n_chars // $QsBinW, ${QsBins - 1}) AS bin,
+            |    count(*) AS c
+            |  FROM documents GROUP BY 1, 2),
+            |t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+            |      FROM b GROUP BY 1),
+            |cum AS (
+            |  SELECT lang, bin,
+            |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin)
+            |      AS BIGINT) AS cum
+            |  FROM b),
+            |p(p) AS (VALUES (50), (90), (99))
+            |SELECT t.lang, CAST(p.p AS BIGINT) AS pct, t.n AS n_docs,
+            |  CAST(coalesce(
+            |    (SELECT min((c2.bin + 1) * $QsBinW) FROM cum c2
+            |     WHERE c2.lang = t.lang
+            |       AND c2.cum >= (p.p * t.n + 99) // 100),
+            |    ${QsBins * QsBinW}) AS BIGINT) AS cut
+            |FROM t CROSS JOIN p
+            |ORDER BY lang, pct""".stripMargin))
+
   /** Best-effort recursive temp-dir removal for the stream harness rows
     * (ADVICE r13 #4 — per-run dirs must not accumulate). */
   private def removeDir(path: String): Unit = {
@@ -3984,7 +4084,7 @@ object MlQueries {
     qualityClassifier, clfCalibration, lmSurprisal,
     langId, langConfusion, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
-    contam, contamStream, piiRedact,
+    contam, contamStream, quantileStream, piiRedact,
     shardAssign, mixRebalance, chunking, exportManifest, curriculumOrder,
     tfidfTopTerms, bm25, bm25KnownItem, bm25CdcIndex, fingerprint,
     zorder, hilbert,
