@@ -400,6 +400,54 @@ object AnnIndex {
     } finally deleteRec(idxRoot)
   }
 
+  // ---- quantizer persistence ---------------------------------------------
+
+  /** Persist the FULL quantizer state — root centroids, current
+    * (post-split) centroid list, the split genealogy in order, and the
+    * PQ codebooks — as four parquet tables. The maintained index is
+    * only operationally real if a NEW session (a serving job, a
+    * restarted maintainer) can reload the exact model: the genealogy
+    * is part of the quantizer, not an in-memory convenience
+    * (spec-pinned round-trip). */
+  def saveQuantizer(spark: SparkSession, path: String,
+      root: Seq[Seq[Long]], cents: Seq[Seq[Long]], splits: Seq[Split],
+      cb: Seq[Seq[Seq[Long]]]): Unit = {
+    import spark.implicits._
+    def dump(xs: Seq[Seq[Long]], name: String): Unit =
+      xs.zipWithIndex.map { case (c, l) => (l, c) }
+        .toDF("label", "centroid").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/$name")
+    dump(root, "root")
+    dump(cents, "cents")
+    splits.zipWithIndex
+      .map { case (s, i) => (i, s.parent, s.childB, s.centA, s.centB) }
+      .toDF("ord", "parent", "child_b", "cent_a", "cent_b")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/splits")
+    (for { m <- 0 until PqM; c <- 0 until Similarity.PqK }
+      yield (m, c, cb(m)(c)))
+      .toDF("m", "code", "centroid").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/cb")
+  }
+
+  /** Reload a [[saveQuantizer]] dump — bounded model state, one small
+    * collect per table. */
+  def loadQuantizer(spark: SparkSession, path: String)
+      : (Seq[Seq[Long]], Seq[Seq[Long]], Seq[Split], Seq[Seq[Seq[Long]]]) = {
+    def slurp(name: String): Seq[Seq[Long]] =
+      spark.read.parquet(s"$path/$name").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toSeq))
+        .sortBy(_._1).map(_._2).toSeq
+    val splits = spark.read.parquet(s"$path/splits").collect()
+      .map(r => (r.getInt(0), Split(r.getInt(1), r.getInt(2),
+        r.getSeq[Long](3).toSeq, r.getSeq[Long](4).toSeq)))
+      .sortBy(_._1).map(_._2).toSeq
+    val cbRows = spark.read.parquet(s"$path/cb").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2).toSeq))
+      .toMap
+    val cb = Seq.tabulate(PqM, Similarity.PqK)((m, c) => cbRows((m, c)))
+    (slurp("root"), slurp("cents"), splits, cb)
+  }
+
   // ---- the declared end-to-end row --------------------------------------
 
   /** One synthetic change op (harness-side, the [[graft.cdc.ChangeGen]]

@@ -316,6 +316,29 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(indexContent(idx) === expected)
   }
 
+  test("quantizer persistence: save -> load round-trips the full model incl. genealogy") {
+    val idx = tmp("ann-persist") + "/index"
+    AnnIndex.buildIndex(qRows, idx, cents, cb)
+    val corpus = qRows.toDF("vec_id", "q")
+    val big = spark.read.parquet(idx).groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    val (newCents, split) = AnnIndex.splitCell(spark, idx, corpus, big,
+      cents, cb)
+    val qzPath = tmp("ann-qz")
+    AnnIndex.saveQuantizer(spark, qzPath, cents, newCents,
+      Seq(split), cb)
+    val (r2, c2, s2, cb2) = AnnIndex.loadQuantizer(spark, qzPath)
+    assert(r2 === cents && c2 === newCents && s2 === Seq(split) &&
+      cb2 === cb, "quantizer must round-trip exactly")
+    // and the reloaded model reproduces every sticky home + the serve
+    val viaLoaded = AnnIndex.encodeTree(corpus, r2, c2, s2, cb2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(viaLoaded === indexContent(idx),
+      "reloaded quantizer must reproduce the maintained assignments")
+  }
+
   test("compactIndex: only fragmented cells rewrite; content invariant") {
     val idx = tmp("ann-compact") + "/index"
     // five append waves fragment the touched cells
