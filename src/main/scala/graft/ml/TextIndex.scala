@@ -136,6 +136,60 @@ object TextIndex {
     spark.read.parquet(indexPath)
       .filter(col("bucket").isin(buckets: _*))
 
+  /** Insert-only fast path (the [[AnnIndex.appendToIndex]] parallel):
+    * tokenize NEW docs and APPEND their postings to the touched
+    * buckets — files land only under those buckets' dirs, no existing
+    * file is rewritten (spec-pinned), and the batch's (ΔN, ΔT) lands
+    * as its own stats-log epoch partition. Correct ONLY for docs not
+    * already indexed (an update/delete needs [[applyEpoch]]'s
+    * retraction algebra). Returns the touched buckets. */
+  def appendToIndex(docs: DataFrame, indexPath: String,
+      statsPath: String, epoch: Long): Seq[Int] = {
+    val posts = postingsFor(docs.select("doc_id", "text"))
+      .localCheckpoint(true)
+    val buckets = posts.select("bucket")
+      .repartition(MicroShuffle, col("bucket")).distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    docs.select(size(MlFunctions.tokens(col("text"))).cast("long")
+        .as("nt"))
+      .agg(count(lit(1)).as("dn"),
+        coalesce(sum(col("nt")), lit(0L)).as("dt"))
+      .withColumn("epoch", lit(epoch))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(statsPath)
+    posts.repartition(MicroShuffle, col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket")
+      .parquet(indexPath)
+    buckets
+  }
+
+  /** Compact fragmented buckets ([[AnnIndex.compactIndex]]'s parallel):
+    * append waves land one file per touched bucket, so append-heavy
+    * buckets accumulate small files and the pruned serve read
+    * amplifies. Rewrites ONLY buckets holding more than `maxFiles`
+    * files back to their one-file form; every other partition stays
+    * byte-identical and the postings CONTENT is untouched (a pure
+    * layout rewrite — spec-pinned). Returns the compacted buckets. */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      maxFiles: Int = 4): Seq[Int] = {
+    val root = new java.io.File(indexPath)
+    val frag = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .filter(_.listFiles().count(f =>
+        !f.getName.startsWith(".") && !f.getName.startsWith("_")) > maxFiles)
+      .map(_.getName.stripPrefix("bucket=").toInt).toSeq.sorted
+    if (frag.nonEmpty) {
+      val rows = indexScan(spark, indexPath, frag).localCheckpoint(true)
+      rows.repartition(MicroShuffle, col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(indexPath)
+    }
+    frag
+  }
+
   // ---- incremental maintenance -------------------------------------------
 
   /** Apply ONE micro-batch of full-image retraction deltas

@@ -222,6 +222,56 @@ class TextIndexSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("append fast path + compaction: only touched buckets gain files; content invariant") {
+    val root = tmp("txt-append")
+    val (idx, st) = (s"$root/index", s"$root/stats")
+    val half = docs.select("doc_id", "text")
+    TextIndex.buildIndex(half.filter(col("doc_id") % 2 === 0), idx)
+    TextIndex.buildStats(docs.filter(col("doc_id") % 2 === 0), st)
+    val before = fingerprint(idx)
+    val waves = (1 to 3).map(w =>
+      half.filter(col("doc_id") % 6 === (2 * w - 1) % 6))
+    var epoch = 1L
+    waves.foreach { w =>
+      val touched = TextIndex.appendToIndex(w, idx, st, epoch)
+      assert(touched.nonEmpty)
+      epoch += 1
+    }
+    val mid = fingerprint(idx)
+    // appends never rewrite existing files
+    before.foreach { case (b, files) =>
+      files.foreach { case (n, sig) =>
+        assert(mid(b).get(n).contains(sig), s"existing file $n in $b rewritten")
+      }
+    }
+    // content equals a one-shot build over the union
+    val idx2 = tmp("txt-append-rb") + "/index"
+    TextIndex.buildIndex(half, idx2)
+    assert(indexContent(idx) === indexContent(idx2),
+      "append waves must equal the one-shot build")
+    // stats log folds to the full corpus scalars
+    val expT = docs.select(
+        org.apache.spark.sql.functions.sum(
+          size(split(col("text"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(statsSum(st) === ((docs.count(), expT)))
+    // compaction: only fragmented buckets rewrite, content invariant
+    val content = indexContent(idx)
+    val fragged = mid.filter(_._2.size > 2).keySet
+    assume(fragged.nonEmpty, "waves must have fragmented some bucket")
+    val compacted = TextIndex.compactIndex(spark, idx, maxFiles = 2)
+    assert(compacted.map(b => s"bucket=$b").toSet === fragged)
+    val after = fingerprint(idx)
+    (mid.keySet -- fragged).foreach { b =>
+      assert(after(b) === mid(b), s"partition $b must be untouched")
+    }
+    fragged.foreach { b =>
+      assert(after(b).size === 1, s"$b must compact to one file")
+    }
+    assert(indexContent(idx) === content,
+      "compaction must not change the postings")
+  }
+
   test("serve: the query read prunes to exactly the query terms' buckets") {
     val root = tmp("txt-prune")
     val (idx, st) = (s"$root/index", s"$root/stats")
