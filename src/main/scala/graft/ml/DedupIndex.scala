@@ -1,0 +1,425 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.cdc.{ChangeGen, ChangeSource, Ivm, MtDelta, MultiTable}
+
+/** CDC-MAINTAINED MinHash/LSH dedup index — the third leg of the
+  * maintained-index family ([[AnnIndex]] keeps vector serving warm,
+  * [[TextIndex]] keeps lexical serving warm; this keeps the NEAR-DUP
+  * SCREEN warm). A 100 TB ingest pipeline screens every arriving
+  * document against the live corpus ([[Dedup.dedupIncrement]]'s
+  * semantics); what makes that affordable continuously is an index the
+  * change feed maintains instead of a per-screen corpus signature pass.
+  *
+  * Document inserts/updates/deletes flow through the SAME replica
+  * stream machinery as every CDC table ([[graft.cdc.ChangeSource]]
+  * slot scan → [[graft.cdc.MultiTable.parseAll]] envelope decode →
+  * [[graft.cdc.Ivm.mtDeltas]] full-image retraction deltas). Because
+  * the -old/+new images carry the full text on BOTH sides, a changed
+  * doc's DEPARTING band rows are derivable from the delta alone — the
+  * same no-probe property that makes [[AnnIndex.applyEpoch]] and
+  * [[TextIndex.applyEpoch]] change-volume-sized: minhash the -old
+  * image and its band keys name exactly the buckets its old rows live
+  * in; no index lookup required.
+  *
+  * Layout — two co-maintained sub-artifacts:
+  *
+  *  - `bands/`: one row per (doc, band) = (doc_id, band, bk),
+  *    `partitionBy(bucket)` where `bucket = pmod(hash(band, bk), B)` —
+  *    the LSH probe structure. A probe doc's own band keys name the
+  *    only buckets that can hold a candidate, so the screen's read is
+  *    PARTITION-PRUNED to ≤ 16 buckets per probe regardless of corpus
+  *    size.
+  *  - `sigs/`: one row per doc, wide (doc_id, m0..m63),
+  *    `partitionBy(sbucket = pmod(hash(doc_id), B))` — the
+  *    verification side. Candidate estimates need the matched docs'
+  *    full signatures; keying by doc_id prunes that read to the
+  *    candidates' buckets.
+  *
+  * The signature algebra is [[Dedup.minhashWide]]'s, bit for bit (one
+  * md5 per shingle, the 64-member affine family mod [[Dedup.HashP]],
+  * band keys = [[Dedup.bandKeys]]' hash of the comma-joined slice), so
+  * the maintained screen is value-identical to the from-scratch
+  * [[Dedup.dedupIncrement]] — spec-pinned, and the declared row's
+  * oracle re-derives it from a FULL REBUILD of the replica fold.
+  *
+  * Epoch apply is REPLAY-IDEMPOTENT by construction: both tables
+  * advance by keyed set algebra — (current content of the touched
+  * partitions minus the changed docs' rows) ∪ (the +new images' rows)
+  * — so re-applying a batch after a checkpoint restart recomputes
+  * identical partitions (no epoch-keyed scalar state exists here; the
+  * index carries no corpus-level scalars, unlike [[TextIndex]]'s BM25
+  * (N, T) log).
+  *
+  * Scale: per-epoch work is change-volume-sized (a changed doc is 16
+  * band rows + 1 signature row per side); the state-side reads are
+  * partition-pruned to the touched buckets; writes are dynamic
+  * partition overwrites of exactly those buckets; the screen reads
+  * ≤ |probe bands' buckets| + |candidate docs' buckets| partitions —
+  * screen cost is independent of how much of the corpus is cold. At
+  * 100 TB the bucket count scales with corpus mass like any hash
+  * layout; the maintenance algebra is unchanged.
+  */
+object DedupIndex {
+  import Dedup.{Bands, HashA, HashB, HashP, NumHashes, RowsPerBand}
+
+  /** Same change-stream contract as the text index: the `document`
+    * table keyed by doc_id with a full-text image. */
+  val DocSpec = TextIndex.DocSpec
+
+  /** Partition count for both sub-artifacts. Fixture-sized here; the
+    * layout's fan-out knob at scale (finer pruning vs per-epoch commit
+    * cost — the [[TextIndex.NumBuckets]] trade). */
+  val NumBuckets = 16
+
+  /** Shuffle width for change-volume-sized maintenance exchanges
+    * ([[TextIndex.MicroShuffle]]'s rationale verbatim). */
+  val MicroShuffle = 8
+
+  /** Screen acceptance threshold: estimated Jaccard at or above which
+    * a probe is called a near-dup of its best match (matches
+    * `ml_dedup_increment` / `ml_dedup_stream`). */
+  val MinEst = 0.5
+
+  /** Probe derivation knobs for the declared row: every
+    * ([[ProbeMod]])th snapshot doc, truncated to its first ⌈2n/3⌉
+    * tokens — a graded near-dup of its source (shingle containment
+    * ≈ 2/3) that the maintained screen must still resolve against the
+    * EVOLVED corpus. Probe ids live in the negative namespace (the
+    * [[Dedup.bandingSCurve]] convention) so they can never collide
+    * with live doc_ids, including the epoch script's fresh inserts. */
+  val ProbeMod = 20
+  val ProbeRem = 5
+
+  /** A band row's one-and-only partition. Spark-side Murmur3 — the
+    * bucket is engine metadata (probe and maintenance compute it the
+    * same way); the oracle never needs it. */
+  def bandBucketOf(band: Column, bk: Column): Column =
+    pmod(hash(band, bk), lit(NumBuckets))
+
+  /** A signature row's one-and-only partition. */
+  def sigBucketOf(docId: Column): Column =
+    pmod(hash(docId), lit(NumBuckets))
+
+  // ---- encode -------------------------------------------------------------
+
+  /** Wide minhash signatures for (doc_id, text) rows, grouped by
+    * (doc_id ++ keep) — [[Dedup.minhashWide]]'s exact algebra, with
+    * extra key columns carried through so a retraction batch can sign
+    * the -old and +new images of the same doc separately
+    * (`keep = Seq("sign")`). Docs shorter than 3 tokens produce no
+    * shingles and hence NO signature row — they are unscreenable by
+    * construction, in both engines. */
+  def sigRowsFor(rows: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    rows
+      .select(col("doc_id") +: MlFunctions.tokens(col("text")).as("tk") +:
+        keep.map(col): _*)
+      .select(col("doc_id") +:
+        explode(MlFunctions.shinglesOf(col("tk"), 3)).as("sh") +:
+        keep.map(col): _*)
+      .withColumn("x", MlFunctions.hash60(col("sh")) % HashP)
+      .groupBy(col("doc_id") +: keep.map(col): _*)
+      .agg(
+        min((lit(HashA(0)) * col("x") + HashB(0)) % HashP).as("m0"),
+        (1 until NumHashes).map(h =>
+          min((lit(HashA(h)) * col("x") + HashB(h)) % HashP).as(s"m$h")): _*)
+
+  /** Long-form band rows (doc_id, band, bk, bucket) from wide
+    * signatures — [[Dedup.bandKeys]]' key derivation with the
+    * partition column attached and `keep` columns carried through. */
+  def bandRowsFor(sigs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val keyCols = (0 until Bands).map { b =>
+      val slice =
+        (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      MlFunctions.hash60(concat_ws(",", slice: _*)).as(s"bk$b")
+    }
+    val stackArgs =
+      (0 until Bands).map(b => s"bigint($b), bk$b").mkString(", ")
+    sigs.select(col("doc_id") +: keyCols ++: keep.map(col): _*)
+      .selectExpr(
+        Seq("doc_id", s"stack($Bands, $stackArgs) AS (band, bk)") ++
+          keep: _*)
+      .withColumn("bucket", bandBucketOf(col("band"), col("bk")))
+  }
+
+  // ---- build / append / compact ------------------------------------------
+
+  /** Full build: one signature pass, both sub-artifacts written
+    * partition-per-bucket. The rebuild the incremental path is proven
+    * equal to. */
+  def buildIndex(docs: DataFrame, bandsPath: String,
+      sigsPath: String): Unit = {
+    // one corpus pass feeds both writes — materialized once; the wide
+    // signature table is O(docs × 64 longs), tiny relative to the text
+    val sigs = sigRowsFor(docs.select("doc_id", "text"))
+      .localCheckpoint(true)
+    bandRowsFor(sigs).repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(bandsPath)
+    sigs.withColumn("sbucket", sigBucketOf(col("doc_id")))
+      .repartition(col("sbucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("sbucket")
+      .parquet(sigsPath)
+  }
+
+  /** Insert-only fast path ([[TextIndex.appendToIndex]]'s parallel):
+    * sign NEW docs and APPEND their rows to the touched buckets — no
+    * existing file is rewritten (spec-pinned). Correct ONLY for docs
+    * not already indexed; an update/delete needs [[applyEpoch]]'s
+    * retraction algebra. Returns (band buckets, sig buckets)
+    * touched. */
+  def appendToIndex(docs: DataFrame, bandsPath: String,
+      sigsPath: String): (Seq[Int], Seq[Int]) = {
+    val sigs = sigRowsFor(docs.select("doc_id", "text"))
+      .localCheckpoint(true)
+    val bands = bandRowsFor(sigs).localCheckpoint(true)
+    val tb = distinctInts(bands, "bucket")
+    val sigsB = sigs.withColumn("sbucket", sigBucketOf(col("doc_id")))
+    val ts = distinctInts(sigsB, "sbucket")
+    bands.repartition(MicroShuffle, col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(bandsPath)
+    sigsB.repartition(MicroShuffle, col("sbucket"))
+      .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(sigsPath)
+    (tb, ts)
+  }
+
+  /** Compact fragmented partitions of one sub-artifact
+    * ([[TextIndex.compactIndex]]'s parallel, parameterized on the
+    * partition column): rewrites ONLY partitions holding more than
+    * `maxFiles` files; every other partition stays byte-identical and
+    * the content is untouched. Returns the compacted bucket ids. */
+  def compactIndex(spark: SparkSession, path: String, partCol: String,
+      maxFiles: Int = 4): Seq[Int] = {
+    val root = new java.io.File(path)
+    val frag = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .filter(_.listFiles().count(f =>
+        !f.getName.startsWith(".") && !f.getName.startsWith("_")) > maxFiles)
+      .map(_.getName.stripPrefix(s"$partCol=").toInt).toSeq.sorted
+    if (frag.nonEmpty) {
+      val rows = spark.read.parquet(path)
+        .filter(col(partCol).isin(frag: _*)).localCheckpoint(true)
+      rows.repartition(MicroShuffle, col(partCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+    }
+    frag
+  }
+
+  // ---- incremental maintenance -------------------------------------------
+
+  /** Apply ONE micro-batch of full-image retraction deltas
+    * ([[graft.cdc.Ivm.mtDeltas]]' rows for [[DocSpec]]) to the
+    * maintained index. Touched band buckets = buckets of the -old
+    * images' bands ∪ the +new images' bands (both signed from the
+    * delta text alone — the no-probe property); touched sig buckets =
+    * the changed docs' own buckets. Each table's rewrite reads ONLY
+    * its touched partitions, drops the changed docs' rows, adds the
+    * +new rows, and dynamic-partition-overwrites exactly those buckets
+    * (a bucket the batch empties is cleared explicitly). Returns
+    * (band buckets, sig buckets); |returned| == |rewritten partitions|
+    * per table is the spec pin. */
+  def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
+      bandsPath: String, sigsPath: String): (Seq[Int], Seq[Int]) = {
+    val df = batch.toDF()
+    val textCol = element_at(
+      from_json(col("img"), MapType(StringType, StringType)), "text")
+    // change-volume-sized: one row per (doc, sign), full text image.
+    // Checkpointed ONCE — inside foreachBatch every action re-executes
+    // the trigger's stateful plan (TextIndex.applyEpoch's rationale).
+    val rows = df.filter(col("tbl") === DocSpec.table)
+      .select(col("key").cast("long").as("doc_id"), col("sign"),
+        textCol.as("text"))
+      .localCheckpoint(true)
+    // both signs signed in one pass; each side is its own row
+    val sigs = sigRowsFor(rows, keep = Seq("sign")).localCheckpoint(true)
+    val bands = bandRowsFor(sigs, keep = Seq("sign")).localCheckpoint(true)
+    val changed = sigs.select("doc_id").distinct()
+    val touchedB = distinctInts(bands, "bucket")
+    val touchedS = distinctInts(
+      changed.select(sigBucketOf(col("doc_id")).as("sbucket")), "sbucket")
+    applyKeyed(spark, bandsPath, "bucket", touchedB, changed,
+      bands.filter(col("sign") === 1).drop("sign"))
+    applyKeyed(spark, sigsPath, "sbucket", touchedS, changed,
+      sigs.filter(col("sign") === 1).drop("sign")
+        .withColumn("sbucket", sigBucketOf(col("doc_id"))))
+    (touchedB, touchedS)
+  }
+
+  /** The keyed set algebra shared by both sub-artifacts: next content
+    * of the touched partitions = (current minus changed docs) ∪ plus —
+    * idempotent under replay; the changed-doc list is
+    * change-volume-sized, hence the broadcast anti-join. */
+  private def applyKeyed(spark: SparkSession, path: String,
+      partCol: String, touched: Seq[Int], changedIds: DataFrame,
+      plus: DataFrame): Unit = {
+    if (touched.isEmpty) return
+    val hasIdx = new java.io.File(path).exists()
+    val current =
+      if (hasIdx) spark.read.parquet(path)
+        .filter(col(partCol).isin(touched: _*))
+      else plus.limit(0)
+    // materialize BEFORE the write: the overwrite must not scan the
+    // very partitions it is replacing
+    val next = current
+      .join(broadcast(changedIds), Seq("doc_id"), "left_anti")
+      .unionByName(plus)
+      .localCheckpoint(true)
+    next.repartition(MicroShuffle, col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+    val nonEmpty = distinctInts(next, partCol).toSet
+    touched.filterNot(nonEmpty).foreach { b =>
+      val dir = new java.io.File(s"$path/$partCol=$b")
+      if (dir.exists()) {
+        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+        dir.delete()
+      }
+    }
+  }
+
+  /** Distinct values of a small int column, MicroShuffle-wide (the
+    * bucket-accounting collect — bounded by [[NumBuckets]]). */
+  private def distinctInts(df: DataFrame, c: String): Seq[Int] =
+    df.select(c).repartition(MicroShuffle, col(c)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  // ---- serving: the screen ------------------------------------------------
+
+  /** Screen `probes` (doc_id, text) against the maintained index:
+    * probe band keys prune the bands read to their own buckets, the
+    * banded equi-join yields candidates, candidate doc ids prune the
+    * signature read to their buckets, and the estimate is the
+    * agreeing-minhash share over the two wide rows — value-identical
+    * to [[Dedup.dedupIncrement]] against a fresh corpus signature
+    * pass (spec-pinned). One row per matched probe: (doc_id,
+    * matched_id, est_jaccard), its best live match (max estimate, min
+    * id tie) at `minEst` or above. The probe side is ≪ the corpus, so
+    * its signatures, bands, and the candidate list broadcast; the
+    * index is read pruned, never shuffled. */
+  def screenIndex(spark: SparkSession, probes: DataFrame,
+      bandsPath: String, sigsPath: String,
+      minEst: Double = MinEst): DataFrame = {
+    val pSig = sigRowsFor(probes.select("doc_id", "text"))
+      .localCheckpoint(true)
+    val empty = pSig.select(col("doc_id"),
+      col("doc_id").as("matched_id"),
+      lit(0.0).as("est_jaccard")).limit(0)
+    val pBand = bandRowsFor(pSig).localCheckpoint(true)
+    val pBuckets = distinctInts(pBand, "bucket")
+    if (pBuckets.isEmpty) return empty
+    val idxBands = spark.read.parquet(bandsPath)
+      .filter(col("bucket").isin(pBuckets: _*))
+    val cands = idxBands.as("c")
+      .join(broadcast(pBand.as("p")),
+        col("c.band") === col("p.band") && col("c.bk") === col("p.bk"))
+      .select(col("p.doc_id").as("probe_id"),
+        col("c.doc_id").as("matched_id"))
+      .distinct()
+      .localCheckpoint(true)
+    val cBuckets = distinctInts(
+      cands.select(sigBucketOf(col("matched_id")).as("sbucket")), "sbucket")
+    if (cBuckets.isEmpty) return empty
+    val idxSigs = spark.read.parquet(sigsPath)
+      .filter(col("sbucket").isin(cBuckets: _*))
+    val matches = (0 until NumHashes)
+      .map(h => when(col(s"o.m$h") === col(s"p.m$h"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = idxSigs.as("o")
+      .join(broadcast(cands), col("o.doc_id") === col("matched_id"))
+      .join(broadcast(pSig.as("p")), col("p.doc_id") === col("probe_id"))
+      .select(col("probe_id").as("doc_id"), col("matched_id"),
+        (matches.cast("double") / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("est_jaccard").desc, col("matched_id"))
+    est.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "matched_id", "est_jaccard")
+      .orderBy("doc_id")
+  }
+
+  /** The declared row's probe set: every [[ProbeMod]]th snapshot doc
+    * truncated to its first ⌈2n/3⌉ tokens (kept only when the
+    * truncation still shingles, n' ≥ 3), ids negated into the probe
+    * namespace. Derived from the ORIGINAL snapshot — the oracle
+    * re-derives it identically from the `documents` table. */
+  def probesOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % ProbeMod === ProbeRem)
+      .select(col("doc_id"), MlFunctions.tokens(col("text")).as("tk"))
+      .withColumn("n", expr("(size(tk) * 2) div 3"))
+      .filter(col("n") >= 3)
+      .select((-col("doc_id")).as("doc_id"),
+        array_join(expr("slice(tk, 1, n)"), " ").as("text"))
+
+  // ---- the declared end-to-end row ----------------------------------------
+
+  /** The full composition: script N epochs of document changes
+    * ([[TextIndex.epochScript]] — the same insert/update/delete mix
+    * the text index row drives, raw ops dumped for the oracle), run
+    * them through the real streaming path (slot scan → envelope parse
+    * → retraction deltas → [[applyEpoch]] per trigger, checkpointed),
+    * then screen the standing probe set against the maintained index.
+    * The oracle re-derives the identical screen from a FULL REBUILD of
+    * the replica fold — maintained == rebuilt after N epochs is the
+    * row's theorem. Temp dirs are removed after the result
+    * materializes. */
+  def cdcMaintainAndScreen(spark: SparkSession, docs: DataFrame,
+      opsDumpPath: String, epochs: Int = 3): DataFrame = {
+    import spark.implicits._
+    val snap: Seq[(Long, String)] =
+      docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = TextIndex.epochScript(snap, epochs)
+    ops.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
+      .toDF("lsn", "action", "doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
+    val changeDir = Files.createTempDirectory("graft-dedupcdc-log").toString
+    val ckptDir = Files.createTempDirectory("graft-dedupcdc-ckpt").toString
+    val idxRoot = Files.createTempDirectory("graft-dedupcdc-idx").toString
+    val bandsPath = s"$idxRoot/bands"
+    val sigsPath = s"$idxRoot/sigs"
+    try {
+      ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+        ChangeGen.writeLineBatches(changeDir,
+          group.sortBy(_.lsn).map(TextIndex.toLine), batches = 1,
+          startIndex = e)
+      }
+      // pin the stream's state-store width to the change volume, not
+      // the corpus-sized session width (TextIndex's rationale; the
+      // width is burned into the checkpoint at stream start)
+      val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
+      val q =
+        try Ivm.mtDeltas(MultiTable.parseAll(
+            ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
+            applyEpoch(spark, batch, bandsPath, sigsPath); ()
+          }
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+      try q.awaitTermination() finally q.stop()
+      screenIndex(spark, probesOf(docs), bandsPath, sigsPath)
+        .localCheckpoint(true)
+    } finally Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+  }
+
+  private def deleteRec(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
+}

@@ -88,6 +88,8 @@ object MlQueries {
   private val annCdcCbPq = s"$FixtureDir/anncdc_codebook.parquet"
   private val annCdcOpsPq = s"$FixtureDir/anncdc_ops.parquet"
   private val txtCdcOpsPq = s"$FixtureDir/txtcdc_ops.parquet"
+  private val dedupCdcOpsPq = s"$FixtureDir/dedupcdc_ops.parquet"
+  private val expCdcOpsPq = s"$FixtureDir/expcdc_ops.parquet"
   private val splitCent0Pq = s"$FixtureDir/split_centroids_pre.parquet"
   private val splitCent1Pq = s"$FixtureDir/split_centroids_post.parquet"
   private val splitCbPq = s"$FixtureDir/split_codebook.parquet"
@@ -1492,6 +1494,44 @@ object MlQueries {
             |    AS BIGINT) AS checksum
             |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin))
 
+  /** L111 — the CDC-MAINTAINED dataset export ([[graft.ml.ShardExport]],
+    * the maintained-artifact shape applied to the PUBLISH step): a
+    * snapshot epoch plus N incremental epochs of document
+    * inserts/updates/deletes flow through the real streaming path; the
+    * changed docs' shards are key-derived from the deltas alone, only
+    * those shard partitions rewrite (keyed set algebra), and only
+    * those shards' manifest rows re-derive (a partition-pruned
+    * aggregate) — per-epoch publish work is change-volume +
+    * touched-shards sized. The declared row returns the final
+    * manifest; the oracle FULLY RE-EXPORTS: it folds the dumped raw
+    * ops and re-derives the L107 manifest over the fold — maintained
+    * == re-exported is the row's theorem. Shard-touch accounting,
+    * replay idempotence, the additive n_docs/n_chars/checksum delta
+    * identity, and emptied-shard cleanup are spec-pinned
+    * (ShardExportSpec). */
+  private val exportCdc = Declared(
+    "ml_export_incremental",
+    (s, d) => ShardExport.cdcMaintainAndPublish(s,
+      Tables(s, d, "documents"), expCdcOpsPq),
+    Some(s"""WITH ops AS (SELECT lsn, action, doc_id, text
+            |            FROM read_parquet('$expCdcOpsPq/*.parquet')),
+            |lastd AS (SELECT doc_id, max(lsn) AS dlsn FROM ops
+            |          WHERE action = 'D' GROUP BY doc_id),
+            |fold AS MATERIALIZED (
+            |  SELECT o.doc_id, arg_max(o.text, o.lsn) AS text
+            |  FROM ops o LEFT JOIN lastd d ON o.doc_id = d.doc_id
+            |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
+            |  GROUP BY o.doc_id
+            |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0)
+            |SELECT ${sqlHash60("'shard:' || doc_id")}
+            |         % ${TextAnalysis.NumShards} AS shard,
+            |  count(*) AS n_docs,
+            |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+            |  min(doc_id) AS id_lo, max(doc_id) AS id_hi,
+            |  CAST(sum(${sqlHash60("text")} % ${TextAnalysis.ChkMod})
+            |    AS BIGINT) AS checksum
+            |FROM fold GROUP BY 1 ORDER BY shard""".stripMargin))
+
   /** Curriculum-order oracle: the naive global row_number over
     * (rank, lang) — the single-sort form the engine's derived-position
     * arithmetic must equal exactly. */
@@ -1890,6 +1930,63 @@ object MlQueries {
             |FROM c GROUP BY doc_id
             |ORDER BY score_fp DESC, doc_id
             |LIMIT ${TextAnalysis.Bm25K}""".stripMargin))
+
+  /** L110 — the CDC-MAINTAINED MinHash/LSH dedup index
+    * ([[graft.ml.DedupIndex]], the maintained-index shape applied to
+    * the NEAR-DUP SCREEN — the third leg after the ANN and text
+    * indexes): a snapshot epoch plus N incremental epochs of document
+    * inserts/updates/deletes flow through the real streaming path
+    * (slot scan → wal2json parse → per-key retraction deltas); each
+    * epoch re-signs only the changed docs (the -old image names its
+    * departing band buckets — no index probe) and rewrites only the
+    * touched band-bucket and signature-bucket partitions; the standing
+    * probe set (every 20th snapshot doc truncated to its first ⌈2n/3⌉
+    * tokens, negative-id namespace) is then screened entirely off the
+    * maintained artifact — band read pruned to the probes' own
+    * buckets, signature read pruned to the candidates' buckets, best
+    * live match per probe at est ≥ 0.5. The oracle FULLY REBUILDS: it
+    * folds the dumped raw ops to the final corpus, re-derives the
+    * minhash/banding chain over fold ∪ probes, and runs the same
+    * screen — maintained == rebuilt is the row's theorem. Bucket-touch
+    * accounting, replay idempotence, emptied-bucket cleanup,
+    * screen == [[graft.ml.Dedup.dedupIncrement]], append/compaction
+    * fast paths, and serve-side partition pruning are spec-pinned
+    * (DedupIndexSpec). */
+  private val dedupCdcIndex = Declared(
+    "ml_dedup_cdc_index",
+    (s, d) => DedupIndex.cdcMaintainAndScreen(s,
+      Tables(s, d, "documents"), dedupCdcOpsPq),
+    Some(s"""WITH ops AS (SELECT lsn, action, doc_id, text
+            |            FROM read_parquet('$dedupCdcOpsPq/*.parquet')),
+            |lastd AS (SELECT doc_id, max(lsn) AS dlsn FROM ops
+            |          WHERE action = 'D' GROUP BY doc_id),
+            |fold AS MATERIALIZED (
+            |  SELECT o.doc_id, arg_max(o.text, o.lsn) AS text
+            |  FROM ops o LEFT JOIN lastd d ON o.doc_id = d.doc_id
+            |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
+            |  GROUP BY o.doc_id
+            |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
+            |pv AS (
+            |  SELECT -doc_id AS doc_id,
+            |         array_to_string(tk[1:(len(tk)*2)//3], ' ') AS text
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+            |        FROM documents
+            |        WHERE doc_id % ${DedupIndex.ProbeMod} =
+            |          ${DedupIndex.ProbeRem}) q
+            |  WHERE (len(tk)*2)//3 >= 3),
+            |planted AS (SELECT doc_id, text FROM fold
+            |            UNION ALL SELECT doc_id, text FROM pv),
+            |toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+            |         FROM planted),
+            |shg AS (
+            |  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+            |  FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)),
+            |$sigCte,
+            |pi AS (SELECT * FROM sig WHERE doc_id < 0),
+            |sto AS (SELECT * FROM sig WHERE doc_id >= 0),
+            |${screenCtes("pi", "sto", "outq")}
+            |SELECT doc_id, matched_id, est_jaccard FROM outq
+            |ORDER BY doc_id""".stripMargin))
 
   /** Duplicate-span-removal oracle: identical window hashing, coverage
     * masking, and reassembly in DuckDB list lambdas. `coalesce(.., '')`
@@ -4085,8 +4182,10 @@ object MlQueries {
     langId, langConfusion, tokenCounts,
     repetition, dupSpans, seqPack, stratSample, weightedSampleQ,
     contam, contamStream, quantileStream, piiRedact,
-    shardAssign, mixRebalance, chunking, exportManifest, curriculumOrder,
-    tfidfTopTerms, bm25, bm25KnownItem, bm25CdcIndex, fingerprint,
+    shardAssign, mixRebalance, chunking, exportManifest, exportCdc,
+    curriculumOrder,
+    tfidfTopTerms, bm25, bm25KnownItem, bm25CdcIndex, dedupCdcIndex,
+    fingerprint,
     zorder, hilbert,
     binpack,
     mediaMeta, mediaDecode, mediaResize, mediaFrames, mediaAhash,

@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.MtDelta
+import graft.core.Tables
+import graft.ml.{Dedup, DedupIndex, TextIndex}
+
+/** The CDC-maintained MinHash/LSH dedup index
+  * ([[graft.ml.DedupIndex]]): the oracle row proves maintained ==
+  * full-rebuild end to end through the real stream; these tests pin
+  * what the value-compare can't state — bucket-touch accounting (an
+  * epoch touching b buckets rewrites exactly b partitions, per
+  * sub-artifact), replay idempotence, emptied-bucket cleanup, the
+  * append/compaction fast paths, screen == the from-scratch
+  * [[graft.ml.Dedup.dedupIncrement]], and serve-side partition
+  * pruning. Stream-level checkpoint restart is NOT re-pinned here: the
+  * index advances only through [[graft.ml.DedupIndex.applyEpoch]],
+  * whose replay idempotence (pinned below) is the whole restart
+  * contract — the offset/commit machinery itself is pinned by
+  * TextIndexSpec and CdcSpec on the identical stream. */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, sf, "documents")
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def mkDelta(key: Long, sign: Int, text: String): MtDelta =
+    MtDelta("document", key.toString, sign,
+      s"""{"doc_id":"$key","text":"$text"}""", None)
+
+  /** Per-partition file fingerprints (name → (length, mtime)) — the
+    * touched-partition accounting primitive. */
+  private def fingerprint(path: String, partCol: String)
+      : Map[String, Map[String, (Long, Long)]] = {
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .map { d =>
+        d.getName -> d.listFiles().filterNot(_.getName.startsWith("."))
+          .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+      }.toMap
+  }
+
+  private def bandsContent(path: String): Set[(Long, Long, Long)] =
+    spark.read.parquet(path).select("doc_id", "band", "bk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def sigsContent(path: String): Set[Seq[Long]] =
+    spark.read.parquet(path)
+      .select(col("doc_id") +:
+        (0 until Dedup.NumHashes).map(h => col(s"m$h")): _*)
+      .collect().map(_.toSeq.map(_.asInstanceOf[Long])).toSet
+
+  /** Expected touched buckets, derived from the delta rows themselves
+    * (the no-probe property the maintenance relies on). */
+  private def expected(deltas: Seq[MtDelta]): (Set[Int], Set[Int]) = {
+    val rows = deltas.map { d =>
+      val img = ujsonText(d.img)
+      (d.key.toLong, img)
+    }.toDF("doc_id", "text")
+    val sigs = DedupIndex.sigRowsFor(rows)
+    val tb = DedupIndex.bandRowsFor(sigs).select("bucket")
+      .distinct().collect().map(_.getInt(0)).toSet
+    val ts = sigs.select(DedupIndex.sigBucketOf(col("doc_id")).as("s"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    (tb, ts)
+  }
+
+  // the delta img is this spec's own mkDelta JSON — extract `text`
+  private def ujsonText(img: String): String = {
+    val m = """"text":"(.*)"\}""".r.findFirstMatchIn(img)
+    m.get.group(1)
+  }
+
+  test("maintained index == full rebuild after N epochs (naive delta replay)") {
+    val snap = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = TextIndex.epochScript(snap, epochs = 3)
+    val root = tmp("ddx-maint")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    var state = Map.empty[Long, String]
+    ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (_, group) =>
+      val start = state
+      group.sortBy(_.lsn).foreach { op =>
+        op.action match {
+          case "I" => state = state.updated(op.docId, op.text.get)
+          case "U" if state.contains(op.docId) =>
+            state = state.updated(op.docId, op.text.get)
+          case "D" => state = state - op.docId
+          case _ => ()
+        }
+      }
+      val touched = (start.keySet ++ state.keySet)
+        .filter(k => start.get(k) != state.get(k)).toSeq.sorted
+      val deltas = touched.flatMap { k =>
+        start.get(k).map(t => mkDelta(k, -1, t)).toSeq ++
+          state.get(k).map(t => mkDelta(k, +1, t)).toSeq
+      }
+      DedupIndex.applyEpoch(spark, deltas.toDS(), bp, sp)
+    }
+    val root2 = tmp("ddx-rebuild")
+    val (bp2, sp2) = (s"$root2/bands", s"$root2/sigs")
+    DedupIndex.buildIndex(state.toSeq.toDF("doc_id", "text"), bp2, sp2)
+    assert(bandsContent(bp) === bandsContent(bp2),
+      "incremental band maintenance must equal the full rebuild")
+    assert(sigsContent(sp) === sigsContent(sp2),
+      "incremental signature maintenance must equal the full rebuild")
+    assert(ops.exists(_.action == "U") && ops.exists(_.action == "D") &&
+      ops.exists(o => o.action == "I" && o.epoch > 0))
+  }
+
+  test("an epoch touching b buckets rewrites exactly b partitions (both tables)") {
+    val root = tmp("ddx-touch")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupIndex.buildIndex(docs.select("doc_id", "text"), bp, sp)
+    val beforeB = fingerprint(bp, "bucket")
+    val beforeS = fingerprint(sp, "sbucket")
+    assert(beforeB.size >= 3, "fixture needs >= 3 band buckets")
+    val deltas = Seq(
+      mkDelta(999999L, +1, "zz qq xx yy ww vv uu tt"))
+    val (expB, expS) = expected(deltas)
+    val (affB, affS) = DedupIndex.applyEpoch(spark, deltas.toDS(), bp, sp)
+    assert(affB.toSet === expB,
+      "affected band buckets must be exactly the new doc's band buckets")
+    assert(affS.toSet === expS,
+      "affected sig buckets must be exactly the new doc's own bucket")
+    val afterB = fingerprint(bp, "bucket")
+    val afterS = fingerprint(sp, "sbucket")
+    (beforeB.keySet -- expB.map(b => s"bucket=$b")).foreach { b =>
+      assert(afterB(b) === beforeB(b), s"band partition $b must be untouched")
+    }
+    (beforeS.keySet -- expS.map(b => s"sbucket=$b")).foreach { b =>
+      assert(afterS(b) === beforeS(b), s"sig partition $b must be untouched")
+    }
+    expB.foreach { b =>
+      assert(afterB(s"bucket=$b") !==
+        beforeB.getOrElse(s"bucket=$b", Map.empty[String, (Long, Long)]),
+        s"touched band partition bucket=$b must be rewritten")
+    }
+  }
+
+  test("replay idempotence: re-applying an epoch is a no-op (restart contract)") {
+    val root = tmp("ddx-replay")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupIndex.buildIndex(
+      docs.select("doc_id", "text").filter(col("doc_id") < 30), bp, sp)
+    val oldText = docs.filter(col("doc_id") === 5)
+      .select("text").collect()(0).getString(0)
+    val deltas = Seq(
+      mkDelta(5L, -1, oldText),
+      mkDelta(5L, +1, "spark merge spark merge window"),
+      mkDelta(777L, +1, "join window join window frame"))
+    val a1 = DedupIndex.applyEpoch(spark, deltas.toDS(), bp, sp)
+    val (cb, cs) = (bandsContent(bp), sigsContent(sp))
+    val a2 = DedupIndex.applyEpoch(spark, deltas.toDS(), bp, sp)
+    assert(a1 === a2, "replay must touch the same buckets")
+    assert(bandsContent(bp) === cb, "replay must not change the bands")
+    assert(sigsContent(sp) === cs, "replay must not change the sigs")
+  }
+
+  test("a batch that empties a bucket clears its partitions") {
+    val root = tmp("ddx-empty")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    val t1 = "aa bb cc dd ee"
+    val t2 = "ff gg hh ii jj kk"
+    val (b1, s1) = expected(Seq(mkDelta(1L, +1, t1)))
+    val (b2, s2) = expected(Seq(mkDelta(2L, +1, t2)))
+    assume((b1 -- b2).nonEmpty && (s1 -- s2).nonEmpty,
+      "docs must own at least one exclusive bucket each")
+    DedupIndex.applyEpoch(spark,
+      Seq(mkDelta(1L, +1, t1), mkDelta(2L, +1, t2)).toDS(), bp, sp)
+    DedupIndex.applyEpoch(spark, Seq(mkDelta(1L, -1, t1)).toDS(), bp, sp)
+    (b1 -- b2).foreach { b =>
+      assert(!new java.io.File(s"$bp/bucket=$b").exists(),
+        s"emptied band partition bucket=$b must be cleared")
+    }
+    (s1 -- s2).foreach { b =>
+      assert(!new java.io.File(s"$sp/sbucket=$b").exists(),
+        s"emptied sig partition sbucket=$b must be cleared")
+    }
+    assert(spark.read.parquet(bp).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("append fast path + compaction: only touched buckets gain files; content invariant") {
+    val root = tmp("ddx-append")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    val half = docs.select("doc_id", "text")
+    DedupIndex.buildIndex(half.filter(col("doc_id") % 2 === 0), bp, sp)
+    val beforeB = fingerprint(bp, "bucket")
+    val waves = (1 to 3).map(w =>
+      half.filter(col("doc_id") % 6 === (2 * w - 1) % 6))
+    waves.foreach { w =>
+      val (tb, ts) = DedupIndex.appendToIndex(w, bp, sp)
+      assert(tb.nonEmpty && ts.nonEmpty)
+    }
+    val midB = fingerprint(bp, "bucket")
+    beforeB.foreach { case (b, files) =>
+      files.foreach { case (n, sig) =>
+        assert(midB(b).get(n).contains(sig),
+          s"existing file $n in $b rewritten by append")
+      }
+    }
+    val root2 = tmp("ddx-append-rb")
+    val (bp2, sp2) = (s"$root2/bands", s"$root2/sigs")
+    DedupIndex.buildIndex(half, bp2, sp2)
+    assert(bandsContent(bp) === bandsContent(bp2),
+      "append waves must equal the one-shot build (bands)")
+    assert(sigsContent(sp) === sigsContent(sp2),
+      "append waves must equal the one-shot build (sigs)")
+    val content = bandsContent(bp)
+    val fragged = midB.filter(_._2.size > 2).keySet
+    assume(fragged.nonEmpty, "waves must have fragmented some bucket")
+    val compacted = DedupIndex.compactIndex(spark, bp, "bucket", maxFiles = 2)
+    assert(compacted.map(b => s"bucket=$b").toSet === fragged)
+    val afterB = fingerprint(bp, "bucket")
+    (midB.keySet -- fragged).foreach { b =>
+      assert(afterB(b) === midB(b), s"partition $b must be untouched")
+    }
+    fragged.foreach { b =>
+      assert(afterB(b).size === 1, s"$b must compact to one file")
+    }
+    assert(bandsContent(bp) === content,
+      "compaction must not change the band rows")
+  }
+
+  test("screen == from-scratch dedupIncrement; read prunes to probed buckets") {
+    val root = tmp("ddx-screen")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupIndex.buildIndex(docs.select("doc_id", "text"), bp, sp)
+    val probes = DedupIndex.probesOf(docs).localCheckpoint(true)
+    val served = DedupIndex.screenIndex(spark, probes, bp, sp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served.nonEmpty, "the truncation probes must find matches")
+    // the from-scratch reference: a fresh corpus signature pass through
+    // Dedup.dedupIncrement at the same threshold
+    val ref = Dedup.dedupIncrement(
+        DedupIndex.sigRowsFor(probes),
+        DedupIndex.sigRowsFor(docs.select("doc_id", "text")),
+        minEst = DedupIndex.MinEst)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served === ref,
+      "index screen must equal the from-scratch incremental screen")
+    // pruning: the band read touches exactly the probes' band buckets
+    val pBuckets = DedupIndex.bandRowsFor(DedupIndex.sigRowsFor(probes))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val nBuckets = new java.io.File(bp).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    val scanned = spark.read.parquet(bp)
+      .filter(col("bucket").isin(pBuckets: _*))
+      .select(input_file_name()).distinct().count()
+    val probedDirs = pBuckets.count(b =>
+      new java.io.File(s"$bp/bucket=$b").exists())
+    assert(scanned === probedDirs.toLong,
+      "band scan must read exactly the probed buckets' files")
+    // the fixture must actually exercise pruning at serve time
+    if (pBuckets.size < nBuckets)
+      assert(probedDirs < nBuckets)
+  }
+}
