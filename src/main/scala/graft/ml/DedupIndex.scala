@@ -305,10 +305,17 @@ object DedupIndex {
     * matched_id, est_jaccard), its best live match (max estimate, min
     * id tie) at `minEst` or above. The probe side is ≪ the corpus, so
     * its signatures, bands, and the candidate list broadcast; the
-    * index is read pruned, never shuffled. */
+    * index is read pruned, never shuffled.
+    *
+    * `visible` further restricts BOTH reads — a partition predicate for
+    * layouts that carry an extra epoch level (the
+    * [[graft.streaming.DedupGate]] `batch` column: a replaying epoch
+    * must not see its own pre-crash appends). The default sees the
+    * whole index. */
   def screenIndex(spark: SparkSession, probes: DataFrame,
       bandsPath: String, sigsPath: String,
-      minEst: Double = MinEst): DataFrame = {
+      minEst: Double = MinEst,
+      visible: Column = lit(true)): DataFrame = {
     val pSig = sigRowsFor(probes.select("doc_id", "text"))
       .localCheckpoint(true)
     val empty = pSig.select(col("doc_id"),
@@ -318,7 +325,7 @@ object DedupIndex {
     val pBuckets = distinctInts(pBand, "bucket")
     if (pBuckets.isEmpty) return empty
     val idxBands = spark.read.parquet(bandsPath)
-      .filter(col("bucket").isin(pBuckets: _*))
+      .filter(col("bucket").isin(pBuckets: _*)).filter(visible)
     val cands = idxBands.as("c")
       .join(broadcast(pBand.as("p")),
         col("c.band") === col("p.band") && col("c.bk") === col("p.bk"))
@@ -330,7 +337,7 @@ object DedupIndex {
       cands.select(sigBucketOf(col("matched_id")).as("sbucket")), "sbucket")
     if (cBuckets.isEmpty) return empty
     val idxSigs = spark.read.parquet(sigsPath)
-      .filter(col("sbucket").isin(cBuckets: _*))
+      .filter(col("sbucket").isin(cBuckets: _*)).filter(visible)
     val matches = (0 until NumHashes)
       .map(h => when(col(s"o.m$h") === col(s"p.m$h"), 1).otherwise(0))
       .reduce(_ + _)

@@ -392,6 +392,53 @@ object MlQueries {
             |         CAST(NULL AS DOUBLE) FROM a2)
             |ORDER BY doc_id""".stripMargin))
 
+  /** L112 — the INDEXED continuous dedup gate
+    * ([[graft.streaming.DedupGate]]): the `ml_dedup_stream` fold
+    * semantics driven through the REAL file stream against the
+    * [[graft.ml.DedupIndex]] partitioned store — per trigger the
+    * screen reads only the probes' band buckets + the candidates'
+    * signature buckets (never the whole store, the upgrade
+    * [[graft.streaming.IncrementalDedup]]'s Scaladoc names for
+    * sub-daily cadence), survivors append epoch-keyed
+    * (bucket, batch=id) partitions, and replay is exact because reads
+    * are epoch-scoped (`batch < id`) as well as writes epoch-keyed.
+    * One divergence from the signature-level row, by design: docs too
+    * short to shingle are ADMITTED (the gate passes what it cannot
+    * screen), so the oracle derives accepted sets from the raw doc
+    * relations instead of the signature relation. */
+  private val dedupGate = Declared(
+    "ml_dedup_gate_index",
+    (s, d) => graft.streaming.DedupGate.gateRunDeclared(s,
+      Tables(s, d, "documents")),
+    Some(s"""WITH $shingleCte,
+            |$sigCte,
+            |sc AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+            |i1 AS (SELECT * FROM sig WHERE doc_id % 20 = 0),
+            |i2 AS (SELECT * FROM sig WHERE doc_id % 20 = 10),
+            |${screenCtes("i1", "sc", "rej1")},
+            |a1 AS (SELECT DISTINCT doc_id FROM documents
+            |       WHERE doc_id % 20 = 0
+            |         AND doc_id NOT IN (SELECT doc_id FROM rej1)),
+            |st2 AS (SELECT * FROM sc
+            |        UNION ALL
+            |        SELECT s.* FROM sig s JOIN a1 USING (doc_id)),
+            |${screenCtes("i2", "st2", "rej2")},
+            |a2 AS (SELECT DISTINCT doc_id FROM documents
+            |       WHERE doc_id % 20 = 10
+            |         AND doc_id NOT IN (SELECT doc_id FROM rej2))
+            |SELECT doc_id, epoch, accepted, matched_id, est_jaccard FROM (
+            |  SELECT doc_id, 1 AS epoch, 0 AS accepted,
+            |         matched_id, est_jaccard FROM rej1
+            |  UNION ALL
+            |  SELECT doc_id, 1, 1, CAST(NULL AS BIGINT),
+            |         CAST(NULL AS DOUBLE) FROM a1
+            |  UNION ALL
+            |  SELECT doc_id, 2, 0, matched_id, est_jaccard FROM rej2
+            |  UNION ALL
+            |  SELECT doc_id, 2, 1, CAST(NULL AS BIGINT),
+            |         CAST(NULL AS DOUBLE) FROM a2)
+            |ORDER BY doc_id""".stripMargin))
+
   private val dedupSimhash = Declared(
     "ml_dedup_simhash",
     (s, d) => Dedup.simhashPairs(Tables(s, d, "documents")),
@@ -4170,7 +4217,8 @@ object MlQueries {
     ivfTrained,
     dedupExact, minhashSig, dedupNear, levNear, charGramJac, dedupIncrement,
     dedupSCurve,
-    dedupStream, dedupSimhash, dedupCorpus, dedupClusters, dedupCorpusCC,
+    dedupStream, dedupGate, dedupSimhash, dedupCorpus, dedupClusters,
+    dedupCorpusCC,
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
     ivfAdcIndexed, ivfAdcIndexedFiltered, annCdcIndex, annCellSplit,

@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ml.DedupIndex
+
+/** The INDEXED continuous dedup gate — [[IncrementalDedup]]'s
+  * screen-admit-append loop upgraded to the partition-pruned store its
+  * own Scaladoc names as the sub-hour-cadence design ("bucket the
+  * store by band-key range so the probe prunes partitions"): new docs
+  * stream in, each micro-batch screens against the
+  * [[graft.ml.DedupIndex]] band/signature layout (reads ≤ the probes'
+  * own band buckets + the candidates' signature buckets — per-trigger
+  * probe cost independent of how large the accepted corpus has grown),
+  * survivors are admitted AND appended to the index, so the next batch
+  * dedups against everything accepted so far. The flat-store pipeline
+  * scans O(corpus signatures) per trigger; this one reads
+  * O(probe-touched partitions) — the difference between a daily and a
+  * continuous cadence at 100 TB.
+  *
+  * ## Exactly-once
+  *
+  * The [[IncrementalDedup]] discipline, both rules: writes are
+  * EPOCH-KEYED — the index layout carries a second partition level
+  * (`bucket`/`sbucket`, `batch`), and each epoch
+  * dynamic-partition-overwrites exactly its own (bucket, batch=id)
+  * dirs, as do the accepted/rejected outputs — and reads are
+  * EPOCH-SCOPED — the screen passes `visible = batch < id` into
+  * [[graft.ml.DedupIndex.screenIndex]], so a replayed epoch never sees
+  * its own pre-crash appends (the self-match-at-1.0 hazard the
+  * accepted-epoch replay spec pins). Serving prunes on `bucket` as
+  * before; the `batch` level only fragments a bucket by write epoch,
+  * which [[graft.ml.DedupIndex.compactIndex]]'s maxFiles policy is the
+  * existing repair for.
+  */
+object DedupGate {
+  import DedupIndex.MicroShuffle
+
+  /** Same acceptance threshold as the declared dedup-screen rows. */
+  val MinEst: Double = DedupIndex.MinEst
+
+  /** Seed the gate's index from the corpus: epoch -1, before every
+    * streamed batch. */
+  def seedGate(corpus: DataFrame, bandsPath: String,
+      sigsPath: String): Unit = {
+    val sigs = DedupIndex.sigRowsFor(corpus.select("doc_id", "text"))
+      .localCheckpoint(true)
+    DedupIndex.bandRowsFor(sigs)
+      .withColumn("batch", lit(-1L))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket", "batch")
+      .parquet(bandsPath)
+    sigs.withColumn("sbucket", DedupIndex.sigBucketOf(col("doc_id")))
+      .withColumn("batch", lit(-1L))
+      .repartition(col("sbucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("sbucket", "batch")
+      .parquet(sigsPath)
+  }
+
+  /** All accepted documents so far (original rows). */
+  def accepted(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.schema(IncrementalDedup.DocSchema)
+      .parquet(s"$outDir/accepted/batch=*")
+
+  /** All rejections so far: (doc_id, matched_id, est_jaccard). */
+  def rejected(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/rejected/batch=*")
+
+  /** Screen ONE batch against the index and admit+append survivors —
+    * the foreachBatch body, callable directly for batch backfills.
+    * Idempotent per `batchId` (see the object doc). */
+  def applyBatch(batch: DataFrame, bandsPath: String, sigsPath: String,
+      outDir: String, batchId: Long, minEst: Double = MinEst): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val matched = DedupIndex.screenIndex(spark,
+        batch.select("doc_id", "text"), bandsPath, sigsPath, minEst,
+        visible = col("batch") < batchId)
+      .localCheckpoint(true) // tiny: ≤ one row per new doc
+    val matchedIds = broadcast(matched.select("doc_id"))
+    val acceptedDocs = batch.join(matchedIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // index append, epoch-keyed: dynamic overwrite of exactly this
+    // epoch's own (bucket, batch=id) partitions — change-volume-sized
+    val sigs = DedupIndex.sigRowsFor(acceptedDocs.select("doc_id", "text"))
+      .localCheckpoint(true)
+    DedupIndex.bandRowsFor(sigs)
+      .withColumn("batch", lit(batchId))
+      .repartition(MicroShuffle, col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch").parquet(bandsPath)
+    sigs.withColumn("sbucket", DedupIndex.sigBucketOf(col("doc_id")))
+      .withColumn("batch", lit(batchId))
+      .repartition(MicroShuffle, col("sbucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sbucket", "batch").parquet(sigsPath)
+    acceptedDocs
+      .select(IncrementalDedup.DocSchema.fieldNames.map(col).toSeq: _*)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/accepted/batch=$batchId")
+    matched.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/rejected/batch=$batchId")
+  }
+
+  /** One single-file "day" of docs with a strictly increasing mtime —
+    * harness-side (the file source orders by (mtime, path); equal
+    * mtimes can reorder epochs, the r6 CDC find). */
+  private def writeDayFile(df: DataFrame, docsDir: String, i: Int): Unit = {
+    val stage =
+      java.nio.file.Files.createTempDirectory("gate-stage").toString
+    df.select(IncrementalDedup.DocSchema.fieldNames.map(col).toSeq: _*)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(docsDir, f"day$i%03d.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    require(dst.setLastModified(1700000000000L + i * 60000L))
+  }
+
+  /** The declared row's composition (`ml_dedup_gate_index`): seed the
+    * gate from the 90% corpus, stream the `ml_dedup_stream` epochs
+    * (doc_id % 20 == 0, then % 20 == 10) through the REAL file-stream
+    * gate — each wave screens against the pruned index and the
+    * accepted docs' signatures append before the next wave — and
+    * return one row per screened doc: (doc_id, epoch, accepted,
+    * matched_id, est_jaccard). Identical fold semantics to
+    * `ml_dedup_stream`, except unscreenable docs (< 3 tokens, no
+    * shingles) are ADMITTED here — the gate passes what it cannot
+    * screen, where the signature-level row never sees them — so the
+    * oracle derives the accepted sets from the raw doc relations.
+    * Temp dirs are removed after the result materializes. */
+  def gateRunDeclared(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val newDir =
+      java.nio.file.Files.createTempDirectory("gate-days").toString
+    val idxRoot =
+      java.nio.file.Files.createTempDirectory("gate-idx").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("gate-out").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("gate-ckpt").toString
+    val (bandsPath, sigsPath) = (s"$idxRoot/bands", s"$idxRoot/sigs")
+    try {
+      seedGate(docs.filter(col("doc_id") % 10 =!= 0), bandsPath, sigsPath)
+      writeDayFile(docs.filter(col("doc_id") % 20 === 0), newDir, 1)
+      writeDayFile(docs.filter(col("doc_id") % 20 === 10), newDir, 2)
+      val q = start(spark, newDir, bandsPath, sigsPath, outDir, ckpt,
+        maxFilesPerTrigger = Some(1))
+      try q.awaitTermination() finally q.stop()
+      def rej(e: Int): DataFrame =
+        spark.read.parquet(s"$outDir/rejected/batch=${e - 1}")
+          .select(col("doc_id"), lit(e).as("epoch"), lit(0).as("accepted"),
+            col("matched_id"), col("est_jaccard"))
+      def acc(e: Int): DataFrame =
+        spark.read.schema(IncrementalDedup.DocSchema)
+          .parquet(s"$outDir/accepted/batch=${e - 1}")
+          .select(col("doc_id"), lit(e).as("epoch"), lit(1).as("accepted"),
+            lit(null).cast("long").as("matched_id"),
+            lit(null).cast("double").as("est_jaccard"))
+      rej(1).unionByName(acc(1)).unionByName(rej(2)).unionByName(acc(2))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally Seq(newDir, idxRoot, outDir, ckpt).foreach { p =>
+      def go(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+        f.delete(); ()
+      }
+      go(new java.io.File(p))
+    }
+  }
+
+  /** Continuous pipeline: stream new-doc parquet files, screen each
+    * micro-batch against the index, grow the index. Restart on the
+    * same `checkpointDir` resumes exactly. */
+  def start(spark: SparkSession, newDocsDir: String, bandsPath: String,
+      sigsPath: String, outDir: String, checkpointDir: String,
+      minEst: Double = MinEst,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(IncrementalDedup.DocSchema)
+    val withMax = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    withMax.parquet(newDocsDir)
+      .writeStream
+      .queryName("graft-dedup-gate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        applyBatch(b.toDF(), bandsPath, sigsPath, outDir, id, minEst)
+      }
+      .start()
+  }
+}

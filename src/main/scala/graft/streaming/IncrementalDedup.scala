@@ -20,13 +20,17 @@ import graft.ml.Dedup
   * ## Exactly-once without a transactional sink
   *
   * Structured Streaming may replay the current epoch after a crash, so
-  * every write is EPOCH-KEYED: batch `id` writes (and on replay
-  * overwrites) exactly `batch=<id>` dirs in the signature store and the
-  * accepted/rejected outputs. A replayed epoch recomputes the same
-  * screen against the same visible store — the pre-crash epoch's own
-  * appends sit in `batch=<id>`, which the overwrite replaces, and
-  * LATER epochs don't exist yet — so the rewrite is byte-identical and
-  * the pipeline converges (the [[graft.cdc.Replicate]] delta-commit
+  * TWO rules compose: every write is EPOCH-KEYED (batch `id` writes,
+  * and on replay overwrites, exactly `batch=<id>` dirs in the
+  * signature store and the accepted/rejected outputs), and every READ
+  * is EPOCH-SCOPED ([[visibleStore]]: only batches strictly before
+  * `id`). The write rule alone is NOT enough — a crash after the sig
+  * append but before the checkpoint commit leaves the epoch's own
+  * accepted signatures on disk, and a full-glob re-read would
+  * self-match every one of them at est 1.0, flipping accepted to
+  * rejected on replay. With both rules the replayed screen sees the
+  * exact pre-epoch store, recomputes bit-identically, and the
+  * overwrite converges (the [[graft.cdc.Replicate]] delta-commit
   * idempotency argument, applied to a signature store).
   *
   * ## Scale shape
@@ -64,6 +68,28 @@ object IncrementalDedup {
   def readStore(spark: SparkSession, sigDir: String): DataFrame =
     spark.read.schema(SigSchema).parquet(s"$sigDir/batch=*")
 
+  /** The store AS EPOCH `batchId` MUST SEE IT: only batches strictly
+    * before it. Reading the full glob inside [[applyBatch]] is the
+    * replay hazard the epoch-keyed write alone does not close: a crash
+    * AFTER the sig append but BEFORE the checkpoint commit replays the
+    * epoch with its own accepted signatures visible, every accepted doc
+    * self-matches at est 1.0, and the "idempotent" rewrite flips them
+    * all to rejected. Excluding `batch >= batchId` restores the exact
+    * pre-epoch store, so the replayed screen is bit-identical
+    * (spec-pinned: the accepted-epoch replay test). */
+  def visibleStore(spark: SparkSession, sigDir: String,
+      batchId: Long): DataFrame = {
+    val dirs = Option(new java.io.File(sigDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+      .map(_.getAbsolutePath).toSeq.sorted
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], SigSchema)
+    else spark.read.schema(SigSchema).parquet(dirs: _*)
+  }
+
   /** All accepted documents so far (original rows). */
   def accepted(spark: SparkSession, outDir: String): DataFrame =
     spark.read.schema(DocSchema).parquet(s"$outDir/accepted/batch=*")
@@ -82,7 +108,11 @@ object IncrementalDedup {
     // reused three times (probe, sig append, accept anti-join) — cut
     // lineage once; O(batch) rows of 64 longs
     val incSigs = Dedup.minhashWide(batch).localCheckpoint(true)
-    val matched = Dedup.dedupIncrement(incSigs, readStore(spark, sigDir),
+    // screen against the store AS THIS EPOCH SEES IT (batches < id) —
+    // never the full glob, which on replay would include this epoch's
+    // own pre-crash appends (see visibleStore)
+    val matched = Dedup.dedupIncrement(incSigs,
+      visibleStore(spark, sigDir, batchId),
       minEst).localCheckpoint(true) // tiny: ≤ one row per new doc
     val matchedIds = broadcast(matched.select("doc_id"))
     incSigs.join(matchedIds, Seq("doc_id"), "left_anti")

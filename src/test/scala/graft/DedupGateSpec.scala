@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.ml.DedupIndex
+import graft.streaming.{DedupGate, IncrementalDedup}
+
+/** The indexed continuous dedup gate ([[graft.streaming.DedupGate]]):
+  * the oracle row (`ml_dedup_gate_index`) proves the two-epoch fold
+  * against DuckDB end to end through the real file stream; these tests
+  * pin the equivalences and restart contracts the value-compare can't
+  * state — indexed gate == flat-store gate on the same waves,
+  * accepted-epoch replay idempotence (reads epoch-scoped as well as
+  * writes epoch-keyed), and epoch-keyed append accounting (a batch
+  * creates dirs only under its touched buckets × its own batch id). */
+class DedupGateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, sf, "documents")
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def asDay(df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(df.collect().toSeq, 1),
+      IncrementalDedup.DocSchema)
+
+  private def outcomes(outDir: String, readRej: Boolean)
+      : Set[(Long, Long, Double)] =
+    if (readRej)
+      spark.read.parquet(s"$outDir/rejected/batch=*")
+        .select("doc_id", "matched_id", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    else Set.empty
+
+  test("indexed gate == flat-store gate on the same two waves") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val waves = Seq(
+      asDay(docs.filter(col("doc_id") % 20 === 0)),
+      asDay(docs.filter(col("doc_id") % 20 === 10)))
+    // flat store (IncrementalDedup)
+    val fSig = tmp("gate-flat-sigs"); val fOut = tmp("gate-flat-out")
+    IncrementalDedup.seedStore(
+      graft.ml.Dedup.minhashWide(corpus).localCheckpoint(true), fSig)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      IncrementalDedup.applyBatch(w, fSig, fOut, i.toLong, minEst = 0.5)
+    }
+    // indexed store (DedupGate)
+    val root = tmp("gate-idx"); val gOut = tmp("gate-out")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupGate.seedGate(corpus, bp, sp)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      DedupGate.applyBatch(w, bp, sp, gOut, i.toLong)
+    }
+    val flatAcc = IncrementalDedup.accepted(spark, fOut)
+      .select("doc_id").as[Long].collect().toSet
+    val gateAcc = DedupGate.accepted(spark, gOut)
+      .select("doc_id").as[Long].collect().toSet
+    // the flat pipeline never sees unscreenable docs' sigs but accepts
+    // the docs themselves (applyBatch anti-joins the DOC rows), so the
+    // accepted DOC sets must agree exactly
+    assert(gateAcc === flatAcc,
+      "indexed and flat gates must accept the same docs")
+    val flatRej = IncrementalDedup.rejected(spark, fOut)
+      .select("doc_id", "matched_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val gateRej = spark.read.parquet(s"$gOut/rejected/batch=*")
+      .select("doc_id", "matched_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gateRej === flatRej,
+      "indexed and flat gates must reject identically")
+    assert(gateRej.nonEmpty && gateAcc.nonEmpty)
+  }
+
+  test("accepted-epoch replay is a no-op: reads are epoch-scoped, writes epoch-keyed") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val day = asDay(docs.filter(col("doc_id") % 20 === 0))
+    val root = tmp("gate-replay-idx"); val out = tmp("gate-replay-out")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupGate.seedGate(corpus, bp, sp)
+    DedupGate.applyBatch(day, bp, sp, out, 0L)
+    val acc0 = DedupGate.accepted(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    val rej0 = outcomes(out, readRej = true)
+    assert(acc0.nonEmpty, "the epoch must accept some docs")
+    val bands0 = spark.read.parquet(bp)
+      .select("doc_id", "band", "bk", "bucket", "batch")
+      .collect().map(_.toSeq).toSet
+    // replay with the epoch's own appends on disk — the visible filter
+    // (batch < id) must hide them, or every accepted doc self-matches
+    DedupGate.applyBatch(day, bp, sp, out, 0L)
+    assert(DedupGate.accepted(spark, out)
+      .select("doc_id").as[Long].collect().toSet === acc0,
+      "replay must not flip accepted docs to rejected")
+    assert(outcomes(out, readRej = true) === rej0,
+      "replay must reproduce identical rejections")
+    assert(spark.read.parquet(bp)
+      .select("doc_id", "band", "bk", "bucket", "batch")
+      .collect().map(_.toSeq).toSet === bands0,
+      "replay must leave the index content unchanged")
+  }
+
+  test("an epoch's appends land only under its touched buckets × its own batch id") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val root = tmp("gate-touch-idx"); val out = tmp("gate-touch-out")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupGate.seedGate(corpus, bp, sp)
+    def batchDirs(path: String): Set[(String, String)] =
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).flatMap { b =>
+          b.listFiles().filter(_.isDirectory).map(d => (b.getName, d.getName))
+        }.toSet
+    val before = batchDirs(bp)
+    assert(before.forall(_._2 == "batch=-1"), "seed is epoch -1")
+    val day = asDay(docs.filter(col("doc_id") % 20 === 0))
+    DedupGate.applyBatch(day, bp, sp, out, 0L)
+    val added = batchDirs(bp) -- before
+    assert(added.nonEmpty && added.forall(_._2 == "batch=0"),
+      "the epoch may create dirs only under batch=0")
+    // expected buckets: the ACCEPTED docs' band buckets
+    val accIds = DedupGate.accepted(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    val expBuckets = DedupIndex.bandRowsFor(DedupIndex.sigRowsFor(
+        day.filter(col("doc_id").isin(accIds.toSeq: _*))
+          .select("doc_id", "text")))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(added.map(_._1) === expBuckets.map(b => s"bucket=$b"),
+      "the epoch's dirs must be exactly the accepted docs' band buckets")
+    // and the seed partitions are untouched
+    assert(batchDirs(bp).intersect(before) === before)
+  }
+}

@@ -136,4 +136,40 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.accepted(spark, outDir)
       .select("doc_id").as[Long].collect().toSet === acceptedIds)
   }
+
+  test("replaying an epoch whose docs were ACCEPTED is a no-op (the self-match hazard)") {
+    // the crash window the epoch-keyed write alone does not close: the
+    // sig append landed, the checkpoint commit did not, and the epoch
+    // replays. With the store read un-scoped the epoch's own accepted
+    // signatures are visible, every doc self-matches at est 1.0, and
+    // the replay flips accepted → rejected. visibleStore (batches
+    // strictly before the id) restores the exact pre-epoch store.
+    val docs = Tables(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val sigDir = tmp("incdedup-selfmatch-sigs")
+    val outDir = tmp("incdedup-selfmatch-out")
+    IncrementalDedup.seedStore(
+      Dedup.minhashWide(corpus).localCheckpoint(true), sigDir)
+    // an epoch guaranteed to have accepted docs
+    val day = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        docs.filter(col("doc_id") % 20 === 0).collect().toSeq, 1),
+      IncrementalDedup.DocSchema)
+    IncrementalDedup.applyBatch(day, sigDir, outDir, 0L, minEst = 0.5)
+    val acc0 = IncrementalDedup.accepted(spark, outDir)
+      .select("doc_id").as[Long].collect().toSet
+    val rej0 = IncrementalDedup.rejected(spark, outDir)
+      .select("doc_id", "matched_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(acc0.nonEmpty, "the epoch must accept some docs")
+    // replay: same batch, same id — the appended sigs are on disk
+    IncrementalDedup.applyBatch(day, sigDir, outDir, 0L, minEst = 0.5)
+    assert(IncrementalDedup.accepted(spark, outDir)
+      .select("doc_id").as[Long].collect().toSet === acc0,
+      "replay must not flip accepted docs to rejected")
+    assert(IncrementalDedup.rejected(spark, outDir)
+      .select("doc_id", "matched_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet === rej0,
+      "replay must reproduce the identical rejections")
+  }
 }
