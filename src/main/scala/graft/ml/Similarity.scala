@@ -1036,6 +1036,25 @@ object Similarity {
   private[ml] def subCol(q: Column, m: Column): Column =
     slice(q, m * lit(PqDims) + 1, lit(PqDims))
 
+  /** Per-query ADC lookup table (Jégou '11's asymmetric-distance
+    * table): lut[m][c] = d²(sub_m(v), cb[m][c]), a [[PqM]]×[[PqK]]
+    * array attached ONCE per query row. Scoring a corpus pair then
+    * costs [[PqM]] array lookups + adds instead of [[PqM]]×[[PqDims]]
+    * multiply-subtracts — the table hoists the geometry out of the
+    * query×corpus product, the standard trick that makes ADC serve-side
+    * cost independent of the vector dimension. Values are identical to
+    * inlining [[pqD2]] per pair, so the oracles are untouched. */
+  private[ml] def pqLutOf(cbl: Column, v: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)),
+      m => transform(sequence(lit(0), lit(PqK - 1)),
+        c => pqD2(subCol(v, m), element_at(element_at(cbl, m + 1), c + 1))))
+
+  /** ADC over an attached [[pqLutOf]] table and an 8-code array. */
+  private[ml] def adcFromLut(lut: Column, codes: Column): Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+      (acc, m) => acc + element_at(element_at(lut, m + 1),
+        element_at(codes, m + 1) + 1))
+
   /** (vec_id, m, sv) exploded quantized subvectors — the training-side
     * table only; encoding never explodes (see [[pqTopK]]). `qdf` is any
     * (vec_id, q: array<long>) frame — raw quantized vectors for plain
@@ -1177,12 +1196,12 @@ object Similarity {
         m => pqCode(cbl, subCol(col("q"), m), m)).as("codes"))
     val qs = quantized(emb).filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
-    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
-      (acc, m) => acc + pqD2(subCol(col("qq"), m),
-        element_at(element_at(cbl, m + 1),
-          element_at(col("codes"), m + 1) + 1)))
-    val scored = enc.crossJoin(broadcast(qs))
-      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+    // the ADC LUT rides the broadcast query block; the query×corpus
+    // product pays lookups, not subvector geometry (see pqLutOf)
+    val qlut = qs.select(col("query_id"), pqLutOf(cbl, col("qq")).as("lut"))
+    val scored = enc.crossJoin(broadcast(qlut))
+      .select(col("query_id"), col("vec_id"),
+        adcFromLut(col("lut"), col("codes")).as("adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc"), col("vec_id"))
     val cand = scored.withColumn("crank", row_number().over(wAdc))
@@ -1464,12 +1483,14 @@ object Similarity {
       enc: DataFrame, probed: DataFrame, cb: Seq[Seq[Seq[Long]]],
       k: Int): DataFrame = {
     val cbl = typedLit(cb)
-    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
-      (acc, m) => acc + pqD2(subCol(col("qr"), m),
-        element_at(element_at(cbl, m + 1),
-          element_at(col("codes"), m + 1) + 1)))
-    val scored = enc.join(broadcast(probed), col("cell") === col("pcell"))
-      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+    // per-(query, probed-cell) ADC LUT over the residual — the LUT is
+    // cell-specific because the residual is; it rides the broadcast
+    // probe frame (|queries| × nprobe rows)
+    val probedLut = probed.select(col("query_id"), col("pcell"),
+      pqLutOf(cbl, col("qr")).as("lut"))
+    val scored = enc.join(broadcast(probedLut), col("cell") === col("pcell"))
+      .select(col("query_id"), col("vec_id"),
+        adcFromLut(col("lut"), col("codes")).as("adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc"), col("vec_id"))
     val cand = scored.withColumn("crank", row_number().over(wAdc))
