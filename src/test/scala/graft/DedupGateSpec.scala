@@ -104,6 +104,43 @@ class DedupGateSpec extends AnyFunSuite {
       "replay must leave the index content unchanged")
   }
 
+  test("the epoch-scoped screen read prunes BOTH partition levels (bucket and batch)") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val root = tmp("gate-prune-idx"); val out = tmp("gate-prune-out")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupGate.seedGate(corpus, bp, sp)
+    DedupGate.applyBatch(
+      asDay(docs.filter(col("doc_id") % 20 === 0)), bp, sp, out, 0L)
+    DedupGate.applyBatch(
+      asDay(docs.filter(col("doc_id") % 20 === 10)), bp, sp, out, 1L)
+    // a small probe set: few band buckets touched
+    val probe = docs.filter(col("doc_id") === 5).select("doc_id", "text")
+    val pBuckets = DedupIndex.bandRowsFor(DedupIndex.sigRowsFor(probe))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    // epoch 1's view: batches {-1, 0} only — batch=1 dirs must not be read
+    val scanned = spark.read.parquet(bp)
+      .filter(col("bucket").isin(pBuckets: _*) && col("batch") < 1L)
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(f => f.contains("batch=-1") || f.contains("batch=0")),
+      s"epoch-scoped read must exclude later batches' files: $scanned")
+    assert(scanned.forall(f =>
+      pBuckets.exists(b => f.contains(s"bucket=$b/"))),
+      "read must stay within the probed buckets")
+    // the expected file set exactly: every existing file under
+    // (probed bucket, batch < 1)
+    val expected = pBuckets.flatMap { b =>
+      Seq(-1L, 0L).flatMap { e =>
+        val d = new java.io.File(s"$bp/bucket=$b/batch=$e")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".parquet")).map(_.getName)
+      }
+    }.toSet
+    assert(scanned.map(f => f.substring(f.lastIndexOf('/') + 1)) === expected,
+      "files read must be exactly the visible probed partitions' files")
+  }
+
   test("an epoch's appends land only under its touched buckets × its own batch id") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val root = tmp("gate-touch-idx"); val out = tmp("gate-touch-out")
