@@ -90,6 +90,10 @@ object MlQueries {
   private val txtCdcOpsPq = s"$FixtureDir/txtcdc_ops.parquet"
   private val dedupCdcOpsPq = s"$FixtureDir/dedupcdc_ops.parquet"
   private val expCdcOpsPq = s"$FixtureDir/expcdc_ops.parquet"
+  private val hybCentPq = s"$FixtureDir/hyb_centroids.parquet"
+  private val hybCbPq = s"$FixtureDir/hyb_codebook.parquet"
+  private val hybDocOpsPq = s"$FixtureDir/hyb_doc_ops.parquet"
+  private val hybEmbOpsPq = s"$FixtureDir/hyb_emb_ops.parquet"
   private val splitCent0Pq = s"$FixtureDir/split_centroids_pre.parquet"
   private val splitCent1Pq = s"$FixtureDir/split_centroids_post.parquet"
   private val splitCbPq = s"$FixtureDir/split_codebook.parquet"
@@ -880,6 +884,103 @@ object MlQueries {
       corpusPred = s"lv.vec_id % ${Similarity.FilterMod} = 0",
       queryPred = s"qe.vec_id % ${Similarity.FilterMod} = 0")))
 
+  /** The full IVFADC re-derivation chain over a dumped ops log +
+    * frozen-model dumps, as WITH-clause CTEs: replica fold → quantizer
+    * cell assignment → residual PQ encoding → probe selection
+    * (`queryPred` picks the query rows) → per-(query, cell, m, code)
+    * ADC LUT → ADC candidate top-`k` → exact rerank (`ex`, the final
+    * CTE). Every CTE name carries prefix `p` so two chains (or a chain
+    * plus other relations) compose in one statement — the
+    * `ml_ann_cdc_index` oracle uses it bare; `ml_hybrid_cdc_serve`
+    * splices a prefixed instance next to the lexical fold. */
+  private def annCdcCtes(opsPq: String, centPq: String, cbPq: String,
+      queryPred: String, k: Int, p: String = ""): String = {
+    val (pd, pk, np) = (Similarity.PqDims, Similarity.PqK,
+      Similarity.IvfAdcProbe)
+    s"""${p}ops AS (SELECT lsn, action, vec_id, emb
+       |            FROM read_parquet('$opsPq/*.parquet')),
+       |${p}lastd AS (SELECT vec_id, max(lsn) AS dlsn FROM ${p}ops
+       |          WHERE action = 'D' GROUP BY vec_id),
+       |${p}fold AS MATERIALIZED (
+       |  SELECT o.vec_id, arg_max(o.emb, o.lsn) AS emb
+       |  FROM ${p}ops o LEFT JOIN ${p}lastd d ON o.vec_id = d.vec_id
+       |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
+       |  GROUP BY o.vec_id
+       |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
+       |${p}fe AS MATERIALIZED (
+       |  SELECT vec_id, i.i, CAST(parts[i.i] AS BIGINT) AS q
+       |  FROM (SELECT vec_id, string_split(emb, ',') AS parts
+       |        FROM ${p}fold), range(1, 65) i(i)),
+       |${p}cent AS (SELECT label, centroid
+       |         FROM read_parquet('$centPq/*.parquet')),
+       |${p}cb AS (SELECT m, code, centroid
+       |       FROM read_parquet('$cbPq/*.parquet')),
+       |${p}cd AS MATERIALIZED (
+       |  SELECT fe.vec_id, cent.label AS cell,
+       |    CAST(sum((fe.q - cent.centroid[fe.i])
+       |             * (fe.q - cent.centroid[fe.i])) AS BIGINT) AS d2
+       |  FROM ${p}fe fe CROSS JOIN ${p}cent cent
+       |  GROUP BY 1, 2),
+       |${p}asgn AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ${p}cd)
+       |  WHERE rn = 1),
+       |${p}re AS (
+       |  SELECT fe.vec_id, fe.i, fe.q - cent.centroid[fe.i] AS r
+       |  FROM ${p}fe fe JOIN ${p}asgn a ON a.vec_id = fe.vec_id
+       |  JOIN ${p}cent cent ON cent.label = a.cell),
+       |${p}dist AS (
+       |  SELECT re.vec_id, cb.m, cb.code,
+       |    CAST(sum((re.r - cb.centroid[(re.i - 1) % $pd + 1])
+       |      * (re.r - cb.centroid[(re.i - 1) % $pd + 1]))
+       |      AS BIGINT) AS d2
+       |  FROM ${p}re re JOIN ${p}cb cb ON (re.i - 1) // $pd = cb.m
+       |  GROUP BY 1, 2, 3),
+       |${p}enc AS (SELECT vec_id, m,
+       |          CAST(min(d2 * $pk + code) % $pk AS INT) AS code
+       |        FROM ${p}dist GROUP BY 1, 2),
+       |${p}probe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS pr
+       |    FROM ${p}cd WHERE $queryPred)
+       |  WHERE pr <= $np),
+       |${p}qlut AS (
+       |  SELECT p.query_id, p.cell, cb.m, cb.code,
+       |    CAST(sum(((fe.q - cent.centroid[fe.i])
+       |               - cb.centroid[(fe.i - 1) % $pd + 1])
+       |            * ((fe.q - cent.centroid[fe.i])
+       |               - cb.centroid[(fe.i - 1) % $pd + 1]))
+       |      AS BIGINT) AS d2
+       |  FROM ${p}probe p
+       |  JOIN ${p}fe fe ON fe.vec_id = p.query_id
+       |  JOIN ${p}cent cent ON cent.label = p.cell
+       |  JOIN ${p}cb cb ON (fe.i - 1) // $pd = cb.m
+       |  GROUP BY 1, 2, 3, 4),
+       |${p}adc AS (
+       |  SELECT q.query_id, a.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc
+       |  FROM ${p}qlut q
+       |  JOIN ${p}asgn a ON a.cell = q.cell
+       |  JOIN ${p}enc e ON e.vec_id = a.vec_id
+       |    AND e.m = q.m AND e.code = q.code
+       |  GROUP BY 1, 2),
+       |${p}cand AS (SELECT query_id, vec_id, adc,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc, vec_id) AS crank
+       |         FROM ${p}adc),
+       |${p}ex AS (
+       |  SELECT c.query_id, c.vec_id, c.adc,
+       |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS exact_d2
+       |  FROM ${p}cand c
+       |  JOIN ${p}fe a ON a.vec_id = c.query_id
+       |  JOIN ${p}fe b ON b.vec_id = c.vec_id AND b.i = a.i
+       |  WHERE c.crank <= $k
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+
   /** L104 — the CDC-MAINTAINED serving index ([[AnnIndex]], VERDICT
     * r13 next #1): a snapshot epoch plus N incremental epochs of
     * embedding inserts/updates/deletes flow through the real streaming
@@ -897,96 +998,87 @@ object MlQueries {
     "ml_ann_cdc_index",
     (s, d) => AnnIndex.cdcMaintainAndSearch(s,
       Tables(s, d, "embeddings"), annCdcCentPq, annCdcCbPq, annCdcOpsPq),
-    Some {
-      val (pd, pk, np, k) = (Similarity.PqDims, Similarity.PqK,
-        Similarity.IvfAdcProbe, Similarity.PqTopK)
-      s"""WITH ops AS (SELECT lsn, action, vec_id, emb
-         |            FROM read_parquet('$annCdcOpsPq/*.parquet')),
-         |lastd AS (SELECT vec_id, max(lsn) AS dlsn FROM ops
-         |          WHERE action = 'D' GROUP BY vec_id),
-         |fold AS MATERIALIZED (
-         |  SELECT o.vec_id, arg_max(o.emb, o.lsn) AS emb
-         |  FROM ops o LEFT JOIN lastd d ON o.vec_id = d.vec_id
-         |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
-         |  GROUP BY o.vec_id
-         |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
-         |fe AS MATERIALIZED (
-         |  SELECT vec_id, i.i, CAST(parts[i.i] AS BIGINT) AS q
-         |  FROM (SELECT vec_id, string_split(emb, ',') AS parts
-         |        FROM fold), range(1, 65) i(i)),
-         |cent AS (SELECT label, centroid
-         |         FROM read_parquet('$annCdcCentPq/*.parquet')),
-         |cb AS (SELECT m, code, centroid
-         |       FROM read_parquet('$annCdcCbPq/*.parquet')),
-         |cd AS MATERIALIZED (
-         |  SELECT fe.vec_id, cent.label AS cell,
-         |    CAST(sum((fe.q - cent.centroid[fe.i])
-         |             * (fe.q - cent.centroid[fe.i])) AS BIGINT) AS d2
-         |  FROM fe CROSS JOIN cent
-         |  GROUP BY 1, 2),
-         |asgn AS MATERIALIZED (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
-         |    FROM cd)
-         |  WHERE rn = 1),
-         |re AS (
-         |  SELECT fe.vec_id, fe.i, fe.q - cent.centroid[fe.i] AS r
-         |  FROM fe JOIN asgn a ON a.vec_id = fe.vec_id
-         |  JOIN cent ON cent.label = a.cell),
-         |dist AS (
-         |  SELECT re.vec_id, cb.m, cb.code,
-         |    CAST(sum((re.r - cb.centroid[(re.i - 1) % $pd + 1])
-         |      * (re.r - cb.centroid[(re.i - 1) % $pd + 1]))
-         |      AS BIGINT) AS d2
-         |  FROM re JOIN cb ON (re.i - 1) // $pd = cb.m
-         |  GROUP BY 1, 2, 3),
-         |enc AS (SELECT vec_id, m,
-         |          CAST(min(d2 * $pk + code) % $pk AS INT) AS code
-         |        FROM dist GROUP BY 1, 2),
-         |probe AS (
-         |  SELECT vec_id AS query_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY d2, cell) AS pr
-         |    FROM cd WHERE vec_id % ${Similarity.QueryStride} = 0)
-         |  WHERE pr <= $np),
-         |qlut AS (
-         |  SELECT p.query_id, p.cell, cb.m, cb.code,
-         |    CAST(sum(((fe.q - cent.centroid[fe.i])
-         |               - cb.centroid[(fe.i - 1) % $pd + 1])
-         |            * ((fe.q - cent.centroid[fe.i])
-         |               - cb.centroid[(fe.i - 1) % $pd + 1]))
-         |      AS BIGINT) AS d2
-         |  FROM probe p
-         |  JOIN fe ON fe.vec_id = p.query_id
-         |  JOIN cent ON cent.label = p.cell
-         |  JOIN cb ON (fe.i - 1) // $pd = cb.m
-         |  GROUP BY 1, 2, 3, 4),
-         |adc AS (
-         |  SELECT q.query_id, a.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc
-         |  FROM qlut q
-         |  JOIN asgn a ON a.cell = q.cell
-         |  JOIN enc e ON e.vec_id = a.vec_id
-         |    AND e.m = q.m AND e.code = q.code
-         |  GROUP BY 1, 2),
-         |cand AS (SELECT query_id, vec_id, adc,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY adc, vec_id) AS crank
-         |         FROM adc),
-         |ex AS (
-         |  SELECT c.query_id, c.vec_id, c.adc,
-         |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS exact_d2
-         |  FROM cand c
-         |  JOIN fe a ON a.vec_id = c.query_id
-         |  JOIN fe b ON b.vec_id = c.vec_id AND b.i = a.i
-         |  WHERE c.crank <= $k
-         |  GROUP BY 1, 2, 3)
-         |SELECT query_id,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY exact_d2, vec_id) AS BIGINT) AS rank,
-         |  vec_id, adc, exact_d2
-         |FROM ex ORDER BY query_id, rank""".stripMargin
-    })
+    Some(s"""WITH ${annCdcCtes(annCdcOpsPq, annCdcCentPq, annCdcCbPq,
+        s"vec_id % ${Similarity.QueryStride} = 0", Similarity.PqTopK)}
+            |SELECT query_id,
+            |  CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY exact_d2, vec_id) AS BIGINT) AS rank,
+            |  vec_id, adc, exact_d2
+            |FROM ex ORDER BY query_id, rank""".stripMargin))
+
+  /** L113 — the maintained retrieval stack served off ONE replication
+    * stream ([[graft.ml.HybridServe]]): a single multi-table CDC
+    * subscription carries document AND embedding changes, each
+    * micro-batch routes its deltas to BOTH index maintainers (the L105
+    * inverted postings and the L104 IVFADC cells — one shared parsed
+    * batch, two subscribers), and serving fuses the maintained BM25
+    * top-k with the maintained IVFADC top-k for the standing query
+    * vector by the `ml_hybrid_rrf` integer RRF algebra. The oracle
+    * FULLY REBUILDS both sides — BM25 over the folded document ops,
+    * the complete IVFADC chain over the folded embedding ops + this
+    * row's frozen-model dumps — and fuses identically: maintained ==
+    * rebuilt, JOINTLY across two indexes fed by one stream, is the
+    * row's theorem. (The semantic list keeps the query vector itself
+    * at rank 1 — the maintained search's natural convention; the
+    * static hybrid row's cosine scan excludes self.) */
+  private val hybridCdcServe = Declared(
+    "ml_hybrid_cdc_serve",
+    (s, d) => HybridServe.cdcMaintainAndServe(s,
+      Tables(s, d, "documents"), Tables(s, d, "embeddings"),
+      hybCentPq, hybCbPq, hybDocOpsPq, hybEmbOpsPq),
+    Some(s"""WITH dops AS (SELECT lsn, action, doc_id, text
+            |            FROM read_parquet('$hybDocOpsPq/*.parquet')),
+            |dlastd AS (SELECT doc_id, max(lsn) AS dlsn FROM dops
+            |          WHERE action = 'D' GROUP BY doc_id),
+            |dfold AS MATERIALIZED (
+            |  SELECT o.doc_id, arg_max(o.text, o.lsn) AS text
+            |  FROM dops o LEFT JOIN dlastd d ON o.doc_id = d.doc_id
+            |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
+            |  GROUP BY o.doc_id
+            |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
+            |tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM dfold),
+            |tf AS (SELECT doc_id, term, count(*) AS tf
+            |       FROM tok GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+            |       FROM tf GROUP BY 1),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            |st AS (SELECT count(*) AS n, CAST(sum(dlen) AS BIGINT) AS t
+            |       FROM dl),
+            |c AS (
+            |  SELECT tf.doc_id,
+            |    ((2 * (st.n - df.df) + 1) *
+            |     ((44 * tf.tf * st.t * ${TextAnalysis.Bm25Scale}) //
+            |      (20 * tf.tf * st.t + 6 * st.t + 18 * dl.dlen * st.n)))
+            |      // (2 * df.df + 1) AS contrib
+            |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
+            |  WHERE tf.term IN (${TextAnalysis.Bm25Query
+               .map(t => s"'$t'").mkString(", ")})),
+            |bm AS (
+            |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp
+            |  FROM c GROUP BY doc_id
+            |  ORDER BY score_fp DESC, doc_id LIMIT ${TextAnalysis.Bm25K}),
+            |lex AS (
+            |  SELECT doc_id, CAST(row_number() OVER (
+            |    ORDER BY score_fp DESC, doc_id) AS BIGINT) AS lex_rank
+            |  FROM bm),
+            |${annCdcCtes(hybEmbOpsPq, hybCentPq, hybCbPq,
+               "vec_id = 0", TextAnalysis.RrfDepth, "e")},
+            |sem AS (
+            |  SELECT vec_id AS doc_id,
+            |    CAST(row_number() OVER (ORDER BY exact_d2, vec_id)
+            |      AS BIGINT) AS sem_rank
+            |  FROM eex)
+            |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+            |  l.lex_rank, s.sem_rank,
+            |  CAST(coalesce(${TextAnalysis.RrfScale} //
+            |         (${TextAnalysis.RrfK} + l.lex_rank), 0) +
+            |       coalesce(${TextAnalysis.RrfScale} //
+            |         (${TextAnalysis.RrfK} + s.sem_rank), 0)
+            |    AS BIGINT) AS rrf_fp
+            |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+            |ORDER BY rrf_fp DESC, doc_id""".stripMargin))
 
   /** L106 — adaptive cell split ([[AnnIndex.splitCell]]): the
     * re-balance maintenance between the cheap append path and the rare
@@ -4222,6 +4314,7 @@ object MlQueries {
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
     ivfAdcIndexed, ivfAdcIndexedFiltered, annCdcIndex, annCellSplit,
+    hybridCdcServe,
     mmr, fps, annRecallQ, annRecallMultiQ, matryoshka, annFiltered,
     randProj, kmeansStep,
     embedNearDup, semDedup,
