@@ -574,7 +574,12 @@ object AnnIndex {
       searchIndex(spark, indexPath, live, qs, cents, cb, k, nprobe)
         .localCheckpoint(true)
         .orderBy("query_id", "rank")
-    } finally Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+    } finally {
+      // the temp checkpoint dies with this run — drop its cached
+      // state-store providers too (StreamHygiene's rationale)
+      graft.streaming.StreamHygiene.unloadStateStores()
+      Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+    }
   }
 
   private def deleteRec(path: String): Unit = {

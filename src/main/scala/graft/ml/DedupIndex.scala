@@ -419,7 +419,12 @@ object DedupIndex {
       try q.awaitTermination() finally q.stop()
       screenIndex(spark, probesOf(docs), bandsPath, sigsPath)
         .localCheckpoint(true)
-    } finally Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+    } finally {
+      // the temp checkpoint dies with this run — drop its cached
+      // state-store providers too (StreamHygiene's rationale)
+      graft.streaming.StreamHygiene.unloadStateStores()
+      Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+    }
   }
 
   private def deleteRec(path: String): Unit = {

@@ -136,7 +136,12 @@ object HybridServe {
       val semTopK = AnnIndex.searchIndex(spark, annIdx, live, qs, cents,
         cb, RrfDepth, Similarity.IvfAdcProbe)
       fuse(lexTopK, semTopK).localCheckpoint(true)
-    } finally Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+    } finally {
+      // the temp checkpoint dies with this run — drop its cached
+      // state-store providers too (StreamHygiene's rationale)
+      graft.streaming.StreamHygiene.unloadStateStores()
+      Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+    }
   }
 
   private def deleteRec(path: String): Unit = {

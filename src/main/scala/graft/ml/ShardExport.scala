@@ -204,7 +204,12 @@ object ShardExport {
         finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
       try q.awaitTermination() finally q.stop()
       readManifest(spark, manifestPath).localCheckpoint(true)
-    } finally Seq(changeDir, ckptDir, expRoot).foreach(deleteRec)
+    } finally {
+      // the temp checkpoint dies with this run — drop its cached
+      // state-store providers too (StreamHygiene's rationale)
+      graft.streaming.StreamHygiene.unloadStateStores()
+      Seq(changeDir, ckptDir, expRoot).foreach(deleteRec)
+    }
   }
 
   private def deleteRec(path: String): Unit = {

@@ -433,7 +433,12 @@ object TextIndex {
       try q.awaitTermination() finally q.stop()
       searchIndex(spark, indexPath, statsPath, k = k)
         .localCheckpoint(true)
-    } finally Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+    } finally {
+      // the temp checkpoint dies with this run — drop its cached
+      // state-store providers too (StreamHygiene's rationale)
+      graft.streaming.StreamHygiene.unloadStateStores()
+      Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
+    }
   }
 
   private def deleteRec(path: String): Unit = {

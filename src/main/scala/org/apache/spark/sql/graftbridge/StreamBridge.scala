@@ -15,4 +15,11 @@ object StreamBridge {
 
   def memoryStream[A: Encoder](spark: SparkSession): MemStream[A] =
     runtime.MemoryStream[A](spark)
+
+  /** Unload every cached state-store provider (same `private[sql]`
+    * confinement rationale as above — see
+    * [[graft.streaming.StreamHygiene]] for when and why the harness
+    * rows call this). */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
