@@ -1483,14 +1483,21 @@ object Similarity {
       enc: DataFrame, probed: DataFrame, cb: Seq[Seq[Seq[Long]]],
       k: Int): DataFrame = {
     val cbl = typedLit(cb)
-    // per-(query, probed-cell) ADC LUT over the residual — the LUT is
-    // cell-specific because the residual is; it rides the broadcast
-    // probe frame (|queries| × nprobe rows)
-    val probedLut = probed.select(col("query_id"), col("pcell"),
-      pqLutOf(cbl, col("qr")).as("lut"))
-    val scored = enc.join(broadcast(probedLut), col("cell") === col("pcell"))
-      .select(col("query_id"), col("vec_id"),
-        adcFromLut(col("lut"), col("codes")).as("adc"))
+    // NOTE: this stage deliberately does NOT use the [[pqLutOf]] table
+    // that pqTopK scores with. Here the codebook is a LITERAL, so
+    // codegen already resolves element_at(cbl, ...) to direct
+    // references, and the candidate set is cell-pruned (≪ the full
+    // query×corpus product) — measured at sf0.1, attaching a
+    // materialized per-probe LUT array made the family ~0.5-2 s SLOWER
+    // (nested-array indirection on the broadcast side outweighed the
+    // saved multiplies), while the same table bought pqTopK's full
+    // cross product a 2× win. Measured, not guessed.
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+      (acc, m) => acc + pqD2(subCol(col("qr"), m),
+        element_at(element_at(cbl, m + 1),
+          element_at(col("codes"), m + 1) + 1)))
+    val scored = enc.join(broadcast(probed), col("cell") === col("pcell"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc"), col("vec_id"))
     val cand = scored.withColumn("crank", row_number().over(wAdc))
