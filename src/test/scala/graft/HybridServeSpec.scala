@@ -54,6 +54,72 @@ class HybridServeSpec extends AnyFunSuite {
     assert(postings(s"$tiM/idx").nonEmpty && cells(anM).nonEmpty)
   }
 
+  test("one checkpoint, two indexes: restart mid-history converges both artifacts") {
+    // the composition contract TextIndexSpec's single-table restart
+    // can't state: ONE stream's checkpoint gates BOTH maintainers, so
+    // a restart must replay (or skip) the same epoch for the postings
+    // AND the cells together
+    import org.apache.spark.sql.Dataset
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.cdc.{ChangeGen, ChangeSource, Ivm, MtDelta, MultiTable}
+    val emb = Tables(spark, sf, "embeddings")
+    val docs = Tables(spark, sf, "documents")
+    val cents = Similarity.coarseCentroids(emb)
+    val cb = Similarity.pqTrain(emb)
+    val docOps = TextIndex.epochScript(
+      docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq, epochs = 3)
+    val embOps = AnnIndex.epochScript(
+      emb.select(col("vec_id"),
+          graft.ml.MlFunctions.quantize(col("embedding")).as("q"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .toSeq, epochs = 3)
+    def writeEpochs(dir: String, upTo: Int): Unit =
+      (0 to upTo).foreach { e =>
+        val lines =
+          docOps.filter(_.epoch == e).sortBy(_.lsn).map(TextIndex.toLine) ++
+            embOps.filter(_.epoch == e).sortBy(_.lsn).map(AnnIndex.toLine)
+        ChangeGen.writeLineBatches(dir, lines, batches = 1, startIndex = e)
+      }
+    def drive(changeDir: String, ckpt: String, ti: String, st: String,
+        an: String): Unit = {
+      val q = Ivm.mtDeltas(MultiTable.parseAll(
+          ChangeSource.rawLines(spark, changeDir, Some(1)),
+          Seq(TextIndex.DocSpec, AnnIndex.EmbSpec)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+          val pinned = batch.localCheckpoint(true)
+          TextIndex.applyEpoch(spark, pinned, ti, st, bid)
+          AnnIndex.applyEpoch(spark, pinned, an, cents, cb)
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def postings(p: String) = spark.read.parquet(p)
+      .select("doc_id", "term", "tf", "dlen").collect().map(_.toSeq).toSet
+    def cells(p: String) = spark.read.parquet(p)
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    // run A: epochs 0..1, stop, then 2..3 on the SAME checkpoint
+    val dirA = tmp("hyb-restart-log"); val rootA = tmp("hyb-restart")
+    writeEpochs(dirA, 1)
+    drive(dirA, s"$rootA/ckpt", s"$rootA/ti", s"$rootA/st", s"$rootA/an")
+    writeEpochs(dirA, 3)
+    drive(dirA, s"$rootA/ckpt", s"$rootA/ti", s"$rootA/st", s"$rootA/an")
+    // run B: one shot
+    val dirB = tmp("hyb-oneshot-log"); val rootB = tmp("hyb-oneshot")
+    writeEpochs(dirB, 3)
+    drive(dirB, s"$rootB/ckpt", s"$rootB/ti", s"$rootB/st", s"$rootB/an")
+    assert(postings(s"$rootA/ti") === postings(s"$rootB/ti"),
+      "restarted postings must converge to the one-shot artifact")
+    assert(cells(s"$rootA/an") === cells(s"$rootB/an"),
+      "restarted cells must converge to the one-shot artifact")
+    graft.streaming.StreamHygiene.unloadStateStores()
+  }
+
   test("integer RRF fusion: exact arithmetic on a hand-built pair of lists") {
     import TextAnalysis.{RrfK, RrfScale}
     // lex scores: doc 3 > doc 1 > doc 7 → ranks 1, 2, 3
