@@ -397,7 +397,7 @@ object AnnIndex {
       searchIndex(spark, indexPath, corpusQ, qs, newCents, cb, k, nprobe)
         .localCheckpoint(true)
         .orderBy("query_id", "rank")
-    } finally deleteRec(idxRoot)
+    } finally graft.streaming.StreamHygiene.deleteRec(idxRoot)
   }
 
   // ---- quantizer persistence ---------------------------------------------
@@ -574,19 +574,8 @@ object AnnIndex {
       searchIndex(spark, indexPath, live, qs, cents, cb, k, nprobe)
         .localCheckpoint(true)
         .orderBy("query_id", "rank")
-    } finally {
-      // the temp checkpoint dies with this run — drop its cached
-      // state-store providers too (StreamHygiene's rationale)
-      graft.streaming.StreamHygiene.unloadStateStores()
-      Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
-    }
+    } finally graft.streaming.StreamHygiene.cleanupRun(
+      Seq(changeDir, ckptDir, idxRoot))
   }
 
-  private def deleteRec(path: String): Unit = {
-    def go(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
-      f.delete(); ()
-    }
-    go(new java.io.File(path))
-  }
 }

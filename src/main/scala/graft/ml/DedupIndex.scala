@@ -315,9 +315,21 @@ object DedupIndex {
   def screenIndex(spark: SparkSession, probes: DataFrame,
       bandsPath: String, sigsPath: String,
       minEst: Double = MinEst,
+      visible: Column = lit(true)): DataFrame =
+    screenSigs(spark,
+      sigRowsFor(probes.select("doc_id", "text")).localCheckpoint(true),
+      bandsPath, sigsPath, minEst, visible)
+
+  /** [[screenIndex]] over ALREADY-SIGNED probes (a materialized
+    * [[sigRowsFor]] frame) — the entry a caller that needs the probe
+    * signatures for its own purposes uses, so one signing pass serves
+    * both (the [[graft.streaming.DedupGate]] per-batch path: screen
+    * with the batch's signatures, then append the accepted subset of
+    * the SAME frame — the batch is never signed twice). */
+  def screenSigs(spark: SparkSession, pSig: DataFrame,
+      bandsPath: String, sigsPath: String,
+      minEst: Double = MinEst,
       visible: Column = lit(true)): DataFrame = {
-    val pSig = sigRowsFor(probes.select("doc_id", "text"))
-      .localCheckpoint(true)
     val empty = pSig.select(col("doc_id"),
       col("doc_id").as("matched_id"),
       lit(0.0).as("est_jaccard")).limit(0)
@@ -419,19 +431,8 @@ object DedupIndex {
       try q.awaitTermination() finally q.stop()
       screenIndex(spark, probesOf(docs), bandsPath, sigsPath)
         .localCheckpoint(true)
-    } finally {
-      // the temp checkpoint dies with this run — drop its cached
-      // state-store providers too (StreamHygiene's rationale)
-      graft.streaming.StreamHygiene.unloadStateStores()
-      Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
-    }
+    } finally graft.streaming.StreamHygiene.cleanupRun(
+      Seq(changeDir, ckptDir, idxRoot))
   }
 
-  private def deleteRec(path: String): Unit = {
-    def go(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
-      f.delete(); ()
-    }
-    go(new java.io.File(path))
-  }
 }

@@ -37,10 +37,19 @@ import graft.cdc.{ChangeGen, ChangeSource, Ivm, MtDelta, MultiTable}
 object HybridServe {
   import TextAnalysis.{Bm25K, RrfDepth, RrfK, RrfScale}
 
-  /** The fused serve off the two maintained artifacts: lexical BM25
-    * top-[[TextAnalysis.Bm25K]] ranks (the bounded collect_list trick —
-    * no global window) ∪ semantic IVFADC top-[[TextAnalysis.RrfDepth]]
-    * ranks for the standing query vector, integer RRF. */
+  /** THE reciprocal-rank fusion — shared by the static `ml_hybrid_rrf`
+    * row ([[TextAnalysis.hybridRetrieve]] delegates here) and the
+    * maintained serve, so the two cannot drift. `lexTopK` is a scored
+    * (doc_id, …, score_fp) list ≤ k rows; `semTopK` a ranked
+    * (vec_id, rank, …) list.
+    *
+    * The lexical ranks derive via collect_list → sort_array →
+    * posexplode over the bounded list rather than a global window: a
+    * `Window.orderBy` with no partition fires WindowExec's "No
+    * Partition Defined" degradation warning on every (re)plan, and
+    * Spark 4's EliminateWindowPartitions strips any constant partition
+    * key one could scope it with. struct(-score_fp, doc_id) ascending
+    * == (score_fp desc, doc_id asc), the same total order. */
   def fuse(lexTopK: DataFrame, semTopK: DataFrame): DataFrame = {
     val lex = lexTopK
       .agg(sort_array(collect_list(struct(
@@ -136,19 +145,8 @@ object HybridServe {
       val semTopK = AnnIndex.searchIndex(spark, annIdx, live, qs, cents,
         cb, RrfDepth, Similarity.IvfAdcProbe)
       fuse(lexTopK, semTopK).localCheckpoint(true)
-    } finally {
-      // the temp checkpoint dies with this run — drop its cached
-      // state-store providers too (StreamHygiene's rationale)
-      graft.streaming.StreamHygiene.unloadStateStores()
-      Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
-    }
+    } finally graft.streaming.StreamHygiene.cleanupRun(
+      Seq(changeDir, ckptDir, idxRoot))
   }
 
-  private def deleteRec(path: String): Unit = {
-    def go(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
-      f.delete(); ()
-    }
-    go(new java.io.File(path))
-  }
 }

@@ -1026,38 +1026,10 @@ object MlQueries {
     (s, d) => HybridServe.cdcMaintainAndServe(s,
       Tables(s, d, "documents"), Tables(s, d, "embeddings"),
       hybCentPq, hybCbPq, hybDocOpsPq, hybEmbOpsPq),
-    Some(s"""WITH dops AS (SELECT lsn, action, doc_id, text
-            |            FROM read_parquet('$hybDocOpsPq/*.parquet')),
-            |dlastd AS (SELECT doc_id, max(lsn) AS dlsn FROM dops
-            |          WHERE action = 'D' GROUP BY doc_id),
-            |dfold AS MATERIALIZED (
-            |  SELECT o.doc_id, arg_max(o.text, o.lsn) AS text
-            |  FROM dops o LEFT JOIN dlastd d ON o.doc_id = d.doc_id
-            |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
-            |  GROUP BY o.doc_id
-            |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
-            |tok AS (
-            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-            |  FROM dfold),
-            |tf AS (SELECT doc_id, term, count(*) AS tf
-            |       FROM tok GROUP BY 1, 2),
-            |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
-            |       FROM tf GROUP BY 1),
-            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            |st AS (SELECT count(*) AS n, CAST(sum(dlen) AS BIGINT) AS t
-            |       FROM dl),
-            |c AS (
-            |  SELECT tf.doc_id,
-            |    ((2 * (st.n - df.df) + 1) *
-            |     ((44 * tf.tf * st.t * ${TextAnalysis.Bm25Scale}) //
-            |      (20 * tf.tf * st.t + 6 * st.t + 18 * dl.dlen * st.n)))
-            |      // (2 * df.df + 1) AS contrib
-            |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
-            |  WHERE tf.term IN (${TextAnalysis.Bm25Query
-               .map(t => s"'$t'").mkString(", ")})),
+    Some(s"""WITH ${bm25CdcCtes(hybDocOpsPq, "d")},
             |bm AS (
             |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp
-            |  FROM c GROUP BY doc_id
+            |  FROM dc GROUP BY doc_id
             |  ORDER BY score_fp DESC, doc_id LIMIT ${TextAnalysis.Bm25K}),
             |lex AS (
             |  SELECT doc_id, CAST(row_number() OVER (
@@ -2015,6 +1987,46 @@ object MlQueries {
             |FROM q0 LEFT JOIN pq ON pq.q_id = q0.q_id
             |ORDER BY q0.q_id""".stripMargin))
 
+  /** The document-fold → BM25-contribution chain over a dumped ops
+    * log, as WITH-clause CTEs (the [[annCdcCtes]] discipline for the
+    * lexical side): replica fold of the raw document ops → tokenize →
+    * tf/dlen/df/corpus scalars → per-(doc, query-term) integer BM25
+    * contribution (`c`, the final CTE). Prefix `p` lets two chains
+    * compose in one statement — `ml_bm25_cdc_index` uses it bare;
+    * `ml_hybrid_cdc_serve` splices a `d`-prefixed instance next to the
+    * embedding chain. */
+  private def bm25CdcCtes(opsPq: String, p: String = ""): String =
+    s"""${p}ops AS (SELECT lsn, action, doc_id, text
+       |            FROM read_parquet('$opsPq/*.parquet')),
+       |${p}lastd AS (SELECT doc_id, max(lsn) AS dlsn FROM ${p}ops
+       |          WHERE action = 'D' GROUP BY doc_id),
+       |${p}fold AS MATERIALIZED (
+       |  SELECT o.doc_id, arg_max(o.text, o.lsn) AS text
+       |  FROM ${p}ops o LEFT JOIN ${p}lastd d ON o.doc_id = d.doc_id
+       |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
+       |  GROUP BY o.doc_id
+       |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
+       |${p}tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM ${p}fold),
+       |${p}tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM ${p}tok GROUP BY 1, 2),
+       |${p}dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+       |       FROM ${p}tf GROUP BY 1),
+       |${p}df AS (SELECT term, count(*) AS df FROM ${p}tf GROUP BY 1),
+       |${p}st AS (SELECT count(*) AS n, CAST(sum(dlen) AS BIGINT) AS t
+       |       FROM ${p}dl),
+       |${p}c AS (
+       |  SELECT tf.doc_id,
+       |    ((2 * (st.n - df.df) + 1) *
+       |     ((44 * tf.tf * st.t * ${TextAnalysis.Bm25Scale}) //
+       |      (20 * tf.tf * st.t + 6 * st.t + 18 * dl.dlen * st.n)))
+       |      // (2 * df.df + 1) AS contrib
+       |  FROM ${p}tf tf JOIN ${p}dl dl USING (doc_id)
+       |  JOIN ${p}df df USING (term), ${p}st st
+       |  WHERE tf.term IN (${TextAnalysis.Bm25Query
+         .map(t => s"'$t'").mkString(", ")}))""".stripMargin
+
   /** L105 — the CDC-MAINTAINED inverted text index ([[TextIndex]],
     * the L104 shape applied to lexical retrieval): a snapshot epoch
     * plus N incremental epochs of document inserts/updates/deletes
@@ -2035,35 +2047,7 @@ object MlQueries {
     "ml_bm25_cdc_index",
     (s, d) => TextIndex.cdcMaintainAndSearch(s,
       Tables(s, d, "documents"), txtCdcOpsPq),
-    Some(s"""WITH ops AS (SELECT lsn, action, doc_id, text
-            |            FROM read_parquet('$txtCdcOpsPq/*.parquet')),
-            |lastd AS (SELECT doc_id, max(lsn) AS dlsn FROM ops
-            |          WHERE action = 'D' GROUP BY doc_id),
-            |fold AS MATERIALIZED (
-            |  SELECT o.doc_id, arg_max(o.text, o.lsn) AS text
-            |  FROM ops o LEFT JOIN lastd d ON o.doc_id = d.doc_id
-            |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
-            |  GROUP BY o.doc_id
-            |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
-            |tok AS (
-            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-            |  FROM fold),
-            |tf AS (SELECT doc_id, term, count(*) AS tf
-            |       FROM tok GROUP BY 1, 2),
-            |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
-            |       FROM tf GROUP BY 1),
-            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            |st AS (SELECT count(*) AS n, CAST(sum(dlen) AS BIGINT) AS t
-            |       FROM dl),
-            |c AS (
-            |  SELECT tf.doc_id,
-            |    ((2 * (st.n - df.df) + 1) *
-            |     ((44 * tf.tf * st.t * ${TextAnalysis.Bm25Scale}) //
-            |      (20 * tf.tf * st.t + 6 * st.t + 18 * dl.dlen * st.n)))
-            |      // (2 * df.df + 1) AS contrib
-            |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
-            |  WHERE tf.term IN (${TextAnalysis.Bm25Query
-               .map(t => s"'$t'").mkString(", ")}))
+    Some(s"""WITH ${bm25CdcCtes(txtCdcOpsPq)}
             |SELECT doc_id, count(*) AS matched,
             |  CAST(sum(contrib) AS BIGINT) AS score_fp
             |FROM c GROUP BY doc_id

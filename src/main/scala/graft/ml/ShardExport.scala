@@ -69,18 +69,26 @@ object ShardExport {
       length(col("text")).cast("long").as("n_chars"),
       shardOf(col("doc_id")).cast("int").as("shard"))
 
-  /** The manifest aggregate over (already shard-keyed) export rows —
-    * one row per shard, [[TextAnalysis.exportManifest]]'s exact
-    * algebra. */
-  private def manifestAgg(rows: DataFrame): DataFrame =
-    rows.select(col("shard"), col("doc_id"), col("n_chars"),
-        (hash60(col("text")) % ChkMod).as("h"))
+  /** THE manifest aggregate — one row per shard over
+    * (shard, doc_id, n_chars, h) rows. Shared by the static
+    * [[TextAnalysis.exportManifest]] row and the maintained export, so
+    * the "maintained == re-exported" theorem can't be broken by the
+    * two aggregates drifting apart. */
+  def manifestAggOver(rows: DataFrame): DataFrame =
+    rows
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
         min(col("doc_id")).as("id_lo"),
         max(col("doc_id")).as("id_hi"),
         sum(col("h")).as("checksum"))
+
+  /** [[manifestAggOver]] with the hash derived from the carried text
+    * (the maintained path, where n_chars = length(text) by the change
+    * contract). */
+  private def manifestAgg(rows: DataFrame): DataFrame =
+    manifestAggOver(rows.select(col("shard"), col("doc_id"),
+      col("n_chars"), (hash60(col("text")) % ChkMod).as("h")))
 
   /** Full export: shard files + manifest, partition-per-shard. The
     * rebuild the incremental path is proven equal to. */
@@ -204,19 +212,8 @@ object ShardExport {
         finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
       try q.awaitTermination() finally q.stop()
       readManifest(spark, manifestPath).localCheckpoint(true)
-    } finally {
-      // the temp checkpoint dies with this run — drop its cached
-      // state-store providers too (StreamHygiene's rationale)
-      graft.streaming.StreamHygiene.unloadStateStores()
-      Seq(changeDir, ckptDir, expRoot).foreach(deleteRec)
-    }
+    } finally graft.streaming.StreamHygiene.cleanupRun(
+      Seq(changeDir, ckptDir, expRoot))
   }
 
-  private def deleteRec(path: String): Unit = {
-    def go(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
-      f.delete(); ()
-    }
-    go(new java.io.File(path))
-  }
 }

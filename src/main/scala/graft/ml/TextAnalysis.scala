@@ -784,16 +784,12 @@ object TextAnalysis {
     * checksum is additive, so shard manifests merge and an incremental
     * re-export re-derives only rewritten shards' rows. */
   def exportManifest(docs: DataFrame): DataFrame =
-    docs.select(
+    // the aggregate itself is shared with the CDC-maintained export
+    // (ShardExport.manifestAggOver) — one algebra, two callers
+    ShardExport.manifestAggOver(docs.select(
         (hash60Seeded(lit("shard"), col("doc_id")) % NumShards).as("shard"),
         col("doc_id"), col("n_chars"),
-        (hash60(col("text")) % ChkMod).as("h"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("n_chars"),
-        min(col("doc_id")).as("id_lo"),
-        max(col("doc_id")).as("id_hi"),
-        sum(col("h")).as("checksum"))
+        (hash60(col("text")) % ChkMod).as("h")))
       .orderBy("shard")
 
   /** Curriculum interleave order — the data-ORDERING op a staged
@@ -929,31 +925,15 @@ object TextAnalysis {
     * the corpus size; the heavy lifting is inside the two retrievers,
     * each already shaped for 100 TB (df/query broadcast, corpus never
     * shuffles). */
-  def hybridRetrieve(docs: DataFrame, emb: DataFrame): DataFrame = {
-    // Rank the bounded ≤Bm25K-row lexical list without a global window:
-    // collect_list → sort_array → posexplode assigns ranks in one k-row
-    // aggregate. A Window.orderBy here would be correct but fires
-    // WindowExec's "No Partition Defined" degradation warning on every
-    // (re)plan — dozens of repeats drowning the bench log tail — and
-    // Spark 4's EliminateWindowPartitions strips any constant partition
-    // key one could use to scope it. struct(-score_fp, doc_id) ascending
-    // == (score_fp desc, doc_id asc), the same total order.
-    val lex = bm25TopK(docs)
-      .agg(sort_array(collect_list(struct(
-        (-col("score_fp")).as("neg_fp"), col("doc_id")))).as("ranked"))
-      .select(posexplode(col("ranked")).as(Seq("pos", "entry")))
-      .select(col("entry.doc_id").as("doc_id"),
-        (col("pos") + 1).cast("long").as("lex_rank"))
-    val sem = Similarity.cosineTopK(emb, RrfDepth)
-      .filter(col("query_id") === 0)
-      .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
-    lex.join(sem, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
-        (coalesce(expr(s"$RrfScale div ($RrfK + lex_rank)"), lit(0L)) +
-          coalesce(expr(s"$RrfScale div ($RrfK + sem_rank)"), lit(0L)))
-          .as("rrf_fp"))
-      .orderBy(col("rrf_fp").desc, col("doc_id"))
-  }
+  def hybridRetrieve(docs: DataFrame, emb: DataFrame): DataFrame =
+    // one fusion implementation serves both the static row and the
+    // maintained serve (HybridServe.fuse carries the lex-rank
+    // derivation and the integer RRF algebra) — the two rows cannot
+    // drift
+    HybridServe.fuse(bm25TopK(docs),
+      Similarity.cosineTopK(emb, RrfDepth)
+        .filter(col("query_id") === 0)
+        .select(col("neighbor_id").as("vec_id"), col("rank")))
 
   // ---- Model-based quality classifier (hashed linear scorer) ----------
 

@@ -433,19 +433,8 @@ object TextIndex {
       try q.awaitTermination() finally q.stop()
       searchIndex(spark, indexPath, statsPath, k = k)
         .localCheckpoint(true)
-    } finally {
-      // the temp checkpoint dies with this run — drop its cached
-      // state-store providers too (StreamHygiene's rationale)
-      graft.streaming.StreamHygiene.unloadStateStores()
-      Seq(changeDir, ckptDir, idxRoot).foreach(deleteRec)
-    }
+    } finally graft.streaming.StreamHygiene.cleanupRun(
+      Seq(changeDir, ckptDir, idxRoot))
   }
 
-  private def deleteRec(path: String): Unit = {
-    def go(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
-      f.delete(); ()
-    }
-    go(new java.io.File(path))
-  }
 }

@@ -31,9 +31,11 @@ import graft.ml.DedupIndex
   * [[graft.ml.DedupIndex.screenIndex]], so a replayed epoch never sees
   * its own pre-crash appends (the self-match-at-1.0 hazard the
   * accepted-epoch replay spec pins). Serving prunes on `bucket` as
-  * before; the `batch` level only fragments a bucket by write epoch,
-  * which [[graft.ml.DedupIndex.compactIndex]]'s maxFiles policy is the
-  * existing repair for.
+  * before; the `batch` level fragments a bucket by write epoch, and
+  * the repair is [[compactGate]] — NOT the single-level
+  * [[graft.ml.DedupIndex.compactIndex]], which would demote `batch` to
+  * a data column and leave the store with conflicting directory
+  * structures.
   */
 object DedupGate {
   import DedupIndex.MicroShuffle
@@ -59,6 +61,56 @@ object DedupGate {
       .parquet(sigsPath)
   }
 
+  /** Compact one gate sub-artifact's epoch fragmentation — the
+    * two-level twin of [[graft.ml.DedupIndex.compactIndex]]: append
+    * epochs land one batch subdir per touched bucket, so append-heavy
+    * buckets accumulate `batch=` leaves and the pruned screen read
+    * amplifies. For buckets holding more than `maxFiles` parquet files
+    * across their `batch <= upToBatch` subdirs, the rows consolidate
+    * into the bucket's `batch=-1` (seed) partition and the merged
+    * epoch subdirs are removed; buckets below the threshold, and every
+    * `batch > upToBatch` partition, stay byte-identical. Content is
+    * untouched (a pure layout rewrite — spec-pinned).
+    *
+    * REPLAY-SAFETY PRECONDITION: the stream's checkpoint must have
+    * committed past `upToBatch` (run compaction with the gate stopped,
+    * like any offline maintenance): a later replay of an epoch
+    * ≤ `upToBatch` would dynamic-overwrite its (bucket, batch=id)
+    * partitions — now empty — and duplicate the consolidated rows.
+    * Epochs the checkpoint may still replay must stay out of the merge
+    * range. Returns the compacted bucket ids. */
+  def compactGate(spark: SparkSession, path: String, partCol: String,
+      upToBatch: Long, maxFiles: Int = 4): Seq[Int] = {
+    val root = new java.io.File(path)
+    def mergeable(b: java.io.File): Seq[java.io.File] =
+      Option(b.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("batch=") &&
+          d.getName.stripPrefix("batch=").toLong <= upToBatch).toSeq
+    val frag = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .filter { b =>
+        mergeable(b).map(_.listFiles().count(f =>
+          f.getName.endsWith(".parquet"))).sum > maxFiles
+      }
+      .map(_.getName.stripPrefix(s"$partCol=").toInt).toSeq.sorted
+    frag.foreach { b =>
+      val rows = spark.read.parquet(path)
+        .filter(col(partCol) === b && col("batch") <= upToBatch)
+        .drop("batch").localCheckpoint(true)
+      rows.withColumn("batch", lit(-1L))
+        .repartition(DedupIndex.MicroShuffle)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol, "batch").parquet(path)
+      mergeable(new java.io.File(s"$path/$partCol=$b"))
+        .filter(_.getName != "batch=-1").foreach { d =>
+          Option(d.listFiles()).foreach(_.foreach(_.delete()))
+          d.delete()
+        }
+    }
+    frag
+  }
+
   /** All accepted documents so far (original rows). */
   def accepted(spark: SparkSession, outDir: String): DataFrame =
     spark.read.schema(IncrementalDedup.DocSchema)
@@ -75,16 +127,20 @@ object DedupGate {
       outDir: String, batchId: Long, minEst: Double = MinEst): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val matched = DedupIndex.screenIndex(spark,
-        batch.select("doc_id", "text"), bandsPath, sigsPath, minEst,
-        visible = col("batch") < batchId)
+    // ONE signing pass serves the whole trigger: screen with the
+    // batch's signatures, append the accepted SUBSET of the same frame
+    // (the flat pipeline's "reused three times" discipline, kept)
+    val pSig = DedupIndex
+      .sigRowsFor(batch.select("doc_id", "text")).localCheckpoint(true)
+    val matched = DedupIndex.screenSigs(spark, pSig, bandsPath, sigsPath,
+        minEst, visible = col("batch") < batchId)
       .localCheckpoint(true) // tiny: ≤ one row per new doc
     val matchedIds = broadcast(matched.select("doc_id"))
     val acceptedDocs = batch.join(matchedIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     // index append, epoch-keyed: dynamic overwrite of exactly this
     // epoch's own (bucket, batch=id) partitions — change-volume-sized
-    val sigs = DedupIndex.sigRowsFor(acceptedDocs.select("doc_id", "text"))
+    val sigs = pSig.join(matchedIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     DedupIndex.bandRowsFor(sigs)
       .withColumn("batch", lit(batchId))
@@ -164,13 +220,7 @@ object DedupGate {
       rej(1).unionByName(acc(1)).unionByName(rej(2)).unionByName(acc(2))
         .orderBy("doc_id")
         .localCheckpoint(true)
-    } finally Seq(newDir, idxRoot, outDir, ckpt).foreach { p =>
-      def go(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
-        f.delete(); ()
-      }
-      go(new java.io.File(p))
-    }
+    } finally StreamHygiene.cleanupRun(Seq(newDir, idxRoot, outDir, ckpt))
   }
 
   /** Continuous pipeline: stream new-doc parquet files, screen each

@@ -17,7 +17,33 @@ package graft.streaming
 object StreamHygiene {
   /** Unload every cached state-store provider and stop the
     * maintenance task; the next stream (or the next harness row)
-    * reloads its own providers from its own checkpoint as usual. */
+    * reloads its own providers from its own checkpoint as usual.
+    *
+    * SCOPE: this unloads the WHOLE JVM's provider cache, not just the
+    * finished run's — correct for the declared rows (Verify/Bench run
+    * streams sequentially; any provider alive at this point is dead
+    * weight), but a host embedding these rows NEXT TO a live stateful
+    * stream would force that stream to reload its state from its
+    * checkpoint on its next trigger. Per-provider unload needs the
+    * provider ids, which Spark does not expose publicly; the
+    * sequential assumption is the deliberate trade. */
   def unloadStateStores(): Unit =
     org.apache.spark.sql.graftbridge.StreamBridge.unloadStateStores()
+
+  /** The shared harness teardown: drop the provider cache, then
+    * remove the run's temp dirs — one helper so a future harness row
+    * cannot take the delete half without the unload half. */
+  def cleanupRun(dirs: Seq[String]): Unit = {
+    unloadStateStores()
+    dirs.foreach(deleteRec)
+  }
+
+  /** Best-effort recursive removal of a per-run temp dir. */
+  def deleteRec(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
 }

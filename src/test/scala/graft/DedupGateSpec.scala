@@ -141,6 +141,47 @@ class DedupGateSpec extends AnyFunSuite {
       "files read must be exactly the visible probed partitions' files")
   }
 
+  test("compactGate merges committed epochs into the seed partition; content invariant") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val root = tmp("gate-compact-idx"); val out = tmp("gate-compact-out")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupGate.seedGate(corpus, bp, sp)
+    (0 to 2).foreach { w =>
+      DedupGate.applyBatch(
+        asDay(docs.filter(col("doc_id") % 20 === 0)
+          .filter(col("doc_id") % 3 === w)), bp, sp, out, w.toLong)
+    }
+    def content(p: String): Set[Seq[Any]] =
+      spark.read.parquet(p).drop("batch").collect()
+        .map(_.toSeq.map(x => x: Any)).toSet
+    def dirs(p: String): Map[String, Set[String]] =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map { b =>
+          b.getName -> b.listFiles().filter(_.isDirectory)
+            .map(_.getName).toSet
+        }.toMap
+    val before = content(bp)
+    val dirsBefore = dirs(bp)
+    val frag = dirsBefore.filter(_._2.size > 2).keySet
+    assume(frag.nonEmpty, "three waves must have fragmented some bucket")
+    val probe = docs.filter(col("doc_id") === 5).select("doc_id", "text")
+    val s0 = DedupIndex.screenIndex(spark, probe, bp, sp).collect().toSeq
+    val compacted = DedupGate.compactGate(spark, bp, "bucket",
+      upToBatch = 2L, maxFiles = 2)
+    val dirsAfter = dirs(bp)
+    assert(content(bp) === before, "compaction must not change the rows")
+    compacted.foreach { b =>
+      assert(dirsAfter(s"bucket=$b") === Set("batch=-1"),
+        s"bucket=$b must hold only the consolidated seed partition")
+    }
+    (dirsBefore.keySet -- compacted.map(b => s"bucket=$b")).foreach { b =>
+      assert(dirsAfter(b) === dirsBefore(b), s"$b must be untouched")
+    }
+    // the screen is unaffected by the layout rewrite
+    val s1 = DedupIndex.screenIndex(spark, probe, bp, sp).collect().toSeq
+    assert(s1 === s0, "screen must be invariant under compaction")
+  }
+
   test("an epoch's appends land only under its touched buckets × its own batch id") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val root = tmp("gate-touch-idx"); val out = tmp("gate-touch-out")
