@@ -62,6 +62,9 @@ object Bench {
     * ManifestReplica. */
   private def fairSchedulerXml(): String = {
     val f = Files.createTempFile("graft-fair", ".xml")
+    // read by the scheduler for the session's whole life → JVM-exit
+    // cleanup, not the pre-line sweep
+    f.toFile.deleteOnExit()
     Files.writeString(f,
       """<?xml version="1.0"?>
         |<allocations>
@@ -77,6 +80,47 @@ object Bench {
         |  </pool>
         |</allocations>""".stripMargin)
     f.toString
+  }
+
+  /** Temp-dir registry (VERDICT r14 #1). Every `createTempDirectory`
+    * in this main routes through here, and `sweepTempDirs()` removes
+    * them all before the result line prints. A full-surface run makes
+    * 33 dirs (the 100×/1000× probes' change logs alone are ~600 MB);
+    * left behind they accumulated ~25 GB of /tmp across records — the
+    * disk-pressure source BENCH_NOTE diagnosed for cross-record "host
+    * wander". The sweep runs AFTER all timing and backstop writes, so
+    * deletion cost never lands in a measured query. Note for the
+    * record: the r14 BENCH_NOTE described this registry before the
+    * code existed (commit 27e9d79 changed only prose); this is the
+    * actual implementation.
+    */
+  private val tempDirs =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private def tempDir(prefix: String): String = tempDirs.synchronized {
+    val p = Files.createTempDirectory(prefix)
+    tempDirs += p
+    p.toString
+  }
+  /** Deletes every registered dir, returning (dirCount, bytesFreed).
+    * Best-effort per entry: a locked/missing file never aborts the
+    * sweep of the rest. */
+  private def sweepTempDirs(): (Int, Long) = tempDirs.synchronized {
+    var bytes = 0L
+    tempDirs.foreach { root =>
+      try if (Files.exists(root))
+        Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { p =>
+            try {
+              if (Files.isRegularFile(p)) bytes += Files.size(p)
+              Files.deleteIfExists(p)
+            } catch { case _: Throwable => () }
+          }
+      catch { case _: Throwable => () }
+    }
+    val n = tempDirs.size
+    tempDirs.clear()
+    (n, bytes)
   }
 
   def main(args: Array[String]): Unit = {
@@ -126,7 +170,7 @@ object Bench {
       ("""{"skipped":true}""", """{"skipped":true}""") else try {
       val ops = ChangeGen.ops(seed = 42L, n = 20000)
       val (snapOps, streamOps) = ops.splitAt(5000)
-      val changeDir = Files.createTempDirectory("bench-cdc-log").toString
+      val changeDir = tempDir("bench-cdc-log")
       import spark.implicits._
       ChangeGen.writeBatches(changeDir, streamOps, batches = 10)
       // warm the full streaming merge path (source listing, incremental
@@ -136,9 +180,9 @@ object Bench {
       // per-trigger batch shape (maxFilesPerTrigger=1) and THREE warm
       // triggers, so the C2-compiled merge path — not the interpreted
       // first pass — is what the timed run exercises.
-      val warmLog = Files.createTempDirectory("bench-cdc-warmlog").toString
-      val warmDir = Files.createTempDirectory("bench-cdc-warm").toString
-      val warmCkpt = Files.createTempDirectory("bench-cdc-warmckpt").toString
+      val warmLog = tempDir("bench-cdc-warmlog")
+      val warmDir = tempDir("bench-cdc-warm")
+      val warmCkpt = tempDir("bench-cdc-warmckpt")
       Replicate.snapshot(spark,
         ChangeGen.replay(snapOps).values.toSeq.toDS(), warmDir)
       ChangeGen.writeBatches(warmLog, streamOps.take(4500), batches = 3)
@@ -158,9 +202,9 @@ object Bench {
       // complementary axis to per-trigger latency (run right after the
       // warm stream so both measured modes see the same warm session)
       val bulkOps = ChangeGen.ops(seed = 43L, n = 60000)
-      val bulkLog = Files.createTempDirectory("bench-cdc-bulklog").toString
-      val bulkDir = Files.createTempDirectory("bench-cdc-bulk").toString
-      val bulkCkpt = Files.createTempDirectory("bench-cdc-bulkckpt").toString
+      val bulkLog = tempDir("bench-cdc-bulklog")
+      val bulkDir = tempDir("bench-cdc-bulk")
+      val bulkCkpt = tempDir("bench-cdc-bulkckpt")
       Replicate.snapshot(spark,
         ChangeGen.replay(snapOps).values.toSeq.toDS(), bulkDir)
       // 8 log files, no maxFilesPerTrigger → ONE AvailableNow batch that
@@ -190,8 +234,8 @@ object Bench {
       final case class CdcRun(rowsPerSec: Double, worst: Double,
           batches: Int, rows: Long, batchSecs: String)
       def timedRenameRun(): CdcRun = {
-        val rep = Files.createTempDirectory("bench-cdc-replica").toString
-        val ck = Files.createTempDirectory("bench-cdc-ckpt").toString
+        val rep = tempDir("bench-cdc-replica")
+        val ck = tempDir("bench-cdc-ckpt")
         Replicate.snapshot(spark,
           ChangeGen.replay(snapOps).values.toSeq.toDS(), rep)
         // prime file-listing/footer caches for the replica this run
@@ -230,8 +274,8 @@ object Bench {
       var manBest: Option[CdcRun] = None
       try {
         def timedManifestRun(): CdcRun = {
-          val manReplica = Files.createTempDirectory("bench-cdc-man").toString
-          val manCkpt = Files.createTempDirectory("bench-cdc-manckpt").toString
+          val manReplica = tempDir("bench-cdc-man")
+          val manCkpt = tempDir("bench-cdc-manckpt")
           graft.cdc.ManifestReplica.snapshot(spark,
             ChangeGen.replay(snapOps).values.toSeq.toDS(), manReplica)
           val l = new BatchMetricsListener(Some("graft-replicate-manifest"))
@@ -276,9 +320,9 @@ object Bench {
       val probe10x = try {
         val ops10 = ChangeGen.ops(seed = 44L, n = 180000)
         val (snap10, stream10) = ops10.splitAt(30000)
-        val log10 = Files.createTempDirectory("bench-cdc-10x-log").toString
-        val dir10 = Files.createTempDirectory("bench-cdc-10x").toString
-        val ckpt10 = Files.createTempDirectory("bench-cdc-10x-ckpt").toString
+        val log10 = tempDir("bench-cdc-10x-log")
+        val dir10 = tempDir("bench-cdc-10x")
+        val ckpt10 = tempDir("bench-cdc-10x-ckpt")
         Replicate.snapshot(spark,
           ChangeGen.replay(snap10).values.toSeq.toDS(), dir10,
           numBuckets = 64)
@@ -287,7 +331,7 @@ object Bench {
         // warm pass compiled the 16-bucket one) — one throwaway apply
         // warms its codegen so the probe measures steady state, same
         // policy as the graded run
-        val w10 = Files.createTempDirectory("bench-cdc-10x-warm").toString
+        val w10 = tempDir("bench-cdc-10x-warm")
         Replicate.snapshot(spark,
           ChangeGen.replay(snap10.take(2000)).values.toSeq.toDS(), w10,
           numBuckets = 64)
@@ -334,16 +378,16 @@ object Bench {
       val probe100x = try {
         val ops100 = ChangeGen.ops(seed = 45L, n = 1800000)
         val (snap100, stream100) = ops100.splitAt(300000)
-        val log100 = Files.createTempDirectory("bench-cdc-100x-log").toString
-        val dir100 = Files.createTempDirectory("bench-cdc-100x").toString
-        val ck100 = Files.createTempDirectory("bench-cdc-100x-ckpt").toString
+        val log100 = tempDir("bench-cdc-100x-log")
+        val dir100 = tempDir("bench-cdc-100x")
+        val ck100 = tempDir("bench-cdc-100x-ckpt")
         Replicate.snapshot(spark,
           ChangeGen.replay(snap100).values.toSeq.toDS(), dir100,
           numBuckets = 256)
         ChangeGen.writeBatches(log100, stream100, batches = 20)
         // warm the 256-bucket plan shape (same policy as the 64-bucket
         // probe: the timed run must not pay first-plan codegen)
-        val w100 = Files.createTempDirectory("bench-cdc-100x-warm").toString
+        val w100 = tempDir("bench-cdc-100x-warm")
         Replicate.snapshot(spark,
           ChangeGen.replay(snap100.take(2000)).values.toSeq.toDS(), w100,
           numBuckets = 256)
@@ -396,16 +440,16 @@ object Bench {
       val probeMan100x = try {
         val opsM = ChangeGen.ops(seed = 52L, n = 1800000)
         val (snapM, streamM) = opsM.splitAt(300000)
-        val logM = Files.createTempDirectory("bench-man-100x-log").toString
-        val dirM = Files.createTempDirectory("bench-man-100x").toString
-        val ckM = Files.createTempDirectory("bench-man-100x-ckpt").toString
+        val logM = tempDir("bench-man-100x-log")
+        val dirM = tempDir("bench-man-100x")
+        val ckM = tempDir("bench-man-100x-ckpt")
         ManifestReplica.snapshot(spark,
           ChangeGen.replay(snapM).values.toSeq.toDS(), dirM,
           numBuckets = 256)
         ChangeGen.writeBatches(logM, streamM, batches = 20)
         // warm the 256-bucket manifest plan shape (same policy as the
         // rename probes)
-        val wM = Files.createTempDirectory("bench-man-100x-warm").toString
+        val wM = tempDir("bench-man-100x-warm")
         ManifestReplica.snapshot(spark,
           ChangeGen.replay(snapM.take(2000)).values.toSeq.toDS(), wM,
           numBuckets = 256)
@@ -464,9 +508,9 @@ object Bench {
         val opsS = ChangeGen.skewedOps(seed = 53L, n = 180000,
           hotKeys = 10, hotFrac = 0.55)
         val (snapS, streamS) = opsS.splitAt(30000)
-        val logS = Files.createTempDirectory("bench-skew-log").toString
-        val dirS = Files.createTempDirectory("bench-skew").toString
-        val ckS = Files.createTempDirectory("bench-skew-ckpt").toString
+        val logS = tempDir("bench-skew-log")
+        val dirS = tempDir("bench-skew")
+        val ckS = tempDir("bench-skew-ckpt")
         Replicate.snapshot(spark,
           ChangeGen.replay(snapS).values.toSeq.toDS(), dirS,
           numBuckets = 64)
@@ -504,9 +548,9 @@ object Bench {
         val opsMS = ChangeGen.skewedOps(seed = 53L, n = 180000,
           hotKeys = 10, hotFrac = 0.55)
         val (snapMS, streamMS) = opsMS.splitAt(30000)
-        val logMS = Files.createTempDirectory("bench-manskew-log").toString
-        val dirMS = Files.createTempDirectory("bench-manskew").toString
-        val ckMS = Files.createTempDirectory("bench-manskew-ckpt").toString
+        val logMS = tempDir("bench-manskew-log")
+        val dirMS = tempDir("bench-manskew")
+        val ckMS = tempDir("bench-manskew-ckpt")
         ManifestReplica.snapshot(spark,
           ChangeGen.replay(snapMS).values.toSeq.toDS(), dirMS,
           numBuckets = 64)
@@ -549,9 +593,9 @@ object Bench {
       else try {
         val ops1k = ChangeGen.ops(seed = 46L, n = 18000000)
         val (snap1k, stream1k) = ops1k.splitAt(3000000)
-        val log1k = Files.createTempDirectory("bench-cdc-1000x-log").toString
-        val dir1k = Files.createTempDirectory("bench-cdc-1000x").toString
-        val ck1k = Files.createTempDirectory("bench-cdc-1000x-ckpt").toString
+        val log1k = tempDir("bench-cdc-1000x-log")
+        val dir1k = tempDir("bench-cdc-1000x")
+        val ck1k = tempDir("bench-cdc-1000x-ckpt")
         val tGen = System.nanoTime()
         Replicate.snapshot(spark,
           ChangeGen.replay(snap1k).values.toSeq.toDS(), dir1k,
@@ -559,7 +603,7 @@ object Bench {
         val snapSec = (System.nanoTime() - tGen) / 1e9
         ChangeGen.writeBatches(log1k, stream1k, batches = 40)
         // warm the 1024-bucket plan shape (same policy as 64/256)
-        val w1k = Files.createTempDirectory("bench-cdc-1000x-warm").toString
+        val w1k = tempDir("bench-cdc-1000x-warm")
         Replicate.snapshot(spark,
           ChangeGen.replay(snap1k.take(2000)).values.toSeq.toDS(), w1k,
           numBuckets = 1024)
@@ -697,8 +741,31 @@ object Bench {
             Map("ann_model_shared_pass" ->
               (System.nanoTime() - annT0) / 1e9)
           }
+        // the same discipline for the maintained-index family (r14
+        // verdict #5): the warm pass built and memoized the four
+        // CDC-e2e rows' maintained artifacts; drop the handles and pay
+        // the four fixtures' stream-and-maintain cost as ONE timed
+        // line, so the family rows report marginal (serve) cost — the
+        // operational shape, where a standing maintainer keeps each
+        // index warm and a serving job only reads it.
+        graft.ml.MaintainedMemo.clearCache()
+        val maintConsumers = Set("ml_ann_cdc_index", "ml_bm25_cdc_index",
+          "ml_dedup_cdc_index", "ml_hybrid_cdc_serve")
+        val maintLine: Map[String, Double] =
+          if (!qmap.keys.exists(maintConsumers)) Map.empty
+          else {
+            val maintT0 = System.nanoTime()
+            try graft.ml.MlQueries.cdcMaintainSharedPass(spark, sfDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] cdc_maint_shared_pass FAILED: $e")
+              errors("cdc_maint_shared_pass") = Option(e.getMessage)
+                .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+            }
+            Map("cdc_maint_shared_pass" ->
+              (System.nanoTime() - maintT0) / 1e9)
+          }
         // pass 2 (timed, reported)
-        lshLine ++ annLine ++
+        lshLine ++ annLine ++ maintLine ++
           qmap.map { case (name, fn) =>
             val t0 = System.nanoTime()
             try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -779,6 +846,12 @@ object Bench {
     // window: the r7 artifact's tail ENDS with the line + "\n" (both
     // sbt decorations confirmed gone), so the full 2000-char tail is
     // available to the line itself
+    // sweep registered temp dirs LAST (all timing + backstops done) and
+    // BEFORE the result line — the driver's window starts at the line,
+    // and the sweep's own accounting rides stderr like the rest
+    val (sweptDirs, sweptBytes) = sweepTempDirs()
+    System.err.println(
+      s"[bench] swept $sweptDirs temp dirs, ${sweptBytes / (1024 * 1024)} MiB freed")
     System.err.println(s"[bench] line ${line.length} raw chars (window ~1999)")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} FAILURES: ${errors.keys.mkString(", ")}")
     println(line)

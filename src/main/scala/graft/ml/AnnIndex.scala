@@ -160,7 +160,9 @@ object AnnIndex {
     else {
       val newEnc = rows.filter(col("sign") === 1)
         .select(col("vec_id"), col("cell"), codesFor(cb, cents).as("codes"))
-      val hasIndex = new java.io.File(indexPath).exists()
+      // hasPartitions, not root-exists: an all-cells-emptied artifact
+      // must read as absent (ADVICE r14 #2)
+      val hasIndex = IndexFs.hasPartitions(spark, indexPath, "cell")
       val current =
         if (hasIndex) Similarity.ivfAdcIndexScan(spark, indexPath, affected)
         else newEnc.limit(0)
@@ -180,13 +182,8 @@ object AnnIndex {
       val nonEmpty = next.select("cell")
         .repartition(MicroShuffle, col("cell")).distinct().collect()
         .map(_.getInt(0)).toSet
-      affected.filterNot(nonEmpty).foreach { c =>
-        val dir = new java.io.File(s"$indexPath/cell=$c")
-        if (dir.exists()) {
-          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-          dir.delete()
-        }
-      }
+      affected.filterNot(nonEmpty).foreach(c =>
+        IndexFs.deleteDir(spark, s"$indexPath/cell=$c"))
       affected
     }
   }
@@ -326,13 +323,8 @@ object AnnIndex {
     // a child left empty (degenerate split) keeps no partition dir
     val nonEmpty = enc.select("cell").distinct().collect()
       .map(_.getInt(0)).toSet
-    Seq(cell, newIdx).filterNot(nonEmpty).foreach { c =>
-      val dir = new java.io.File(s"$indexPath/cell=$c")
-      if (dir.exists()) {
-        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-        dir.delete()
-      }
-    }
+    Seq(cell, newIdx).filterNot(nonEmpty).foreach(c =>
+      IndexFs.deleteDir(spark, s"$indexPath/cell=$c"))
     (newCents, Split(cell, newIdx, a, b))
   }
 
@@ -345,12 +337,9 @@ object AnnIndex {
     * Returns the compacted cells. */
   def compactIndex(spark: SparkSession, indexPath: String,
       maxFiles: Int = 4): Seq[Int] = {
-    val root = new java.io.File(indexPath)
-    val frag = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-      .filter(_.listFiles().count(f =>
-        !f.getName.startsWith(".") && !f.getName.startsWith("_")) > maxFiles)
-      .map(_.getName.stripPrefix("cell=").toInt).toSeq.sorted
+    val frag = IndexFs.partitionValues(spark, indexPath, "cell")
+      .filter(c =>
+        IndexFs.dataFileCount(spark, s"$indexPath/cell=$c") > maxFiles)
     if (frag.nonEmpty) {
       val rows = Similarity.ivfAdcIndexScan(spark, indexPath, frag)
         .localCheckpoint(true)
@@ -530,52 +519,74 @@ object AnnIndex {
       centroidPath: String, codebookPath: String, opsDumpPath: String,
       epochs: Int = 3, k: Int = PqTopK, nprobe: Int = IvfAdcProbe)
       : DataFrame = {
-    import spark.implicits._
-    val (cents, cb) = Similarity.ivfAdcModel(emb, centroidPath,
-      codebookPath)
-    // harness-side script rendering (bounded: the fixture snapshot);
-    // the engine sees only the change-log files
-    val snap: Seq[(Long, Array[Long])] =
-      Similarity.quantized(emb).select("vec_id", "q").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
-    val ops = epochScript(snap, epochs)
-    ops.map(o => (o.lsn, o.action, o.vecId, o.emb.orNull))
-      .toDF("lsn", "action", "vec_id", "emb")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
-    val changeDir = Files.createTempDirectory("graft-anncdc-log").toString
-    val ckptDir = Files.createTempDirectory("graft-anncdc-ckpt").toString
-    val idxRoot = Files.createTempDirectory("graft-anncdc-idx").toString
-    val indexPath = s"$idxRoot/index"
-    try {
-      ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
-        ChangeGen.writeLineBatches(changeDir,
-          group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
-      }
-      // pin the change stream's state-store width to MicroShuffle
-      // (captured into the cloned session at start; the outer session
-      // width is restored immediately — see TextIndex for rationale)
-      val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-      val q =
-        try Ivm.mtDeltas(MultiTable.parseAll(
-            ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(EmbSpec)))
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ckptDir)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
-            applyEpoch(spark, batch, indexPath, cents, cb); ()
-          }
-          .start()
-        finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-      try q.awaitTermination() finally q.stop()
-      val live = foldOps(spark.read.parquet(opsDumpPath))
-      val qs = live.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      searchIndex(spark, indexPath, live, qs, cents, cb, k, nprobe)
-        .localCheckpoint(true)
-        .orderBy("query_id", "rank")
-    } finally graft.streaming.StreamHygiene.cleanupRun(
-      Seq(changeDir, ckptDir, idxRoot))
+    val m = cdcMaintain(spark, emb, centroidPath, codebookPath,
+      opsDumpPath, epochs)
+    val live = foldOps(spark.read.parquet(opsDumpPath))
+    val qs = live.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    searchIndex(spark, m.indexPath, live, qs, m.cents, m.cb, k, nprobe)
+      .orderBy("query_id", "rank")
   }
+
+  /** Handle to a session's maintained artifact — the serve phase's
+    * whole dependency. */
+  final case class MaintainedAnn(indexPath: String,
+      cents: Seq[Seq[Long]], cb: Seq[Seq[Seq[Long]]])
+
+  /** The stream-and-maintain pass, memoized per (session, ops path) —
+    * [[MaintainedMemo]]'s doctrine: the fixture stream is
+    * deterministic, so one pass per JVM serves every later invocation
+    * (Bench's warm + timed passes; its timed `cdc_maint_shared_pass`
+    * line pays this cost explicitly after the reset). The change-log
+    * and checkpoint temp dirs are removed (with the provider unload)
+    * as soon as the stream finishes; the index artifact lives until
+    * JVM exit. */
+  def cdcMaintain(spark: SparkSession, emb: DataFrame,
+      centroidPath: String, codebookPath: String, opsDumpPath: String,
+      epochs: Int = 3): MaintainedAnn =
+    MaintainedMemo.maintained((spark, "anncdc", opsDumpPath)) {
+      import spark.implicits._
+      val (cents, cb) = Similarity.ivfAdcModel(emb, centroidPath,
+        codebookPath)
+      // harness-side script rendering (bounded: the fixture snapshot);
+      // the engine sees only the change-log files
+      val snap: Seq[(Long, Array[Long])] =
+        Similarity.quantized(emb).select("vec_id", "q").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+      val ops = epochScript(snap, epochs)
+      ops.map(o => (o.lsn, o.action, o.vecId, o.emb.orNull))
+        .toDF("lsn", "action", "vec_id", "emb")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
+      val changeDir = Files.createTempDirectory("graft-anncdc-log").toString
+      val ckptDir = Files.createTempDirectory("graft-anncdc-ckpt").toString
+      val idxRoot = MaintainedMemo.keepUntilExit(
+        Files.createTempDirectory("graft-anncdc-idx").toString)
+      val indexPath = s"$idxRoot/index"
+      try {
+        ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+          ChangeGen.writeLineBatches(changeDir,
+            group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
+        }
+        // pin the change stream's state-store width to MicroShuffle
+        // (captured into the cloned session at start; the outer session
+        // width is restored immediately — see TextIndex for rationale)
+        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
+        val q =
+          try Ivm.mtDeltas(MultiTable.parseAll(
+              ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(EmbSpec)))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckptDir)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
+              applyEpoch(spark, batch, indexPath, cents, cb); ()
+            }
+            .start()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+        try q.awaitTermination() finally q.stop()
+        MaintainedAnn(indexPath, cents, cb)
+      } finally graft.streaming.StreamHygiene.cleanupRun(
+        Seq(changeDir, ckptDir))
+    }
 
 }

@@ -89,7 +89,7 @@ object DedupIndex {
   val MinEst = 0.5
 
   /** Probe derivation knobs for the declared row: every
-    * ([[ProbeMod]])th snapshot doc, truncated to its first ⌈2n/3⌉
+    * ([[ProbeMod]])th snapshot doc, truncated to its first ⌊2n/3⌋
     * tokens — a graded near-dup of its source (shingle containment
     * ≈ 2/3) that the maintained screen must still resolve against the
     * EVOLVED corpus. Probe ids live in the negative namespace (the
@@ -197,12 +197,9 @@ object DedupIndex {
     * the content is untouched. Returns the compacted bucket ids. */
   def compactIndex(spark: SparkSession, path: String, partCol: String,
       maxFiles: Int = 4): Seq[Int] = {
-    val root = new java.io.File(path)
-    val frag = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
-      .filter(_.listFiles().count(f =>
-        !f.getName.startsWith(".") && !f.getName.startsWith("_")) > maxFiles)
-      .map(_.getName.stripPrefix(s"$partCol=").toInt).toSeq.sorted
+    val frag = IndexFs.partitionValues(spark, path, partCol)
+      .filter(v =>
+        IndexFs.dataFileCount(spark, s"$path/$partCol=$v") > maxFiles)
     if (frag.nonEmpty) {
       val rows = spark.read.parquet(path)
         .filter(col(partCol).isin(frag: _*)).localCheckpoint(true)
@@ -262,7 +259,10 @@ object DedupIndex {
       partCol: String, touched: Seq[Int], changedIds: DataFrame,
       plus: DataFrame): Unit = {
     if (touched.isEmpty) return
-    val hasIdx = new java.io.File(path).exists()
+    // hasPartitions, not a bare root-exists check: an artifact whose
+    // every partition an earlier epoch emptied must read as absent
+    // (parquet schema inference on the bare root throws — ADVICE r14 #2)
+    val hasIdx = IndexFs.hasPartitions(spark, path, partCol)
     val current =
       if (hasIdx) spark.read.parquet(path)
         .filter(col(partCol).isin(touched: _*))
@@ -278,13 +278,8 @@ object DedupIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(path)
     val nonEmpty = distinctInts(next, partCol).toSet
-    touched.filterNot(nonEmpty).foreach { b =>
-      val dir = new java.io.File(s"$path/$partCol=$b")
-      if (dir.exists()) {
-        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-        dir.delete()
-      }
-    }
+    touched.filterNot(nonEmpty).foreach(b =>
+      IndexFs.deleteDir(spark, s"$path/$partCol=$b"))
   }
 
   /** Distinct values of a small int column, MicroShuffle-wide (the
@@ -367,7 +362,7 @@ object DedupIndex {
   }
 
   /** The declared row's probe set: every [[ProbeMod]]th snapshot doc
-    * truncated to its first ⌈2n/3⌉ tokens (kept only when the
+    * truncated to its first ⌊2n/3⌋ tokens (kept only when the
     * truncation still shingles, n' ≥ 3), ids negated into the probe
     * namespace. Derived from the ORIGINAL snapshot — the oracle
     * re-derives it identically from the `documents` table. */
@@ -393,46 +388,61 @@ object DedupIndex {
     * materializes. */
   def cdcMaintainAndScreen(spark: SparkSession, docs: DataFrame,
       opsDumpPath: String, epochs: Int = 3): DataFrame = {
-    import spark.implicits._
-    val snap: Seq[(Long, String)] =
-      docs.select("doc_id", "text").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val ops = TextIndex.epochScript(snap, epochs)
-    ops.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
-      .toDF("lsn", "action", "doc_id", "text")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
-    val changeDir = Files.createTempDirectory("graft-dedupcdc-log").toString
-    val ckptDir = Files.createTempDirectory("graft-dedupcdc-ckpt").toString
-    val idxRoot = Files.createTempDirectory("graft-dedupcdc-idx").toString
-    val bandsPath = s"$idxRoot/bands"
-    val sigsPath = s"$idxRoot/sigs"
-    try {
-      ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
-        ChangeGen.writeLineBatches(changeDir,
-          group.sortBy(_.lsn).map(TextIndex.toLine), batches = 1,
-          startIndex = e)
-      }
-      // pin the stream's state-store width to the change volume, not
-      // the corpus-sized session width (TextIndex's rationale; the
-      // width is burned into the checkpoint at stream start)
-      val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-      val q =
-        try Ivm.mtDeltas(MultiTable.parseAll(
-            ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ckptDir)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
-            applyEpoch(spark, batch, bandsPath, sigsPath); ()
-          }
-          .start()
-        finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-      try q.awaitTermination() finally q.stop()
-      screenIndex(spark, probesOf(docs), bandsPath, sigsPath)
-        .localCheckpoint(true)
-    } finally graft.streaming.StreamHygiene.cleanupRun(
-      Seq(changeDir, ckptDir, idxRoot))
+    val m = cdcMaintain(spark, docs, opsDumpPath, epochs)
+    screenIndex(spark, probesOf(docs), m.bandsPath, m.sigsPath)
   }
+
+  /** Handle to a session's maintained artifact — the screen phase's
+    * whole dependency. */
+  final case class MaintainedDedup(bandsPath: String, sigsPath: String)
+
+  /** The stream-and-maintain pass, memoized per (session, ops path) —
+    * see [[MaintainedMemo]]: one pass per JVM; the change-log and
+    * checkpoint temp dirs are removed as soon as the stream finishes,
+    * the band + signature sub-artifacts live until JVM exit. */
+  def cdcMaintain(spark: SparkSession, docs: DataFrame,
+      opsDumpPath: String, epochs: Int = 3): MaintainedDedup =
+    MaintainedMemo.maintained((spark, "dedupcdc", opsDumpPath)) {
+      import spark.implicits._
+      val snap: Seq[(Long, String)] =
+        docs.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val ops = TextIndex.epochScript(snap, epochs)
+      ops.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
+        .toDF("lsn", "action", "doc_id", "text")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
+      val changeDir = Files.createTempDirectory("graft-dedupcdc-log").toString
+      val ckptDir = Files.createTempDirectory("graft-dedupcdc-ckpt").toString
+      val idxRoot = MaintainedMemo.keepUntilExit(
+        Files.createTempDirectory("graft-dedupcdc-idx").toString)
+      val bandsPath = s"$idxRoot/bands"
+      val sigsPath = s"$idxRoot/sigs"
+      try {
+        ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+          ChangeGen.writeLineBatches(changeDir,
+            group.sortBy(_.lsn).map(TextIndex.toLine), batches = 1,
+            startIndex = e)
+        }
+        // pin the stream's state-store width to the change volume, not
+        // the corpus-sized session width (TextIndex's rationale; the
+        // width is burned into the checkpoint at stream start)
+        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
+        val q =
+          try Ivm.mtDeltas(MultiTable.parseAll(
+              ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckptDir)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
+              applyEpoch(spark, batch, bandsPath, sigsPath); ()
+            }
+            .start()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+        try q.awaitTermination() finally q.stop()
+        MaintainedDedup(bandsPath, sigsPath)
+      } finally graft.streaming.StreamHygiene.cleanupRun(
+        Seq(changeDir, ckptDir))
+    }
 
 }

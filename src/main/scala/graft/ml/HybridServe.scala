@@ -82,71 +82,92 @@ object HybridServe {
       emb: DataFrame, centroidPath: String, codebookPath: String,
       docOpsPath: String, embOpsPath: String, epochs: Int = 3)
       : DataFrame = {
-    import spark.implicits._
-    val (cents, cb) = Similarity.ivfAdcModel(emb, centroidPath,
-      codebookPath)
-    val docSnap: Seq[(Long, String)] =
-      docs.select("doc_id", "text").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val embSnap: Seq[(Long, Array[Long])] =
-      Similarity.quantized(emb).select("vec_id", "q").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
-    val docOps = TextIndex.epochScript(docSnap, epochs)
-    val embOps = AnnIndex.epochScript(embSnap, epochs)
-    docOps.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
-      .toDF("lsn", "action", "doc_id", "text")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(docOpsPath)
-    embOps.map(o => (o.lsn, o.action, o.vecId, o.emb.orNull))
-      .toDF("lsn", "action", "vec_id", "emb")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(embOpsPath)
-    val changeDir = Files.createTempDirectory("graft-hyb-log").toString
-    val ckptDir = Files.createTempDirectory("graft-hyb-ckpt").toString
-    val idxRoot = Files.createTempDirectory("graft-hyb-idx").toString
-    val txtIdx = s"$idxRoot/postings"
-    val txtStats = s"$idxRoot/stats"
-    val annIdx = s"$idxRoot/cells"
-    try {
-      // one change-log file per epoch carrying BOTH tables' lines —
-      // the multi-table slot; per-key lsn order is what the fold
-      // consumes, and each table owns its keys
-      val byEpoch = (0 to epochs).map { e =>
-        docOps.filter(_.epoch == e).sortBy(_.lsn).map(TextIndex.toLine) ++
-          embOps.filter(_.epoch == e).sortBy(_.lsn).map(AnnIndex.toLine)
-      }
-      byEpoch.zipWithIndex.foreach { case (lines, e) =>
-        ChangeGen.writeLineBatches(changeDir, lines, batches = 1,
-          startIndex = e)
-      }
-      val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", TextIndex.MicroShuffle)
-      val q =
-        try Ivm.mtDeltas(MultiTable.parseAll(
-            ChangeSource.rawLines(spark, changeDir, Some(1)),
-            Seq(TextIndex.DocSpec, AnnIndex.EmbSpec)))
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ckptDir)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
-            // one shared batch, two subscribers — each applier filters
-            // its own table's deltas
-            val pinned = batch.localCheckpoint(true)
-            TextIndex.applyEpoch(spark, pinned, txtIdx, txtStats, bid)
-            AnnIndex.applyEpoch(spark, pinned, annIdx, cents, cb)
-            ()
-          }
-          .start()
-        finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-      try q.awaitTermination() finally q.stop()
-      val lexTopK = TextIndex.searchIndex(spark, txtIdx, txtStats,
-        k = Bm25K)
-      val live = AnnIndex.foldOps(spark.read.parquet(embOpsPath))
-      val qs = live.filter(col("vec_id") === 0)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val semTopK = AnnIndex.searchIndex(spark, annIdx, live, qs, cents,
-        cb, RrfDepth, Similarity.IvfAdcProbe)
-      fuse(lexTopK, semTopK).localCheckpoint(true)
-    } finally graft.streaming.StreamHygiene.cleanupRun(
-      Seq(changeDir, ckptDir, idxRoot))
+    val m = cdcMaintain(spark, docs, emb, centroidPath, codebookPath,
+      docOpsPath, embOpsPath, epochs)
+    val lexTopK = TextIndex.searchIndex(spark, m.txtIdx, m.txtStats,
+      k = Bm25K)
+    val live = AnnIndex.foldOps(spark.read.parquet(embOpsPath))
+    val qs = live.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val semTopK = AnnIndex.searchIndex(spark, m.annIdx, live, qs,
+      m.cents, m.cb, RrfDepth, Similarity.IvfAdcProbe)
+    fuse(lexTopK, semTopK)
   }
+
+  /** Handle to a session's jointly-maintained artifacts — the serve
+    * phase's whole dependency. */
+  final case class MaintainedHybrid(txtIdx: String, txtStats: String,
+      annIdx: String, cents: Seq[Seq[Long]], cb: Seq[Seq[Seq[Long]]])
+
+  /** The one-stream-two-maintainers pass, memoized per (session, ops
+    * paths) — see [[MaintainedMemo]]: one pass per JVM; the change-log
+    * and checkpoint temp dirs are removed as soon as the stream
+    * finishes, both index artifacts live until JVM exit. */
+  def cdcMaintain(spark: SparkSession, docs: DataFrame,
+      emb: DataFrame, centroidPath: String, codebookPath: String,
+      docOpsPath: String, embOpsPath: String, epochs: Int = 3)
+      : MaintainedHybrid =
+    MaintainedMemo.maintained(
+      (spark, "hybcdc", docOpsPath, embOpsPath)) {
+      import spark.implicits._
+      val (cents, cb) = Similarity.ivfAdcModel(emb, centroidPath,
+        codebookPath)
+      val docSnap: Seq[(Long, String)] =
+        docs.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val embSnap: Seq[(Long, Array[Long])] =
+        Similarity.quantized(emb).select("vec_id", "q").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+      val docOps = TextIndex.epochScript(docSnap, epochs)
+      val embOps = AnnIndex.epochScript(embSnap, epochs)
+      docOps.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
+        .toDF("lsn", "action", "doc_id", "text")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(docOpsPath)
+      embOps.map(o => (o.lsn, o.action, o.vecId, o.emb.orNull))
+        .toDF("lsn", "action", "vec_id", "emb")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(embOpsPath)
+      val changeDir = Files.createTempDirectory("graft-hyb-log").toString
+      val ckptDir = Files.createTempDirectory("graft-hyb-ckpt").toString
+      val idxRoot = MaintainedMemo.keepUntilExit(
+        Files.createTempDirectory("graft-hyb-idx").toString)
+      val txtIdx = s"$idxRoot/postings"
+      val txtStats = s"$idxRoot/stats"
+      val annIdx = s"$idxRoot/cells"
+      try {
+        // one change-log file per epoch carrying BOTH tables' lines —
+        // the multi-table slot; per-key lsn order is what the fold
+        // consumes, and each table owns its keys
+        val byEpoch = (0 to epochs).map { e =>
+          docOps.filter(_.epoch == e).sortBy(_.lsn).map(TextIndex.toLine) ++
+            embOps.filter(_.epoch == e).sortBy(_.lsn).map(AnnIndex.toLine)
+        }
+        byEpoch.zipWithIndex.foreach { case (lines, e) =>
+          ChangeGen.writeLineBatches(changeDir, lines, batches = 1,
+            startIndex = e)
+        }
+        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", TextIndex.MicroShuffle)
+        val q =
+          try Ivm.mtDeltas(MultiTable.parseAll(
+              ChangeSource.rawLines(spark, changeDir, Some(1)),
+              Seq(TextIndex.DocSpec, AnnIndex.EmbSpec)))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckptDir)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+              // one shared batch, two subscribers — each applier filters
+              // its own table's deltas
+              val pinned = batch.localCheckpoint(true)
+              TextIndex.applyEpoch(spark, pinned, txtIdx, txtStats, bid)
+              AnnIndex.applyEpoch(spark, pinned, annIdx, cents, cb)
+              ()
+            }
+            .start()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+        try q.awaitTermination() finally q.stop()
+        MaintainedHybrid(txtIdx, txtStats, annIdx, cents, cb)
+      } finally graft.streaming.StreamHygiene.cleanupRun(
+        Seq(changeDir, ckptDir))
+    }
 
 }

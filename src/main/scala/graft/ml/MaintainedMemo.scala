@@ -1,0 +1,68 @@
+package graft.ml
+
+/** Session-scoped memo for the maintained-index family's
+  * stream-and-maintain passes (VERDICT r14 #5 — the `lsh_shared_pass`
+  * / `ann_model_shared_pass` precedent applied to the CDC-e2e rows).
+  *
+  * Each family row (`ml_ann_cdc_index`, `ml_bm25_cdc_index`,
+  * `ml_dedup_cdc_index`, `ml_hybrid_cdc_serve`) drives a real
+  * checkpointed multi-epoch change stream to build its serving
+  * artifact, then serves off it. The stream-and-maintain phase is the
+  * row's fixture — deterministic per (session, ops-dump path) — so in
+  * one Verify/Bench JVM re-running it per invocation (Bench's warm +
+  * timed passes!) measures trigger/commit machinery twice and buys
+  * nothing. The memo caches the maintained ARTIFACT HANDLE (paths on
+  * disk + bounded model state); invocation N>1 goes straight to the
+  * serve — the operationally honest split, since a production serving
+  * job reads an index a standing maintainer keeps warm, it does not
+  * rebuild the index per query.
+  *
+  * Artifact lifetime: a memoized pass's dirs must outlive the call, so
+  * they are swept by a JVM shutdown hook ([[keepUntilExit]]) instead
+  * of per-call deletion; the per-stream change-log and checkpoint temp
+  * dirs are still removed (with the state-store provider unload) as
+  * soon as the stream finishes. [[clearCache]] only FORGETS entries
+  * (the bench's reset seam, so the timed shared line pays the real
+  * cost); forgotten dirs stay on disk until exit — a rebuild writes
+  * fresh dirs, never in place — which at fixture scale is a few MB.
+  *
+  * Two threads racing a cold key both build; the first `putIfAbsent`
+  * wins and the loser's artifact idles until exit — wasted work in a
+  * rare race, never a wrong result (the [[Dedup]] memo's doctrine).
+  */
+object MaintainedMemo {
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, AnyRef]()
+  private val exitDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private lazy val hookOnce: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.synchronized(exitDirs.toList)
+        .foreach(graft.streaming.StreamHygiene.deleteRec)))
+    ()
+  }
+
+  /** Memoize one stream-and-maintain pass. Key by (session, tag,
+    * fixture path) — the session reference itself, so two sessions
+    * over the same fixture never share a handle bound to the other's
+    * state. */
+  def maintained[T <: AnyRef](key: AnyRef)(build: => T): T = {
+    val hit = memo.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val built = build
+      val winner = memo.putIfAbsent(key, built)
+      if (winner != null) winner.asInstanceOf[T] else built
+    }
+  }
+
+  /** Register an artifact dir for the JVM-exit sweep and return it. */
+  def keepUntilExit(dir: String): String = {
+    hookOnce
+    exitDirs.synchronized { exitDirs += dir }
+    dir
+  }
+
+  /** Forget all handles (artifacts stay on disk until JVM exit; the
+    * next build writes fresh dirs). The bench's reset seam. */
+  def clearCache(): Unit = memo.clear()
+}

@@ -1904,10 +1904,11 @@ object MlQueries {
   /** BM25 oracle: identical rational-k1/b integer arithmetic; DuckDB's
     * `//` is floor division like Spark's `div` (all operands positive
     * here), and its HUGEINT sum is cast back to BIGINT. */
-  private val bm25 = Declared(
-    "ml_bm25_topk",
-    (s, d) => TextAnalysis.bm25TopK(Tables(s, d, "documents")),
-    Some(s"""WITH tok AS (
+  /** Shared by `ml_bm25_topk` and `ml_bm25_split_serve`: the split is
+    * a pure layout move, so the index served through the genealogy
+    * must reproduce the plain corpus derivation bit for bit. */
+  private val bm25TopkSql =
+    s"""WITH tok AS (
             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
             |  FROM documents),
             |tf AS (SELECT doc_id, term, count(*) AS tf
@@ -1930,7 +1931,25 @@ object MlQueries {
             |  CAST(sum(contrib) AS BIGINT) AS score_fp
             |FROM c GROUP BY doc_id
             |ORDER BY score_fp DESC, doc_id
-            |LIMIT ${TextAnalysis.Bm25K}""".stripMargin))
+            |LIMIT ${TextAnalysis.Bm25K}""".stripMargin
+
+  private val bm25 = Declared(
+    "ml_bm25_topk",
+    (s, d) => TextAnalysis.bm25TopK(Tables(s, d, "documents")),
+    Some(bm25TopkSql))
+
+  /** L114 — hot-bucket split serve ([[TextIndex.splitServe]]): build
+    * the postings + stats artifact, split the hottest bucket and then
+    * its fuller half (two genealogy levels), persist the split
+    * directory, and serve the standing BM25 query through the
+    * RELOADED split map. Splits never change content, so the oracle
+    * is the plain corpus BM25 — equality proves the genealogy routed
+    * every probe to the right partition (a wrong descent reads an
+    * empty or stale bucket and loses that term's contributions). */
+  private val bm25SplitServe = Declared(
+    "ml_bm25_split_serve",
+    (s, d) => TextIndex.splitServe(s, Tables(s, d, "documents")),
+    Some(bm25TopkSql))
 
   /** Known-item retrieval eval ([[TextAnalysis.knownItemEval]]): the
     * oracle re-derives the query snippets, the full integer BM25
@@ -2063,7 +2082,7 @@ object MlQueries {
     * epoch re-signs only the changed docs (the -old image names its
     * departing band buckets — no index probe) and rewrites only the
     * touched band-bucket and signature-bucket partitions; the standing
-    * probe set (every 20th snapshot doc truncated to its first ⌈2n/3⌉
+    * probe set (every 20th snapshot doc truncated to its first ⌊2n/3⌋
     * tokens, negative-id namespace) is then screened entirely off the
     * maintained artifact — band read pruned to the probes' own
     * buckets, signature read pruned to the candidates' buckets, best
@@ -4309,11 +4328,34 @@ object MlQueries {
     contam, contamStream, quantileStream, piiRedact,
     shardAssign, mixRebalance, chunking, exportManifest, exportCdc,
     curriculumOrder,
-    tfidfTopTerms, bm25, bm25KnownItem, bm25CdcIndex, dedupCdcIndex,
+    tfidfTopTerms, bm25, bm25SplitServe, bm25KnownItem, bm25CdcIndex,
+    dedupCdcIndex,
     fingerprint,
     zorder, hilbert,
     binpack,
     mediaMeta, mediaDecode, mediaResize, mediaFrames, mediaAhash,
     mediaNearDup, mediaTemporal,
     audioDecode, audioVad, audioResample)
+
+  /** The maintained-index family's shared stream-and-maintain pass
+    * (the `lsh_shared_pass` / `ann_model_shared_pass` precedent,
+    * VERDICT r14 #5): Bench resets [[MaintainedMemo]] after its warm
+    * pass and pays the four CDC-e2e fixtures' maintenance here as ONE
+    * timed `cdc_maint_shared_pass` line, so `ml_ann_cdc_index` /
+    * `ml_bm25_cdc_index` / `ml_dedup_cdc_index` / `ml_hybrid_cdc_serve`
+    * report their marginal (serve) cost — the operational shape, where
+    * a standing maintainer keeps each index warm and the serving job
+    * only reads it. Uses this object's private fixture paths so the
+    * memo keys match the declared rows'. */
+  def cdcMaintainSharedPass(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    AnnIndex.cdcMaintain(s, Tables(s, dir, "embeddings"),
+      annCdcCentPq, annCdcCbPq, annCdcOpsPq)
+    TextIndex.cdcMaintain(s, Tables(s, dir, "documents"), txtCdcOpsPq)
+    DedupIndex.cdcMaintain(s, Tables(s, dir, "documents"), dedupCdcOpsPq)
+    HybridServe.cdcMaintain(s, Tables(s, dir, "documents"),
+      Tables(s, dir, "embeddings"), hybCentPq, hybCbPq, hybDocOpsPq,
+      hybEmbOpsPq)
+    ()
+  }
 }

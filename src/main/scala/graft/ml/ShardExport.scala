@@ -127,7 +127,9 @@ object ShardExport {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return touched
     val plus = withShard(rows.filter(col("sign") === 1).drop("sign"))
-    val hasExport = new java.io.File(shardsPath).exists()
+    // hasPartitions, not root-exists: an all-shards-emptied export
+    // must read as absent (ADVICE r14 #2)
+    val hasExport = IndexFs.hasPartitions(spark, shardsPath, "shard")
     val current =
       if (hasExport) spark.read.parquet(shardsPath)
         .filter(col("shard").isin(touched: _*))
@@ -152,13 +154,8 @@ object ShardExport {
     val nonEmpty = nextManifest.select("shard").collect()
       .map(_.getInt(0)).toSet
     touched.filterNot(nonEmpty).foreach { s =>
-      Seq(s"$shardsPath/shard=$s", s"$manifestPath/shard=$s").foreach { p =>
-        val dir = new java.io.File(p)
-        if (dir.exists()) {
-          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-          dir.delete()
-        }
-      }
+      Seq(s"$shardsPath/shard=$s", s"$manifestPath/shard=$s")
+        .foreach(IndexFs.deleteDir(spark, _))
     }
     touched
   }

@@ -52,8 +52,11 @@ import graft.cdc.{ChangeGen, ChangeSource, Ivm, MtDelta, MultiTable, TableSpec}
   * partition overwrite of exactly those buckets; serving reads
   * ≤ |query terms| partitions + the epoch-row stats log — search cost
   * is independent of how much of the corpus is cold. At 100 TB the
-  * bucket count scales with vocabulary mass (hot-term buckets split
-  * like any hash layout); the maintenance algebra is unchanged.
+  * bucket count scales with vocabulary mass: hot buckets split via
+  * [[splitBucket]] (extendible hashing — the split rewrites ONLY the
+  * hot bucket, and every bucket derivation thereafter runs through the
+  * persisted genealogy, [[splitBucketOf]]); the maintenance algebra is
+  * unchanged.
   */
 object TextIndex {
   import TextAnalysis.{Bm25K, Bm25Query, Bm25Scale}
@@ -83,9 +86,93 @@ object TextIndex {
   /** Fresh-key namespace for the synthetic epoch script's inserts. */
   val InsertIdBase = 2000000L
 
-  /** A term's one-and-only partition. */
+  /** A term's one-and-only partition (unsplit layout). */
   def bucketOf(term: Column): Column =
     pmod(hash(term), lit(NumBuckets))
+
+  // ---- hot-bucket split (extendible hashing) ------------------------------
+
+  /** One hot-bucket split record: `parent` was split while living at
+    * local modulus `mod`, its rows re-hashed at 2·`mod` — each lands
+    * back in `parent` or moves to `child = parent + mod`. The ordered
+    * split list IS the layout's directory (extendible hashing with
+    * per-bucket local depth — Fagin et al., TODS '79): bucket ids are
+    * `pmod(hash(term), localMod)` values, so fresh child ids can never
+    * collide with live ones, and ONLY the split bucket's partitions
+    * rewrite — the rest of the index is untouched by a split
+    * (the [[AnnIndex.splitCell]] discipline applied to a hash layout,
+    * VERDICT r14 #4). */
+  final case class HashSplit(parent: Int, child: Int, mod: Int)
+
+  /** A term's partition under the split genealogy: descend the split
+    * list in order, re-hashing at the doubled modulus whenever the
+    * current bucket is the one that split. The genealogy lesson from
+    * the ANN layout applies verbatim: EVERY bucket derivation —
+    * serve-side probes, an epoch's departing -old postings, its
+    * arriving +new postings — must run through this map; deriving any
+    * of them with the base [[bucketOf]] would name partitions that no
+    * longer hold (or no longer receive) the term. One codegen'd
+    * when-chain, no shuffle, no lookup table. */
+  def splitBucketOf(term: Column, splits: Seq[HashSplit]): Column =
+    splits.foldLeft(bucketOf(term)) { (b, s) =>
+      when(b === lit(s.parent),
+        pmod(hash(term), lit(2 * s.mod))).otherwise(b)
+    }
+
+  /** The local modulus bucket `b` currently lives at: base
+    * [[NumBuckets]], doubled each time `b` was a split's parent or
+    * child. */
+  def localModOf(splits: Seq[HashSplit], b: Int): Int =
+    splits.foldLeft(Map.empty[Int, Int].withDefaultValue(NumBuckets)) {
+      (m, s) => m.updated(s.parent, 2 * s.mod).updated(s.child, 2 * s.mod)
+    }(b)
+
+  /** Split ONE hot bucket: read exactly its partition, re-hash its
+    * rows at the doubled local modulus, dynamic-overwrite the two
+    * result partitions (a degenerate side that gets no rows keeps no
+    * dir). Every other partition stays byte-identical — the rewrite
+    * unit is the split bucket, never the index (spec-pinned). Returns
+    * the extended split list; the caller persists it next to the index
+    * ([[saveSplits]]) exactly like the ANN quantizer's genealogy. */
+  def splitBucket(spark: SparkSession, indexPath: String, b: Int,
+      splits: Seq[HashSplit]): Seq[HashSplit] = {
+    val m = localModOf(splits, b)
+    val s = HashSplit(b, b + m, m)
+    val rows = indexScan(spark, indexPath, Seq(b))
+      .withColumn("bucket", pmod(hash(col("term")), lit(2 * m)))
+      // materialize BEFORE the write: the overwrite must not scan the
+      // very partition it is replacing
+      .localCheckpoint(true)
+    rows.repartition(MicroShuffle, col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(indexPath)
+    val nonEmpty = rows.select("bucket")
+      .repartition(MicroShuffle, col("bucket")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    Seq(s.parent, s.child).filterNot(nonEmpty).foreach(c =>
+      IndexFs.deleteDir(spark, s"$indexPath/bucket=$c"))
+    splits :+ s
+  }
+
+  /** Persist the split genealogy — bounded model state (one row per
+    * split), the layout's directory a restarted maintainer/server
+    * reloads. */
+  def saveSplits(spark: SparkSession, path: String,
+      splits: Seq[HashSplit]): Unit = {
+    import spark.implicits._
+    splits.zipWithIndex
+      .map { case (s, i) => (i, s.parent, s.child, s.mod) }
+      .toDF("ord", "parent", "child", "mod").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Reload a [[saveSplits]] dump, in split order. */
+  def loadSplits(spark: SparkSession, path: String): Seq[HashSplit] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), HashSplit(r.getInt(1), r.getInt(2),
+        r.getInt(3))))
+      .sortBy(_._1).map(_._2).toSeq
 
   // ---- tokenize / encode ------------------------------------------------
 
@@ -96,8 +183,12 @@ object TextIndex {
     * explode + groupBy form trades one keyed exchange for linear
     * per-row work (the cutover a production build would make
     * per-partition, not per-job). Extra columns named in `keep` are
-    * carried through (the signed-delta path keeps `sign`). */
-  def postingsFor(rows: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    * carried through (the signed-delta path keeps `sign`); `splits`
+    * routes the bucket assignment through the hot-bucket genealogy
+    * ([[splitBucketOf]] — MUST be the maintainer's live split list
+    * once any bucket has split). */
+  def postingsFor(rows: DataFrame, keep: Seq[String] = Nil,
+      splits: Seq[HashSplit] = Nil): DataFrame = {
     val tk = MlFunctions.tokens(col("text"))
     val termTf = transform(array_distinct(col("tk")),
       t => struct(t.as("term"),
@@ -108,7 +199,8 @@ object TextIndex {
         explode(termTf).as("p") +: keep.map(col): _*)
       .select(col("doc_id") +: col("p.term").as("term") +:
         col("p.tf").as("tf") +: col("dlen") +:
-        bucketOf(col("p.term")).as("bucket") +: keep.map(col): _*)
+        splitBucketOf(col("p.term"), splits).as("bucket") +:
+        keep.map(col): _*)
   }
 
   /** Full build: tokenize every doc, one partition per term bucket.
@@ -174,12 +266,9 @@ object TextIndex {
     * layout rewrite — spec-pinned). Returns the compacted buckets. */
   def compactIndex(spark: SparkSession, indexPath: String,
       maxFiles: Int = 4): Seq[Int] = {
-    val root = new java.io.File(indexPath)
-    val frag = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .filter(_.listFiles().count(f =>
-        !f.getName.startsWith(".") && !f.getName.startsWith("_")) > maxFiles)
-      .map(_.getName.stripPrefix("bucket=").toInt).toSeq.sorted
+    val frag = IndexFs.partitionValues(spark, indexPath, "bucket")
+      .filter(b =>
+        IndexFs.dataFileCount(spark, s"$indexPath/bucket=$b") > maxFiles)
     if (frag.nonEmpty) {
       val rows = indexScan(spark, indexPath, frag).localCheckpoint(true)
       rows.repartition(MicroShuffle, col("bucket"))
@@ -202,9 +291,18 @@ object TextIndex {
     * batch empties is cleared explicitly). The batch's (ΔN, ΔT) lands
     * as the stats log's `epoch=batchId` partition — replay overwrites
     * it in place. Returns the touched buckets; |returned| ==
-    * |rewritten partitions| is the spec pin. */
+    * |rewritten partitions| is the spec pin.
+    *
+    * `splits`: the live hot-bucket genealogy. BOTH sides of the delta
+    * derive their buckets through it — the -old image's departing
+    * postings and the +new image's arriving ones — so a post-split
+    * epoch retracts from and lands in the partitions the terms
+    * actually live in (deriving either side with the base hash would
+    * leave stale rows in the split bucket's former home — the exact
+    * failure the ANN genealogy spec caught, AnnIndexSpec:228). */
   def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
-      indexPath: String, statsPath: String, batchId: Long): Seq[Int] = {
+      indexPath: String, statsPath: String, batchId: Long,
+      splits: Seq[HashSplit] = Nil): Seq[Int] = {
     val df = batch.toDF()
     val textCol = element_at(
       from_json(col("img"), MapType(StringType, StringType)), "text")
@@ -230,14 +328,16 @@ object TextIndex {
     // repartition-by-key before distinct: the optimizer reuses the
     // hash partitioning, so the distinct adds no second exchange and
     // the one exchange is MicroShuffle-wide
-    val posts = postingsFor(rows, keep = Seq("sign"))
+    val posts = postingsFor(rows, keep = Seq("sign"), splits = splits)
     val touched = posts.select("bucket")
       .repartition(MicroShuffle, col("bucket")).distinct().collect()
       .map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) touched
     else {
       val newPosts = posts.filter(col("sign") === 1).drop("sign")
-      val hasIndex = new java.io.File(indexPath).exists()
+      // hasPartitions, not root-exists: an all-partitions-emptied
+      // artifact must read as absent (ADVICE r14 #2)
+      val hasIndex = IndexFs.hasPartitions(spark, indexPath, "bucket")
       val current =
         if (hasIndex) indexScan(spark, indexPath, touched)
         else newPosts.limit(0)
@@ -257,13 +357,8 @@ object TextIndex {
       val nonEmpty = next.select("bucket")
         .repartition(MicroShuffle, col("bucket")).distinct().collect()
         .map(_.getInt(0)).toSet
-      touched.filterNot(nonEmpty).foreach { b =>
-        val dir = new java.io.File(s"$indexPath/bucket=$b")
-        if (dir.exists()) {
-          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-          dir.delete()
-        }
-      }
+      touched.filterNot(nonEmpty).foreach(b =>
+        IndexFs.deleteDir(spark, s"$indexPath/bucket=$b"))
       touched
     }
   }
@@ -279,10 +374,12 @@ object TextIndex {
     * epoch-row stats log by addition. No corpus access of any kind. */
   def searchIndex(spark: SparkSession, indexPath: String,
       statsPath: String, queryTerms: Seq[String] = Bm25Query,
-      k: Int = Bm25K): DataFrame = {
+      k: Int = Bm25K, splits: Seq[HashSplit] = Nil): DataFrame = {
     import spark.implicits._
+    // probes derive through the split genealogy — a split bucket's
+    // terms live in the child the map names, not the base-hash home
     val qBuckets = queryTerms.toDF("term")
-      .select(bucketOf(col("term"))).distinct()
+      .select(splitBucketOf(col("term"), splits)).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val st = spark.read.parquet(statsPath)
       .agg(sum(col("dn")).as("n"), sum(col("dt")).as("t"))
@@ -393,48 +490,101 @@ object TextIndex {
     * materializes. */
   def cdcMaintainAndSearch(spark: SparkSession, docs: DataFrame,
       opsDumpPath: String, epochs: Int = 3, k: Int = Bm25K): DataFrame = {
-    import spark.implicits._
-    val snap: Seq[(Long, String)] =
-      docs.select("doc_id", "text").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val ops = epochScript(snap, epochs)
-    ops.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
-      .toDF("lsn", "action", "doc_id", "text")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
-    val changeDir = Files.createTempDirectory("graft-txtcdc-log").toString
-    val ckptDir = Files.createTempDirectory("graft-txtcdc-ckpt").toString
-    val idxRoot = Files.createTempDirectory("graft-txtcdc-idx").toString
-    val indexPath = s"$idxRoot/index"
-    val statsPath = s"$idxRoot/stats"
-    try {
-      ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
-        ChangeGen.writeLineBatches(changeDir,
-          group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
-      }
-      // the change stream's state is change-volume-sized: pin its
-      // state-store width (fixed at stream start from the session's
-      // shuffle conf) to MicroShuffle instead of the corpus-sized
-      // session width — 4× fewer state files per commit; restored
-      // immediately after start (the width is burned into the
-      // checkpoint at that point)
-      val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-      val q =
-        try Ivm.mtDeltas(MultiTable.parseAll(
-            ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ckptDir)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
-            applyEpoch(spark, batch, indexPath, statsPath, bid); ()
-          }
-          .start()
-        finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-      try q.awaitTermination() finally q.stop()
-      searchIndex(spark, indexPath, statsPath, k = k)
-        .localCheckpoint(true)
-    } finally graft.streaming.StreamHygiene.cleanupRun(
-      Seq(changeDir, ckptDir, idxRoot))
+    val m = cdcMaintain(spark, docs, opsDumpPath, epochs)
+    searchIndex(spark, m.indexPath, m.statsPath, k = k)
   }
+
+  /** Handle to a session's maintained artifact — the serve phase's
+    * whole dependency. */
+  final case class MaintainedText(indexPath: String, statsPath: String)
+
+  /** The declared L114 composition (`ml_bm25_split_serve`): build the
+    * postings + stats artifact, split the HOTTEST bucket, then the
+    * fuller of its two halves (two genealogy levels, local mods
+    * 16 → 32), persist the split directory, and serve the standing
+    * BM25 query through a [[loadSplits]]-reloaded map — the
+    * restarted-server shape the persistence exists for. Splits are
+    * pure layout moves, so the served top-k must equal the plain
+    * corpus BM25 derivation; the oracle scores the raw `documents`
+    * table and never sees the layout. Build+splits are memoized per
+    * (session, corpus plan) — the serve is the row's marginal cost. */
+  def splitServe(spark: SparkSession, docs: DataFrame,
+      k: Int = Bm25K): DataFrame = {
+    val built = MaintainedMemo.maintained(
+        (spark, "txtsplit", docs.queryExecution.analyzed.canonicalized)) {
+      val root = MaintainedMemo.keepUntilExit(
+        Files.createTempDirectory("graft-txtsplit").toString)
+      val (idx, st) = (s"$root/index", s"$root/stats")
+      buildIndex(docs.select("doc_id", "text"), idx)
+      buildStats(docs, st)
+      // deterministic hot-bucket choice: most rows, ties to lowest id
+      def hottest(cands: Option[Seq[Int]]): Int = {
+        val counts = spark.read.parquet(idx).groupBy("bucket").count()
+        cands.fold(counts)(cs => counts.filter(col("bucket").isin(cs: _*)))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+          .sortBy { case (b, n) => (-n, b) }.head._1
+      }
+      val h0 = hottest(None)
+      var splits = splitBucket(spark, idx, h0, Nil)
+      val h1 = hottest(Some(Seq(h0, h0 + NumBuckets)))
+      splits = splitBucket(spark, idx, h1, splits)
+      saveSplits(spark, s"$root/splits", splits)
+      (idx, st, s"$root/splits")
+    }
+    val (idx, st, splitsPath) = built
+    searchIndex(spark, idx, st, k = k,
+      splits = loadSplits(spark, splitsPath))
+  }
+
+  /** The stream-and-maintain pass, memoized per (session, ops path) —
+    * see [[MaintainedMemo]]: one pass per JVM; the change-log and
+    * checkpoint temp dirs are removed as soon as the stream finishes,
+    * the postings + stats artifact lives until JVM exit. */
+  def cdcMaintain(spark: SparkSession, docs: DataFrame,
+      opsDumpPath: String, epochs: Int = 3): MaintainedText =
+    MaintainedMemo.maintained((spark, "txtcdc", opsDumpPath)) {
+      import spark.implicits._
+      val snap: Seq[(Long, String)] =
+        docs.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val ops = epochScript(snap, epochs)
+      ops.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
+        .toDF("lsn", "action", "doc_id", "text")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
+      val changeDir = Files.createTempDirectory("graft-txtcdc-log").toString
+      val ckptDir = Files.createTempDirectory("graft-txtcdc-ckpt").toString
+      val idxRoot = MaintainedMemo.keepUntilExit(
+        Files.createTempDirectory("graft-txtcdc-idx").toString)
+      val indexPath = s"$idxRoot/index"
+      val statsPath = s"$idxRoot/stats"
+      try {
+        ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+          ChangeGen.writeLineBatches(changeDir,
+            group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
+        }
+        // the change stream's state is change-volume-sized: pin its
+        // state-store width (fixed at stream start from the session's
+        // shuffle conf) to MicroShuffle instead of the corpus-sized
+        // session width — 4× fewer state files per commit; restored
+        // immediately after start (the width is burned into the
+        // checkpoint at that point)
+        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
+        val q =
+          try Ivm.mtDeltas(MultiTable.parseAll(
+              ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckptDir)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+              applyEpoch(spark, batch, indexPath, statsPath, bid); ()
+            }
+            .start()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+        try q.awaitTermination() finally q.stop()
+        MaintainedText(indexPath, statsPath)
+      } finally graft.streaming.StreamHygiene.cleanupRun(
+        Seq(changeDir, ckptDir))
+    }
 
 }

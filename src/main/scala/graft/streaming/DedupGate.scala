@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ml.DedupIndex
+import graft.ml.{DedupIndex, IndexFs}
 
 /** The INDEXED continuous dedup gate — [[IncrementalDedup]]'s
   * screen-admit-append loop upgraded to the partition-pruned store its
@@ -81,32 +81,34 @@ object DedupGate {
     * range. Returns the compacted bucket ids. */
   def compactGate(spark: SparkSession, path: String, partCol: String,
       upToBatch: Long, maxFiles: Int = 4): Seq[Int] = {
-    val root = new java.io.File(path)
-    def mergeable(b: java.io.File): Seq[java.io.File] =
-      Option(b.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("batch=") &&
-          d.getName.stripPrefix("batch=").toLong <= upToBatch).toSeq
-    val frag = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+    def mergeable(bucketDir: String): Seq[String] =
+      IndexFs.childDirs(spark, bucketDir)
+        .filter(d => d.startsWith("batch=") &&
+          d.stripPrefix("batch=").toLong <= upToBatch)
+    val frag = IndexFs.partitionValues(spark, path, partCol)
       .filter { b =>
-        mergeable(b).map(_.listFiles().count(f =>
-          f.getName.endsWith(".parquet"))).sum > maxFiles
+        mergeable(s"$path/$partCol=$b")
+          .map(d => IndexFs.dataFiles(spark, s"$path/$partCol=$b/$d")
+            .count(_.endsWith(".parquet"))).sum > maxFiles
       }
-      .map(_.getName.stripPrefix(s"$partCol=").toInt).toSeq.sorted
     frag.foreach { b =>
       val rows = spark.read.parquet(path)
         .filter(col(partCol) === b && col("batch") <= upToBatch)
         .drop("batch").localCheckpoint(true)
+      // hash-partition on the bucket column like DedupIndex.compactIndex:
+      // every row of this pass shares one bucket value, so one task owns
+      // the write → one file in batch=-1. Round-robin (no key) spread the
+      // rewrite over MicroShuffle=8 tasks → up to 8 files > maxFiles=4,
+      // so the bucket was re-flagged and rewritten on every later call
+      // (ADVICE r14 #1: compaction that never converges).
       rows.withColumn("batch", lit(-1L))
-        .repartition(DedupIndex.MicroShuffle)
+        .repartition(DedupIndex.MicroShuffle, col(partCol))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol, "batch").parquet(path)
-      mergeable(new java.io.File(s"$path/$partCol=$b"))
-        .filter(_.getName != "batch=-1").foreach { d =>
-          Option(d.listFiles()).foreach(_.foreach(_.delete()))
-          d.delete()
-        }
+      mergeable(s"$path/$partCol=$b")
+        .filter(_ != "batch=-1")
+        .foreach(d => IndexFs.deleteDir(spark, s"$path/$partCol=$b/$d"))
     }
     frag
   }

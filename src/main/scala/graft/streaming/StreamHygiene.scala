@@ -15,9 +15,14 @@ package graft.streaming
   * unload is pure cleanup, not a cache policy.
   */
 object StreamHygiene {
-  /** Unload every cached state-store provider and stop the
-    * maintenance task; the next stream (or the next harness row)
-    * reloads its own providers from its own checkpoint as usual.
+  /** Unload every cached state-store provider; the next stream (or
+    * the next harness row) reloads its own providers from its own
+    * checkpoint as usual. The maintenance TIMER THREAD deliberately
+    * keeps running — `StateStore.unloadAll()` only unloads providers
+    * (`stop()` would also kill the thread, but it's one idle timer
+    * with nothing to maintain once the providers are gone, and Spark
+    * restarts it lazily anyway); the leak being fixed is provider heap
+    * + per-provider maintenance work, and that is fully handled.
     *
     * SCOPE: this unloads the WHOLE JVM's provider cache, not just the
     * finished run's — correct for the declared rows (Verify/Bench run
@@ -32,8 +37,25 @@ object StreamHygiene {
 
   /** The shared harness teardown: drop the provider cache, then
     * remove the run's temp dirs — one helper so a future harness row
-    * cannot take the delete half without the unload half. */
+    * cannot take the delete half without the unload half.
+    *
+    * GUARD (VERDICT r14 #9): the JVM-wide unload is only safe under
+    * the sequential-streams assumption documented above — Verify/Bench
+    * run one harness row at a time, so no provider alive at teardown
+    * belongs to a live stream. Assert that, don't assume it: a future
+    * concurrent-harness change that overlaps rows would otherwise
+    * silently force a LIVE stateful stream to reload all its state
+    * from its checkpoint mid-run (correct but a latency cliff, and the
+    * kind of wander no bench note would ever trace back here). */
   def cleanupRun(dirs: Seq[String]): Unit = {
+    val live = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.streams.active.toSeq).getOrElse(Seq.empty)
+    require(live.isEmpty,
+      s"cleanupRun called with ${live.size} active stream(s) " +
+        s"(${live.map(_.name).mkString(", ")}): the JVM-wide state-store " +
+        "unload assumes sequential harness rows — stop the run's streams " +
+        "first, or scope the harness so rows do not overlap")
     unloadStateStores()
     dirs.foreach(deleteRec)
   }

@@ -339,6 +339,46 @@ class AnnIndexSpec extends AnyFunSuite {
       "reloaded quantizer must reproduce the maintained assignments")
   }
 
+  test("restarted serving job: quantizer loaded in a fresh session serves identically") {
+    // the composition the persistence exists for (VERDICT r14 #7):
+    // maintain (build + split + post-split epoch) → save → a NEW
+    // session loads the model from disk and serves the SAME maintained
+    // artifact — results must equal the in-memory serve bit for bit
+    val idx = tmp("ann-serve-restart") + "/index"
+    AnnIndex.buildIndex(qRows, idx, cents, cb)
+    val corpus = qRows.toDF("vec_id", "q")
+    val big = spark.read.parquet(idx).groupBy("cell").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    val (newCents, split) = AnnIndex.splitCell(spark, idx, corpus, big,
+      cents, cb)
+    val (kU, qU) = qRows.limit(1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).head
+    AnnIndex.applyEpoch(spark,
+      Seq(mkDelta(kU, -1, qU), mkDelta(kU, +1, qU.map(-_))).toDS(),
+      idx, newCents, cb, root = cents, splits = Seq(split))
+    val qzPath = tmp("ann-qz-serve")
+    AnnIndex.saveQuantizer(spark, qzPath, cents, newCents, Seq(split), cb)
+    def serve(s: org.apache.spark.sql.SparkSession,
+        model: (Seq[Seq[Long]], Seq[Seq[Seq[Long]]])): Set[Seq[Any]] = {
+      val rows = Tables(s, sf, "embeddings")
+        .select(col("vec_id"), MlFunctions.quantize(col("embedding")).as("q"))
+      val qs = rows.orderBy("vec_id").limit(5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      AnnIndex.searchIndex(s, idx, rows, qs, model._1, model._2)
+        .collect().map(_.toSeq.map(x => x: Any)).toSet
+    }
+    val inMem = serve(spark, (newCents, cb))
+    // fresh-session shape: isolated session state, model read from disk
+    val s2 = spark.newSession()
+    val (r2, c2, s2splits, cb2) = AnnIndex.loadQuantizer(s2, qzPath)
+    assert(r2 === cents && s2splits === Seq(split),
+      "the genealogy must ride the reload")
+    val viaLoaded = serve(s2, (c2, cb2))
+    assert(viaLoaded === inMem && inMem.nonEmpty,
+      "loaded-model serve must equal the in-memory serve")
+  }
+
   test("compactIndex: only fragmented cells rewrite; content invariant") {
     val idx = tmp("ann-compact") + "/index"
     // five append waves fragment the touched cells

@@ -180,6 +180,18 @@ class DedupGateSpec extends AnyFunSuite {
     // the screen is unaffected by the layout rewrite
     val s1 = DedupIndex.screenIndex(spark, probe, bp, sp).collect().toSeq
     assert(s1 === s0, "screen must be invariant under compaction")
+    // CONVERGENCE (ADVICE r14 #1): the rewrite must itself satisfy the
+    // threshold it compacts against — one file per consolidated bucket,
+    // so a compacted bucket can never be re-flagged as fragmented
+    compacted.foreach { b =>
+      val n = Option(new java.io.File(s"$bp/bucket=$b/batch=-1").listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"bucket=$b consolidated into $n files, want 1")
+    }
+    val again = DedupGate.compactGate(spark, bp, "bucket",
+      upToBatch = 2L, maxFiles = 2)
+    assert(again.isEmpty,
+      s"an immediate second compactGate must find nothing to do: $again")
   }
 
   test("an epoch's appends land only under its touched buckets × its own batch id") {

@@ -296,4 +296,113 @@ class TextIndexSpec extends AnyFunSuite {
     assert(served === direct,
       "index-served BM25 must equal the direct corpus derivation")
   }
+
+  test("hot-bucket split: only the split bucket rewrites; content and serve invariant") {
+    val root = tmp("txt-split")
+    val (idx, st) = (s"$root/index", s"$root/stats")
+    TextIndex.buildIndex(docs.select("doc_id", "text"), idx)
+    TextIndex.buildStats(docs, st)
+    val baseline = TextIndex.searchIndex(spark, idx, st)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val before = fingerprint(idx)
+    val contentBefore = indexContent(idx)
+    val hot = spark.read.parquet(idx).groupBy("bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (b, n) => (-n, b) }.head._1
+    val splits = TextIndex.splitBucket(spark, idx, hot, Nil)
+    assert(splits === Seq(TextIndex.HashSplit(hot, hot + 16, 16)))
+    // rewrite unit: the split bucket's two halves; everything else
+    // byte-identical
+    val after = fingerprint(idx)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.subsetOf(Set(s"bucket=$hot", s"bucket=${hot + 16}")),
+      s"a split may touch only its own partitions: $changed")
+    assert(indexContent(idx) === contentBefore,
+      "a split is a pure layout rewrite")
+    // every row now lives where the genealogy says it lives
+    val misplaced = spark.read.parquet(idx)
+      .filter(col("bucket") =!=
+        TextIndex.splitBucketOf(col("term"), splits)).count()
+    assert(misplaced === 0L, "rows must land in their genealogy bucket")
+    // serve through the map: identical results, still bucket-pruned
+    val served = TextIndex.searchIndex(spark, idx, st, splits = splits)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(served === baseline && served.nonEmpty,
+      "serve through the split map must equal the pre-split serve")
+    val qBuckets = graft.ml.TextAnalysis.Bm25Query.toDF("term")
+      .select(TextIndex.splitBucketOf(col("term"), splits)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scanned = TextIndex.indexScan(spark, idx, qBuckets)
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scanned.forall(f =>
+      qBuckets.exists(b => f.contains(s"bucket=$b/"))),
+      "post-split serve must stay within the mapped buckets")
+  }
+
+  test("split genealogy: second-level split + post-split epoch derive through the map") {
+    val root = tmp("txt-split2")
+    val (idx, st) = (s"$root/index", s"$root/stats")
+    TextIndex.buildIndex(docs.select("doc_id", "text"), idx)
+    TextIndex.buildStats(docs, st)
+    val hot = spark.read.parquet(idx).groupBy("bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (b, n) => (-n, b) }.head._1
+    var splits = TextIndex.splitBucket(spark, idx, hot, Nil)
+    // second-level: split the fuller half — its local modulus is now 32
+    val half = spark.read.parquet(idx)
+      .filter(col("bucket").isin(hot, hot + 16))
+      .groupBy("bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (b, n) => (-n, b) }.head._1
+    assert(TextIndex.localModOf(splits, half) === 32)
+    splits = TextIndex.splitBucket(spark, idx, half, splits)
+    assert(splits.last === TextIndex.HashSplit(half, half + 32, 32))
+    assert(spark.read.parquet(idx)
+      .filter(col("bucket") =!=
+        TextIndex.splitBucketOf(col("term"), splits)).count() === 0L)
+    // the genealogy round-trips like the ANN quantizer's
+    TextIndex.saveSplits(spark, s"$root/splits", splits)
+    assert(TextIndex.loadSplits(spark, s"$root/splits") === splits)
+    // post-split epoch: update one doc, delete another — BOTH sides'
+    // buckets must derive through the map (a base-hash derivation
+    // would retract from / land in the split bucket's former home)
+    val (d1, t1) :: (d2, t2) :: Nil = docs.select("doc_id", "text")
+      .orderBy("doc_id").limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    val deltas = Seq(mkDelta(d1, -1, t1), mkDelta(d1, +1, t1 + " zzznew"),
+      mkDelta(d2, -1, t2))
+    val before = fingerprint(idx)
+    val touched = TextIndex.applyEpoch(spark, deltas.toDS(), idx, st,
+      batchId = 1L, splits = splits)
+    val after = fingerprint(idx)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+      .map(_.stripPrefix("bucket=").toInt)
+    assert(changed.subsetOf(touched.toSet),
+      s"rewritten partitions $changed must be within touched $touched")
+    assert(spark.read.parquet(idx)
+      .filter(col("bucket") =!=
+        TextIndex.splitBucketOf(col("term"), splits)).count() === 0L,
+      "no stale rows: the epoch must route through the genealogy")
+    // maintained (split layout) == full rebuild (base layout) —
+    // content is layout-independent
+    val finalState = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+      .updated(d1, t1 + " zzznew").removed(d2)
+    val idx2 = tmp("txt-split2-rebuild") + "/index"
+    TextIndex.buildIndex(finalState.toSeq.toDF("doc_id", "text"), idx2)
+    assert(indexContent(idx) === indexContent(idx2),
+      "post-split maintenance must equal the full rebuild")
+    // serve equality off the maintained split layout
+    val st2 = tmp("txt-split2-stats")
+    TextIndex.buildStats(finalState.toSeq.toDF("doc_id", "text"), st2)
+    val servedSplit = TextIndex.searchIndex(spark, idx, st, splits = splits)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val servedRebuild = TextIndex.searchIndex(spark, idx2, st2)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(servedSplit === servedRebuild && servedSplit.nonEmpty,
+      "serve through the genealogy must equal the rebuilt-index serve")
+  }
 }
