@@ -64,8 +64,11 @@ import graft.cdc.{ChangeGen, ChangeSource, Ivm, MtDelta, MultiTable}
   * partition overwrites of exactly those buckets; the screen reads
   * ≤ |probe bands' buckets| + |candidate docs' buckets| partitions —
   * screen cost is independent of how much of the corpus is cold. At
-  * 100 TB the bucket count scales with corpus mass like any hash
-  * layout; the maintenance algebra is unchanged.
+  * 100 TB the bucket count scales with corpus mass: hot band buckets
+  * split via [[splitBandBucket]] (extendible hashing — the split
+  * rewrites ONLY the hot bucket, and every bucket derivation
+  * thereafter descends the persisted genealogy,
+  * [[splitBandBucketOf]]); the maintenance algebra is unchanged.
   */
 object DedupIndex {
   import Dedup.{Bands, HashA, HashB, HashP, NumHashes, RowsPerBand}
@@ -98,11 +101,51 @@ object DedupIndex {
   val ProbeMod = 20
   val ProbeRem = 5
 
-  /** A band row's one-and-only partition. Spark-side Murmur3 — the
-    * bucket is engine metadata (probe and maintenance compute it the
-    * same way); the oracle never needs it. */
+  /** A band row's one-and-only partition (unsplit layout). Spark-side
+    * Murmur3 — the bucket is engine metadata (probe and maintenance
+    * compute it the same way); the oracle never needs it. */
   def bandBucketOf(band: Column, bk: Column): Column =
     pmod(hash(band, bk), lit(NumBuckets))
+
+  /** A band row's partition under the hot-bucket split genealogy —
+    * the [[TextIndex.splitBucketOf]] extendible-hash descent, keyed on
+    * (band, bk) instead of the term. EVERY bucket derivation — the
+    * screen's probe buckets, an epoch's departing -old band rows, its
+    * arriving +new ones — must run through this map once any bucket
+    * has split (the L114 genealogy discipline). */
+  def splitBandBucketOf(band: Column, bk: Column,
+      splits: Seq[TextIndex.HashSplit]): Column =
+    splits.foldLeft(bandBucketOf(band, bk)) { (b, s) =>
+      when(b === lit(s.parent),
+        pmod(hash(band, bk), lit(2 * s.mod))).otherwise(b)
+    }
+
+  /** Split ONE hot band bucket ([[TextIndex.splitBucket]] applied to
+    * the LSH probe layout): read exactly its partition, re-hash its
+    * rows at the doubled local modulus, dynamic-overwrite the two
+    * result partitions; every other partition stays byte-identical.
+    * Returns the extended split list — persist it with
+    * [[TextIndex.saveSplits]] like any layout directory. */
+  def splitBandBucket(spark: SparkSession, bandsPath: String, b: Int,
+      splits: Seq[TextIndex.HashSplit]): Seq[TextIndex.HashSplit] = {
+    val m = TextIndex.localModOf(splits, b, NumBuckets)
+    val s = TextIndex.HashSplit(b, b + m, m)
+    val rows = spark.read.parquet(bandsPath)
+      .filter(col("bucket") === b)
+      .withColumn("bucket",
+        pmod(hash(col("band"), col("bk")), lit(2 * m)))
+      // materialize BEFORE the write: the overwrite must not scan the
+      // very partition it is replacing
+      .localCheckpoint(true)
+    rows.repartition(MicroShuffle, col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(bandsPath)
+    val nonEmpty = distinctInts(rows, "bucket").toSet
+    Seq(s.parent, s.child).filterNot(nonEmpty).foreach(c =>
+      IndexFs.deleteDir(spark, s"$bandsPath/bucket=$c"))
+    splits :+ s
+  }
 
   /** A signature row's one-and-only partition. */
   def sigBucketOf(docId: Column): Column =
@@ -134,7 +177,8 @@ object DedupIndex {
   /** Long-form band rows (doc_id, band, bk, bucket) from wide
     * signatures — [[Dedup.bandKeys]]' key derivation with the
     * partition column attached and `keep` columns carried through. */
-  def bandRowsFor(sigs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+  def bandRowsFor(sigs: DataFrame, keep: Seq[String] = Nil,
+      splits: Seq[TextIndex.HashSplit] = Nil): DataFrame = {
     val keyCols = (0 until Bands).map { b =>
       val slice =
         (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
@@ -146,7 +190,8 @@ object DedupIndex {
       .selectExpr(
         Seq("doc_id", s"stack($Bands, $stackArgs) AS (band, bk)") ++
           keep: _*)
-      .withColumn("bucket", bandBucketOf(col("band"), col("bk")))
+      .withColumn("bucket",
+        splitBandBucketOf(col("band"), col("bk"), splits))
   }
 
   // ---- build / append / compact ------------------------------------------
@@ -225,7 +270,8 @@ object DedupIndex {
     * (band buckets, sig buckets); |returned| == |rewritten partitions|
     * per table is the spec pin. */
   def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
-      bandsPath: String, sigsPath: String): (Seq[Int], Seq[Int]) = {
+      bandsPath: String, sigsPath: String,
+      splits: Seq[TextIndex.HashSplit] = Nil): (Seq[Int], Seq[Int]) = {
     val df = batch.toDF()
     val textCol = element_at(
       from_json(col("img"), MapType(StringType, StringType)), "text")
@@ -238,7 +284,11 @@ object DedupIndex {
       .localCheckpoint(true)
     // both signs signed in one pass; each side is its own row
     val sigs = sigRowsFor(rows, keep = Seq("sign")).localCheckpoint(true)
-    val bands = bandRowsFor(sigs, keep = Seq("sign")).localCheckpoint(true)
+    // both signs' buckets descend the split genealogy — the -old
+    // image's departing rows live where the map says, not where the
+    // base hash would put them (the L114 discipline)
+    val bands = bandRowsFor(sigs, keep = Seq("sign"), splits = splits)
+      .localCheckpoint(true)
     val changed = sigs.select("doc_id").distinct()
     val touchedB = distinctInts(bands, "bucket")
     val touchedS = distinctInts(
@@ -310,10 +360,11 @@ object DedupIndex {
   def screenIndex(spark: SparkSession, probes: DataFrame,
       bandsPath: String, sigsPath: String,
       minEst: Double = MinEst,
-      visible: Column = lit(true)): DataFrame =
+      visible: Column = lit(true),
+      splits: Seq[TextIndex.HashSplit] = Nil): DataFrame =
     screenSigs(spark,
       sigRowsFor(probes.select("doc_id", "text")).localCheckpoint(true),
-      bandsPath, sigsPath, minEst, visible)
+      bandsPath, sigsPath, minEst, visible, splits)
 
   /** [[screenIndex]] over ALREADY-SIGNED probes (a materialized
     * [[sigRowsFor]] frame) — the entry a caller that needs the probe
@@ -324,11 +375,13 @@ object DedupIndex {
   def screenSigs(spark: SparkSession, pSig: DataFrame,
       bandsPath: String, sigsPath: String,
       minEst: Double = MinEst,
-      visible: Column = lit(true)): DataFrame = {
+      visible: Column = lit(true),
+      splits: Seq[TextIndex.HashSplit] = Nil): DataFrame = {
     val empty = pSig.select(col("doc_id"),
       col("doc_id").as("matched_id"),
       lit(0.0).as("est_jaccard")).limit(0)
-    val pBand = bandRowsFor(pSig).localCheckpoint(true)
+    // probe buckets descend the split genealogy like every derivation
+    val pBand = bandRowsFor(pSig, splits = splits).localCheckpoint(true)
     val pBuckets = distinctInts(pBand, "bucket")
     if (pBuckets.isEmpty) return empty
     val idxBands = spark.read.parquet(bandsPath)

@@ -119,11 +119,12 @@ object TextIndex {
         pmod(hash(term), lit(2 * s.mod))).otherwise(b)
     }
 
-  /** The local modulus bucket `b` currently lives at: base
-    * [[NumBuckets]], doubled each time `b` was a split's parent or
-    * child. */
-  def localModOf(splits: Seq[HashSplit], b: Int): Int =
-    splits.foldLeft(Map.empty[Int, Int].withDefaultValue(NumBuckets)) {
+  /** The local modulus bucket `b` currently lives at: `base`
+    * (this layout's [[NumBuckets]]; [[DedupIndex]] passes its own),
+    * doubled each time `b` was a split's parent or child. */
+  def localModOf(splits: Seq[HashSplit], b: Int,
+      base: Int = NumBuckets): Int =
+    splits.foldLeft(Map.empty[Int, Int].withDefaultValue(base)) {
       (m, s) => m.updated(s.parent, 2 * s.mod).updated(s.child, 2 * s.mod)
     }(b)
 

@@ -261,4 +261,75 @@ class DedupIndexSpec extends AnyFunSuite {
     if (pBuckets.size < nBuckets)
       assert(probedDirs < nBuckets)
   }
+
+  test("hot band-bucket split: only the split bucket rewrites; screen invariant; post-split epoch routes through the map") {
+    val root = tmp("ddx-split")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupIndex.buildIndex(docs.select("doc_id", "text"), bp, sp)
+    val probes = DedupIndex.probesOf(docs).localCheckpoint(true)
+    val baseline = DedupIndex.screenIndex(spark, probes, bp, sp)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val before = fingerprint(bp, "bucket")
+    val contentBefore = bandsContent(bp)
+    val hot = spark.read.parquet(bp).groupBy("bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (b, n) => (-n, b) }.head._1
+    var splits = DedupIndex.splitBandBucket(spark, bp, hot, Nil)
+    assert(splits === Seq(TextIndex.HashSplit(hot, hot + 16, 16)))
+    val after = fingerprint(bp, "bucket")
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.subsetOf(Set(s"bucket=$hot", s"bucket=${hot + 16}")),
+      s"a split may touch only its own partitions: $changed")
+    assert(bandsContent(bp) === contentBefore,
+      "a split is a pure layout rewrite")
+    // second level: the fuller half lives at local mod 32
+    val half = spark.read.parquet(bp)
+      .filter(col("bucket").isin(hot, hot + 16))
+      .groupBy("bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (b, n) => (-n, b) }.head._1
+    assert(TextIndex.localModOf(splits, half, DedupIndex.NumBuckets) === 32)
+    splits = DedupIndex.splitBandBucket(spark, bp, half, splits)
+    // every row lives where the genealogy says
+    assert(spark.read.parquet(bp)
+      .filter(col("bucket") =!= DedupIndex.splitBandBucketOf(
+        col("band"), col("bk"), splits)).count() === 0L,
+      "rows must land in their genealogy bucket")
+    // the screen through the map is value-identical and still pruned
+    val served = DedupIndex.screenIndex(spark, probes, bp, sp,
+        splits = splits)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(served === baseline && served.nonEmpty,
+      "screen through the split map must equal the pre-split screen")
+    // post-split epoch: update + delete route BOTH signs through the map
+    val (d1, t1) :: (d2, t2) :: Nil = docs.select("doc_id", "text")
+      .orderBy("doc_id").limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    val deltas = Seq(mkDelta(d1, -1, t1), mkDelta(d1, +1, t1 + " zzznew"),
+      mkDelta(d2, -1, t2))
+    val preEpoch = fingerprint(bp, "bucket")
+    val (touchedB, _) = DedupIndex.applyEpoch(spark, deltas.toDS(), bp,
+      sp, splits = splits)
+    val postEpoch = fingerprint(bp, "bucket")
+    val epochChanged = (preEpoch.keySet ++ postEpoch.keySet)
+      .filter(k => preEpoch.get(k) != postEpoch.get(k))
+      .map(_.stripPrefix("bucket=").toInt)
+    assert(epochChanged.subsetOf(touchedB.toSet),
+      s"rewritten partitions $epochChanged must be within touched $touchedB")
+    assert(spark.read.parquet(bp)
+      .filter(col("bucket") =!= DedupIndex.splitBandBucketOf(
+        col("band"), col("bk"), splits)).count() === 0L,
+      "no stale rows: the epoch must route through the genealogy")
+    // maintained (split layout) == full rebuild (base layout): band
+    // content is layout-independent
+    val finalDocs = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+      .updated(d1, t1 + " zzznew").removed(d2)
+    val root2 = tmp("ddx-split-rebuild")
+    DedupIndex.buildIndex(finalDocs.toSeq.toDF("doc_id", "text"),
+      s"$root2/bands", s"$root2/sigs")
+    assert(bandsContent(bp) === bandsContent(s"$root2/bands"),
+      "post-split maintenance must equal the full rebuild")
+  }
 }
