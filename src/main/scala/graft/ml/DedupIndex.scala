@@ -109,16 +109,14 @@ object DedupIndex {
 
   /** A band row's partition under the hot-bucket split genealogy —
     * the [[TextIndex.splitBucketOf]] extendible-hash descent, keyed on
-    * (band, bk) instead of the term. EVERY bucket derivation — the
-    * screen's probe buckets, an epoch's departing -old band rows, its
-    * arriving +new ones — must run through this map once any bucket
-    * has split (the L114 genealogy discipline). */
+    * (band, bk) instead of the term (same precomputed residue table —
+    * one hash + one pmod + one array lookup). EVERY bucket derivation
+    * — the screen's probe buckets, an epoch's departing -old band
+    * rows, its arriving +new ones — must run through this map once
+    * any bucket has split (the L114 genealogy discipline). */
   def splitBandBucketOf(band: Column, bk: Column,
       splits: Seq[TextIndex.HashSplit]): Column =
-    splits.foldLeft(bandBucketOf(band, bk)) { (b, s) =>
-      when(b === lit(s.parent),
-        pmod(hash(band, bk), lit(2 * s.mod))).otherwise(b)
-    }
+    TextIndex.splitLookup(hash(band, bk), splits, NumBuckets)
 
   /** Split ONE hot band bucket ([[TextIndex.splitBucket]] applied to
     * the LSH probe layout): read exactly its partition, re-hash its
@@ -145,6 +143,32 @@ object DedupIndex {
     Seq(s.parent, s.child).filterNot(nonEmpty).foreach(c =>
       IndexFs.deleteDir(spark, s"$bandsPath/bucket=$c"))
     splits :+ s
+  }
+
+  /** Size-triggered split policy for the band layout —
+    * [[TextIndex.splitIfHot]]'s contract verbatim: touched-only
+    * (change-volume-sized check, partition-pruned read), one split per
+    * hot bucket per call, converging over epochs; the caller persists
+    * the returned genealogy and threads it into the next
+    * [[applyEpoch]] and every [[screenIndex]]. The splittability
+    * guard's witness here is the hottest single (band, bk) key — a
+    * band key's candidate set co-locates by design (that is the LSH
+    * probe), so no hash split can shrink a one-hot-key bucket; that
+    * case is [[Dedup]]'s hot-bucket SUB-BLOCKING, not a layout
+    * split. */
+  def splitIfHot(spark: SparkSession, bandsPath: String,
+      touched: Seq[Int], splits: Seq[TextIndex.HashSplit],
+      maxRows: Long): Seq[TextIndex.HashSplit] = {
+    if (touched.isEmpty) return splits
+    val hot = spark.read.parquet(bandsPath)
+      .filter(col("bucket").isin(touched: _*))
+      .groupBy("bucket", "band", "bk").count()
+      .groupBy("bucket")
+      .agg(sum("count").as("n"), max("count").as("hottest"))
+      .filter(col("n") > maxRows && col("hottest") <= maxRows)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (b, n) => (-n, b) }.map(_._1)
+    hot.foldLeft(splits)((s, b) => splitBandBucket(spark, bandsPath, b, s))
   }
 
   /** A signature row's one-and-only partition. */

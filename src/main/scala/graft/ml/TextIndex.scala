@@ -104,19 +104,41 @@ object TextIndex {
     * VERDICT r14 #4). */
   final case class HashSplit(parent: Int, child: Int, mod: Int)
 
-  /** A term's partition under the split genealogy: descend the split
-    * list in order, re-hashing at the doubled modulus whenever the
-    * current bucket is the one that split. The genealogy lesson from
-    * the ANN layout applies verbatim: EVERY bucket derivation —
-    * serve-side probes, an epoch's departing -old postings, its
-    * arriving +new postings — must run through this map; deriving any
-    * of them with the base [[bucketOf]] would name partitions that no
-    * longer hold (or no longer receive) the term. One codegen'd
-    * when-chain, no shuffle, no lookup table. */
+  /** A term's partition under the split genealogy. The genealogy
+    * lesson from the ANN layout applies verbatim: EVERY bucket
+    * derivation — serve-side probes, an epoch's departing -old
+    * postings, its arriving +new postings — must run through this
+    * map; deriving any of them with the base [[bucketOf]] would name
+    * partitions that no longer hold (or no longer receive) the term.
+    *
+    * The descent itself is METADATA, so it is precomputed driver-side
+    * into a residue table and the column is ONE hash + one pmod + one
+    * array lookup, constant-size regardless of genealogy depth: every
+    * modulus in the genealogy is `NumBuckets·2^k` and divides the max
+    * modulus `M`, so `pmod(hash, m) = pmod(hash, M) % m` — the final
+    * bucket is a pure function of `pmod(hash, M)`, tabulated once
+    * (`M` entries, bounded model state). The first cut emitted the
+    * descent as a nested when-chain instead; at ~10 splits Catalyst's
+    * optimizer (NestedColumnAliasing semanticEquals over the repeated
+    * hash subtrees) went quadratic and a single epoch's plan took
+    * minutes — the table form is also the faster PLAN, not just the
+    * faster expression. */
   def splitBucketOf(term: Column, splits: Seq[HashSplit]): Column =
-    splits.foldLeft(bucketOf(term)) { (b, s) =>
-      when(b === lit(s.parent),
-        pmod(hash(term), lit(2 * s.mod))).otherwise(b)
+    splitLookup(hash(term), splits, NumBuckets)
+
+  /** The shared residue-table descent: tabulate bucket-of-residue for
+    * every residue mod the genealogy's max modulus, then index it. */
+  private[ml] def splitLookup(h: Column, splits: Seq[HashSplit],
+      base: Int): Column =
+    if (splits.isEmpty) pmod(h, lit(base))
+    else {
+      val mMax = (base +: splits.map(s => 2 * s.mod)).max
+      val table = (0 until mMax).map { r =>
+        var b = r % base
+        splits.foreach(s => if (b == s.parent) b = r % (2 * s.mod))
+        b
+      }
+      element_at(typedLit(table), pmod(h, lit(mMax)) + 1)
     }
 
   /** The local modulus bucket `b` currently lives at: `base`
@@ -154,6 +176,49 @@ object TextIndex {
     Seq(s.parent, s.child).filterNot(nonEmpty).foreach(c =>
       IndexFs.deleteDir(spark, s"$indexPath/bucket=$c"))
     splits :+ s
+  }
+
+  /** Size-triggered split policy — the re-balance composed WITH
+    * maintenance (the [[AnnIndex.splitCell]]-in-the-loop story applied
+    * to the hash layout): after an epoch lands, split any TOUCHED
+    * bucket whose row count exceeds `maxRows`, extending the genealogy
+    * the NEXT epoch and every serve derive through. Touched-only by
+    * design — the check reads only the epoch's own buckets
+    * (partition-pruned), so the policy adds change-volume-sized work,
+    * never an index scan; an epoch that touches nothing checks
+    * nothing. One split per hot bucket per call: a child still above
+    * the threshold is caught the next time an epoch touches it, so
+    * repeated epochs converge without a rebalance storm (at most one
+    * doubling per bucket per epoch).
+    *
+    * SPLITTABILITY GUARD: a bucket is split only if its hottest single
+    * term's posting list is itself under the threshold. A term's whole
+    * posting list lives in one bucket BY DESIGN (that is what makes
+    * df(term) exact from the probed rows), so no number of hash splits
+    * can ever get a one-hot-term bucket under `maxRows` — an unguarded
+    * policy cascades splits forever against it (found the hard way:
+    * the unguarded loop grew an unbounded genealogy in the spec).
+    * Such a bucket is a DIFFERENT problem with a different tool —
+    * sub-blocking the posting list (the [[Dedup]] hot-bucket
+    * sub-blocking lesson), or in BM25 terms: a term whose df is a
+    * large fraction of the corpus scores near zero idf and belongs on
+    * a stopword path, not in a bigger bucket. Callers persist the
+    * returned genealogy ([[saveSplits]]) with the same cadence as the
+    * index writes. */
+  def splitIfHot(spark: SparkSession, indexPath: String,
+      touched: Seq[Int], splits: Seq[HashSplit],
+      maxRows: Long): Seq[HashSplit] = {
+    if (touched.isEmpty) return splits
+    // one pruned pass over the touched buckets: total mass + the
+    // hottest single term's mass (the splittability witness)
+    val hot = indexScan(spark, indexPath, touched)
+      .groupBy("bucket", "term").count()
+      .groupBy("bucket")
+      .agg(sum("count").as("n"), max("count").as("hottest"))
+      .filter(col("n") > maxRows && col("hottest") <= maxRows)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (b, n) => (-n, b) }.map(_._1)
+    hot.foldLeft(splits)((s, b) => splitBucket(spark, indexPath, b, s))
   }
 
   /** Persist the split genealogy — bounded model state (one row per

@@ -332,4 +332,65 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(bandsContent(bp) === bandsContent(s"$root2/bands"),
       "post-split maintenance must equal the full rebuild")
   }
+
+  test("size-triggered splits DURING maintenance: policy in the epoch loop, screen == from-scratch") {
+    val snap = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = TextIndex.epochScript(snap, epochs = 3)
+    val root = tmp("ddx-hotmaint")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    var splits = Seq.empty[TextIndex.HashSplit]
+    var state = Map.empty[Long, String]
+    var first = true
+    var maxRows = 0L
+    ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (_, group) =>
+      val start = state
+      group.sortBy(_.lsn).foreach { op =>
+        op.action match {
+          case "I" => state = state.updated(op.docId, op.text.get)
+          case "U" if state.contains(op.docId) =>
+            state = state.updated(op.docId, op.text.get)
+          case "D" => state = state - op.docId
+          case _ => ()
+        }
+      }
+      val touched = (start.keySet ++ state.keySet)
+        .filter(k => start.get(k) != state.get(k)).toSeq.sorted
+      val deltas = touched.flatMap { k =>
+        start.get(k).map(t => mkDelta(k, -1, t)).toSeq ++
+          state.get(k).map(t => mkDelta(k, +1, t)).toSeq
+      }
+      val (tb, _) = DedupIndex.applyEpoch(spark, deltas.toDS(), bp, sp,
+        splits = splits)
+      if (first) {
+        // threshold derived from the live histogram: 80% of the
+        // snapshot's hottest bucket, so the first policy call must
+        // split at least that bucket (band hashes are near-uniform —
+        // no cascade follows; the point here is the policy IN the
+        // loop, the cascade dynamic is pinned on the text layout)
+        maxRows = (spark.read.parquet(bp).groupBy("bucket").count()
+          .agg(max("count")).collect()(0).getLong(0) * 8) / 10
+        first = false
+      }
+      splits = DedupIndex.splitIfHot(spark, bp, tb, splits, maxRows)
+      // genealogy invariant holds after every epoch+policy step
+      assert(spark.read.parquet(bp)
+        .filter(col("bucket") =!= DedupIndex.splitBandBucketOf(
+          col("band"), col("bk"), splits)).count() === 0L)
+    }
+    assert(splits.nonEmpty, "the sized threshold must trip the policy")
+    // the screen through the final genealogy equals the from-scratch
+    // incremental screen over the final corpus
+    val live = state.toSeq.toDF("doc_id", "text")
+    val probes = DedupIndex.probesOf(live).localCheckpoint(true)
+    val served = DedupIndex.screenIndex(spark, probes, bp, sp,
+        splits = splits)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val ref = Dedup.dedupIncrement(
+        DedupIndex.sigRowsFor(probes), DedupIndex.sigRowsFor(live),
+        minEst = DedupIndex.MinEst)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(served === ref && served.nonEmpty,
+      "screen off the policy-maintained layout must equal from-scratch")
+  }
 }

@@ -405,4 +405,72 @@ class TextIndexSpec extends AnyFunSuite {
     assert(servedSplit === servedRebuild && servedSplit.nonEmpty,
       "serve through the genealogy must equal the rebuilt-index serve")
   }
+
+  test("size-triggered splits DURING maintenance: genealogy grows mid-history, maintained == rebuild") {
+    // the composition the policy exists for: epochs land, hot TOUCHED
+    // buckets split, the NEXT epoch derives through the grown map —
+    // the AnnIndex splitCell-in-the-loop story on the hash layout
+    val snap = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = TextIndex.epochScript(snap, epochs = 3)
+    val root = tmp("txt-hotmaint")
+    val (idx, st) = (s"$root/index", s"$root/stats")
+    // threshold sized off the fixture's measured bucket histogram
+    // (top counts 1530/1166/1162/1155/820…): the snapshot epoch trips
+    // the heavy buckets, and the 1530-bucket's two ~765 children stay
+    // above 700 — so the next epoch that TOUCHES a child re-splits it,
+    // which is exactly the convergence contract (one doubling per
+    // bucket per epoch); growth mid-history is the cascade, not luck
+    val maxRows = 700L
+    var splits = Seq.empty[TextIndex.HashSplit]
+    var state = Map.empty[Long, String]
+    var bid = 0L
+    var growth = List.empty[Int]
+    ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (_, group) =>
+      val start = state
+      group.sortBy(_.lsn).foreach { op =>
+        op.action match {
+          case "I" => state = state.updated(op.docId, op.text.get)
+          case "U" if state.contains(op.docId) =>
+            state = state.updated(op.docId, op.text.get)
+          case "D" => state = state - op.docId
+          case _ => ()
+        }
+      }
+      val touched = (start.keySet ++ state.keySet)
+        .filter(k => start.get(k) != state.get(k)).toSeq.sorted
+      val deltas = touched.flatMap { k =>
+        start.get(k).map(t => mkDelta(k, -1, t)).toSeq ++
+          state.get(k).map(t => mkDelta(k, +1, t)).toSeq
+      }
+      val tb = TextIndex.applyEpoch(spark, deltas.toDS(), idx, st, bid,
+        splits = splits)
+      splits = TextIndex.splitIfHot(spark, idx, tb, splits, maxRows)
+      growth = splits.size :: growth
+      bid += 1
+    }
+    val sizes = growth.reverse
+    assert(sizes.head > 0, "the snapshot epoch must trip splits")
+    assert(sizes.last > sizes.head,
+      s"later epochs must extend the genealogy mid-history: $sizes")
+    // no stale rows at the end of history
+    assert(spark.read.parquet(idx)
+      .filter(col("bucket") =!=
+        TextIndex.splitBucketOf(col("term"), splits)).count() === 0L,
+      "every row must live in its genealogy bucket after N epochs")
+    // maintained-with-splits == full rebuild (content layout-free)
+    val idx2 = tmp("txt-hotmaint-rebuild") + "/index"
+    TextIndex.buildIndex(state.toSeq.toDF("doc_id", "text"), idx2)
+    assert(indexContent(idx) === indexContent(idx2),
+      "maintenance with in-loop splits must equal the full rebuild")
+    // and the serve threads the final genealogy
+    val st2 = tmp("txt-hotmaint-stats")
+    TextIndex.buildStats(state.toSeq.toDF("doc_id", "text"), st2)
+    val a = TextIndex.searchIndex(spark, idx, st, splits = splits)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val b = TextIndex.searchIndex(spark, idx2, st2)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(a === b && a.nonEmpty,
+      "post-history serve through the genealogy must equal the rebuilt serve")
+  }
 }
