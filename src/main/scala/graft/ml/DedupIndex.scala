@@ -155,7 +155,8 @@ object DedupIndex {
     * band key's candidate set co-locates by design (that is the LSH
     * probe), so no hash split can shrink a one-hot-key bucket; that
     * case is [[Dedup]]'s hot-bucket SUB-BLOCKING, not a layout
-    * split. */
+    * split. [[TextIndex.splitIfHot]]'s REPLAY-SAFETY PRECONDITION
+    * applies verbatim: run outside the stream's checkpoint window. */
   def splitIfHot(spark: SparkSession, bandsPath: String,
       touched: Seq[Int], splits: Seq[TextIndex.HashSplit],
       maxRows: Long): Seq[TextIndex.HashSplit] = {

@@ -204,7 +204,20 @@ object TextIndex {
     * large fraction of the corpus scores near zero idf and belongs on
     * a stopword path, not in a bigger bucket. Callers persist the
     * returned genealogy ([[saveSplits]]) with the same cadence as the
-    * index writes. */
+    * index writes.
+    *
+    * REPLAY-SAFETY PRECONDITION (the [[graft.streaming.DedupGate]]
+    * compaction doctrine): run the policy OUTSIDE the stream's
+    * checkpoint window — between runs, or after the epoch's commit is
+    * durable. A split is a layout move the genealogy file and the
+    * partition dirs must agree on; a stream replay that re-applies an
+    * epoch with a genealogy from the other side of an in-flight split
+    * derives the -old departing buckets against the wrong layout and
+    * strands rows (whichever of the two artifacts the crash
+    * preserved). In-stream splitting would need an epoch-keyed
+    * genealogy log joined to the offset commit — not built; the
+    * offline shape is the operational one (re-balance is maintenance,
+    * like compaction). */
   def splitIfHot(spark: SparkSession, indexPath: String,
       touched: Seq[Int], splits: Seq[HashSplit],
       maxRows: Long): Seq[HashSplit] = {
