@@ -333,6 +333,27 @@ class DedupIndexSpec extends AnyFunSuite {
       "post-split maintenance must equal the full rebuild")
   }
 
+  test("an epoch that empties EVERY bucket leaves readable artifacts (empty-root guard)") {
+    // ADVICE r14 #2 regression pin, band+sig twins of the TextIndex
+    // case: an all-partitions-emptied root must read as absent
+    val root = tmp("ddx-emptyroot")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    val text = "alpha beta gamma delta"
+    DedupIndex.applyEpoch(spark, Seq(mkDelta(1L, +1, text)).toDS(), bp, sp)
+    assert(graft.ml.IndexFs.hasPartitions(spark, bp, "bucket") &&
+      graft.ml.IndexFs.hasPartitions(spark, sp, "sbucket"))
+    DedupIndex.applyEpoch(spark, Seq(mkDelta(1L, -1, text)).toDS(), bp, sp)
+    assert(new java.io.File(bp).exists() && new java.io.File(sp).exists())
+    assert(!graft.ml.IndexFs.hasPartitions(spark, bp, "bucket") &&
+      !graft.ml.IndexFs.hasPartitions(spark, sp, "sbucket"),
+      "zero partition dirs must read as no-index on BOTH sub-artifacts")
+    val (tb, ts) = DedupIndex.applyEpoch(spark,
+      Seq(mkDelta(2L, +1, "epsilon zeta eta theta")).toDS(), bp, sp)
+    assert(tb.nonEmpty && ts.nonEmpty)
+    assert(bandsContent(bp).map(_._1) === Set(2L),
+      "the revived artifact holds exactly the new doc's rows")
+  }
+
   test("size-triggered splits DURING maintenance: policy in the epoch loop, screen == from-scratch") {
     val snap = docs.select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq

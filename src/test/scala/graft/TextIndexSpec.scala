@@ -297,6 +297,31 @@ class TextIndexSpec extends AnyFunSuite {
       "index-served BM25 must equal the direct corpus derivation")
   }
 
+  test("an epoch that empties EVERY bucket leaves a readable artifact (empty-root guard)") {
+    // ADVICE r14 #2 regression pin: cleanup deletes emptied partition
+    // dirs but keeps the root (_SUCCESS etc.), and the old
+    // root-exists read guard then fed the bare root to parquet schema
+    // inference, which throws. hasPartitions must read it as ABSENT
+    // and the next epoch must rebuild from nothing.
+    val root = tmp("txt-emptyroot")
+    val (idx, st) = (s"$root/index", s"$root/stats")
+    TextIndex.applyEpoch(spark,
+      Seq(mkDelta(1L, +1, "alpha beta gamma")).toDS(), idx, st, 0L)
+    assert(graft.ml.IndexFs.hasPartitions(spark, idx, "bucket"))
+    TextIndex.applyEpoch(spark,
+      Seq(mkDelta(1L, -1, "alpha beta gamma")).toDS(), idx, st, 1L)
+    assert(new java.io.File(idx).exists(),
+      "the artifact root survives the emptying epoch")
+    assert(!graft.ml.IndexFs.hasPartitions(spark, idx, "bucket"),
+      "zero partition dirs must read as no-index")
+    // the next epoch treats the artifact as absent instead of crashing
+    val tb = TextIndex.applyEpoch(spark,
+      Seq(mkDelta(2L, +1, "delta epsilon")).toDS(), idx, st, 2L)
+    assert(tb.nonEmpty)
+    assert(indexContent(idx).map(_._1) === Set(2L),
+      "the revived artifact holds exactly the new doc's postings")
+  }
+
   test("hot-bucket split: only the split bucket rewrites; content and serve invariant") {
     val root = tmp("txt-split")
     val (idx, st) = (s"$root/index", s"$root/stats")
