@@ -748,7 +748,12 @@ object Bench {
         // line, so the family rows report marginal (serve) cost — the
         // operational shape, where a standing maintainer keeps each
         // index warm and a serving job only reads it.
-        graft.ml.MaintainedMemo.clearCache()
+        // tag-scoped: only the CDC maintain entries reset (repaid by
+        // the timed line below); build-memo entries (cell-split /
+        // hot-split serving artifacts) stay warm per the index-build
+        // precedent above
+        graft.ml.MaintainedMemo.clearCache(
+          "anncdc", "txtcdc", "dedupcdc", "hybcdc")
         val maintConsumers = Set("ml_ann_cdc_index", "ml_bm25_cdc_index",
           "ml_dedup_cdc_index", "ml_hybrid_cdc_serve")
         val maintLine: Map[String, Double] =
