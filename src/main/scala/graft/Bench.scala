@@ -753,9 +753,10 @@ object Bench {
         // hot-split serving artifacts) stay warm per the index-build
         // precedent above
         graft.ml.MaintainedMemo.clearCache(
-          "anncdc", "txtcdc", "dedupcdc", "hybcdc")
+          "anncdc", "txtcdc", "dedupcdc", "hybcdc", "expcdc")
         val maintConsumers = Set("ml_ann_cdc_index", "ml_bm25_cdc_index",
-          "ml_dedup_cdc_index", "ml_hybrid_cdc_serve")
+          "ml_dedup_cdc_index", "ml_hybrid_cdc_serve",
+          "ml_export_incremental")
         val maintLine: Map[String, Double] =
           if (!qmap.keys.exists(maintConsumers)) Map.empty
           else {

@@ -4356,6 +4356,7 @@ object MlQueries {
     HybridServe.cdcMaintain(s, Tables(s, dir, "documents"),
       Tables(s, dir, "embeddings"), hybCentPq, hybCbPq, hybDocOpsPq,
       hybEmbOpsPq)
+    ShardExport.cdcMaintain(s, Tables(s, dir, "documents"), expCdcOpsPq)
     ()
   }
 }

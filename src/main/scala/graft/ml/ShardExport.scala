@@ -175,42 +175,59 @@ object ShardExport {
     * maintained == re-exported after N epochs is the row's theorem. */
   def cdcMaintainAndPublish(spark: SparkSession, docs: DataFrame,
       opsDumpPath: String, epochs: Int = 3): DataFrame = {
-    import spark.implicits._
-    val snap: Seq[(Long, String)] =
-      docs.select("doc_id", "text").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val ops = TextIndex.epochScript(snap, epochs)
-    ops.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
-      .toDF("lsn", "action", "doc_id", "text")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
-    val changeDir = Files.createTempDirectory("graft-expcdc-log").toString
-    val ckptDir = Files.createTempDirectory("graft-expcdc-ckpt").toString
-    val expRoot = Files.createTempDirectory("graft-expcdc-out").toString
-    val shardsPath = s"$expRoot/shards"
-    val manifestPath = s"$expRoot/manifest"
-    try {
-      ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
-        ChangeGen.writeLineBatches(changeDir,
-          group.sortBy(_.lsn).map(TextIndex.toLine), batches = 1,
-          startIndex = e)
-      }
-      val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-      val q =
-        try Ivm.mtDeltas(MultiTable.parseAll(
-            ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ckptDir)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
-            applyEpoch(spark, batch, shardsPath, manifestPath); ()
-          }
-          .start()
-        finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-      try q.awaitTermination() finally q.stop()
-      readManifest(spark, manifestPath).localCheckpoint(true)
-    } finally graft.streaming.StreamHygiene.cleanupRun(
-      Seq(changeDir, ckptDir, expRoot))
+    val m = cdcMaintain(spark, docs, opsDumpPath, epochs)
+    readManifest(spark, m.manifestPath)
   }
+
+  /** Handle to a session's maintained export — the publish phase's
+    * whole dependency. */
+  final case class MaintainedExport(shardsPath: String,
+      manifestPath: String)
+
+  /** The stream-and-maintain pass, memoized per (session, ops path) —
+    * see [[MaintainedMemo]]: one pass per JVM; the change-log and
+    * checkpoint temp dirs are removed as soon as the stream finishes,
+    * the shards + manifest artifacts live until JVM exit. */
+  def cdcMaintain(spark: SparkSession, docs: DataFrame,
+      opsDumpPath: String, epochs: Int = 3): MaintainedExport =
+    MaintainedMemo.maintained((spark, "expcdc", opsDumpPath)) {
+      import spark.implicits._
+      val snap: Seq[(Long, String)] =
+        docs.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val ops = TextIndex.epochScript(snap, epochs)
+      ops.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
+        .toDF("lsn", "action", "doc_id", "text")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
+      val changeDir = Files.createTempDirectory("graft-expcdc-log").toString
+      val ckptDir = Files.createTempDirectory("graft-expcdc-ckpt").toString
+      val expRoot = MaintainedMemo.keepUntilExit(
+        Files.createTempDirectory("graft-expcdc-out").toString)
+      val shardsPath = s"$expRoot/shards"
+      val manifestPath = s"$expRoot/manifest"
+      try {
+        ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+          ChangeGen.writeLineBatches(changeDir,
+            group.sortBy(_.lsn).map(TextIndex.toLine), batches = 1,
+            startIndex = e)
+        }
+        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
+        val q =
+          try Ivm.mtDeltas(MultiTable.parseAll(
+              ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckptDir)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[MtDelta], _: Long) =>
+              applyEpoch(spark, batch, shardsPath, manifestPath); ()
+            }
+            .start()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+        try q.awaitTermination() finally q.stop()
+        MaintainedExport(shardsPath, manifestPath)
+      } finally graft.streaming.StreamHygiene.cleanupRun(
+        Seq(changeDir, ckptDir))
+    }
 
 }
