@@ -126,19 +126,28 @@ object TextIndex {
   def splitBucketOf(term: Column, splits: Seq[HashSplit]): Column =
     splitLookup(hash(term), splits, NumBuckets)
 
+  /** The residue table itself — bucket-of-residue for every residue
+    * mod the genealogy's max modulus. Pure (driver-side model state);
+    * its equivalence to the naive per-hash descent is
+    * property-pinned (SplitDescentSpec). */
+  private[graft] def descentTable(splits: Seq[HashSplit],
+      base: Int): IndexedSeq[Int] = {
+    val mMax = (base +: splits.map(s => 2 * s.mod)).max
+    (0 until mMax).map { r =>
+      var b = r % base
+      splits.foreach(s => if (b == s.parent) b = r % (2 * s.mod))
+      b
+    }
+  }
+
   /** The shared residue-table descent: tabulate bucket-of-residue for
     * every residue mod the genealogy's max modulus, then index it. */
   private[ml] def splitLookup(h: Column, splits: Seq[HashSplit],
       base: Int): Column =
     if (splits.isEmpty) pmod(h, lit(base))
     else {
-      val mMax = (base +: splits.map(s => 2 * s.mod)).max
-      val table = (0 until mMax).map { r =>
-        var b = r % base
-        splits.foreach(s => if (b == s.parent) b = r % (2 * s.mod))
-        b
-      }
-      element_at(typedLit(table), pmod(h, lit(mMax)) + 1)
+      val table = descentTable(splits, base)
+      element_at(typedLit(table), pmod(h, lit(table.size)) + 1)
     }
 
   /** The local modulus bucket `b` currently lives at: `base`
