@@ -145,6 +145,41 @@ object DedupIndex {
     splits :+ s
   }
 
+  /** The declared L114 twin on the band layout
+    * (`ml_dedup_split_screen`): build both sub-artifacts, split the
+    * HOTTEST band bucket and then the fuller of its two halves (two
+    * genealogy levels), persist the split directory, and screen the
+    * standing probe set through a RELOADED map — the restarted-server
+    * shape. Splits are pure layout moves, so the screen must equal
+    * the unsplit derivation; the oracle screens probes against the
+    * corpus in SQL and never sees the layout. Build + splits memoize
+    * per (session, corpus plan); the screen is the row's marginal
+    * cost. */
+  def splitScreen(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val built = MaintainedMemo.maintained(
+        (spark, "ddxsplit", docs.queryExecution.analyzed.canonicalized)) {
+      val root = MaintainedMemo.keepUntilExit(
+        Files.createTempDirectory("graft-ddxsplit").toString)
+      val (bp, sp) = (s"$root/bands", s"$root/sigs")
+      buildIndex(docs.select("doc_id", "text"), bp, sp)
+      def hottest(cands: Option[Seq[Int]]): Int = {
+        val counts = spark.read.parquet(bp).groupBy("bucket").count()
+        cands.fold(counts)(cs => counts.filter(col("bucket").isin(cs: _*)))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+          .sortBy { case (b, n) => (-n, b) }.head._1
+      }
+      val h0 = hottest(None)
+      var splits = splitBandBucket(spark, bp, h0, Nil)
+      val h1 = hottest(Some(Seq(h0, h0 + NumBuckets)))
+      splits = splitBandBucket(spark, bp, h1, splits)
+      TextIndex.saveSplits(spark, s"$root/splits", splits)
+      (bp, sp, s"$root/splits")
+    }
+    val (bp, sp, splitsPath) = built
+    screenIndex(spark, probesOf(docs), bp, sp,
+      splits = TextIndex.loadSplits(spark, splitsPath))
+  }
+
   /** Size-triggered split policy for the band layout —
     * [[TextIndex.splitIfHot]]'s contract verbatim: touched-only
     * (change-volume-sized check, partition-pruned read), one split per

@@ -2130,6 +2130,38 @@ object MlQueries {
             |SELECT doc_id, matched_id, est_jaccard FROM outq
             |ORDER BY doc_id""".stripMargin))
 
+  /** L114 on the band layout ([[DedupIndex.splitScreen]]): build,
+    * split the hottest band bucket twice (genealogy persisted), and
+    * screen the standing probes through the RELOADED split map. The
+    * split is a pure layout move, so the oracle derives the identical
+    * screen from the corpus alone — equality proves the genealogy
+    * routed every probe band and every candidate to the right
+    * partition. */
+  private val dedupSplitScreen = Declared(
+    "ml_dedup_split_screen",
+    (s, d) => DedupIndex.splitScreen(s, Tables(s, d, "documents")),
+    Some(s"""WITH pv AS (
+            |  SELECT -doc_id AS doc_id,
+            |         array_to_string(tk[1:(len(tk)*2)//3], ' ') AS text
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+            |        FROM documents
+            |        WHERE doc_id % ${DedupIndex.ProbeMod} =
+            |          ${DedupIndex.ProbeRem}) q
+            |  WHERE (len(tk)*2)//3 >= 3),
+            |planted AS (SELECT doc_id, text FROM documents
+            |            UNION ALL SELECT doc_id, text FROM pv),
+            |toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+            |         FROM planted),
+            |shg AS (
+            |  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+            |  FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)),
+            |$sigCte,
+            |pi AS (SELECT * FROM sig WHERE doc_id < 0),
+            |sto AS (SELECT * FROM sig WHERE doc_id >= 0),
+            |${screenCtes("pi", "sto", "outq")}
+            |SELECT doc_id, matched_id, est_jaccard FROM outq
+            |ORDER BY doc_id""".stripMargin))
+
   /** Duplicate-span-removal oracle: identical window hashing, coverage
     * masking, and reassembly in DuckDB list lambdas. `coalesce(.., '')`
     * on the reassembled text: string_agg of an empty list is NULL in
@@ -4329,7 +4361,7 @@ object MlQueries {
     shardAssign, mixRebalance, chunking, exportManifest, exportCdc,
     curriculumOrder,
     tfidfTopTerms, bm25, bm25SplitServe, bm25KnownItem, bm25CdcIndex,
-    dedupCdcIndex,
+    dedupCdcIndex, dedupSplitScreen,
     fingerprint,
     zorder, hilbert,
     binpack,
