@@ -107,8 +107,12 @@ object Bench {
   private def sweepTempDirs(): (Int, Long) = tempDirs.synchronized {
     var bytes = 0L
     tempDirs.foreach { root =>
-      try if (Files.exists(root))
-        Files.walk(root)
+      try if (Files.exists(root)) {
+        // Files.walk returns a lazy Stream backed by open directory
+        // handles — close it (try/finally, the walk API contract) or
+        // every swept dir leaks a handle until JVM exit (ADVICE r15 #2)
+        val st = Files.walk(root)
+        try st
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach { p =>
             try {
@@ -116,6 +120,8 @@ object Bench {
               Files.deleteIfExists(p)
             } catch { case _: Throwable => () }
           }
+        finally st.close()
+      }
       catch { case _: Throwable => () }
     }
     val n = tempDirs.size
@@ -770,8 +776,32 @@ object Bench {
             Map("cdc_maint_shared_pass" ->
               (System.nanoTime() - maintT0) / 1e9)
           }
+        // and the split-serving rows' BUILD memos (ADVICE r15 #5):
+        // txtsplit/ddxsplit/cellsplit previously stayed warm across the
+        // reset, so their build+split cost appeared in NO timed line —
+        // the common-N total understated that work. Reset them and
+        // repay the builds as one timed index_build_shared_pass line;
+        // the three rows then report marginal (serve) cost like the
+        // CDC family.
+        graft.ml.MaintainedMemo.clearCache(
+          "txtsplit", "ddxsplit", "cellsplit")
+        val splitConsumers = Set("ml_bm25_split_serve",
+          "ml_dedup_split_screen", "ml_ann_cell_split")
+        val splitLine: Map[String, Double] =
+          if (!qmap.keys.exists(splitConsumers)) Map.empty
+          else {
+            val splitT0 = System.nanoTime()
+            try graft.ml.MlQueries.indexBuildSharedPass(spark, sfDir)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] index_build_shared_pass FAILED: $e")
+              errors("index_build_shared_pass") = Option(e.getMessage)
+                .getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+            }
+            Map("index_build_shared_pass" ->
+              (System.nanoTime() - splitT0) / 1e9)
+          }
         // pass 2 (timed, reported)
-        lshLine ++ annLine ++ maintLine ++
+        lshLine ++ annLine ++ maintLine ++ splitLine ++
           qmap.map { case (name, fn) =>
             val t0 = System.nanoTime()
             try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -592,7 +592,7 @@ object AnnIndex {
         try q.awaitTermination() finally q.stop()
         MaintainedAnn(indexPath, cents, cb)
       } finally graft.streaming.StreamHygiene.cleanupRun(
-        Seq(changeDir, ckptDir))
+        Seq(changeDir, ckptDir), owner = Some(spark))
     }
 
 }

@@ -167,7 +167,7 @@ object HybridServe {
         try q.awaitTermination() finally q.stop()
         MaintainedHybrid(txtIdx, txtStats, annIdx, cents, cb)
       } finally graft.streaming.StreamHygiene.cleanupRun(
-        Seq(changeDir, ckptDir))
+        Seq(changeDir, ckptDir), owner = Some(spark))
     }
 
 }

@@ -26,13 +26,27 @@ package graft.ml
   * cost); forgotten dirs stay on disk until exit — a rebuild writes
   * fresh dirs, never in place — which at fixture scale is a few MB.
   *
-  * Two threads racing a cold key both build; the first `putIfAbsent`
-  * wins and the loser's artifact idles until exit — wasted work in a
-  * rare race, never a wrong result (the [[Dedup]] memo's doctrine).
+  * Builds are SERIALIZED per key (ADVICE r15 #4): unlike the
+  * [[Dedup]] memo's pure-value entries, these builds write to FIXED
+  * fixture paths (the ops dump, the centroid dumps — SaveMode
+  * .Overwrite on shared locations), so two threads racing a cold key
+  * would not merely duplicate idle work, they would interleave
+  * overwrites of the SAME artifact mid-build. `computeIfAbsent`
+  * installs a lazy holder (cheap, inside the map's bin lock); forcing
+  * the holder outside the lock runs the build exactly once, with the
+  * loser blocking on the holder's initializer instead of re-writing
+  * the paths. A build that THROWS leaves its holder retryable (a lazy
+  * initializer failure is not cached), matching the old behavior
+  * where a failed build memoized nothing.
   */
 object MaintainedMemo {
+  /** One-shot build cell: lazy forces at most one evaluation, with
+    * competing threads blocking rather than double-building. */
+  private final class Holder(build: () => AnyRef) {
+    lazy val value: AnyRef = build()
+  }
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[AnyRef, AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, Holder]()
   private val exitDirs = scala.collection.mutable.ArrayBuffer.empty[String]
   private lazy val hookOnce: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -45,15 +59,9 @@ object MaintainedMemo {
     * fixture path) — the session reference itself, so two sessions
     * over the same fixture never share a handle bound to the other's
     * state. */
-  def maintained[T <: AnyRef](key: AnyRef)(build: => T): T = {
-    val hit = memo.get(key)
-    if (hit != null) hit.asInstanceOf[T]
-    else {
-      val built = build
-      val winner = memo.putIfAbsent(key, built)
-      if (winner != null) winner.asInstanceOf[T] else built
-    }
-  }
+  def maintained[T <: AnyRef](key: AnyRef)(build: => T): T =
+    memo.computeIfAbsent(key, _ => new Holder(() => build))
+      .value.asInstanceOf[T]
 
   /** Register an artifact dir for the JVM-exit sweep and return it. */
   def keepUntilExit(dir: String): String = {

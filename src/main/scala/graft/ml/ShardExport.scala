@@ -227,7 +227,7 @@ object ShardExport {
         try q.awaitTermination() finally q.stop()
         MaintainedExport(shardsPath, manifestPath)
       } finally graft.streaming.StreamHygiene.cleanupRun(
-        Seq(changeDir, ckptDir))
+        Seq(changeDir, ckptDir), owner = Some(spark))
     }
 
 }

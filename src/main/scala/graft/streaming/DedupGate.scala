@@ -222,7 +222,8 @@ object DedupGate {
       rej(1).unionByName(acc(1)).unionByName(rej(2)).unionByName(acc(2))
         .orderBy("doc_id")
         .localCheckpoint(true)
-    } finally StreamHygiene.cleanupRun(Seq(newDir, idxRoot, outDir, ckpt))
+    } finally StreamHygiene.cleanupRun(Seq(newDir, idxRoot, outDir, ckpt),
+      owner = Some(spark))
   }
 
   /** Continuous pipeline: stream new-doc parquet files, screen each

@@ -39,24 +39,34 @@ object StreamHygiene {
     * remove the run's temp dirs — one helper so a future harness row
     * cannot take the delete half without the unload half.
     *
-    * GUARD (VERDICT r14 #9): the JVM-wide unload is only safe under
-    * the sequential-streams assumption documented above — Verify/Bench
-    * run one harness row at a time, so no provider alive at teardown
-    * belongs to a live stream. Assert that, don't assume it: a future
-    * concurrent-harness change that overlaps rows would otherwise
-    * silently force a LIVE stateful stream to reload all its state
-    * from its checkpoint mid-run (correct but a latency cliff, and the
-    * kind of wander no bench note would ever trace back here). */
-  def cleanupRun(dirs: Seq[String]): Unit = {
-    val live = org.apache.spark.sql.SparkSession.getActiveSession
+    * GUARD (VERDICT r14 #9, softened per ADVICE r15 #3): the JVM-wide
+    * unload is only safe under the sequential-streams assumption
+    * documented above — Verify/Bench run one harness row at a time, so
+    * no provider alive at teardown belongs to a live stream. The guard
+    * WARNS LOUDLY and skips only the unload instead of throwing: every
+    * call site sits in a `finally` block, so an exception here would
+    * REPLACE the stream's original failure (the diagnosis that
+    * matters) with the guard's own — and the hazard being guarded
+    * (a live stream forced to reload state) costs latency, not
+    * correctness, so a skipped unload + warning is the right trade.
+    * Liveness is checked on the OWNING session passed by the caller
+    * (the session that started the run's streams), not the ambient
+    * active/default session, which in a multi-session host is not
+    * necessarily the one that owns them. */
+  def cleanupRun(dirs: Seq[String],
+      owner: Option[org.apache.spark.sql.SparkSession] = None): Unit = {
+    val live = owner
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.streams.active.toSeq).getOrElse(Seq.empty)
-    require(live.isEmpty,
-      s"cleanupRun called with ${live.size} active stream(s) " +
-        s"(${live.map(_.name).mkString(", ")}): the JVM-wide state-store " +
-        "unload assumes sequential harness rows — stop the run's streams " +
-        "first, or scope the harness so rows do not overlap")
-    unloadStateStores()
+    if (live.nonEmpty)
+      System.err.println(
+        s"[graft] cleanupRun: ${live.size} active stream(s) " +
+          s"(${live.map(_.name).mkString(", ")}) — SKIPPING the JVM-wide " +
+          "state-store unload (it assumes sequential harness rows; a live " +
+          "stream would be forced to reload its state). Temp dirs are " +
+          "still removed.")
+    else unloadStateStores()
     dirs.foreach(deleteRec)
   }
 
