@@ -259,17 +259,31 @@ object AnnIndex {
   /** Sticky assignment through the split tree: argmin over the ROOT
     * centroid list, then each [[Split]] (in split order) re-routes a
     * vector currently at `parent` to the nearer of its two children
-    * (ties → child A, the lower label). A chain of when() columns —
-    * pure codegen, |splits| is bounded model state. With no splits
-    * this IS [[cellOf]] over the root. */
+    * (ties → child A, the lower label). With no splits this IS
+    * [[cellOf]] over the root.
+    *
+    * The descent folds at RUNTIME over an array literal of split
+    * records (`aggregate` — the genealogy is data, not expression
+    * structure), so the plan is constant-size in |splits|. The first
+    * cut folded when() columns at PLAN time instead — and each step
+    * references the accumulated column TWICE (the re-route condition
+    * and its otherwise), so the expression tree DOUBLED per split:
+    * exponential, not the text layout's quadratic — at ~25 genealogy
+    * nodes plan construction alone exhausted a 16 GB heap (caught by
+    * the in-loop policy's cascade spec, AnnIndexSpec). The text
+    * layout's residue table does not transfer (cell ids aren't
+    * modular), but the same principle does: descend data, not plan. */
   def treeCellOf(q: Column, root: Seq[Seq[Long]],
       splits: Seq[Split]): Column =
-    splits.foldLeft(cellOf(q, root)) { (cur, s) =>
-      when(cur === s.parent,
-        when(Similarity.pqD2(q, typedLit(s.centA))
-            <= Similarity.pqD2(q, typedLit(s.centB)),
-          lit(s.parent)).otherwise(lit(s.childB)))
-        .otherwise(cur)
+    if (splits.isEmpty) cellOf(q, root)
+    else {
+      val recs = splits.map(s => (s.parent, s.childB, s.centA, s.centB))
+      aggregate(typedLit(recs), cellOf(q, root), (cur, s) =>
+        when(cur === s.getField("_1"),
+          when(Similarity.pqD2(q, s.getField("_3"))
+              <= Similarity.pqD2(q, s.getField("_4")),
+            s.getField("_1")).otherwise(s.getField("_2")))
+          .otherwise(cur))
     }
 
   /** Maintenance encode through the split tree: sticky cell via
@@ -326,6 +340,61 @@ object AnnIndex {
     Seq(cell, newIdx).filterNot(nonEmpty).foreach(c =>
       IndexFs.deleteDir(spark, s"$indexPath/cell=$c"))
     (newCents, Split(cell, newIdx, a, b))
+  }
+
+  /** Size-triggered cell-split policy IN the maintenance loop (VERDICT
+    * r15 next #4 — the [[TextIndex.splitIfHot]] contract on the IVF
+    * layout): after an epoch lands, split any TOUCHED cell whose
+    * member count exceeds `maxRows` — a hot cell's probe cost is its
+    * member count, so row count IS the heat metric. Touched-only by
+    * design (the check reads only the epoch's own cells,
+    * partition-pruned; an epoch touching nothing checks nothing); one
+    * split per hot cell per call, so repeated epochs converge without
+    * a rebalance storm (a still-hot child is caught the next time an
+    * epoch touches it — at most one doubling per cell per epoch).
+    *
+    * SPLITTABILITY GUARD: a cell is split only if it holds at least
+    * two DISTINCT member vectors. 2-means over identical points is
+    * degenerate (both seeds coincide, every member ties to child A,
+    * child B lands empty) — the unguarded policy would re-pick the
+    * same cell every epoch and grow the genealogy forever, the exact
+    * cascade the hash layouts' one-hot-term guard blocks. Such a cell
+    * is maximally compact already; no quantizer refinement can shrink
+    * it.
+    *
+    * `corpusQ` is the live (vec_id, q) replica the maintainer keeps
+    * next to the index (the [[searchIndex]] rerank side — already a
+    * standing dependency of serving). Callers persist the returned
+    * genealogy with [[saveQuantizer]] and thread it into the next
+    * [[applyEpoch]]; [[TextIndex.splitIfHot]]'s REPLAY-SAFETY
+    * PRECONDITION applies verbatim (run outside the stream's
+    * checkpoint window, or adopt the epoch-keyed genealogy log the
+    * hash layouts carry). Returns (extended centroid list, extended
+    * genealogy). */
+  def splitIfHot(spark: SparkSession, indexPath: String,
+      corpusQ: DataFrame, touched: Seq[Int], cents: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]], splits: Seq[Split], maxRows: Long)
+      : (Seq[Seq[Long]], Seq[Split]) = {
+    if (touched.isEmpty) return (cents, splits)
+    if (!IndexFs.hasPartitions(spark, indexPath, "cell"))
+      return (cents, splits)
+    val hot = Similarity.ivfAdcIndexScan(spark, indexPath, touched)
+      .groupBy("cell").count()
+      .filter(col("count") > maxRows)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (c, n) => (-n, c) }.map(_._1)
+    hot.foldLeft((cents, splits)) { case ((cs, ss), cell) =>
+      val distinct2 = Similarity.ivfAdcIndexScan(spark, indexPath,
+          Seq(cell))
+        .select("vec_id")
+        .join(corpusQ.select("vec_id", "q"), Seq("vec_id"))
+        .select("q").distinct().limit(2).count()
+      if (distinct2 < 2) (cs, ss)
+      else {
+        val (nc, sp) = splitCell(spark, indexPath, corpusQ, cell, cs, cb)
+        (nc, ss :+ sp)
+      }
+    }
   }
 
   /** Compact fragmented cells: [[appendToIndex]] lands one file per

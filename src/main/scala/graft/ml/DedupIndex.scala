@@ -126,6 +126,9 @@ object DedupIndex {
     * [[TextIndex.saveSplits]] like any layout directory. */
   def splitBandBucket(spark: SparkSession, bandsPath: String, b: Int,
       splits: Seq[TextIndex.HashSplit]): Seq[TextIndex.HashSplit] = {
+    require(TextIndex.canSplit(splits, b, NumBuckets),
+      s"band bucket $b is at the genealogy depth bound (table cap " +
+        s"${TextIndex.MaxDescentEntries}): re-key the layout instead")
     val m = TextIndex.localModOf(splits, b, NumBuckets)
     val s = TextIndex.HashSplit(b, b + m, m)
     val rows = spark.read.parquet(bandsPath)
@@ -191,11 +194,17 @@ object DedupIndex {
     * probe), so no hash split can shrink a one-hot-key bucket; that
     * case is [[Dedup]]'s hot-bucket SUB-BLOCKING, not a layout
     * split. [[TextIndex.splitIfHot]]'s REPLAY-SAFETY PRECONDITION
-    * applies verbatim: run outside the stream's checkpoint window. */
+    * applies verbatim: run THIS offline entry outside the stream's
+    * checkpoint window — or use [[applyEpochRebalanced]], which runs
+    * the same selection in-stream against the epoch-keyed genealogy
+    * log (r16). */
   def splitIfHot(spark: SparkSession, bandsPath: String,
       touched: Seq[Int], splits: Seq[TextIndex.HashSplit],
       maxRows: Long): Seq[TextIndex.HashSplit] = {
     if (touched.isEmpty) return splits
+    // same empty-root guard as [[TextIndex.splitIfHot]] (ADVICE r15
+    // #1): an all-partitions-emptied artifact must read as absent
+    if (!IndexFs.hasPartitions(spark, bandsPath, "bucket")) return splits
     val hot = spark.read.parquet(bandsPath)
       .filter(col("bucket").isin(touched: _*))
       .groupBy("bucket", "band", "bk").count()
@@ -204,7 +213,68 @@ object DedupIndex {
       .filter(col("n") > maxRows && col("hottest") <= maxRows)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy { case (b, n) => (-n, b) }.map(_._1)
-    hot.foldLeft(splits)((s, b) => splitBandBucket(spark, bandsPath, b, s))
+    // depth bound: skip, don't throw — the [[TextIndex.splitIfHot]]
+    // policy-vs-operator contract
+    hot.foldLeft(splits)((s, b) =>
+      if (TextIndex.canSplit(s, b, NumBuckets))
+        splitBandBucket(spark, bandsPath, b, s)
+      else s)
+  }
+
+  /** Apply ONE micro-batch WITH the in-stream re-balance protocol on
+    * the band layout — [[TextIndex.applyEpochRebalanced]]'s
+    * write-ahead contract verbatim (heal this epoch's logged-unmoved
+    * splits → apply through the committed prefix → select hot TOUCHED
+    * band buckets → log each entry to the epoch's partition BEFORE its
+    * physical move). The genealogy log is [[TextIndex]]'s epoch-keyed
+    * format ([[TextIndex.saveSplitLogEpoch]] /
+    * [[TextIndex.loadSplitLog]]); only the key hash differs
+    * (`hash(band, bk)`). Every crash point between job commits replays
+    * to the same final (bands, sigs, log) state — spec-pinned. The
+    * sigs sub-artifact needs no re-balance (one row per doc, keyed by
+    * doc_id — mass per bucket is corpus/B by construction, not
+    * key-skewed like band buckets). Returns the genealogy after this
+    * epoch. */
+  def applyEpochRebalanced(spark: SparkSession, batch: Dataset[MtDelta],
+      bandsPath: String, sigsPath: String, batchId: Long,
+      logPath: String, maxRows: Long): Seq[TextIndex.HashSplit] = {
+    val log = TextIndex.loadSplitLog(spark, logPath)
+    require(log.forall(_._1 <= batchId),
+      s"genealogy log at $logPath carries entries from epochs past " +
+        s"$batchId — refusing to derive against a future layout")
+    val prefix = log.filter(_._1 < batchId).map(_._2)
+    val mine = log.filter(_._1 == batchId).map(_._2)
+    mine.foreach(s => TextIndex.healSplitOn(spark, bandsPath, s,
+      pmod(hash(col("band"), col("bk")), lit(2 * s.mod))))
+    val gen0 = prefix ++ mine
+    val (touchedB, _) = applyEpoch(spark, batch, bandsPath, sigsPath,
+      splits = gen0)
+    if (touchedB.isEmpty ||
+        !IndexFs.hasPartitions(spark, bandsPath, "bucket")) return gen0
+    // replay pacing: buckets this epoch's crashed attempt already
+    // split wait for the next epoch ([[TextIndex.applyEpochRebalanced]]
+    // — one doubling per bucket per epoch holds under replay too)
+    val frozen = mine.flatMap(s => Seq(s.parent, s.child)).toSet
+    val hot = spark.read.parquet(bandsPath)
+      .filter(col("bucket").isin(touchedB: _*))
+      .groupBy("bucket", "band", "bk").count()
+      .groupBy("bucket")
+      .agg(sum("count").as("n"), max("count").as("hottest"))
+      .filter(col("n") > maxRows && col("hottest") <= maxRows)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (b, n) => (-n, b) }.map(_._1)
+      .filterNot(frozen)
+    var logged = mine
+    hot.foldLeft(gen0) { (s, b) =>
+      if (!TextIndex.canSplit(s, b, NumBuckets)) s
+      else {
+        val m = TextIndex.localModOf(s, b, NumBuckets)
+        logged = logged :+ TextIndex.HashSplit(b, b + m, m)
+        // WAL: durable before the move it describes
+        TextIndex.saveSplitLogEpoch(spark, logPath, batchId, logged)
+        splitBandBucket(spark, bandsPath, b, s)
+      }
+    }
   }
 
   /** A signature row's one-and-only partition. */
@@ -278,13 +348,16 @@ object DedupIndex {
     * sign NEW docs and APPEND their rows to the touched buckets — no
     * existing file is rewritten (spec-pinned). Correct ONLY for docs
     * not already indexed; an update/delete needs [[applyEpoch]]'s
-    * retraction algebra. Returns (band buckets, sig buckets)
-    * touched. */
+    * retraction algebra. `splits` = the live band-bucket genealogy —
+    * append derives buckets like any other path and must descend it
+    * ([[TextIndex.appendToIndex]]'s soak lesson). Returns (band
+    * buckets, sig buckets) touched. */
   def appendToIndex(docs: DataFrame, bandsPath: String,
-      sigsPath: String): (Seq[Int], Seq[Int]) = {
+      sigsPath: String,
+      splits: Seq[TextIndex.HashSplit] = Nil): (Seq[Int], Seq[Int]) = {
     val sigs = sigRowsFor(docs.select("doc_id", "text"))
       .localCheckpoint(true)
-    val bands = bandRowsFor(sigs).localCheckpoint(true)
+    val bands = bandRowsFor(sigs, splits = splits).localCheckpoint(true)
     val tb = distinctInts(bands, "bucket")
     val sigsB = sigs.withColumn("sbucket", sigBucketOf(col("doc_id")))
     val ts = distinctInts(sigsB, "sbucket")
@@ -555,7 +628,7 @@ object DedupIndex {
         try q.awaitTermination() finally q.stop()
         MaintainedDedup(bandsPath, sigsPath)
       } finally graft.streaming.StreamHygiene.cleanupRun(
-        Seq(changeDir, ckptDir))
+        Seq(changeDir, ckptDir), owner = Some(spark))
     }
 
 }

@@ -88,6 +88,7 @@ object MlQueries {
   private val annCdcCbPq = s"$FixtureDir/anncdc_codebook.parquet"
   private val annCdcOpsPq = s"$FixtureDir/anncdc_ops.parquet"
   private val txtCdcOpsPq = s"$FixtureDir/txtcdc_ops.parquet"
+  private val txtSsOpsPq = s"$FixtureDir/txtss_ops.parquet"
   private val dedupCdcOpsPq = s"$FixtureDir/dedupcdc_ops.parquet"
   private val expCdcOpsPq = s"$FixtureDir/expcdc_ops.parquet"
   private val hybCentPq = s"$FixtureDir/hyb_centroids.parquet"
@@ -2067,6 +2068,29 @@ object MlQueries {
     (s, d) => TextIndex.cdcMaintainAndSearch(s,
       Tables(s, d, "documents"), txtCdcOpsPq),
     Some(s"""WITH ${bm25CdcCtes(txtCdcOpsPq)}
+            |SELECT doc_id, count(*) AS matched,
+            |  CAST(sum(contrib) AS BIGINT) AS score_fp
+            |FROM c GROUP BY doc_id
+            |ORDER BY score_fp DESC, doc_id
+            |LIMIT ${TextAnalysis.Bm25K}""".stripMargin))
+
+  /** L115 — IN-STREAM re-balance
+    * ([[TextIndex.cdcMaintainAndSearchRebalanced]]): the
+    * `ml_bm25_cdc_index` stream with the size-triggered hot-bucket
+    * split policy running INSIDE each trigger, write-ahead-logged to
+    * an epoch-keyed genealogy log ([[TextIndex.applyEpochRebalanced]])
+    * — the r15 offline-only re-balance precondition, lifted: a split
+    * lands within its epoch and a checkpoint replay heals and
+    * converges (spec-pinned, TextIndexSpec/DedupIndexSpec). The serve
+    * threads the genealogy loaded from the LOG. Splits are pure layout
+    * moves, so the oracle is the SAME full-rebuild BM25 fold as the
+    * unrebalanced row — equality proves every epoch and the serve
+    * derived every bucket through the logged genealogy. */
+  private val bm25StreamSplit = Declared(
+    "ml_bm25_stream_split",
+    (s, d) => TextIndex.cdcMaintainAndSearchRebalanced(s,
+      Tables(s, d, "documents"), txtSsOpsPq),
+    Some(s"""WITH ${bm25CdcCtes(txtSsOpsPq)}
             |SELECT doc_id, count(*) AS matched,
             |  CAST(sum(contrib) AS BIGINT) AS score_fp
             |FROM c GROUP BY doc_id
@@ -4361,6 +4385,7 @@ object MlQueries {
     shardAssign, mixRebalance, chunking, exportManifest, exportCdc,
     curriculumOrder,
     tfidfTopTerms, bm25, bm25SplitServe, bm25KnownItem, bm25CdcIndex,
+    bm25StreamSplit,
     dedupCdcIndex, dedupSplitScreen,
     fingerprint,
     zorder, hilbert,
@@ -4384,11 +4409,14 @@ object MlQueries {
     AnnIndex.cdcMaintain(s, Tables(s, dir, "embeddings"),
       annCdcCentPq, annCdcCbPq, annCdcOpsPq)
     TextIndex.cdcMaintain(s, Tables(s, dir, "documents"), txtCdcOpsPq)
+    TextIndex.cdcMaintainRebalanced(s, Tables(s, dir, "documents"),
+      txtSsOpsPq)
     DedupIndex.cdcMaintain(s, Tables(s, dir, "documents"), dedupCdcOpsPq)
     HybridServe.cdcMaintain(s, Tables(s, dir, "documents"),
       Tables(s, dir, "embeddings"), hybCentPq, hybCbPq, hybDocOpsPq,
       hybEmbOpsPq)
     ShardExport.cdcMaintain(s, Tables(s, dir, "documents"), expCdcOpsPq)
+    graft.streaming.DedupGate.gateMaintain(s, Tables(s, dir, "documents"))
     ()
   }
 

@@ -104,6 +104,28 @@ object TextIndex {
     * VERDICT r14 #4). */
   final case class HashSplit(parent: Int, child: Int, mod: Int)
 
+  /** Hard bound on the residue-table size, i.e. on the genealogy's
+    * max local modulus (VERDICT r15 flag #2): the descent table is
+    * `mMax` ints serialized as a `typedLit` into EVERY task binary at
+    * every derivation site, so it must stay bounded model state. At
+    * 32768 entries the literal is 128 KiB — harmless — and reaching it
+    * from base 16 takes ELEVEN doublings of one bucket (2048× the
+    * bucket's starting key share), far past any sane layout (re-key
+    * with a larger [[NumBuckets]] long before that). The bound FAILS
+    * LOUDLY like the schema-evolution contract: [[splitBucket]]
+    * refuses to create the over-deep split, [[splitIfHot]]'s policy
+    * skips at-bound buckets (an automated loop must degrade, not
+    * crash the stream), and [[splitLookup]] re-checks on the serve
+    * path so a genealogy written by a foreign maintainer cannot smuggle
+    * an unbounded literal into the plan. */
+  val MaxDescentEntries: Int = 1 << 15
+
+  /** True iff bucket `b` may split again under [[MaxDescentEntries]]
+    * (its doubled local modulus still tabulates within the bound). */
+  def canSplit(splits: Seq[HashSplit], b: Int,
+      base: Int = NumBuckets): Boolean =
+    2 * localModOf(splits, b, base) <= MaxDescentEntries
+
   /** A term's partition under the split genealogy. The genealogy
     * lesson from the ANN layout applies verbatim: EVERY bucket
     * derivation — serve-side probes, an epoch's departing -old
@@ -141,12 +163,18 @@ object TextIndex {
   }
 
   /** The shared residue-table descent: tabulate bucket-of-residue for
-    * every residue mod the genealogy's max modulus, then index it. */
-  private[ml] def splitLookup(h: Column, splits: Seq[HashSplit],
+    * every residue mod the genealogy's max modulus, then index it.
+    * `private[graft]` so SplitDescentSpec can pin the depth guard. */
+  private[graft] def splitLookup(h: Column, splits: Seq[HashSplit],
       base: Int): Column =
     if (splits.isEmpty) pmod(h, lit(base))
     else {
       val table = descentTable(splits, base)
+      require(table.size <= MaxDescentEntries,
+        s"split genealogy too deep: residue table would need " +
+          s"${table.size} entries (bound $MaxDescentEntries) — the " +
+          "descent literal rides every task binary; re-key the layout " +
+          "with a larger bucket count instead of splitting further")
       element_at(typedLit(table), pmod(h, lit(table.size)) + 1)
     }
 
@@ -168,6 +196,10 @@ object TextIndex {
     * ([[saveSplits]]) exactly like the ANN quantizer's genealogy. */
   def splitBucket(spark: SparkSession, indexPath: String, b: Int,
       splits: Seq[HashSplit]): Seq[HashSplit] = {
+    require(canSplit(splits, b),
+      s"bucket $b is at the genealogy depth bound (local mod " +
+        s"${localModOf(splits, b)}, table cap $MaxDescentEntries): " +
+        "re-key the layout with a larger bucket count")
     val m = localModOf(splits, b)
     val s = HashSplit(b, b + m, m)
     val rows = indexScan(spark, indexPath, Seq(b))
@@ -216,21 +248,29 @@ object TextIndex {
     * index writes.
     *
     * REPLAY-SAFETY PRECONDITION (the [[graft.streaming.DedupGate]]
-    * compaction doctrine): run the policy OUTSIDE the stream's
-    * checkpoint window — between runs, or after the epoch's commit is
-    * durable. A split is a layout move the genealogy file and the
-    * partition dirs must agree on; a stream replay that re-applies an
-    * epoch with a genealogy from the other side of an in-flight split
-    * derives the -old departing buckets against the wrong layout and
-    * strands rows (whichever of the two artifacts the crash
-    * preserved). In-stream splitting would need an epoch-keyed
-    * genealogy log joined to the offset commit — not built; the
-    * offline shape is the operational one (re-balance is maintenance,
-    * like compaction). */
+    * compaction doctrine): THIS entry — the [[saveSplits]]-directory
+    * form — runs OUTSIDE the stream's checkpoint window, between runs
+    * or after the epoch's commit is durable: a split is a layout move
+    * the genealogy file and the partition dirs must agree on, and a
+    * stream replay that re-applies an epoch with a genealogy from the
+    * other side of an in-flight split derives the -old departing
+    * buckets against the wrong layout and strands rows. The IN-STREAM
+    * form exists since r16: [[applyEpochRebalanced]] runs this same
+    * selection inside the trigger against the epoch-keyed genealogy
+    * LOG ([[saveSplitLogEpoch]]), write-ahead-ordered and healed on
+    * replay — use it when re-balance must not stop the stream; keep
+    * this offline entry for operator-initiated maintenance. */
   def splitIfHot(spark: SparkSession, indexPath: String,
       touched: Seq[Int], splits: Seq[HashSplit],
       maxRows: Long): Seq[HashSplit] = {
     if (touched.isEmpty) return splits
+    // hasPartitions, not assumed-present (ADVICE r15 #1): an epoch
+    // that retracts every touched partition's rows deletes the emptied
+    // dirs but keeps the root and still reports non-empty `touched` —
+    // an unguarded read then hits parquet schema inference on a
+    // partition-less root and throws (the applyEpoch guard's exact
+    // failure mode, on the policy's own read)
+    if (!IndexFs.hasPartitions(spark, indexPath, "bucket")) return splits
     // one pruned pass over the touched buckets: total mass + the
     // hottest single term's mass (the splittability witness)
     val hot = indexScan(spark, indexPath, touched)
@@ -240,7 +280,77 @@ object TextIndex {
       .filter(col("n") > maxRows && col("hottest") <= maxRows)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy { case (b, n) => (-n, b) }.map(_._1)
-    hot.foldLeft(splits)((s, b) => splitBucket(spark, indexPath, b, s))
+    // depth bound: the automated policy SKIPS an at-bound bucket (a
+    // maintenance loop must degrade, not crash the stream); only the
+    // operator-invoked splitBucket throws
+    hot.foldLeft(splits)((s, b) =>
+      if (canSplit(s, b)) splitBucket(spark, indexPath, b, s) else s)
+  }
+
+  /** SUB-BLOCK one guarded-hot bucket's posting list — the repair for
+    * the bucket the splittability guard refuses (VERDICT r15 next #3,
+    * composing L66's blocked-postings idea into the maintained index).
+    * A one-hot-term bucket co-locates its term's whole posting list BY
+    * DESIGN (that is what makes df exact from the probed rows), so no
+    * hash split can shrink it; what CAN be bounded is the file — the
+    * unit a scan parallelizes over. The rewrite re-lands the bucket's
+    * rows as ⌈n/blockRows⌉ files of at most `blockRows` rows each
+    * (`maxRecordsPerFile` — the writer rolls files at the bound; one
+    * writing task, so the block boundaries are deterministic given the
+    * checkpointed row order). Serving needs NO code change: the
+    * pruned scan reads the same partition, now splittable across
+    * tasks file-by-file (size `spark.sql.files.maxPartitionBytes` to
+    * ≈ one block at deployment scale so the file really is the task
+    * unit); df counts the same rows; the groupBy folds across blocks
+    * like any files. Content is untouched (pure layout — spec-pinned);
+    * every other partition stays byte-identical. An epoch that later
+    * touches the bucket rewrites it one-file again and the policy
+    * re-blocks it — change-volume-sized churn, the same trade as
+    * compaction. Returns the file count written. */
+  def subBlockBucket(spark: SparkSession, indexPath: String, b: Int,
+      blockRows: Long): Int = {
+    val rows = indexScan(spark, indexPath, Seq(b))
+      .orderBy("doc_id", "term") // deterministic block boundaries
+      // materialize BEFORE the write: the overwrite must not scan the
+      // very partition it is replacing
+      .localCheckpoint(true)
+    rows.coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", blockRows)
+      .partitionBy("bucket").parquet(indexPath)
+    IndexFs.dataFileCount(spark, s"$indexPath/bucket=$b")
+  }
+
+  /** [[splitIfHot]] with the sub-blocking repair wired in: buckets the
+    * splittability guard refuses (hottest single term above the
+    * threshold) are [[subBlockBucket]]ed at `blockRows` instead of
+    * skipped — already-blocked buckets (file count at or above the
+    * needed block count) are left alone, so repeated calls converge.
+    * Returns the (possibly extended) genealogy; blocking never touches
+    * it (a file-level move needs no bucket derivation change). */
+  def splitOrBlockIfHot(spark: SparkSession, indexPath: String,
+      touched: Seq[Int], splits: Seq[HashSplit], maxRows: Long,
+      blockRows: Long): Seq[HashSplit] = {
+    if (touched.isEmpty) return splits
+    if (!IndexFs.hasPartitions(spark, indexPath, "bucket")) return splits
+    val stats = indexScan(spark, indexPath, touched)
+      .groupBy("bucket", "term").count()
+      .groupBy("bucket")
+      .agg(sum("count").as("n"), max("count").as("hottest"))
+      .filter(col("n") > maxRows)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (b, n, _) => (-n, b) }
+    val out = stats.filter(_._3 <= maxRows).map(_._1)
+      .foldLeft(splits)((s, b) =>
+        if (canSplit(s, b)) splitBucket(spark, indexPath, b, s) else s)
+    stats.filter(_._3 > maxRows).foreach { case (b, n, _) =>
+      val needed = ((n + blockRows - 1) / blockRows).toInt
+      if (needed > 1 &&
+          IndexFs.dataFileCount(spark, s"$indexPath/bucket=$b") < needed)
+        subBlockBucket(spark, indexPath, b, blockRows)
+    }
+    out
   }
 
   /** Persist the split genealogy — bounded model state (one row per
@@ -261,6 +371,158 @@ object TextIndex {
       .map(r => (r.getInt(0), HashSplit(r.getInt(1), r.getInt(2),
         r.getInt(3))))
       .sortBy(_._1).map(_._2).toSeq
+
+  // ---- epoch-keyed genealogy log (in-stream re-balance) -------------------
+
+  /** Write one epoch's genealogy entries to the epoch-keyed split LOG
+    * (VERDICT r15 next #1 — the "not built" admission this round
+    * builds). [[saveSplits]] is a mutable whole-file overwrite, which
+    * is why the r15 split policy carried an offline-only
+    * REPLAY-SAFETY PRECONDITION: a stream replay could see a genealogy
+    * from the other side of an in-flight split. This log applies the
+    * BM25 stats-log doctrine to the genealogy itself: each epoch's
+    * split entries live in their own `epoch=` partition, written with
+    * a dynamic partition overwrite — so a replayed epoch rewrites
+    * exactly its own entries (idempotent), and the genealogy a replay
+    * derives against is exactly the prefix the epochs before it
+    * committed. Entries carry (ord within epoch); the full genealogy
+    * is the log in (epoch, ord) order. Empty `entries` writes nothing
+    * (the epoch partition, if a crashed attempt created one, is
+    * preserved — the caller always passes its cumulative entry list,
+    * never a shrinking one). */
+  def saveSplitLogEpoch(spark: SparkSession, path: String, epoch: Long,
+      entries: Seq[HashSplit]): Unit = {
+    import spark.implicits._
+    if (entries.isEmpty) return
+    entries.zipWithIndex
+      .map { case (s, i) => (i, s.parent, s.child, s.mod, epoch) }
+      .toDF("ord", "parent", "child", "mod", "epoch").coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(path)
+  }
+
+  /** Reload the genealogy log in commit order: (epoch asc, ord asc).
+    * Absent/empty log reads as the empty genealogy. */
+  def loadSplitLog(spark: SparkSession, path: String)
+      : Seq[(Long, HashSplit)] =
+    if (!IndexFs.hasPartitions(spark, path, "epoch")) Seq.empty
+    else spark.read.parquet(path)
+      .select(col("epoch").cast("long"), col("ord"), col("parent"),
+        col("child"), col("mod"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        HashSplit(r.getInt(2), r.getInt(3), r.getInt(4))))
+      .sortBy(_._1).map { case ((e, _), s) => (e, s) }.toSeq
+
+  /** HEAL one logged split's physical move — the recovery half of the
+    * write-ahead protocol, generic over the hash layouts (`rehash` is
+    * the layout's key hash at the DOUBLED modulus: `hash(term)` here,
+    * `hash(band, bk)` for [[DedupIndex]]). Reads BOTH of the split's
+    * partitions (whatever state the crash left them in), re-hashes
+    * every row at 2·mod, and dynamic-overwrites the two results —
+    * idempotent by construction: if the pre-crash move completed this
+    * rewrites identical content; if it never started this IS the move;
+    * a side the rehash empties is cleared. Atomicity unit is the job
+    * commit, the same assumption every dynamic-partition-overwrite in
+    * the maintenance family already makes. */
+  private[ml] def healSplitOn(spark: SparkSession, path: String,
+      s: HashSplit, rehash: Column): Unit = {
+    if (!IndexFs.hasPartitions(spark, path, "bucket")) return
+    val rows = spark.read.parquet(path)
+      .filter(col("bucket").isin(s.parent, s.child))
+      .withColumn("bucket", rehash)
+      // materialize BEFORE the write: the overwrite must not scan the
+      // very partitions it is replacing
+      .localCheckpoint(true)
+    val nonEmpty = rows.select("bucket")
+      .repartition(MicroShuffle, col("bucket")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    if (nonEmpty.nonEmpty)
+      rows.repartition(MicroShuffle, col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+    Seq(s.parent, s.child).filterNot(nonEmpty).foreach(b =>
+      IndexFs.deleteDir(spark, s"$path/bucket=$b"))
+  }
+
+  /** Apply ONE micro-batch WITH the in-stream re-balance protocol —
+    * the composition that lifts [[splitIfHot]]'s offline-only
+    * precondition. Per epoch `batchId`:
+    *
+    *  1. `prefix` = the log's entries from epochs < `batchId` — the
+    *     genealogy this epoch's world starts from; `mine` = entries a
+    *     CRASHED attempt of this very epoch already logged (empty on a
+    *     first run).
+    *  2. HEAL `mine` ([[healSplitOn]]): the write-ahead order below
+    *     means a logged entry's physical move may not have happened —
+    *     complete it (no-op if it did).
+    *  3. [[applyEpoch]] deriving through `prefix ++ mine` — layout and
+    *     genealogy now agree, so the keyed set algebra is the usual
+    *     replay-idempotent apply.
+    *  4. The split policy ([[splitIfHot]]'s selection verbatim), but
+    *     each selected bucket's entry is LOGGED to this epoch's
+    *     partition BEFORE its physical move (write-ahead). A crash
+    *     between the two leaves a logged-unmoved split — exactly what
+    *     step 2 heals on replay. The reverse order would be
+    *     unrecoverable: a moved-unlogged split leaves the bucket cold
+    *     (the policy never re-picks it) with its rows stranded in a
+    *     child no genealogy names.
+    *
+    * Every crash point between job commits therefore replays to the
+    * same final (index, log) state — spec-pinned on both hash layouts.
+    * Serving during an IN-FLIGHT epoch remains epoch-aligned (read the
+    * log, serve between commits — the same visibility contract as the
+    * index partitions themselves); the offline [[splitIfHot]] stays
+    * for operator-initiated maintenance. Returns the genealogy after
+    * this epoch. */
+  def applyEpochRebalanced(spark: SparkSession, batch: Dataset[MtDelta],
+      indexPath: String, statsPath: String, batchId: Long,
+      logPath: String, maxRows: Long): Seq[HashSplit] = {
+    val log = loadSplitLog(spark, logPath)
+    require(log.forall(_._1 <= batchId),
+      s"genealogy log at $logPath carries entries from epochs past " +
+        s"$batchId — the log belongs to a different (further-ahead) " +
+        "maintainer; refusing to derive against a future layout")
+    val prefix = log.filter(_._1 < batchId).map(_._2)
+    val mine = log.filter(_._1 == batchId).map(_._2)
+    mine.foreach(s => healSplitOn(spark, indexPath, s,
+      pmod(hash(col("term")), lit(2 * s.mod))))
+    val gen0 = prefix ++ mine
+    val touched = applyEpoch(spark, batch, indexPath, statsPath,
+      batchId, splits = gen0)
+    if (touched.isEmpty ||
+        !IndexFs.hasPartitions(spark, indexPath, "bucket")) return gen0
+    // buckets this epoch's CRASHED attempt already split are frozen
+    // until the next epoch: a first run computes its hot list once
+    // (pre-split counts) and doubles each pick at most once, so a
+    // replay — whose hot list sees the healed (post-split) state —
+    // must not re-pick a healed parent or its child, or the replayed
+    // epoch doubles a bucket twice and its log trace diverges from the
+    // crash-free run's (caught by the WAL crash-window spec)
+    val frozen = mine.flatMap(s => Seq(s.parent, s.child)).toSet
+    val hot = indexScan(spark, indexPath, touched)
+      .groupBy("bucket", "term").count()
+      .groupBy("bucket")
+      .agg(sum("count").as("n"), max("count").as("hottest"))
+      .filter(col("n") > maxRows && col("hottest") <= maxRows)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (b, n) => (-n, b) }.map(_._1)
+      .filterNot(frozen)
+    var logged = mine
+    hot.foldLeft(gen0) { (s, b) =>
+      if (!canSplit(s, b)) s
+      else {
+        val m = localModOf(s, b)
+        logged = logged :+ HashSplit(b, b + m, m)
+        // WAL: the entry is durable in this epoch's partition BEFORE
+        // the physical move it describes
+        saveSplitLogEpoch(spark, logPath, batchId, logged)
+        splitBucket(spark, indexPath, b, s)
+      }
+    }
+  }
 
   // ---- tokenize / encode ------------------------------------------------
 
@@ -322,10 +584,15 @@ object TextIndex {
     * file is rewritten (spec-pinned), and the batch's (ΔN, ΔT) lands
     * as its own stats-log epoch partition. Correct ONLY for docs not
     * already indexed (an update/delete needs [[applyEpoch]]'s
-    * retraction algebra). Returns the touched buckets. */
+    * retraction algebra). `splits` = the live genealogy — append is a
+    * bucket derivation like any other and MUST descend it (the soak
+    * spec caught the base-hash variant stranding appended postings in
+    * a split bucket's former home). Returns the touched buckets. */
   def appendToIndex(docs: DataFrame, indexPath: String,
-      statsPath: String, epoch: Long): Seq[Int] = {
-    val posts = postingsFor(docs.select("doc_id", "text"))
+      statsPath: String, epoch: Long,
+      splits: Seq[HashSplit] = Nil): Seq[Int] = {
+    val posts = postingsFor(docs.select("doc_id", "text"),
+        splits = splits)
       .localCheckpoint(true)
     val buckets = posts.select("bucket")
       .repartition(MicroShuffle, col("bucket")).distinct().collect()
@@ -624,6 +891,88 @@ object TextIndex {
       splits = loadSplits(spark, splitsPath))
   }
 
+  /** Handle to a re-balanced maintained artifact: the genealogy LOG is
+    * part of the serving state (a server derives probe buckets through
+    * it). */
+  final case class MaintainedTextLog(indexPath: String,
+      statsPath: String, logPath: String)
+
+  /** The declared in-stream re-balance composition
+    * (`ml_bm25_stream_split`, L115): the [[cdcMaintain]] stream with
+    * [[applyEpochRebalanced]] as the trigger body — hot TOUCHED
+    * buckets split INSIDE their epoch, write-ahead-logged to the
+    * epoch-keyed genealogy log, so re-balance no longer requires
+    * stopping the stream (the r15 offline-only precondition, lifted).
+    * The split threshold is 1.2× the snapshot's mean bucket mass:
+    * term mass is Zipf-skewed, so the hot buckets sit well above the
+    * mean at every fixture scale and the policy genuinely fires, while
+    * balanced buckets (and split children at ~half the parent) stay
+    * put — at most a handful of splits per history, each a
+    * single-bucket rewrite. The serve threads the genealogy loaded
+    * from the LOG (the restarted-server shape); splits are pure layout
+    * moves, so the oracle is the same full-rebuild BM25 fold as
+    * `ml_bm25_cdc_index`. */
+  def cdcMaintainAndSearchRebalanced(spark: SparkSession,
+      docs: DataFrame, opsDumpPath: String, epochs: Int = 3,
+      k: Int = Bm25K): DataFrame = {
+    val m = cdcMaintainRebalanced(spark, docs, opsDumpPath, epochs)
+    searchIndex(spark, m.indexPath, m.statsPath, k = k,
+      splits = loadSplitLog(spark, m.logPath).map(_._2))
+  }
+
+  /** The re-balanced stream-and-maintain pass, memoized per (session,
+    * ops path) — [[cdcMaintain]]'s harness with the in-stream split
+    * protocol per trigger and the genealogy log kept next to the
+    * artifact. */
+  def cdcMaintainRebalanced(spark: SparkSession, docs: DataFrame,
+      opsDumpPath: String, epochs: Int = 3): MaintainedTextLog =
+    MaintainedMemo.maintained((spark, "txtss", opsDumpPath)) {
+      import spark.implicits._
+      val snap: Seq[(Long, String)] =
+        docs.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+      // 1.2× the snapshot's mean bucket mass (postings / buckets) —
+      // one tokenize pass, bounded output, computed before the stream
+      val postings = postingsFor(docs.select("doc_id", "text")).count()
+      val maxRows = postings * 12 / (10 * NumBuckets)
+      val ops = epochScript(snap, epochs)
+      ops.map(o => (o.lsn, o.action, o.docId, o.text.orNull))
+        .toDF("lsn", "action", "doc_id", "text")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
+      val changeDir = Files.createTempDirectory("graft-txtss-log").toString
+      val ckptDir = Files.createTempDirectory("graft-txtss-ckpt").toString
+      val idxRoot = MaintainedMemo.keepUntilExit(
+        Files.createTempDirectory("graft-txtss-idx").toString)
+      val indexPath = s"$idxRoot/index"
+      val statsPath = s"$idxRoot/stats"
+      val logPath = s"$idxRoot/genealogy"
+      try {
+        ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+          ChangeGen.writeLineBatches(changeDir,
+            group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
+        }
+        // state-store width pinned to the change volume (cdcMaintain's
+        // rationale; the width burns into the checkpoint at start)
+        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
+        val q =
+          try Ivm.mtDeltas(MultiTable.parseAll(
+              ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckptDir)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+              applyEpochRebalanced(spark, batch, indexPath, statsPath,
+                bid, logPath, maxRows); ()
+            }
+            .start()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+        try q.awaitTermination() finally q.stop()
+        MaintainedTextLog(indexPath, statsPath, logPath)
+      } finally graft.streaming.StreamHygiene.cleanupRun(
+        Seq(changeDir, ckptDir), owner = Some(spark))
+    }
+
   /** The stream-and-maintain pass, memoized per (session, ops path) —
     * see [[MaintainedMemo]]: one pass per JVM; the change-log and
     * checkpoint temp dirs are removed as soon as the stream finishes,
@@ -672,7 +1021,7 @@ object TextIndex {
         try q.awaitTermination() finally q.stop()
         MaintainedText(indexPath, statsPath)
       } finally graft.streaming.StreamHygiene.cleanupRun(
-        Seq(changeDir, ckptDir))
+        Seq(changeDir, ckptDir), owner = Some(spark))
     }
 
 }

@@ -191,40 +191,61 @@ object DedupGate {
     * shingles) are ADMITTED here — the gate passes what it cannot
     * screen, where the signature-level row never sees them — so the
     * oracle derives the accepted sets from the raw doc relations.
-    * Temp dirs are removed after the result materializes. */
+    * The stream-and-gate pass is memoized ([[gateMaintain]]) and the
+    * row reads the gate's outputs — the marginal (serve-side) cost,
+    * like every maintained-family row. */
   def gateRunDeclared(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val newDir =
-      java.nio.file.Files.createTempDirectory("gate-days").toString
-    val idxRoot =
-      java.nio.file.Files.createTempDirectory("gate-idx").toString
-    val outDir =
-      java.nio.file.Files.createTempDirectory("gate-out").toString
-    val ckpt =
-      java.nio.file.Files.createTempDirectory("gate-ckpt").toString
-    val (bandsPath, sigsPath) = (s"$idxRoot/bands", s"$idxRoot/sigs")
-    try {
-      seedGate(docs.filter(col("doc_id") % 10 =!= 0), bandsPath, sigsPath)
-      writeDayFile(docs.filter(col("doc_id") % 20 === 0), newDir, 1)
-      writeDayFile(docs.filter(col("doc_id") % 20 === 10), newDir, 2)
-      val q = start(spark, newDir, bandsPath, sigsPath, outDir, ckpt,
-        maxFilesPerTrigger = Some(1))
-      try q.awaitTermination() finally q.stop()
-      def rej(e: Int): DataFrame =
-        spark.read.parquet(s"$outDir/rejected/batch=${e - 1}")
-          .select(col("doc_id"), lit(e).as("epoch"), lit(0).as("accepted"),
-            col("matched_id"), col("est_jaccard"))
-      def acc(e: Int): DataFrame =
-        spark.read.schema(IncrementalDedup.DocSchema)
-          .parquet(s"$outDir/accepted/batch=${e - 1}")
-          .select(col("doc_id"), lit(e).as("epoch"), lit(1).as("accepted"),
-            lit(null).cast("long").as("matched_id"),
-            lit(null).cast("double").as("est_jaccard"))
-      rej(1).unionByName(acc(1)).unionByName(rej(2)).unionByName(acc(2))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    } finally StreamHygiene.cleanupRun(Seq(newDir, idxRoot, outDir, ckpt),
-      owner = Some(spark))
+    val outDir = gateMaintain(spark, docs)
+    def rej(e: Int): DataFrame =
+      spark.read.parquet(s"$outDir/rejected/batch=${e - 1}")
+        .select(col("doc_id"), lit(e).as("epoch"), lit(0).as("accepted"),
+          col("matched_id"), col("est_jaccard"))
+    def acc(e: Int): DataFrame =
+      spark.read.schema(IncrementalDedup.DocSchema)
+        .parquet(s"$outDir/accepted/batch=${e - 1}")
+        .select(col("doc_id"), lit(e).as("epoch"), lit(1).as("accepted"),
+          lit(null).cast("long").as("matched_id"),
+          lit(null).cast("double").as("est_jaccard"))
+    rej(1).unionByName(acc(1)).unionByName(rej(2)).unionByName(acc(2))
+      .orderBy("doc_id")
   }
+
+  /** The gate's stream-and-screen pass, memoized per (session, corpus
+    * plan) — VERDICT r15 next #2: this was the ONE maintained-family
+    * row outside [[graft.ml.MaintainedMemo]], so Bench's warm + timed
+    * passes each drove the full two-epoch checkpointed stream (9.76 s
+    * on the r15 canonical, the #1 non-shared row). The fixture stream
+    * is deterministic per corpus, so one pass per JVM is the honest
+    * shape; Bench resets the `gatecdc` tag with the rest of the CDC
+    * family and repays this pass inside the timed
+    * `cdc_maint_shared_pass` line. The gate's index, checkpoint, and
+    * day files are removed when the stream finishes; the
+    * accepted/rejected OUTPUT dirs (the row's whole read dependency)
+    * live until JVM exit. Returns the output root. */
+  def gateMaintain(spark: SparkSession, docs: DataFrame): String =
+    graft.ml.MaintainedMemo.maintained(
+        (spark, "gatecdc", docs.queryExecution.analyzed.canonicalized)) {
+      val newDir =
+        java.nio.file.Files.createTempDirectory("gate-days").toString
+      val idxRoot =
+        java.nio.file.Files.createTempDirectory("gate-idx").toString
+      val outDir = graft.ml.MaintainedMemo.keepUntilExit(
+        java.nio.file.Files.createTempDirectory("gate-out").toString)
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("gate-ckpt").toString
+      val (bandsPath, sigsPath) = (s"$idxRoot/bands", s"$idxRoot/sigs")
+      try {
+        seedGate(docs.filter(col("doc_id") % 10 =!= 0), bandsPath,
+          sigsPath)
+        writeDayFile(docs.filter(col("doc_id") % 20 === 0), newDir, 1)
+        writeDayFile(docs.filter(col("doc_id") % 20 === 10), newDir, 2)
+        val q = start(spark, newDir, bandsPath, sigsPath, outDir, ckpt,
+          maxFilesPerTrigger = Some(1))
+        try q.awaitTermination() finally q.stop()
+        outDir
+      } finally StreamHygiene.cleanupRun(Seq(newDir, idxRoot, ckpt),
+        owner = Some(spark))
+    }
 
   /** Continuous pipeline: stream new-doc parquet files, screen each
     * micro-batch against the index, grow the index. Restart on the

@@ -333,6 +333,154 @@ class DedupIndexSpec extends AnyFunSuite {
       "post-split maintenance must equal the full rebuild")
   }
 
+  test("in-stream re-balance on the band layout: epochs split via the log; crash windows replay to convergence") {
+    // the band-layout half of VERDICT r15 next #1: the write-ahead
+    // genealogy-log protocol ([[DedupIndex.applyEpochRebalanced]])
+    // converges from both recoverable crash states, and the screen
+    // through the logged genealogy equals the from-scratch rebuild
+    val snap = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = TextIndex.epochScript(snap, epochs = 3)
+    // band buckets carry ~16·N/16 = N rows each (near-uniform key
+    // hash), so a threshold at 0.45·N trips every bucket at the
+    // snapshot epoch and their ~N/2 children again when a later epoch
+    // touches them — deterministic multi-epoch growth
+    val maxRows = snap.size.toLong * 45 / 100
+    def epochDeltas(): Seq[(Long, Seq[MtDelta])] = {
+      var state = Map.empty[Long, String]
+      ops.groupBy(_.epoch).toSeq.sortBy(_._1).map { case (e, group) =>
+        val start = state
+        group.sortBy(_.lsn).foreach { op =>
+          op.action match {
+            case "I" => state = state.updated(op.docId, op.text.get)
+            case "U" if state.contains(op.docId) =>
+              state = state.updated(op.docId, op.text.get)
+            case "D" => state = state - op.docId
+            case _ => ()
+          }
+        }
+        val touched = (start.keySet ++ state.keySet)
+          .filter(k => start.get(k) != state.get(k)).toSeq.sorted
+        (e.toLong, touched.flatMap { k =>
+          start.get(k).map(t => mkDelta(k, -1, t)).toSeq ++
+            state.get(k).map(t => mkDelta(k, +1, t)).toSeq
+        })
+      }
+    }
+    val epochs = epochDeltas()
+    def finalState(): Map[Long, String] = {
+      var state = Map.empty[Long, String]
+      ops.sortBy(_.lsn).foreach { op =>
+        op.action match {
+          case "I" => state = state.updated(op.docId, op.text.get)
+          case "U" if state.contains(op.docId) =>
+            state = state.updated(op.docId, op.text.get)
+          case "D" => state = state - op.docId
+          case _ => ()
+        }
+      }
+      state
+    }
+    // reference run A — no crashes
+    val rootA = tmp("ddx-wal-a")
+    val (bpA, spA, logA) = (s"$rootA/bands", s"$rootA/sigs", s"$rootA/gen")
+    epochs.foreach { case (e, d) =>
+      DedupIndex.applyEpochRebalanced(spark, d.toDS(), bpA, spA, e,
+        logA, maxRows)
+    }
+    val refLog = TextIndex.loadSplitLog(spark, logA)
+    assert(refLog.nonEmpty &&
+      refLog.map(_._1).distinct.size >= 2,
+      s"splits must land across multiple epochs: $refLog")
+    // every row lives where the logged genealogy says
+    assert(spark.read.parquet(bpA)
+      .filter(col("bucket") =!= DedupIndex.splitBandBucketOf(
+        col("band"), col("bk"), refLog.map(_._2))).count() === 0L)
+    // run B: clean to e-1, then S1 (logged-unmoved) at the first
+    // post-snapshot split epoch
+    val crashE = refLog.map(_._1).distinct.find(_ >= 1L)
+    assume(crashE.nonEmpty, "fixture must split in a post-snapshot epoch")
+    val e = crashE.get
+    val rootB = tmp("ddx-wal-b")
+    val (bpB, spB, logB) = (s"$rootB/bands", s"$rootB/sigs", s"$rootB/gen")
+    epochs.takeWhile(_._1 < e).foreach { case (i, d) =>
+      DedupIndex.applyEpochRebalanced(spark, d.toDS(), bpB, spB, i,
+        logB, maxRows)
+    }
+    val dE = epochs.find(_._1 == e).get._2
+    val prefixB = TextIndex.loadSplitLog(spark, logB).map(_._2)
+    DedupIndex.applyEpoch(spark, dE.toDS(), bpB, spB, splits = prefixB)
+    TextIndex.saveSplitLogEpoch(spark, logB, e,
+      Seq(refLog.filter(_._1 == e).map(_._2).head))
+    // --- crash --- replay through the full protocol, then finish
+    DedupIndex.applyEpochRebalanced(spark, dE.toDS(), bpB, spB, e,
+      logB, maxRows)
+    epochs.dropWhile(_._1 <= e).foreach { case (i, d) =>
+      DedupIndex.applyEpochRebalanced(spark, d.toDS(), bpB, spB, i,
+        logB, maxRows)
+    }
+    assert(TextIndex.loadSplitLog(spark, logB) === refLog,
+      "the healed run's genealogy log must equal the crash-free run's")
+    assert(bandsContent(bpB) === bandsContent(bpA),
+      "the healed run's bands must equal the crash-free run's")
+    assert(sigsContent(spB) === sigsContent(spA))
+    // S2: full-epoch replay is a no-op
+    val (lastE, lastD) = epochs.last
+    val c0 = bandsContent(bpB)
+    DedupIndex.applyEpochRebalanced(spark, lastD.toDS(), bpB, spB,
+      lastE, logB, maxRows)
+    assert(bandsContent(bpB) === c0 &&
+      TextIndex.loadSplitLog(spark, logB) === refLog,
+      "full-epoch replay must be a no-op")
+    // screen through the logged genealogy == screen of an unsplit
+    // rebuild of the final corpus (the layout-free theorem)
+    val rb = tmp("ddx-wal-rb")
+    DedupIndex.buildIndex(finalState().toSeq.toDF("doc_id", "text"),
+      s"$rb/bands", s"$rb/sigs")
+    val probes = DedupIndex.probesOf(docs).localCheckpoint(true)
+    val viaLog = DedupIndex.screenIndex(spark, probes, bpA, spA,
+        splits = refLog.map(_._2))
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val viaRebuild = DedupIndex.screenIndex(spark, probes,
+        s"$rb/bands", s"$rb/sigs")
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(viaLog === viaRebuild && viaLog.nonEmpty,
+      "screen through the logged genealogy must equal the rebuilt screen")
+  }
+
+  test("restarted serving job: band genealogy loaded in a FRESH session screens identically") {
+    // the band-layout twin of the TextIndex fresh-session pin (VERDICT
+    // r15 next #8): build + two splits + persist, then a NEW isolated
+    // session loads the genealogy from disk and screens the SAME
+    // artifact — results must equal the in-memory screen bit for bit
+    val root = tmp("ddx-split-fresh")
+    val (bp, sp) = (s"$root/bands", s"$root/sigs")
+    DedupIndex.buildIndex(docs.select("doc_id", "text"), bp, sp)
+    def hottest(cands: Option[Seq[Int]]): Int = {
+      val counts = spark.read.parquet(bp).groupBy("bucket").count()
+      cands.fold(counts)(cs => counts.filter(col("bucket").isin(cs: _*)))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy { case (b, n) => (-n, b) }.head._1
+    }
+    val h0 = hottest(None)
+    var splits = DedupIndex.splitBandBucket(spark, bp, h0, Nil)
+    splits = DedupIndex.splitBandBucket(spark, bp,
+      hottest(Some(Seq(h0, h0 + 16))), splits)
+    TextIndex.saveSplits(spark, s"$root/splits", splits)
+    val inMem = DedupIndex.screenIndex(spark, DedupIndex.probesOf(docs),
+        bp, sp, splits = splits)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val s2 = spark.newSession()
+    val loaded = TextIndex.loadSplits(s2, s"$root/splits")
+    assert(loaded === splits, "the genealogy must ride the reload")
+    val viaLoaded = DedupIndex.screenIndex(s2,
+        DedupIndex.probesOf(Tables(s2, sf, "documents")), bp, sp,
+        splits = loaded)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(viaLoaded === inMem && inMem.nonEmpty,
+      "fresh-session screen through the reloaded genealogy must equal the in-memory screen")
+  }
+
   test("an epoch that empties EVERY bucket leaves readable artifacts (empty-root guard)") {
     // ADVICE r14 #2 regression pin, band+sig twins of the TextIndex
     // case: an all-partitions-emptied root must read as absent

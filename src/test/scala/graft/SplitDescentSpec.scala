@@ -81,4 +81,39 @@ class SplitDescentSpec extends AnyFunSuite {
       table.size == mMax && splits.forall(s => mMax % (2 * s.mod) == 0)
     })
   }
+
+  /** One bucket split to depth `d` — the fastest way to grow the max
+    * local modulus (each split doubles it). */
+  private def chainTo(depth: Int): Seq[HashSplit] =
+    (0 until depth).foldLeft(Seq.empty[HashSplit]) { (splits, _) =>
+      val m = TextIndex.localModOf(splits, 0, Base)
+      splits :+ HashSplit(0, m, m)
+    }
+
+  test("genealogy depth bound (VERDICT r15 flag #2): the table sizes to the cap, then fails loudly") {
+    // at the bound: 11 doublings of one bucket → local mod 32768 ==
+    // MaxDescentEntries; the table sizes exactly to the cap and the
+    // descent column still builds
+    val atBound = chainTo(11)
+    assert(TextIndex.localModOf(atBound, 0, Base)
+      === TextIndex.MaxDescentEntries)
+    assert(!TextIndex.canSplit(atBound, 0, Base),
+      "an at-bound bucket must report unsplittable to the policy")
+    assert(TextIndex.descentTable(atBound, Base).size
+      === TextIndex.MaxDescentEntries)
+    TextIndex.splitLookup(
+      org.apache.spark.sql.functions.lit(7), atBound, Base) // must not throw
+    // past the bound: splitLookup refuses the literal — the guard that
+    // keeps a foreign-written genealogy from riding every task binary
+    val past = chainTo(12)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.splitLookup(
+        org.apache.spark.sql.functions.lit(7), past, Base)
+    }
+    assert(e.getMessage.contains("genealogy too deep"))
+    // and canSplit is exactly the policy's skip predicate: every live
+    // bucket below the bound stays splittable
+    assert(TextIndex.canSplit(atBound, 1, Base),
+      "an unsplit sibling bucket must remain splittable")
+  }
 }

@@ -431,6 +431,184 @@ class TextIndexSpec extends AnyFunSuite {
       "serve through the genealogy must equal the rebuilt-index serve")
   }
 
+  test("in-stream re-balance (real stream): splits land inside epochs; restart mid-history converges") {
+    // VERDICT r15 next #1, the lifted precondition: the split policy
+    // runs INSIDE checkpointed triggers via the epoch-keyed genealogy
+    // log, and a restart mid-split-history converges to the one-shot
+    // state — index, stats, log, and serve all identical
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.cdc.{ChangeGen, ChangeSource, Ivm, MultiTable}
+    import org.apache.spark.sql.Dataset
+    val snap = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = TextIndex.epochScript(snap, epochs = 3)
+    val maxRows = 700L // the size-triggered spec's cascade threshold
+    def writeEpochs(dir: String, upTo: Int): Unit =
+      ops.filter(_.epoch <= upTo).groupBy(_.epoch).toSeq.sortBy(_._1)
+        .foreach { case (e, group) =>
+          ChangeGen.writeLineBatches(dir,
+            group.sortBy(_.lsn).map(TextIndex.toLine),
+            batches = 1, startIndex = e)
+        }
+    def drive(changeDir: String, ckpt: String, idx: String, st: String,
+        log: String): Unit = {
+      val q = Ivm.mtDeltas(MultiTable.parseAll(
+          ChangeSource.rawLines(spark, changeDir, Some(1)),
+          Seq(TextIndex.DocSpec)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+          TextIndex.applyEpochRebalanced(spark, batch, idx, st, bid,
+            log, maxRows); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // run A: stop after epochs 0..1 (splits already landed), resume 2..3
+    val dirA = tmp("txt-ss-log"); val rootA = tmp("txt-ss")
+    val (idxA, stA, logA, ckptA) =
+      (s"$rootA/index", s"$rootA/stats", s"$rootA/gen", s"$rootA/ckpt")
+    writeEpochs(dirA, 1)
+    drive(dirA, ckptA, idxA, stA, logA)
+    val logMid = TextIndex.loadSplitLog(spark, logA)
+    assert(logMid.nonEmpty, "splits must land inside the streamed epochs")
+    writeEpochs(dirA, 3)
+    drive(dirA, ckptA, idxA, stA, logA)
+    // run B: one shot
+    val dirB = tmp("txt-ss-log2"); val rootB = tmp("txt-ss2")
+    val (idxB, stB, logB, ckptB) =
+      (s"$rootB/index", s"$rootB/stats", s"$rootB/gen", s"$rootB/ckpt")
+    writeEpochs(dirB, 3)
+    drive(dirB, ckptB, idxB, stB, logB)
+    val (la, lb) = (TextIndex.loadSplitLog(spark, logA),
+      TextIndex.loadSplitLog(spark, logB))
+    assert(la === lb, "restarted genealogy log must equal the one-shot log")
+    assert(la.map(_._1).distinct.size >= 2,
+      s"splits must land in more than one epoch (in-stream growth): $la")
+    assert(indexContent(idxA) === indexContent(idxB),
+      "restarted stream must converge to the one-shot artifact")
+    assert(statsSum(stA) === statsSum(stB))
+    // serve threads the LOG's genealogy; equality pins the whole chain
+    val a = TextIndex.searchIndex(spark, idxA, stA,
+      splits = la.map(_._2)).collect().toSeq
+    val b = TextIndex.searchIndex(spark, idxB, stB,
+      splits = lb.map(_._2)).collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("write-ahead crash windows: logged-unmoved split heals; full-epoch replay is a no-op") {
+    // the two recoverable crash states the WAL ordering creates:
+    // S1 = entry logged, physical move not done (crash between the log
+    // write and splitBucket) — replay must HEAL; S2 = everything done,
+    // offset commit lost — replay must be a no-op
+    val snap = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = TextIndex.epochScript(snap, epochs = 3)
+    val maxRows = 700L
+    def epochDeltas(): Seq[(Long, Seq[MtDelta])] = {
+      var state = Map.empty[Long, String]
+      ops.groupBy(_.epoch).toSeq.sortBy(_._1).map { case (e, group) =>
+        val start = state
+        group.sortBy(_.lsn).foreach { op =>
+          op.action match {
+            case "I" => state = state.updated(op.docId, op.text.get)
+            case "U" if state.contains(op.docId) =>
+              state = state.updated(op.docId, op.text.get)
+            case "D" => state = state - op.docId
+            case _ => ()
+          }
+        }
+        val touched = (start.keySet ++ state.keySet)
+          .filter(k => start.get(k) != state.get(k)).toSeq.sorted
+        (e.toLong, touched.flatMap { k =>
+          start.get(k).map(t => mkDelta(k, -1, t)).toSeq ++
+            state.get(k).map(t => mkDelta(k, +1, t)).toSeq
+        })
+      }
+    }
+    val epochs = epochDeltas()
+    // reference run A — no crashes
+    val rootA = tmp("txt-wal-a")
+    val (idxA, stA, logA) = (s"$rootA/index", s"$rootA/stats", s"$rootA/gen")
+    epochs.foreach { case (e, d) =>
+      TextIndex.applyEpochRebalanced(spark, d.toDS(), idxA, stA, e,
+        logA, maxRows)
+    }
+    val refLog = TextIndex.loadSplitLog(spark, logA)
+    // crash epoch: the first with splits AFTER the snapshot epoch (the
+    // size-triggered cascade guarantees one; skip the test if not)
+    val crashE = refLog.map(_._1).distinct.find(_ >= 1L)
+    assume(crashE.nonEmpty, "fixture must split in a post-snapshot epoch")
+    val e = crashE.get
+    // run B: clean through e-1, then construct S1 at epoch e
+    val rootB = tmp("txt-wal-b")
+    val (idxB, stB, logB) = (s"$rootB/index", s"$rootB/stats", s"$rootB/gen")
+    epochs.takeWhile(_._1 < e).foreach { case (i, d) =>
+      TextIndex.applyEpochRebalanced(spark, d.toDS(), idxB, stB, i,
+        logB, maxRows)
+    }
+    val dE = epochs.find(_._1 == e).get._2
+    val prefixB = TextIndex.loadSplitLog(spark, logB).map(_._2)
+    // S1: apply done, FIRST split entry logged, move NOT performed
+    TextIndex.applyEpoch(spark, dE.toDS(), idxB, stB, e, splits = prefixB)
+    val firstSplit = refLog.filter(_._1 == e).map(_._2).head
+    TextIndex.saveSplitLogEpoch(spark, logB, e, Seq(firstSplit))
+    // --- crash --- replay the epoch through the full protocol
+    TextIndex.applyEpochRebalanced(spark, dE.toDS(), idxB, stB, e,
+      logB, maxRows)
+    // finish the history and compare everything against A
+    epochs.dropWhile(_._1 <= e).foreach { case (i, d) =>
+      TextIndex.applyEpochRebalanced(spark, d.toDS(), idxB, stB, i,
+        logB, maxRows)
+    }
+    assert(TextIndex.loadSplitLog(spark, logB) === refLog,
+      "the healed run's genealogy log must equal the crash-free run's")
+    assert(indexContent(idxB) === indexContent(idxA),
+      "the healed run's index must equal the crash-free run's")
+    assert(statsSum(stB) === statsSum(stA))
+    // S2: replaying the final epoch end-to-end changes nothing
+    val (lastE, lastD) = epochs.last
+    val c0 = indexContent(idxB)
+    TextIndex.applyEpochRebalanced(spark, lastD.toDS(), idxB, stB,
+      lastE, logB, maxRows)
+    assert(indexContent(idxB) === c0,
+      "full-epoch replay must be a no-op on the index")
+    assert(TextIndex.loadSplitLog(spark, logB) === refLog,
+      "full-epoch replay must be a no-op on the log")
+  }
+
+  test("restarted serving job: split genealogy loaded in a FRESH session serves identically") {
+    // the hash-layout twin of AnnIndexSpec's quantizer pin (VERDICT
+    // r15 next #8): build + two splits + persist, then a NEW isolated
+    // session loads the genealogy from disk and serves the SAME
+    // artifact — results must equal the in-memory serve bit for bit
+    val root = tmp("txt-split-fresh")
+    val (idx, st) = (s"$root/index", s"$root/stats")
+    TextIndex.buildIndex(docs.select("doc_id", "text"), idx)
+    TextIndex.buildStats(docs, st)
+    def hottest(cands: Option[Seq[Int]]): Int = {
+      val counts = spark.read.parquet(idx).groupBy("bucket").count()
+      cands.fold(counts)(cs => counts.filter(col("bucket").isin(cs: _*)))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy { case (b, n) => (-n, b) }.head._1
+    }
+    val h0 = hottest(None)
+    var splits = TextIndex.splitBucket(spark, idx, h0, Nil)
+    splits = TextIndex.splitBucket(spark, idx,
+      hottest(Some(Seq(h0, h0 + 16))), splits)
+    TextIndex.saveSplits(spark, s"$root/splits", splits)
+    val inMem = TextIndex.searchIndex(spark, idx, st, splits = splits)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val s2 = spark.newSession()
+    val loaded = TextIndex.loadSplits(s2, s"$root/splits")
+    assert(loaded === splits, "the genealogy must ride the reload")
+    val viaLoaded = TextIndex.searchIndex(s2, idx, st, splits = loaded)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(viaLoaded === inMem && inMem.nonEmpty,
+      "fresh-session serve through the reloaded genealogy must equal the in-memory serve")
+  }
+
   test("size-triggered splits DURING maintenance: genealogy grows mid-history, maintained == rebuild") {
     // the composition the policy exists for: epochs land, hot TOUCHED
     // buckets split, the NEXT epoch derives through the grown map —
@@ -497,5 +675,153 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(_.toSeq.map(x => x: Any)).toSeq
     assert(a === b && a.nonEmpty,
       "post-history serve through the genealogy must equal the rebuilt serve")
+  }
+
+  test("sub-blocking the guard-refused bucket: bounded rows per file, serve and content invariant") {
+    // VERDICT r15 next #3: the splittability guard refuses a
+    // one-hot-term bucket (no hash split can shrink it); the named
+    // repair is bounding the FILE — the unit a scan parallelizes over.
+    // Fixture: one df-heavy term in every doc plus unique scatter terms
+    val hotDocs = (1L to 120L).map(i => (i, s"zzhot fill$i"))
+      .toDF("doc_id", "text")
+    val root = tmp("txt-block")
+    val (idx, st) = (s"$root/index", s"$root/stats")
+    TextIndex.buildIndex(hotDocs, idx)
+    TextIndex.buildStats(hotDocs, st)
+    val hotB = Seq("zzhot").toDF("term")
+      .select(TextIndex.bucketOf(col("term"))).collect()(0).getInt(0)
+    val query = Seq("zzhot", "fill7")
+    val before = TextIndex.searchIndex(spark, idx, st,
+        queryTerms = query)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val fpBefore = fingerprint(idx)
+    val content = indexContent(idx)
+    val n = spark.read.parquet(s"$idx/bucket=$hotB").count()
+    assert(n > 50, "the hot term's bucket must exceed the threshold")
+    // the policy: splittable hot buckets split, the guard-refused one
+    // sub-blocks; here only zzhot's bucket is above the threshold and
+    // its hottest term IS the whole threshold breach
+    val splits = TextIndex.splitOrBlockIfHot(spark, idx,
+      (0 until 16).toSeq, Nil, maxRows = 50, blockRows = 50)
+    assert(splits.isEmpty,
+      "the one-hot-term bucket must not split (guard) and no other bucket is hot")
+    val files = graft.ml.IndexFs.dataFiles(spark, s"$idx/bucket=$hotB")
+    assert(files.size === ((n + 49) / 50).toInt,
+      s"the bucket must block into ceil(n/blockRows) files, got ${files.size}")
+    files.foreach { f =>
+      val rows = spark.read.parquet(s"$idx/bucket=$hotB/$f").count()
+      assert(rows <= 50, s"file $f holds $rows rows (> blockRows)")
+    }
+    // pure layout: content identical, untouched partitions byte-equal
+    assert(indexContent(idx) === content,
+      "sub-blocking must not change the postings")
+    val fpAfter = fingerprint(idx)
+    (fpBefore.keySet - s"bucket=$hotB").foreach { b =>
+      assert(fpAfter(b) === fpBefore(b), s"partition $b must be untouched")
+    }
+    // serve: df stays exact (every posting still probed), scores equal
+    val after = TextIndex.searchIndex(spark, idx, st, queryTerms = query)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(after === before && after.nonEmpty,
+      "the blocked bucket must serve identically")
+    // convergence: a second policy pass changes nothing
+    val fpStable = fingerprint(idx)
+    assert(TextIndex.splitOrBlockIfHot(spark, idx, (0 until 16).toSeq,
+      Nil, maxRows = 50, blockRows = 50).isEmpty)
+    assert(fingerprint(idx) === fpStable,
+      "an adequately-blocked bucket must not re-block")
+  }
+
+  test("soak: splits x compaction x emptied-bucket cleanup interleaved over a long history") {
+    // VERDICT r15 next #9: the unit specs pin each pairwise
+    // composition; this drives all three lifecycle ops together over a
+    // longer maintained history, then empties EVERYTHING and revives —
+    // the three-way interactions the repo's history shows up late
+    val snap = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ops = TextIndex.epochScript(snap, epochs = 6)
+    val root = tmp("txt-soak")
+    val (idx, st) = (s"$root/index", s"$root/stats")
+    val maxRows = 700L
+    var splits = Seq.empty[TextIndex.HashSplit]
+    var state = Map.empty[Long, String]
+    var bid = 0L
+    val appended = scala.collection.mutable.Map.empty[Long, String]
+    ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+      val start = state
+      group.sortBy(_.lsn).foreach { op =>
+        op.action match {
+          case "I" => state = state.updated(op.docId, op.text.get)
+          case "U" if state.contains(op.docId) =>
+            state = state.updated(op.docId, op.text.get)
+          case "D" => state = state - op.docId
+          case _ => ()
+        }
+      }
+      val touched = (start.keySet ++ state.keySet)
+        .filter(k => start.get(k) != state.get(k)).toSeq.sorted
+      val deltas = touched.flatMap { k =>
+        start.get(k).map(t => mkDelta(k, -1, t)).toSeq ++
+          state.get(k).map(t => mkDelta(k, +1, t)).toSeq
+      }
+      val tb = TextIndex.applyEpoch(spark, deltas.toDS(), idx, st, bid,
+        splits = splits)
+      splits = TextIndex.splitIfHot(spark, idx, tb, splits, maxRows)
+      // fragmentation pressure: an insert-only append wave between
+      // epochs (fresh key namespace, stats epochs offset past history)
+      val wave = (1L to 5L)
+        .map(k => (3000000L + 10 * bid + k, s"soak wave$bid token$k"))
+      wave.foreach { case (k, t) => appended(k) = t }
+      TextIndex.appendToIndex(wave.toDF("doc_id", "text"), idx, st,
+        epoch = 100L + bid, splits = splits)
+      // compaction interleaves with live splits every other epoch
+      if (bid % 2 == 1) TextIndex.compactIndex(spark, idx, maxFiles = 2)
+      // invariants hold mid-history, every epoch
+      assert(splits.size <= 64, s"genealogy must stay bounded: ${splits.size}")
+      assert(spark.read.parquet(idx)
+        .filter(col("bucket") =!=
+          TextIndex.splitBucketOf(col("term"), splits)).count() === 0L,
+        s"epoch $bid: every row must live in its genealogy bucket")
+      bid += 1
+    }
+    // bounded fragmentation after the final compaction
+    TextIndex.compactIndex(spark, idx, maxFiles = 2)
+    graft.ml.IndexFs.partitionValues(spark, idx, "bucket").foreach { b =>
+      assert(graft.ml.IndexFs
+        .dataFileCount(spark, s"$idx/bucket=$b") <= 2,
+        s"bucket $b must be compact after the final pass")
+    }
+    assert(TextIndex.compactIndex(spark, idx, maxFiles = 2).isEmpty,
+      "compaction must converge")
+    // maintained == rebuild of (folded history ∪ appended waves)
+    val expect = state ++ appended
+    val idx2 = tmp("txt-soak-rb") + "/index"
+    TextIndex.buildIndex(expect.toSeq.toDF("doc_id", "text"), idx2)
+    assert(indexContent(idx) === indexContent(idx2),
+      "the soaked artifact must equal the full rebuild")
+    val st2 = tmp("txt-soak-stats")
+    TextIndex.buildStats(expect.toSeq.toDF("doc_id", "text"), st2)
+    val a = TextIndex.searchIndex(spark, idx, st, splits = splits)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    val b = TextIndex.searchIndex(spark, idx2, st2)
+      .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    assert(a === b && a.nonEmpty, "soaked serve must equal rebuilt serve")
+    // total retraction: one epoch deletes EVERY live doc — all buckets
+    // empty, the artifact reads as absent, the genealogy survives
+    val wipe = expect.toSeq.map { case (k, t) => mkDelta(k, -1, t) }
+    TextIndex.applyEpoch(spark, wipe.toDS(), idx, st, bid, splits = splits)
+    assert(!graft.ml.IndexFs.hasPartitions(spark, idx, "bucket"),
+      "total retraction must clear every partition")
+    // revive THROUGH the existing genealogy: the new doc's postings
+    // must land in genealogy buckets, and serve still works
+    TextIndex.applyEpoch(spark,
+      Seq(mkDelta(1L, +1, "spark merge join window")).toDS(), idx, st,
+      bid + 1, splits = splits)
+    assert(spark.read.parquet(idx)
+      .filter(col("bucket") =!=
+        TextIndex.splitBucketOf(col("term"), splits)).count() === 0L,
+      "the revived epoch must route through the surviving genealogy")
+    assert(TextIndex.searchIndex(spark, idx, st, splits = splits)
+      .collect().nonEmpty)
   }
 }
