@@ -391,12 +391,24 @@ object Replicate {
 
   private[cdc] def readWatermark(fs: FileSystem, dRoot: Path): Long = {
     val p = new Path(dRoot, WatermarkFile)
-    if (!fs.exists(p)) Long.MinValue
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
+    // exists-then-open is a TOCTOU window against [[writeWatermark]]'s
+    // delete-then-rename commit from a CONCURRENT compactor (the async
+    // fold, or another writer's lazy-deletion pass): a reader that
+    // checks existence before the delete and opens after it dies on
+    // FileNotFound mid-replace (caught by the 300-trigger lifecycle
+    // soak). Open-and-catch instead, retrying while the marker exists:
+    // the exists=true/open-fails state can only be the replace window,
+    // which a rename resolves in microseconds; stable absence (never
+    // compacted) exits as MinValue on the first check.
+    while (fs.exists(p)) {
+      try {
+        val in = fs.open(p)
+        return (
+          try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close())
+      } catch { case _: java.io.FileNotFoundException => () }
     }
+    Long.MinValue
   }
 
   private[cdc] def writeWatermark(fs: FileSystem, dRoot: Path, id: Long): Unit = {
