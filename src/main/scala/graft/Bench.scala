@@ -759,12 +759,12 @@ object Bench {
         // hot-split serving artifacts) stay warm per the index-build
         // precedent above
         graft.ml.MaintainedMemo.clearCache(
-          "anncdc", "txtcdc", "txtss", "dedupcdc", "hybcdc", "expcdc",
-          "gatecdc")
-        val maintConsumers = Set("ml_ann_cdc_index", "ml_bm25_cdc_index",
-          "ml_bm25_stream_split", "ml_dedup_cdc_index",
-          "ml_hybrid_cdc_serve", "ml_export_incremental",
-          "ml_dedup_gate_index")
+          "anncdc", "annss", "txtcdc", "txtss", "dedupcdc", "hybcdc",
+          "expcdc", "gatecdc")
+        val maintConsumers = Set("ml_ann_cdc_index", "ml_ann_stream_split",
+          "ml_bm25_cdc_index", "ml_bm25_stream_split",
+          "ml_dedup_cdc_index", "ml_hybrid_cdc_serve",
+          "ml_export_incremental", "ml_dedup_gate_index")
         val maintLine: Map[String, Double] =
           if (!qmap.keys.exists(maintConsumers)) Map.empty
           else {

@@ -133,24 +133,31 @@ object AnnIndex {
     * a changed key's −old image derives the key's ACTUAL sticky
     * partition — a global argmin over the extended list would miss
     * moved members' homes and leave stale rows (spec-pinned). */
+  /** The embedding table's rows of a parsed delta batch:
+    * (vec_id, sign, q) — both signs carry the full image, so every
+    * derived location (cell, replica partition) is computable without
+    * a state lookup. */
+  private def vecDeltaRows(batch: Dataset[MtDelta]): DataFrame = {
+    val qCol = transform(
+      split(element_at(from_json(col("img"),
+        MapType(StringType, StringType)), "emb"), ","),
+      x => x.cast("long"))
+    batch.toDF().filter(col("tbl") === EmbSpec.table)
+      .select(col("key").cast("long").as("vec_id"), col("sign"),
+        qCol.as("q"))
+  }
+
   def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
       indexPath: String, cents: Seq[Seq[Long]],
       cb: Seq[Seq[Seq[Long]]], root: Seq[Seq[Long]] = null,
       splits: Seq[Split] = Nil): Seq[Int] = {
     val rootCents = Option(root).getOrElse(cents)
-    val df = batch.toDF()
-    val qCol = transform(
-      split(element_at(from_json(col("img"),
-        MapType(StringType, StringType)), "emb"), ","),
-      x => x.cast("long"))
     // change-volume-sized: both signs carry their cell so moved keys'
     // OLD partitions are known without an index probe. Checkpointed
     // ONCE: inside foreachBatch every action re-executes the trigger's
     // stateful plan (state-store reads included), so the batch must be
     // materialized before the multi-action apply.
-    val rows = df.filter(col("tbl") === EmbSpec.table)
-      .select(col("key").cast("long").as("vec_id"), col("sign"),
-        qCol.as("q"))
+    val rows = vecDeltaRows(batch)
       .withColumn("cell", treeCellOf(col("q"), rootCents, splits))
       .localCheckpoint(true)
     val affected = rows.select("cell")
@@ -393,6 +400,251 @@ object AnnIndex {
       else {
         val (nc, sp) = splitCell(spark, indexPath, corpusQ, cell, cs, cb)
         (nc, ss :+ sp)
+      }
+    }
+  }
+
+  // ---- epoch-keyed genealogy log (in-stream re-balance) -----------------
+
+  /** Bound on the genealogy length — the [[TextIndex.MaxDescentEntries]]
+    * contract on the IVF layout: [[treeCellOf]]'s runtime fold carries
+    * one record of 2·dims longs per split in a `typedLit` array riding
+    * every task binary, so the genealogy must stay bounded model state.
+    * 1024 splits × 2 × 64 longs ≈ 1 MiB of literal — already generous
+    * (a layout needing a thousand in-place doublings wants a re-train
+    * with more coarse cells, not more splits). The automated policies
+    * SKIP at-bound ([[splitIfHot]], [[applyEpochRebalanced]] — a
+    * maintenance loop must degrade, not crash the stream); the serve
+    * path's [[loadSplitLog]] re-checks so a foreign-written log cannot
+    * smuggle an unbounded literal into the plan. */
+  val MaxGenealogy: Int = 1024
+
+  /** Extend a centroid list by one genealogy node. The appended child
+    * must land at position `childB` — the invariant [[splitCell]]'s
+    * `newIdx = cents.length` establishes and every descent relies on. */
+  def centsStep(cents: Seq[Seq[Long]], s: Split): Seq[Seq[Long]] = {
+    require(s.childB == cents.length,
+      s"genealogy out of order: child ${s.childB} must extend a list " +
+        s"of ${s.childB} centroids, got ${cents.length}")
+    cents.updated(s.parent, s.centA) :+ s.centB
+  }
+
+  /** The extended centroid list a genealogy prefix reaches from the
+    * frozen root — the quantizer is (root, log) everywhere the log
+    * protocol runs; the mutable `cents` dump is the OFFLINE form. */
+  def centsAfter(root: Seq[Seq[Long]], splits: Seq[Split])
+      : Seq[Seq[Long]] = splits.foldLeft(root)(centsStep)
+
+  /** Write one epoch's genealogy entries to the epoch-keyed split LOG —
+    * [[TextIndex.saveSplitLogEpoch]]'s doctrine on the IVF layout, with
+    * the split centroids as payload (they are data the 2-means derived
+    * from the epoch's members; a replay must read them back, not
+    * re-derive them against post-crash state). Dynamic overwrite of
+    * exactly this epoch's partition; the caller always passes its
+    * cumulative entry list for the epoch. */
+  def saveSplitLogEpoch(spark: SparkSession, path: String, epoch: Long,
+      entries: Seq[Split]): Unit = {
+    import spark.implicits._
+    if (entries.isEmpty) return
+    entries.zipWithIndex
+      .map { case (s, i) => (i, s.parent, s.childB, s.centA, s.centB,
+        epoch) }
+      .toDF("ord", "parent", "child_b", "cent_a", "cent_b", "epoch")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(path)
+  }
+
+  /** Reload the genealogy log in commit order: (epoch asc, ord asc).
+    * Absent/empty log reads as the empty genealogy; an over-long log
+    * fails loudly ([[MaxGenealogy]]). */
+  def loadSplitLog(spark: SparkSession, path: String)
+      : Seq[(Long, Split)] = {
+    if (!IndexFs.hasPartitions(spark, path, "epoch")) return Seq.empty
+    val out = spark.read.parquet(path)
+      .select(col("epoch").cast("long"), col("ord"), col("parent"),
+        col("child_b"), col("cent_a"), col("cent_b"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        Split(r.getInt(2), r.getInt(3), r.getSeq[Long](4).toSeq,
+          r.getSeq[Long](5).toSeq)))
+      .sortBy(_._1).map { case ((e, _), s) => (e, s) }.toSeq
+    require(out.size <= MaxGenealogy,
+      s"genealogy log at $path carries ${out.size} splits (bound " +
+        s"$MaxGenealogy) — the descent literal rides every task " +
+        "binary; re-train the quantizer instead of splitting further")
+    out
+  }
+
+  // ---- the (vec_id, q) replica next to the index ------------------------
+
+  /** Partition count for the maintained vector replica — key-hash
+    * partitioning so an epoch's touched-partition set is derivable
+    * from its keys alone (no replica lookup), the same
+    * change-volume-pruning contract as the index's cell partitions. */
+  val ReplicaBuckets: Int = 16
+
+  /** Apply ONE micro-batch to the (vec_id, q) replica the maintainer
+    * keeps next to the index — [[searchIndex]]'s exact-rerank side and
+    * the split protocol's member-vector source. At deployment scale
+    * this is the embedding table's ordinary CDC replica (the S5 shape);
+    * here it is maintained by the same keyed set algebra as
+    * [[applyEpoch]]: read ONLY the touched `rb = pmod(vec_id, B)`
+    * partitions, drop the batch's keys, add the +new images, dynamic
+    * overwrite — change-volume-sized, replay-idempotent. */
+  def applyReplicaEpoch(spark: SparkSession, batch: Dataset[MtDelta],
+      replicaPath: String): Unit = {
+    val rows = vecDeltaRows(batch)
+      .withColumn("rb", pmod(col("vec_id"), lit(ReplicaBuckets))
+        .cast("int"))
+      .localCheckpoint(true)
+    val touched = rows.select("rb")
+      .repartition(MicroShuffle, col("rb")).distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return
+    val newRows = rows.filter(col("sign") === 1)
+      .select("vec_id", "q", "rb")
+    val current =
+      if (IndexFs.hasPartitions(spark, replicaPath, "rb"))
+        spark.read.parquet(replicaPath)
+          .filter(col("rb").isin(touched: _*))
+          .select("vec_id", "q", "rb")
+      else newRows.limit(0)
+    val next = current
+      .join(broadcast(rows.select("vec_id").distinct()),
+        Seq("vec_id"), "left_anti")
+      .unionByName(newRows)
+      .localCheckpoint(true)
+    next.repartition(MicroShuffle, col("rb"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("rb").parquet(replicaPath)
+    val nonEmpty = next.select("rb")
+      .repartition(MicroShuffle, col("rb")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    touched.filterNot(nonEmpty).foreach(b =>
+      IndexFs.deleteDir(spark, s"$replicaPath/rb=$b"))
+  }
+
+  /** The maintained replica as a (vec_id, q) relation; empty-but-typed
+    * when absent. */
+  def readReplica(spark: SparkSession, replicaPath: String): DataFrame =
+    if (!IndexFs.hasPartitions(spark, replicaPath, "rb"))
+      spark.range(0).select(col("id").as("vec_id"),
+        array().cast("array<long>").as("q"))
+    else spark.read.parquet(replicaPath).select("vec_id", "q")
+
+  /** HEAL one logged split's physical move — and, because it is
+    * idempotent from every intermediate state, also the move EXECUTOR
+    * the write-ahead protocol uses on the crash-free path (one code
+    * path, so heal ≡ move is true by construction, not by parallel
+    * maintenance). Reads BOTH of the split's partitions (the child may
+    * not exist yet), re-derives each member's side from the LOGGED
+    * child centroids (ties → child A, [[splitCell]]'s rule),
+    * re-encodes against `centsNow` with the frozen codebooks, and
+    * dynamic-overwrites the two partitions; a side left empty is
+    * cleared. `corpusQ` must be the epoch's own replica state — the
+    * protocol orders [[applyReplicaEpoch]] first for exactly this
+    * reason. */
+  private[ml] def healSplit(spark: SparkSession, indexPath: String,
+      corpusQ: DataFrame, s: Split, centsNow: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]]): Unit = {
+    if (!IndexFs.hasPartitions(spark, indexPath, "cell")) return
+    val members = Similarity.ivfAdcIndexScan(spark, indexPath,
+        Seq(s.parent, s.childB))
+      .select("vec_id")
+      .join(corpusQ.select("vec_id", "q"), Seq("vec_id"))
+    val da = Similarity.pqD2(col("q"), typedLit(s.centA))
+    val db = Similarity.pqD2(col("q"), typedLit(s.centB))
+    val enc = members
+      .withColumn("cell",
+        when(da <= db, lit(s.parent)).otherwise(lit(s.childB)))
+      .select(col("vec_id"), col("cell"),
+        codesFor(cb, centsNow).as("codes"))
+      // materialize BEFORE the write: the overwrite must not scan the
+      // very partitions it is replacing
+      .localCheckpoint(true)
+    val nonEmpty = enc.select("cell")
+      .repartition(MicroShuffle, col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    if (nonEmpty.nonEmpty)
+      enc.repartition(MicroShuffle, col("cell"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(indexPath)
+    Seq(s.parent, s.childB).filterNot(nonEmpty).foreach(c =>
+      IndexFs.deleteDir(spark, s"$indexPath/cell=$c"))
+  }
+
+  /** Apply ONE micro-batch WITH the in-stream re-balance protocol on
+    * the IVF layout — [[TextIndex.applyEpochRebalanced]]'s write-ahead
+    * contract, with two vector-layout specifics. (1) The REPLICA lands
+    * first: healing and splitting need member VECTORS (the index rows
+    * carry only lossy codes), so the epoch's replica state must be
+    * durable before any split work — the crash-free run orders it the
+    * same way, making replay see what the first attempt saw. (2) A
+    * split entry carries its child CENTROIDS: they are 2-means output
+    * over the epoch's members, so a replay must read them from the log
+    * rather than re-derive them (the healed post-split membership
+    * would train subtly different children and the log trace would
+    * diverge). Per epoch: heal this epoch's logged-unmoved splits →
+    * [[applyEpoch]] through root + (prefix ∪ mine) → the
+    * [[splitIfHot]] policy with write-ahead ordering (entry durable in
+    * the epoch's log partition BEFORE [[healSplit]] executes the
+    * move) and replay pacing (buckets a crashed attempt already split
+    * freeze until the next epoch). Returns the genealogy after this
+    * epoch. */
+  def applyEpochRebalanced(spark: SparkSession, batch: Dataset[MtDelta],
+      indexPath: String, replicaPath: String, logPath: String,
+      root: Seq[Seq[Long]], cb: Seq[Seq[Seq[Long]]], batchId: Long,
+      maxRows: Long): Seq[Split] = {
+    val log = loadSplitLog(spark, logPath)
+    require(log.forall(_._1 <= batchId),
+      s"genealogy log at $logPath carries entries from epochs past " +
+        s"$batchId — refusing to derive against a future layout")
+    val prefix = log.filter(_._1 < batchId).map(_._2)
+    val mine = log.filter(_._1 == batchId).map(_._2)
+    applyReplicaEpoch(spark, batch, replicaPath)
+    val corpusQ = readReplica(spark, replicaPath)
+    var cents = centsAfter(root, prefix)
+    mine.foreach { s =>
+      cents = centsStep(cents, s)
+      healSplit(spark, indexPath, corpusQ, s, cents, cb)
+    }
+    val gen0 = prefix ++ mine
+    val touched = applyEpoch(spark, batch, indexPath, cents, cb, root,
+      gen0)
+    if (touched.isEmpty ||
+        !IndexFs.hasPartitions(spark, indexPath, "cell")) return gen0
+    // replay pacing: one doubling per cell per epoch must hold under
+    // replay too ([[TextIndex.applyEpochRebalanced]])
+    val frozen = mine.flatMap(s => Seq(s.parent, s.childB)).toSet
+    val hot = Similarity.ivfAdcIndexScan(spark, indexPath, touched)
+      .groupBy("cell").count()
+      .filter(col("count") > maxRows)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (c, n) => (-n, c) }.map(_._1)
+      .filterNot(frozen)
+    var logged = mine
+    hot.foldLeft(gen0) { (gen, cell) =>
+      val members = Similarity.ivfAdcIndexScan(spark, indexPath,
+          Seq(cell))
+        .select("vec_id")
+        .join(corpusQ.select("vec_id", "q"), Seq("vec_id"))
+        .select("vec_id", "q")
+        .localCheckpoint(true)
+      val distinct2 = members.select("q").distinct().limit(2).count()
+      if (distinct2 < 2 || gen.size >= MaxGenealogy) gen
+      else {
+        val (a, b) = trainSplit(members)
+        val s = Split(cell, cents.length, a, b)
+        logged = logged :+ s
+        // WAL: durable in this epoch's partition BEFORE the move
+        saveSplitLogEpoch(spark, logPath, batchId, logged)
+        cents = centsStep(cents, s)
+        healSplit(spark, indexPath, corpusQ, s, cents, cb)
+        gen :+ s
       }
     }
   }
@@ -660,6 +912,94 @@ object AnnIndex {
           finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
         try q.awaitTermination() finally q.stop()
         MaintainedAnn(indexPath, cents, cb)
+      } finally graft.streaming.StreamHygiene.cleanupRun(
+        Seq(changeDir, ckptDir), owner = Some(spark))
+    }
+
+  /** Handle to a re-balanced maintained artifact: the quantizer is
+    * (frozen root, genealogy LOG) — the serving state includes the
+    * log and the engine-maintained replica. */
+  final case class MaintainedAnnLog(indexPath: String,
+      replicaPath: String, logPath: String, root: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]])
+
+  /** The declared in-stream re-balance composition on the IVF layout
+    * (`ml_ann_stream_split`): the [[cdcMaintain]] stream with
+    * [[applyEpochRebalanced]] as the trigger body — hot TOUCHED cells
+    * split INSIDE their epoch via the write-ahead genealogy log, and
+    * the epoch's replica lands first so split training reads real
+    * member vectors. The split threshold is 1.05× the snapshot's mean
+    * cell mass: fixture cluster masses are near-uniform (unlike the
+    * Zipf term skew the text row rides), so the margin is thin by
+    * design — the snapshot epoch pushes the fuller clusters over it,
+    * later epochs' churn re-triggers at most a handful of times, and
+    * split children (~half the parent) fall safely below. Serves the
+    * stride workload (drawn from the maintained REPLICA — the engine's
+    * own state, not a harness fold) through the quantizer
+    * reconstructed from root + LOG. */
+  def cdcMaintainAndSearchRebalanced(spark: SparkSession,
+      emb: DataFrame, centroidPath: String, codebookPath: String,
+      opsDumpPath: String, logDumpPath: String, epochs: Int = 3,
+      k: Int = PqTopK, nprobe: Int = IvfAdcProbe): DataFrame = {
+    val m = cdcMaintainRebalanced(spark, emb, centroidPath,
+      codebookPath, opsDumpPath, logDumpPath, epochs)
+    val cents = centsAfter(m.root,
+      loadSplitLog(spark, m.logPath).map(_._2))
+    val live = readReplica(spark, m.replicaPath)
+    val qs = live.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    searchIndex(spark, m.indexPath, live, qs, cents, m.cb, k, nprobe)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The re-balanced stream-and-maintain pass, memoized per (session,
+    * ops path). The genealogy log lives AT the dump path (it IS the
+    * oracle's input — wiped at build start so a previous JVM's log
+    * cannot leak into this run's epochs 0..N). */
+  def cdcMaintainRebalanced(spark: SparkSession, emb: DataFrame,
+      centroidPath: String, codebookPath: String, opsDumpPath: String,
+      logDumpPath: String, epochs: Int = 3): MaintainedAnnLog =
+    MaintainedMemo.maintained((spark, "annss", opsDumpPath)) {
+      import spark.implicits._
+      val (root, cb) = Similarity.ivfAdcModel(emb, centroidPath,
+        codebookPath)
+      val snap: Seq[(Long, Array[Long])] =
+        Similarity.quantized(emb).select("vec_id", "q").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+      // 1.05× the snapshot's mean cell mass (see Scaladoc above)
+      val maxRows = snap.size.toLong * 105 / (100 * root.length)
+      val ops = epochScript(snap, epochs)
+      ops.map(o => (o.lsn, o.action, o.vecId, o.emb.orNull))
+        .toDF("lsn", "action", "vec_id", "emb")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(opsDumpPath)
+      IndexFs.deleteDir(spark, logDumpPath)
+      val changeDir = Files.createTempDirectory("graft-annss-log").toString
+      val ckptDir = Files.createTempDirectory("graft-annss-ckpt").toString
+      val idxRoot = MaintainedMemo.keepUntilExit(
+        Files.createTempDirectory("graft-annss-idx").toString)
+      val indexPath = s"$idxRoot/index"
+      val replicaPath = s"$idxRoot/replica"
+      try {
+        ops.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (e, group) =>
+          ChangeGen.writeLineBatches(changeDir,
+            group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
+        }
+        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
+        val q =
+          try Ivm.mtDeltas(MultiTable.parseAll(
+              ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(EmbSpec)))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckptDir)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+              applyEpochRebalanced(spark, batch, indexPath, replicaPath,
+                logDumpPath, root, cb, bid, maxRows); ()
+            }
+            .start()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+        try q.awaitTermination() finally q.stop()
+        MaintainedAnnLog(indexPath, replicaPath, logDumpPath, root, cb)
       } finally graft.streaming.StreamHygiene.cleanupRun(
         Seq(changeDir, ckptDir), owner = Some(spark))
     }

@@ -87,6 +87,10 @@ object MlQueries {
   private val annCdcCentPq = s"$FixtureDir/anncdc_centroids.parquet"
   private val annCdcCbPq = s"$FixtureDir/anncdc_codebook.parquet"
   private val annCdcOpsPq = s"$FixtureDir/anncdc_ops.parquet"
+  private val annSsCentPq = s"$FixtureDir/annss_centroids.parquet"
+  private val annSsCbPq = s"$FixtureDir/annss_codebook.parquet"
+  private val annSsOpsPq = s"$FixtureDir/annss_ops.parquet"
+  private val annSsLogPq = s"$FixtureDir/annss_genealogy.parquet"
   private val txtCdcOpsPq = s"$FixtureDir/txtcdc_ops.parquet"
   private val txtSsOpsPq = s"$FixtureDir/txtss_ops.parquet"
   private val dedupCdcOpsPq = s"$FixtureDir/dedupcdc_ops.parquet"
@@ -1000,6 +1004,179 @@ object MlQueries {
     (s, d) => AnnIndex.cdcMaintainAndSearch(s,
       Tables(s, d, "embeddings"), annCdcCentPq, annCdcCbPq, annCdcOpsPq),
     Some(s"""WITH ${annCdcCtes(annCdcOpsPq, annCdcCentPq, annCdcCbPq,
+        s"vec_id % ${Similarity.QueryStride} = 0", Similarity.PqTopK)}
+            |SELECT query_id,
+            |  CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY exact_d2, vec_id) AS BIGINT) AS rank,
+            |  vec_id, adc, exact_d2
+            |FROM ex ORDER BY query_id, rank""".stripMargin))
+
+  /** The IVFADC re-derivation chain WITH the split genealogy — the
+    * [[annCdcCtes]] chain where the quantizer is (frozen root, epoch-
+    * keyed genealogy LOG) instead of a flat centroid list. Three
+    * departures: `cent2` is the extended centroid list (each label's
+    * LAST value in log order — a re-split parent's latest child-A
+    * centroid wins); assignment descends the split tree (the sticky
+    * rule): root argmin (`asgn0`), then one re-route step per
+    * genealogy node, taken only while the vector currently sits at the
+    * node's parent — precomputed per (vector, node) in `rr` (no
+    * aggregates inside the recursion), folded by the recursive `walk`;
+    * probing/encoding/LUT run against `cent2`. The engine's theorem
+    * (AnnIndexSpec: maintained == sticky-tree rebuild) is what makes
+    * this static SQL equal to the streamed, healed, WAL-ordered run:
+    * every row's final cell is the full-genealogy descent of its FINAL
+    * image, and its codes are residuals against that cell's FINAL
+    * centroid. Requires `WITH RECURSIVE`. */
+  private def annSsCtes(opsPq: String, centPq: String, cbPq: String,
+      logPq: String, queryPred: String, k: Int): String = {
+    val (pd, pk, np) = (Similarity.PqDims, Similarity.PqK,
+      Similarity.IvfAdcProbe)
+    s"""ops AS (SELECT lsn, action, vec_id, emb
+       |        FROM read_parquet('$opsPq/*.parquet')),
+       |lastd AS (SELECT vec_id, max(lsn) AS dlsn FROM ops
+       |          WHERE action = 'D' GROUP BY vec_id),
+       |fold AS MATERIALIZED (
+       |  SELECT o.vec_id, arg_max(o.emb, o.lsn) AS emb
+       |  FROM ops o LEFT JOIN lastd d ON o.vec_id = d.vec_id
+       |  WHERE o.action <> 'D' AND o.lsn > coalesce(d.dlsn, -2)
+       |  GROUP BY o.vec_id
+       |  HAVING count(CASE WHEN o.action = 'I' THEN 1 END) > 0),
+       |fe AS MATERIALIZED (
+       |  SELECT vec_id, i.i, CAST(parts[i.i] AS BIGINT) AS q
+       |  FROM (SELECT vec_id, string_split(emb, ',') AS parts
+       |        FROM fold), range(1, 65) i(i)),
+       |cent AS (SELECT label, centroid
+       |         FROM read_parquet('$centPq/*.parquet')),
+       |cbk AS (SELECT m, code, centroid
+       |        FROM read_parquet('$cbPq/*.parquet')),
+       |spl AS MATERIALIZED (
+       |  SELECT row_number() OVER (
+       |      ORDER BY CAST(epoch AS BIGINT), ord) AS sid,
+       |    parent, child_b, cent_a, cent_b
+       |  FROM read_parquet('$logPq/*/*.parquet',
+       |                    hive_partitioning = true)),
+       |nspl AS (SELECT count(*) AS n FROM spl),
+       |cent2 AS MATERIALIZED (
+       |  SELECT label, arg_max(centroid, sid) AS centroid FROM (
+       |    SELECT label, centroid, 0 AS sid FROM cent
+       |    UNION ALL SELECT parent, cent_a, sid FROM spl
+       |    UNION ALL SELECT child_b, cent_b, sid FROM spl)
+       |  GROUP BY label),
+       |cd AS MATERIALIZED (
+       |  SELECT fe.vec_id, cent.label AS cell,
+       |    CAST(sum((fe.q - cent.centroid[fe.i])
+       |             * (fe.q - cent.centroid[fe.i])) AS BIGINT) AS d2
+       |  FROM fe CROSS JOIN cent
+       |  GROUP BY 1, 2),
+       |asgn0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM cd)
+       |  WHERE rn = 1),
+       |rr AS MATERIALIZED (
+       |  SELECT vec_id, sid, parent,
+       |    CASE WHEN da <= db THEN parent ELSE child_b END AS routed
+       |  FROM (
+       |    SELECT fe.vec_id, s.sid, s.parent, s.child_b,
+       |      CAST(sum((fe.q - s.cent_a[fe.i])
+       |               * (fe.q - s.cent_a[fe.i])) AS BIGINT) AS da,
+       |      CAST(sum((fe.q - s.cent_b[fe.i])
+       |               * (fe.q - s.cent_b[fe.i])) AS BIGINT) AS db
+       |    FROM fe CROSS JOIN spl s
+       |    GROUP BY 1, 2, 3, 4)),
+       |walk AS (
+       |  SELECT vec_id, cell, 0 AS i FROM asgn0
+       |  UNION ALL
+       |  SELECT w.vec_id,
+       |    CASE WHEN w.cell = r.parent THEN r.routed ELSE w.cell END,
+       |    w.i + 1
+       |  FROM walk w JOIN rr r ON r.vec_id = w.vec_id
+       |    AND r.sid = w.i + 1),
+       |asgn AS MATERIALIZED (
+       |  SELECT w.vec_id, w.cell FROM walk w, nspl WHERE w.i = nspl.n),
+       |re AS (
+       |  SELECT fe.vec_id, fe.i, fe.q - c.centroid[fe.i] AS r
+       |  FROM fe JOIN asgn a ON a.vec_id = fe.vec_id
+       |  JOIN cent2 c ON c.label = a.cell),
+       |dist AS (
+       |  SELECT re.vec_id, cbk.m, cbk.code,
+       |    CAST(sum((re.r - cbk.centroid[(re.i - 1) % $pd + 1])
+       |      * (re.r - cbk.centroid[(re.i - 1) % $pd + 1]))
+       |      AS BIGINT) AS d2
+       |  FROM re JOIN cbk ON (re.i - 1) // $pd = cbk.m
+       |  GROUP BY 1, 2, 3),
+       |enc AS (SELECT vec_id, m,
+       |          CAST(min(d2 * $pk + code) % $pk AS INT) AS code
+       |        FROM dist GROUP BY 1, 2),
+       |cd2 AS MATERIALIZED (
+       |  SELECT fe.vec_id, c.label AS cell,
+       |    CAST(sum((fe.q - c.centroid[fe.i])
+       |             * (fe.q - c.centroid[fe.i])) AS BIGINT) AS d2
+       |  FROM fe CROSS JOIN cent2 c
+       |  WHERE $queryPred
+       |  GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS pr
+       |    FROM cd2)
+       |  WHERE pr <= $np),
+       |qlut AS (
+       |  SELECT p.query_id, p.cell, cbk.m, cbk.code,
+       |    CAST(sum(((fe.q - c.centroid[fe.i])
+       |               - cbk.centroid[(fe.i - 1) % $pd + 1])
+       |            * ((fe.q - c.centroid[fe.i])
+       |               - cbk.centroid[(fe.i - 1) % $pd + 1]))
+       |      AS BIGINT) AS d2
+       |  FROM probe p
+       |  JOIN fe ON fe.vec_id = p.query_id
+       |  JOIN cent2 c ON c.label = p.cell
+       |  JOIN cbk ON (fe.i - 1) // $pd = cbk.m
+       |  GROUP BY 1, 2, 3, 4),
+       |adc AS (
+       |  SELECT q.query_id, a.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc
+       |  FROM qlut q
+       |  JOIN asgn a ON a.cell = q.cell
+       |  JOIN enc e ON e.vec_id = a.vec_id
+       |    AND e.m = q.m AND e.code = q.code
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id, adc,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc, vec_id) AS crank
+       |         FROM adc),
+       |ex AS (
+       |  SELECT c.query_id, c.vec_id, c.adc,
+       |    CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS exact_d2
+       |  FROM cand c
+       |  JOIN fe a ON a.vec_id = c.query_id
+       |  JOIN fe b ON b.vec_id = c.vec_id AND b.i = a.i
+       |  WHERE c.crank <= $k
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** L118 — IN-STREAM re-balance on the IVF layout
+    * ([[AnnIndex.cdcMaintainAndSearchRebalanced]]): the
+    * `ml_ann_cdc_index` stream with the size-triggered cell-split
+    * policy running INSIDE each trigger, write-ahead-logged to the
+    * epoch-keyed genealogy log with the 2-means child centroids as
+    * payload, the epoch's (vec_id, q) REPLICA landing first (split
+    * training and healing read real member vectors — the index rows
+    * carry only lossy codes). Serves the stride workload drawn from
+    * the maintained replica through the quantizer reconstructed from
+    * root + LOG. Unlike the text row, splits here are NOT pure layout
+    * moves — they change assignment, residuals, and probing — so the
+    * oracle re-derives the full post-split chain ([[annSsCtes]]):
+    * descent assignment over the logged genealogy, encoding and ADC
+    * against the extended centroid list. Crash windows and restart
+    * convergence are spec-pinned (AnnIndexSpec). */
+  private val annStreamSplit = Declared(
+    "ml_ann_stream_split",
+    (s, d) => AnnIndex.cdcMaintainAndSearchRebalanced(s,
+      Tables(s, d, "embeddings"), annSsCentPq, annSsCbPq, annSsOpsPq,
+      annSsLogPq),
+    Some(s"""WITH RECURSIVE ${annSsCtes(annSsOpsPq, annSsCentPq,
+        annSsCbPq, annSsLogPq,
         s"vec_id % ${Similarity.QueryStride} = 0", Similarity.PqTopK)}
             |SELECT query_id,
             |  CAST(row_number() OVER (PARTITION BY query_id
@@ -4372,7 +4549,8 @@ object MlQueries {
     dedupCorpusCC,
     dedupPipeline,
     cosineTopk, cosineTopkFast, knnClassify, annIvf, annSrp, pqAnn, ivfAdc,
-    ivfAdcIndexed, ivfAdcIndexedFiltered, annCdcIndex, annCellSplit,
+    ivfAdcIndexed, ivfAdcIndexedFiltered, annCdcIndex, annStreamSplit,
+    annCellSplit,
     hybridCdcServe,
     mmr, fps, annRecallQ, annRecallMultiQ, matryoshka, annFiltered,
     randProj, kmeansStep,
@@ -4408,6 +4586,8 @@ object MlQueries {
       dir: String): Unit = {
     AnnIndex.cdcMaintain(s, Tables(s, dir, "embeddings"),
       annCdcCentPq, annCdcCbPq, annCdcOpsPq)
+    AnnIndex.cdcMaintainRebalanced(s, Tables(s, dir, "embeddings"),
+      annSsCentPq, annSsCbPq, annSsOpsPq, annSsLogPq)
     TextIndex.cdcMaintain(s, Tables(s, dir, "documents"), txtCdcOpsPq)
     TextIndex.cdcMaintainRebalanced(s, Tables(s, dir, "documents"),
       txtSsOpsPq)

@@ -517,4 +517,175 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(indexContent(idx) === indexContent(idx2),
       "append must equal the one-shot build")
   }
+
+  // ---- in-stream re-balance (the epoch-keyed genealogy log) -------------
+
+  /** Naive per-epoch fold of the script into (epoch, deltas, state) —
+    * the crash-window tests drive [[AnnIndex.applyEpochRebalanced]]
+    * directly with these, [[graft.cdc.Ivm.mtDeltas]]' retraction
+    * shape. */
+  private def vecEpochDeltas(ops: Seq[AnnIndex.VecOp])
+      : Seq[(Long, Seq[MtDelta], Map[Long, Seq[Long]])] = {
+    var state = Map.empty[Long, Seq[Long]]
+    ops.groupBy(_.epoch).toSeq.sortBy(_._1).map { case (e, group) =>
+      val start = state
+      group.sortBy(_.lsn).foreach { op =>
+        op.action match {
+          case "I" | "U"
+              if op.action == "I" || state.contains(op.vecId) =>
+            state = state.updated(op.vecId,
+              op.emb.get.split(",").toSeq.map(_.toLong))
+          case "D" => state = state - op.vecId
+          case _ => ()
+        }
+      }
+      val touched = (start.keySet ++ state.keySet)
+        .filter(k => start.get(k) != state.get(k)).toSeq.sorted
+      (e.toLong, touched.flatMap { k =>
+        start.get(k).map(q => mkDelta(k, -1, q)).toSeq ++
+          state.get(k).map(q => mkDelta(k, +1, q)).toSeq
+      }, state)
+    }
+  }
+
+  // 1.05x the snapshot's mean cell mass — the declared row's threshold
+  // (fixture cluster masses are near-uniform; the fuller clusters sit
+  // just above it, split children fall below)
+  private lazy val ssMaxRows: Long =
+    qRows.count() * 105 / (100 * cents.length)
+
+  test("in-stream re-balance (real stream): splits land inside epochs; restart mid-history converges") {
+    // the IVF twin of TextIndexSpec's in-stream pin: the split policy
+    // runs INSIDE checkpointed triggers via the write-ahead genealogy
+    // log (entries carry the 2-means child centroids), the epoch's
+    // replica lands first, and a restart mid-split-history converges
+    // to the one-shot state — index, replica, log, and serve identical
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.cdc.{ChangeGen, ChangeSource, Ivm, MultiTable}
+    import org.apache.spark.sql.Dataset
+    val snap = qRows.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val ops = AnnIndex.epochScript(snap, epochs = 3)
+    def writeEpochs(dir: String, upTo: Int): Unit =
+      ops.filter(_.epoch <= upTo).groupBy(_.epoch).toSeq.sortBy(_._1)
+        .foreach { case (e, group) =>
+          ChangeGen.writeLineBatches(dir,
+            group.sortBy(_.lsn).map(AnnIndex.toLine),
+            batches = 1, startIndex = e)
+        }
+    def drive(changeDir: String, ckpt: String, idx: String, rep: String,
+        log: String): Unit = {
+      val q = Ivm.mtDeltas(MultiTable.parseAll(
+          ChangeSource.rawLines(spark, changeDir, Some(1)),
+          Seq(AnnIndex.EmbSpec)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[MtDelta], bid: Long) =>
+          AnnIndex.applyEpochRebalanced(spark, batch, idx, rep, log,
+            cents, cb, bid, ssMaxRows); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // run A: stop after epochs 0..1 (splits already landed), resume 2..3
+    val dirA = tmp("ann-ss-log"); val rootA = tmp("ann-ss")
+    val (idxA, repA, logA, ckptA) = (s"$rootA/index", s"$rootA/replica",
+      s"$rootA/gen", s"$rootA/ckpt")
+    writeEpochs(dirA, 1)
+    drive(dirA, ckptA, idxA, repA, logA)
+    val logMid = AnnIndex.loadSplitLog(spark, logA)
+    assert(logMid.nonEmpty, "splits must land inside the streamed epochs")
+    writeEpochs(dirA, 3)
+    drive(dirA, ckptA, idxA, repA, logA)
+    // run B: one shot
+    val dirB = tmp("ann-ss-log2"); val rootB = tmp("ann-ss2")
+    val (idxB, repB, logB, ckptB) = (s"$rootB/index", s"$rootB/replica",
+      s"$rootB/gen", s"$rootB/ckpt")
+    writeEpochs(dirB, 3)
+    drive(dirB, ckptB, idxB, repB, logB)
+    val (la, lb) = (AnnIndex.loadSplitLog(spark, logA),
+      AnnIndex.loadSplitLog(spark, logB))
+    assert(la === lb, "restarted genealogy log must equal the one-shot log")
+    assert(indexContent(idxA) === indexContent(idxB),
+      "restarted stream must converge to the one-shot artifact")
+    // the engine-maintained replica equals the naive fold of the script
+    val expected = vecEpochDeltas(ops).last._3
+    val rep = AnnIndex.readReplica(spark, repA).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    assert(rep === expected,
+      "maintained replica must equal the naive fold of the change script")
+    // serve through the quantizer reconstructed from root + LOG
+    def serve(idx: String, rep: String, log: String) = {
+      val cs = AnnIndex.centsAfter(cents,
+        AnnIndex.loadSplitLog(spark, log).map(_._2))
+      val live = AnnIndex.readReplica(spark, rep)
+      val qs = live.filter(col("vec_id") % Similarity.QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      AnnIndex.searchIndex(spark, idx, live, qs, cs, cb)
+        .orderBy("query_id", "rank")
+        .collect().map(_.toSeq.map(x => x: Any)).toSeq
+    }
+    val (sa, sb) = (serve(idxA, repA, logA), serve(idxB, repB, logB))
+    assert(sa === sb && sa.nonEmpty)
+  }
+
+  test("ANN write-ahead crash windows: logged-unmoved split heals; full-epoch replay is a no-op") {
+    // S1 = entry logged (child centroids durable), physical move not
+    // done — replay must HEAL from the logged centroids, not re-train;
+    // S2 = everything done, offset commit lost — replay is a no-op
+    val snap = qRows.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val ops = AnnIndex.epochScript(snap, epochs = 3)
+    val epochs = vecEpochDeltas(ops)
+    // reference run A — no crashes
+    val rootA = tmp("ann-wal-a")
+    val (idxA, repA, logA) = (s"$rootA/index", s"$rootA/replica",
+      s"$rootA/gen")
+    epochs.foreach { case (e, d, _) =>
+      AnnIndex.applyEpochRebalanced(spark, d.toDS(), idxA, repA, logA,
+        cents, cb, e, ssMaxRows)
+    }
+    val refLog = AnnIndex.loadSplitLog(spark, logA)
+    assert(refLog.nonEmpty, "fixture must split under the 1.05x threshold")
+    val e = refLog.map(_._1).distinct.max // the last splitting epoch
+    // run B: clean through e-1, then construct S1 at epoch e
+    val rootB = tmp("ann-wal-b")
+    val (idxB, repB, logB) = (s"$rootB/index", s"$rootB/replica",
+      s"$rootB/gen")
+    epochs.takeWhile(_._1 < e).foreach { case (i, d, _) =>
+      AnnIndex.applyEpochRebalanced(spark, d.toDS(), idxB, repB, logB,
+        cents, cb, i, ssMaxRows)
+    }
+    val (_, dE, _) = epochs.find(_._1 == e).get
+    val prefixB = AnnIndex.loadSplitLog(spark, logB).map(_._2)
+    // S1: replica + apply done, the epoch's split entries logged with
+    // their trained centroids, the physical moves NOT performed
+    AnnIndex.applyReplicaEpoch(spark, dE.toDS(), repB)
+    AnnIndex.applyEpoch(spark, dE.toDS(), idxB,
+      AnnIndex.centsAfter(cents, prefixB), cb, cents, prefixB)
+    val mineRef = refLog.filter(_._1 == e).map(_._2)
+    AnnIndex.saveSplitLogEpoch(spark, logB, e, mineRef)
+    // --- crash --- replay the epoch through the full protocol
+    AnnIndex.applyEpochRebalanced(spark, dE.toDS(), idxB, repB, logB,
+      cents, cb, e, ssMaxRows)
+    // finish the history and compare everything against A
+    epochs.dropWhile(_._1 <= e).foreach { case (i, d, _) =>
+      AnnIndex.applyEpochRebalanced(spark, d.toDS(), idxB, repB, logB,
+        cents, cb, i, ssMaxRows)
+    }
+    assert(AnnIndex.loadSplitLog(spark, logB) === refLog,
+      "the healed run's genealogy log must equal the crash-free run's")
+    assert(indexContent(idxB) === indexContent(idxA),
+      "the healed run's index must equal the crash-free run's")
+    // S2: replaying the final epoch end-to-end changes nothing
+    val (lastE, lastD, _) = epochs.last
+    val c0 = indexContent(idxB)
+    AnnIndex.applyEpochRebalanced(spark, lastD.toDS(), idxB, repB, logB,
+      cents, cb, lastE, ssMaxRows)
+    assert(indexContent(idxB) === c0,
+      "full-epoch replay must be a no-op on the index")
+    assert(AnnIndex.loadSplitLog(spark, logB) === refLog,
+      "full-epoch replay must be a no-op on the log")
+  }
 }
