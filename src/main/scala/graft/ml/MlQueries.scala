@@ -4584,19 +4584,33 @@ object MlQueries {
     * memo keys match the declared rows'. */
   def cdcMaintainSharedPass(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    AnnIndex.cdcMaintain(s, Tables(s, dir, "embeddings"),
-      annCdcCentPq, annCdcCbPq, annCdcOpsPq)
-    AnnIndex.cdcMaintainRebalanced(s, Tables(s, dir, "embeddings"),
-      annSsCentPq, annSsCbPq, annSsOpsPq, annSsLogPq)
-    TextIndex.cdcMaintain(s, Tables(s, dir, "documents"), txtCdcOpsPq)
-    TextIndex.cdcMaintainRebalanced(s, Tables(s, dir, "documents"),
-      txtSsOpsPq)
-    DedupIndex.cdcMaintain(s, Tables(s, dir, "documents"), dedupCdcOpsPq)
-    HybridServe.cdcMaintain(s, Tables(s, dir, "documents"),
+    // per-maintain stderr breakdown so the one timed line stays
+    // attributable as the family grows (eight maintains as of r16)
+    def timed(name: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(f"[bench] maintain $name%-8s ${
+        (System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timed("anncdc") { AnnIndex.cdcMaintain(s, Tables(s, dir, "embeddings"),
+      annCdcCentPq, annCdcCbPq, annCdcOpsPq) }
+    timed("annss") { AnnIndex.cdcMaintainRebalanced(s,
+      Tables(s, dir, "embeddings"),
+      annSsCentPq, annSsCbPq, annSsOpsPq, annSsLogPq) }
+    timed("txtcdc") { TextIndex.cdcMaintain(s,
+      Tables(s, dir, "documents"), txtCdcOpsPq) }
+    timed("txtss") { TextIndex.cdcMaintainRebalanced(s,
+      Tables(s, dir, "documents"), txtSsOpsPq) }
+    timed("dedupcdc") { DedupIndex.cdcMaintain(s,
+      Tables(s, dir, "documents"), dedupCdcOpsPq) }
+    timed("hybcdc") { HybridServe.cdcMaintain(s,
+      Tables(s, dir, "documents"),
       Tables(s, dir, "embeddings"), hybCentPq, hybCbPq, hybDocOpsPq,
-      hybEmbOpsPq)
-    ShardExport.cdcMaintain(s, Tables(s, dir, "documents"), expCdcOpsPq)
-    graft.streaming.DedupGate.gateMaintain(s, Tables(s, dir, "documents"))
+      hybEmbOpsPq) }
+    timed("expcdc") { ShardExport.cdcMaintain(s,
+      Tables(s, dir, "documents"), expCdcOpsPq) }
+    timed("gatecdc") { graft.streaming.DedupGate.gateMaintain(s,
+      Tables(s, dir, "documents")) }
     ()
   }
 
