@@ -113,6 +113,7 @@ object AnnIndex {
       .map(_.getInt(0)).toSeq.sorted
     enc.repartition(col("cell"))
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(indexPath)
+    graft.streaming.StreamHygiene.releaseBlocks(enc)
     cells
   }
 
@@ -150,7 +151,21 @@ object AnnIndex {
   def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
       indexPath: String, cents: Seq[Seq[Long]],
       cb: Seq[Seq[Seq[Long]]], root: Seq[Seq[Long]] = null,
-      splits: Seq[Split] = Nil): Seq[Int] = {
+      splits: Seq[Split] = Nil): Seq[Int] =
+    applyEpochCounts(spark, batch, indexPath, cents, cb, root, splits)._1
+
+  /** [[applyEpoch]] that ALSO returns the touched cells' post-write
+    * row counts — the content of the rewritten partitions is exactly
+    * the `next` frame this method just materialized, so the counts
+    * come from the same one aggregate job that finds emptied cells;
+    * [[applyEpochRebalanced]]'s hot-cell policy reads them instead of
+    * re-scanning the index it just wrote (r16 optimization round,
+    * guide §1.2 — one index-scan job per epoch removed, the cost of
+    * the maintain pass being job count, not data). */
+  private[graft] def applyEpochCounts(spark: SparkSession,
+      batch: Dataset[MtDelta], indexPath: String, cents: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]], root: Seq[Seq[Long]] = null,
+      splits: Seq[Split] = Nil): (Seq[Int], Seq[(Int, Long)]) = {
     val rootCents = Option(root).getOrElse(cents)
     // change-volume-sized: both signs carry their cell so moved keys'
     // OLD partitions are known without an index probe. Checkpointed
@@ -163,8 +178,10 @@ object AnnIndex {
     val affected = rows.select("cell")
       .repartition(MicroShuffle, col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq.sorted
-    if (affected.isEmpty) affected
-    else {
+    if (affected.isEmpty) {
+      graft.streaming.StreamHygiene.releaseBlocks(rows)
+      (affected, Nil)
+    } else {
       val newEnc = rows.filter(col("sign") === 1)
         .select(col("vec_id"), col("cell"), codesFor(cb, cents).as("codes"))
       // hasPartitions, not root-exists: an all-cells-emptied artifact
@@ -186,12 +203,17 @@ object AnnIndex {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(indexPath)
-      val nonEmpty = next.select("cell")
-        .repartition(MicroShuffle, col("cell")).distinct().collect()
-        .map(_.getInt(0)).toSet
+      // one aggregate job: per-cell counts give BOTH the emptied-cell
+      // set (a cell absent from `next` was emptied) and the hot-policy
+      // sizes (post-write content of every affected cell == `next`)
+      val counts = next.groupBy("cell").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val nonEmpty = counts.map(_._1).toSet
       affected.filterNot(nonEmpty).foreach(c =>
         IndexFs.deleteDir(spark, s"$indexPath/cell=$c"))
-      affected
+      // epoch-local checkpoints are dead once the write committed
+      graft.streaming.StreamHygiene.releaseBlocks(rows, next)
+      (affected, counts)
     }
   }
 
@@ -221,15 +243,34 @@ object AnnIndex {
     * over the cell's members; the collected state is 2 × 64 longs —
     * bounded model state, never corpus-sized. */
   def trainSplit(members: DataFrame, iters: Int = 3)
-      : (Seq[Long], Seq[Long]) = {
+      : (Seq[Long], Seq[Long]) =
+    trainSplitOpt(members, iters).getOrElse {
+      // degenerate cell (all members identical): reproduce the
+      // pre-r16 fixed point — both children at the lone member value
+      val a0 = members.orderBy("vec_id").limit(1)
+        .collect()(0).getSeq[Long](1).toSeq
+      (a0, a0)
+    }
+
+  /** [[trainSplit]] that reports degeneracy instead of training it:
+    * returns None when every member vector is identical (max d2 from
+    * seed A is 0 ⟺ fewer than 2 distinct vectors — the splittability
+    * guard's condition, folded into seed selection so the policy pays
+    * NO separate distinct-count job per hot cell; r16 optimization
+    * round, guide §1.2 — the maintain pass was 684 tiny jobs and the
+    * per-job overhead, not the data, was the cost). */
+  private[ml] def trainSplitOpt(members: DataFrame, iters: Int = 3)
+      : Option[(Seq[Long], Seq[Long])] = {
     val dims = PqM * Similarity.PqDims
     val a0 = members.orderBy("vec_id").limit(1)
       .collect()(0).getSeq[Long](1).toSeq
-    val b0 = members
+    val b0row = members
       .select(col("vec_id"), col("q"),
         Similarity.pqD2(col("q"), typedLit(a0)).as("d2"))
       .orderBy(col("d2").desc, col("vec_id")).limit(1)
-      .collect()(0).getSeq[Long](1).toSeq
+      .collect()(0)
+    if (b0row.getLong(2) == 0L) return None
+    val b0 = b0row.getSeq[Long](1).toSeq
     var (ca, cbV) = (a0, b0)
     for (_ <- 0 until iters) {
       val da = Similarity.pqD2(col("q"), typedLit(ca))
@@ -249,7 +290,7 @@ object AnnIndex {
         }
       ca = mean(0, ca); cbV = mean(1, cbV)
     }
-    (ca, cbV)
+    Some((ca, cbV))
   }
 
   /** One node of the split GENEALOGY: `parent` was split into child A
@@ -346,6 +387,7 @@ object AnnIndex {
       .map(_.getInt(0)).toSet
     Seq(cell, newIdx).filterNot(nonEmpty).foreach(c =>
       IndexFs.deleteDir(spark, s"$indexPath/cell=$c"))
+    graft.streaming.StreamHygiene.releaseBlocks(members, enc)
     (newCents, Split(cell, newIdx, a, b))
   }
 
@@ -502,7 +544,10 @@ object AnnIndex {
     val touched = rows.select("rb")
       .repartition(MicroShuffle, col("rb")).distinct().collect()
       .map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return
+    if (touched.isEmpty) {
+      graft.streaming.StreamHygiene.releaseBlocks(rows)
+      return
+    }
     val newRows = rows.filter(col("sign") === 1)
       .select("vec_id", "q", "rb")
     val current =
@@ -525,6 +570,8 @@ object AnnIndex {
       .map(_.getInt(0)).toSet
     touched.filterNot(nonEmpty).foreach(b =>
       IndexFs.deleteDir(spark, s"$replicaPath/rb=$b"))
+    // epoch-local checkpoints are dead once the write committed
+    graft.streaming.StreamHygiene.releaseBlocks(rows, next)
   }
 
   /** The maintained replica as a (vec_id, q) relation; empty-but-typed
@@ -549,22 +596,36 @@ object AnnIndex {
     * reason. */
   private[ml] def healSplit(spark: SparkSession, indexPath: String,
       corpusQ: DataFrame, s: Split, centsNow: Seq[Seq[Long]],
-      cb: Seq[Seq[Seq[Long]]]): Unit = {
+      cb: Seq[Seq[Seq[Long]]],
+      knownMembers: Option[DataFrame] = None): Unit = {
     if (!IndexFs.hasPartitions(spark, indexPath, "cell")) return
-    val members = Similarity.ivfAdcIndexScan(spark, indexPath,
-        Seq(s.parent, s.childB))
-      .select("vec_id")
-      .join(corpusQ.select("vec_id", "q"), Seq("vec_id"))
+    // `knownMembers` (r16 optimization round): on the crash-free path
+    // the CALLER just derived this exact frame — indexScan(parent) ⋈
+    // replica, already materialized for split training; at that point
+    // childB has no partition yet, so indexScan(parent, childB) ≡
+    // indexScan(parent) and reusing the frame is the same derivation,
+    // not a parallel one (heal ≡ move holds by construction). The
+    // replay/heal path passes None and derives from the index as
+    // before. Saves one index-scan + join + checkpoint job per split
+    // (guide §1.2 — the split loop's cost is job count, not data).
+    val members = knownMembers.getOrElse(
+      Similarity.ivfAdcIndexScan(spark, indexPath,
+          Seq(s.parent, s.childB))
+        .select("vec_id")
+        .join(corpusQ.select("vec_id", "q"), Seq("vec_id")))
     val da = Similarity.pqD2(col("q"), typedLit(s.centA))
     val db = Similarity.pqD2(col("q"), typedLit(s.centB))
-    val enc = members
+    val enc0 = members
       .withColumn("cell",
         when(da <= db, lit(s.parent)).otherwise(lit(s.childB)))
       .select(col("vec_id"), col("cell"),
         codesFor(cb, centsNow).as("codes"))
-      // materialize BEFORE the write: the overwrite must not scan the
-      // very partitions it is replacing
-      .localCheckpoint(true)
+    // materialize BEFORE the write: the overwrite must not scan the
+    // very partitions it is replacing. A passed-in members frame is
+    // already checkpointed by the caller, so the derived projection
+    // never touches the index and needs no second materialization.
+    val enc =
+      if (knownMembers.isDefined) enc0 else enc0.localCheckpoint(true)
     val nonEmpty = enc.select("cell")
       .repartition(MicroShuffle, col("cell")).distinct().collect()
       .map(_.getInt(0)).toSet
@@ -575,6 +636,10 @@ object AnnIndex {
         .partitionBy("cell").parquet(indexPath)
     Seq(s.parent, s.childB).filterNot(nonEmpty).foreach(c =>
       IndexFs.deleteDir(spark, s"$indexPath/cell=$c"))
+    // the heal's own checkpoint (if it made one) is dead post-write;
+    // a caller-passed members frame is the caller's to release
+    if (knownMembers.isEmpty)
+      graft.streaming.StreamHygiene.releaseBlocks(enc)
   }
 
   /** Apply ONE micro-batch WITH the in-stream re-balance protocol on
@@ -613,38 +678,50 @@ object AnnIndex {
       healSplit(spark, indexPath, corpusQ, s, cents, cb)
     }
     val gen0 = prefix ++ mine
-    val touched = applyEpoch(spark, batch, indexPath, cents, cb, root,
-      gen0)
+    val (touched, counts) = applyEpochCounts(spark, batch, indexPath,
+      cents, cb, root, gen0)
     if (touched.isEmpty ||
         !IndexFs.hasPartitions(spark, indexPath, "cell")) return gen0
     // replay pacing: one doubling per cell per epoch must hold under
     // replay too ([[TextIndex.applyEpochRebalanced]])
     val frozen = mine.flatMap(s => Seq(s.parent, s.childB)).toSet
-    val hot = Similarity.ivfAdcIndexScan(spark, indexPath, touched)
-      .groupBy("cell").count()
-      .filter(col("count") > maxRows)
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // hot list from the epoch's own post-write counts (the rewritten
+    // partitions' content IS the `next` frame applyEpochCounts
+    // aggregated) — same sizes the former post-write index scan read,
+    // without the scan job
+    val hot = counts
+      .filter { case (_, n) => n > maxRows }
       .sortBy { case (c, n) => (-n, c) }.map(_._1)
       .filterNot(frozen)
     var logged = mine
     hot.foldLeft(gen0) { (gen, cell) =>
-      val members = Similarity.ivfAdcIndexScan(spark, indexPath,
-          Seq(cell))
-        .select("vec_id")
-        .join(corpusQ.select("vec_id", "q"), Seq("vec_id"))
-        .select("vec_id", "q")
-        .localCheckpoint(true)
-      val distinct2 = members.select("q").distinct().limit(2).count()
-      if (distinct2 < 2 || gen.size >= MaxGenealogy) gen
+      // genealogy bound checked FIRST (driver-side, free) — the
+      // pre-r16 order paid a members scan + distinct-count job before
+      // a check that needs neither; same outcome, two fewer jobs per
+      // hot cell (the splittability guard now rides trainSplitOpt's
+      // seed-B selection: max d2 == 0 ⟺ < 2 distinct vectors)
+      if (gen.size >= MaxGenealogy) gen
       else {
-        val (a, b) = trainSplit(members)
-        val s = Split(cell, cents.length, a, b)
-        logged = logged :+ s
-        // WAL: durable in this epoch's partition BEFORE the move
-        saveSplitLogEpoch(spark, logPath, batchId, logged)
-        cents = centsStep(cents, s)
-        healSplit(spark, indexPath, corpusQ, s, cents, cb)
-        gen :+ s
+        val members = Similarity.ivfAdcIndexScan(spark, indexPath,
+            Seq(cell))
+          .select("vec_id")
+          .join(corpusQ.select("vec_id", "q"), Seq("vec_id"))
+          .select("vec_id", "q")
+          .localCheckpoint(true)
+        val out = trainSplitOpt(members) match {
+          case None => gen // degenerate: identical members, unsplittable
+          case Some((a, b)) =>
+            val s = Split(cell, cents.length, a, b)
+            logged = logged :+ s
+            // WAL: durable in this epoch's partition BEFORE the move
+            saveSplitLogEpoch(spark, logPath, batchId, logged)
+            cents = centsStep(cents, s)
+            healSplit(spark, indexPath, corpusQ, s, cents, cb,
+              knownMembers = Some(members))
+            gen :+ s
+        }
+        graft.streaming.StreamHygiene.releaseBlocks(members)
+        out
       }
     }
   }
@@ -668,6 +745,7 @@ object AnnIndex {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(indexPath)
+      graft.streaming.StreamHygiene.releaseBlocks(rows)
     }
     frag
   }
@@ -894,13 +972,11 @@ object AnnIndex {
           ChangeGen.writeLineBatches(changeDir,
             group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
         }
-        // pin the change stream's state-store width to MicroShuffle
-        // (captured into the cloned session at start; the outer session
-        // width is restored immediately — see TextIndex for rationale)
-        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-        val q =
-          try Ivm.mtDeltas(MultiTable.parseAll(
+        // maintenance width + AQE off for the whole span
+        // (StreamHygiene.withMaintainConf — TextIndex's rationale)
+        graft.streaming.StreamHygiene.withMaintainConf(spark,
+            MicroShuffle) {
+          val q = Ivm.mtDeltas(MultiTable.parseAll(
               ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(EmbSpec)))
             .writeStream.outputMode("update")
             .option("checkpointLocation", ckptDir)
@@ -909,8 +985,8 @@ object AnnIndex {
               applyEpoch(spark, batch, indexPath, cents, cb); ()
             }
             .start()
-          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-        try q.awaitTermination() finally q.stop()
+          try q.awaitTermination() finally q.stop()
+        }
         MaintainedAnn(indexPath, cents, cb)
       } finally graft.streaming.StreamHygiene.cleanupRun(
         Seq(changeDir, ckptDir), owner = Some(spark))
@@ -984,10 +1060,11 @@ object AnnIndex {
           ChangeGen.writeLineBatches(changeDir,
             group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
         }
-        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-        val q =
-          try Ivm.mtDeltas(MultiTable.parseAll(
+        // maintenance width + AQE off for the whole span
+        // (StreamHygiene.withMaintainConf — TextIndex's rationale)
+        graft.streaming.StreamHygiene.withMaintainConf(spark,
+            MicroShuffle) {
+          val q = Ivm.mtDeltas(MultiTable.parseAll(
               ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(EmbSpec)))
             .writeStream.outputMode("update")
             .option("checkpointLocation", ckptDir)
@@ -997,8 +1074,8 @@ object AnnIndex {
                 logDumpPath, root, cb, bid, maxRows); ()
             }
             .start()
-          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-        try q.awaitTermination() finally q.stop()
+          try q.awaitTermination() finally q.stop()
+        }
         MaintainedAnnLog(indexPath, replicaPath, logDumpPath, root, cb)
       } finally graft.streaming.StreamHygiene.cleanupRun(
         Seq(changeDir, ckptDir), owner = Some(spark))

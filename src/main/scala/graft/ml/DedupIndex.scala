@@ -145,6 +145,7 @@ object DedupIndex {
     val nonEmpty = distinctInts(rows, "bucket").toSet
     Seq(s.parent, s.child).filterNot(nonEmpty).foreach(c =>
       IndexFs.deleteDir(spark, s"$bandsPath/bucket=$c"))
+    graft.streaming.StreamHygiene.releaseBlocks(rows)
     splits :+ s
   }
 
@@ -247,22 +248,20 @@ object DedupIndex {
     mine.foreach(s => TextIndex.healSplitOn(spark, bandsPath, s,
       pmod(hash(col("band"), col("bk")), lit(2 * s.mod))))
     val gen0 = prefix ++ mine
-    val (touchedB, _) = applyEpoch(spark, batch, bandsPath, sigsPath,
-      splits = gen0)
+    val ((touchedB, _), bandStats) = applyEpochBandStats(spark, batch,
+      bandsPath, sigsPath, splits = gen0)
     if (touchedB.isEmpty ||
         !IndexFs.hasPartitions(spark, bandsPath, "bucket")) return gen0
     // replay pacing: buckets this epoch's crashed attempt already
     // split wait for the next epoch ([[TextIndex.applyEpochRebalanced]]
     // — one doubling per bucket per epoch holds under replay too)
     val frozen = mine.flatMap(s => Seq(s.parent, s.child)).toSet
-    val hot = spark.read.parquet(bandsPath)
-      .filter(col("bucket").isin(touchedB: _*))
-      .groupBy("bucket", "band", "bk").count()
-      .groupBy("bucket")
-      .agg(sum("count").as("n"), max("count").as("hottest"))
-      .filter(col("n") > maxRows && col("hottest") <= maxRows)
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy { case (b, n) => (-n, b) }.map(_._1)
+    // hot list from the epoch's own post-write stats (the rewritten
+    // partitions' content IS the `next` frame applyKeyed aggregated) —
+    // same sizes the former post-write scan read, without the scan job
+    val hot = bandStats
+      .filter { case (_, n, hottest) => n > maxRows && hottest <= maxRows }
+      .sortBy { case (b, n, _) => (-n, b) }.map(_._1)
       .filterNot(frozen)
     var logged = mine
     hot.foldLeft(gen0) { (s, b) =>
@@ -342,6 +341,7 @@ object DedupIndex {
       .repartition(col("sbucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("sbucket")
       .parquet(sigsPath)
+    graft.streaming.StreamHygiene.releaseBlocks(sigs)
   }
 
   /** Insert-only fast path ([[TextIndex.appendToIndex]]'s parallel):
@@ -365,6 +365,7 @@ object DedupIndex {
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(bandsPath)
     sigsB.repartition(MicroShuffle, col("sbucket"))
       .write.mode(SaveMode.Append).partitionBy("sbucket").parquet(sigsPath)
+    graft.streaming.StreamHygiene.releaseBlocks(sigs, bands)
     (tb, ts)
   }
 
@@ -385,6 +386,7 @@ object DedupIndex {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol).parquet(path)
+      graft.streaming.StreamHygiene.releaseBlocks(rows)
     }
     frag
   }
@@ -404,7 +406,20 @@ object DedupIndex {
     * per table is the spec pin. */
   def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
       bandsPath: String, sigsPath: String,
-      splits: Seq[TextIndex.HashSplit] = Nil): (Seq[Int], Seq[Int]) = {
+      splits: Seq[TextIndex.HashSplit] = Nil): (Seq[Int], Seq[Int]) =
+    applyEpochBandStats(spark, batch, bandsPath, sigsPath, splits)._1
+
+  /** [[applyEpoch]] that ALSO returns the touched band buckets'
+    * post-write (rows, hottest-(band,bk) count) — the rewritten
+    * partitions' content is exactly the `next` frame [[applyKeyed]]
+    * just materialized, so the stats ride the same aggregate job that
+    * finds emptied buckets; [[applyEpochRebalanced]]'s hot-bucket
+    * policy reads them instead of re-scanning the artifact it just
+    * wrote (r16 optimization round, guide §1.2). */
+  private[graft] def applyEpochBandStats(spark: SparkSession,
+      batch: Dataset[MtDelta], bandsPath: String, sigsPath: String,
+      splits: Seq[TextIndex.HashSplit] = Nil)
+      : ((Seq[Int], Seq[Int]), Seq[(Int, Long, Long)]) = {
     val df = batch.toDF()
     val textCol = element_at(
       from_json(col("img"), MapType(StringType, StringType)), "text")
@@ -426,12 +441,15 @@ object DedupIndex {
     val touchedB = distinctInts(bands, "bucket")
     val touchedS = distinctInts(
       changed.select(sigBucketOf(col("doc_id")).as("sbucket")), "sbucket")
-    applyKeyed(spark, bandsPath, "bucket", touchedB, changed,
-      bands.filter(col("sign") === 1).drop("sign"))
+    val bandStats = applyKeyed(spark, bandsPath, "bucket", touchedB,
+      changed, bands.filter(col("sign") === 1).drop("sign"),
+      hotKeys = Seq("band", "bk"))
     applyKeyed(spark, sigsPath, "sbucket", touchedS, changed,
       sigs.filter(col("sign") === 1).drop("sign")
         .withColumn("sbucket", sigBucketOf(col("doc_id"))))
-    (touchedB, touchedS)
+    // epoch-local checkpoints are dead once both writes committed
+    graft.streaming.StreamHygiene.releaseBlocks(rows, sigs, bands)
+    ((touchedB, touchedS), bandStats)
   }
 
   /** The keyed set algebra shared by both sub-artifacts: next content
@@ -440,8 +458,9 @@ object DedupIndex {
     * change-volume-sized, hence the broadcast anti-join. */
   private def applyKeyed(spark: SparkSession, path: String,
       partCol: String, touched: Seq[Int], changedIds: DataFrame,
-      plus: DataFrame): Unit = {
-    if (touched.isEmpty) return
+      plus: DataFrame, hotKeys: Seq[String] = Nil)
+      : Seq[(Int, Long, Long)] = {
+    if (touched.isEmpty) return Nil
     // hasPartitions, not a bare root-exists check: an artifact whose
     // every partition an earlier epoch emptied must read as absent
     // (parquet schema inference on the bare root throws — ADVICE r14 #2)
@@ -460,9 +479,24 @@ object DedupIndex {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(path)
-    val nonEmpty = distinctInts(next, partCol).toSet
+    // one aggregate job: per-partition counts give BOTH the emptied
+    // set (a value absent from `next` was emptied) and — with
+    // `hotKeys` — the hot-policy stats over the post-write content
+    val stats =
+      if (hotKeys.nonEmpty)
+        next.groupBy(partCol, hotKeys: _*).count()
+          .groupBy(partCol)
+          .agg(sum("count").as("n"), max("count").as("hottest"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+      else
+        next.groupBy(partCol).count().collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(1))).toSeq
+    val nonEmpty = stats.map(_._1).toSet
     touched.filterNot(nonEmpty).foreach(b =>
       IndexFs.deleteDir(spark, s"$path/$partCol=$b"))
+    graft.streaming.StreamHygiene.releaseBlocks(next)
+    stats
   }
 
   /** Distinct values of a small int column, MicroShuffle-wide (the
@@ -609,13 +643,11 @@ object DedupIndex {
             group.sortBy(_.lsn).map(TextIndex.toLine), batches = 1,
             startIndex = e)
         }
-        // pin the stream's state-store width to the change volume, not
-        // the corpus-sized session width (TextIndex's rationale; the
-        // width is burned into the checkpoint at stream start)
-        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-        val q =
-          try Ivm.mtDeltas(MultiTable.parseAll(
+        // maintenance width + AQE off for the whole span
+        // (StreamHygiene.withMaintainConf — TextIndex's rationale)
+        graft.streaming.StreamHygiene.withMaintainConf(spark,
+            MicroShuffle) {
+          val q = Ivm.mtDeltas(MultiTable.parseAll(
               ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
             .writeStream.outputMode("update")
             .option("checkpointLocation", ckptDir)
@@ -624,8 +656,8 @@ object DedupIndex {
               applyEpoch(spark, batch, bandsPath, sigsPath); ()
             }
             .start()
-          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-        try q.awaitTermination() finally q.stop()
+          try q.awaitTermination() finally q.stop()
+        }
         MaintainedDedup(bandsPath, sigsPath)
       } finally graft.streaming.StreamHygiene.cleanupRun(
         Seq(changeDir, ckptDir), owner = Some(spark))

@@ -145,10 +145,11 @@ object HybridServe {
           ChangeGen.writeLineBatches(changeDir, lines, batches = 1,
             startIndex = e)
         }
-        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", TextIndex.MicroShuffle)
-        val q =
-          try Ivm.mtDeltas(MultiTable.parseAll(
+        // maintenance width + AQE off for the whole span
+        // (StreamHygiene.withMaintainConf — TextIndex's rationale)
+        graft.streaming.StreamHygiene.withMaintainConf(spark,
+            TextIndex.MicroShuffle) {
+          val q = Ivm.mtDeltas(MultiTable.parseAll(
               ChangeSource.rawLines(spark, changeDir, Some(1)),
               Seq(TextIndex.DocSpec, AnnIndex.EmbSpec)))
             .writeStream.outputMode("update")
@@ -160,11 +161,12 @@ object HybridServe {
               val pinned = batch.localCheckpoint(true)
               TextIndex.applyEpoch(spark, pinned, txtIdx, txtStats, bid)
               AnnIndex.applyEpoch(spark, pinned, annIdx, cents, cb)
+              graft.streaming.StreamHygiene.releaseBlocks(pinned.toDF())
               ()
             }
             .start()
-          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-        try q.awaitTermination() finally q.stop()
+          try q.awaitTermination() finally q.stop()
+        }
         MaintainedHybrid(txtIdx, txtStats, annIdx, cents, cb)
       } finally graft.streaming.StreamHygiene.cleanupRun(
         Seq(changeDir, ckptDir), owner = Some(spark))

@@ -4585,32 +4585,65 @@ object MlQueries {
   def cdcMaintainSharedPass(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     // per-maintain stderr breakdown so the one timed line stays
-    // attributable as the family grows (eight maintains as of r16)
+    // attributable as the family grows (eight maintains as of r16).
+    // With the overlap below these are WALL times including overlap —
+    // they attribute load, not exclusive cost.
     def timed(name: String)(body: => Any): Unit = {
       val t0 = System.nanoTime()
       body
       System.err.println(f"[bench] maintain $name%-8s ${
         (System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    timed("anncdc") { AnnIndex.cdcMaintain(s, Tables(s, dir, "embeddings"),
-      annCdcCentPq, annCdcCbPq, annCdcOpsPq) }
-    timed("annss") { AnnIndex.cdcMaintainRebalanced(s,
-      Tables(s, dir, "embeddings"),
-      annSsCentPq, annSsCbPq, annSsOpsPq, annSsLogPq) }
-    timed("txtcdc") { TextIndex.cdcMaintain(s,
-      Tables(s, dir, "documents"), txtCdcOpsPq) }
-    timed("txtss") { TextIndex.cdcMaintainRebalanced(s,
-      Tables(s, dir, "documents"), txtSsOpsPq) }
-    timed("dedupcdc") { DedupIndex.cdcMaintain(s,
-      Tables(s, dir, "documents"), dedupCdcOpsPq) }
-    timed("hybcdc") { HybridServe.cdcMaintain(s,
-      Tables(s, dir, "documents"),
-      Tables(s, dir, "embeddings"), hybCentPq, hybCbPq, hybDocOpsPq,
-      hybEmbOpsPq) }
-    timed("expcdc") { ShardExport.cdcMaintain(s,
-      Tables(s, dir, "documents"), expCdcOpsPq) }
-    timed("gatecdc") { graft.streaming.DedupGate.gateMaintain(s,
-      Tables(s, dir, "documents")) }
+    // The eight maintains are INDEPENDENT — disjoint fixture paths,
+    // own change streams, own temp dirs, own memo keys — and
+    // job-level profiling measured ~35% of the sequential pass's wall
+    // as between-job driver gap (planning, scheduling, stream
+    // commits). Overlapping 3 at a time (guide §2.6) lets one
+    // maintain's tasks back-fill another's driver gap; longest-first
+    // minimizes the makespan. Session-conf safety comes from the
+    // ref-counted StreamHygiene.withMaintainConf span (all maintains
+    // assert the same width); cleanupRun's JVM-wide state-store
+    // unload skips itself while any stream is live (its guard), so
+    // the pass unloads once at the end, when none is.
+    val jobs: Seq[(String, () => Any)] = Seq(
+      "annss" -> (() => AnnIndex.cdcMaintainRebalanced(s,
+        Tables(s, dir, "embeddings"),
+        annSsCentPq, annSsCbPq, annSsOpsPq, annSsLogPq)),
+      "dedupcdc" -> (() => DedupIndex.cdcMaintain(s,
+        Tables(s, dir, "documents"), dedupCdcOpsPq)),
+      "txtss" -> (() => TextIndex.cdcMaintainRebalanced(s,
+        Tables(s, dir, "documents"), txtSsOpsPq)),
+      "hybcdc" -> (() => HybridServe.cdcMaintain(s,
+        Tables(s, dir, "documents"),
+        Tables(s, dir, "embeddings"), hybCentPq, hybCbPq, hybDocOpsPq,
+        hybEmbOpsPq)),
+      "gatecdc" -> (() => graft.streaming.DedupGate.gateMaintain(s,
+        Tables(s, dir, "documents"))),
+      "txtcdc" -> (() => TextIndex.cdcMaintain(s,
+        Tables(s, dir, "documents"), txtCdcOpsPq)),
+      "expcdc" -> (() => ShardExport.cdcMaintain(s,
+        Tables(s, dir, "documents"), expCdcOpsPq)),
+      "anncdc" -> (() => AnnIndex.cdcMaintain(s,
+        Tables(s, dir, "embeddings"),
+        annCdcCentPq, annCdcCbPq, annCdcOpsPq)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futs = jobs.map { case (n, f) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = timed(n)(f())
+        })
+      }
+      futs.foreach { fut =>
+        try fut.get()
+        catch { // surface the maintain's own failure, not the wrapper
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+    // the per-maintain unloads skipped themselves while sibling
+    // streams were live — one unload now that none is
+    graft.streaming.StreamHygiene.unloadStateStores()
     ()
   }
 
@@ -4629,10 +4662,26 @@ object MlQueries {
     * are the rows' marginal work and are not executed here. */
   def indexBuildSharedPass(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    TextIndex.splitServe(s, Tables(s, dir, "documents"))
-    DedupIndex.splitScreen(s, Tables(s, dir, "documents"))
-    AnnIndex.splitAndServe(s, Tables(s, dir, "embeddings"),
-      splitCent0Pq, splitCent1Pq, splitCbPq)
+    // three INDEPENDENT builds (disjoint memo tags + artifact roots,
+    // no streams) overlapped like the maintain pass (guide §2.6) —
+    // each build alternates corpus-scale jobs with driver-side split
+    // bookkeeping, and the other builds' tasks fill those gaps
+    val builds: Seq[() => Any] = Seq(
+      () => TextIndex.splitServe(s, Tables(s, dir, "documents")),
+      () => DedupIndex.splitScreen(s, Tables(s, dir, "documents")),
+      () => AnnIndex.splitAndServe(s, Tables(s, dir, "embeddings"),
+        splitCent0Pq, splitCent1Pq, splitCbPq))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      builds.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = { f(); () }
+      })).foreach { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
     ()
   }
 }

@@ -102,6 +102,7 @@ object ShardExport {
     manifestAgg(rows).repartition(MicroShuffle, col("shard"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(manifestPath)
+    graft.streaming.StreamHygiene.releaseBlocks(rows)
   }
 
   /** Apply ONE micro-batch of full-image retraction deltas to the
@@ -125,7 +126,10 @@ object ShardExport {
       .select(shardOf(col("doc_id")).cast("int").as("shard"))
       .repartition(MicroShuffle, col("shard")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return touched
+    if (touched.isEmpty) {
+      graft.streaming.StreamHygiene.releaseBlocks(rows)
+      return touched
+    }
     val plus = withShard(rows.filter(col("sign") === 1).drop("sign"))
     // hasPartitions, not root-exists: an all-shards-emptied export
     // must read as absent (ADVICE r14 #2)
@@ -157,6 +161,8 @@ object ShardExport {
       Seq(s"$shardsPath/shard=$s", s"$manifestPath/shard=$s")
         .foreach(IndexFs.deleteDir(spark, _))
     }
+    // epoch-local checkpoints are dead once both writes committed
+    graft.streaming.StreamHygiene.releaseBlocks(rows, next, nextManifest)
     touched
   }
 
@@ -211,10 +217,11 @@ object ShardExport {
             group.sortBy(_.lsn).map(TextIndex.toLine), batches = 1,
             startIndex = e)
         }
-        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-        val q =
-          try Ivm.mtDeltas(MultiTable.parseAll(
+        // maintenance width + AQE off for the whole span
+        // (StreamHygiene.withMaintainConf — TextIndex's rationale)
+        graft.streaming.StreamHygiene.withMaintainConf(spark,
+            MicroShuffle) {
+          val q = Ivm.mtDeltas(MultiTable.parseAll(
               ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
             .writeStream.outputMode("update")
             .option("checkpointLocation", ckptDir)
@@ -223,8 +230,8 @@ object ShardExport {
               applyEpoch(spark, batch, shardsPath, manifestPath); ()
             }
             .start()
-          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-        try q.awaitTermination() finally q.stop()
+          try q.awaitTermination() finally q.stop()
+        }
         MaintainedExport(shardsPath, manifestPath)
       } finally graft.streaming.StreamHygiene.cleanupRun(
         Seq(changeDir, ckptDir), owner = Some(spark))

@@ -216,6 +216,7 @@ object TextIndex {
       .map(_.getInt(0)).toSet
     Seq(s.parent, s.child).filterNot(nonEmpty).foreach(c =>
       IndexFs.deleteDir(spark, s"$indexPath/bucket=$c"))
+    graft.streaming.StreamHygiene.releaseBlocks(rows)
     splits :+ s
   }
 
@@ -319,6 +320,7 @@ object TextIndex {
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", blockRows)
       .partitionBy("bucket").parquet(indexPath)
+    graft.streaming.StreamHygiene.releaseBlocks(rows)
     IndexFs.dataFileCount(spark, s"$indexPath/bucket=$b")
   }
 
@@ -445,6 +447,7 @@ object TextIndex {
         .partitionBy("bucket").parquet(path)
     Seq(s.parent, s.child).filterNot(nonEmpty).foreach(b =>
       IndexFs.deleteDir(spark, s"$path/bucket=$b"))
+    graft.streaming.StreamHygiene.releaseBlocks(rows)
   }
 
   /** Apply ONE micro-batch WITH the in-stream re-balance protocol —
@@ -490,8 +493,8 @@ object TextIndex {
     mine.foreach(s => healSplitOn(spark, indexPath, s,
       pmod(hash(col("term")), lit(2 * s.mod))))
     val gen0 = prefix ++ mine
-    val touched = applyEpoch(spark, batch, indexPath, statsPath,
-      batchId, splits = gen0)
+    val (touched, stats) = applyEpochStats(spark, batch, indexPath,
+      statsPath, batchId, splits = gen0)
     if (touched.isEmpty ||
         !IndexFs.hasPartitions(spark, indexPath, "bucket")) return gen0
     // buckets this epoch's CRASHED attempt already split are frozen
@@ -502,13 +505,13 @@ object TextIndex {
     // epoch doubles a bucket twice and its log trace diverges from the
     // crash-free run's (caught by the WAL crash-window spec)
     val frozen = mine.flatMap(s => Seq(s.parent, s.child)).toSet
-    val hot = indexScan(spark, indexPath, touched)
-      .groupBy("bucket", "term").count()
-      .groupBy("bucket")
-      .agg(sum("count").as("n"), max("count").as("hottest"))
-      .filter(col("n") > maxRows && col("hottest") <= maxRows)
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy { case (b, n) => (-n, b) }.map(_._1)
+    // hot list from the epoch's own post-write stats (the rewritten
+    // partitions' content IS the `next` frame applyEpochStats
+    // aggregated) — same sizes the former post-write index scan read,
+    // without the scan job
+    val hot = stats
+      .filter { case (_, n, hottest) => n > maxRows && hottest <= maxRows }
+      .sortBy { case (b, n, _) => (-n, b) }.map(_._1)
       .filterNot(frozen)
     var logged = mine
     hot.foldLeft(gen0) { (s, b) =>
@@ -609,6 +612,7 @@ object TextIndex {
     posts.repartition(MicroShuffle, col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket")
       .parquet(indexPath)
+    graft.streaming.StreamHygiene.releaseBlocks(posts)
     buckets
   }
 
@@ -630,6 +634,7 @@ object TextIndex {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(indexPath)
+      graft.streaming.StreamHygiene.releaseBlocks(rows)
     }
     frag
   }
@@ -657,7 +662,22 @@ object TextIndex {
     * failure the ANN genealogy spec caught, AnnIndexSpec:228). */
   def applyEpoch(spark: SparkSession, batch: Dataset[MtDelta],
       indexPath: String, statsPath: String, batchId: Long,
-      splits: Seq[HashSplit] = Nil): Seq[Int] = {
+      splits: Seq[HashSplit] = Nil): Seq[Int] =
+    applyEpochStats(spark, batch, indexPath, statsPath, batchId,
+      splits)._1
+
+  /** [[applyEpoch]] that ALSO returns per-bucket (rows, hottest-term
+    * df) of the touched buckets' post-write content — the rewritten
+    * partitions' content is exactly the `next` frame this method just
+    * materialized, so the stats come from the same one aggregate job
+    * that finds emptied buckets; [[applyEpochRebalanced]]'s hot-bucket
+    * policy reads them instead of re-scanning the index it just wrote
+    * (r16 optimization round, guide §1.2 — one index-scan job per
+    * epoch removed; the maintain pass's cost is job count, not data). */
+  private[graft] def applyEpochStats(spark: SparkSession,
+      batch: Dataset[MtDelta], indexPath: String, statsPath: String,
+      batchId: Long, splits: Seq[HashSplit] = Nil)
+      : (Seq[Int], Seq[(Int, Long, Long)]) = {
     val df = batch.toDF()
     val textCol = element_at(
       from_json(col("img"), MapType(StringType, StringType)), "text")
@@ -687,8 +707,10 @@ object TextIndex {
     val touched = posts.select("bucket")
       .repartition(MicroShuffle, col("bucket")).distinct().collect()
       .map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) touched
-    else {
+    if (touched.isEmpty) {
+      graft.streaming.StreamHygiene.releaseBlocks(rows)
+      (touched, Nil)
+    } else {
       val newPosts = posts.filter(col("sign") === 1).drop("sign")
       // hasPartitions, not root-exists: an all-partitions-emptied
       // artifact must read as absent (ADVICE r14 #2)
@@ -709,12 +731,20 @@ object TextIndex {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(indexPath)
-      val nonEmpty = next.select("bucket")
-        .repartition(MicroShuffle, col("bucket")).distinct().collect()
-        .map(_.getInt(0)).toSet
+      // one aggregate job: per-bucket (rows, hottest-term df) gives
+      // BOTH the emptied-bucket set (a bucket absent from `next` was
+      // emptied) and the hot-policy stats over the post-write content
+      val stats = next.groupBy("bucket", "term").count()
+        .groupBy("bucket")
+        .agg(sum("count").as("n"), max("count").as("hottest"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val nonEmpty = stats.map(_._1).toSet
       touched.filterNot(nonEmpty).foreach(b =>
         IndexFs.deleteDir(spark, s"$indexPath/bucket=$b"))
-      touched
+      // epoch-local checkpoints are dead once the write committed
+      graft.streaming.StreamHygiene.releaseBlocks(rows, next)
+      (touched, stats)
     }
   }
 
@@ -951,12 +981,11 @@ object TextIndex {
           ChangeGen.writeLineBatches(changeDir,
             group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
         }
-        // state-store width pinned to the change volume (cdcMaintain's
-        // rationale; the width burns into the checkpoint at start)
-        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-        val q =
-          try Ivm.mtDeltas(MultiTable.parseAll(
+        // maintenance width + AQE off for the whole span
+        // (StreamHygiene.withMaintainConf — cdcMaintain's rationale)
+        graft.streaming.StreamHygiene.withMaintainConf(spark,
+            MicroShuffle) {
+          val q = Ivm.mtDeltas(MultiTable.parseAll(
               ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
             .writeStream.outputMode("update")
             .option("checkpointLocation", ckptDir)
@@ -966,8 +995,8 @@ object TextIndex {
                 bid, logPath, maxRows); ()
             }
             .start()
-          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-        try q.awaitTermination() finally q.stop()
+          try q.awaitTermination() finally q.stop()
+        }
         MaintainedTextLog(indexPath, statsPath, logPath)
       } finally graft.streaming.StreamHygiene.cleanupRun(
         Seq(changeDir, ckptDir), owner = Some(spark))
@@ -999,16 +1028,13 @@ object TextIndex {
           ChangeGen.writeLineBatches(changeDir,
             group.sortBy(_.lsn).map(toLine), batches = 1, startIndex = e)
         }
-        // the change stream's state is change-volume-sized: pin its
-        // state-store width (fixed at stream start from the session's
-        // shuffle conf) to MicroShuffle instead of the corpus-sized
-        // session width — 4× fewer state files per commit; restored
-        // immediately after start (the width is burned into the
-        // checkpoint at that point)
-        val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", MicroShuffle)
-        val q =
-          try Ivm.mtDeltas(MultiTable.parseAll(
+        // change-volume-sized stream: MicroShuffle width + AQE off for
+        // the WHOLE maintain span — state-store width at stream start
+        // AND every foreachBatch body query (which plans against the
+        // outer session); see StreamHygiene.withMaintainConf
+        graft.streaming.StreamHygiene.withMaintainConf(spark,
+            MicroShuffle) {
+          val q = Ivm.mtDeltas(MultiTable.parseAll(
               ChangeSource.rawLines(spark, changeDir, Some(1)), Seq(DocSpec)))
             .writeStream.outputMode("update")
             .option("checkpointLocation", ckptDir)
@@ -1017,8 +1043,8 @@ object TextIndex {
               applyEpoch(spark, batch, indexPath, statsPath, bid); ()
             }
             .start()
-          finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
-        try q.awaitTermination() finally q.stop()
+          try q.awaitTermination() finally q.stop()
+        }
         MaintainedText(indexPath, statsPath)
       } finally graft.streaming.StreamHygiene.cleanupRun(
         Seq(changeDir, ckptDir), owner = Some(spark))

@@ -59,6 +59,7 @@ object DedupGate {
       .repartition(col("sbucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("sbucket", "batch")
       .parquet(sigsPath)
+    StreamHygiene.releaseBlocks(sigs)
   }
 
   /** Compact one gate sub-artifact's epoch fragmentation — the
@@ -109,6 +110,7 @@ object DedupGate {
       mergeable(s"$path/$partCol=$b")
         .filter(_ != "batch=-1")
         .foreach(d => IndexFs.deleteDir(spark, s"$path/$partCol=$b/$d"))
+      StreamHygiene.releaseBlocks(rows)
     }
     frag
   }
@@ -162,6 +164,8 @@ object DedupGate {
       .parquet(s"$outDir/accepted/batch=$batchId")
     matched.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/rejected/batch=$batchId")
+    // trigger-local checkpoints are dead once the four writes committed
+    StreamHygiene.releaseBlocks(pSig, matched, acceptedDocs, sigs)
   }
 
   /** One single-file "day" of docs with a strictly increasing mtime —
@@ -239,9 +243,14 @@ object DedupGate {
           sigsPath)
         writeDayFile(docs.filter(col("doc_id") % 20 === 0), newDir, 1)
         writeDayFile(docs.filter(col("doc_id") % 20 === 10), newDir, 2)
-        val q = start(spark, newDir, bandsPath, sigsPath, outDir, ckpt,
-          maxFilesPerTrigger = Some(1))
-        try q.awaitTermination() finally q.stop()
+        // maintenance width + AQE off for the whole span
+        // (StreamHygiene.withMaintainConf — the screen/append body
+        // queries are change-volume-sized like the CDC maintains')
+        StreamHygiene.withMaintainConf(spark, MicroShuffle) {
+          val q = start(spark, newDir, bandsPath, sigsPath, outDir, ckpt,
+            maxFilesPerTrigger = Some(1))
+          try q.awaitTermination() finally q.stop()
+        }
         outDir
       } finally StreamHygiene.cleanupRun(Seq(newDir, idxRoot, ckpt),
         owner = Some(spark))

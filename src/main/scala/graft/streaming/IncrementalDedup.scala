@@ -123,6 +123,8 @@ object IncrementalDedup {
       .parquet(s"$outDir/accepted/batch=$batchId")
     matched.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/rejected/batch=$batchId")
+    // trigger-local checkpoints are dead once the three writes committed
+    StreamHygiene.releaseBlocks(incSigs, matched)
   }
 
   /** Continuous pipeline: stream new-doc parquet files from

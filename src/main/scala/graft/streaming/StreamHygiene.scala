@@ -70,6 +70,102 @@ object StreamHygiene {
     dirs.foreach(deleteRec)
   }
 
+  /** Session conf for the span of ONE maintain stream (r16
+    * optimization round, guide §2.2/§2.4): pins
+    * `spark.sql.shuffle.partitions` to the maintenance width for the
+    * WHOLE stream run — not just across `start()` — and disables AQE
+    * for the span.
+    *
+    * Why the wider span: the width used to be restored immediately
+    * after `start()` (it is burned into the stream's checkpoint at
+    * that point), but every foreachBatch BODY query — the touched-
+    * bucket collects, hot scans, split training aggregates — plans
+    * against the OUTER session and so ran at the corpus-sized session
+    * width (32 locally) with AQE re-planning each tiny exchange. A
+    * maintain epoch is change-volume-sized by construction, so the
+    * maintenance width is the right width for every body query too;
+    * job-level profiling of the r16 shared pass measured 684 jobs
+    * with 35% of wall in between-job driver gap, most of it per-query
+    * planning that this span removes. AQE is off for the same reason:
+    * the body plans are statically shaped (explicit repartition-by-key
+    * widths, explicit broadcast hints, partition-pruned reads), so
+    * adaptive re-planning buys nothing and costs a planning round per
+    * exchange per query. Maintains run one at a time (the sequential-
+    * harness assumption documented on [[cleanupRun]]), so holding the
+    * session conf for the span is safe; both keys are restored in a
+    * `finally`. At deployment scale the width is the operator's
+    * maintenance-shuffle parameter (MicroShuffle here), not a local
+    * tuning constant.
+    *
+    * REENTRANT per session (ref-counted): the shared maintain pass
+    * overlaps independent maintains from a small thread pool (guide
+    * §2.6 — the pass is dominated by per-job driver gap, which one
+    * maintain's jobs can fill while another plans/commits), so two
+    * spans on the SAME session may nest in time. Only the first enter
+    * captures the restore values and only the last exit restores —
+    * naive capture/restore would have the second span capture the
+    * first's width-8 as "previous" and leave the session at width 8
+    * for everything after the pass. Every maintain uses the same
+    * MicroShuffle width (asserted), so first-enter-wins is exact, not
+    * an approximation. */
+  private final class Span(val width: Int, val prevWidth: String,
+      val prevAqe: String) { var depth = 0 }
+  private val spans =
+    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, Span]()
+
+  def withMaintainConf[T](spark: org.apache.spark.sql.SparkSession,
+      width: Int)(body: => T): T = {
+    spans.synchronized {
+      val s = Option(spans.get(spark)).getOrElse {
+        val fresh = new Span(width,
+          spark.conf.get("spark.sql.shuffle.partitions"),
+          spark.conf.get("spark.sql.adaptive.enabled", "true"))
+        spark.conf.set("spark.sql.shuffle.partitions", width)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spans.put(spark, fresh)
+        fresh
+      }
+      require(s.width == width,
+        s"nested maintain spans with different widths (${s.width} vs " +
+          s"$width) on one session — the maintenance width must agree")
+      s.depth += 1
+    }
+    try body
+    finally spans.synchronized {
+      val s = spans.get(spark)
+      s.depth -= 1
+      if (s.depth == 0) {
+        spans.remove(spark)
+        spark.conf.set("spark.sql.shuffle.partitions", s.prevWidth)
+        spark.conf.set("spark.sql.adaptive.enabled", s.prevAqe)
+      }
+    }
+  }
+
+  /** Unpersist the RDD behind a `localCheckpoint(true)`-produced frame
+    * (its analyzed plan is a `LogicalRDD` over the checkpointed RDD).
+    * The maintain epoch bodies checkpoint several change-volume-sized
+    * frames PER EPOCH; without an explicit release those blocks sit in
+    * the block manager until the driver GCs and the ContextCleaner
+    * reaps them — which on a large quiet heap can be never, so a
+    * multi-stream bench accumulates dead blocks (and the GC pressure
+    * they cause) across its whole run (r16 optimization round, guide
+    * §5: maintains measured ~70% slower inside the 8-family pass than
+    * isolated). Callers release ONLY frames they own that cannot
+    * escape (checkpointed locals, dead once the epoch's writes commit)
+    * — NEVER a frame handed out to a memo ([[graft.ml.Dedup]]'s cache
+    * comment: an unpersisted localCheckpoint cannot be recomputed).
+    * Best-effort: anything unexpected leaves the blocks to the
+    * ContextCleaner, exactly as before. */
+  def releaseBlocks(dfs: org.apache.spark.sql.DataFrame*): Unit =
+    dfs.foreach { df =>
+      try df.queryExecution.analyzed match {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+    }
+
   /** Best-effort recursive removal of a per-run temp dir. */
   def deleteRec(path: String): Unit = {
     def go(f: java.io.File): Unit = {

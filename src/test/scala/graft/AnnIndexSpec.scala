@@ -688,4 +688,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.loadSplitLog(spark, logB) === refLog,
       "full-epoch replay must be a no-op on the log")
   }
+
+  test("applyEpochCounts == a fresh post-write scan (r16: the hot list " +
+      "rides the epoch's own aggregate, not a second index read)") {
+    val idx = tmp("ann-counts") + "/index"
+    AnnIndex.buildIndex(qRows, idx, cents, cb)
+    val byCell = spark.read.parquet(idx)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getInt(1), r.getLong(0))).groupBy(_._1)
+    val picks = byCell.toSeq.sortBy(_._1).take(2)
+      .map { case (c, ks) => (c, ks.map(_._2).min) }
+    val qOf = qRows.filter(col("vec_id")
+        .isin(picks.map(_._2): _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // mixed epoch: delete one key, update the other (same vector
+    // retracted and re-inserted shifted), insert a fresh key
+    val (k0, k1) = (picks(0)._2, picks(1)._2)
+    val deltas = Seq(
+      mkDelta(k0, -1, qOf(k0)),
+      mkDelta(k1, -1, qOf(k1)), mkDelta(k1, +1, qOf(k1).map(_ + 1)),
+      mkDelta(7777777L, +1, qOf(k0)))
+    val (affected, counts) =
+      AnnIndex.applyEpochCounts(spark, deltas.toDS(), idx, cents, cb)
+    assert(affected.nonEmpty)
+    // C3's claim: the rewritten partitions' post-write content is
+    // exactly the aggregated `next` frame — the returned per-cell
+    // counts must equal what the former post-write index scan read
+    val rescanned = spark.read.parquet(idx)
+      .filter(col("cell").isin(affected: _*))
+      .groupBy("cell").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(counts.toSet === rescanned,
+      "epoch-returned counts must equal a fresh scan of the touched cells")
+    assert(counts.map(_._1).toSet.subsetOf(affected.toSet))
+    (affected.toSet -- counts.map(_._1).toSet).foreach { c =>
+      assert(!new java.io.File(s"$idx/cell=$c").exists(),
+        s"emptied cell $c must have been cleared")
+    }
+  }
 }

@@ -824,4 +824,43 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.searchIndex(spark, idx, st, splits = splits)
       .collect().nonEmpty)
   }
+
+  test("applyEpochStats == a fresh post-write scan (r16: the hot list " +
+      "rides the epoch's own aggregate, not a second index read)") {
+    val root = tmp("txt-stats")
+    val (idx, st) = (s"$root/index", s"$root/stats")
+    TextIndex.buildIndex(docs.select("doc_id", "text"), idx)
+    TextIndex.buildStats(docs, st)
+    val snap = docs.select("doc_id", "text").orderBy("doc_id").limit(2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // mixed epoch: one delete, one update, one insert
+    val deltas = Seq(
+      mkDelta(snap(0)._1, -1, snap(0)._2),
+      mkDelta(snap(1)._1, -1, snap(1)._2),
+      mkDelta(snap(1)._1, +1, snap(1)._2 + " zzquux"),
+      mkDelta(888888L, +1, "fresh body of text"))
+    val (touched, stats) =
+      TextIndex.applyEpochStats(spark, deltas.toDS(), idx, st, 1L)
+    assert(touched.nonEmpty)
+    // the claim C3 rests on: the rewritten partitions' post-write
+    // content is exactly the aggregated `next` frame, so the returned
+    // (rows, hottest-term df) per bucket must equal what the former
+    // implementation's post-write index scan would have read
+    val rescanned = spark.read.parquet(idx)
+      .filter(col("bucket").isin(touched: _*))
+      .groupBy("bucket", "term").count()
+      .groupBy("bucket")
+      .agg(sum("count").as("n"), max("count").as("hottest"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(stats.toSet === rescanned,
+      "epoch-returned stats must equal a fresh scan of the touched buckets")
+    // and the emptied-bucket accounting is consistent: every returned
+    // stat bucket is touched, every touched-but-absent bucket has no dir
+    assert(stats.map(_._1).toSet.subsetOf(touched.toSet))
+    (touched.toSet -- stats.map(_._1).toSet).foreach { b =>
+      assert(!new java.io.File(s"$idx/bucket=$b").exists(),
+        s"emptied bucket $b must have been cleared")
+    }
+  }
 }
